@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship 4-stage panel pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for each query key.
+
+Panel mapping for the reference's financial-panel semantics onto the
+driver's TPC-H-ish tables: ticker → l_suppkey, date → l_shipdate,
+features → lineitem numerics; deterministic within-group ordering is
+(l_shipdate, l_orderkey, l_linenumber).
 """
 
 from __future__ import annotations
@@ -12,27 +15,238 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from centimators_spark.io import load_table
+from centimators_spark.operators import (
+    RankTransformer,
+    LagTransformer,
+    MovingAverageTransformer,
+    LogReturnTransformer,
+    GroupStatsTransformer,
+)
+
+# deterministic panel ordering (SURVEY.md §7 risk 1)
+ORDER = ["l_shipdate", "l_orderkey", "l_linenumber"]
+KEYS = ["l_orderkey", "l_linenumber"]
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem")
+
+
+# ---------------------------------------------------------------- queries
+
+def q_rank_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = RankTransformer(
+        ["l_quantity", "l_extendedprice"],
+        group_col="l_shipdate",
+        output_mode="replace",
+        keep_cols=KEYS,
+    )
+    return t.transform(_lineitem(spark, sf_dir))
+
+
+def q_lag_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = LagTransformer(
+        windows=[1, 5, 10],
+        feature_names=["l_quantity", "l_extendedprice"],
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        output_mode="replace",
+        keep_cols=KEYS,
+    )
+    return t.transform(_lineitem(spark, sf_dir))
+
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = MovingAverageTransformer(
+        windows=[5, 20],
+        feature_names=["l_quantity"],
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        output_mode="replace",
+        keep_cols=KEYS,
+    )
+    return t.transform(_lineitem(spark, sf_dir))
+
+
+def q_log_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = LogReturnTransformer(
+        feature_names=["l_extendedprice"],
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        output_mode="replace",
+        keep_cols=KEYS,
+    )
+    out = t.transform(_lineitem(spark, sf_dir))
+    # ln() differs by 1 ULP between JVM and libm → round for stable hashes
+    return out.withColumn(
+        "l_extendedprice_logreturn", F.round("l_extendedprice_logreturn", 6)
+    )
+
+
+def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = GroupStatsTransformer(
+        {"li": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]},
+        output_mode="replace",
+        keep_cols=KEYS,
+    )
+    return t.transform(_lineitem(spark, sf_dir))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: grouped aggregation, fully
+    pushed-down scan, map-side partial aggregation."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference README's 4-stage panel pipeline
+    (logreturn → rank → lag → ma) on the sf0.001 lineitem panel
+    (/root/reference/README.md:144-172)."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = _lineitem(spark, sf_dir)
+    common = dict(ticker_col="l_suppkey", order_cols=ORDER)
+    df = LogReturnTransformer(feature_names=["l_extendedprice"], **common).transform(df)
+    df = RankTransformer(
+        ["l_extendedprice_logreturn"], group_col="l_shipdate"
+    ).transform(df)
+    df = LagTransformer(
+        windows=[1, 5], feature_names=["l_extendedprice_logreturn_rank"], **common
+    ).transform(df)
+    df = MovingAverageTransformer(
+        windows=[5, 10], feature_names=["l_extendedprice_logreturn_rank"], **common
+    ).transform(df)
+    return df.select(
+        *KEYS,
+        "l_extendedprice_logreturn",
+        "l_extendedprice_logreturn_rank",
+        "l_extendedprice_logreturn_rank_lag5",
+        "l_extendedprice_logreturn_rank_lag1",
+        "l_extendedprice_logreturn_rank_ma5",
+        "l_extendedprice_logreturn_rank_ma10",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rank_transformer": q_rank_transformer,
+        "lag_transformer": q_lag_transformer,
+        "moving_average": q_moving_average,
+        "log_return": q_log_return,
+        "group_stats": q_group_stats,
+        "pricing_summary": q_pricing_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_ORDER_SQL = "l_shipdate, l_orderkey, l_linenumber"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rank_transformer": f"""
+            SELECT l_orderkey, l_linenumber,
+              (rank() OVER (PARTITION BY l_shipdate ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY l_shipdate, l_quantity) - 1) / 2.0)
+                / count(l_quantity) OVER (PARTITION BY l_shipdate) AS l_quantity_rank,
+              (rank() OVER (PARTITION BY l_shipdate ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY l_shipdate, l_extendedprice) - 1) / 2.0)
+                / count(l_extendedprice) OVER (PARTITION BY l_shipdate) AS l_extendedprice_rank
+            FROM lineitem
+        """,
+        "lag_transformer": f"""
+            SELECT l_orderkey, l_linenumber,
+              lag(l_quantity, 10)      OVER w AS l_quantity_lag10,
+              lag(l_extendedprice, 10) OVER w AS l_extendedprice_lag10,
+              lag(l_quantity, 5)       OVER w AS l_quantity_lag5,
+              lag(l_extendedprice, 5)  OVER w AS l_extendedprice_lag5,
+              lag(l_quantity, 1)       OVER w AS l_quantity_lag1,
+              lag(l_extendedprice, 1)  OVER w AS l_extendedprice_lag1
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL})
+        """,
+        "moving_average": f"""
+            SELECT l_orderkey, l_linenumber,
+              CASE WHEN count(l_quantity) OVER w5 = 5
+                   THEN avg(l_quantity) OVER w5 END AS l_quantity_ma5,
+              CASE WHEN count(l_quantity) OVER w20 = 20
+                   THEN avg(l_quantity) OVER w20 END AS l_quantity_ma20
+            FROM lineitem
+            WINDOW
+              w5 AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+              w20 AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            """,
+        "log_return": f"""
+            SELECT l_orderkey, l_linenumber,
+              round(ln(l_extendedprice) - lag(ln(l_extendedprice), 1) OVER w, 6)
+                AS l_extendedprice_logreturn
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL})
+        """,
+        "group_stats": """
+            WITH base AS (
+              SELECT l_orderkey, l_linenumber,
+                     l_quantity q, l_extendedprice e, l_discount d, l_tax t,
+                     (l_quantity + l_extendedprice + l_discount + l_tax) / 4.0 AS mu
+              FROM lineitem
+            ), m AS (
+              SELECT *,
+                ((q-mu)*(q-mu) + (e-mu)*(e-mu) + (d-mu)*(d-mu) + (t-mu)*(t-mu)) / 3.0 AS var_s
+              FROM base
+            )
+            SELECT l_orderkey, l_linenumber,
+              mu AS li_groupstats_mean,
+              sqrt(var_s) AS li_groupstats_std,
+              CASE WHEN var_s = 0 THEN 'nan'::DOUBLE ELSE
+                4.0/(3.0*2.0) * (
+                  ((q-mu)/sqrt(var_s))*((q-mu)/sqrt(var_s))*((q-mu)/sqrt(var_s))
+                  + ((e-mu)/sqrt(var_s))*((e-mu)/sqrt(var_s))*((e-mu)/sqrt(var_s))
+                  + ((d-mu)/sqrt(var_s))*((d-mu)/sqrt(var_s))*((d-mu)/sqrt(var_s))
+                  + ((t-mu)/sqrt(var_s))*((t-mu)/sqrt(var_s))*((t-mu)/sqrt(var_s)))
+              END AS li_groupstats_skew,
+              CASE WHEN var_s = 0 THEN 'nan'::DOUBLE ELSE
+                (4.0*5.0)/(3.0*2.0*1.0) * (
+                  ((q-mu)*(q-mu)/var_s)*((q-mu)*(q-mu)/var_s)
+                  + ((e-mu)*(e-mu)/var_s)*((e-mu)*(e-mu)/var_s)
+                  + ((d-mu)*(d-mu)/var_s)*((d-mu)*(d-mu)/var_s)
+                  + ((t-mu)*(t-mu)/var_s)*((t-mu)*(t-mu)/var_s))
+                - 3.0*9.0/(2.0*1.0)
+              END AS li_groupstats_kurtosis,
+              greatest(q,e,d,t) - least(q,e,d,t) AS li_groupstats_range,
+              CASE WHEN mu = 0 AND sqrt(var_s) = 0 THEN 'nan'::DOUBLE
+                   WHEN mu = 0 THEN 'infinity'::DOUBLE
+                   ELSE sqrt(var_s)/mu END AS li_groupstats_coefficient_of_variation
+            FROM m
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

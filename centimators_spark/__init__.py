@@ -1,0 +1,36 @@
+"""centimators_spark — a PySpark-native analytics engine with the
+query/data-processing capabilities of crowdcent/centimators.
+
+Design: declarative DataFrame/Column plans (Catalyst optimizes), Window
+functions for panel/time-series ops, `applyInPandas` only for per-era
+numeric kernels that genuinely need numpy (lstsq, Adamax, norm.ppf).
+
+Reference surface (see SURVEY.md §2): RankTransformer, LagTransformer,
+MovingAverageTransformer, LogReturnTransformer, GroupStatsTransformer,
+FeatureNeutralizer, FeaturePenalizer, DimReducer, EmbeddingTransformer,
+plus model estimators. Extensions: dedup, similarity search, text
+analysis, multimodal columns, streaming.
+"""
+
+from centimators_spark.session import get_spark
+from centimators_spark.io import load_tables, register_views
+from centimators_spark.operators.ranking import RankTransformer
+from centimators_spark.operators.time_series import (
+    LagTransformer,
+    MovingAverageTransformer,
+    LogReturnTransformer,
+)
+from centimators_spark.operators.stats import GroupStatsTransformer
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "load_tables",
+    "register_views",
+    "RankTransformer",
+    "LagTransformer",
+    "MovingAverageTransformer",
+    "LogReturnTransformer",
+    "GroupStatsTransformer",
+]

@@ -1,0 +1,80 @@
+"""Base transformer for the engine.
+
+API adaptation from the reference (SURVEY.md §1.1): the reference passes
+group/order metadata as out-of-band Series (`date_series=`,
+`ticker_series=`) aligned by row position. Spark DataFrames have no row
+position, so group/order columns travel *inside* the DataFrame and are
+named by constructor params (`group_col`, `order_cols`). This is the one
+deliberate API divergence; everything else (naming rules, null/NaN rules,
+tie semantics) mirrors the reference exactly
+(/root/reference/src/centimators/feature_transformers/base.py:26-68).
+
+Output modes:
+- ``replace`` (reference parity, base.py `.select(exprs)` semantics):
+  output = passthrough key columns + derived columns only.
+- ``append``: input columns + derived columns (idiomatic for pipelines —
+  downstream stages still see group/order cols).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.ml import Transformer
+from pyspark.sql import Column, DataFrame
+
+
+class PanelTransformer(Transformer):
+    """Common machinery: feature-name inference, output-mode projection.
+
+    Subclasses implement `_derived_columns(df) -> list[Column]` (each
+    aliased per the reference naming rules) and
+    `get_feature_names_out() -> list[str]`.
+    """
+
+    def __init__(
+        self,
+        feature_names: Sequence[str] | None = None,
+        *,
+        output_mode: str = "append",
+        keep_cols: Sequence[str] | None = None,
+    ):
+        super().__init__()
+        if output_mode not in ("append", "replace"):
+            raise ValueError(f"output_mode must be append|replace, got {output_mode}")
+        self.feature_names = list(feature_names) if feature_names else None
+        self.output_mode = output_mode
+        self.keep_cols = list(keep_cols) if keep_cols else []
+
+    # -- reference parity: fit infers feature_names from X columns
+    # (/root/reference/src/centimators/feature_transformers/base.py:57-62)
+    def _resolve_features(self, df: DataFrame) -> list[str]:
+        if self.feature_names:
+            return self.feature_names
+        excluded = set(self.keep_cols) | set(self._metadata_cols())
+        return [c for c in df.columns if c not in excluded]
+
+    def _metadata_cols(self) -> list[str]:
+        """Group/order columns a subclass uses; excluded from inference."""
+        return []
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        raise NotImplementedError
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        derived = self._derived_columns(df)
+        if self.output_mode == "append":
+            return df.select("*", *derived)
+        # reference parity: `.select(exprs)` drops inputs incl. group cols;
+        # only explicitly requested keep_cols ride along
+        return df.select(*self.keep_cols, *derived)
+
+    # sklearn-style conveniences
+    def fit(self, df: DataFrame, **_kwargs):  # stateless: fit is a no-op
+        return self
+
+    def fit_transform(self, df: DataFrame, **_kwargs) -> DataFrame:
+        return self.transform(df)
+
+    def get_feature_names_out(self) -> list[str]:
+        raise NotImplementedError

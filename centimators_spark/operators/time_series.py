@@ -1,0 +1,118 @@
+"""Grouped time-series transformers: Lag, MovingAverage, LogReturn.
+
+Reference semantics (/root/reference/src/centimators/feature_transformers/
+time_series.py):
+- Lag (:37-89): ``{f}_lag{k}`` = f shifted k rows within ticker; leading k
+  rows null; output columns lag-major with lags sorted DESC
+  (``windows=sorted(windows, reverse=True)``, :58).
+- MovingAverage (:100-146): ``{f}_ma{w}`` = trailing mean over w rows
+  within ticker; windows with fewer than w non-null rows → null
+  (narwhals rolling_mean min_samples defaults to window_size).
+- LogReturn (:160-197): ``{f}_logreturn`` = ln(f_t) − ln(f_{t−1}) within
+  ticker; first row null.
+
+The reference relies on physical row order within group; Spark has none,
+so these take explicit ``order_cols`` (include a unique tiebreaker column
+for determinism — SURVEY.md §7 risk 1).
+
+Spark plan: all derived columns share ONE WindowSpec (same partition,
+same order), so Catalyst fuses every F.lag/F.avg into a single WindowExec
+→ exactly one shuffle per transformer, and consecutive transformers with
+the same (partition, order) reuse the sort. No UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from centimators_spark.base import PanelTransformer
+
+
+class _OrderedPanelTransformer(PanelTransformer):
+    def __init__(
+        self,
+        feature_names: Sequence[str] | None = None,
+        *,
+        ticker_col: str | Sequence[str] = "ticker",
+        order_cols: Sequence[str] | str = ("date",),
+        output_mode: str = "append",
+        keep_cols: Sequence[str] | None = None,
+    ):
+        super().__init__(feature_names, output_mode=output_mode, keep_cols=keep_cols)
+        self.ticker_cols = [ticker_col] if isinstance(ticker_col, str) else list(ticker_col)
+        self.order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def _metadata_cols(self) -> list[str]:
+        return list(dict.fromkeys(self.ticker_cols + self.order_cols))
+
+    def _window(self) -> WindowSpec:
+        return Window.partitionBy(*self.ticker_cols).orderBy(*self.order_cols)
+
+
+class LagTransformer(_OrderedPanelTransformer):
+    """``{f}_lag{k}`` for k in windows (sorted desc, lag-major order)."""
+
+    def __init__(self, windows: Sequence[int], feature_names=None, **kwargs):
+        super().__init__(feature_names, **kwargs)
+        # reference: time_series.py:58 sorts lags descending
+        self.windows = sorted(windows, reverse=True)
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = feats
+        w = self._window()
+        return [
+            F.lag(F.col(f), k).over(w).alias(f"{f}_lag{k}")
+            for k in self.windows
+            for f in feats
+        ]
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names or getattr(self, "feature_names_")
+        return [f"{f}_lag{k}" for k in self.windows for f in feats]
+
+
+class MovingAverageTransformer(_OrderedPanelTransformer):
+    """``{f}_ma{w}`` trailing mean over w rows; partial windows → null."""
+
+    def __init__(self, windows: Sequence[int], feature_names=None, **kwargs):
+        super().__init__(feature_names, **kwargs)
+        self.windows = list(windows)
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = feats
+        cols = []
+        for wsize in self.windows:
+            frame = self._window().rowsBetween(-(wsize - 1), 0)
+            for f in feats:
+                c = F.col(f)
+                # narwhals rolling_mean(min_samples=window_size): need w
+                # non-null obs in the trailing w-row frame, else null
+                avg = F.when(F.count(c).over(frame) == wsize, F.avg(c).over(frame))
+                cols.append(avg.alias(f"{f}_ma{wsize}"))
+        return cols
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names or getattr(self, "feature_names_")
+        return [f"{f}_ma{w}" for w in self.windows for f in feats]
+
+
+class LogReturnTransformer(_OrderedPanelTransformer):
+    """``{f}_logreturn`` = ln(f_t) − ln(f_{t−1}) within ticker; first row null."""
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = feats
+        w = self._window()
+        return [
+            (F.log(F.col(f)) - F.lag(F.log(F.col(f)), 1).over(w)).alias(f"{f}_logreturn")
+            for f in feats
+        ]
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names or getattr(self, "feature_names_")
+        return [f"{f}_logreturn" for f in feats]

@@ -1,0 +1,181 @@
+"""Golden-value unit tests ported from the reference's fixtures
+(FIXTURES.md F1; /root/reference/tests/test_feature_transformers.py:24-94).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from centimators_spark.operators import (
+    RankTransformer,
+    LagTransformer,
+    MovingAverageTransformer,
+    LogReturnTransformer,
+    GroupStatsTransformer,
+)
+
+
+@pytest.fixture(scope="module")
+def panel(spark):
+    # F1 panel_simple: 2 tickers x 2 dates, deterministic row order via rid
+    rows = [
+        Row(rid=0, date="2024-01-01", ticker="A", feature1=10, feature2=1.0),
+        Row(rid=1, date="2024-01-02", ticker="A", feature1=20, feature2=2.0),
+        Row(rid=2, date="2024-01-01", ticker="B", feature1=30, feature2=3.0),
+        Row(rid=3, date="2024-01-02", ticker="B", feature1=40, feature2=4.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _by_rid(df, *cols):
+    return [tuple(r[c] for c in cols) for r in df.orderBy("rid").collect()]
+
+
+def test_rank_normalized(spark, panel):
+    t = RankTransformer(["feature1"], group_col="date", keep_cols=["rid"], output_mode="replace")
+    out = _by_rid(t.transform(panel), "feature1_rank")
+    # per date: 2 rows -> normalized avg ranks 0.5 and 1.0
+    assert out == [(0.5,), (0.5,), (1.0,), (1.0,)]
+
+
+def test_rank_average_ties(spark):
+    df = spark.createDataFrame(
+        [Row(rid=i, g="x", v=v) for i, v in enumerate([10, 20, 20, 30])]
+    )
+    t = RankTransformer(["v"], group_col="g", keep_cols=["rid"], output_mode="replace")
+    out = [r.v_rank for r in t.transform(df).orderBy("rid").collect()]
+    # ranks: 1, (2+3)/2=2.5, 2.5, 4 -> normalized by count 4
+    assert out == [0.25, 0.625, 0.625, 1.0]
+
+
+def test_rank_null_handling(spark):
+    df = spark.createDataFrame(
+        [Row(rid=0, g="x", v=10.0), Row(rid=1, g="x", v=None), Row(rid=2, g="x", v=20.0)]
+    )
+    t = RankTransformer(["v"], group_col="g", keep_cols=["rid"], output_mode="replace")
+    out = [r.v_rank for r in t.transform(df).orderBy("rid").collect()]
+    assert out[1] is None
+    assert out[0] == 0.5 and out[2] == 1.0
+
+
+def test_lag(spark, panel):
+    t = LagTransformer(
+        [1], ["feature1"], ticker_col="ticker", order_cols=["date", "rid"],
+        keep_cols=["rid"], output_mode="replace",
+    )
+    out = _by_rid(t.transform(panel), "feature1_lag1")
+    # first row per ticker null, then previous value
+    assert out == [(None,), (10,), (None,), (30,)]
+
+
+def test_lag_column_order_lag_major_desc(spark, panel):
+    t = LagTransformer([1, 2], ["feature1", "feature2"], ticker_col="ticker",
+                       order_cols=["date", "rid"], output_mode="replace")
+    cols = t.transform(panel).columns
+    assert cols == ["feature1_lag2", "feature2_lag2", "feature1_lag1", "feature2_lag1"]
+
+
+def test_moving_average_partial_null(spark, panel):
+    t = MovingAverageTransformer(
+        [2], ["feature1"], ticker_col="ticker", order_cols=["date", "rid"],
+        keep_cols=["rid"], output_mode="replace",
+    )
+    out = _by_rid(t.transform(panel), "feature1_ma2")
+    # partial window (first row of each ticker) -> null; ma2 of A = 15.0
+    assert out == [(None,), (15.0,), (None,), (35.0,)]
+
+
+def test_log_return(spark, panel):
+    t = LogReturnTransformer(
+        ["feature1"], ticker_col="ticker", order_cols=["date", "rid"],
+        keep_cols=["rid"], output_mode="replace",
+    )
+    out = _by_rid(t.transform(panel), "feature1_logreturn")
+    assert out[0][0] is None and out[2][0] is None
+    assert abs(out[1][0] - (math.log(20) - math.log(10))) < 1e-12
+    assert abs(out[3][0] - (math.log(40) - math.log(30))) < 1e-12
+
+
+def test_group_stats_golden(spark, panel):
+    t = GroupStatsTransformer(
+        {"g1": ["feature1", "feature2"]}, stats=["mean", "range"],
+        keep_cols=["rid"], output_mode="replace",
+    )
+    out = _by_rid(t.transform(panel), "g1_groupstats_mean", "g1_groupstats_range")
+    # row0: mean(10,1.0)=5.5 range=9
+    assert out[0] == (5.5, 9.0)
+
+
+def test_group_stats_nan_rules(spark):
+    df = spark.createDataFrame([(0, 1.0, None)], "rid int, a double, b double")
+    with pytest.warns(UserWarning):
+        t = GroupStatsTransformer(
+            {"g": ["a", "b"]}, stats=["std", "skew", "kurtosis"],
+            keep_cols=["rid"], output_mode="replace",
+        )
+    r = t.transform(df).collect()[0]
+    # n=1: std (ddof=1) -> NaN; skew (n<3) -> NaN; kurtosis (n<4) -> NaN
+    assert math.isnan(r.g_groupstats_std)
+    assert math.isnan(r.g_groupstats_skew)
+    assert math.isnan(r.g_groupstats_kurtosis)
+
+
+def test_group_stats_invalid_stat():
+    with pytest.raises(ValueError):
+        GroupStatsTransformer({"g": ["a"]}, stats=["median"])
+
+
+def _np_skew_unbiased(d):
+    import numpy as np
+
+    n = d.shape[1]
+    mu = d.mean(axis=1, keepdims=True)
+    s = d.std(axis=1, ddof=1, keepdims=True)
+    return n / ((n - 1) * (n - 2)) * (((d - mu) / s) ** 3).sum(axis=1)
+
+
+def _np_kurt_excess_unbiased(d):
+    import numpy as np
+
+    n = d.shape[1]
+    mu = d.mean(axis=1, keepdims=True)
+    s2 = d.var(axis=1, ddof=1, keepdims=True)
+    z4 = (((d - mu) ** 2 / s2) ** 2).sum(axis=1)
+    return n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * z4 - 3 * (n - 1) ** 2 / (
+        (n - 2) * (n - 3)
+    )
+
+
+def test_horizontal_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    data = rng.normal(size=(50, 5))
+    rows = [Row(rid=i, **{f"c{j}": float(v) for j, v in enumerate(row)}) for i, row in enumerate(data)]
+    df = spark.createDataFrame(rows)
+    t = GroupStatsTransformer(
+        {"g": [f"c{j}" for j in range(5)]},
+        stats=["mean", "std", "skew", "kurtosis"],
+        keep_cols=["rid"], output_mode="replace",
+    )
+    got = t.transform(df).orderBy("rid").toPandas()
+    np.testing.assert_allclose(got.g_groupstats_mean, data.mean(axis=1), rtol=1e-9)
+    np.testing.assert_allclose(got.g_groupstats_std, data.std(axis=1, ddof=1), rtol=1e-9)
+    np.testing.assert_allclose(got.g_groupstats_skew, _np_skew_unbiased(data), rtol=1e-7)
+    np.testing.assert_allclose(
+        got.g_groupstats_kurtosis, _np_kurt_excess_unbiased(data), rtol=1e-7
+    )
+
+
+def test_append_mode_keeps_inputs(spark, panel):
+    t = RankTransformer(["feature1"], group_col="date")  # default append
+    cols = t.transform(panel).columns
+    assert cols == ["rid", "date", "ticker", "feature1", "feature2", "feature1_rank"]
+
+
+def test_feature_name_inference(spark, panel):
+    # no feature_names -> all columns except metadata/keep
+    t = RankTransformer(group_col="date", keep_cols=["rid"], output_mode="replace")
+    out_cols = t.transform(panel.drop("ticker")).columns
+    assert set(out_cols) == {"rid", "feature1_rank", "feature2_rank"}
