@@ -24,6 +24,8 @@ from centimators_spark.operators import (
     MovingAverageTransformer,
     LogReturnTransformer,
     GroupStatsTransformer,
+    FeatureNeutralizer,
+    FeaturePenalizer,
 )
 
 # deterministic panel ordering (SURVEY.md §7 risk 1)
@@ -115,6 +117,41 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_neutralizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-era gaussianize + OLS neutralization (applyInPandas kernel).
+    Not SQL-expressible (Φ⁻¹) → driver records rows-only check; exact
+    parity is covered by tests/test_neutralization.py differential test."""
+    li = _lineitem(spark, sf_dir).withColumn(
+        "era", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    t = FeatureNeutralizer(
+        proportion=[0.5, 1.0],
+        pred_name="l_extendedprice",
+        feature_names=["l_quantity", "l_discount", "l_tax"],
+        era_col="era",
+        order_col="l_orderkey",
+        keep_cols=KEYS,
+    )
+    return t.transform(li)
+
+
+def q_feature_penalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-era Adamax exposure capping (applyInPandas kernel); rows-only."""
+    li = _lineitem(spark, sf_dir).withColumn(
+        "era", F.date_trunc("year", F.col("l_shipdate"))
+    )
+    t = FeaturePenalizer(
+        max_exposure=0.1,
+        pred_name="l_extendedprice",
+        feature_names=["l_quantity", "l_discount", "l_tax"],
+        era_col="era",
+        order_col="l_orderkey",
+        keep_cols=KEYS,
+        max_iters=10_000,
+    )
+    return t.transform(li)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference README's 4-stage panel pipeline
     (logreturn → rank → lag → ma) on the sf0.001 lineitem panel
@@ -151,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_return": q_log_return,
         "group_stats": q_group_stats,
         "pricing_summary": q_pricing_summary,
+        "feature_neutralizer": q_feature_neutralizer,
+        "feature_penalizer": q_feature_penalizer,
     }
 
 

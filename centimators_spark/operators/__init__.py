@@ -5,8 +5,12 @@ from centimators_spark.operators.time_series import (
     LogReturnTransformer,
 )
 from centimators_spark.operators.stats import GroupStatsTransformer
+from centimators_spark.operators.neutralization import FeatureNeutralizer
+from centimators_spark.operators.penalization import FeaturePenalizer
 
 __all__ = [
+    "FeatureNeutralizer",
+    "FeaturePenalizer",
     "RankTransformer",
     "LagTransformer",
     "MovingAverageTransformer",

@@ -1,0 +1,158 @@
+"""FeatureNeutralizer — per-era linear feature neutralization.
+
+Reference semantics (/root/reference/src/centimators/feature_transformers/
+neutralization.py:22-248): per era, per (pred × proportion):
+  1. gaussianize predictions (ordinal rank → (r−0.5)/n → Φ⁻¹)
+  2. OLS coeffs = lstsq(features, gauss_preds)
+  3. neut = gauss_preds − proportion · (features @ coeffs)
+  4. standardize: neut / std(neut)  (population std, ddof=0; no centering)
+then a GLOBAL min-max of each output column to [0, 1]; constant column
+(max−min < 1e-10) → 0.5. Output names
+``{pred}_neutralized_{prop}[_{suffix}]`` (:96-101).
+
+Spark plan:
+- one ``groupBy(era).applyInPandas`` — eras process in parallel across
+  executors (replaces the reference's serial era loop + joblib
+  process-parallelism over (pred×prop) tasks, :159-177; we compute ALL
+  (pred×prop) outputs in ONE kernel pass per era, sharing the
+  gaussianize+lstsq work the reference recomputes per task);
+- the global min-max is a deliberate two-phase plan: tiny agg →
+  broadcast crossJoin → column arithmetic (SURVEY.md §4 note 2), never
+  an unpartitioned window.
+
+Scale: the only shuffle is the era hash-partition; each era must fit one
+task (inherent to exact per-era lstsq — at 100 TB choose era granularity
+accordingly). Arrow moves the batches; the kernel is vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from centimators_spark.functions.normal import gaussianize
+
+
+def global_min_max_scale(
+    df: DataFrame, cols: Sequence[str], eps: float = 1e-10
+) -> DataFrame:
+    """Scale each col to [0,1] over the WHOLE frame (two-phase agg+broadcast);
+    constant column → 0.5 (reference base.py:17-23)."""
+    # output names may contain dots (e.g. "..._neutralized_0.5") — address
+    # via df[...] (literal resolution) and dot-free temp aliases
+    safe = {c: c.replace(".", "_") for c in cols}
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(f"`{c}`")).alias(f"__min_{safe[c]}"),
+            F.max(F.col(f"`{c}`")).alias(f"__max_{safe[c]}"),
+        ]
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        mn, mx = F.col(f"__min_{safe[c]}"), F.col(f"__max_{safe[c]}")
+        out = out.withColumn(
+            c,
+            F.when(mx - mn < eps, F.lit(0.5)).otherwise((F.col(f"`{c}`") - mn) / (mx - mn)),
+        )
+    return out.drop(*[f"__{k}_{safe[c]}" for c in cols for k in ("min", "max")])
+
+
+class FeatureNeutralizer:
+    """Spark port of the reference FeatureNeutralizer (see module doc)."""
+
+    def __init__(
+        self,
+        proportion: float | Sequence[float] = 0.5,
+        pred_name: str | Sequence[str] = "prediction",
+        feature_names: Sequence[str] | None = None,
+        suffix: str | None = None,
+        *,
+        era_col: str = "era",
+        order_col: str | None = None,
+        keep_cols: Sequence[str] | None = None,
+    ):
+        self.pred_names = [pred_name] if isinstance(pred_name, str) else list(pred_name)
+        self.proportions = (
+            [proportion] if isinstance(proportion, (int, float)) else list(proportion)
+        )
+        if len(set(self.pred_names)) != len(self.pred_names):
+            raise ValueError("Duplicate pred_names found.")
+        for p in self.proportions:
+            if not 0.0 <= p <= 1.0:
+                raise ValueError(f"proportion should be in [0, 1]. Got {p}.")
+        self.feature_names = list(feature_names) if feature_names else None
+        self.suffix = suffix
+        self.era_col = era_col
+        self.order_col = order_col
+        self.keep_cols = list(keep_cols) if keep_cols else []
+        self._output_names = [
+            f"{pn}_neutralized_{pr}_{suffix}" if suffix else f"{pn}_neutralized_{pr}"
+            for pn in self.pred_names
+            for pr in self.proportions
+        ]
+
+    def get_feature_names_out(self) -> list[str]:
+        return list(self._output_names)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        feats = self.feature_names or [
+            c
+            for c in df.columns
+            if c
+            not in set(self.pred_names + self.keep_cols + [self.era_col, self.order_col])
+        ]
+        preds, props = self.pred_names, self.proportions
+        era_col, order_col = self.era_col, self.order_col
+        out_names = self._output_names
+        if order_col is None:
+            warnings.warn(
+                "order_col not set: ordinal tie-breaking in gaussianize will "
+                "depend on partition order and is not deterministic."
+            )
+
+        needed = list(
+            dict.fromkeys(
+                ([order_col] if order_col else [])
+                + self.keep_cols
+                + [era_col]
+                + preds
+                + feats
+            )
+        )
+        narrow = df.select(*needed)
+
+        passthrough = ([order_col] if order_col else []) + self.keep_cols + [era_col]
+        schema = StructType(
+            [narrow.schema[c] for c in dict.fromkeys(passthrough)]
+        )
+        for name in out_names:
+            schema = schema.add(name, "double")
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col, kind="stable")
+            X = pdf[feats].to_numpy(dtype=np.float64)
+            out = {c: pdf[c] for c in dict.fromkeys(passthrough)}
+            for pn in preds:
+                gauss = gaussianize(pdf[pn].to_numpy(dtype=np.float64))
+                coeffs, _, _, _ = np.linalg.lstsq(X, gauss, rcond=None)
+                exposure = X @ coeffs
+                for pr in props:
+                    name = (
+                        f"{pn}_neutralized_{pr}_{self.suffix}"
+                        if self.suffix
+                        else f"{pn}_neutralized_{pr}"
+                    )
+                    neut = gauss - pr * exposure
+                    out[name] = neut / np.std(neut)
+            return pd.DataFrame(out)
+
+        raw = narrow.groupBy(era_col).applyInPandas(kernel, schema)
+        return global_min_max_scale(raw, out_names)

@@ -1,0 +1,190 @@
+"""FeaturePenalizer — per-era exposure capping via Adamax optimization.
+
+Reference semantics (/root/reference/src/centimators/feature_transformers/
+penalization.py:34-303): per era, per (pred × max_exposure):
+  1. gaussianize predictions
+  2. feats := features − 0.5 (float32)
+  3. target_exp = clip(exposures(feats, pred), ±max_exp) where
+     exposures(x, y) = corr of unit-normalized centered columns (:296-303)
+  4. minimize  Σ relu(relu(e)−relu(te)) + relu(relu(−e)−relu(−te))  over
+     w (adjustment weights), e = exposures(feats, pred − feats@w), via
+     Adamax (β1=.9, β2=.999, eps=1e-7, lr=1e-3, tol=1e-7,
+     max_iters=100000)
+  5. penalized = pred − feats@w ; standardize by population std per era
+then GLOBAL min-max to [0,1]. Output ``{pred}_penalized_{exp}[_{suffix}]``.
+
+This port replaces the reference's JAX `lax.while_loop` + autodiff with a
+hand-derived analytic gradient in float32 numpy (no JAX on executors).
+The reference itself accepts cross-framework slack (output correlation
+> 0.95, exposure ≤ cap + 0.01 — tests/test_penalizer_comparison.py:264,316),
+which is the parity bar for this kernel too.
+
+Spark plan: identical shape to FeatureNeutralizer — one
+``groupBy(era).applyInPandas`` (eras parallel across executors; the
+100k-iteration optimizer runs vectorized inside the task) + broadcast
+global min-max. One shuffle total.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
+
+from centimators_spark.functions.normal import gaussianize
+from centimators_spark.operators.neutralization import global_min_max_scale
+
+
+def _normalize_cols(x: np.ndarray) -> np.ndarray:
+    x = x - x.mean(axis=0)
+    return x / np.linalg.norm(x, axis=0)
+
+
+def exposures(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Correlation of each column of x with each column of y."""
+    return _normalize_cols(x).T @ _normalize_cols(y)
+
+
+def reduce_exposure(
+    prediction: np.ndarray,
+    features: np.ndarray,
+    max_exp: float,
+    lr: float = 1e-3,
+    max_iters: int = 100_000,
+    tol: float = 1e-7,
+) -> np.ndarray:
+    """Numpy Adamax port of the reference JAX kernel (float32)."""
+    feats = (features - 0.5).astype(np.float32)
+    pred = np.asarray(prediction, dtype=np.float32)[:, None]
+    n, k = feats.shape
+
+    xhat = _normalize_cols(feats)  # constant wrt w
+    target = np.clip(exposures(feats, pred), -max_exp, max_exp)
+    relu = lambda a: np.maximum(a, 0.0)  # noqa: E731
+    t_pos, t_neg = relu(target), relu(-target)
+
+    beta1, beta2, eps = np.float32(0.9), np.float32(0.999), np.float32(1e-7)
+    w = np.zeros((k, 1), dtype=np.float32)
+    m = np.zeros((k, 1), dtype=np.float32)
+    u = np.zeros((k, 1), dtype=np.float32)
+
+    for t in range(1, max_iters + 1):
+        v = pred - feats @ w
+        mu = v.mean()
+        c = v - mu
+        norm = np.linalg.norm(c)
+        yhat = c / norm
+        e = xhat.T @ yhat
+        pos_excess = relu(relu(e) - t_pos)
+        neg_excess = relu(relu(-e) - t_neg)
+        loss = float(np.sum(pos_excess + neg_excess))
+        if loss < tol:
+            break
+        # analytic (sub)gradient: dloss/de ∈ {−1, 0, +1} per component
+        s = (pos_excess > 0) * (e > 0) * 1.0 - (neg_excess > 0) * (-e > 0) * 1.0
+        s = s.astype(np.float32)
+        g_yhat = xhat @ s
+        g_c = (g_yhat - yhat * (yhat.T @ g_yhat)) / norm
+        g_v = g_c - g_c.mean()
+        grads = -feats.T @ g_v
+        m = beta1 * m + (1 - beta1) * grads
+        u = np.maximum(beta2 * u, np.abs(grads))
+        m_hat = m / (1 - beta1**t)
+        w = w - lr * m_hat / (u + eps)
+
+    return np.asarray(pred - feats @ w).squeeze()
+
+
+class FeaturePenalizer:
+    """Spark port of the reference FeaturePenalizer (see module doc)."""
+
+    def __init__(
+        self,
+        max_exposure: float | Sequence[float] = 0.1,
+        pred_name: str | Sequence[str] = "prediction",
+        feature_names: Sequence[str] | None = None,
+        suffix: str | None = None,
+        *,
+        lr: float = 1e-3,
+        max_iters: int = 100_000,
+        tol: float = 1e-7,
+        era_col: str = "era",
+        order_col: str | None = None,
+        keep_cols: Sequence[str] | None = None,
+    ):
+        self.pred_names = [pred_name] if isinstance(pred_name, str) else list(pred_name)
+        self.max_exposures = (
+            [max_exposure] if isinstance(max_exposure, (int, float)) else list(max_exposure)
+        )
+        for e in self.max_exposures:
+            if not 0.0 <= e <= 1.0:
+                raise ValueError(f"max_exposure should be in [0, 1]. Got {e}.")
+        self.feature_names = list(feature_names) if feature_names else None
+        self.suffix = suffix
+        self.lr, self.max_iters, self.tol = lr, max_iters, tol
+        self.era_col = era_col
+        self.order_col = order_col
+        self.keep_cols = list(keep_cols) if keep_cols else []
+        self._output_names = [
+            f"{pn}_penalized_{ex}_{suffix}" if suffix else f"{pn}_penalized_{ex}"
+            for pn in self.pred_names
+            for ex in self.max_exposures
+        ]
+
+    def get_feature_names_out(self) -> list[str]:
+        return list(self._output_names)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        feats = self.feature_names or [
+            c
+            for c in df.columns
+            if c
+            not in set(self.pred_names + self.keep_cols + [self.era_col, self.order_col])
+        ]
+        preds, exps = self.pred_names, self.max_exposures
+        era_col, order_col = self.era_col, self.order_col
+        lr, max_iters, tol = self.lr, self.max_iters, self.tol
+        suffix = self.suffix
+        out_names = self._output_names
+        if order_col is None:
+            warnings.warn(
+                "order_col not set: ordinal tie-breaking in gaussianize will "
+                "depend on partition order and is not deterministic."
+            )
+
+        needed = list(
+            dict.fromkeys(
+                ([order_col] if order_col else [])
+                + self.keep_cols
+                + [era_col]
+                + preds
+                + feats
+            )
+        )
+        narrow = df.select(*needed)
+        passthrough = list(
+            dict.fromkeys(([order_col] if order_col else []) + self.keep_cols + [era_col])
+        )
+        schema = StructType([narrow.schema[c] for c in passthrough])
+        for name in out_names:
+            schema = schema.add(name, "double")
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col, kind="stable")
+            X = pdf[feats].to_numpy(dtype=np.float64)
+            out = {c: pdf[c] for c in passthrough}
+            for pn in preds:
+                gauss = gaussianize(pdf[pn].to_numpy(dtype=np.float64))
+                for ex in exps:
+                    name = f"{pn}_penalized_{ex}_{suffix}" if suffix else f"{pn}_penalized_{ex}"
+                    pen = reduce_exposure(gauss, X, ex, lr, max_iters, tol)
+                    out[name] = pen / np.std(pen)
+            return pd.DataFrame(out)
+
+        raw = narrow.groupBy(era_col).applyInPandas(kernel, schema)
+        return global_min_max_scale(raw, out_names)
