@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from centimators_spark.io import load_table
+from centimators_spark.plans import datapipe_queries
 from centimators_spark.operators import (
     RankTransformer,
     LagTransformer,
@@ -190,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "feature_neutralizer": q_feature_neutralizer,
         "feature_penalizer": q_feature_penalizer,
+        **datapipe_queries.QUERIES,
     }
 
 
@@ -200,6 +202,7 @@ _ORDER_SQL = "l_shipdate, l_orderkey, l_linenumber"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **datapipe_queries.oracle_sql(),
         "rank_transformer": f"""
             SELECT l_orderkey, l_linenumber,
               (rank() OVER (PARTITION BY l_shipdate ORDER BY l_quantity)

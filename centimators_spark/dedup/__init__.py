@@ -1,0 +1,14 @@
+from centimators_spark.dedup.exact import exact_dedup
+from centimators_spark.dedup.jaccard import ngram_jaccard_pairs
+from centimators_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
+from centimators_spark.dedup.simhash import simhash_fingerprints
+from centimators_spark.dedup.embedding_dup import embedding_cosine_pairs
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "embedding_cosine_pairs",
+]

@@ -1,0 +1,67 @@
+"""Exact n-gram Jaccard near-duplicate pairs via inverted-index blocking.
+
+Semantics: pairs (d1 < d2) whose distinct token-n-gram sets have
+Jaccard similarity ≥ threshold. Blocking on shared n-grams is EXACT
+(any pair with Jaccard > 0 shares ≥ 1 gram), so this is the ground
+truth the MinHash path approximates-then-verifies against.
+
+Plan: explode grams → self-join on gram (shuffle on gram) → distinct
+candidate pairs → rejoin gram sets → row-local intersect/union. Scale:
+the gram join explodes on very common grams — at 100 TB, drop
+stop-grams first (document frequency cap) exactly like a search index;
+`df_cap` implements that. Jaccard itself is an integer ratio —
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centimators_spark.text.portable import token_ngrams, tokens
+
+
+def _gram_sets(df: DataFrame, content_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        token_ngrams(tokens(F.col(content_col)), n).alias("grams"),
+    ).where(F.size("grams") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs: (d1, d2, jaccard) with jaccard ≥ threshold.
+
+    df_cap: drop grams appearing in more than df_cap docs before
+    blocking (lossy only for pairs whose ENTIRE overlap is stop-grams;
+    recommended at scale)."""
+    grams = _gram_sets(df, content_col, id_col, n)
+    inv = grams.select("doc_id", F.explode("grams").alias("g"))
+    if df_cap is not None:
+        freq = inv.groupBy("g").count().where(F.col("count") <= df_cap)
+        inv = inv.join(F.broadcast(freq.select("g")), "g")
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "g")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    x = grams.select(F.col("doc_id").alias("d1"), F.col("grams").alias("g1"))
+    y = grams.select(F.col("doc_id").alias("d2"), F.col("grams").alias("g2"))
+    jac = (
+        F.size(F.array_intersect("g1", "g2")).cast("double")
+        / F.size(F.array_union("g1", "g2"))
+    )
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

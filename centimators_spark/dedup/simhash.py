@@ -1,0 +1,79 @@
+"""SimHash document fingerprints + near-dup pairs by Hamming distance.
+
+60-bit SimHash over the document's distinct token hashes (full 60-bit
+md5-derived values). Pairs are found by the standard block-permutation
+trick: split the fingerprint into (k+1) blocks — two docs within
+Hamming distance k must agree on at least one block (pigeonhole), so a
+self-join per block finds all candidates; exact popcount verifies.
+
+Everything is JVM bit arithmetic (shiftrightunsigned / bit_count) —
+portable to the DuckDB oracle and codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centimators_spark.text.portable import SIMHASH_BITS, md5_long, simhash, tokens
+
+
+def simhash_fingerprints(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, simhash) per document with ≥1 token."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tokens(F.col(content_col))).alias("tok"),
+    ).where(F.size("tok") > 0)
+    hashed = tok.withColumn("hashes", F.transform("tok", md5_long))
+    return hashed.select(
+        "doc_id",
+        F.size("tok").alias("n_tokens"),
+        simhash(F.col("hashes")).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs (d1, d2, hamming ≤ max_hamming) via block-permutation LSH."""
+    fp = simhash_fingerprints(df, content_col, id_col).select("doc_id", "simhash")
+    n_blocks = max_hamming + 1
+    width = (SIMHASH_BITS + n_blocks - 1) // n_blocks
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["block_id", "block_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.select("d1", "d2", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

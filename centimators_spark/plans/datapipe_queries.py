@@ -1,0 +1,261 @@
+"""Driver-contract queries + DuckDB oracles for the LLM-data-pipeline
+operators (dedup, similarity search, text analysis) over the
+``documents`` and ``embeddings`` tables.
+
+Every oracle is generated from the SAME portable constants/snippets as
+the Spark plan (centimators_spark/text/portable.py), so values are
+bit-identical: hashes via md5-hex→BIGINT, sums in fixed left-to-right
+order, Jaccard as integer-count ratios, IEEE-exact sqrt/divide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from centimators_spark.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from centimators_spark.io import load_table
+from centimators_spark.similarity.ann import brute_force_topk, embedding_cosine_pairs
+from centimators_spark.text import portable as P
+from centimators_spark.text.analysis import (
+    LANG_PROFILES,
+    PUNCT_RE,
+    WORD_RE,
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+JACCARD_T = 0.8
+MINHASH_T = 0.6
+COSINE_T = 0.5
+ANN_K = 10
+ANN_N_QUERIES = 5
+
+
+# ---------------------------------------------------------------- queries
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=MINHASH_T
+    )
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=ANN_K)
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return document_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "text_language_id": q_text_language_id,
+    "text_quality_score": q_text_quality_score,
+    "text_token_counts": q_text_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+
+# ---------------------------------------------------------------- oracles
+
+_TOK = P.sql_tokens("text")
+_G3 = P.sql_token_ngrams("tk", 3)
+
+_GRAMS_CTE = f"""
+  toks AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+  grams AS (SELECT doc_id, {_G3} AS gs FROM toks WHERE len({_G3}) > 0)
+"""
+
+_JACCARD_PAIRS = f"""
+  WITH {_GRAMS_CTE},
+  inv AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  )
+  SELECT d1, d2,
+    CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+      / len(list_distinct(x.gs || y.gs)) AS jaccard
+  FROM cand JOIN grams x ON x.doc_id = cand.d1 JOIN grams y ON y.doc_id = cand.d2
+"""
+
+_COS_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "k -> {a}[k] * {b}[k]), (x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    dot = _COS_DOT.format(a=a, b=b)
+    na = _COS_DOT.format(a=a, b=a)
+    nb = _COS_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _lang_sql() -> str:
+    hit_cols = []
+    for lang, words in LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(f"len(list_intersect(tk, [{lst}])) AS hits_{lang}")
+    langs = list(LANG_PROFILES)
+    # first-wins argmax in fixed language order (strict > against running max)
+    best_expr = f"'{langs[0]}'"
+    score_expr = f"hits_{langs[0]}"
+    for lang in langs[1:]:
+        best_expr = f"CASE WHEN hits_{lang} > ({score_expr}) THEN '{lang}' ELSE ({best_expr}) END"
+        score_expr = f"CASE WHEN hits_{lang} > ({score_expr}) THEN hits_{lang} ELSE ({score_expr}) END"
+    hits = ", ".join(f"hits_{lang}" for lang in langs)
+    return f"""
+      WITH toks AS (SELECT doc_id, list_distinct({_TOK}) AS tk FROM documents),
+      h AS (SELECT doc_id, {', '.join(hit_cols)} FROM toks)
+      SELECT doc_id, {best_expr} AS lang_pred, {score_expr} AS lang_hits, {hits}
+      FROM h
+    """
+
+
+def oracle_sql() -> dict[str, str]:
+    full_hashes = f"list_transform(tk, t -> {P.sql_md5_long('t')})"
+    sorted_gram_hashes = (
+        f"list_sort(list_transform(gs, g -> {P.sql_md5_long('g')}))"
+    )
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            SELECT * FROM ({_JACCARD_PAIRS}) WHERE jaccard >= {JACCARD_T}
+        """,
+        # oracle for the LSH path is the EXACT pair set (recall loss at
+        # these params is ~6e-7 per pair; candidates are exact-verified)
+        "dedup_minhash_lsh": f"""
+            SELECT * FROM ({_JACCARD_PAIRS}) WHERE jaccard >= {MINHASH_T}
+        """,
+        "simhash_fingerprint": f"""
+            WITH toks AS (
+              SELECT doc_id, list_distinct({_TOK}) AS tk FROM documents
+            ), h AS (
+              SELECT doc_id, len(tk) AS n_tokens, {full_hashes} AS hs
+              FROM toks WHERE len(tk) > 0
+            )
+            SELECT doc_id, n_tokens, {P.sql_simhash('hs')} AS simhash FROM h
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            )
+            SELECT a.vec_id AS i, b.vec_id AS j, {_cos('a.v', 'b.v')} AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_cos('a.v', 'b.v')} >= {COSINE_T}
+        """,
+        "ann_cosine_topk": f"""
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {ANN_N_QUERIES}
+            ), scored AS (
+              SELECT q.query_id, e.vec_id, {_cos('q.qv', 'e.v')} AS cos
+              FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, vec_id, cos,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+                  AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K}
+        """,
+        "text_language_id": _lang_sql(),
+        "text_quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, text, lower(text) AS lo, {_TOK} AS tk,
+                     list_distinct({_TOK}) AS dtk
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                CAST(length(text) AS DOUBLE) AS n_chars,
+                CAST(len(tk) AS DOUBLE) AS n_tokens,
+                CAST(length(text) - length(regexp_replace(lo, '{PUNCT_RE}', '', 'g'))
+                     AS DOUBLE) AS punct_chars,
+                CAST(list_reduce(list_transform(tk, x -> length(x)), (a, b) -> a + b)
+                     AS DOUBLE) AS tok_len_sum,
+                CAST(len(list_intersect(dtk,
+                    [{', '.join("'" + w + "'" for w in LANG_PROFILES['en'])}]))
+                     AS DOUBLE) AS stop_hits,
+                CAST(len(dtk) AS DOUBLE) AS n_distinct
+              FROM t
+            )
+            SELECT doc_id, n_chars, n_tokens,
+              punct_chars / n_chars AS punct_ratio,
+              tok_len_sum / n_tokens AS mean_token_len,
+              stop_hits / n_distinct AS stopword_ratio,
+              0.4 * least(stop_hits / n_distinct * 4, 1.0)
+                + 0.3 * (1.0 - least(punct_chars / n_chars * 10, 1.0))
+                + 0.3 * least(n_tokens / 100, 1.0) AS quality
+            FROM m
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+              len({_TOK}) AS n_ws_tokens,
+              len(regexp_extract_all(lower(text), '{WORD_RE}')) AS n_re_tokens,
+              len(list_distinct({_TOK})) AS n_distinct_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            WITH {_GRAMS_CTE},
+            h AS (SELECT doc_id, len(gs) AS n_grams, {sorted_gram_hashes} AS hs
+                  FROM grams)
+            SELECT doc_id, n_grams, hs[1] AS fp_min1, hs[2] AS fp_min2 FROM h
+        """,
+    }

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine``: pure-expression cosine similarity (zip_with + aggregate,
+  sequential left-to-right sums → bit-identical to the DuckDB oracle's
+  list_reduce; no UDF, no shuffle).
+- ``brute_force_topk``: exact top-k neighbors for a (small) query set —
+  broadcast the queries, score every row, per-query window top-k.
+  This is the correctness baseline: one scan, one shuffle (by query for
+  the top-k window).
+- ``rp_lsh_topk``: random-hyperplane LSH bucketed search — the 100 TB
+  path. Vectors hash to sign-pattern buckets; only bucket-mates (across
+  a few probe permutations) are scored. Recall < 1 by construction;
+  verified against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cos, rank). Excludes
+    self-matches when ids coincide. Ties broken by vec_id ascending."""
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+    )
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vv"))
+    scored = v.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        cosine(F.col("qv"), F.col("vv")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (i < j) with cosine ≥ threshold (exact, O(n²) scored —
+    the oracle baseline; use rp_lsh buckets at scale)."""
+    a = vectors.select(
+        F.col(id_col).alias("i"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("j"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def rp_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign buckets, n_tables
+    independent tables; candidates = bucket collisions in any table."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def bucket_cols(vcol: Column) -> list[Column]:
+        cols = []
+        for t in range(n_tables):
+            bits = F.lit(0)
+            for p in range(n_planes):
+                proj = F.aggregate(
+                    F.zip_with(
+                        vcol,
+                        F.array(*[F.lit(float(x)) for x in planes[t, p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            cols.append(bits.alias(f"bucket_{t}"))
+        return cols
+
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vv"))
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    vb = v.select(id_col, "vv", *bucket_cols(F.col("vv")))
+    qb = q.select(query_id_col, "qv", *bucket_cols(F.col("qv")))
+
+    v_long = vb.select(
+        id_col,
+        "vv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bkt"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "vv", "tb.t", "tb.bkt")
+    q_long = qb.select(
+        query_id_col,
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("bkt"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(query_id_col, "qv", "tb.t", "tb.bkt")
+
+    cand = (
+        v_long.join(F.broadcast(q_long), ["t", "bkt"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "qv", "vv")
+        .distinct()
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("qv"), F.col("vv")).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

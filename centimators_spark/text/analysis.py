@@ -1,0 +1,111 @@
+"""Text analysis operators: language ID, quality scoring, token counts,
+document fingerprinting. All pure JVM expressions (codegen, no shuffle)
+with DuckDB-portable semantics; constants shared with the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from centimators_spark.text.portable import md5_long, token_ngrams, tokens
+
+# small stopword profiles for the n-gram/stopword-hit language heuristic;
+# fixed order = deterministic argmax tie-breaking
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "la", "y", "los", "las", "un", "una", "es"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就"],
+}
+
+PUNCT_RE = "[^a-z0-9 ]"
+WORD_RE = "[a-z]+|[0-9]+"  # BPE-ish: letter runs and digit runs
+
+
+def _hits(tok: Column, words: list[str]) -> Column:
+    return F.size(F.array_intersect(tok, F.array(*[F.lit(w) for w in words])))
+
+
+def language_id(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts over the
+    distinct token set; argmax with fixed language order on ties."""
+    tok = F.array_distinct(tokens(F.col(content_col)))
+    scores = {lang: _hits(tok, words) for lang, words in LANG_PROFILES.items()}
+    best_lang, best_score = None, None
+    for lang, score in scores.items():  # first-wins tie-break (fixed order)
+        if best_lang is None:
+            best_lang, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        best_lang.alias("lang_pred"),
+        best_score.alias("lang_hits"),
+        *[scores[lang].alias(f"hits_{lang}") for lang in LANG_PROFILES],
+    )
+
+
+def quality_score(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    length, token stats, punctuation ratio, stopword ratio."""
+    lower = F.lower(F.col(content_col))
+    tok = tokens(F.col(content_col))
+    n_chars = F.length(F.col(content_col)).cast("double")
+    n_tokens = F.size(tok).cast("double")
+    punct_chars = n_chars - F.length(F.regexp_replace(lower, PUNCT_RE, ""))
+    mean_tok_len = F.aggregate(
+        tok, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / n_tokens
+    stop_ratio = (
+        _hits(F.array_distinct(tok), LANG_PROFILES["en"]).cast("double")
+        / F.size(F.array_distinct(tok))
+    )
+    # composite: favor texts with some stopwords, low punctuation noise,
+    # moderate token length (pure arithmetic — portable)
+    score = (
+        F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_chars / n_chars * 10, F.lit(1.0)))
+        + F.lit(0.3) * F.least(n_tokens / 100, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (punct_chars / n_chars).alias("punct_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + regex (BPE-ish letter/digit-run) count +
+    distinct token count."""
+    tok = tokens(F.col(content_col))
+    words = F.regexp_extract_all(F.lower(F.col(content_col)), F.lit(WORD_RE), 0)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tok).alias("n_ws_tokens"),
+        F.size(words).alias("n_re_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+    )
+
+
+def document_fingerprint(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Winnowing-style fingerprint: the two smallest distinct n-gram
+    hashes + gram count (stable, portable content signature)."""
+    grams = token_ngrams(tokens(F.col(content_col)), n)
+    hashes = F.array_sort(F.transform(grams, md5_long))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).alias("n_grams"),
+        # F.get is 0-based and null-safe (ANSI mode errors on OOB element_at)
+        F.get(hashes, 0).alias("fp_min1"),
+        F.get(hashes, 1).alias("fp_min2"),
+    ).where(F.col("n_grams") > 0)

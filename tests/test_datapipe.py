@@ -1,0 +1,88 @@
+"""Tests for dedup / similarity / text-analysis operators against exact
+baselines on the sf0.001 tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from centimators_spark.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from centimators_spark.dedup.simhash import simhash_pairs
+from centimators_spark.io import load_table
+from centimators_spark.similarity.ann import brute_force_topk, rp_lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = exact_dedup(docs).toPandas()
+    assert out.n_dups.sum() == docs.count()
+    assert (out.n_dups >= 1).all()
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    """LSH candidates + exact verify must equal the exact all-pairs set
+    (recall loss at b=32,r=2 is ~1e-6 at threshold 0.6)."""
+    exact = {
+        (r.d1, r.d2, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.d1, r.d2, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(docs, threshold=0.6).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    """Docs that are exact n-gram near-dups should collide at low
+    Hamming distance; unrelated docs shouldn't all collide."""
+    fps = simhash_fingerprints(docs)
+    assert fps.count() == docs.count()
+    pairs = simhash_pairs(docs, max_hamming=3)
+    near = {(r.d1, r.d2) for r in pairs.collect()}
+    # token-identical docs (jaccard == 1) have identical token sets ->
+    # identical simhash -> hamming 0
+    ident = ngram_jaccard_pairs(docs, threshold=0.999)
+    for r in ident.collect():
+        assert (r.d1, r.d2) in near
+    assert len(near) < 0.05 * 500 * 499 / 2  # not everything collides
+
+
+def test_rp_lsh_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    # test embeddings are near-orthogonal (top cosine ~0.4): collision
+    # prob per plane for θ≈70° is ~0.6 → few planes, many tables
+    approx = rp_lsh_topk(emb, queries, k=5, n_planes=4, n_tables=16).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # approximate path finds most true neighbors
+
+    # sanity: per-query result sizes and rank bounds
+    assert (exact.groupby("query_id")["rank"].max() == 5).all()
+
+
+def test_brute_force_topk_no_self(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10).toPandas()
+    assert not ((out.query_id == out.vec_id).any())
+    assert out.cos.between(-1.000001, 1.000001).all()
