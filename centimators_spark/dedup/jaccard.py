@@ -18,14 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from centimators_spark.text.portable import token_ngrams, tokens
+from centimators_spark.text.hashing_udf import gram_frame as _gram_sets_udf
 
 
 def _gram_sets(df: DataFrame, content_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        token_ngrams(tokens(F.col(content_col)), n).alias("grams"),
-    ).where(F.size("grams") > 0)
+    return _gram_sets_udf(df, content_col, id_col, n)
 
 
 def ngram_jaccard_pairs(
@@ -43,25 +40,27 @@ def ngram_jaccard_pairs(
     recommended at scale)."""
     grams = _gram_sets(df, content_col, id_col, n)
     inv = grams.select("doc_id", F.explode("grams").alias("g"))
+    # grams are distinct per doc → set size == exploded row count; deriving
+    # sizes from inv reuses the single shingling pass instead of a second one
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if df_cap is not None:
         freq = inv.groupBy("g").count().where(F.col("count") <= df_cap)
         inv = inv.join(F.broadcast(freq.select("g")), "g")
-    cand = (
+    # |A ∩ B| directly from the inverted index (count of shared grams);
+    # |A ∪ B| = |A| + |B| − |A ∩ B|. Avoids materializing distinct
+    # candidate pairs AND the per-pair array intersect — one gram-join,
+    # one aggregation, two id-joins. Integer ratio → bit-exact.
+    shared = (
         inv.alias("a")
         .join(inv.alias("b"), "g")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    x = grams.select(F.col("doc_id").alias("d1"), F.col("grams").alias("g1"))
-    y = grams.select(F.col("doc_id").alias("d2"), F.col("grams").alias("g2"))
-    jac = (
-        F.size(F.array_intersect("g1", "g2")).cast("double")
-        / F.size(F.array_union("g1", "g2"))
-    )
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
     return (
-        cand.join(x, "d1")
-        .join(y, "d2")
+        shared.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

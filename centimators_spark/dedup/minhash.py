@@ -23,29 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from centimators_spark.text.portable import (
-    LSH_BANDS,
-    LSH_ROWS,
-    gram_hashes,
-    minhash_signature,
-    token_ngrams,
-    tokens,
-)
-
-
-def minhash_signatures(
-    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3
-) -> DataFrame:
-    """(doc_id, grams, sig_0..sig_{NUM_PERM-1}) for docs with ≥1 gram."""
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        token_ngrams(tokens(F.col(content_col)), n).alias("grams"),
-    ).where(F.size("grams") > 0)
-    hashed = grams.withColumn("hashes", gram_hashes(F.col("grams")))
-    sig = minhash_signature(F.col("hashes"))
-    return hashed.select(
-        "doc_id", "grams", *[s.alias(f"sig_{i}") for i, s in enumerate(sig)]
-    )
+from centimators_spark.text.portable import LSH_BANDS, LSH_ROWS
+from centimators_spark.text.hashing_udf import minhash_signatures_udf as minhash_signatures
 
 
 def minhash_lsh_pairs(
@@ -60,7 +39,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, content_col, id_col, n)
     band_cols = [
         F.concat_ws(
-            "-", *[F.col(f"sig_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            "-", *[F.get(F.col("sig"), b * LSH_ROWS + r) for r in range(LSH_ROWS)]
         ).alias(f"band_{b}")
         for b in range(LSH_BANDS)
     ]
@@ -86,6 +65,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+    # exact verification of the (small) candidate set: same
+    # count-based Jaccard as dedup/jaccard.py — bit-exact integer ratio
     g = sigs.select("doc_id", "grams")
     jac = (
         F.size(F.array_intersect("g1", "g2")).cast("double")

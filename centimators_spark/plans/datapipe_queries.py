@@ -191,13 +191,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, {P.sql_simhash('hs')} AS simhash FROM h
         """,
         "dedup_embedding_cosine": f"""
-            WITH e AS (
+            WITH e0 AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings
+            ), e AS (
+              SELECT vec_id,
+                list_transform(v, x -> x / sqrt({_COS_DOT.format(a='v', b='v')})) AS v
+              FROM e0
             )
-            SELECT a.vec_id AS i, b.vec_id AS j, {_cos('a.v', 'b.v')} AS cos
+            SELECT a.vec_id AS i, b.vec_id AS j,
+              {_COS_DOT.format(a='a.v', b='b.v')} AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE {_cos('a.v', 'b.v')} >= {COSINE_T}
+            WHERE {_COS_DOT.format(a='a.v', b='b.v')} >= {COSINE_T}
         """,
         "ann_cosine_topk": f"""
             WITH e AS (

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from centimators_spark.text.portable import md5_long, token_ngrams, tokens
+from centimators_spark.text.portable import tokens
 
 # small stopword profiles for the n-gram/stopword-hit language heuristic;
 # fixed order = deterministic argmax tie-breaking
@@ -99,13 +99,8 @@ def document_fingerprint(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Winnowing-style fingerprint: the two smallest distinct n-gram
-    hashes + gram count (stable, portable content signature)."""
-    grams = token_ngrams(tokens(F.col(content_col)), n)
-    hashes = F.array_sort(F.transform(grams, md5_long))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(grams).alias("n_grams"),
-        # F.get is 0-based and null-safe (ANSI mode errors on OOB element_at)
-        F.get(hashes, 0).alias("fp_min1"),
-        F.get(hashes, 1).alias("fp_min2"),
-    ).where(F.col("n_grams") > 0)
+    hashes + gram count (stable, portable content signature).
+    Vectorized Arrow/numpy path (see text/hashing_udf.py)."""
+    from centimators_spark.text.hashing_udf import gram_hash_extrema_udf
+
+    return gram_hash_extrema_udf(df, content_col, id_col, n)
