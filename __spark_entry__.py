@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from centimators_spark.io import load_table
-from centimators_spark.plans import datapipe_queries
+from centimators_spark.plans import datapipe_queries, relational_queries
 from centimators_spark.operators import (
     RankTransformer,
     LagTransformer,
@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_neutralizer": q_feature_neutralizer,
         "feature_penalizer": q_feature_penalizer,
         **datapipe_queries.QUERIES,
+        **relational_queries.QUERIES,
     }
 
 
@@ -203,6 +204,7 @@ _ORDER_SQL = "l_shipdate, l_orderkey, l_linenumber"
 def oracle_sql() -> dict[str, str]:
     return {
         **datapipe_queries.oracle_sql(),
+        **relational_queries.oracle_sql(),
         "rank_transformer": f"""
             SELECT l_orderkey, l_linenumber,
               (rank() OVER (PARTITION BY l_shipdate ORDER BY l_quantity)

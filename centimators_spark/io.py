@@ -28,7 +28,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) which Spark's vectorized reader
+    rejects; read nanos as long and convert to microsecond timestamps
+    (second-level semantics — window/session/epoch — are unaffected)."""
+    from pyspark.sql import functions as F
+
+    try:
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "timestamp":
+            return df
+    except Exception:
+        pass
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

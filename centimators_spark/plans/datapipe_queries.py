@@ -41,6 +41,41 @@ ANN_N_QUERIES = 5
 
 # ---------------------------------------------------------------- queries
 
+def q_embedding_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding plumbing verified end-to-end with the deterministic
+    ord-sum embedder (len/charsum are SQL-expressible)."""
+    from centimators_spark.ml.embedders import ord_sum_embedder
+    from centimators_spark.operators.embedding import EmbeddingTransformer
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = EmbeddingTransformer(
+        embedder=ord_sum_embedder,
+        feature_names=["text", "lang"],
+        categorical_mapping={"lang": "Language: {}"},
+        keep_cols=["doc_id"],
+    )
+    out = t.fit_transform(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("double").alias(c) for c in t.get_feature_names_out()],
+    )
+
+
+def q_dim_reducer_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over lineitem numerics (rows-only check; PCA
+    parity vs numpy SVD is covered in tests/test_ml_surface.py)."""
+    from centimators_spark.operators.dimreduction import DimReducer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t = DimReducer(
+        "pca",
+        n_components=2,
+        feature_names=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        keep_cols=["l_orderkey", "l_linenumber"],
+    )
+    return t.fit_transform(li)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -92,6 +127,8 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "embedding_transformer": q_embedding_transformer,
+    "dim_reducer_pca": q_dim_reducer_pca,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -168,6 +205,18 @@ def oracle_sql() -> dict[str, str]:
         f"list_sort(list_transform(gs, g -> {P.sql_md5_long('g')}))"
     )
     return {
+        "embedding_transformer": """
+            SELECT doc_id,
+              CAST(length(text) AS DOUBLE) AS text_embed_0,
+              CAST(list_reduce(list_transform(string_split(text, ''),
+                   c -> unicode(c)), (x, y) -> x + y) % 100 AS DOUBLE)
+                AS text_embed_1,
+              CAST(length('Language: ' || lang) AS DOUBLE) AS lang_embed_0,
+              CAST(list_reduce(list_transform(string_split('Language: ' || lang, ''),
+                   c -> unicode(c)), (x, y) -> x + y) % 100 AS DOUBLE)
+                AS lang_embed_1
+            FROM documents
+        """,
         "dedup_exact": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
                    count(*) AS n_dups

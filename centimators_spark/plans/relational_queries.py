@@ -1,0 +1,199 @@
+"""Relational + event-stream queries with DuckDB oracles.
+
+These exercise the engine's join/aggregation/window/limit surface the
+way a warehouse user would: broadcast-able dimension joins, partial
+aggregation, top-k windows, event-time tumbling and session windows,
+JSON extraction. All plans are declarative DataFrame code — Catalyst
+picks broadcast-hash joins for the small sides and AQE handles runtime
+re-planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from centimators_spark.io import load_table
+from centimators_spark.streaming.events import sessionize, windowed_event_counts
+
+
+def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_event_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == customer.c_custkey,
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 open orders by discounted revenue for one
+    segment."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    seg = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+        .where(
+            (F.col("o_orderdate") < F.lit("1998-01-01"))
+            & (F.col("l_shipdate") > F.lit("1996-01-01"))
+        )
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation where customer and supplier
+    share the nation; 6-way join with broadcast dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+QUERIES = {
+    "events_windowed_counts": q_events_windowed_counts,
+    "events_sessionize": q_events_sessionize,
+    "events_json_extract": q_events_json_extract,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "shipping_priority": q_shipping_priority,
+    "regional_revenue": q_regional_revenue,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "events_windowed_counts": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, value, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   CAST(epoch(date_trunc('second', min(ts))) AS BIGINT)
+                     AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_json_extract": """
+            SELECT event_type,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rk <= 3
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1996-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+    }

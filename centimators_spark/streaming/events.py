@@ -1,0 +1,141 @@
+"""Structured Streaming operators for the events table.
+
+The transformations are written against the unified DataFrame model:
+the SAME function works on a batch frame and on a ``readStream`` frame
+(Spark's batch/streaming unification), so the DuckDB oracle checks the
+batch semantics and the streaming tests check incremental execution
+(availableNow trigger → memory sink) produces identical results.
+
+Event-time correctness: ``withWatermark`` bounds state for late data;
+tumbling windows via ``F.window``; session windows via
+``F.session_window`` (gap-merged, end-exclusive); arbitrary stateful
+processing via ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),  # cast after read
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as a file-source stream (schema pinned — streaming
+    sources cannot infer). The source file stores TIMESTAMP(NANOS),
+    which Spark only reads as long (legacy conf); convert to µs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # file stream source needs a directory; glob-filter to the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time window per event_type: count, sum(value).
+    Works identically on batch and streaming inputs; on streams the
+    watermark bounds window state."""
+    e = events
+    if watermark is not None and e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Session windows per user (gap-merged): session start/end epoch,
+    event count, total value."""
+    e = events
+    if watermark is not None and e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("s.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("total", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType([StructField("total", LongType())])
+
+
+def stateful_running_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-event-type totals across micro-batches — the engine's extension
+    point for operators the built-ins can't express."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [key[0]], "total": [total]})
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,101 @@
+"""EmbeddingTransformer + DimReducer tests (reference fixtures F4/F5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from centimators_spark.ml.embedders import ord_sum_embedder as mock_embedder
+from centimators_spark.operators.dimreduction import DimReducer
+from centimators_spark.operators.embedding import EmbeddingTransformer
+
+
+def test_embedding_basic_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(0, "hello"), (1, None), (2, "world")], "rid int, text string"
+    )
+    t = EmbeddingTransformer(
+        embedder=mock_embedder, feature_names=["text"], keep_cols=["rid"]
+    )
+    out = t.fit_transform(df).orderBy("rid").collect()
+    assert [r.text_embed_0 for r in out] == [5.0, 0.0, 5.0]
+    assert out[0].text_embed_1 == sum(ord(c) for c in "hello") % 100
+    assert out[1].text_embed_1 == 0.0  # null -> zero vector
+    assert t.get_feature_names_out() == ["text_embed_0", "text_embed_1"]
+
+
+def test_embedding_categorical_template(spark):
+    df = spark.createDataFrame([(0, "tech")], "rid int, sector string")
+    t = EmbeddingTransformer(
+        embedder=mock_embedder,
+        feature_names=["sector"],
+        categorical_mapping={"sector": "Company sector: {}"},
+        keep_cols=["rid"],
+    )
+    out = t.fit_transform(df).collect()[0]
+    rendered = "Company sector: tech"
+    assert out.sector_embed_0 == len(rendered)
+    assert out.sector_embed_1 == sum(ord(c) for c in rendered) % 100
+
+
+def test_embedding_multi_column(spark):
+    df = spark.createDataFrame([(0, "ab", "xyz")], "rid int, t1 string, t2 string")
+    t = EmbeddingTransformer(
+        embedder=mock_embedder, feature_names=["t1", "t2"], keep_cols=["rid"]
+    )
+    out = t.fit_transform(df)
+    assert set(out.columns) == {
+        "rid", "t1_embed_0", "t1_embed_1", "t2_embed_0", "t2_embed_1",
+    }
+
+
+def test_embedding_all_null_raises(spark):
+    df = spark.createDataFrame([(0, None)], "rid int, text string")
+    t = EmbeddingTransformer(embedder=mock_embedder, feature_names=["text"])
+    with pytest.raises(ValueError, match="all values are null"):
+        t.fit(df)
+
+
+def test_embedding_requires_fit(spark):
+    df = spark.createDataFrame([(0, "x")], "rid int, text string")
+    t = EmbeddingTransformer(embedder=mock_embedder, feature_names=["text"])
+    with pytest.raises(ValueError, match="not fitted"):
+        t.transform(df)
+
+
+def test_dimreducer_pca_matches_numpy(spark):
+    rng = np.random.default_rng(42)
+    data = rng.normal(size=(200, 6)) @ rng.normal(size=(6, 6))
+    rows = [
+        Row(rid=i, **{f"f{j}": float(v) for j, v in enumerate(row)})
+        for i, row in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows)
+    t = DimReducer("pca", n_components=2, feature_names=[f"f{j}" for j in range(6)],
+                   keep_cols=["rid"])
+    out = t.fit_transform(df).orderBy("rid").toPandas()
+    assert list(out.columns) == ["rid", "dim_0", "dim_1"]
+
+    # numpy PCA (same centering convention: Spark ML PCA does NOT center?
+    # it does compute principal components of the covariance — compare
+    # projected variances up to sign)
+    centered = data - data.mean(axis=0)
+    _, s, vt = np.linalg.svd(centered, full_matrices=False)
+    got = out[["dim_0", "dim_1"]].to_numpy()
+    # Spark ML PCA projects the UNcentered data onto covariance eigenvectors;
+    # component directions match SVD of centered data up to sign
+    for k in range(2):
+        proj = data @ vt[k]
+        corr = abs(np.corrcoef(got[:, k], proj)[0, 1])
+        assert corr > 0.999, (k, corr)
+
+
+def test_dimreducer_tsne_gated(spark):
+    df = spark.createDataFrame([(0, 1.0, 2.0)], "rid int, a double, b double")
+    t = DimReducer("tsne", 2, ["a", "b"])
+    with pytest.raises(ImportError, match="scikit-learn"):
+        t.fit(df).transform(df)
+
+
+def test_dimreducer_validates_method():
+    with pytest.raises(ValueError):
+        DimReducer("pcaa")

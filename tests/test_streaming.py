@@ -1,0 +1,70 @@
+"""Structured Streaming tests: incremental execution must agree with the
+batch semantics the DuckDB oracle checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from centimators_spark.io import load_table
+from centimators_spark.streaming import (
+    read_events_stream,
+    sessionize,
+    stateful_running_counts,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_stream(stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_stream_windowed_counts_match_batch(spark):
+    ev_stream = read_events_stream(spark, SF)
+    assert ev_stream.isStreaming
+    name = _run_stream(
+        windowed_event_counts(ev_stream, watermark=None), "win_counts", "complete"
+    )
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    exp = windowed_event_counts(load_table(spark, SF, "events")).toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert got.equals(exp[got.columns])
+
+
+def test_stream_sessionize_runs(spark):
+    ev_stream = read_events_stream(spark, SF)
+    name = _run_stream(
+        sessionize(ev_stream, watermark="1 minute"), "sessions", "complete"
+    )
+    got = spark.sql(f"SELECT * FROM {name}")
+    exp = sessionize(load_table(spark, SF, "events"))
+    assert got.count() == exp.count()
+
+
+def test_stateful_running_counts(spark):
+    ev_stream = read_events_stream(spark, SF)
+    name = _run_stream(
+        stateful_running_counts(ev_stream), "running_counts", "update"
+    )
+    got = spark.sql(
+        f"SELECT event_type, max(total) AS total FROM {name} GROUP BY event_type"
+    ).toPandas()
+    exp = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .toPandas()
+    )
+    merged = got.merge(exp, on="event_type", suffixes=("_s", "_b"))
+    assert len(merged) == len(exp)
+    assert (merged.total_s == merged.total_b).all()
