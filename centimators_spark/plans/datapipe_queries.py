@@ -92,6 +92,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → connected components
+    (iterative min-label propagation); cluster = min doc_id."""
+    from centimators_spark.dedup.cluster import connected_components
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=MINHASH_T
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+
+
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -132,6 +145,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprint": q_simhash_fingerprint,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -229,6 +243,19 @@ def oracle_sql() -> dict[str, str]:
         # these params is ~6e-7 per pair; candidates are exact-verified)
         "dedup_minhash_lsh": f"""
             SELECT * FROM ({_JACCARD_PAIRS}) WHERE jaccard >= {MINHASH_T}
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT d1, d2 FROM ({_JACCARD_PAIRS}) WHERE jaccard >= {MINHASH_T}
+            ), edges AS (
+              SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION SELECT d2, d1 FROM pairs
+            ), reach(node, root) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(root) AS cluster FROM reach GROUP BY node
         """,
         "simhash_fingerprint": f"""
             WITH toks AS (

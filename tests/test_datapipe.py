@@ -86,3 +86,21 @@ def test_brute_force_topk_no_self(spark, emb):
     out = brute_force_topk(emb, queries, k=10).toPandas()
     assert not ((out.query_id == out.vec_id).any())
     assert out.cos.between(-1.000001, 1.000001).all()
+
+
+def test_connected_components_and_deduplicate(spark, docs):
+    from centimators_spark.dedup.cluster import connected_components, deduplicate
+    from centimators_spark.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.6)
+    cc = connected_components(pairs).toPandas()
+    # every cluster label is the min node of its component
+    assert (cc.groupby("cluster").node.min() == cc.groupby("cluster").cluster.first()).all()
+    # edges stay within clusters
+    lbl = dict(zip(cc.node, cc.cluster))
+    for r in pairs.collect():
+        assert lbl[r.d1] == lbl[r.d2]
+
+    kept = deduplicate(docs, pairs)
+    n_docs, n_nodes, n_clusters = docs.count(), len(cc), cc.cluster.nunique()
+    assert kept.count() == n_docs - (n_nodes - n_clusters)

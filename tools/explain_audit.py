@@ -1,0 +1,85 @@
+"""Plan audit: verify scale-critical plan properties for key queries.
+
+Checks (prints PASS/FAIL per rule):
+- scans push filters + prune columns (PushedFilters / ReadSchema)
+- window transformers fuse into ONE Window exec per (partition, order)
+  → exactly one shuffle per transformer
+- small dimension joins broadcast (BroadcastHashJoin)
+- horizontal stats stay inside WholeStageCodegen (no BatchEvalPython)
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from centimators_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit(name, ok, detail=""):
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+    return ok
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit", cpus=8, shuffle_partitions=8)
+    q = entrymod.queries()
+    ok = True
+
+    # 1. lag transformer: all 6 lag columns in ONE Window node, one shuffle
+    p = plan_of(q["lag_transformer"](spark, sf_dir))
+    n_window = len(re.findall(r"\bWindow\b", p))
+    n_shuffle = len(re.findall(r"Exchange hashpartitioning", p))
+    ok &= audit("lag: single fused Window", n_window == 1, f"windows={n_window}")
+    ok &= audit("lag: single shuffle", n_shuffle == 1, f"exchanges={n_shuffle}")
+
+    # 2. group_stats: pure project, no shuffle, no Python, codegen
+    p = plan_of(q["group_stats"](spark, sf_dir))
+    ok &= audit("group_stats: zero shuffles", "Exchange" not in p)
+    ok &= audit("group_stats: no Python eval", "EvalPython" not in p)
+    # codegen stages print as "*(n) Operator" in executedPlan toString
+    ok &= audit("group_stats: whole-stage codegen", bool(re.search(r"\*\(\d+\) Project", p)))
+
+    # 3. pricing summary: filter pushed to parquet scan + partial agg
+    df = q["pricing_summary"](spark, sf_dir)
+    p = plan_of(df)
+    ok &= audit(
+        "pricing: filter pushed to scan",
+        bool(re.search(r"PushedFilters: \[.*LessThanOrEqual", p)),
+    )
+    ok &= audit("pricing: partial aggregation", "partial_" in p)
+    ok &= audit(
+        "pricing: column pruning",
+        "l_comment" not in p and "ReadSchema" in p,
+    )
+
+    # 4. regional revenue: dimension joins broadcast
+    p = plan_of(q["regional_revenue"](spark, sf_dir))
+    ok &= audit(
+        "q5: broadcast joins for dims",
+        p.count("BroadcastHashJoin") >= 3,
+        f"bhj={p.count('BroadcastHashJoin')}",
+    )
+
+    # 5. rank: shares one hash-partition exchange on the group col
+    p = plan_of(q["rank_transformer"](spark, sf_dir))
+    n_ex = len(set(re.findall(r"Exchange hashpartitioning\(([^,]+)", p)))
+    ok &= audit("rank: one distinct partition key", n_ex == 1, f"keys={n_ex}")
+
+    print("\nALL PASS" if ok else "\nSOME FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
