@@ -254,31 +254,29 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             ), m AS (
               SELECT *,
-                ((q-mu)*(q-mu) + (e-mu)*(e-mu) + (d-mu)*(d-mu) + (t-mu)*(t-mu)) / 3.0 AS var_s
+                ((q-mu)*(q-mu) + (e-mu)*(e-mu) + (d-mu)*(d-mu) + (t-mu)*(t-mu)) AS m2,
+                ((q-mu)*(q-mu)*(q-mu) + (e-mu)*(e-mu)*(e-mu)
+                 + (d-mu)*(d-mu)*(d-mu) + (t-mu)*(t-mu)*(t-mu)) AS m3,
+                (((q-mu)*(q-mu))*((q-mu)*(q-mu)) + ((e-mu)*(e-mu))*((e-mu)*(e-mu))
+                 + ((d-mu)*(d-mu))*((d-mu)*(d-mu)) + ((t-mu)*(t-mu))*((t-mu)*(t-mu)))
+                  AS m4
               FROM base
             )
             SELECT l_orderkey, l_linenumber,
               mu AS li_groupstats_mean,
-              sqrt(var_s) AS li_groupstats_std,
-              CASE WHEN var_s = 0 THEN 'nan'::DOUBLE ELSE
-                4.0/(3.0*2.0) * (
-                  ((q-mu)/sqrt(var_s))*((q-mu)/sqrt(var_s))*((q-mu)/sqrt(var_s))
-                  + ((e-mu)/sqrt(var_s))*((e-mu)/sqrt(var_s))*((e-mu)/sqrt(var_s))
-                  + ((d-mu)/sqrt(var_s))*((d-mu)/sqrt(var_s))*((d-mu)/sqrt(var_s))
-                  + ((t-mu)/sqrt(var_s))*((t-mu)/sqrt(var_s))*((t-mu)/sqrt(var_s)))
+              sqrt(m2 / 3.0) AS li_groupstats_std,
+              CASE WHEN m2 = 0 THEN 'nan'::DOUBLE ELSE
+                4.0/(3.0*2.0)
+                  * (m3 / (sqrt(m2/3.0)*sqrt(m2/3.0)*sqrt(m2/3.0)))
               END AS li_groupstats_skew,
-              CASE WHEN var_s = 0 THEN 'nan'::DOUBLE ELSE
-                (4.0*5.0)/(3.0*2.0*1.0) * (
-                  ((q-mu)*(q-mu)/var_s)*((q-mu)*(q-mu)/var_s)
-                  + ((e-mu)*(e-mu)/var_s)*((e-mu)*(e-mu)/var_s)
-                  + ((d-mu)*(d-mu)/var_s)*((d-mu)*(d-mu)/var_s)
-                  + ((t-mu)*(t-mu)/var_s)*((t-mu)*(t-mu)/var_s))
+              CASE WHEN m2 = 0 THEN 'nan'::DOUBLE ELSE
+                4.0*5.0/(3.0*2.0*1.0) * (m4 / ((m2/3.0)*(m2/3.0)))
                 - 3.0*9.0/(2.0*1.0)
               END AS li_groupstats_kurtosis,
               greatest(q,e,d,t) - least(q,e,d,t) AS li_groupstats_range,
-              CASE WHEN mu = 0 AND sqrt(var_s) = 0 THEN 'nan'::DOUBLE
+              CASE WHEN mu = 0 AND sqrt(m2/3.0) = 0 THEN 'nan'::DOUBLE
                    WHEN mu = 0 THEN 'infinity'::DOUBLE
-                   ELSE sqrt(var_s)/mu END AS li_groupstats_coefficient_of_variation
+                   ELSE sqrt(m2/3.0)/mu END AS li_groupstats_coefficient_of_variation
             FROM m
         """,
         "pricing_summary": """

@@ -19,10 +19,13 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster) for every node in `pairs`; cluster = min node id
     of its component."""
+    # materialize the edge list once — the fixpoint loop re-reads it every
+    # round and `pairs` is usually an expensive lazy plan (LSH + verify)
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster", F.col("node")

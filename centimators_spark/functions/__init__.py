@@ -5,6 +5,8 @@ from centimators_spark.functions.horizontal import (
     skew_horizontal,
     kurtosis_horizontal,
     range_horizontal,
+    min_horizontal,
+    max_horizontal,
     coefficient_of_variation_horizontal,
 )
 
@@ -15,5 +17,7 @@ __all__ = [
     "skew_horizontal",
     "kurtosis_horizontal",
     "range_horizontal",
+    "min_horizontal",
+    "max_horizontal",
     "coefficient_of_variation_horizontal",
 ]

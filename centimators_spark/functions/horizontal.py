@@ -107,6 +107,18 @@ def kurtosis_horizontal(cols: Sequence[str | Column]) -> Column:
     return F.when(n < 4, NAN()).when(s2 == 0, NAN()).otherwise(term1 - term2)
 
 
+def min_horizontal(cols: Sequence[str | Column]) -> Column:
+    """Row-wise min, null-skipping (reference narwhals_utils.py:165-173)."""
+    ts = _terms(cols)
+    return F.least(*ts) if len(ts) > 1 else ts[0]
+
+
+def max_horizontal(cols: Sequence[str | Column]) -> Column:
+    """Row-wise max, null-skipping (reference narwhals_utils.py:174-182)."""
+    ts = _terms(cols)
+    return F.greatest(*ts) if len(ts) > 1 else ts[0]
+
+
 def range_horizontal(cols: Sequence[str | Column]) -> Column:
     ts = _terms(cols)
     n = _n(ts)

@@ -1,0 +1,7 @@
+from centimators_spark.sources.formats import (
+    read_any,
+    write_partitioned,
+    write_bucketed_table,
+)
+
+__all__ = ["read_any", "write_partitioned", "write_bucketed_table"]

@@ -1,0 +1,78 @@
+"""Sources & sinks.
+
+The reference has no I/O surface (it operates on in-memory frames —
+SURVEY.md §2.2); the engine's I/O is Spark's built-in readers/writers,
+plus the two layout decisions that matter at 100 TB:
+
+- ``write_partitioned``: hive-style partition directories → partition
+  PRUNING at read time (a filter on the partition column never lists,
+  let alone reads, other directories).
+- ``write_bucketed_table``: hash-bucketed + sorted table → joins and
+  aggregations on the bucket key need NO shuffle (co-located join;
+  `SortMergeJoin` without `Exchange`). This is how the panel workloads
+  (everything keyed by ticker/era) amortize their one shuffle forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Read parquet/csv/json/orc with sane defaults (csv: header+infer
+    unless a schema is pinned — pin one in production: inference scans)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "true")
+    return reader.options(**options).load(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partition-pruned layout. max_records_per_file bounds file sizes
+    (small-files vs giant-files tradeoff at scale)."""
+    writer = df.write.format(fmt).mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (+sorted) managed table: joins/aggs on bucket_cols skip
+    the shuffle; sort_cols pre-sorts within buckets so window ops on
+    (bucket, sort) skip the sort too."""
+    writer = (
+        df.write.format(fmt)
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -1,0 +1,143 @@
+"""pyspark.ml.Pipeline composition + sources/sinks + property tests."""
+
+import math
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.ml import Pipeline
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from centimators_spark.functions import (
+    kurtosis_horizontal,
+    max_horizontal,
+    mean_horizontal,
+    min_horizontal,
+    skew_horizontal,
+    std_horizontal,
+)
+from centimators_spark.operators import (
+    LagTransformer,
+    LogReturnTransformer,
+    MovingAverageTransformer,
+    RankTransformer,
+)
+from centimators_spark.sources import read_any, write_partitioned
+
+
+def test_ml_pipeline_composition(spark):
+    """Reference README 4-stage pipeline (README.md:144-172) as a
+    pyspark.ml.Pipeline — metadata routing becomes constructor params,
+    group/order cols ride along in append mode."""
+    rows = [
+        Row(rid=i, date=f"2024-01-{d:02d}", ticker=t, close=float(10 + i))
+        for i, (d, t) in enumerate((d, t) for t in ("A", "B") for d in range(1, 7))
+    ]
+    df = spark.createDataFrame(rows)
+    common = dict(ticker_col="ticker", order_cols=["date", "rid"])
+    pipe = Pipeline(
+        stages=[
+            LogReturnTransformer(["close"], **common),
+            RankTransformer(["close_logreturn"], group_col="date"),
+            LagTransformer([1, 2], ["close_logreturn_rank"], **common),
+            MovingAverageTransformer([2], ["close_logreturn_rank"], **common),
+        ]
+    )
+    out = pipe.fit(df).transform(df)
+    expected_cols = {
+        "close_logreturn",
+        "close_logreturn_rank",
+        "close_logreturn_rank_lag2",
+        "close_logreturn_rank_lag1",
+        "close_logreturn_rank_ma2",
+    }
+    assert expected_cols <= set(out.columns)
+    row3 = out.where(F.col("rid") == 3).collect()[0]
+    assert row3.close_logreturn == pytest.approx(math.log(13) - math.log(12))
+
+
+def test_write_partitioned_prunes(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(100)],
+        "id long, part string, v double",
+    )
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        path = os.path.join(d, "t")
+        write_partitioned(df, path, ["part"])
+        assert {"part=a", "part=b"} <= set(os.listdir(path))
+        back = read_any(spark, path)
+        assert back.count() == 100
+        # partition filter prunes: only one partition dir in the scan
+        plan = back.where(F.col("part") == "a")._jdf.queryExecution().executedPlan().toString()
+        assert "part=b" not in plan
+
+
+def test_read_any_csv_json(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        for fmt in ("csv", "json", "orc"):
+            p = os.path.join(d, fmt)
+            df.write.format(fmt).option("header", "true").save(p)
+            back = read_any(spark, p, fmt=fmt)
+            assert back.count() == 2
+    with pytest.raises(ValueError):
+        read_any(spark, "/tmp/x", fmt="avro")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(-1e6, 1e6)),
+            st.one_of(st.none(), st.floats(-1e6, 1e6)),
+            st.one_of(st.none(), st.floats(-1e6, 1e6)),
+            st.one_of(st.none(), st.floats(-1e6, 1e6)),
+            st.one_of(st.none(), st.floats(-1e6, 1e6)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_horizontal_property_matches_numpy(spark, rows):
+    """Property test: horizontal stats == numpy on any null pattern."""
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "rid int, a double, b double, c double, d double, e double",
+    )
+    cols = ["a", "b", "c", "d", "e"]
+    got = (
+        df.select(
+            "rid",
+            mean_horizontal(cols).alias("mean"),
+            std_horizontal(cols).alias("std"),
+            min_horizontal(cols).alias("mn"),
+            max_horizontal(cols).alias("mx"),
+        )
+        .orderBy("rid")
+        .collect()
+    )
+    for r, vals in zip(got, rows):
+        arr = np.array([v for v in vals if v is not None], dtype=float)
+        if arr.size == 0:
+            assert r.mean is None and r.mn is None
+            continue
+        assert r.mean == pytest.approx(arr.mean(), rel=1e-9, abs=1e-9)
+        assert r.mn == arr.min() and r.mx == arr.max()
+        if arr.size >= 2:
+            assert r.std == pytest.approx(arr.std(ddof=1), rel=1e-7, abs=1e-9)
+        else:
+            assert math.isnan(r.std)
+
+
+def test_skew_kurt_nan_guards(spark):
+    df = spark.createDataFrame([(1.0, 1.0, 1.0, 1.0)], "a double, b double, c double, d double")
+    r = df.select(
+        skew_horizontal(["a", "b", "c", "d"]).alias("sk"),
+        kurtosis_horizontal(["a", "b", "c", "d"]).alias("ku"),
+    ).collect()[0]
+    # constant row: s == 0 -> NaN (not a divide-by-zero error under ANSI)
+    assert math.isnan(r.sk) and math.isnan(r.ku)
