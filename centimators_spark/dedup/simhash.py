@@ -21,7 +21,59 @@ from centimators_spark.text.portable import SIMHASH_BITS, md5_long, simhash, tok
 def simhash_fingerprints(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, n_tokens, simhash) per document with ≥1 token."""
+    """(doc_id, n_tokens, simhash) per document with ≥1 token.
+
+    Vectorized Arrow/numpy path (identical values to the
+    portable-expression form the DuckDB oracle mirrors: md5-derived
+    60-bit hashes, majority vote per bit)."""
+    import re
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from centimators_spark.text.hashing_udf import _md5_60
+
+    ws = re.compile(" +")
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("__t"))
+    schema = StructType(
+        [
+            narrow.schema["doc_id"],
+            StructField("n_tokens", LongType()),
+            StructField("simhash", LongType()),
+        ]
+    )
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = (np.int64(1) << shifts).astype(np.int64)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, n_toks, sims = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["__t"]):
+                toks = list(dict.fromkeys(t for t in ws.split(text.lower()) if t))
+                if not toks:
+                    continue
+                hs = np.array(
+                    [cache.get(t) or cache.setdefault(t, _md5_60(t)) for t in toks],
+                    dtype=np.int64,
+                )
+                bits = (hs[:, None] >> shifts[None, :]) & 1  # (n, 60)
+                ones = bits.sum(axis=0)
+                sim = int(weights[2 * ones > len(toks)].sum())
+                ids.append(doc_id)
+                n_toks.append(len(toks))
+                sims.append(sim)
+            yield pd.DataFrame({"doc_id": ids, "n_tokens": n_toks, "simhash": sims})
+
+    return narrow.mapInPandas(compute, schema)
+
+
+def simhash_fingerprints_expr(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pure-expression reference implementation (semantic spec)."""
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(tokens(F.col(content_col))).alias("tok"),
@@ -29,7 +81,7 @@ def simhash_fingerprints(
     hashed = tok.withColumn("hashes", F.transform("tok", md5_long))
     return hashed.select(
         "doc_id",
-        F.size("tok").alias("n_tokens"),
+        F.size("tok").cast("long").alias("n_tokens"),
         simhash(F.col("hashes")).alias("simhash"),
     )
 

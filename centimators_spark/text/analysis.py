@@ -52,18 +52,23 @@ def language_id(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 def quality_score(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features + composite score in [0,1]:
     length, token stats, punctuation ratio, stopword ratio."""
-    lower = F.lower(F.col(content_col))
-    tok = tokens(F.col(content_col))
-    n_chars = F.length(F.col(content_col)).cast("double")
+    # stage the token arrays so they evaluate once per row (inlined
+    # expression trees re-tokenize at every reference site)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(content_col).alias("__text"),
+        F.lower(F.col(content_col)).alias("__lo"),
+        tokens(F.col(content_col)).alias("__tok"),
+        F.array_distinct(tokens(F.col(content_col))).alias("__dtok"),
+    )
+    tok, dtok = F.col("__tok"), F.col("__dtok")
+    n_chars = F.length("__text").cast("double")
     n_tokens = F.size(tok).cast("double")
-    punct_chars = n_chars - F.length(F.regexp_replace(lower, PUNCT_RE, ""))
+    punct_chars = n_chars - F.length(F.regexp_replace(F.col("__lo"), PUNCT_RE, ""))
     mean_tok_len = F.aggregate(
         tok, F.lit(0.0), lambda acc, t: acc + F.length(t)
     ) / n_tokens
-    stop_ratio = (
-        _hits(F.array_distinct(tok), LANG_PROFILES["en"]).cast("double")
-        / F.size(F.array_distinct(tok))
-    )
+    stop_ratio = _hits(dtok, LANG_PROFILES["en"]).cast("double") / F.size(dtok)
     # composite: favor texts with some stopwords, low punctuation noise,
     # moderate token length (pure arithmetic — portable)
     score = (
@@ -71,8 +76,8 @@ def quality_score(df: DataFrame, content_col: str = "text", id_col: str = "doc_i
         + F.lit(0.3) * (F.lit(1.0) - F.least(punct_chars / n_chars * 10, F.lit(1.0)))
         + F.lit(0.3) * F.least(n_tokens / 100, F.lit(1.0))
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         (punct_chars / n_chars).alias("punct_ratio"),

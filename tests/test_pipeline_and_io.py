@@ -141,3 +141,29 @@ def test_skew_kurt_nan_guards(spark):
     ).collect()[0]
     # constant row: s == 0 -> NaN (not a divide-by-zero error under ANSI)
     assert math.isnan(r.sk) and math.isnan(r.ku)
+
+
+def test_bucketed_table_join_avoids_shuffle(spark):
+    """Bucketed co-located layout: a join on the bucket key runs with
+    zero Exchange operators — the 100 TB panel-workload pattern."""
+    import uuid
+
+    from centimators_spark.sources import write_bucketed_table
+
+    df = spark.createDataFrame(
+        [(i % 50, float(i)) for i in range(1000)], "k long, v double"
+    )
+    name = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(df, f"{name}_a", ["k"], 8, sort_cols=["k"])
+        write_bucketed_table(df, f"{name}_b", ["k"], 8, sort_cols=["k"])
+        a, b = spark.table(f"{name}_a"), spark.table(f"{name}_b")
+        plan = (
+            a.join(b, "k")._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan[:500]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_a")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_b")
