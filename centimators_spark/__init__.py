@@ -21,6 +21,14 @@ from centimators_spark.operators.time_series import (
     LogReturnTransformer,
 )
 from centimators_spark.operators.stats import GroupStatsTransformer
+from centimators_spark.operators.neutralization import FeatureNeutralizer
+from centimators_spark.operators.penalization import FeaturePenalizer
+from centimators_spark.operators.dimreduction import DimReducer
+from centimators_spark.operators.embedding import EmbeddingTransformer
+from centimators_spark.ml.estimators import KerasEstimator, LinearRegressor
+from centimators_spark.ml.dspymator import DSPyMator
+from centimators_spark.ml.keras_cortex import KerasCortex
+from centimators_spark.ml.losses import spearman_corr
 
 __version__ = "0.1.0"
 
@@ -33,4 +41,13 @@ __all__ = [
     "MovingAverageTransformer",
     "LogReturnTransformer",
     "GroupStatsTransformer",
+    "FeatureNeutralizer",
+    "FeaturePenalizer",
+    "DimReducer",
+    "EmbeddingTransformer",
+    "LinearRegressor",
+    "KerasEstimator",
+    "DSPyMator",
+    "KerasCortex",
+    "spearman_corr",
 ]
