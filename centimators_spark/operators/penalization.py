@@ -99,6 +99,73 @@ def reduce_exposure(
     return np.asarray(pred - feats @ w).squeeze()
 
 
+def reduce_exposure_factored(
+    prediction: np.ndarray,
+    features: np.ndarray,
+    max_exp: float,
+    lr: float = 1e-3,
+    max_iters: int = 100_000,
+    tol: float = 1e-7,
+) -> np.ndarray:
+    """O(k²)-per-iteration reformulation of ``reduce_exposure``.
+
+    Every per-iteration quantity reduces to k-dimensional algebra over
+    Gram-style reductions computed ONCE (n-dim work):
+      e       = (x̂ᵀp − x̂ᵀF·w)/‖c‖          (x̂ᵀ1 = 0 kills the mean term)
+      ‖c‖²    = pᵀp − 2(Fᵀp)ᵀw + wᵀ(FᵀF)w − n·μ(w)²
+      ∇w      = −(x̂ᵀF)ᵀs/‖c‖ + (Fᵀc/‖c‖)·(eᵀs)/‖c‖
+    (mean-gradient terms vanish because x̂ and c are centered). The
+    optimizer trajectory matches the direct kernel up to float
+    accumulation; the reference's own parity bar (output corr > 0.95,
+    exposure ≤ cap + 0.01) is asserted in tests. Cost per era drops
+    from O(n·k·iters) to O(n·k) + O(k²·iters) — the difference between
+    the era kernel dominating the job and being free."""
+    feats = (np.asarray(features, dtype=np.float64) - 0.5)
+    pred = np.asarray(prediction, dtype=np.float64)[:, None]
+    n, k = feats.shape
+
+    xhat = _normalize_cols(feats)
+    ones = np.ones((n, 1))
+    A = feats.T @ feats                    # k×k
+    fp = feats.T @ pred                    # k×1
+    f1 = feats.T @ ones                    # k×1
+    xf = xhat.T @ feats                    # k×k
+    xp = xhat.T @ pred                     # k×1
+    pp = float(pred.T @ pred)
+    p1 = float(ones.T @ pred)
+
+    target = np.clip(xp / np.linalg.norm(pred - pred.mean()), -max_exp, max_exp)
+    # note: initial exposures at w=0: e0 = xp / ||pred - mean||
+    relu = lambda a: np.maximum(a, 0.0)  # noqa: E731
+    t_pos, t_neg = relu(target), relu(-target)
+
+    beta1, beta2, eps = 0.9, 0.999, 1e-7
+    w = np.zeros((k, 1))
+    m = np.zeros((k, 1))
+    u = np.zeros((k, 1))
+
+    for t in range(1, max_iters + 1):
+        mu = (p1 - float(f1.T @ w)) / n
+        c2 = pp - 2.0 * float(fp.T @ w) + float(w.T @ A @ w) - n * mu * mu
+        if c2 <= 0:
+            break
+        norm = np.sqrt(c2)
+        e = (xp - xf @ w) / norm
+        pos_excess = relu(relu(e) - t_pos)
+        neg_excess = relu(relu(-e) - t_neg)
+        loss = float(np.sum(pos_excess + neg_excess))
+        if loss < tol:
+            break
+        s = ((pos_excess > 0) * (e > 0) * 1.0 - (neg_excess > 0) * (-e > 0) * 1.0)
+        fyhat = (fp - A @ w - mu * f1) / norm      # Fᵀŷ
+        grads = -(xf.T @ s - fyhat * float(e.T @ s)) / norm
+        m = beta1 * m + (1 - beta1) * grads
+        u = np.maximum(beta2 * u, np.abs(grads))
+        w = w - lr * (m / (1 - beta1**t)) / (u + eps)
+
+    return np.asarray(pred - feats @ w).squeeze()
+
+
 class FeaturePenalizer:
     """Spark port of the reference FeaturePenalizer (see module doc)."""
 
@@ -115,7 +182,11 @@ class FeaturePenalizer:
         era_col: str = "era",
         order_col: str | None = None,
         keep_cols: Sequence[str] | None = None,
+        method: str = "factored",
     ):
+        if method not in ("factored", "direct"):
+            raise ValueError(f"method must be factored|direct, got {method}")
+        self.method = method
         self.pred_names = [pred_name] if isinstance(pred_name, str) else list(pred_name)
         self.max_exposures = (
             [max_exposure] if isinstance(max_exposure, (int, float)) else list(max_exposure)
@@ -149,6 +220,9 @@ class FeaturePenalizer:
         era_col, order_col = self.era_col, self.order_col
         lr, max_iters, tol = self.lr, self.max_iters, self.tol
         suffix = self.suffix
+        kernel_fn = (
+            reduce_exposure_factored if self.method == "factored" else reduce_exposure
+        )
         out_names = self._output_names
         if order_col is None:
             warnings.warn(
@@ -182,7 +256,7 @@ class FeaturePenalizer:
                 gauss = gaussianize(pdf[pn].to_numpy(dtype=np.float64))
                 for ex in exps:
                     name = f"{pn}_penalized_{ex}_{suffix}" if suffix else f"{pn}_penalized_{ex}"
-                    pen = reduce_exposure(gauss, X, ex, lr, max_iters, tol)
+                    pen = kernel_fn(gauss, X, ex, lr, max_iters, tol)
                     out[name] = pen / np.std(pen)
             return pd.DataFrame(out)
 

@@ -32,13 +32,22 @@ from centimators_spark.base import PanelTransformer
 
 def avg_rank(feature: str | Column, group_cols: Sequence[str]) -> Column:
     """Average-method rank of `feature` within `group_cols` (ties share
-    the mean of the positions they occupy); null feature → null rank."""
+    the mean of the positions they occupy); null feature → null rank.
+
+    Formulated as (min_rank + cum_peer_count) / 2, where cum_peer_count
+    (the default RANGE frame of an ordered window) counts all rows with
+    value ≤ current INCLUDING peers — i.e. the max rank of the tie
+    group. Both windows share ONE (partition, order) spec, so Catalyst
+    plans a single exchange + single sort (the tie-count formulation
+    needs a second hash partitioning on (group, value)). Arithmetic is
+    exact integer halves → bit-identical to rank + (ties−1)/2."""
     f = F.col(feature) if isinstance(feature, str) else feature
     order_win = Window.partitionBy(*group_cols).orderBy(f.asc_nulls_last())
-    tie_win = Window.partitionBy(*group_cols, f)
     min_rank = F.rank().over(order_win)
-    tie_count = F.count(F.lit(1)).over(tie_win)
-    return F.when(f.isNotNull(), min_rank + (tie_count - F.lit(1)) / F.lit(2.0))
+    max_rank = F.count(F.lit(1)).over(
+        order_win.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return F.when(f.isNotNull(), (min_rank + max_rank) / F.lit(2.0))
 
 
 class RankTransformer(PanelTransformer):

@@ -152,3 +152,23 @@ def test_penalizer_caps_exposure(spark):
         exp_after = np.abs(exposures(X, y)).max()
         # reference cross-framework tolerance: cap + 0.01
         assert exp_after <= max_exp + 0.01, exp_after
+
+
+def test_penalizer_factored_matches_direct():
+    """The O(k²)-per-iter factored kernel tracks the direct kernel within
+    the reference's own cross-framework bar (corr > 0.95, cap + 0.01)."""
+    from centimators_spark.operators.penalization import (
+        reduce_exposure,
+        reduce_exposure_factored,
+    )
+
+    np.random.seed(42)
+    n, k = 200, 10
+    features = np.random.randn(n, k)
+    weights = np.array([0.5, -0.4, 0.3, 0, 0, 0, 0, 0, 0, 0.0])
+    preds = gaussianize(features @ weights + np.random.randn(n) * 0.1)
+    out_d = reduce_exposure(preds, features, 0.1)
+    out_f = reduce_exposure_factored(preds, features, 0.1)
+    assert np.corrcoef(out_d, out_f)[0, 1] > 0.999
+    fe = (features - 0.5).astype(np.float32)
+    assert np.abs(exposures(fe, out_f[:, None].astype(np.float32))).max() <= 0.11
