@@ -131,8 +131,8 @@ def reduce_exposure_factored(
     f1 = feats.T @ ones                    # k×1
     xf = xhat.T @ feats                    # k×k
     xp = xhat.T @ pred                     # k×1
-    pp = float(pred.T @ pred)
-    p1 = float(ones.T @ pred)
+    pp = (pred.T @ pred).item()
+    p1 = (ones.T @ pred).item()
 
     target = np.clip(xp / np.linalg.norm(pred - pred.mean()), -max_exp, max_exp)
     # note: initial exposures at w=0: e0 = xp / ||pred - mean||
@@ -145,8 +145,8 @@ def reduce_exposure_factored(
     u = np.zeros((k, 1))
 
     for t in range(1, max_iters + 1):
-        mu = (p1 - float(f1.T @ w)) / n
-        c2 = pp - 2.0 * float(fp.T @ w) + float(w.T @ A @ w) - n * mu * mu
+        mu = (p1 - (f1.T @ w).item()) / n
+        c2 = pp - 2.0 * (fp.T @ w).item() + (w.T @ A @ w).item() - n * mu * mu
         if c2 <= 0:
             break
         norm = np.sqrt(c2)
@@ -158,7 +158,7 @@ def reduce_exposure_factored(
             break
         s = ((pos_excess > 0) * (e > 0) * 1.0 - (neg_excess > 0) * (-e > 0) * 1.0)
         fyhat = (fp - A @ w - mu * f1) / norm      # Fᵀŷ
-        grads = -(xf.T @ s - fyhat * float(e.T @ s)) / norm
+        grads = -(xf.T @ s - fyhat * (e.T @ s).item()) / norm
         m = beta1 * m + (1 - beta1) * grads
         u = np.maximum(beta2 * u, np.abs(grads))
         w = w - lr * (m / (1 - beta1**t)) / (u + eps)
