@@ -28,6 +28,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp semantics (date_trunc / unix_timestamp / window) follow the
+    # session timezone; the driver may hand us a session with a different
+    # default, so pin UTC here — the one chokepoint every query passes
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)

@@ -1,0 +1,47 @@
+"""Driver-contract robustness: queries must be correct regardless of the
+session configuration the driver hands us."""
+
+import duckdb
+import numpy as np
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_queries_tz_independent(spark):
+    """Timestamp queries pin UTC internally — a driver session with a
+    different default timezone must produce identical results."""
+    original = spark.conf.get("spark.sql.session.timeZone")
+    con = duckdb.connect()
+    for t in ("events", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for q in ("events_windowed_counts", "spearman_by_month"):
+            sdf = entrymod.queries()[q](spark, SF).toPandas()
+            odf = con.execute(entrymod.oracle_sql()[q]).fetchdf()
+            cols = sorted(sdf.columns)
+            s = sdf[cols].sort_values(cols).reset_index(drop=True)
+            o = odf[cols].sort_values(cols).reset_index(drop=True)
+            assert len(s) == len(o), q
+            for c in cols:
+                if s[c].dtype.kind in "fi":
+                    np.testing.assert_allclose(
+                        s[c].astype(float), o[c].astype(float),
+                        rtol=1e-9, equal_nan=True, err_msg=f"{q}.{c}",
+                    )
+                else:
+                    assert (s[c].astype(str) == o[c].astype(str)).all(), (q, c)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_contract_shape():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert len(q) >= 29
+    assert set(o) <= set(q)
+    # every query key is a plain identifier (driver uses them as names)
+    assert all(k.replace("_", "").isalnum() for k in q)
