@@ -148,7 +148,6 @@ def q_feature_penalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         era_col="era",
         order_col="l_orderkey",
         keep_cols=KEYS,
-        max_iters=10_000,
     )
     return t.transform(li)
 
