@@ -74,7 +74,7 @@ class FeatureNeutralizer:
         feature_names: Sequence[str] | None = None,
         suffix: str | None = None,
         *,
-        era_col: str = "era",
+        era_col: str | None = "era",
         order_col: str | None = None,
         keep_cols: Sequence[str] | None = None,
     ):
@@ -102,14 +102,30 @@ class FeatureNeutralizer:
         return list(self._output_names)
 
     def transform(self, df: DataFrame) -> DataFrame:
+        if self.era_col is None:
+            # reference fallback (neutralization.py:146-153): no era_series
+            # → single era, with the same warning; one task processes all
+            # rows (inference-sized frames only)
+            import pyspark.sql.functions as F
+
+            warnings.warn(
+                "era_col not provided. Treating all data as a single era. "
+                "This is fine for live inference (1 era) but may be "
+                "incorrect for training data with multiple eras.",
+                UserWarning,
+            )
+            self_era = "__era"
+            df = df.withColumn(self_era, F.lit(0))
+        else:
+            self_era = self.era_col
         feats = self.feature_names or [
             c
             for c in df.columns
             if c
-            not in set(self.pred_names + self.keep_cols + [self.era_col, self.order_col])
+            not in set(self.pred_names + self.keep_cols + [self_era, self.order_col])
         ]
         preds, props = self.pred_names, self.proportions
-        era_col, order_col = self.era_col, self.order_col
+        era_col, order_col = self_era, self.order_col
         out_names = self._output_names
         if order_col is None:
             warnings.warn(

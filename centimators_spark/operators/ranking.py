@@ -57,12 +57,25 @@ class RankTransformer(PanelTransformer):
         self,
         feature_names: Sequence[str] | None = None,
         *,
-        group_col: str | Sequence[str] = "date",
+        group_col: str | Sequence[str] | None = "date",
         output_mode: str = "append",
         keep_cols: Sequence[str] | None = None,
     ):
         super().__init__(feature_names, output_mode=output_mode, keep_cols=keep_cols)
-        self.group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
+        if group_col is None:
+            # reference fallback: no date_series → one global group
+            # (base.py:26-38). A global rank is a total order — it cannot
+            # be partitioned. Warn like the reference does scale-wise.
+            import warnings
+
+            warnings.warn(
+                "group_col=None ranks over the ENTIRE dataset in a single "
+                "partition — fine for inference-sized frames, not for bulk "
+                "tables; provide a group column to parallelize."
+            )
+            self.group_cols: list[str] = []
+        else:
+            self.group_cols = [group_col] if isinstance(group_col, str) else list(group_col)
 
     def _metadata_cols(self) -> list[str]:
         return list(self.group_cols)

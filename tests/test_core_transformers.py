@@ -179,3 +179,13 @@ def test_feature_name_inference(spark, panel):
     t = RankTransformer(group_col="date", keep_cols=["rid"], output_mode="replace")
     out_cols = t.transform(panel.drop("ticker")).columns
     assert set(out_cols) == {"rid", "feature1_rank", "feature2_rank"}
+
+
+def test_rank_no_group_global(spark):
+    df = spark.createDataFrame(
+        [Row(rid=i, v=float(v)) for i, v in enumerate([30, 10, 20, 40])]
+    )
+    with pytest.warns(UserWarning, match="single partition"):
+        t = RankTransformer(["v"], group_col=None, keep_cols=["rid"], output_mode="replace")
+    out = [r.v_rank for r in t.transform(df).orderBy("rid").collect()]
+    assert out == [0.75, 0.25, 0.5, 1.0]

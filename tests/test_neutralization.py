@@ -172,3 +172,14 @@ def test_penalizer_factored_matches_direct():
     assert np.corrcoef(out_d, out_f)[0, 1] > 0.999
     fe = (features - 0.5).astype(np.float32)
     assert np.abs(exposures(fe, out_f[:, None].astype(np.float32))).max() <= 0.11
+
+
+def test_neutralizer_single_era_fallback(spark, era_df):
+    t = FeatureNeutralizer(
+        proportion=0.5, pred_name="prediction", feature_names=FEATS,
+        era_col=None, order_col="rid", keep_cols=["rid"],
+    )
+    with pytest.warns(UserWarning, match="single era"):
+        out = t.transform(era_df).toPandas()
+    assert len(out) == 100
+    assert out["prediction_neutralized_0.5"].between(0, 1).all()
