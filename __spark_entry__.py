@@ -29,8 +29,21 @@ from centimators_spark.operators import (
     FeaturePenalizer,
 )
 
-# deterministic panel ordering (SURVEY.md §7 risk 1)
-ORDER = ["l_shipdate", "l_orderkey", "l_linenumber"]
+# deterministic panel ordering (SURVEY.md §7 risk 1). (l_orderkey,
+# l_linenumber) alone is NOT unique in this synthetic data (sf0.1 even
+# collides on the first four columns within a supplier), so the value
+# columns serve as final tiebreakers — ties then only occur between
+# fully-identical (interchangeable) rows, keeping the window order total
+# in both engines.
+ORDER = [
+    "l_shipdate",
+    "l_orderkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
 KEYS = ["l_orderkey", "l_linenumber"]
 
 
@@ -197,7 +210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- oracles
 
-_ORDER_SQL = "l_shipdate, l_orderkey, l_linenumber"
+_ORDER_SQL = (
+    "l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+    "l_discount, l_tax"
+)
 
 
 def oracle_sql() -> dict[str, str]:
