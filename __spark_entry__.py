@@ -143,7 +143,7 @@ def q_feature_neutralizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred_name="l_extendedprice",
         feature_names=["l_quantity", "l_discount", "l_tax"],
         era_col="era",
-        order_col="l_orderkey",
+        order_col=ORDER,
         keep_cols=KEYS,
     )
     return t.transform(li)
@@ -159,7 +159,7 @@ def q_feature_penalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred_name="l_extendedprice",
         feature_names=["l_quantity", "l_discount", "l_tax"],
         era_col="era",
-        order_col="l_orderkey",
+        order_col=ORDER,
         keep_cols=KEYS,
     )
     return t.transform(li)

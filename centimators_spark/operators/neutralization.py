@@ -75,7 +75,7 @@ class FeatureNeutralizer:
         suffix: str | None = None,
         *,
         era_col: str | None = "era",
-        order_col: str | None = None,
+        order_col: str | Sequence[str] | None = None,
         keep_cols: Sequence[str] | None = None,
     ):
         self.pred_names = [pred_name] if isinstance(pred_name, str) else list(pred_name)
@@ -90,7 +90,9 @@ class FeatureNeutralizer:
         self.feature_names = list(feature_names) if feature_names else None
         self.suffix = suffix
         self.era_col = era_col
-        self.order_col = order_col
+        self.order_col = (
+            [order_col] if isinstance(order_col, str) else list(order_col) if order_col else None
+        )
         self.keep_cols = list(keep_cols) if keep_cols else []
         self._output_names = [
             f"{pn}_neutralized_{pr}_{suffix}" if suffix else f"{pn}_neutralized_{pr}"
@@ -122,7 +124,7 @@ class FeatureNeutralizer:
             c
             for c in df.columns
             if c
-            not in set(self.pred_names + self.keep_cols + [self_era, self.order_col])
+            not in set(self.pred_names + self.keep_cols + [self_era] + (self.order_col or []))
         ]
         preds, props = self.pred_names, self.proportions
         era_col, order_col = self_era, self.order_col
@@ -135,7 +137,7 @@ class FeatureNeutralizer:
 
         needed = list(
             dict.fromkeys(
-                ([order_col] if order_col else [])
+                (order_col or [])
                 + self.keep_cols
                 + [era_col]
                 + preds
@@ -144,7 +146,7 @@ class FeatureNeutralizer:
         )
         narrow = df.select(*needed)
 
-        passthrough = ([order_col] if order_col else []) + self.keep_cols + [era_col]
+        passthrough = (order_col or []) + self.keep_cols + [era_col]
         schema = StructType(
             [narrow.schema[c] for c in dict.fromkeys(passthrough)]
         )
@@ -153,7 +155,7 @@ class FeatureNeutralizer:
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             if order_col is not None:
-                pdf = pdf.sort_values(order_col, kind="stable")
+                pdf = pdf.sort_values(list(order_col), kind="stable")
             X = pdf[feats].to_numpy(dtype=np.float64)
             out = {c: pdf[c] for c in dict.fromkeys(passthrough)}
             for pn in preds:

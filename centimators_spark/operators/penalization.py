@@ -180,7 +180,7 @@ class FeaturePenalizer:
         max_iters: int = 100_000,
         tol: float = 1e-7,
         era_col: str | None = "era",
-        order_col: str | None = None,
+        order_col: str | Sequence[str] | None = None,
         keep_cols: Sequence[str] | None = None,
         method: str = "factored",
     ):
@@ -198,7 +198,9 @@ class FeaturePenalizer:
         self.suffix = suffix
         self.lr, self.max_iters, self.tol = lr, max_iters, tol
         self.era_col = era_col
-        self.order_col = order_col
+        self.order_col = (
+            [order_col] if isinstance(order_col, str) else list(order_col) if order_col else None
+        )
         self.keep_cols = list(keep_cols) if keep_cols else []
         self._output_names = [
             f"{pn}_penalized_{ex}_{suffix}" if suffix else f"{pn}_penalized_{ex}"
@@ -230,7 +232,7 @@ class FeaturePenalizer:
             c
             for c in df.columns
             if c
-            not in set(self.pred_names + self.keep_cols + [self_era, self.order_col])
+            not in set(self.pred_names + self.keep_cols + [self_era] + (self.order_col or []))
         ]
         preds, exps = self.pred_names, self.max_exposures
         era_col, order_col = self_era, self.order_col
@@ -248,7 +250,7 @@ class FeaturePenalizer:
 
         needed = list(
             dict.fromkeys(
-                ([order_col] if order_col else [])
+                (order_col or [])
                 + self.keep_cols
                 + [era_col]
                 + preds
@@ -257,7 +259,7 @@ class FeaturePenalizer:
         )
         narrow = df.select(*needed)
         passthrough = list(
-            dict.fromkeys(([order_col] if order_col else []) + self.keep_cols + [era_col])
+            dict.fromkeys((order_col or []) + self.keep_cols + [era_col])
         )
         schema = StructType([narrow.schema[c] for c in passthrough])
         for name in out_names:
@@ -265,7 +267,7 @@ class FeaturePenalizer:
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             if order_col is not None:
-                pdf = pdf.sort_values(order_col, kind="stable")
+                pdf = pdf.sort_values(list(order_col), kind="stable")
             X = pdf[feats].to_numpy(dtype=np.float64)
             out = {c: pdf[c] for c in passthrough}
             for pn in preds:
