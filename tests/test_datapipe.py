@@ -104,3 +104,13 @@ def test_connected_components_and_deduplicate(spark, docs):
     kept = deduplicate(docs, pairs)
     n_docs, n_nodes, n_clusters = docs.count(), len(cc), cc.cluster.nunique()
     assert kept.count() == n_docs - (n_nodes - n_clusters)
+
+
+def test_exact_dedup_finds_duplicates(spark):
+    from centimators_spark.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "other")], "doc_id long, text string"
+    )
+    out = {r.keep_id: r.n_dups for r in exact_dedup(df).collect()}
+    assert out == {0: 2, 2: 1}

@@ -99,3 +99,13 @@ def test_dimreducer_tsne_gated(spark):
 def test_dimreducer_validates_method():
     with pytest.raises(ValueError):
         DimReducer("pcaa")
+
+
+def test_embedding_array_mode(spark):
+    df = spark.createDataFrame([(0, "abc")], "rid int, text string")
+    t = EmbeddingTransformer(
+        embedder=mock_embedder, feature_names=["text"], keep_cols=["rid"],
+        expand=False,
+    )
+    out = t.fit_transform(df).collect()[0]
+    assert list(out["text__embed"]) == [3.0, float(sum(ord(c) for c in "abc") % 100)]
