@@ -109,6 +109,29 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3. The
+    block-permutation candidate search is EXACT for the distance bound
+    (pigeonhole: ≤3 differing bits cannot touch all 4 blocks), so the
+    oracle is a plain all-pairs popcount join."""
+    from centimators_spark.dedup.simhash import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed ANN (the scale path) — recall < 1
+    by construction → rows-only; recall vs brute force is asserted in
+    tests/test_datapipe.py."""
+    from centimators_spark.similarity.ann import rp_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rp_lsh_topk(emb, queries, k=ANN_K, n_planes=4, n_tables=16)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
@@ -147,6 +170,8 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_rp_lsh": q_ann_rp_lsh,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "text_language_id": q_text_language_id,
@@ -265,6 +290,20 @@ def oracle_sql() -> dict[str, str]:
               FROM toks WHERE len(tk) > 0
             )
             SELECT doc_id, n_tokens, {P.sql_simhash('hs')} AS simhash FROM h
+        """,
+        "simhash_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, list_distinct({_TOK}) AS tk FROM documents
+            ), h AS (
+              SELECT doc_id, {full_hashes} AS hs
+              FROM toks WHERE len(tk) > 0
+            ), fp AS (
+              SELECT doc_id, {P.sql_simhash('hs')} AS simhash FROM h
+            )
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "dedup_embedding_cosine": f"""
             WITH e0 AS (

@@ -173,28 +173,33 @@ def rp_lsh_topk(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
 
-    def bucket_cols(vcol: Column) -> list[Column]:
-        cols = []
-        for t in range(n_tables):
-            bits = F.lit(0)
-            for p in range(n_planes):
-                proj = F.aggregate(
-                    F.zip_with(
-                        vcol,
-                        F.array(*[F.lit(float(x)) for x in planes[t, p]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            cols.append(bits.alias(f"bucket_{t}"))
-        return cols
+    def _with_buckets(df: DataFrame, key: str, vec_alias: str) -> DataFrame:
+        """Sign-pattern buckets via numpy over Arrow batches (the
+        hyperplane literals as expressions dominate plan compile time)."""
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
-    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vv"))
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
-    vb = v.select(id_col, "vv", *bucket_cols(F.col("vv")))
-    qb = q.select(query_id_col, "qv", *bucket_cols(F.col("qv")))
+        narrow = df.select(F.col(key), _as_double(F.col(vec_col)).alias(vec_alias))
+        schema = StructType(
+            list(narrow.schema)
+            + [StructField(f"bucket_{t}", LongType()) for t in range(n_tables)]
+        )
+        pl = planes  # capture
+
+        def compute(batches):
+            for pdf in batches:
+                mat = np.array([np.asarray(v) for v in pdf[vec_alias]])
+                out = pdf.copy()
+                for t in range(n_tables):
+                    proj = mat @ pl[t].T  # (rows, n_planes)
+                    bits = ((proj > 0) << np.arange(n_planes)).sum(axis=1)
+                    out[f"bucket_{t}"] = bits.astype(np.int64)
+                yield out
+
+        return narrow.mapInPandas(compute, schema)
+
+    vb = _with_buckets(vectors, id_col, "vv")
+    qb = _with_buckets(queries, query_id_col, "qv")
 
     v_long = vb.select(
         id_col,
