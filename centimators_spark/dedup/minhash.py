@@ -36,7 +36,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs (d1, d2, jaccard ≥ threshold) via LSH candidates +
     exact Jaccard verification."""
-    sigs = minhash_signatures(df, content_col, id_col, n)
+    # both the banding branch and the exact-verify branch consume the
+    # signatures; materialize once instead of running the shingle+hash
+    # UDF twice (at scale: persist/write the signature table)
+    sigs = minhash_signatures(df, content_col, id_col, n).localCheckpoint(eager=True)
     band_cols = [
         F.concat_ws(
             "-", *[F.get(F.col("sig"), b * LSH_ROWS + r) for r in range(LSH_ROWS)]
