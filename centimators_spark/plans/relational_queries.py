@@ -137,8 +137,37 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.predict(li).select("l_orderkey", "l_linenumber", "prediction")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'view' event picks up the user's most recent
+    'purchase' value at or before it (union + carry-forward window —
+    linear, one shuffle; oracle = DuckDB native ASOF JOIN)."""
+    from centimators_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(
+        views, purchases, on="ts", by="user_id", value_cols=["pvalue"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "value",
+        F.unix_timestamp("ts_asof").alias("purchase_ts_epoch"),
+        F.col("pvalue_asof").alias("purchase_value"),
+    )
+
+
 QUERIES = {
     "spearman_by_month": q_spearman_by_month,
+    "asof_join": q_asof_join,
     "linear_regression": q_linear_regression,
     "events_windowed_counts": q_events_windowed_counts,
     "events_sessionize": q_events_sessionize,
@@ -165,6 +194,24 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             )
             SELECT era, round(corr(rx, ry), 6) AS spearman FROM r GROUP BY era
+        """,
+        "asof_join": """
+            WITH views AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'view'
+            ), purchases AS (
+              SELECT user_id, ts, max(value) AS pvalue FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT v.event_id, v.user_id,
+                   CAST(epoch(date_trunc('second', v.ts)) AS BIGINT) AS ts_epoch,
+                   v.value,
+                   CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
+                     AS purchase_ts_epoch,
+                   p.pvalue AS purchase_value
+            FROM views v
+            ASOF LEFT JOIN purchases p
+              ON v.user_id = p.user_id AND v.ts >= p.ts
         """,
         "events_windowed_counts": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

@@ -167,3 +167,26 @@ def test_bucketed_table_join_avoids_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {name}_a")
         spark.sql(f"DROP TABLE IF EXISTS {name}_b")
+
+
+def test_asof_join_semantics(spark):
+    from centimators_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10, 1.0), (2, "u", 20, 2.0), (3, "u", 5, 3.0), (4, "w", 50, 4.0)],
+        "event_id long, user string, ts long, value double",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 100.0), ("u", 15, 150.0), ("v", 1, 999.0)],
+        "user string, ts long, pv double",
+    )
+    out = {
+        r.event_id: (r.ts_asof, r.pv_asof)
+        for r in asof_join(
+            left, right, on="ts", by="user", value_cols=["pv"]
+        ).collect()
+    }
+    assert out[1] == (10, 100.0)   # tie at equal ts matches
+    assert out[2] == (15, 150.0)   # latest at-or-before
+    assert out[3] == (None, None)  # no prior right row
+    assert out[4] == (None, None)  # key isolation (v's rows invisible to w)
