@@ -165,9 +165,22 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark `percentile`
+    == DuckDB `quantile_cont` definition)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 QUERIES = {
     "spearman_by_month": q_spearman_by_month,
     "asof_join": q_asof_join,
+    "events_percentiles": q_events_percentiles,
     "linear_regression": q_linear_regression,
     "events_windowed_counts": q_events_windowed_counts,
     "events_sessionize": q_events_sessionize,
@@ -194,6 +207,14 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             )
             SELECT era, round(corr(rx, ry), 6) AS spearman FROM r GROUP BY era
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "asof_join": """
             WITH views AS (

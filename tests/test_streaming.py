@@ -68,3 +68,25 @@ def test_stateful_running_counts(spark):
     merged = got.merge(exp, on="event_type", suffixes=("_s", "_b"))
     assert len(merged) == len(exp)
     assert (merged.total_s == merged.total_b).all()
+
+
+def test_stream_exact_dedup(spark):
+    from centimators_spark.streaming.dedup import stream_exact_dedup
+
+    # batch semantics: duplicate payloads collapse to first occurrence
+    ev = load_table(spark, SF, "events")
+    doubled = ev.unionAll(ev)
+    out = stream_exact_dedup(doubled, ["event_id", "props"], watermark=None)
+    assert out.count() == ev.count()
+
+    # streaming: bounded state via dropDuplicatesWithinWatermark
+    ev_stream = read_events_stream(spark, SF)
+    deduped = stream_exact_dedup(ev_stream, ["event_id", "props"])
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) c FROM dedup_stream").collect()[0].c
+    assert n == ev.count()  # source has unique event_ids -> all kept
