@@ -158,6 +158,12 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(load_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from centimators_spark.text.features import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprint(load_table(spark, sf_dir, "documents"))
 
@@ -178,6 +184,7 @@ QUERIES = {
     "text_quality_score": q_text_quality_score,
     "text_token_counts": q_text_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
+    "tfidf_topk": q_tfidf_topk,
 }
 
 
@@ -371,6 +378,28 @@ def oracle_sql() -> dict[str, str]:
               len(regexp_extract_all(lower(text), '{WORD_RE}')) AS n_re_tokens,
               len(list_distinct({_TOK})) AS n_distinct_tokens
             FROM documents
+        """,
+        "tfidf_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK} AS tk FROM documents
+            ), terms AS (
+              SELECT doc_id, unnest(tk) AS term FROM toks
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT count(*) AS nn FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                round(tf.tf * (ln((n.nn + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+                  AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, tfidf, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+              FROM scored
+            ) WHERE rank <= 3
         """,
         "doc_fingerprint": f"""
             WITH {_GRAMS_CTE},
