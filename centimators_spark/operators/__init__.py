@@ -7,10 +7,16 @@ from centimators_spark.operators.time_series import (
 from centimators_spark.operators.stats import GroupStatsTransformer
 from centimators_spark.operators.neutralization import FeatureNeutralizer
 from centimators_spark.operators.penalization import FeaturePenalizer
+from centimators_spark.operators.dimreduction import DimReducer
+from centimators_spark.operators.embedding import EmbeddingTransformer
+from centimators_spark.operators.asof import asof_join
 
 __all__ = [
     "FeatureNeutralizer",
     "FeaturePenalizer",
+    "DimReducer",
+    "EmbeddingTransformer",
+    "asof_join",
     "RankTransformer",
     "LagTransformer",
     "MovingAverageTransformer",

@@ -72,10 +72,22 @@ def main():
         f"bhj={p.count('BroadcastHashJoin')}",
     )
 
-    # 5. rank: shares one hash-partition exchange on the group col
+    # 5. rank: ONE exchange total (avg-rank shares a single window spec)
     p = plan_of(q["rank_transformer"](spark, sf_dir))
-    n_ex = len(set(re.findall(r"Exchange hashpartitioning\(([^,]+)", p)))
-    ok &= audit("rank: one distinct partition key", n_ex == 1, f"keys={n_ex}")
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    ok &= audit("rank: single exchange", n_ex == 1, f"exchanges={n_ex}")
+
+    # 6. as-of join: union + window, NO join operator in the plan
+    p = plan_of(q["asof_join"](spark, sf_dir))
+    ok &= audit("asof: no join explosion", "Join" not in p)
+    # exchanges: one for the carry-forward window, one for the query's
+    # own right-side pre-aggregation — but NO quadratic range join
+    ok &= audit("asof: union + bounded shuffles",
+                "Union" in p and p.count("Exchange hashpartitioning") <= 2)
+
+    # 7. tfidf: idf side broadcast, single (doc,term) shuffle path
+    p = plan_of(q["tfidf_topk"](spark, sf_dir))
+    ok &= audit("tfidf: broadcast idf join", "BroadcastHashJoin" in p)
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
