@@ -287,11 +287,11 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN m2 = 0 THEN 'nan'::DOUBLE ELSE
                 4.0*5.0/(3.0*2.0*1.0) * (m4 / ((m2/3.0)*(m2/3.0)))
                 - 3.0*9.0/(2.0*1.0)
-              END AS li_groupstats_kurtosis,
+              END AS li_groupstats_kurt,
               greatest(q,e,d,t) - least(q,e,d,t) AS li_groupstats_range,
               CASE WHEN mu = 0 AND sqrt(m2/3.0) = 0 THEN 'nan'::DOUBLE
                    WHEN mu = 0 THEN 'infinity'::DOUBLE
-                   ELSE sqrt(m2/3.0)/mu END AS li_groupstats_coefficient_of_variation
+                   ELSE sqrt(m2/3.0)/mu END AS li_groupstats_cv
             FROM m
         """,
         "pricing_summary": """

@@ -10,6 +10,8 @@ what a recursive-CTE oracle computes.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +32,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster", F.col("node")
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -54,7 +57,15 @@ def connected_components(
         )
         labels = updated.localCheckpoint(eager=True)  # cut the growing lineage
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — a component's diameter exceeds the iteration budget and "
+            "the returned cluster labels are NOT a fixpoint; raise max_iter",
+            RuntimeWarning,
+        )
     return labels
 
 

@@ -25,27 +25,37 @@ def _gram_sets(df: DataFrame, content_col: str, id_col: str, n: int) -> DataFram
     return _gram_sets_udf(df, content_col, id_col, n)
 
 
+DEFAULT_DF_CAP = 1000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    df_cap: int | None = None,
+    df_cap: int | None = DEFAULT_DF_CAP,
 ) -> DataFrame:
-    """Exact near-dup pairs: (d1, d2, jaccard) with jaccard ≥ threshold.
+    """Near-dup pairs: (d1, d2, jaccard) with jaccard ≥ threshold.
 
-    df_cap: drop grams appearing in more than df_cap docs before
-    blocking (lossy only for pairs whose ENTIRE overlap is stop-grams;
-    recommended at scale)."""
+    df_cap (default 1000): drop grams appearing in more than df_cap docs
+    BEFORE blocking — the standard stop-gram guard that keeps the gram
+    self-join subquadratic when a boilerplate sentence is shared corpus-
+    wide. Set sizes are computed from the SAME capped index, so the
+    semantics are consistently "Jaccard over non-stop-grams": a pair's
+    score is unchanged iff it shares no capped gram, and every capped
+    gram is excluded from both intersection and union (never deflating
+    one side only). df_cap=None gives exact all-grams Jaccard (only
+    sensible when the corpus is known boilerplate-free)."""
     grams = _gram_sets(df, content_col, id_col, n)
     inv = grams.select("doc_id", F.explode("grams").alias("g"))
-    # grams are distinct per doc → set size == exploded row count; deriving
-    # sizes from inv reuses the single shingling pass instead of a second one
-    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if df_cap is not None:
         freq = inv.groupBy("g").count().where(F.col("count") <= df_cap)
         inv = inv.join(F.broadcast(freq.select("g")), "g")
+    # grams are distinct per doc → set size == exploded row count; deriving
+    # sizes from the (capped) inv reuses the single shingling pass and keeps
+    # |A|,|B| consistent with the capped intersection counts
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # |A ∩ B| directly from the inverted index (count of shared grams);
     # |A ∪ B| = |A| + |B| − |A ∩ B|. Avoids materializing distinct
     # candidate pairs AND the per-pair array intersect — one gram-join,

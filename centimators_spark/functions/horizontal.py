@@ -2,8 +2,12 @@
 
 Exact formula parity with the reference
 (/root/reference/src/centimators/narwhals_utils.py:31-212):
-- null-skipping: n = count of non-null values in the row
-- var/std use SAMPLE ddof=1; NaN (not null) when n - ddof <= 0
+- n in denominators and bias corrections is the STATIC column count
+  ``len(exprs)`` — the reference computes it at expression-build time
+  (narwhals_utils.py:43,93,146), so rows with nulls still divide by the
+  full count. Only the mean and the centered-moment SUMS skip nulls
+  (narwhals ``mean_horizontal``/``sum_horizontal`` semantics).
+- var/std use SAMPLE ddof=1; constant NaN when len(cols) - ddof <= 0
 - skew: bias-corrected  n/((n-1)(n-2)) * Σ((x-μ)/s)³ ; NaN when n < 3
 - kurtosis: excess G2   n(n+1)/((n-1)(n-2)(n-3))·Σz⁴ − 3(n−1)²/((n−2)(n−3)) ;
   NaN when n < 4
@@ -62,17 +66,24 @@ def mean_horizontal(cols: Sequence[str | Column]) -> Column:
     return F.when(n > 0, _sum_skipnull(ts, ts) / n)
 
 
-def _var_expr(ts: list[Column], ddof: int) -> Column:
+def _mean_expr(ts: list[Column]) -> Column:
+    """Null-skipping row mean (narwhals ``mean_horizontal``)."""
     n = _n(ts)
-    mu = _sum_skipnull(ts, ts) / n
+    return F.when(n > 0, _sum_skipnull(ts, ts) / n)
+
+
+def _var_expr(ts: list[Column], ddof: int) -> Column:
+    # static-n denominator (reference narwhals_utils.py:43-57)
+    mu = _mean_expr(ts)
     ss = _sum_skipnull([(t - mu) * (t - mu) for t in ts], ts)
-    return ss / (n - ddof)
+    return ss / F.lit(float(len(ts) - ddof))
 
 
 def var_horizontal(cols: Sequence[str | Column], ddof: int = 1) -> Column:
     ts = _terms(cols)
-    n = _n(ts)
-    return F.when(n - ddof <= 0, NAN()).otherwise(_var_expr(ts, ddof))
+    if len(ts) - ddof <= 0:
+        return NAN()
+    return _var_expr(ts, ddof)
 
 
 def std_horizontal(cols: Sequence[str | Column], ddof: int = 1) -> Column:
@@ -80,31 +91,33 @@ def std_horizontal(cols: Sequence[str | Column], ddof: int = 1) -> Column:
 
 
 def skew_horizontal(cols: Sequence[str | Column]) -> Column:
-    """Bias-corrected sample skewness; NaN when n < 3 or s == 0."""
+    """Bias-corrected sample skewness; NaN when len(cols) < 3 or s == 0."""
     ts = _terms(cols)
-    n = _n(ts)
+    n = len(ts)
+    if n < 3:
+        return NAN()
     s = F.sqrt(_var_expr(ts, 1))
-    mu = _sum_skipnull(ts, ts) / n
+    mu = _mean_expr(ts)
     z3 = _sum_skipnull(
         [((t - mu) / s) * ((t - mu) / s) * ((t - mu) / s) for t in ts], ts
     )
-    return F.when(n < 3, NAN()).when(s == 0, NAN()).otherwise(
-        n / ((n - 1) * (n - 2)) * z3
-    )
+    return F.when(s == 0, NAN()).otherwise(F.lit(n / ((n - 1) * (n - 2))) * z3)
 
 
 def kurtosis_horizontal(cols: Sequence[str | Column]) -> Column:
-    """Bias-corrected excess kurtosis (G2); NaN when n < 4 or s == 0."""
+    """Bias-corrected excess kurtosis (G2); NaN when len(cols) < 4 or s == 0."""
     ts = _terms(cols)
-    n = _n(ts)
+    n = len(ts)
+    if n < 4:
+        return NAN()
     s2 = _var_expr(ts, 1)
-    mu = _sum_skipnull(ts, ts) / n
+    mu = _mean_expr(ts)
     z4 = _sum_skipnull(
         [((t - mu) * (t - mu) / s2) * ((t - mu) * (t - mu) / s2) for t in ts], ts
     )
-    term1 = n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * z4
-    term2 = 3 * ((n - 1) * (n - 1)) / ((n - 2) * (n - 3))
-    return F.when(n < 4, NAN()).when(s2 == 0, NAN()).otherwise(term1 - term2)
+    term1 = F.lit(n * (n + 1) / ((n - 1) * (n - 2) * (n - 3))) * z4
+    term2 = F.lit(3 * ((n - 1) * (n - 1)) / ((n - 2) * (n - 3)))
+    return F.when(s2 == 0, NAN()).otherwise(term1 - term2)
 
 
 def min_horizontal(cols: Sequence[str | Column]) -> Column:

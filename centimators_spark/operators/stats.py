@@ -24,18 +24,22 @@ _STAT_FNS = {
     "mean": H.mean_horizontal,
     "std": H.std_horizontal,
     "skew": H.skew_horizontal,
-    "kurtosis": H.kurtosis_horizontal,
+    "kurt": H.kurtosis_horizontal,
     "range": H.range_horizontal,
-    "coefficient_of_variation": H.coefficient_of_variation_horizontal,
+    "cv": H.coefficient_of_variation_horizontal,
 }
+
+# long-form spellings accepted for convenience; canonical names (and the
+# emitted column suffixes) are the reference's short forms (stats.py:67)
+_STAT_ALIASES = {"kurtosis": "kurt", "coefficient_of_variation": "cv"}
 
 _MIN_COLS = {
     "mean": 1,
     "range": 1,
     "std": 2,
-    "coefficient_of_variation": 2,
+    "cv": 2,
     "skew": 3,
-    "kurtosis": 4,
+    "kurt": 4,
 }
 
 
@@ -94,21 +98,29 @@ def _staged_group_stats(
         names = inter[g]
         n, mu = F.col(names["n"]), F.col(names["mu"])
         m2, m3, m4 = F.col(names["m2"]), F.col(names["m3"]), F.col(names["m4"])
-        var_s = m2 / (n - 1)
+        # Reference parity (narwhals_utils.py:43-57,93-121,146-160): the
+        # denominators and bias corrections use the STATIC column count
+        # ns = len(cols) — only the mean and the centered-moment sums skip
+        # per-row nulls. ns < min → constant NaN, decided at plan build.
+        ns = float(len(cols))
+        var_s = m2 / F.lit(ns - 1.0) if ns > 1 else NAN
         std = F.sqrt(var_s)
         mean_e = mu
-        std_e = F.when(n - 1 <= 0, NAN).otherwise(std)
+        std_e = NAN if ns < 2 else std
         skew_e = (
-            F.when(n < 3, NAN)
-            .when(m2 == 0, NAN)
-            .otherwise(n / ((n - 1) * (n - 2)) * (m3 / (std * std * std)))
+            NAN
+            if ns < 3
+            else F.when(m2 == 0, NAN).otherwise(
+                F.lit(ns / ((ns - 1) * (ns - 2))) * (m3 / (std * std * std))
+            )
         )
         kurt_e = (
-            F.when(n < 4, NAN)
-            .when(m2 == 0, NAN)
-            .otherwise(
-                n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)) * (m4 / (var_s * var_s))
-                - 3 * ((n - 1) * (n - 1)) / ((n - 2) * (n - 3))
+            NAN
+            if ns < 4
+            else F.when(m2 == 0, NAN).otherwise(
+                F.lit(ns * (ns + 1) / ((ns - 1) * (ns - 2) * (ns - 3)))
+                * (m4 / (var_s * var_s))
+                - F.lit(3 * ((ns - 1) * (ns - 1)) / ((ns - 2) * (ns - 3)))
             )
         )
         ts = [F.col(c).cast("double") for c in cols]
@@ -127,9 +139,9 @@ def _staged_group_stats(
             "mean": mean_e,
             "std": std_e,
             "skew": skew_e,
-            "kurtosis": kurt_e,
+            "kurt": kurt_e,
             "range": range_e,
-            "coefficient_of_variation": cv_e,
+            "cv": cv_e,
         }
         final += [exprs[s].alias(f"{g}_groupstats_{s}") for s in stats]
     return out.select(*final)
@@ -146,7 +158,8 @@ class GroupStatsTransformer(PanelTransformer):
     ):
         super().__init__(None, output_mode=output_mode, keep_cols=keep_cols)
         self.feature_group_mapping = {k: list(v) for k, v in feature_group_mapping.items()}
-        self.stats = list(stats) if stats else list(_STAT_FNS)
+        raw = list(stats) if stats else list(_STAT_FNS)
+        self.stats = [_STAT_ALIASES.get(s, s) for s in raw]
         bad = [s for s in self.stats if s not in _STAT_FNS]
         if bad:
             raise ValueError(f"invalid stats {bad}; valid: {sorted(_STAT_FNS)}")

@@ -86,10 +86,12 @@ class MovingAverageTransformer(_OrderedPanelTransformer):
         feats = self._resolve_features(df)
         self.feature_names_ = feats
         cols = []
-        for wsize in self.windows:
-            frame = self._window().rowsBetween(-(wsize - 1), 0)
-            for f in feats:
-                c = F.col(f)
+        # feature-major output order (reference time_series.py:125-129
+        # iterates features outer, windows inner)
+        for f in feats:
+            c = F.col(f)
+            for wsize in self.windows:
+                frame = self._window().rowsBetween(-(wsize - 1), 0)
                 # narwhals rolling_mean(min_samples=window_size): need w
                 # non-null obs in the trailing w-row frame, else null
                 avg = F.when(F.count(c).over(frame) == wsize, F.avg(c).over(frame))
@@ -98,7 +100,7 @@ class MovingAverageTransformer(_OrderedPanelTransformer):
 
     def get_feature_names_out(self) -> list[str]:
         feats = self.feature_names or getattr(self, "feature_names_")
-        return [f"{f}_ma{w}" for w in self.windows for f in feats]
+        return [f"{f}_ma{w}" for f in feats for w in self.windows]
 
 
 class LogReturnTransformer(_OrderedPanelTransformer):

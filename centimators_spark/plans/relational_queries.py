@@ -265,7 +265,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_extract": """
             SELECT event_type,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
                    count(*) AS n

@@ -115,10 +115,13 @@ def test_group_stats_nan_rules(spark):
             keep_cols=["rid"], output_mode="replace",
         )
     r = t.transform(df).collect()[0]
-    # n=1: std (ddof=1) -> NaN; skew (n<3) -> NaN; kurtosis (n<4) -> NaN
-    assert math.isnan(r.g_groupstats_std)
+    # Reference static-n semantics (narwhals_utils.py:43-57): denominators
+    # use len(cols)=2 even though the row has 1 non-null — std = sqrt(0/1)=0;
+    # skew (len<3) and kurt (len<4) are constant NaN. Long stat spellings
+    # are accepted but columns use the reference's short names.
+    assert r.g_groupstats_std == 0.0
     assert math.isnan(r.g_groupstats_skew)
-    assert math.isnan(r.g_groupstats_kurtosis)
+    assert math.isnan(r.g_groupstats_kurt)
 
 
 def test_group_stats_invalid_stat():
@@ -164,7 +167,7 @@ def test_horizontal_matches_numpy(spark):
     np.testing.assert_allclose(got.g_groupstats_std, data.std(axis=1, ddof=1), rtol=1e-9)
     np.testing.assert_allclose(got.g_groupstats_skew, _np_skew_unbiased(data), rtol=1e-7)
     np.testing.assert_allclose(
-        got.g_groupstats_kurtosis, _np_kurt_excess_unbiased(data), rtol=1e-7
+        got.g_groupstats_kurt, _np_kurt_excess_unbiased(data), rtol=1e-7
     )
 
 

@@ -123,14 +123,17 @@ def test_horizontal_property_matches_numpy(spark, rows):
     for r, vals in zip(got, rows):
         arr = np.array([v for v in vals if v is not None], dtype=float)
         if arr.size == 0:
+            # all-null row: mean null; std = sqrt(0/(n_static-1)) = 0
+            # (reference pandas backend: sum of all-NaN terms is 0)
             assert r.mean is None and r.mn is None
+            assert r.std == 0.0
             continue
         assert r.mean == pytest.approx(arr.mean(), rel=1e-9, abs=1e-9)
         assert r.mn == arr.min() and r.mx == arr.max()
-        if arr.size >= 2:
-            assert r.std == pytest.approx(arr.std(ddof=1), rel=1e-7, abs=1e-9)
-        else:
-            assert math.isnan(r.std)
+        # reference static-n: denominator is len(cols)-1 = 4 regardless of
+        # the row's null count; the centered-square sum skips nulls
+        exp_std = math.sqrt(((arr - arr.mean()) ** 2).sum() / 4.0)
+        assert r.std == pytest.approx(exp_std, rel=1e-7, abs=1e-9)
 
 
 def test_skew_kurt_nan_guards(spark):
