@@ -1,15 +1,27 @@
 from centimators_spark.ml.estimators import (
+    BottleneckEncoder,
     KerasEstimator,
     LinearRegressor,
+    LSTMRegressor,
+    MLPRegressor,
+    NeuralDecisionForestRegressor,
+    TransformerRegressor,
     sequence_reshape,
 )
+from centimators_spark.ml import architectures
 from centimators_spark.ml.dspymator import DSPyMator
 from centimators_spark.ml.keras_cortex import KerasCortex
 from centimators_spark.ml.losses import make_keras_losses, spearman_corr
 
 __all__ = [
+    "architectures",
+    "BottleneckEncoder",
     "KerasEstimator",
     "LinearRegressor",
+    "LSTMRegressor",
+    "MLPRegressor",
+    "NeuralDecisionForestRegressor",
+    "TransformerRegressor",
     "sequence_reshape",
     "DSPyMator",
     "KerasCortex",
