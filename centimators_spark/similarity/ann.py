@@ -79,21 +79,46 @@ def _unit(col: Column) -> Column:
     return F.transform(col, lambda x: x / n)
 
 
+def _seq_norms(m: np.ndarray) -> np.ndarray:
+    """Row norms accumulated dimension-by-dimension — vectorized across
+    rows yet bit-identical to a scalar left-to-right sum (and therefore
+    to the DuckDB oracle's list_reduce)."""
+    acc = np.zeros(m.shape[0])
+    for d in range(m.shape[1]):
+        acc = acc + m[:, d] * m[:, d]
+    return np.sqrt(acc)
+
+
+def _seq_dots(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(ra×d) · (rb×d)ᵀ accumulated dimension-by-dimension (see
+    _seq_norms for why not a single matmul: BLAS reassociates sums)."""
+    acc = np.zeros((a.shape[0], b.shape[0]))
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d : d + 1] * b[:, d]
+    return acc
+
+
 def embedding_cosine_pairs(
     vectors: DataFrame,
     threshold: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "blocked",
+    block_rows: int = 2048,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All pairs (i < j) with cosine ≥ threshold (exact).
+    """All pairs (i < j) with cosine ≥ threshold — EXACT.
 
-    method='blocked' (default): broadcast the normalized matrix to the
-    workers and score row-blocks against it with numpy, accumulating
-    **dimension-by-dimension** — vectorized across pairs yet bit-identical
-    to a scalar left-to-right sum (and therefore to the DuckDB oracle).
-    O(n²/workers) compute, O(n·d) broadcast — the right shape while one
-    side fits in memory; beyond that, LSH-bucket first (rp_lsh_topk).
+    method='blocked' (default): block-pair partitioned scan. Rows hash
+    deterministically into B ≈ n/block_rows blocks; every unordered
+    block pair (p ≤ q) becomes one applyInPandas group whose numpy
+    kernel scores the p-rows against the q-rows, accumulating
+    dimension-by-dimension (bit-identical to the scalar left-to-right
+    oracle). Fully distributed: no driver materialization, no broadcast
+    of the vector table; shuffle volume is B·n rows and per-task memory
+    is O(block_rows·d). Compute is inherently O(n²) — that is what
+    "exact all pairs" costs; at corpus scale use rp_lsh_topk buckets or
+    MinHash-style candidate generation instead and exact-verify.
 
     method='expr': pure Column-expression crossJoin scan (no Python),
     kept as the semantic reference."""
@@ -114,21 +139,28 @@ def embedding_cosine_pairs(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    spark = vectors.sparkSession
     narrow = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-    local = narrow.toPandas()
-    ids = local["i"].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in local["v"]])
+    if n_blocks is None:
+        # one cheap scalar job to size the grid (count only, no data moves)
+        n = narrow.count()
+        n_blocks = max(1, -(-n // block_rows))
+    B = int(n_blocks)
 
-    def _seq_norms(m: np.ndarray) -> np.ndarray:
-        acc = np.zeros(m.shape[0])
-        for d in range(m.shape[1]):  # dim order == scalar left-to-right
-            acc = acc + m[:, d] * m[:, d]
-        return np.sqrt(acc)
-
-    mat = mat / _seq_norms(mat)[:, None]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    withb = narrow.withColumn("b", F.pmod(F.xxhash64(F.col("i")), F.lit(B)))
+    # replicate each row into every block-pair task it participates in:
+    # row in block b joins tasks (min(b,x), max(b,x)) for x = 0..B-1
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("b"), F.lit(x)).alias("p"),
+                F.greatest(F.col("b"), F.lit(x)).alias("q"),
+            )
+            for x in range(B)
+        ]
+    )
+    exploded = withb.select(
+        "i", "v", "b", F.explode(pair_keys).alias("pq")
+    ).select("i", "v", "b", F.col("pq.p").alias("p"), F.col("pq.q").alias("q"))
 
     id_type = narrow.schema["i"].dataType
     schema = StructType(
@@ -139,21 +171,36 @@ def embedding_cosine_pairs(
         ]
     )
 
-    def compute(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            block = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            block = block / _seq_norms(block)[:, None]
-            bids = pdf["i"].to_numpy()
-            acc = np.zeros((block.shape[0], all_mat.shape[0]))
-            for d in range(block.shape[1]):
-                acc = acc + block[:, d : d + 1] * all_mat[:, d]
-            ii, jj = np.nonzero((acc >= threshold) & (bids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {"i": bids[ii], "j": all_ids[jj], "cos": acc[ii, jj]}
+    def score_block_pair(key, pdf):
+        p, q = key
+        left = pdf[pdf["b"] == p]
+        right = pdf[pdf["b"] == q] if p != q else left
+        if left.empty or right.empty:
+            return pd.DataFrame({"i": [], "j": [], "cos": []}).astype(
+                {"cos": "float64"}
             )
+        lm = np.array([np.asarray(v, dtype=np.float64) for v in left["v"]])
+        rm = np.array([np.asarray(v, dtype=np.float64) for v in right["v"]])
+        lm = lm / _seq_norms(lm)[:, None]
+        rm = rm / _seq_norms(rm)[:, None]
+        lids = left["i"].to_numpy()
+        rids = right["i"].to_numpy()
+        acc = _seq_dots(lm, rm)
+        # orient by id: emit each unordered pair once as (smaller, larger).
+        # Same-block: the matrix holds both orientations, keep lid < rid.
+        # Cross-block: each unordered pair appears once with arbitrary id
+        # order, so the lid > rid hits must be emitted flipped.
+        hit = acc >= threshold
+        ii, jj = np.nonzero(hit & (lids[:, None] < rids[None, :]))
+        out_i, out_j, out_c = lids[ii], rids[jj], acc[ii, jj]
+        if p != q:
+            ii2, jj2 = np.nonzero(hit & (lids[:, None] > rids[None, :]))
+            out_i = np.concatenate([out_i, rids[jj2]])
+            out_j = np.concatenate([out_j, lids[ii2]])
+            out_c = np.concatenate([out_c, acc[ii2, jj2]])
+        return pd.DataFrame({"i": out_i, "j": out_j, "cos": out_c})
 
-    return narrow.mapInPandas(compute, schema)
+    return exploded.groupBy("p", "q").applyInPandas(score_block_pair, schema)
 
 
 def rp_lsh_topk(
@@ -201,9 +248,11 @@ def rp_lsh_topk(
     vb = _with_buckets(vectors, id_col, "vv")
     qb = _with_buckets(queries, query_id_col, "qv")
 
+    # the bucket join + distinct carry IDS ONLY — full vectors would
+    # otherwise ride through the dedup shuffle once per bucket collision;
+    # they are re-attached afterwards with one id-keyed join per side
     v_long = vb.select(
         id_col,
-        "vv",
         F.explode(
             F.array(
                 *[
@@ -212,10 +261,9 @@ def rp_lsh_topk(
                 ]
             )
         ).alias("tb"),
-    ).select(id_col, "vv", "tb.t", "tb.bkt")
+    ).select(id_col, "tb.t", "tb.bkt")
     q_long = qb.select(
         query_id_col,
-        "qv",
         F.explode(
             F.array(
                 *[
@@ -224,16 +272,22 @@ def rp_lsh_topk(
                 ]
             )
         ).alias("tb"),
-    ).select(query_id_col, "qv", "tb.t", "tb.bkt")
+    ).select(query_id_col, "tb.t", "tb.bkt")
 
-    cand = (
+    cand_ids = (
         v_long.join(F.broadcast(q_long), ["t", "bkt"])
         .where(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, "qv", "vv")
+        .select(query_id_col, id_col)
         .distinct()
     )
-    scored = cand.select(
-        query_id_col, id_col, cosine(F.col("qv"), F.col("vv")).alias("cos")
+    v_vecs = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vv"))
+    q_vecs = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        cand_ids.join(v_vecs, id_col)
+        .join(F.broadcast(q_vecs), query_id_col)
+        .select(query_id_col, id_col, cosine(F.col("qv"), F.col("vv")).alias("cos"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()

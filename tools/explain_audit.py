@@ -89,6 +89,18 @@ def main():
     p = plan_of(q["tfidf_topk"](spark, sf_dir))
     ok &= audit("tfidf: broadcast idf join", "BroadcastHashJoin" in p)
 
+    # 8. embedding cosine pairs: fully distributed block-pair scan —
+    # grouped-map numpy kernel, no crossJoin, no vector-table broadcast
+    p = plan_of(q["dedup_embedding_cosine"](spark, sf_dir))
+    ok &= audit(
+        "cosine pairs: distributed grouped-map kernel",
+        "FlatMapGroupsInPandas" in p,
+    )
+    ok &= audit(
+        "cosine pairs: no cartesian/broadcast of vectors",
+        "Cartesian" not in p and "BroadcastExchange" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
