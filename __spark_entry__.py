@@ -149,6 +149,25 @@ def q_feature_neutralizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.transform(li)
 
 
+def q_gaussianize_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-Φ⁻¹ gaussianize stage (ordinal rank → (r−0.5)/n) through the
+    neutralizer's own numpy kernel path — hash-checking the ordinal-tie
+    ordering that feeds #16/#18; the Φ⁻¹ tail is unit-tested (AS241)."""
+    from centimators_spark.operators.neutralization import gaussianize_stage
+
+    li = _lineitem(spark, sf_dir).withColumn(
+        "era", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    out = gaussianize_stage(
+        li,
+        "l_extendedprice",
+        era_col="era",
+        order_col=ORDER,
+        keep_cols=KEYS,
+    )
+    return out.select(*KEYS, "l_extendedprice_gauss_u")
+
+
 def q_feature_penalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-era Adamax exposure capping (applyInPandas kernel); rows-only."""
     li = _lineitem(spark, sf_dir).withColumn(
@@ -203,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "feature_neutralizer": q_feature_neutralizer,
         "feature_penalizer": q_feature_penalizer,
+        "gaussianize_ordinal": q_gaussianize_ordinal,
         **datapipe_queries.QUERIES,
         **relational_queries.QUERIES,
     }
@@ -293,6 +313,16 @@ def oracle_sql() -> dict[str, str]:
                    WHEN mu = 0 THEN 'infinity'::DOUBLE
                    ELSE sqrt(m2/3.0)/mu END AS li_groupstats_cv
             FROM m
+        """,
+        "gaussianize_ordinal": f"""
+            SELECT l_orderkey, l_linenumber,
+              (CAST(row_number() OVER (
+                 PARTITION BY date_trunc('month', l_shipdate)
+                 ORDER BY l_extendedprice, {_ORDER_SQL}) AS DOUBLE) - 0.5)
+              / CAST(count(*) OVER (
+                 PARTITION BY date_trunc('month', l_shipdate)) AS DOUBLE)
+                AS l_extendedprice_gauss_u
+            FROM lineitem
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -79,12 +79,18 @@ def norm_ppf(p: np.ndarray) -> np.ndarray:
     return out
 
 
-def gaussianize(values: np.ndarray) -> np.ndarray:
-    """Reference _gaussianize: ordinal rank → (r−0.5)/n → Φ⁻¹
-    (/root/reference/src/centimators/feature_transformers/base.py:10-14).
-    Ordinal ranks break ties by array position (argsort stable)."""
+def ordinal_uniform(values: np.ndarray) -> np.ndarray:
+    """The deterministic pre-probit half of gaussianize: ordinal rank →
+    (r − 0.5)/n ∈ (0, 1). Ordinal ranks break ties by array position
+    (argsort stable), so the caller controls tie order by row order."""
     values = np.asarray(values)
     order = np.argsort(values, kind="stable")
     ranks = np.empty(len(values), dtype=np.float64)
     ranks[order] = np.arange(1, len(values) + 1)
-    return norm_ppf((ranks - 0.5) / len(values))
+    return (ranks - 0.5) / len(values)
+
+
+def gaussianize(values: np.ndarray) -> np.ndarray:
+    """Reference _gaussianize: ordinal rank → (r−0.5)/n → Φ⁻¹
+    (/root/reference/src/centimators/feature_transformers/base.py:10-14)."""
+    return norm_ppf(ordinal_uniform(values))

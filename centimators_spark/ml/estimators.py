@@ -28,17 +28,26 @@ from pyspark.sql import functions as F
 
 
 class LinearRegressor:
-    """Exact distributed OLS: y ~ X (+ intercept)."""
+    """Exact distributed OLS: y ~ X (+ intercept).
+
+    exact=True: engine-independent deterministic fit — Gram products are
+    cast to DECIMAL(38,0) before summing (exact when the caller supplies
+    integer-valued features, e.g. fixed-decimal columns scaled by 10^k),
+    and the k×k solve uses the mirrored Cramer expression from
+    ml/cramer.py instead of numpy, so coefficients are bit-identical to
+    a SQL oracle evaluating the same expression on the same sums."""
 
     def __init__(
         self,
         feature_names: Sequence[str],
         target: str = "target",
         fit_intercept: bool = True,
+        exact: bool = False,
     ):
         self.feature_names = list(feature_names)
         self.target = target
         self.fit_intercept = fit_intercept
+        self.exact = exact
         self.coef_: np.ndarray | None = None
         self.intercept_: float = 0.0
 
@@ -51,21 +60,32 @@ class LinearRegressor:
         )
         if self.fit_intercept:
             d = d.withColumn("__one", F.lit(1.0))
+
+        def _sum(prod):
+            # decimal accumulation is exact and associative → identical
+            # under any partition/merge order (doubles are neither)
+            return F.sum(prod.cast("decimal(38,0)") if self.exact else prod)
+
         # one aggregation computes the full Gram matrix and moment vector
         aggs = []
         for i, a in enumerate(cols):
             for b in cols[i:]:
-                aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"g_{a}__{b}"))
-            aggs.append(F.sum(F.col(a) * F.col("__y")).alias(f"m_{a}"))
+                aggs.append(_sum(F.col(a) * F.col(b)).alias(f"g_{a}__{b}"))
+            aggs.append(_sum(F.col(a) * F.col("__y")).alias(f"m_{a}"))
         row = d.agg(*aggs).collect()[0].asDict()
         k = len(cols)
         G = np.zeros((k, k))
         m = np.zeros(k)
         for i, a in enumerate(cols):
             for j in range(i, k):
-                G[i, j] = G[j, i] = row[f"g_{a}__{cols[j]}"]
-            m[i] = row[f"m_{a}"]
-        theta = np.linalg.solve(G, m)
+                G[i, j] = G[j, i] = float(row[f"g_{a}__{cols[j]}"])
+            m[i] = float(row[f"m_{a}"])
+        if self.exact:
+            from centimators_spark.ml.cramer import solve_floats
+
+            theta = np.array(solve_floats(G.tolist(), m.tolist()))
+        else:
+            theta = np.linalg.solve(G, m)
         if self.fit_intercept:
             self.coef_, self.intercept_ = theta[:-1], float(theta[-1])
         else:

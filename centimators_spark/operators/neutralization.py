@@ -36,7 +36,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from centimators_spark.functions.normal import gaussianize
+from centimators_spark.functions.normal import gaussianize, ordinal_uniform
+
+
+def gaussianize_stage(
+    df: DataFrame,
+    pred_name: str,
+    *,
+    era_col: str = "era",
+    order_col: str | Sequence[str] | None = None,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The deterministic pre-Φ⁻¹ half of the neutralizer's gaussianize as
+    a standalone operator: per era, ordinal rank → (r−0.5)/n, emitted as
+    ``{pred}_gauss_u``. Runs the SAME numpy kernel path the
+    FeatureNeutralizer uses (stable argsort after order_col sort), so an
+    oracle hash-match here verifies the kernel's ordinal-tie ordering;
+    the Φ⁻¹ tail stays covered by unit tests (AS241 vs known values)."""
+    oc = [order_col] if isinstance(order_col, str) else list(order_col or [])
+    out_name = f"{pred_name}_gauss_u"
+    passthrough = list(dict.fromkeys(list(keep_cols) + [era_col]))
+    schema = StructType([df.schema[c] for c in passthrough]).add(out_name, "double")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if oc:
+            pdf = pdf.sort_values(oc, kind="stable")
+        out = {c: pdf[c] for c in passthrough}
+        out[out_name] = ordinal_uniform(pdf[pred_name].to_numpy(dtype=np.float64))
+        return pd.DataFrame(out)
+
+    narrow = df.select(*dict.fromkeys(oc + passthrough + [pred_name]))
+    return narrow.groupBy(era_col).applyInPandas(kernel, schema)
 
 
 def global_min_max_scale(

@@ -126,15 +126,31 @@ def q_spearman_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed OLS (normal equations aggregation) — rows-only check;
-    exact parity vs numpy lstsq covered in tests/test_estimators.py."""
+    """Distributed OLS with a BIT-EXACT oracle. The fixed-decimal inputs
+    are scaled to integer-valued doubles so the DECIMAL(38,0) Gram sums
+    are exact (engine- and partition-order-independent), and the 4×4
+    solve evaluates the identical Cramer expression in both engines
+    (ml/cramer.py generates both sides from one term enumeration).
+    Predictions rescale back to the original units."""
     from centimators_spark.ml.estimators import LinearRegressor
 
     li = load_table(spark, sf_dir, "lineitem")
-    m = LinearRegressor(
-        ["l_quantity", "l_discount", "l_tax"], target="l_extendedprice"
-    ).fit(li)
-    return m.predict(li).select("l_orderkey", "l_linenumber", "prediction")
+    scaled = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("q"),
+        F.round(F.col("l_discount") * 100).alias("d100"),
+        F.round(F.col("l_tax") * 100).alias("t100"),
+        F.round(F.col("l_extendedprice") * 100).alias("e100"),
+    )
+    m = LinearRegressor(["q", "d100", "t100"], target="e100", exact=True).fit(
+        scaled
+    )
+    return m.predict(scaled).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("prediction") / 100, 6).alias("prediction"),
+    )
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,8 +207,55 @@ QUERIES = {
 }
 
 
+def _ols_oracle_sql() -> str:
+    """Mirror of q_linear_regression: exact decimal Gram sums + the SAME
+    Cramer expression the Spark side evaluates (ml/cramer.py)."""
+    from centimators_spark.ml import cramer
+
+    cols = ["q", "d100", "t100", "1.0"]
+    names = ["q", "d", "t", "one"]
+    k = len(cols)
+    sums = []
+    for i in range(k):
+        for j in range(i, k):
+            sums.append(
+                f"sum(CAST({cols[i]} * {cols[j]} AS DECIMAL(38,0)))"
+                f" AS g_{names[i]}_{names[j]}"
+            )
+        sums.append(
+            f"sum(CAST({cols[i]} * e100 AS DECIMAL(38,0))) AS m_{names[i]}"
+        )
+    G = [
+        [
+            f"CAST(g_{names[min(i, j)]}_{names[max(i, j)]} AS DOUBLE)"
+            for j in range(k)
+        ]
+        for i in range(k)
+    ]
+    mv = [f"CAST(m_{names[i]} AS DOUBLE)" for i in range(k)]
+    theta = ", ".join(
+        f"{expr} AS x{i}" for i, expr in enumerate(cramer.solve_sql(G, mv))
+    )
+    return f"""
+        WITH s AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_quantity AS DOUBLE) AS q,
+                 round(l_discount * 100) AS d100,
+                 round(l_tax * 100) AS t100,
+                 round(l_extendedprice * 100) AS e100
+          FROM lineitem
+        ), g AS (SELECT {", ".join(sums)} FROM s),
+        th AS (SELECT {theta} FROM g)
+        SELECT l_orderkey, l_linenumber,
+               round((((x3 + q * x0) + d100 * x1) + t100 * x2) / 100, 6)
+                 AS prediction
+        FROM s CROSS JOIN th
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "linear_regression": _ols_oracle_sql(),
         "spearman_by_month": """
             WITH r AS (
               SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS era,

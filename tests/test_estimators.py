@@ -42,6 +42,78 @@ def test_linear_regressor_matches_lstsq(spark):
     np.testing.assert_allclose(pred, A @ expected, rtol=1e-6, atol=1e-8)
 
 
+def test_cramer_matches_numpy():
+    from centimators_spark.ml import cramer
+
+    rng = np.random.default_rng(7)
+    for k in (2, 3, 4, 5):
+        A = rng.normal(size=(k, k)) + np.eye(k)
+        b = rng.normal(size=k)
+        assert cramer.det_float(A.tolist()) == pytest.approx(
+            np.linalg.det(A), rel=1e-9
+        )
+        got = cramer.solve_floats(A.tolist(), b.tolist())
+        np.testing.assert_allclose(got, np.linalg.solve(A, b), rtol=1e-8)
+
+
+def test_cramer_sql_mirrors_floats():
+    """The SQL text must evaluate to the same values as solve_floats —
+    checked by eval'ing the generated expression with Python floats."""
+    from centimators_spark.ml import cramer
+
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(4, 4)) + np.eye(4)
+    b = rng.normal(size=4)
+    env = {}
+    Gs = []
+    for i in range(4):
+        row = []
+        for j in range(4):
+            env[f"a{i}{j}"] = float(A[i, j])
+            row.append(f"a{i}{j}")
+        Gs.append(row)
+    ms = []
+    for i in range(4):
+        env[f"b{i}"] = float(b[i])
+        ms.append(f"b{i}")
+    floats = cramer.solve_floats(A.tolist(), b.tolist())
+    for expr, expect in zip(cramer.solve_sql(Gs, ms), floats):
+        assert eval(expr, {}, env) == expect  # bit-identical, not approx
+
+
+def test_linear_regressor_exact_mode(spark):
+    """exact=True (decimal Gram + Cramer) agrees with the numpy path on
+    integer-valued features, and is deterministic across partitionings."""
+    rng = np.random.default_rng(3)
+    X = rng.integers(0, 100, size=(400, 3)).astype(float)
+    y = (X @ np.array([2.0, -1.0, 3.0]) + 10 + rng.integers(0, 5, 400)).astype(
+        float
+    )
+    rows = [
+        Row(**{f"f{j}": float(v) for j, v in enumerate(x)}, target=float(t))
+        for x, t in zip(X, y)
+    ]
+    feats = [f"f{j}" for j in range(3)]
+    m1 = LinearRegressor(feats, exact=True).fit(
+        spark.createDataFrame(rows).repartition(7)
+    )
+    m2 = LinearRegressor(feats, exact=True).fit(
+        spark.createDataFrame(rows).repartition(2)
+    )
+    # decimal sums are partition-order independent → bit-equal coefficients
+    assert list(m1.coef_) == list(m2.coef_) and m1.intercept_ == m2.intercept_
+    ref = LinearRegressor(feats).fit(spark.createDataFrame(rows))
+    np.testing.assert_allclose(m1.coef_, ref.coef_, rtol=1e-9)
+
+
+def test_ordinal_uniform_ties_by_position():
+    from centimators_spark.functions.normal import ordinal_uniform
+
+    u = ordinal_uniform(np.array([3.0, 1.0, 3.0, 2.0]))
+    # ties (the two 3.0s) rank by array position: first 3.0 < second 3.0
+    np.testing.assert_allclose(u, [(3 - 0.5) / 4, 0.5 / 4, 3.5 / 4, 1.5 / 4])
+
+
 def test_keras_estimator_gated(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "a double, target double")
     est = KerasEstimator(lambda: None, ["a"])
