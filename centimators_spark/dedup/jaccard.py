@@ -49,6 +49,11 @@ def ngram_jaccard_pairs(
     sensible when the corpus is known boilerplate-free)."""
     grams = _gram_sets(df, content_col, id_col, n)
     inv = grams.select("doc_id", F.explode("grams").alias("g"))
+    # the inverted index feeds the df-cap aggregation, the set sizes, and
+    # BOTH sides of the gram self-join — materialize the shingling UDF's
+    # output once instead of re-running it per consumer (at scale: write
+    # the index to a table)
+    inv = inv.localCheckpoint(eager=True)
     if df_cap is not None:
         freq = inv.groupBy("g").count().where(F.col("count") <= df_cap)
         inv = inv.join(F.broadcast(freq.select("g")), "g")

@@ -33,7 +33,7 @@ def simhash_fingerprints(
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    from centimators_spark.text.hashing_udf import _md5_60
+    from centimators_spark.text.hashing_udf import _flatten, _hash_unique
 
     ws = re.compile(" +")
     narrow = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("__t"))
@@ -44,28 +44,34 @@ def simhash_fingerprints(
             StructField("simhash", LongType()),
         ]
     )
-    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
-    weights = (np.int64(1) << shifts).astype(np.int64)
+    weights = (np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64)).astype(
+        np.int64
+    )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, int] = {}
         for pdf in batches:
-            ids, n_toks, sims = [], [], []
+            # tokenization stays per-row Python (string work); the hash +
+            # majority vote are vectorized: md5 over batch-unique tokens,
+            # per-row bit counts via add.reduceat
+            tok_lists, ids = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["__t"]):
                 toks = list(dict.fromkeys(t for t in ws.split(text.lower()) if t))
-                if not toks:
-                    continue
-                hs = np.array(
-                    [cache.get(t) or cache.setdefault(t, _md5_60(t)) for t in toks],
-                    dtype=np.int64,
-                )
-                bits = (hs[:, None] >> shifts[None, :]) & 1  # (n, 60)
-                ones = bits.sum(axis=0)
-                sim = int(weights[2 * ones > len(toks)].sum())
-                ids.append(doc_id)
-                n_toks.append(len(toks))
-                sims.append(sim)
-            yield pd.DataFrame({"doc_id": ids, "n_tokens": n_toks, "simhash": sims})
+                if toks:
+                    tok_lists.append(toks)
+                    ids.append(doc_id)
+            if not tok_lists:
+                continue
+            flat, lengths, offsets = _flatten(tok_lists)
+            codes, uniq = pd.factorize(flat)
+            hs = _hash_unique(uniq, cache)[codes]
+            ones = np.empty((len(tok_lists), SIMHASH_BITS), dtype=np.int64)
+            for j in range(SIMHASH_BITS):
+                ones[:, j] = np.add.reduceat((hs >> j) & 1, offsets)
+            sims = ((2 * ones > lengths[:, None]) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_tokens": lengths, "simhash": sims}
+            )
 
     return narrow.mapInPandas(compute, schema)
 

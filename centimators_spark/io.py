@@ -38,18 +38,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _ts_unit_is_nanos(path: str) -> bool:
+    """Inspect the parquet footer metadata directly (no Spark job, no
+    logged failure) to see whether ts is TIMESTAMP(NANOS)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        f = parts[0]
+    try:
+        t = pq.read_schema(f).field("ts").type
+    except (KeyError, OSError):
+        return False
+    return pa.types.is_timestamp(t) and t.unit == "ns"
+
+
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.ts is TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; read nanos as long and convert to microsecond timestamps
-    (second-level semantics — window/session/epoch — are unaffected)."""
+    rejects; detect it from the parquet footer, then read nanos as long
+    and convert to microsecond timestamps (second-level semantics —
+    window/session/epoch — are unaffected)."""
     from pyspark.sql import functions as F
 
-    try:
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "timestamp":
-            return df
-    except Exception:
-        pass
+    if not _ts_unit_is_nanos(path):
+        return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -143,8 +143,12 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_tax") * 100).alias("t100"),
         F.round(F.col("l_extendedprice") * 100).alias("e100"),
     )
+    # decimal accumulation is ~4x a double sum per row and the local
+    # single-row-group file scans as ONE task — spread the Gram work;
+    # decimal sums are order-independent, so this cannot change results
+    fit_input = scaled.repartition(spark.sparkContext.defaultParallelism)
     m = LinearRegressor(["q", "d100", "t100"], target="e100", exact=True).fit(
-        scaled
+        fit_input
     )
     return m.predict(scaled).select(
         "l_orderkey",
@@ -181,16 +185,37 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per event_type (Spark `percentile`
-    == DuckDB `quantile_cont` definition)."""
-    ev = load_table(spark, sf_dir, "events")
+def event_percentiles(
+    ev: DataFrame,
+    *,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-event-type value percentiles (p50/p90/p99) + distinct users.
+
+    exact=False (the scale default): ``approx_percentile`` — a mergeable
+    GK sketch with rank error ≤ 1/accuracy, computed with map-side
+    partial aggregation and O(accuracy) state per group; the right
+    answer at 100 TB. exact=True: ``percentile`` — interpolated exact
+    quantiles, which materialize and sort every group's values (memory
+    and time grow with group size); only for oracle-parity checks and
+    modest groups."""
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
     return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.expr(f"{fn}(value, 0.5{acc})"), 6).alias("p50"),
+        F.round(F.expr(f"{fn}(value, 0.9{acc})"), 6).alias("p90"),
+        F.round(F.expr(f"{fn}(value, 0.99{acc})"), 6).alias("p99"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark `percentile`
+    == DuckDB `quantile_cont` definition). The operator's default is the
+    approx sketch (see event_percentiles); the contract pins exact for
+    oracle parity."""
+    return event_percentiles(load_table(spark, sf_dir, "events"), exact=True)
 
 
 QUERIES = {

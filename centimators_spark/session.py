@@ -33,6 +33,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * int(cpus)))
+        # NOTE on scan parallelism: the local test parquet files hold a
+        # SINGLE row group, so shrinking maxPartitionBytes cannot add
+        # parallelism (byte-range splits that miss the row-group start
+        # read nothing — one straggler does all the work plus empty
+        # tasks). Operators that do heavy per-row compute after a skinny
+        # scan repartition explicitly instead; leave the 128m default
+        # here, which is also the right setting for TB-scale files.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

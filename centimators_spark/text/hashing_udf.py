@@ -46,6 +46,33 @@ def _md5_60(g: str) -> int:
     return int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
 
 
+def _flatten(lists: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """list of string-lists → (flat object array, lengths, row offsets)."""
+    lengths = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+    flat = np.empty(int(lengths.sum()), dtype=object)
+    pos = 0
+    for x in lists:
+        flat[pos : pos + len(x)] = x
+        pos += len(x)
+    offsets = np.zeros(len(lists), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    return flat, lengths, offsets
+
+
+def _hash_unique(uniques: np.ndarray, cache: dict) -> np.ndarray:
+    """md5_60 per UNIQUE string (memoized across batches). The only
+    remaining Python loop in the hash path runs over batch-distinct
+    values, not per row × per token."""
+    out = np.empty(len(uniques), dtype=np.int64)
+    for i, s in enumerate(uniques):
+        v = cache.get(s)
+        if v is None:
+            v = _md5_60(s)
+            cache[s] = v
+        out[i] = v
+    return out
+
+
 def _py_grams(text: str, n: int) -> list[str]:
     """Python mirror of portable.tokens + token_ngrams (ASCII-equivalent
     lower/split semantics; produces the same distinct gram SET)."""
@@ -95,18 +122,21 @@ def minhash_signatures_udf(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, int] = {}
         for pdf in batches:
-            sigs = []
-            for gs in pdf["grams"]:
-                hs = np.array(
-                    [
-                        cache.get(g) or cache.setdefault(g, _md5_60(g) % MERSENNE31)
-                        for g in gs
-                    ],
-                    dtype=np.int64,
-                )
-                sigs.append(((_A * hs[None, :] + _B) % MERSENNE31).min(axis=1))
+            gram_lists = list(pdf["grams"])
+            if not gram_lists:
+                continue
+            # hash unique grams once, gather, then per-row mins via
+            # reduceat — no per-row Python (gram_frame guarantees
+            # non-empty gram lists, so every reduceat segment is valid)
+            flat, _, offsets = _flatten(gram_lists)
+            codes, uniq = pd.factorize(flat)
+            hs = (_hash_unique(uniq, cache) % MERSENNE31)[codes]
+            sig = np.empty((len(gram_lists), NUM_PERM), dtype=np.int64)
+            for k in range(NUM_PERM):  # a·h < 2^62: no int64 overflow
+                perm = (_A[k, 0] * hs + _B[k, 0]) % MERSENNE31
+                sig[:, k] = np.minimum.reduceat(perm, offsets)
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "grams": pdf["grams"], "sig": sigs}
+                {"doc_id": pdf["doc_id"], "grams": pdf["grams"], "sig": list(sig)}
             )
 
     return grams.mapInPandas(compute, out_schema)
@@ -130,20 +160,29 @@ def gram_hash_extrema_udf(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, int] = {}
         for pdf in batches:
-            n_grams, m1, m2 = [], [], []
-            for gs in pdf["grams"]:
-                hs = sorted(
-                    cache.get(g) or cache.setdefault(g, _md5_60(g)) for g in gs
-                )
-                n_grams.append(len(hs))
-                m1.append(hs[0])
-                m2.append(hs[1] if len(hs) > 1 else None)
+            gram_lists = list(pdf["grams"])
+            if not gram_lists:
+                continue
+            flat, lengths, offsets = _flatten(gram_lists)
+            codes, uniq = pd.factorize(flat)
+            hs = _hash_unique(uniq, cache)[codes]
+            # sort by (row, hash): each row's two smallest hashes are the
+            # first two entries of its segment
+            row_idx = np.repeat(np.arange(len(gram_lists)), lengths)
+            sh = hs[np.lexsort((hs, row_idx))]
+            min1 = sh[offsets]
+            has2 = lengths > 1
+            second = sh[np.minimum(offsets + 1, len(sh) - 1)]
+            m2 = pd.array(
+                [int(v) if h else None for v, h in zip(second, has2)],
+                dtype="Int64",
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_grams": n_grams,
-                    "fp_min1": m1,
-                    "fp_min2": pd.array(m2, dtype="Int64"),
+                    "n_grams": lengths,
+                    "fp_min1": min1,
+                    "fp_min2": m2,
                 }
             )
 

@@ -114,3 +114,56 @@ def test_exact_dedup_finds_duplicates(spark):
     )
     out = {r.keep_id: r.n_dups for r in exact_dedup(df).collect()}
     assert out == {0: 2, 2: 1}
+
+
+def test_jaccard_df_cap_consistent_semantics(spark):
+    """Stop-gram cap: every doc shares a boilerplate sentence; with a
+    binding df_cap the boilerplate grams leave BOTH the intersection and
+    the set sizes, so true near-dups still score exactly and
+    boilerplate-only pairs produce no candidates at all."""
+    from centimators_spark.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved contact us today"
+    rows = [(i, f"{boiler} unique words number {i} alpha beta gamma delta")
+            for i in range(40)]
+    # two genuine near-duplicates sharing their unique tail
+    rows.append((100, f"{boiler} zz yy xx ww vv uu tt ss"))
+    rows.append((101, f"{boiler} zz yy xx ww vv uu tt qq"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, threshold=0.5, df_cap=10)
+    got = {(r.d1, r.d2): r.jaccard for r in capped.collect()}
+    # corpus-wide grams (df=41,42 > 10) leave the index entirely; the
+    # only candidates left are docs sharing low-df grams — the true
+    # near-dup pair, scored over its 8 remaining grams each, 7 shared
+    assert set(got) == {(100, 101)}
+    assert got[(100, 101)] == pytest.approx(7 / 9)
+
+    # WITHOUT the cap, the boilerplate inflates every one of the
+    # C(40,2)+ pairs above threshold — the quadratic blow-up the
+    # default guard exists to stop
+    exact = ngram_jaccard_pairs(df, threshold=0.5, df_cap=None)
+    exact_pairs = {(r.d1, r.d2) for r in exact.collect()}
+    assert (100, 101) in exact_pairs
+    assert len(exact_pairs) > 700
+
+
+def test_event_percentiles_approx_close_to_exact(spark):
+    from centimators_spark.io import load_table
+    from centimators_spark.plans.relational_queries import event_percentiles
+
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r.event_type: r for r in event_percentiles(ev, exact=True).collect()
+    }
+    approx = {r.event_type: r for r in event_percentiles(ev).collect()}
+    assert set(exact) == set(approx)
+    # the sketch's guarantee is on RANK (error <= 1/accuracy), not value:
+    # the returned value's quantile position must sit near the target
+    for et, a in approx.items():
+        assert a.n_users == exact[et].n_users
+        sub = ev.where(F.col("event_type") == et)
+        n = sub.count()
+        for p, target in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            cnt = sub.where(F.col("value") <= getattr(a, p)).count()
+            assert abs(cnt / n - target) < 0.005
