@@ -121,7 +121,9 @@ def test_keras_estimator_gated(spark):
         est.fit(df)
 
 
-def test_dspymator_sync_and_async(spark):
+def test_dspymator_field_routing(spark):
+    """predict → target fields only; transform → every output field
+    (reference dspymator.py:445-504)."""
     df = spark.createDataFrame(
         [(0, "hi"), (1, "a much longer question indeed")],
         "rid int, question string",
@@ -129,18 +131,51 @@ def test_dspymator_sync_and_async(spark):
     for program in (classify_length, async_classify_length):
         t = DSPyMator(
             program=program,
+            target_names="answer",
             input_fields=["question"],
             output_fields=["answer", "reasoning"],
             keep_cols=["rid"],
-        )
-        out = {r.rid: (r.answer, r.reasoning) for r in t.predict(df).collect()}
-        assert out[0] == ("short", "len=2")
-        assert out[1][0] == "long"
+        ).fit(df)
+        pred = t.predict(df)
+        assert pred.columns == ["rid", "answer"]
+        out = {r.rid: r.answer for r in pred.collect()}
+        assert out == {0: "short", 1: "long"}
+
+        full = t.transform(df)
+        assert full.columns == ["rid", "answer", "reasoning"]
+        rows = {r.rid: (r.answer, r.reasoning) for r in full.collect()}
+        assert rows[0] == ("short", "len=2")
+        assert t.get_feature_names_out() == ["answer", "reasoning"]
 
 
-def test_dspymator_validates():
+def test_dspymator_sync_mode(spark):
+    df = spark.createDataFrame([(0, "hi")], "rid int, question string")
+    t = DSPyMator(
+        program=classify_length,
+        input_fields=["question"],
+        output_fields=["answer"],
+        keep_cols=["rid"],
+        use_async=False,
+    ).fit(df)
+    assert t.predict(df).collect()[0].answer == "short"
+
+
+def test_dspymator_validates(spark):
     with pytest.raises(ValueError):
         DSPyMator()
+    # feature count must match the signature's input fields
+    df = spark.createDataFrame([(1, "a", "b")], "rid int, q string, x string")
+    t = DSPyMator(
+        program=classify_length, input_fields=["question"], keep_cols=["rid"]
+    )
+    with pytest.raises(ValueError, match="input_fields"):
+        t.fit(df)  # two candidate feature cols, one input field
+    # predict before fit
+    t2 = DSPyMator(program=classify_length, input_fields=["question"])
+    with pytest.raises(ValueError, match="fit"):
+        t2.predict(df)
+    with pytest.raises(ValueError, match="at least one"):
+        DSPyMator(program=classify_length, target_names=[])
 
 
 def test_sequence_reshape():
