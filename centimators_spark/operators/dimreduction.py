@@ -1,26 +1,55 @@
 """DimReducer — PCA / t-SNE / UMAP behind one API.
 
 Reference (/root/reference/src/centimators/feature_transformers/
-dimreduction.py:11-164): fit-then-transform for PCA/UMAP; t-SNE refits
-on every transform; outputs ``dim_0..dim_{k-1}``.
+dimreduction.py:11-164): PCA and UMAP are fit-then-transform
+(`:95-123`); t-SNE skips fit and refits on every transform
+(`:117-119,143-147`); outputs ``dim_0..dim_{k-1}``.
 
-Spark design:
-- method='pca': fully distributed via pyspark.ml.feature.PCA
+Spark design, per method:
+- **pca**: fully distributed via pyspark.ml.feature.PCA
   (VectorAssembler → PCAModel); exact, scales to the full table. The
   covariance/SVD work is driver-side O(d²) but data passes are
   distributed — the correct shape at 100 TB for d up to a few thousand.
-- method='tsne'/'umap': inherently non-distributed algorithms; gated on
-  their optional packages (not in this container) and executed on
-  driver-collected data with an explicit row cap — documented scale
-  limit, mirroring the reference's in-memory behavior.
+- **umap**: fit on a driver-collected row-capped sample (UMAP training
+  is inherently single-machine), then **distributed transform** — the
+  fitted reducer is closed over into a ``mapInPandas`` task and applied
+  per Arrow batch, so scoring scales with the cluster even though
+  fitting does not. Import-gated (umap-learn is not in this container).
+- **tsne**: no transform method exists for t-SNE; mirrors the
+  reference by running ``fit_transform`` on a driver-collected capped
+  sample every call. Documented scale limit; use pca/umap beyond it.
+  Import-gated (scikit-learn is not in this container).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _make_tsne(n_components: int, kwargs: dict):
+    try:
+        from sklearn.manifold import TSNE  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "DimReducer(method='tsne') requires scikit-learn, which is "
+            "not installed in this environment"
+        ) from e
+    return TSNE(n_components=n_components, **kwargs)
+
+
+def _make_umap(n_components: int, kwargs: dict):
+    try:
+        import umap  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "DimReducer(method='umap') requires umap-learn, which is "
+            "not installed in this environment"
+        ) from e
+    return umap.UMAP(n_components=n_components, **kwargs)
 
 
 class DimReducer:
@@ -43,6 +72,7 @@ class DimReducer:
         self.driver_row_cap = driver_row_cap
         self.kwargs = kwargs
         self._model = None
+        self._reducer = None
 
     def get_feature_names_out(self) -> list[str]:
         return [f"dim_{i}" for i in range(self.n_components)]
@@ -51,6 +81,8 @@ class DimReducer:
         return self.feature_names or [
             c for c in df.columns if c not in self.keep_cols
         ]
+
+    # -- fit --------------------------------------------------------------
 
     def fit(self, df: DataFrame, y=None):
         feats = self._features(df)
@@ -63,12 +95,20 @@ class DimReducer:
                 k=self.n_components, inputCol="__features", outputCol="__pca"
             )
             self._model = pca.fit(assembler.transform(df.select(*feats)))
-            self._assembler = assembler
-        elif self.method == "tsne":
-            pass  # t-SNE refits on every transform (reference :143-147)
-        else:  # umap
-            self._umap_df = None  # fitted lazily in transform (needs data)
+        elif self.method == "umap":
+            # UMAP trains single-machine: fit on a capped driver sample,
+            # keep the fitted reducer for distributed scoring
+            reducer = _make_umap(self.n_components, self.kwargs)
+            sample = (
+                df.select(*feats).limit(self.driver_row_cap).toPandas()
+            )
+            reducer.fit(sample[feats].to_numpy())
+            self._reducer = reducer
+        # tsne: nothing to fit — refits on every transform
+        # (reference dimreduction.py:117-119)
         return self
+
+    # -- transform --------------------------------------------------------
 
     def transform(self, df: DataFrame) -> DataFrame:
         feats = self._features(df)
@@ -87,38 +127,47 @@ class DimReducer:
                 *self.keep_cols,
                 *[arr[i].alias(f"dim_{i}") for i in range(self.n_components)],
             )
-        return self._driver_side_transform(df, feats)
-
-    def _driver_side_transform(self, df: DataFrame, feats: list[str]) -> DataFrame:
-        """t-SNE / UMAP: driver-collected with an explicit cap (these
-        algorithms are not distributable; documented scale limit)."""
-        if self.method == "tsne":
-            try:
-                from sklearn.manifold import TSNE  # type: ignore
-            except ImportError as e:
-                raise ImportError(
-                    "DimReducer(method='tsne') requires scikit-learn, which "
-                    "is not installed in this environment"
-                ) from e
-            reducer = TSNE(n_components=self.n_components, **self.kwargs)
-        else:
-            try:
-                import umap  # type: ignore
-            except ImportError as e:
-                raise ImportError(
-                    "DimReducer(method='umap') requires umap-learn, which "
-                    "is not installed in this environment"
-                ) from e
-            reducer = umap.UMAP(n_components=self.n_components, **self.kwargs)
-
-        pdf = df.select(*self.keep_cols, *feats).limit(self.driver_row_cap).toPandas()
+        if self.method == "umap":
+            if self._reducer is None:
+                raise ValueError("DimReducer not fitted. Call fit() first.")
+            return self._distributed_transform(df, feats, self._reducer)
+        # t-SNE: driver-side fit_transform per call, capped
+        reducer = _make_tsne(self.n_components, self.kwargs)
+        pdf = (
+            df.select(*self.keep_cols, *feats)
+            .limit(self.driver_row_cap)
+            .toPandas()
+        )
         emb = reducer.fit_transform(pdf[feats].to_numpy())
         for i in range(self.n_components):
-            pdf[f"dim_{i}"] = emb[:, i]
-        spark = df.sparkSession
-        return spark.createDataFrame(
-            pdf[self.keep_cols + [f"dim_{i}" for i in range(self.n_components)]]
+            pdf[f"dim_{i}"] = emb[:, i].astype(float)
+        return df.sparkSession.createDataFrame(
+            pdf[self.keep_cols + self.get_feature_names_out()]
         )
+
+    def _distributed_transform(
+        self, df: DataFrame, feats: list[str], reducer
+    ) -> DataFrame:
+        """Score every row with the fitted reducer, executor-side: the
+        reducer ships once per task closure (Spark broadcasts task
+        binaries), each Arrow batch is one ``reducer.transform`` call."""
+        keep = self.keep_cols
+        k = self.n_components
+        narrow = df.select(*keep, *feats)
+        schema = StructType(
+            [narrow.schema[c] for c in keep]
+            + [StructField(f"dim_{i}", DoubleType()) for i in range(k)]
+        )
+
+        def score(batches: Iterator) -> Iterator:
+            for pdf in batches:
+                emb = reducer.transform(pdf[feats].to_numpy())
+                out = pdf[keep].copy()
+                for i in range(k):
+                    out[f"dim_{i}"] = emb[:, i].astype(float)
+                yield out
+
+        return narrow.mapInPandas(score, schema)
 
     def fit_transform(self, df: DataFrame, y=None) -> DataFrame:
         return self.fit(df).transform(df)

@@ -96,6 +96,81 @@ def test_dimreducer_tsne_gated(spark):
         t.fit(df).transform(df)
 
 
+def test_dimreducer_umap_gated(spark):
+    df = spark.createDataFrame([(0, 1.0, 2.0)], "rid int, a double, b double")
+    with pytest.raises(ImportError, match="umap-learn"):
+        DimReducer("umap", 2, ["a", "b"]).fit(df)
+
+
+def _make_linear_reducer():
+    """Deterministic stand-in with the sklearn/umap estimator shape:
+    fit records column means, transform projects onto the first
+    n_components centered columns. Defined inside a function so
+    cloudpickle ships the class by value to executors (the test module
+    itself is not importable there)."""
+
+    class LinearReducer:
+        def __init__(self, n_components=2, **kwargs):
+            self.n_components = n_components
+
+        def fit(self, X):
+            self.mean_ = X.mean(axis=0)
+            return self
+
+        def transform(self, X):
+            return (X - self.mean_)[:, : self.n_components]
+
+        def fit_transform(self, X):
+            return self.fit(X).transform(X)
+
+    return LinearReducer
+
+
+def test_dimreducer_umap_plumbing_with_fake_module(spark, monkeypatch):
+    """Exercise the real fit-then-distributed-transform path by
+    injecting a stand-in umap module: fit on the driver sample, score
+    via mapInPandas on executors."""
+    import sys
+    import types
+
+    fake = types.ModuleType("umap")
+    fake.UMAP = _make_linear_reducer()
+    monkeypatch.setitem(sys.modules, "umap", fake)
+
+    rows = [(i, float(i), float(2 * i), float(i % 3)) for i in range(50)]
+    df = spark.createDataFrame(rows, "rid int, a double, b double, c double")
+    t = DimReducer("umap", 2, ["a", "b", "c"], keep_cols=["rid"])
+    out = t.fit(df).transform(df).orderBy("rid").toPandas()
+    assert list(out.columns) == ["rid", "dim_0", "dim_1"]
+    # the stand-in centers by the fitted mean: a=24.5, b=49.0
+    np.testing.assert_allclose(out["dim_0"], np.arange(50) - 24.5)
+    np.testing.assert_allclose(out["dim_1"], 2 * np.arange(50) - 49.0)
+    # unfitted transform raises like the reference
+    with pytest.raises(ValueError, match="fit"):
+        DimReducer("umap", 2, ["a"]).transform(df)
+
+
+def test_dimreducer_tsne_plumbing_with_fake_module(spark, monkeypatch):
+    """t-SNE path: refits per transform on a driver-capped sample
+    (reference semantics), no fit required first."""
+    import sys
+    import types
+
+    fake_manifold = types.ModuleType("sklearn.manifold")
+    fake_manifold.TSNE = _make_linear_reducer()
+    fake_sklearn = types.ModuleType("sklearn")
+    fake_sklearn.manifold = fake_manifold
+    monkeypatch.setitem(sys.modules, "sklearn", fake_sklearn)
+    monkeypatch.setitem(sys.modules, "sklearn.manifold", fake_manifold)
+
+    rows = [(i, float(i), float(-i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "rid int, a double, b double")
+    t = DimReducer("tsne", 1, ["a", "b"], keep_cols=["rid"], driver_row_cap=20)
+    out = t.fit(df).transform(df).orderBy("rid").toPandas()
+    assert list(out.columns) == ["rid", "dim_0"]
+    assert len(out) == 20  # row cap applied
+
+
 def test_dimreducer_validates_method():
     with pytest.raises(ValueError):
         DimReducer("pcaa")
