@@ -168,6 +168,31 @@ def q_gaussianize_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*KEYS, "l_extendedprice_gauss_u")
 
 
+def q_neutralize_ols_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed pure-expression per-era OLS neutralization (the
+    deterministic sibling of feature_neutralizer): era Gram sums in
+    exact decimals, Cramer coeffs, fixed-decimal standardization,
+    global min-max — every stage codegen, bit-exact DuckDB oracle."""
+    from centimators_spark.operators.neutralization import era_ols_neutralize
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        F.date_trunc("month", F.col("l_shipdate")).alias("era"),
+        F.col("l_quantity").cast("double").alias("q"),
+        F.round(F.col("l_discount") * 100).alias("d100"),
+        F.round(F.col("l_tax") * 100).alias("t100"),
+        F.round(F.col("l_extendedprice") * 100).alias("e100"),
+    )
+    return era_ols_neutralize(
+        li,
+        "e100",
+        ["q", "d100", "t100"],
+        era_col="era",
+        proportion=0.5,
+        keep_cols=KEYS,
+    )
+
+
 def q_feature_penalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-era Adamax exposure capping (applyInPandas kernel); rows-only."""
     li = _lineitem(spark, sf_dir).withColumn(
@@ -223,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_neutralizer": q_feature_neutralizer,
         "feature_penalizer": q_feature_penalizer,
         "gaussianize_ordinal": q_gaussianize_ordinal,
+        "neutralize_ols_era": q_neutralize_ols_era,
         **datapipe_queries.QUERIES,
         **relational_queries.QUERIES,
     }
@@ -236,10 +262,30 @@ _ORDER_SQL = (
 )
 
 
+def _neutralize_ols_era_oracle() -> str:
+    from centimators_spark.operators.neutralization import (
+        era_ols_neutralize_oracle_sql,
+    )
+
+    return era_ols_neutralize_oracle_sql(
+        "lineitem",
+        "round(l_extendedprice * 100)",
+        [
+            "CAST(l_quantity AS DOUBLE)",
+            "round(l_discount * 100)",
+            "round(l_tax * 100)",
+        ],
+        era_sql="date_trunc('month', l_shipdate)",
+        key_sqls=["l_orderkey", "l_linenumber"],
+        proportion=0.5,
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **datapipe_queries.oracle_sql(),
         **relational_queries.oracle_sql(),
+        "neutralize_ols_era": _neutralize_ols_era_oracle(),
         "rank_transformer": f"""
             SELECT l_orderkey, l_linenumber,
               (rank() OVER (PARTITION BY l_shipdate ORDER BY l_quantity)

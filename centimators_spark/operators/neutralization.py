@@ -94,6 +94,169 @@ def global_min_max_scale(
     return out.drop(*[f"__{k}_{safe[c]}" for c in cols for k in ("min", "max")])
 
 
+def _ols_fragments(k: int, proportion: float, dp: int) -> dict:
+    """Shared SQL text for every float-critical step of the era-OLS
+    neutralizer. Spark evaluates these via F.expr and the DuckDB oracle
+    embeds the same strings — identical expression trees over identical
+    (exactly-aggregated) inputs make the two engines bit-equal."""
+    from centimators_spark.ml import cramer
+
+    gram_sums = []
+    for i in range(k):
+        for j in range(i, k):
+            gram_sums.append(
+                f"sum(CAST(f{i} * f{j} AS DECIMAL(38,0))) AS g_{i}_{j}"
+            )
+        gram_sums.append(f"sum(CAST(f{i} * y AS DECIMAL(38,0))) AS m_{i}")
+    G = [
+        [f"CAST(g_{min(i, j)}_{max(i, j)} AS DOUBLE)" for j in range(k)]
+        for i in range(k)
+    ]
+    mv = [f"CAST(m_{i} AS DOUBLE)" for i in range(k)]
+    coeffs = cramer.solve_sql(G, mv)
+    expo = "0.0"
+    for i in range(k):
+        expo = f"({expo} + f{i} * b{i})"
+    # the standardization sums ride in exact integer carriers: the
+    # rounded residual × 10^dp is an integer both engines agree on
+    # bit-for-bit; Spark holds it (and its square) in DECIMAL(19,0)/(38,0)
+    # — exact at these magnitudes — while DuckDB needs HUGEINT (its
+    # DECIMAL(18,·) multiply overflows int64 storage). Same integers,
+    # different carrier spelling; every double-valued expression below is
+    # shared text.
+    ni = f"round(neut * 1e{dp})"
+    return {
+        "gram_sums": gram_sums,
+        "coeffs": coeffs,
+        "neut": f"round(y - {float(proportion)!r} * {expo}, {dp})",
+        "ni_spark": f"CAST({ni} AS DECIMAL(19,0))",
+        "ni_duck": f"CAST({ni} AS HUGEINT)",
+        "std": (
+            f"sqrt(CAST(s2 AS DOUBLE) / 1e{2 * dp} / n"
+            f" - (CAST(s1 AS DOUBLE) / 1e{dp} / n)"
+            f" * (CAST(s1 AS DOUBLE) / 1e{dp} / n))"
+        ),
+        "scaled": f"round(neut / sd, {dp})",
+        "minmax": (
+            f"round(CASE WHEN mx - mn < 1e-10 THEN 0.5"
+            f" ELSE (v - mn) / (mx - mn) END, {dp})"
+        ),
+    }
+
+
+def era_ols_neutralize(
+    df: DataFrame,
+    pred_name: str,
+    feature_names: Sequence[str],
+    *,
+    era_col: str,
+    proportion: float = 0.5,
+    keep_cols: Sequence[str] = (),
+    round_dp: int = 6,
+    out_name: str = "neutralized",
+) -> DataFrame:
+    """Distributed per-era OLS neutralization as PURE column expressions
+    — the deterministic (no-Φ⁻¹) sibling of FeatureNeutralizer's kernel,
+    and the shape that scales: per era, coeffs = (XᵀX)⁻¹Xᵀy from one
+    tiny grouped aggregation; neut = y − proportion·Xβ; per-era
+    population-std standardization on fixed-decimal residuals; global
+    min-max to [0,1] (constant → 0.5, reference base.py:17-23).
+
+    No applyInPandas, no collect: three small aggregations (era Gram,
+    era std, global min-max) broadcast back onto the scan — every
+    per-row expression runs in whole-stage codegen. Eras of any size
+    work (nothing materializes a whole era in one task, unlike the
+    exact-kernel path).
+
+    Determinism contract (the reason a bit-exact SQL oracle exists, see
+    `era_ols_neutralize_oracle_sql`): callers supply INTEGER-VALUED
+    features/pred (fixed-decimal columns pre-scaled by 10^k) so the
+    DECIMAL(38,0) Gram sums are exact under any partition order; the
+    k×k solve is the fixed-term-order Cramer expression (ml/cramer.py);
+    residuals are rounded to ``round_dp`` decimals and standardized via
+    exact decimal sums."""
+    feats = list(feature_names)
+    k = len(feats)
+    if k > 5:
+        raise ValueError(
+            f"era_ols_neutralize supports ≤5 features (k! Cramer terms); "
+            f"got {k}. Use FeatureNeutralizer for wider designs."
+        )
+    fr = _ols_fragments(k, proportion, round_dp)
+    keep = list(keep_cols)
+
+    base = df.select(
+        *keep,
+        era_col,
+        *[F.col(f).cast("double").alias(f"f{i}") for i, f in enumerate(feats)],
+        F.col(pred_name).cast("double").alias("y"),
+    )
+    gram = base.groupBy(era_col).agg(
+        *[
+            F.expr(expr).alias(name)
+            for expr, name in (s.rsplit(" AS ", 1) for s in fr["gram_sums"])
+        ]
+    )
+    th = gram.select(
+        era_col, *[F.expr(c).alias(f"b{i}") for i, c in enumerate(fr["coeffs"])]
+    )
+    r = base.join(F.broadcast(th), era_col).withColumn("neut", F.expr(fr["neut"]))
+    stats = r.groupBy(era_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum({fr['ni_spark']})").alias("s1"),
+        F.expr(f"sum({fr['ni_spark']} * {fr['ni_spark']})").alias("s2"),
+    )
+    sd = stats.select(era_col, F.expr(fr["std"]).alias("sd"))
+    r2 = r.join(F.broadcast(sd), era_col).withColumn("v", F.expr(fr["scaled"]))
+    mm = r2.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    return r2.crossJoin(F.broadcast(mm)).select(
+        *keep, F.expr(fr["minmax"]).alias(out_name)
+    )
+
+
+def era_ols_neutralize_oracle_sql(
+    table_sql: str,
+    pred_sql: str,
+    feature_sqls: Sequence[str],
+    *,
+    era_sql: str,
+    key_sqls: Sequence[str],
+    proportion: float = 0.5,
+    round_dp: int = 6,
+    out_name: str = "neutralized",
+) -> str:
+    """DuckDB oracle for `era_ols_neutralize`, generated from the SAME
+    expression fragments the Spark plan evaluates (see _ols_fragments)."""
+    k = len(feature_sqls)
+    fr = _ols_fragments(k, proportion, round_dp)
+    keys = ", ".join(key_sqls)
+    fcols = ", ".join(f"{s} AS f{i}" for i, s in enumerate(feature_sqls))
+    bcols = ", ".join(f"{c} AS b{i}" for i, c in enumerate(fr["coeffs"]))
+    return f"""
+        WITH base AS (
+          SELECT {keys}, {era_sql} AS era, {fcols}, {pred_sql} AS y
+          FROM {table_sql}
+        ), g AS (
+          SELECT era, {", ".join(fr["gram_sums"])} FROM base GROUP BY era
+        ), th AS (
+          SELECT era, {bcols} FROM g
+        ), r AS (
+          SELECT base.*, {fr["neut"]} AS neut
+          FROM base JOIN th USING (era)
+        ), st AS (
+          SELECT era, count(*) AS n, sum({fr["ni_duck"]}) AS s1,
+                 sum({fr["ni_duck"]} * {fr["ni_duck"]}) AS s2
+          FROM r GROUP BY era
+        ), sdt AS (
+          SELECT era, {fr["std"]} AS sd FROM st
+        ), r2 AS (
+          SELECT r.*, {fr["scaled"]} AS v FROM r JOIN sdt USING (era)
+        ), mm AS (SELECT min(v) AS mn, max(v) AS mx FROM r2)
+        SELECT {keys}, {fr["minmax"]} AS {out_name}
+        FROM r2 CROSS JOIN mm
+    """
+
+
 class FeatureNeutralizer:
     """Spark port of the reference FeatureNeutralizer (see module doc)."""
 

@@ -183,3 +183,52 @@ def test_neutralizer_single_era_fallback(spark, era_df):
         out = t.transform(era_df).toPandas()
     assert len(out) == 100
     assert out["prediction_neutralized_0.5"].between(0, 1).all()
+
+
+def test_era_ols_neutralize_matches_numpy(spark):
+    """Differential: the pure-expression distributed path reproduces a
+    per-era numpy OLS neutralization (to rounding tolerance)."""
+    from centimators_spark.operators.neutralization import era_ols_neutralize
+
+    rng = np.random.RandomState(7)
+    n = 300
+    pdf = pd.DataFrame({
+        "rid": np.arange(n),
+        "era": np.repeat(["a", "b", "c"], n // 3),
+        "f0": rng.randint(1, 50, n).astype(float),
+        "f1": rng.randint(0, 10, n).astype(float),
+        "f2": rng.randint(0, 8, n).astype(float),
+        "y": rng.randint(100, 10_000, n).astype(float),
+    })
+    df = spark.createDataFrame(pdf)
+    out = (
+        era_ols_neutralize(
+            df, "y", ["f0", "f1", "f2"], era_col="era",
+            proportion=0.5, keep_cols=["rid"],
+        )
+        .orderBy("rid")
+        .toPandas()
+    )
+    assert out["neutralized"].between(0, 1).all()
+
+    # numpy reference
+    neut = np.empty(n)
+    for era in ("a", "b", "c"):
+        m = (pdf.era == era).to_numpy()
+        X = pdf.loc[m, ["f0", "f1", "f2"]].to_numpy()
+        y = pdf.loc[m, "y"].to_numpy()
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        r = np.round(y - 0.5 * (X @ beta), 6)
+        neut[m] = np.round(r / r.std(), 6)
+    mn, mx = neut.min(), neut.max()
+    expected = np.round((neut - mn) / (mx - mn), 6)
+    np.testing.assert_allclose(
+        out.sort_values("rid")["neutralized"].to_numpy(), expected, atol=2e-6
+    )
+
+
+def test_era_ols_neutralize_feature_cap():
+    from centimators_spark.operators.neutralization import era_ols_neutralize
+
+    with pytest.raises(ValueError, match="5 features"):
+        era_ols_neutralize(None, "y", list("abcdef"), era_col="era")

@@ -101,6 +101,16 @@ def main():
         "Cartesian" not in p and "BroadcastExchange" not in p,
     )
 
+    # 9. era-OLS neutralizer: pure-expression pipeline — every join a
+    # broadcast of a tiny aggregate, zero Python, no sort-merge join
+    p = plan_of(q["neutralize_ols_era"](spark, sf_dir))
+    ok &= audit("neutralize_ols: no Python eval",
+                "Pandas" not in p and "EvalPython" not in p)
+    ok &= audit(
+        "neutralize_ols: aggregates broadcast back",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
