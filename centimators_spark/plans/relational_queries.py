@@ -218,9 +218,103 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_percentiles(load_table(spark, sf_dir, "events"), exact=True)
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: revenue by (priority, status) with subtotal and
+    grand-total rows; grouping ids disambiguate rollup NULLs. Runs as
+    one Expand + hash-aggregate pass — map-side partial aggregation
+    keeps the expansion cheap at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: (BUILDING ∪ AUTOMOBILE segments) ∩ customers with
+    an open order, minus customers holding any urgent order. SQL set-op
+    semantics (distinct rows); each leg stays a key-only projection so
+    the set shuffles move nothing but ids."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = customer.where(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    ).select("c_custkey")
+    open_cust = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return seg.intersect(open_cust).exceptAll(urgent.distinct())
+
+
+def q_exists_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS expressed as semi/anti joins (the
+    plan Catalyst produces for the subqueries): customers with at least
+    one order over 300k and no failed ('F') order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 300_000).select("o_custkey")
+    failed = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .join(failed, customer.c_custkey == failed.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_doc_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex scalar surface over documents: regexp extraction,
+    case mapping, substring, split-length — all whole-stage-codegen
+    expressions on one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.length("text").alias("len"),
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", "a", ""))).alias(
+            "n_a"
+        ),
+        F.reverse(F.substring("text", 1, 6)).alias("rev6"),
+    )
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per segment: ntile, percent_rank,
+    cume_dist over order value — one fused Window exec, one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == customer.c_custkey,
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return j.select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 QUERIES = {
     "spearman_by_month": q_spearman_by_month,
     "asof_join": q_asof_join,
+    "rollup_revenue": q_rollup_revenue,
+    "set_ops_customers": q_set_ops_customers,
+    "exists_customers": q_exists_customers,
+    "doc_string_funcs": q_doc_string_funcs,
+    "window_distribution": q_window_distribution,
     "events_percentiles": q_events_percentiles,
     "linear_regression": q_linear_regression,
     "events_windowed_counts": q_events_windowed_counts,
@@ -393,5 +487,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "rollup_revenue": """
+            SELECT o_orderpriority, o_orderstatus,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders,
+                   CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+                     AS gid
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "set_ops_customers": """
+            (SELECT c_custkey FROM customer
+             WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "exists_customers": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
+        """,
+        "doc_string_funcs": """
+            SELECT doc_id,
+                   regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+                   length(text) AS len,
+                   upper(substring(text, 1, 10)) AS head10,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) - length(replace(text, 'a', '')) AS n_a,
+                   reverse(substring(text, 1, 6)) AS rev6
+            FROM documents
+        """,
+        "window_distribution": """
+            SELECT o_orderkey, c_mktsegment,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY o_totalprice ASC, o_orderkey ASC)
         """,
     }
