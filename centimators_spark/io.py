@@ -77,6 +77,91 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+# ---------------------------------------------------------------- sources
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    *,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV source. At scale ALWAYS pass an explicit ``schema`` (DDL
+    string): schema inference runs an extra full scan of the data before
+    the real job. Malformed rows follow ``mode`` (default PERMISSIVE →
+    nulls); pass mode='FAILFAST' to surface corruption."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """JSON-lines source. Same scale rule as read_csv: explicit schema
+    skips the inference pass; unknown fields are dropped, missing ones
+    null — the tolerant-reader shape a 100 TB ingest needs."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+# ---------------------------------------------------------------- sinks
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    *,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-style partitioned parquet sink. Readers prune partitions
+    from predicates on the partition columns (PartitionFilters in the
+    scan), so choose columns that match the dominant filter axis (date,
+    tenant, …). ``max_records_per_file`` caps file size against skewed
+    partitions; pair with a pre-write ``repartition(partition_cols)`` to
+    get one file per partition instead of one per task per partition."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = df.write.mode(mode).partitionBy(*cols)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    num_buckets: int,
+    *,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink (hash-bucketed by join/agg key).
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle — the scan itself is the required distribution —
+    which is how repeated big-to-big joins should run at 100 TB: pay the
+    shuffle once at write time, never at read time. Requires saveAsTable
+    (bucket metadata lives in the catalog, not the files)."""
+    keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode(mode).bucketBy(num_buckets, *keys)
+    if sort_by is not None:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sorts)
+    w.format("parquet").saveAsTable(table)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register each table as a temp view so spark.sql can address it."""
     for name, df in load_tables(spark, sf_dir).items():

@@ -1,0 +1,95 @@
+"""Source/sink coverage: CSV/JSON round-trips, partitioned parquet with
+partition pruning, bucketed tables with shuffle-free co-located joins."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from centimators_spark.io import (
+    read_csv,
+    read_json,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, tag string, v double"
+    )
+    p = str(tmp_path / "csv")
+    df.write.mode("overwrite").option("header", "true").csv(p)
+    back = read_csv(spark, p, "id long, tag string, v double")
+    assert back.schema == df.schema
+    assert {tuple(r) for r in back.collect()} == {(1, "a", 1.5), (2, "b", 2.5)}
+    # inference fallback parses types too
+    inferred = read_csv(spark, p)
+    assert dict(inferred.dtypes)["v"] == "double"
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, [1, 2]), (2, [3])], "id long, xs array<long>")
+    p = str(tmp_path / "json")
+    df.write.mode("overwrite").json(p)
+    back = read_json(spark, p, "id long, xs array<long>")
+    assert {(r.id, tuple(r.xs)) for r in back.collect()} == {(1, (1, 2)), (2, (3,))}
+    # missing field -> null column, unknown field dropped (tolerant reader)
+    wider = read_json(spark, p, "id long, xs array<long>, extra string")
+    assert wider.where(F.col("extra").isNull()).count() == 2
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "red" if i % 2 else "blue", float(i)) for i in range(20)],
+        "id long, color string, v double",
+    )
+    p = str(tmp_path / "part")
+    write_partitioned(df, p, "color")
+    back = spark.read.parquet(p)
+    assert back.count() == 20
+    plan = _plan(back.where(F.col("color") == "red"))
+    m = re.search(r"PartitionFilters: \[[^\]]*color[^\]]*\]", plan)
+    assert m, f"partition filter not pushed: {plan}"
+    assert back.where(F.col("color") == "red").count() == 10
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed on the join key: the join must plan with ZERO
+    Exchange operators — the bucketed scan IS the distribution."""
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(100)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "k long, rv string"
+    )
+    write_bucketed(left, "t_bleft", "k", 4, sort_by="k")
+    write_bucketed(right, "t_bright", "k", 4, sort_by="k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bleft").join(spark.table("t_bright"), "k")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_bucketed_aggregation_has_no_shuffle(spark):
+    """groupBy on the bucket key reuses the write-time distribution."""
+    df = spark.createDataFrame(
+        [(i % 10, float(i)) for i in range(100)], "k long, v double"
+    )
+    write_bucketed(df, "t_bagg", "k", 4)
+    try:
+        plan = _plan(spark.table("t_bagg").groupBy("k").agg(F.sum("v")))
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bagg")
