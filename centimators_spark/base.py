@@ -69,12 +69,67 @@ class PanelTransformer(Transformer):
         # only explicitly requested keep_cols ride along
         return df.select(*self.keep_cols, *derived)
 
+    # -- sklearn metadata-routing migration shim -------------------------
+    # The reference wires group metadata through sklearn's routing:
+    #   t.set_transform_request(ticker_series=True)
+    #   pipe.fit_transform(X, ticker_series=df["ticker"])
+    # (/root/reference/README.md:131-161). Here the same information is a
+    # column NAME param; these shims accept the reference's spellings so
+    # ported code runs with a one-word change (pass the column name where
+    # the Series went).
+    # maps the reference's routed-series kwarg to the attribute holding
+    # the column list/name on this engine's transformers
+    _SERIES_TO_PARAM = {
+        "date_series": "group_cols",
+        "ticker_series": "ticker_cols",
+        "era_series": "era_col",
+    }
+
+    def set_transform_request(self, **kwargs):
+        """Accept sklearn-routing declarations (``ticker_series=True``)
+        as a no-op: Spark transformers already know their group columns
+        by name. Unknown keys raise, mirroring sklearn's strictness."""
+        for key in kwargs:
+            if key not in self._SERIES_TO_PARAM:
+                raise TypeError(
+                    f"Unexpected metadata request {key!r}; supported: "
+                    f"{sorted(self._SERIES_TO_PARAM)}"
+                )
+        return self
+
+    set_fit_request = set_transform_request
+
+    def _apply_series_kwargs(self, kwargs: dict) -> None:
+        for key, value in kwargs.items():
+            param = self._SERIES_TO_PARAM.get(key)
+            if param is None:
+                raise TypeError(f"Unexpected transform kwarg {key!r}")
+            if not isinstance(value, str):
+                raise TypeError(
+                    f"{key} must be a COLUMN NAME string in the Spark "
+                    f"engine (got {type(value).__name__}): group/order "
+                    "metadata travels inside the DataFrame, not as a "
+                    "positionally-aligned Series (SURVEY.md §1.1)."
+                )
+            if not hasattr(self, param):
+                raise TypeError(
+                    f"{type(self).__name__} takes no {key}; it has no "
+                    f"{param!r} parameter"
+                )
+            current = getattr(self, param)
+            setattr(self, param, [value] if isinstance(current, list) else value)
+
+    def transform(self, df: DataFrame, params=None, **series_kwargs) -> DataFrame:
+        if series_kwargs:
+            self._apply_series_kwargs(series_kwargs)
+        return super().transform(df, params) if params else super().transform(df)
+
     # sklearn-style conveniences
     def fit(self, df: DataFrame, **_kwargs):  # stateless: fit is a no-op
         return self
 
-    def fit_transform(self, df: DataFrame, **_kwargs) -> DataFrame:
-        return self.transform(df)
+    def fit_transform(self, df: DataFrame, **kwargs) -> DataFrame:
+        return self.transform(df, **kwargs)
 
     def get_feature_names_out(self) -> list[str]:
         raise NotImplementedError

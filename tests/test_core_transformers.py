@@ -192,3 +192,31 @@ def test_rank_no_group_global(spark):
         t = RankTransformer(["v"], group_col=None, keep_cols=["rid"], output_mode="replace")
     out = [r.v_rank for r in t.transform(df).orderBy("rid").collect()]
     assert out == [0.75, 0.25, 0.5, 1.0]
+
+
+def test_metadata_routing_shim(spark):
+    """Reference-style set_transform_request + series kwargs: the sklearn
+    routing spellings work with column NAMES instead of Series."""
+    from centimators_spark.operators import LagTransformer, RankTransformer
+
+    df = spark.createDataFrame(
+        [("d1", "t1", 1, 10.0), ("d1", "t2", 2, 20.0),
+         ("d2", "t1", 3, 30.0), ("d2", "t2", 4, 40.0)],
+        "d string, t string, rid int, x double",
+    )
+    r = RankTransformer(["x"], group_col="placeholder", keep_cols=["rid"])
+    r.set_transform_request(date_series=True)  # accepted no-op
+    out = r.fit_transform(df, date_series="d").orderBy("rid").collect()
+    assert [row.x_rank for row in out] == [0.5, 1.0, 0.5, 1.0]
+
+    lt = LagTransformer([1], ["x"], ticker_col="placeholder",
+                        order_cols=["d", "rid"], keep_cols=["rid"])
+    out2 = lt.transform(df, ticker_series="t").orderBy("rid").collect()
+    assert [row.x_lag1 for row in out2] == [None, None, 10.0, 20.0]
+
+    # a real Series (anything non-string) explains the API divergence
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="COLUMN NAME"):
+        lt.transform(df, ticker_series=df.select("t"))
+    with _pytest.raises(TypeError, match="Unexpected metadata request"):
+        r.set_transform_request(bogus_series=True)
