@@ -168,6 +168,29 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline on a synthesized payload (documents.text as
+    UTF-8 bytes): the real metadata-sniff mapInPandas stage attaches the
+    typed media struct, then pure expressions digest the payload —
+    filters/digests over binary columns never decode at scale."""
+    from centimators_spark.multimodal.columns import with_media_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.encode("text", "UTF-8").alias("content")
+    )
+    m = with_media_metadata(docs)
+    return m.select(
+        "doc_id",
+        F.col("media.modality").alias("modality"),
+        F.col("media.format").alias("format"),
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+        F.upper(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias(
+            "head8"
+        ),
+    )
+
+
 QUERIES = {
     "embedding_transformer": q_embedding_transformer,
     "dim_reducer_pca": q_dim_reducer_pca,
@@ -185,6 +208,7 @@ QUERIES = {
     "text_token_counts": q_text_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_topk": q_tfidf_topk,
+    "multimodal_metadata": q_multimodal_metadata,
 }
 
 
@@ -251,6 +275,14 @@ def oracle_sql() -> dict[str, str]:
         f"list_sort(list_transform(gs, g -> {P.sql_md5_long('g')}))"
     )
     return {
+        "multimodal_metadata": """
+            SELECT doc_id,
+                   'unknown' AS modality, 'unknown' AS format,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS digest,
+                   upper(hex(encode(substring(text, 1, 8)))) AS head8
+            FROM documents
+        """,
         "embedding_transformer": """
             SELECT doc_id,
               CAST(length(text) AS DOUBLE) AS text_embed_0,
