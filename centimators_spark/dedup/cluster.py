@@ -17,10 +17,22 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20, a: str = "d1", b: str = "d2"
+    pairs: DataFrame,
+    max_iter: int = 20,
+    a: str = "d1",
+    b: str = "d2",
+    driver_edge_cap: int = 5_000_000,
 ) -> DataFrame:
     """(node, cluster) for every node in `pairs`; cluster = min node id
-    of its component."""
+    of its component.
+
+    Adaptive strategy, same spirit as Spark's broadcast threshold: the
+    near-dup EDGE set after LSH banding is orders of magnitude smaller
+    than the corpus, so when it fits `driver_edge_cap` rows the exact
+    union-find runs on the driver in one pass (no iterative jobs — at
+    5M edges that is ~80 MB, the size of a modest broadcast build side).
+    Larger edge sets take the distributed min-label-propagation fixpoint
+    (O(component diameter) rounds of hash-partitioned joins)."""
     # materialize the edge list once — the fixpoint loop re-reads it every
     # round and `pairs` is usually an expensive lazy plan (LSH + verify)
     edges = (
@@ -29,6 +41,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_edge_cap and edges.count() <= driver_edge_cap:
+        return _driver_union_find(edges)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster", F.col("node")
     )
@@ -67,6 +81,43 @@ def connected_components(
             RuntimeWarning,
         )
     return labels
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact path-compressed union-find over a driver-collected edge
+    list; emits the same (node, cluster=min member id) frame as the
+    distributed fixpoint."""
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    cluster_min: dict = {}
+    roots = {n: find(n) for n in parent}
+    for n, r in roots.items():
+        if r not in cluster_min or n < cluster_min[r]:
+            cluster_min[r] = n
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"node": list(roots), "cluster": [cluster_min[r] for r in roots.values()]}
+    )
+    id_type = edges.schema["src"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    return edges.sparkSession.createDataFrame(
+        out, StructType([StructField("node", id_type), StructField("cluster", id_type)])
+    )
 
 
 def deduplicate(

@@ -105,6 +105,31 @@ def test_connected_components_and_deduplicate(spark, docs):
     n_docs, n_nodes, n_clusters = docs.count(), len(cc), cc.cluster.nunique()
     assert kept.count() == n_docs - (n_nodes - n_clusters)
 
+    # the distributed fixpoint (driver_edge_cap=0 forces it) and the
+    # driver union-find agree exactly
+    cc_dist = (
+        connected_components(pairs, driver_edge_cap=0)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd_cc = cc.sort_values("node").reset_index(drop=True)
+    assert (cc_dist.node == pd_cc.node).all()
+    assert (cc_dist.cluster == pd_cc.cluster).all()
+
+
+def test_union_find_long_chain(spark):
+    """A 60-node path graph: union-find handles long diameters in one
+    pass (the distributed fixpoint would need ~diameter rounds)."""
+    from centimators_spark.dedup.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "d1 long, d2 long"
+    )
+    cc = connected_components(pairs).toPandas()
+    assert (cc.cluster == 0).all()
+    assert len(cc) == 61
+
 
 def test_exact_dedup_finds_duplicates(spark):
     from centimators_spark.dedup import exact_dedup
