@@ -84,10 +84,17 @@ class DimReducer:
 
     # -- fit --------------------------------------------------------------
 
+    # features at or below this width fit via one plain aggregation
+    # (d(d+1)/2 sum expressions) instead of the Spark ML vector path
+    EXPR_PCA_MAX_FEATURES = 32
+
     def fit(self, df: DataFrame, y=None):
         feats = self._features(df)
         self.feature_names = feats
         if self.method == "pca":
+            if len(feats) <= self.EXPR_PCA_MAX_FEATURES:
+                self._fit_pca_expr(df, feats)
+                return self
             from pyspark.ml.feature import PCA, VectorAssembler
 
             assembler = VectorAssembler(inputCols=feats, outputCol="__features")
@@ -108,6 +115,43 @@ class DimReducer:
         # (reference dimreduction.py:117-119)
         return self
 
+    def _fit_pca_expr(self, df: DataFrame, feats: list[str]) -> None:
+        """Covariance PCA from ONE whole-stage-codegen aggregation: n,
+        Σfᵢ, Σfᵢfⱼ → covariance (n−1 denominator, matching Spark ML's
+        computeCovariance) → driver eigh of a d×d matrix. No vector
+        UDFs, no extra passes; the scan aggregates map-side. Projection
+        (like Spark ML PCA) applies components to the UNcentered data."""
+        import numpy as np
+
+        d = len(feats)
+        cols = [F.col(c).cast("double") for c in feats]
+        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs += [F.sum(cols[i]).alias(f"s_{i}") for i in range(d)]
+        aggs += [
+            F.sum(cols[i] * cols[j]).alias(f"p_{i}_{j}")
+            for i in range(d)
+            for j in range(i, d)
+        ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        n = float(row["n"])
+        s = np.array([row[f"s_{i}"] for i in range(d)])
+        cov = np.zeros((d, d))
+        for i in range(d):
+            for j in range(i, d):
+                cov[i, j] = cov[j, i] = (
+                    row[f"p_{i}_{j}"] - s[i] * s[j] / n
+                ) / (n - 1.0)
+        vals, vecs = np.linalg.eigh(cov)
+        order = np.argsort(vals)[::-1][: self.n_components]
+        comps = vecs[:, order]  # (d, k)
+        # deterministic sign: largest-|loading| element positive
+        for k in range(comps.shape[1]):
+            if comps[np.abs(comps[:, k]).argmax(), k] < 0:
+                comps[:, k] = -comps[:, k]
+        self._components = comps
+        self._explained_variance = vals[order]
+        self._model = "expr"
+
     # -- transform --------------------------------------------------------
 
     def transform(self, df: DataFrame) -> DataFrame:
@@ -115,6 +159,16 @@ class DimReducer:
         if self.method == "pca":
             if self._model is None:
                 raise ValueError("DimReducer not fitted. Call fit() first.")
+            if self._model == "expr":
+                exprs = []
+                for k in range(self.n_components):
+                    e = F.lit(0.0)
+                    for i, f in enumerate(feats):
+                        e = e + F.col(f).cast("double") * F.lit(
+                            float(self._components[i, k])
+                        )
+                    exprs.append(e.alias(f"dim_{k}"))
+                return df.select(*self.keep_cols, *exprs)
             from pyspark.ml.functions import vector_to_array
             from pyspark.ml.feature import VectorAssembler
 

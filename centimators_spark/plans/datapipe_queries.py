@@ -73,7 +73,10 @@ def q_dim_reducer_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         feature_names=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         keep_cols=["l_orderkey", "l_linenumber"],
     )
-    return t.fit_transform(li)
+    # the local single-row-group file scans as ONE task; spread the
+    # covariance aggregation (sums are commutative — result unchanged)
+    t.fit(li.repartition(spark.sparkContext.defaultParallelism))
+    return t.transform(li)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,6 +89,31 @@ def test_dimreducer_pca_matches_numpy(spark):
         assert corr > 0.999, (k, corr)
 
 
+def test_dimreducer_expr_matches_sparkml(spark):
+    """The one-aggregation expression PCA and the Spark ML vector path
+    produce the same projections up to sign."""
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(300, 5)) @ rng.normal(size=(5, 5))
+    rows = [
+        Row(rid=i, **{f"f{j}": float(v) for j, v in enumerate(row)})
+        for i, row in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows)
+    feats = [f"f{j}" for j in range(5)]
+
+    t_expr = DimReducer("pca", 3, feats, keep_cols=["rid"])
+    a = t_expr.fit_transform(df).orderBy("rid").toPandas()
+    assert t_expr._model == "expr"
+
+    t_ml = DimReducer("pca", 3, feats, keep_cols=["rid"])
+    t_ml.EXPR_PCA_MAX_FEATURES = 0  # force the Spark ML path
+    b = t_ml.fit_transform(df).orderBy("rid").toPandas()
+
+    for k in range(3):
+        corr = abs(np.corrcoef(a[f"dim_{k}"], b[f"dim_{k}"])[0, 1])
+        assert corr > 0.9999, (k, corr)
+
+
 def test_dimreducer_tsne_gated(spark):
     df = spark.createDataFrame([(0, 1.0, 2.0)], "rid int, a double, b double")
     t = DimReducer("tsne", 2, ["a", "b"])
