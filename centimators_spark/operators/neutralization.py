@@ -191,6 +191,9 @@ def era_ols_neutralize(
         *[F.col(f).cast("double").alias(f"f{i}") for i, f in enumerate(feats)],
         F.col(pred_name).cast("double").alias("y"),
     )
+    # spread the decimal Gram work across cores — single-row-group local
+    # files scan as one task, and decimal sums are order-independent
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
     gram = base.groupBy(era_col).agg(
         *[
             F.expr(expr).alias(name)
@@ -200,7 +203,16 @@ def era_ols_neutralize(
     th = gram.select(
         era_col, *[F.expr(c).alias(f"b{i}") for i, c in enumerate(fr["coeffs"])]
     )
-    r = base.join(F.broadcast(th), era_col).withColumn("neut", F.expr(fr["neut"]))
+    r = (
+        base.join(F.broadcast(th), era_col)
+        .withColumn("neut", F.expr(fr["neut"]))
+        # three consumers read the residuals (era std, global min-max,
+        # the output projection) — materialize ONCE, narrowed to
+        # keys+era+residual, instead of re-running the scan+join+decimal
+        # lineage per consumer (at cluster scale: persist/checkpoint)
+        .select(*keep, era_col, "neut")
+        .localCheckpoint(eager=True)
+    )
     stats = r.groupBy(era_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(f"sum({fr['ni_spark']})").alias("s1"),
