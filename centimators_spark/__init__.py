@@ -25,10 +25,22 @@ from centimators_spark.operators.neutralization import FeatureNeutralizer
 from centimators_spark.operators.penalization import FeaturePenalizer
 from centimators_spark.operators.dimreduction import DimReducer
 from centimators_spark.operators.embedding import EmbeddingTransformer
-from centimators_spark.ml.estimators import KerasEstimator, LinearRegressor
+from centimators_spark.ml.estimators import (
+    BaseKerasEstimator,
+    BottleneckEncoder,
+    KerasEstimator,
+    LinearRegressor,
+    LSTMRegressor,
+    MLPRegressor,
+    NeuralDecisionForestRegressor,
+    SequenceEstimator,
+    TransformerRegressor,
+)
+from centimators_spark.ml.architectures import TemperatureAnnealing
 from centimators_spark.ml.dspymator import DSPyMator
 from centimators_spark.ml.keras_cortex import KerasCortex
 from centimators_spark.ml.losses import spearman_corr
+from centimators_spark.config import get_keras_backend, set_keras_backend
 
 __version__ = "0.1.0"
 
@@ -36,6 +48,7 @@ __all__ = [
     "get_spark",
     "load_tables",
     "register_views",
+    # reference feature transformers
     "RankTransformer",
     "LagTransformer",
     "MovingAverageTransformer",
@@ -45,9 +58,22 @@ __all__ = [
     "FeaturePenalizer",
     "DimReducer",
     "EmbeddingTransformer",
-    "LinearRegressor",
-    "KerasEstimator",
+    # reference model estimators (keras-gated at use, importable always)
+    "BaseKerasEstimator",
+    "SequenceEstimator",
+    "MLPRegressor",
+    "LSTMRegressor",
+    "TransformerRegressor",
+    "BottleneckEncoder",
+    "NeuralDecisionForestRegressor",
+    "TemperatureAnnealing",
     "DSPyMator",
     "KerasCortex",
+    # config helpers
+    "set_keras_backend",
+    "get_keras_backend",
+    # engine extensions
+    "LinearRegressor",
+    "KerasEstimator",
     "spearman_corr",
 ]

@@ -1,26 +1,32 @@
 from centimators_spark.ml.estimators import (
+    BaseKerasEstimator,
     BottleneckEncoder,
     KerasEstimator,
     LinearRegressor,
     LSTMRegressor,
     MLPRegressor,
     NeuralDecisionForestRegressor,
+    SequenceEstimator,
     TransformerRegressor,
     sequence_reshape,
 )
 from centimators_spark.ml import architectures
+from centimators_spark.ml.architectures import TemperatureAnnealing
 from centimators_spark.ml.dspymator import DSPyMator
 from centimators_spark.ml.keras_cortex import KerasCortex
 from centimators_spark.ml.losses import make_keras_losses, spearman_corr
 
 __all__ = [
     "architectures",
+    "BaseKerasEstimator",
     "BottleneckEncoder",
     "KerasEstimator",
     "LinearRegressor",
     "LSTMRegressor",
     "MLPRegressor",
     "NeuralDecisionForestRegressor",
+    "SequenceEstimator",
+    "TemperatureAnnealing",
     "TransformerRegressor",
     "sequence_reshape",
     "DSPyMator",

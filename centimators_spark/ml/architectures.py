@@ -557,3 +557,32 @@ def build_neural_decision_forest(
         metrics=metrics,
     )
     return model, trees
+
+
+def TemperatureAnnealing(ndf, start: float = 2.0, end: float = 0.5, epochs: int = 50):
+    """Keras callback annealing tree routing temperature soft→sharp
+    over training (reference tree.py:21-50): linear schedule from
+    ``start`` to ``end`` across ``epochs``, assigned to every tree of
+    the fitted forest each epoch end.
+
+    Factory spelled like the reference's class — it returns a
+    ``keras.callbacks.Callback`` instance built against the lazily
+    imported keras (so this module stays importable without it)."""
+    keras = _keras()
+
+    class _TemperatureAnnealing(keras.callbacks.Callback):
+        def __init__(self, ndf, start, end, epochs):
+            super().__init__()
+            self.ndf = ndf
+            self.start = start
+            self.end = end
+            self.epochs = epochs
+
+        def on_epoch_end(self, epoch, logs=None):
+            t = self.start - (self.start - self.end) * (
+                (epoch + 1) / self.epochs
+            )
+            for tree in self.ndf.trees:
+                tree.temperature.assign(t)
+
+    return _TemperatureAnnealing(ndf, start, end, epochs)

@@ -314,7 +314,7 @@ class MLPRegressor(KerasEstimator):
         )
 
 
-class _SequenceRegressor(KerasEstimator):
+class SequenceEstimator(KerasEstimator):
     """Shared lag-matrix plumbing for sequence models (reference
     sequence.py:17-99): feature columns are the lag-major expansion
     produced by LagTransformer; batches reshape to
@@ -351,7 +351,7 @@ class _SequenceRegressor(KerasEstimator):
         )
 
 
-class LSTMRegressor(_SequenceRegressor):
+class LSTMRegressor(SequenceEstimator):
     """Stacked-LSTM sequence regressor (reference sequence.py:103-153)."""
 
     def __init__(
@@ -394,7 +394,7 @@ class LSTMRegressor(_SequenceRegressor):
         )
 
 
-class TransformerRegressor(_SequenceRegressor):
+class TransformerRegressor(SequenceEstimator):
     """Transformer-encoder sequence regressor (reference
     transformer.py:108-245); attention_type temporal|feature|cross,
     pooling_type attention|average."""
@@ -585,3 +585,7 @@ class NeuralDecisionForestRegressor(KerasEstimator):
         )
         self.trees = trees
         return model
+
+
+# reference naming alias (keras_estimators/base.py BaseKerasEstimator)
+BaseKerasEstimator = KerasEstimator

@@ -266,3 +266,71 @@ def test_temperature_annealing_schedule(stub):
     cb.on_epoch_end(9)
     # final epoch lands exactly on the end temperature, for every tree
     assert all(t.temperature.value == pytest.approx(0.5) for t in trees)
+
+
+def test_temperature_annealing_schedule(stub):
+    """Linear soft→sharp schedule assigns temperature to every tree
+    each epoch end (reference tree.py:40-50)."""
+    from centimators_spark.ml import architectures as A
+
+    class _T:
+        def __init__(self):
+            self.values = []
+
+        def assign(self, v):
+            self.values.append(round(v, 6))
+
+    class _Tree:
+        def __init__(self):
+            self.temperature = _T()
+
+    class _NDF:
+        trees = [_Tree(), _Tree()]
+
+    cb = A.TemperatureAnnealing(_NDF, start=2.0, end=0.5, epochs=3)
+    for epoch in range(3):
+        cb.on_epoch_end(epoch)
+    for tree in _NDF.trees:
+        assert tree.temperature.values == [1.5, 1.0, 0.5]
+
+
+def test_reference_public_api_parity():
+    """Every name the reference exports resolves here too
+    (reference __init__.py:23-48, model_estimators/__init__.py:10-24)."""
+    import centimators_spark as cs
+
+    for name in [
+        "BaseKerasEstimator", "SequenceEstimator", "MLPRegressor",
+        "BottleneckEncoder", "LSTMRegressor", "TransformerRegressor",
+        "NeuralDecisionForestRegressor", "TemperatureAnnealing",
+        "DSPyMator", "KerasCortex", "RankTransformer", "LagTransformer",
+        "MovingAverageTransformer", "LogReturnTransformer",
+        "GroupStatsTransformer", "EmbeddingTransformer", "DimReducer",
+        "FeatureNeutralizer", "FeaturePenalizer", "set_keras_backend",
+        "get_keras_backend",
+    ]:
+        assert hasattr(cs, name), name
+
+
+def test_keras_backend_config():
+    import os
+
+    import pytest as _pytest
+
+    from centimators_spark.config import get_keras_backend, set_keras_backend
+
+    prev = os.environ.get("KERAS_BACKEND")
+    try:
+        os.environ.pop("KERAS_BACKEND", None)
+        assert get_keras_backend() == "jax"
+        set_keras_backend("tensorflow")
+        assert get_keras_backend() == "tensorflow"
+        with _pytest.warns(RuntimeWarning, match="already set"):
+            set_keras_backend("torch")
+        with _pytest.raises(ValueError, match="Invalid backend"):
+            set_keras_backend("mxnet")
+    finally:
+        if prev is None:
+            os.environ.pop("KERAS_BACKEND", None)
+        else:
+            os.environ["KERAS_BACKEND"] = prev
