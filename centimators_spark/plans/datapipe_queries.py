@@ -194,6 +194,43 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_RATE = 0.5
+PACK_BUDGET = 512
+
+
+def q_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + an independent keyed
+    sample flag — reproducible under any partitioning (rand()-based
+    sampling is not), mirrored bit-for-bit by the oracle."""
+    from centimators_spark.sampling import _bucket, hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", SPLIT_WEIGHTS, salt="v1")
+    sampled = _bucket(F.col("doc_id"), "s1") < int(
+        SAMPLE_RATE * 1_000_000
+    )
+    return out.select(
+        "doc_id", "split", sampled.cast("int").alias("sampled")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-budget packing per source: batch assignment from
+    one window cumsum over (source, doc_id) order."""
+    from centimators_spark.sampling import pack_sequences
+    from centimators_spark.text.analysis import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_counts(docs).select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    with_src = docs.select("doc_id", "source").join(toks, "doc_id")
+    return pack_sequences(
+        with_src, "n_tokens", PACK_BUDGET, order_cols=["doc_id"], by="source"
+    ).select("doc_id", "source", "n_tokens", "batch_id")
+
+
 QUERIES = {
     "embedding_transformer": q_embedding_transformer,
     "dim_reducer_pca": q_dim_reducer_pca,
@@ -212,10 +249,23 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_topk": q_tfidf_topk,
     "multimodal_metadata": q_multimodal_metadata,
+    "hash_split_sample": q_hash_split_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 
 # ---------------------------------------------------------------- oracles
+
+def _hash_split_sample_oracle() -> str:
+    from centimators_spark.sampling import sql_hash_split, sql_sample_flag
+
+    split = sql_hash_split("doc_id", SPLIT_WEIGHTS, salt="v1")
+    flag = sql_sample_flag("doc_id", SAMPLE_RATE, salt="s1")
+    return f"""
+        SELECT doc_id, {split} AS split, CAST({flag} AS INT) AS sampled
+        FROM documents
+    """
+
 
 _TOK = P.sql_tokens("text")
 _G3 = P.sql_token_ngrams("tk", 3)
@@ -413,6 +463,18 @@ def oracle_sql() -> dict[str, str]:
               len(regexp_extract_all(lower(text), '{WORD_RE}')) AS n_re_tokens,
               len(list_distinct({_TOK})) AS n_distinct_tokens
             FROM documents
+        """,
+        "hash_split_sample": _hash_split_sample_oracle(),
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, source, len({_TOK}) AS n_tokens FROM documents
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) / {PACK_BUDGET}) AS BIGINT) AS batch_id
+            FROM t
         """,
         "tfidf_topk": f"""
             WITH toks AS (

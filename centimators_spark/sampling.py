@@ -1,0 +1,124 @@
+"""Deterministic sampling, splitting, and sequence packing for
+training-data pipelines.
+
+Why hash-based: ``df.sample``/``rand()`` depend on partition layout and
+task retries — two runs (or one run with a lost executor) sample
+different rows. Keyed md5-hash sampling is a pure row-wise function of
+the data: reproducible across runs, engines, cluster sizes, and
+re-partitioning, joinable across tables (sample the same users in every
+table by the same key), and exactly mirrored by the DuckDB oracle via
+text/portable.py's md5→BIGINT machinery. All operators here are pure
+column expressions — whole-stage codegen, zero shuffles except the
+packing window.
+
+Reference scope note: the reference has no sampling surface (its test
+frames are in-memory); these extend SURVEY.md §2.3's training-data
+inventory alongside dedup/similarity/text.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from centimators_spark.text.portable import md5_long, sql_md5_long
+
+# sampling resolution: rates are quantized to 1/DENOM
+DENOM = 1_000_000
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0, DENOM) from a 60-bit keyed md5."""
+    return md5_long(F.concat(F.lit(salt), key.cast("string"))) % DENOM
+
+
+def _sql_bucket(key_sql: str, salt: str) -> str:
+    keyed = f"'{salt}' || CAST({key_sql} AS VARCHAR)"
+    return f"{sql_md5_long(keyed)} % {DENOM}"
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose keyed hash bucket falls below ``rate`` —
+    reproducible under any partitioning; change ``salt`` to draw an
+    independent sample."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(_bucket(F.col(key_col), salt) < int(rate * DENOM))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label ('train'/'val'/…) by hash bucket,
+    with expected proportions ``weights`` (must sum to 1). Same key ⇒
+    same split in every table and every run — the property that keeps a
+    user's documents out of both train and test."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    b = _bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = b < int(acc * DENOM)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)
+
+
+def sql_hash_split(
+    key_sql: str, weights: Mapping[str, float], salt: str = ""
+) -> str:
+    """DuckDB CASE expression mirroring hash_split bit-for-bit."""
+    b = _sql_bucket(key_sql, salt)
+    items = list(weights.items())
+    acc = 0.0
+    arms = []
+    for name, w in items[:-1]:
+        acc += w
+        arms.append(f"WHEN {b} < {int(acc * DENOM)} THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{items[-1][0]}' END"
+
+
+def sql_sample_flag(key_sql: str, rate: float, salt: str = "") -> str:
+    """DuckDB boolean mirroring deterministic_sample's predicate."""
+    return f"({_sql_bucket(key_sql, salt)} < {int(rate * DENOM)})"
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: Sequence[str],
+    by: str | None = None,
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """Streaming sequence packing: walk rows in ``order_cols`` order
+    (per ``by`` partition) and start a new batch whenever the running
+    token total crosses a multiple of ``budget``:
+    ``batch_id = floor(exclusive_cumsum(tokens) / budget)``.
+
+    Semantics (document-preserving, deterministic, one window pass): a
+    batch's total lands in [budget − max_doc_tokens, budget +
+    max_doc_tokens); documents are never split. This is the
+    SQL-expressible streaming formulation — bin-packing variants that
+    reorder documents trade determinism and a shuffle for tighter
+    packing. One shuffle (the ``by`` partition / global sort)."""
+    w = (
+        Window.partitionBy(by) if by else Window.partitionBy()
+    ).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
+    prior = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return df.withColumn(
+        batch_col, F.floor(prior / F.lit(budget)).cast("long")
+    )

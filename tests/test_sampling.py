@@ -1,0 +1,72 @@
+"""Deterministic sampling / splitting / packing properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from centimators_spark.sampling import (
+    deterministic_sample,
+    hash_split,
+    pack_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.createDataFrame(
+        [(i, f"u{i % 97}") for i in range(5000)], "rid long, user string"
+    )
+
+
+def test_sample_reproducible_and_partition_invariant(spark, keyed):
+    a = {r.rid for r in deterministic_sample(keyed, 0.3, "rid").collect()}
+    b = {
+        r.rid
+        for r in deterministic_sample(keyed.repartition(17), 0.3, "rid").collect()
+    }
+    assert a == b  # layout cannot change the sample
+    assert 0.25 < len(a) / 5000 < 0.35  # rate honored
+    # different salt -> independent draw
+    c = {r.rid for r in deterministic_sample(keyed, 0.3, "rid", salt="x").collect()}
+    assert c != a
+
+
+def test_sample_rate_bounds(keyed):
+    with pytest.raises(ValueError, match="rate"):
+        deterministic_sample(keyed, 1.5, "rid")
+
+
+def test_hash_split_proportions_and_consistency(spark, keyed):
+    out = hash_split(keyed, "user", {"train": 0.8, "val": 0.1, "test": 0.1})
+    frac = {
+        r.split: r.n / 5000
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.7 < frac["train"] < 0.9
+    # every key maps to exactly one split (no user straddles splits)
+    assert (
+        out.groupBy("user")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(keyed, "user", {"a": 0.5, "b": 0.4})
+
+
+def test_pack_sequences_budget(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 100) for i in range(20)], "rid long, src string, toks long"
+    )
+    out = (
+        pack_sequences(df, "toks", 512, order_cols=["rid"], by="src")
+        .orderBy("rid")
+        .collect()
+    )
+    # exclusive cumsum: rids 0-5 have prior 0..500 -> batch 0; 6-10 -> 1 ...
+    assert [r.batch_id for r in out[:7]] == [0, 0, 0, 0, 0, 0, 1]
+    # every batch total stays within budget + one document
+    totals = {}
+    for r in out:
+        totals[r.batch_id] = totals.get(r.batch_id, 0) + r.toks
+    assert all(t <= 512 + 100 for t in totals.values())
