@@ -145,8 +145,11 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # decimal accumulation is ~4x a double sum per row and the local
     # single-row-group file scans as ONE task — spread the Gram work;
-    # decimal sums are order-independent, so this cannot change results
-    fit_input = scaled.repartition(spark.sparkContext.defaultParallelism)
+    # decimal sums are order-independent, so this cannot change results.
+    # Narrow to the fit columns FIRST so the shuffle moves no key bytes.
+    fit_input = scaled.select("q", "d100", "t100", "e100").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     m = LinearRegressor(["q", "d100", "t100"], target="e100", exact=True).fit(
         fit_input
     )
@@ -307,9 +310,35 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q10_SQL = """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def q_sql_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style via the SQL FRONTEND: the same ANSI text runs on
+    Spark (over registered temp views) and on the DuckDB oracle —
+    exercising the parser/analyzer path rather than the DataFrame DSL.
+    Catalyst still broadcasts the dimensions and pushes the returnflag
+    filter into the scan."""
+    for name in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q10_SQL)
+
+
 QUERIES = {
     "spearman_by_month": q_spearman_by_month,
     "asof_join": q_asof_join,
+    "sql_returned_revenue": q_sql_returned_revenue,
     "rollup_revenue": q_rollup_revenue,
     "set_ops_customers": q_set_ops_customers,
     "exists_customers": q_exists_customers,
@@ -488,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
             GROUP BY n_name
         """,
+        "sql_returned_revenue": _Q10_SQL,
         "rollup_revenue": """
             SELECT o_orderpriority, o_orderstatus,
                    round(sum(o_totalprice), 2) AS revenue,
