@@ -208,10 +208,12 @@ class KerasEstimator:
         *,
         scale: bool,
         output_index: int | None = None,
+        carry: Sequence[str] = (),
     ) -> DataFrame:
         """Distributed scoring of an arbitrary keras model over the
         feature columns: model spec+weights ship once per task, scoring
-        runs in Arrow batches on executors."""
+        runs in Arrow batches on executors. ``carry`` columns ride
+        through unchanged (e.g. the target for scoring metrics)."""
         keras = _require_keras()
         spec = model.to_json()
         weights = model.get_weights()
@@ -220,11 +222,12 @@ class KerasEstimator:
         mu, sd = self._y_mean, self._y_std
         reshape = self.input_reshape
         out_names = list(out_names)
+        cols = list(dict.fromkeys(feats + list(carry)))
 
         from pyspark.sql.types import DoubleType, StructField, StructType
 
         schema = StructType(
-            list(df.select(*feats).schema)
+            list(df.select(*cols).schema)
             + [StructField(n, DoubleType()) for n in out_names]
         )
 
@@ -241,12 +244,12 @@ class KerasEstimator:
                 p = np.atleast_2d(p)
                 if scale:
                     p = p * sd + mu
-                out = pdf[feats].copy()
+                out = pdf[cols].copy()
                 for i, n in enumerate(out_names):
                     out[n] = p[:, i]
                 yield out
 
-        return df.select(*feats).mapInPandas(score, schema)
+        return df.select(*cols).mapInPandas(score, schema)
 
     def predict(self, df: DataFrame) -> DataFrame:
         if self.model is None:
@@ -258,6 +261,30 @@ class KerasEstimator:
             scale=self.scale_target,
             output_index=self.predict_output_index,
         )
+
+    def score(self, df: DataFrame) -> float:
+        """R² of the first prediction head against ``target`` over df —
+        the sklearn ``score`` contract, computed with one distributed
+        scoring pass + one aggregation (no driver collection)."""
+        if self.model is None:
+            raise ValueError("KerasEstimator not fitted. Call fit() first.")
+        scored = self._score_with(
+            df,
+            self.model,
+            self.output_names,
+            scale=self.scale_target,
+            output_index=self.predict_output_index,
+            carry=[self.target],
+        )
+        y, p = F.col(self.target).cast("double"), F.col(self.output_names[0])
+        row = scored.agg(
+            F.sum((y - p) * (y - p)).alias("ss_res"),
+            F.sum(y * y).alias("ss_yy"),
+            F.sum(y).alias("s_y"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        ss_tot = float(row.ss_yy) - float(row.s_y) ** 2 / float(row.n)
+        return 1.0 - float(row.ss_res) / ss_tot if ss_tot else 0.0
 
 
 def sequence_reshape(X: np.ndarray, lag_windows: Sequence[int]) -> np.ndarray:

@@ -211,9 +211,94 @@ def test_soft_spearman_negative_for_correlated():
 
 
 def test_keras_cortex_needs_propose(spark):
-    c = KerasCortex("def build_model():\n    return None", ["a"])
+    c = KerasCortex(base_estimator=object())
     with pytest.raises(ValueError, match="propose"):
-        c.think_loop(None, None)
+        c.think_loop(object(), None, None)
+
+
+def test_keras_cortex_loop_keeps_best_and_logs():
+    """Drive the full reference loop shape with a fake estimator: the
+    proposer sees the performance log, the best model wins, and a bad
+    proposal breaks the loop gracefully (keras_cortex.py:100-143)."""
+
+    class FakeEstimator:
+        def __init__(self):
+            self.build_model = lambda: "base"
+            self.model = None
+
+        def fit(self, train, **kw):
+            self.model = self.build_model()
+            return self
+
+        def score(self, valid):
+            # scores keyed by which builder produced the model
+            return {"base": 0.1, "v1": 0.5, "v2": 0.3}[self.model]
+
+        def predict(self, df):
+            return f"pred-by-{self.model}"
+
+    seen_logs = []
+
+    def propose(code, log, goal):
+        seen_logs.append(list(log))
+        n = len(seen_logs)
+        if n == 1:
+            return "def build_model():\n    return 'v1'"
+        if n == 2:
+            return "def build_model():\n    return 'v2'"
+        return "not even python ("  # breaks the loop, best kept
+
+    c = KerasCortex(
+        base_estimator=FakeEstimator(),
+        n_iterations=5,
+        propose=propose,
+        base_build_source="def build_model():\n    return 'base'",
+    )
+    c.fit(train="T", validation_data="V")
+    assert c.predict(None) == "pred-by-v1"  # best (0.5) kept, not last
+    scores = [round(s, 6) for _, s in c.performance_log_]
+    assert scores == [0.1, 0.5, 0.3]  # baseline + two scored proposals
+    # the proposer received the growing log each round
+    assert len(seen_logs[0]) == 1 and len(seen_logs[1]) == 2
+
+
+def test_keras_estimator_score_r2(spark, monkeypatch):
+    """score() computes R² distributed; exercised via the keras stub."""
+    import sys
+
+    import tests.keras_stub as ks
+
+    if not ks.install():
+        pytest.skip("real keras installed")
+    try:
+        # a fake 'fitted model' that predicts 2*x0 via the scoring UDF is
+        # hard without real keras — instead check the R² aggregation by
+        # stubbing _score_with to pass the target through with a known
+        # prediction column
+        from centimators_spark.ml.estimators import KerasEstimator
+
+        est = KerasEstimator(lambda: None, ["x"], target="y")
+        est.model = object()
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (2.0, 4.0), (3.0, 5.0)], "x double, y double"
+        )
+
+        def fake_score_with(d, model, names, **kw):
+            from pyspark.sql import functions as F
+
+            return d.select("y", (F.col("x") * 2).alias("prediction"))
+
+        est._score_with = fake_score_with
+        got = est.score(df.select("x", "y"))
+        import numpy as np
+
+        y = np.array([2.0, 4.0, 5.0])
+        p = np.array([2.0, 4.0, 6.0])
+        expected = 1 - ((y - p) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert abs(got - expected) < 1e-12
+    finally:
+        for name in [m for m in sys.modules if m == "keras" or m.startswith("keras.")]:
+            del sys.modules[name]
 
 
 def _tiny_png(w=4, h=3):
