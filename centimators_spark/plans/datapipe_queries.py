@@ -231,6 +231,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tokens", "batch_id")
 
 
+QUALITY_T = 0.55
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-corpus cleaning in ONE lazy plan:
+    language filter + quality threshold + near-duplicate removal
+    (MinHash-LSH clusters, keep the min doc of each cluster; exact
+    duplicates are Jaccard-1.0 so the same pass removes them). The
+    oracle composes the individually-verified language/quality/cluster
+    oracles — the composed pipeline stays bit-exact."""
+    from centimators_spark.dedup.cluster import deduplicate
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = language_id(docs).select("doc_id", "lang_pred")
+    qual = quality_score(docs).select("doc_id", "quality")
+    pairs = minhash_lsh_pairs(docs, threshold=MINHASH_T)
+    kept = deduplicate(docs, pairs).select("doc_id")
+    return (
+        kept.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .where((F.col("lang_pred") == "en") & (F.col("quality") >= QUALITY_T))
+        .select("doc_id", "lang_pred", F.round("quality", 6).alias("quality"))
+    )
+
+
 QUERIES = {
     "embedding_transformer": q_embedding_transformer,
     "dim_reducer_pca": q_dim_reducer_pca,
@@ -251,6 +276,7 @@ QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "hash_split_sample": q_hash_split_sample,
     "pack_sequences": q_pack_sequences,
+    "corpus_clean": q_corpus_clean,
 }
 
 
@@ -323,6 +349,23 @@ def _lang_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    d["corpus_clean"] = f"""
+        WITH lang AS ({d['text_language_id']}),
+             qual AS ({d['text_quality_score']}),
+             cc AS ({d['dedup_clusters']})
+        SELECT d.doc_id, lang.lang_pred, round(qual.quality, 6) AS quality
+        FROM documents d
+        JOIN lang USING (doc_id)
+        JOIN qual USING (doc_id)
+        LEFT JOIN cc ON d.doc_id = cc.doc_id
+        WHERE lang.lang_pred = 'en' AND qual.quality >= {QUALITY_T}
+          AND (cc.doc_id IS NULL OR cc.cluster = d.doc_id)
+    """
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     full_hashes = f"list_transform(tk, t -> {P.sql_md5_long('t')})"
     sorted_gram_hashes = (
         f"list_sort(list_transform(gs, g -> {P.sql_md5_long('g')}))"
