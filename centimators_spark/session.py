@@ -40,6 +40,11 @@ def get_spark(
         # tasks). Operators that do heavy per-row compute after a skinny
         # scan repartition explicitly instead; leave the 128m default
         # here, which is also the right setting for TB-scale files.
+        # runtime bloom-filter join pruning: the big side of a selective
+        # join gets a bloom filter built from the small side's join keys
+        # pushed into its scan — at 100 TB this skips reading most of the
+        # probe side for filters like "orders of BUILDING customers"
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

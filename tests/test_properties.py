@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): core window/horizontal semantics
+hold for ARBITRARY small panels, not just the golden fixtures — the
+reference's cross-framework-equivalence idea pushed further (SURVEY.md
+§5: differential testing as the primary correctness tool)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+values = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=2, max_size=25
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(xs=values)
+def test_avg_rank_matches_pandas(spark, xs):
+    """Engine avg-tie rank == pandas rank(method='average') per group."""
+    from centimators_spark.operators import RankTransformer
+
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(xs)],
+        "rid long, g string, x double",
+    )
+    t = RankTransformer(["x"], group_col="g", keep_cols=["rid"])
+    got = (
+        t.transform(df).orderBy("rid").toPandas()["x_rank"].to_numpy()
+    )
+    expected = (
+        pd.Series(xs).rank(method="average") / len(xs)
+    ).to_numpy()
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(*[st.integers(-20, 20) for _ in range(4)]),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_horizontal_stats_match_numpy(spark, rows):
+    """Row-wise mean/std/range match numpy with the reference's
+    static-n (ddof=1) conventions on fully-populated rows."""
+    from centimators_spark.operators import GroupStatsTransformer
+
+    df = spark.createDataFrame(
+        [(i, *(float(v) for v in r)) for i, r in enumerate(rows)],
+        "rid long, a double, b double, c double, d double",
+    )
+    t = GroupStatsTransformer(
+        {"g": ["a", "b", "c", "d"]}, stats=["mean", "std", "range"],
+        keep_cols=["rid"],
+    )
+    out = t.transform(df).orderBy("rid").toPandas()
+    m = np.array(rows, dtype=float)
+    np.testing.assert_allclose(out["g_groupstats_mean"], m.mean(axis=1), rtol=1e-12)
+    np.testing.assert_allclose(
+        out["g_groupstats_std"], m.std(axis=1, ddof=1), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        out["g_groupstats_range"], m.max(axis=1) - m.min(axis=1), rtol=1e-12
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(xs=values, w=st.integers(min_value=1, max_value=6))
+def test_moving_average_partial_windows_null(spark, xs, w):
+    """Trailing mean matches pandas rolling(min_periods=w) — partial
+    windows are NULL, full windows exact."""
+    from centimators_spark.operators import MovingAverageTransformer
+
+    df = spark.createDataFrame(
+        [(i, "t", float(v)) for i, v in enumerate(xs)],
+        "rid long, tkr string, x double",
+    )
+    t = MovingAverageTransformer(
+        [w], ["x"], ticker_col="tkr", order_cols=["rid"], keep_cols=["rid"]
+    )
+    got = t.transform(df).orderBy("rid").toPandas()[f"x_ma{w}"]
+    expected = pd.Series([float(v) for v in xs]).rolling(w, min_periods=w).mean()
+    for g, e in zip(got, expected):
+        if math.isnan(e):
+            assert g is None or math.isnan(g)
+        else:
+            assert abs(g - e) < 1e-9
