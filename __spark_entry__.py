@@ -193,6 +193,44 @@ def q_neutralize_ols_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling sum/min/max/std family (one fused Window exec for the
+    whole fan-out); std rounded to 6dp for cross-engine accumulation."""
+    from centimators_spark.operators.time_series import RollingAggTransformer
+
+    t = RollingAggTransformer(
+        windows=[5],
+        feature_names=["l_quantity"],
+        aggs=["sum", "min", "max", "std"],
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        output_mode="replace",
+        keep_cols=KEYS,
+    )
+    out = t.transform(_lineitem(spark, sf_dir))
+    return out.withColumn(
+        "l_quantity_rolling_std5", F.round("l_quantity_rolling_std5", 6)
+    )
+
+
+def q_winsorize_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month quantile clipping of l_extendedprice (exact percentile
+    mode pinned for oracle parity; approx sketch is the scale default)."""
+    from centimators_spark.operators.stats import clip_by_quantile
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        F.date_trunc("month", F.col("l_shipdate")).alias("era"),
+        "l_extendedprice",
+    )
+    out = clip_by_quantile(
+        li, ["l_extendedprice"], era_col="era", lo=0.05, hi=0.95, exact=True
+    )
+    return out.select(
+        *KEYS, F.round("l_extendedprice_clipped", 6).alias("clipped")
+    )
+
+
 def q_feature_penalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-era Adamax exposure capping (applyInPandas kernel); rows-only."""
     li = _lineitem(spark, sf_dir).withColumn(
@@ -249,6 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_penalizer": q_feature_penalizer,
         "gaussianize_ordinal": q_gaussianize_ordinal,
         "neutralize_ols_era": q_neutralize_ols_era,
+        "rolling_aggregates": q_rolling_aggregates,
+        "winsorize_by_era": q_winsorize_by_era,
         **datapipe_queries.QUERIES,
         **relational_queries.QUERIES,
     }
@@ -286,6 +326,34 @@ def oracle_sql() -> dict[str, str]:
         **datapipe_queries.oracle_sql(),
         **relational_queries.oracle_sql(),
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
+        "rolling_aggregates": f"""
+            SELECT l_orderkey, l_linenumber,
+              CASE WHEN count(l_quantity) OVER w5 = 5
+                   THEN sum(l_quantity) OVER w5 END AS l_quantity_rolling_sum5,
+              CASE WHEN count(l_quantity) OVER w5 = 5
+                   THEN min(l_quantity) OVER w5 END AS l_quantity_rolling_min5,
+              CASE WHEN count(l_quantity) OVER w5 = 5
+                   THEN max(l_quantity) OVER w5 END AS l_quantity_rolling_max5,
+              round(CASE WHEN count(l_quantity) OVER w5 = 5
+                   THEN stddev_samp(l_quantity) OVER w5 END, 6)
+                AS l_quantity_rolling_std5
+            FROM lineitem
+            WINDOW w5 AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "winsorize_by_era": """
+            WITH b AS (
+              SELECT date_trunc('month', l_shipdate) AS era,
+                     quantile_cont(l_extendedprice, 0.05) AS lo,
+                     quantile_cont(l_extendedprice, 0.95) AS hi
+              FROM lineitem GROUP BY era
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round(least(greatest(l_extendedprice, lo), hi), 6)
+                     AS clipped
+            FROM lineitem JOIN b
+              ON date_trunc('month', l_shipdate) = b.era
+        """,
         "rank_transformer": f"""
             SELECT l_orderkey, l_linenumber,
               (rank() OVER (PARTITION BY l_shipdate ORDER BY l_quantity)

@@ -191,3 +191,50 @@ class GroupStatsTransformer(PanelTransformer):
             for group in self.feature_group_mapping
             for s in self.stats
         ]
+
+
+def clip_by_quantile(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    era_col: str | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    suffix: str = "_clipped",
+) -> DataFrame:
+    """Winsorization: clip each column to its [lo, hi] quantiles,
+    per era when ``era_col`` is given (the financial-panel convention)
+    else globally.
+
+    Plan: one tiny per-era quantile aggregation broadcast back onto the
+    scan, then pure greatest/least expressions — no Python, no second
+    pass. exact=False (scale default) uses the mergeable
+    ``approx_percentile`` sketch; exact=True uses interpolated exact
+    ``percentile`` (full per-group sort — oracle-parity mode, same
+    trade-off as event_percentiles)."""
+    from pyspark.sql import functions as F
+
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    keys = [era_col] if era_col else []
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.expr(f"{fn}({c}, {lo}{acc})").alias(f"__lo_{c}"),
+            F.expr(f"{fn}({c}, {hi}{acc})").alias(f"__hi_{c}"),
+        ]
+    bounds = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    joined = (
+        df.join(F.broadcast(bounds), keys)
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    out = joined
+    for c in cols:
+        clipped = F.least(
+            F.greatest(F.col(c), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")
+        )
+        out = out.withColumn(f"{c}{suffix}", clipped)
+    return out.drop(*[f"__{b}_{c}" for c in cols for b in ("lo", "hi")])

@@ -103,6 +103,63 @@ class MovingAverageTransformer(_OrderedPanelTransformer):
         return [f"{f}_ma{w}" for f in feats for w in self.windows]
 
 
+_ROLLING_AGGS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "std": F.stddev_samp,
+}
+
+
+class RollingAggTransformer(_OrderedPanelTransformer):
+    """Generic trailing-window aggregates — the MovingAverage family
+    extended to ``{f}_rolling_{agg}{w}`` for agg in mean/sum/min/max/std
+    (sample std, ddof=1). Same null rule as MovingAverage: windows with
+    fewer than w non-null rows → null. All (feature × window × agg)
+    columns share ONE WindowSpec per frame, so Catalyst fuses them into
+    a single WindowExec — one shuffle for the whole fan-out."""
+
+    def __init__(
+        self,
+        windows: Sequence[int],
+        feature_names=None,
+        aggs: Sequence[str] = ("mean",),
+        **kwargs,
+    ):
+        super().__init__(feature_names, **kwargs)
+        self.windows = list(windows)
+        bad = [a for a in aggs if a not in _ROLLING_AGGS]
+        if bad:
+            raise ValueError(
+                f"Unknown rolling aggs {bad}; choose from {sorted(_ROLLING_AGGS)}"
+            )
+        self.aggs = list(aggs)
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = feats
+        cols = []
+        for f in feats:
+            c = F.col(f)
+            for wsize in self.windows:
+                frame = self._window().rowsBetween(-(wsize - 1), 0)
+                full = F.count(c).over(frame) == wsize
+                for agg in self.aggs:
+                    expr = F.when(full, _ROLLING_AGGS[agg](c).over(frame))
+                    cols.append(expr.alias(f"{f}_rolling_{agg}{wsize}"))
+        return cols
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names or getattr(self, "feature_names_")
+        return [
+            f"{f}_rolling_{a}{w}"
+            for f in feats
+            for w in self.windows
+            for a in self.aggs
+        ]
+
+
 class LogReturnTransformer(_OrderedPanelTransformer):
     """``{f}_logreturn`` = ln(f_t) − ln(f_{t−1}) within ticker; first row null."""
 

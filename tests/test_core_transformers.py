@@ -220,3 +220,48 @@ def test_metadata_routing_shim(spark):
         lt.transform(df, ticker_series=df.select("t"))
     with _pytest.raises(TypeError, match="Unexpected metadata request"):
         r.set_transform_request(bogus_series=True)
+
+
+def test_rolling_agg_family(spark):
+    from centimators_spark.operators.time_series import RollingAggTransformer
+
+    df = spark.createDataFrame(
+        [(i, "t", float(v)) for i, v in enumerate([1, 2, 3, 4])],
+        "rid long, tkr string, x double",
+    )
+    t = RollingAggTransformer(
+        [2], ["x"], aggs=["sum", "min", "max", "std"],
+        ticker_col="tkr", order_cols=["rid"], keep_cols=["rid"],
+    )
+    out = t.transform(df).orderBy("rid").collect()
+    assert [r.x_rolling_sum2 for r in out] == [None, 3.0, 5.0, 7.0]
+    assert [r.x_rolling_min2 for r in out] == [None, 1.0, 2.0, 3.0]
+    assert [r.x_rolling_max2 for r in out] == [None, 2.0, 3.0, 4.0]
+    import math
+    assert out[0].x_rolling_std2 is None
+    assert abs(out[1].x_rolling_std2 - math.sqrt(0.5)) < 1e-12
+    assert t.get_feature_names_out() == [
+        "x_rolling_sum2", "x_rolling_min2", "x_rolling_max2", "x_rolling_std2",
+    ]
+    with pytest.raises(ValueError, match="Unknown rolling"):
+        RollingAggTransformer([2], ["x"], aggs=["median"])
+
+
+def test_clip_by_quantile_global_and_era(spark):
+    from centimators_spark.operators.stats import clip_by_quantile
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", float(i)) for i in range(100)],
+        "rid long, era string, x double",
+    )
+    # global exact clip at [0.1, 0.9] -> bounds 9.9 / 89.1 (interpolated)
+    out = clip_by_quantile(df, ["x"], lo=0.1, hi=0.9, exact=True)
+    vals = {r.rid: r.x_clipped for r in out.collect()}
+    assert min(vals.values()) == pytest.approx(9.9)
+    assert max(vals.values()) == pytest.approx(89.1)
+    assert vals[50] == 50.0  # interior untouched
+    # per-era: era 'a' spans 0..49, its p90 ≈ 44.1 clips rid 49
+    out2 = clip_by_quantile(df, ["x"], era_col="era", lo=0.1, hi=0.9, exact=True)
+    v2 = {r.rid: r.x_clipped for r in out2.collect()}
+    assert v2[49] == pytest.approx(44.1)
+    assert v2[99] == pytest.approx(94.1)
