@@ -221,6 +221,32 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_percentiles(load_table(spark, sf_dir, "events"), exact=True)
 
 
+def q_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (customers' order counts vs
+    their event counts keyed by id) — exercises outer-join null
+    semantics plus null-safe coalesced keys; both inputs pre-aggregate
+    so the join sides are small."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    by_orders = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    by_events = (
+        events.where(F.col("user_id") <= 2000)
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = by_orders.join(by_events, "k", "full_outer")
+    return j.select(
+        "k",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (F.col("n_orders").isNotNull() & F.col("n_events").isNotNull())
+        .cast("int")
+        .alias("in_both"),
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate: revenue by (priority, status) with subtotal and
     grand-total rows; grouping ids disambiguate rollup NULLs. Runs as
@@ -339,6 +365,7 @@ QUERIES = {
     "spearman_by_month": q_spearman_by_month,
     "asof_join": q_asof_join,
     "sql_returned_revenue": q_sql_returned_revenue,
+    "full_outer_activity": q_full_outer_activity,
     "rollup_revenue": q_rollup_revenue,
     "set_ops_customers": q_set_ops_customers,
     "exists_customers": q_exists_customers,
@@ -518,6 +545,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "sql_returned_revenue": _Q10_SQL,
+        "full_outer_activity": """
+            WITH a AS (
+              SELECT o_custkey AS k, count(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+            ), b AS (
+              SELECT user_id AS k, count(*) AS n_events
+              FROM events WHERE user_id <= 2000 GROUP BY user_id
+            )
+            SELECT coalesce(a.k, b.k) AS k,
+                   coalesce(n_orders, 0) AS n_orders,
+                   coalesce(n_events, 0) AS n_events,
+                   CAST(a.k IS NOT NULL AND b.k IS NOT NULL AS INT) AS in_both
+            FROM a FULL OUTER JOIN b ON a.k = b.k
+        """,
         "rollup_revenue": """
             SELECT o_orderpriority, o_orderstatus,
                    round(sum(o_totalprice), 2) AS revenue,
