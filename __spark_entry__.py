@@ -223,8 +223,16 @@ def q_winsorize_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("l_shipdate")).alias("era"),
         "l_extendedprice",
     )
+    # exact percentile sorts each era's values inside its aggregation
+    # buffer; the local single-row-group scan is ONE task, so spread the
+    # eras across tasks first (hash on era → each task sorts its eras)
     out = clip_by_quantile(
-        li, ["l_extendedprice"], era_col="era", lo=0.05, hi=0.95, exact=True
+        li.repartition("era"),
+        ["l_extendedprice"],
+        era_col="era",
+        lo=0.05,
+        hi=0.95,
+        exact=True,
     )
     return out.select(
         *KEYS, F.round("l_extendedprice_clipped", 6).alias("clipped")

@@ -10,6 +10,7 @@ driver-side collection.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -40,6 +41,13 @@ def main():
             df2.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # release this query's JVM-side state (localCheckpoint blocks,
+        # broadcasts) promptly: dropping the py4j refs lets the
+        # ContextCleaner free them now instead of during a later query's
+        # timing window (heap pressure showed up as one random query per
+        # run absorbing a multi-second full GC)
+        df = df2 = None
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(

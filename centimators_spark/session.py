@@ -46,7 +46,10 @@ def get_spark(
         # probe side for filters like "orders of BUILDING customers"
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local mode: the driver JVM hosts all 32 executor threads plus
+        # storage (checkpoint blocks, broadcasts) — 16g showed full-GC
+        # stalls across long multi-query sessions; the box has 128 GiB
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
