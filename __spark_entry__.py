@@ -193,6 +193,22 @@ def q_neutralize_ols_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gaussianize_probit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE gaussianize (#16) — ordinal rank → (r−0.5)/n → AS241
+    Φ⁻¹ — as pure window + shared-SQL-text expressions; no
+    applyInPandas, eras of any size, bit-exact oracle (6dp for the
+    ln/sqrt ULP)."""
+    from centimators_spark.operators.neutralization import gaussianize_expr
+
+    li = _lineitem(spark, sf_dir).withColumn(
+        "era", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    out = gaussianize_expr(
+        li, "l_extendedprice", era_col="era", order_col=ORDER
+    )
+    return out.select(*KEYS, "l_extendedprice_gauss")
+
+
 def q_rolling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling sum/min/max/std family (one fused Window exec for the
     whole fan-out); std rounded to 6dp for cross-engine accumulation."""
@@ -297,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neutralize_ols_era": q_neutralize_ols_era,
         "rolling_aggregates": q_rolling_aggregates,
         "winsorize_by_era": q_winsorize_by_era,
+        "gaussianize_probit": q_gaussianize_probit,
         **datapipe_queries.QUERIES,
         **relational_queries.QUERIES,
     }
@@ -308,6 +325,24 @@ _ORDER_SQL = (
     "l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
     "l_discount, l_tax"
 )
+
+
+def _gaussianize_probit_oracle() -> str:
+    from centimators_spark.functions.normal import norm_ppf_sql
+
+    u = (
+        "(CAST(row_number() OVER ("
+        "   PARTITION BY date_trunc('month', l_shipdate)"
+        f"   ORDER BY l_extendedprice, {_ORDER_SQL}) AS DOUBLE) - 0.5)"
+        " / CAST(count(*) OVER ("
+        "   PARTITION BY date_trunc('month', l_shipdate)) AS DOUBLE)"
+    )
+    return f"""
+        WITH r AS (SELECT l_orderkey, l_linenumber, {u} AS u FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+               round({norm_ppf_sql('u')}, 6) AS l_extendedprice_gauss
+        FROM r
+    """
 
 
 def _neutralize_ols_era_oracle() -> str:
@@ -334,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         **datapipe_queries.oracle_sql(),
         **relational_queries.oracle_sql(),
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
+        "gaussianize_probit": _gaussianize_probit_oracle(),
         "rolling_aggregates": f"""
             SELECT l_orderkey, l_linenumber,
               CASE WHEN count(l_quantity) OVER w5 = 5

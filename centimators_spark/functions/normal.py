@@ -79,6 +79,40 @@ def norm_ppf(p: np.ndarray) -> np.ndarray:
     return out
 
 
+def _horner_sql(coeffs, x: str) -> str:
+    """Left-to-right Horner chain as SQL text — parenthesized exactly
+    like _poly's ``r = r*x + c`` loop so the float ops associate
+    identically in every engine."""
+    expr = repr(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        expr = f"({expr} * {x} + {repr(c)})"
+    return expr
+
+
+def norm_ppf_sql(u: str) -> str:
+    """AS241 Φ⁻¹ as a single SQL expression over column/expr ``u`` —
+    the SAME text is evaluated by Spark (F.expr) and the DuckDB oracle,
+    so the probit becomes bit-exact cross-engine up to the engines'
+    1-ULP ln/sqrt differences (callers round outputs to ~6dp for
+    hashing, like every other transcendental in the suite). Valid for
+    u strictly inside (0,1) — the gaussianize u = (rank−0.5)/n domain."""
+    q = f"({u} - 0.5)"
+    r_central = f"(0.180625 - {q} * {q})"
+    central = (
+        f"({q} * {_horner_sql(_A, r_central)} / {_horner_sql(_B, r_central)})"
+    )
+    rt = f"sqrt(-ln(CASE WHEN {q} < 0.0 THEN {u} ELSE 1.0 - {u} END))"
+    near = f"({rt} - 1.6)"
+    far = f"({rt} - 5.0)"
+    tail_val = (
+        f"(CASE WHEN {rt} <= 5.0"
+        f" THEN {_horner_sql(_C, near)} / {_horner_sql(_D, near)}"
+        f" ELSE {_horner_sql(_E, far)} / {_horner_sql(_F, far)} END)"
+    )
+    tail = f"(CASE WHEN {q} < 0.0 THEN -{tail_val} ELSE {tail_val} END)"
+    return f"(CASE WHEN abs({q}) <= 0.425 THEN {central} ELSE {tail} END)"
+
+
 def ordinal_uniform(values: np.ndarray) -> np.ndarray:
     """The deterministic pre-probit half of gaussianize: ordinal rank →
     (r − 0.5)/n ∈ (0, 1). Ordinal ranks break ties by array position

@@ -32,7 +32,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -67,6 +67,39 @@ def gaussianize_stage(
 
     narrow = df.select(*dict.fromkeys(oc + passthrough + [pred_name]))
     return narrow.groupBy(era_col).applyInPandas(kernel, schema)
+
+
+def gaussianize_expr(
+    df: DataFrame,
+    pred_name: str,
+    *,
+    era_col: str,
+    order_col: str | Sequence[str],
+    out_name: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """The COMPLETE gaussianize (#16) as pure column expressions: per
+    era, ordinal rank (row_number over (pred, order_col) — same stable
+    tie order as the numpy kernel) → u = (rank−0.5)/n → AS241 Φ⁻¹
+    evaluated as shared SQL text (functions/normal.norm_ppf_sql).
+
+    Scale: one Window shuffle on era; eras of ANY size work (the
+    applyInPandas kernel path holds a whole era per task). Output
+    rounded to ``round_dp`` because ln/sqrt differ by 1 ULP across
+    engines — everything else in the expression is bit-identical."""
+    from centimators_spark.functions.normal import norm_ppf_sql
+
+    oc = [order_col] if isinstance(order_col, str) else list(order_col)
+    out = out_name or f"{pred_name}_gauss"
+    w_rank = Window.partitionBy(era_col).orderBy(pred_name, *oc)
+    w_era = Window.partitionBy(era_col)
+    u = (
+        (F.row_number().over(w_rank).cast("double") - 0.5)
+        / F.count(F.lit(1)).over(w_era).cast("double")
+    )
+    return df.withColumn("__u", u).withColumn(
+        out, F.round(F.expr(norm_ppf_sql("__u")), round_dp)
+    ).drop("__u")
 
 
 def global_min_max_scale(

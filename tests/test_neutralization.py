@@ -232,3 +232,59 @@ def test_era_ols_neutralize_feature_cap():
 
     with pytest.raises(ValueError, match="5 features"):
         era_ols_neutralize(None, "y", list("abcdef"), era_col="era")
+
+
+def test_norm_ppf_sql_matches_numpy(spark):
+    """The shared-SQL-text AS241 matches the numpy kernel to float
+    noise across the full (0,1) domain incl. both tail branches."""
+    from pyspark.sql import functions as F
+
+    from centimators_spark.functions.normal import norm_ppf, norm_ppf_sql
+
+    us = np.concatenate([
+        np.array([1e-12, 1e-9, 1e-6, 1e-3, 0.075, 0.0751]),  # far+near tails
+        np.linspace(0.08, 0.92, 41),                          # central
+        1.0 - np.array([1e-12, 1e-9, 1e-6, 1e-3, 0.075]),
+    ])
+    df = spark.createDataFrame([(float(u),) for u in us], "u double")
+    got = (
+        df.withColumn("z", F.expr(norm_ppf_sql("u")))
+        .orderBy("u")
+        .toPandas()
+    )
+    expected = norm_ppf(np.sort(us))
+    np.testing.assert_allclose(got["z"], expected, rtol=1e-12, atol=1e-12)
+
+
+def test_gaussianize_expr_matches_kernel(spark):
+    """Window+expression gaussianize == the applyInPandas numpy kernel
+    (same ordinal tie order), to the 6dp rounding."""
+    from centimators_spark.operators.neutralization import (
+        gaussianize_expr,
+        gaussianize_stage,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = np.round(rng.uniform(0, 100, 200), 1)  # duplicates → ties
+    pdf = pd.DataFrame({
+        "rid": np.arange(200),
+        "era": np.repeat(["a", "b"], 100),
+        "x": vals,
+    })
+    df = spark.createDataFrame(pdf)
+    expr_out = (
+        gaussianize_expr(df, "x", era_col="era", order_col="rid")
+        .orderBy("rid")
+        .toPandas()["x_gauss"]
+        .to_numpy()
+    )
+    u = (
+        gaussianize_stage(df, "x", era_col="era", order_col="rid",
+                          keep_cols=["rid"])
+        .orderBy("rid")
+        .toPandas()["x_gauss_u"]
+        .to_numpy()
+    )
+    from centimators_spark.functions.normal import norm_ppf
+
+    np.testing.assert_allclose(expr_out, np.round(norm_ppf(u), 6), atol=1e-9)
