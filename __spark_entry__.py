@@ -209,6 +209,45 @@ def q_gaussianize_probit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*KEYS, "l_extendedprice_gauss")
 
 
+def q_neutralizer_full_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference neutralizer semantics — gaussianize
+    (ordinal rank → Φ⁻¹) → per-era OLS → proportion subtract →
+    standardize → global min-max — as ONE pure-expression plan with a
+    bit-exact composed oracle. The 6dp-rounded gaussian values scale by
+    1e6 into exact integers, so the decimal-Gram/Cramer machinery of
+    era_ols_neutralize applies unchanged."""
+    from centimators_spark.operators.neutralization import (
+        era_ols_neutralize,
+        gaussianize_expr,
+    )
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        *[c for c in ORDER if c not in KEYS],
+        F.date_trunc("month", F.col("l_shipdate")).alias("era"),
+        F.col("l_quantity").cast("double").alias("q"),
+        F.round(F.col("l_discount") * 100).alias("d100"),
+        F.round(F.col("l_tax") * 100).alias("t100"),
+    )
+    g = gaussianize_expr(
+        li, "l_extendedprice", era_col="era", order_col=ORDER
+    ).withColumn("y6", F.round(F.col("l_extendedprice_gauss") * 1e6))
+    # the OLS stage reads its input twice (Gram aggregation + residual
+    # join); materialize the windowed gaussianize ONCE, narrowed to what
+    # the OLS needs (at cluster scale: persist or write the stage)
+    g = g.select(*KEYS, "era", "q", "d100", "t100", "y6").localCheckpoint(
+        eager=True
+    )
+    return era_ols_neutralize(
+        g,
+        "y6",
+        ["q", "d100", "t100"],
+        era_col="era",
+        proportion=0.5,
+        keep_cols=KEYS,
+    )
+
+
 def q_rolling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling sum/min/max/std family (one fused Window exec for the
     whole fan-out); std rounded to 6dp for cross-engine accumulation."""
@@ -314,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_aggregates": q_rolling_aggregates,
         "winsorize_by_era": q_winsorize_by_era,
         "gaussianize_probit": q_gaussianize_probit,
+        "neutralizer_full_expr": q_neutralizer_full_expr,
         **datapipe_queries.QUERIES,
         **relational_queries.QUERIES,
     }
@@ -345,6 +385,41 @@ def _gaussianize_probit_oracle() -> str:
     """
 
 
+def _neutralizer_full_expr_oracle() -> str:
+    from centimators_spark.functions.normal import norm_ppf_sql
+    from centimators_spark.operators.neutralization import (
+        era_ols_neutralize_oracle_sql,
+    )
+
+    u = (
+        "(CAST(row_number() OVER ("
+        "   PARTITION BY date_trunc('month', l_shipdate)"
+        f"   ORDER BY l_extendedprice, {_ORDER_SQL}) AS DOUBLE) - 0.5)"
+        " / CAST(count(*) OVER ("
+        "   PARTITION BY date_trunc('month', l_shipdate)) AS DOUBLE)"
+    )
+    gsrc = f"""(
+      WITH rnk AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS q,
+               round(l_discount * 100) AS d100,
+               round(l_tax * 100) AS t100,
+               date_trunc('month', l_shipdate) AS era,
+               {u} AS u
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber, q, d100, t100, era,
+             round(round({norm_ppf_sql("u")}, 6) * 1e6) AS y6
+      FROM rnk) AS gsrc"""
+    return era_ols_neutralize_oracle_sql(
+        gsrc,
+        "y6",
+        ["q", "d100", "t100"],
+        era_sql="era",
+        key_sqls=["l_orderkey", "l_linenumber"],
+        proportion=0.5,
+    )
+
+
 def _neutralize_ols_era_oracle() -> str:
     from centimators_spark.operators.neutralization import (
         era_ols_neutralize_oracle_sql,
@@ -370,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         **relational_queries.oracle_sql(),
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
         "gaussianize_probit": _gaussianize_probit_oracle(),
+        "neutralizer_full_expr": _neutralizer_full_expr_oracle(),
         "rolling_aggregates": f"""
             SELECT l_orderkey, l_linenumber,
               CASE WHEN count(l_quantity) OVER w5 = 5

@@ -288,3 +288,51 @@ def test_gaussianize_expr_matches_kernel(spark):
     from centimators_spark.functions.normal import norm_ppf
 
     np.testing.assert_allclose(expr_out, np.round(norm_ppf(u), 6), atol=1e-9)
+
+
+def test_full_expr_neutralizer_matches_kernel(spark):
+    """The pure-expression gaussianize+OLS neutralizer tracks the
+    applyInPandas FeatureNeutralizer kernel (which uses unrounded Φ⁻¹
+    and numpy lstsq) to rounding tolerance on integer features."""
+    from pyspark.sql import functions as F
+
+    from centimators_spark.operators.neutralization import (
+        era_ols_neutralize,
+        gaussianize_expr,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 400
+    pdf = pd.DataFrame({
+        "rid": np.arange(n),
+        "era": np.repeat(["a", "b"], n // 2),
+        "f0": rng.randint(1, 50, n).astype(float),
+        "f1": rng.randint(0, 10, n).astype(float),
+        "pred": rng.uniform(0, 1000, n).round(2),
+    })
+    df = spark.createDataFrame(pdf)
+
+    g = gaussianize_expr(df, "pred", era_col="era", order_col="rid")
+    g = g.withColumn("y6", F.round(F.col("pred_gauss") * 1e6))
+    expr_out = (
+        era_ols_neutralize(
+            g, "y6", ["f0", "f1"], era_col="era", proportion=0.5,
+            keep_cols=["rid"],
+        )
+        .orderBy("rid")
+        .toPandas()["neutralized"]
+        .to_numpy()
+    )
+
+    kernel = FeatureNeutralizer(
+        proportion=0.5, pred_name="pred", feature_names=["f0", "f1"],
+        era_col="era", order_col="rid", keep_cols=["rid"],
+    )
+    kernel_out = (
+        kernel.transform(df)
+        .orderBy("rid")
+        .toPandas()["pred_neutralized_0.5"]
+        .to_numpy()
+    )
+    assert np.corrcoef(expr_out, kernel_out)[0, 1] > 0.999999
+    np.testing.assert_allclose(expr_out, kernel_out, atol=2e-4)
