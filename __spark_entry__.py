@@ -248,6 +248,21 @@ def q_neutralizer_full_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_exposures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure computation (#20): per-era Pearson correlation of each
+    feature against the prediction column — the quantity the penalizer
+    caps — as one grouped aggregation (map-side partial corr moments)."""
+    li = _lineitem(spark, sf_dir).withColumn(
+        "era", F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate")))
+    )
+    return li.groupBy("era").agg(
+        *[
+            F.round(F.corr(f, "l_extendedprice"), 6).alias(f"exp_{f}")
+            for f in ("l_quantity", "l_discount", "l_tax")
+        ]
+    )
+
+
 def q_rolling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling sum/min/max/std family (one fused Window exec for the
     whole fan-out); std rounded to 6dp for cross-engine accumulation."""
@@ -354,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_by_era": q_winsorize_by_era,
         "gaussianize_probit": q_gaussianize_probit,
         "neutralizer_full_expr": q_neutralizer_full_expr,
+        "feature_exposures": q_feature_exposures,
         **datapipe_queries.QUERIES,
         **relational_queries.QUERIES,
     }
@@ -446,6 +462,16 @@ def oracle_sql() -> dict[str, str]:
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
         "gaussianize_probit": _gaussianize_probit_oracle(),
         "neutralizer_full_expr": _neutralizer_full_expr_oracle(),
+        "feature_exposures": """
+            SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT)
+                     AS era,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                     AS exp_l_quantity,
+                   round(corr(l_discount, l_extendedprice), 6)
+                     AS exp_l_discount,
+                   round(corr(l_tax, l_extendedprice), 6) AS exp_l_tax
+            FROM lineitem GROUP BY era
+        """,
         "rolling_aggregates": f"""
             SELECT l_orderkey, l_linenumber,
               CASE WHEN count(l_quantity) OVER w5 = 5
