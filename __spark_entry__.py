@@ -248,6 +248,53 @@ def q_neutralizer_full_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_diff_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain diff + pct-change within ticker (non-log sibling of
+    log_return); pct rounded 6dp for the cross-engine division."""
+    from centimators_spark.operators.time_series import DiffTransformer
+
+    t = DiffTransformer(
+        windows=[1, 5],
+        feature_names=["l_extendedprice"],
+        pct_change=True,
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        output_mode="replace",
+        keep_cols=KEYS,
+    )
+    out = t.transform(_lineitem(spark, sf_dir))
+    return out.select(
+        *KEYS,
+        "l_extendedprice_diff1",
+        F.round("l_extendedprice_pct1", 6).alias("l_extendedprice_pct1"),
+        "l_extendedprice_diff5",
+        F.round("l_extendedprice_pct5", 6).alias("l_extendedprice_pct5"),
+    )
+
+
+def q_expanding_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum/max per ticker — unbounded-preceding frame."""
+    from centimators_spark.operators.time_series import ExpandingAggTransformer
+
+    t = ExpandingAggTransformer(
+        feature_names=["l_quantity"],
+        aggs=["sum", "max"],
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        output_mode="replace",
+        keep_cols=KEYS,
+    )
+    return t.transform(_lineitem(spark, sf_dir))
+
+
+def q_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level session labels (gap rule) — the assignment sibling of
+    events_sessionize's aggregate."""
+    from centimators_spark.streaming.events import session_ids
+
+    return session_ids(load_table(spark, sf_dir, "events"))
+
+
 def q_feature_exposures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exposure computation (#20): per-era Pearson correlation of each
     feature against the prediction column — the quantity the penalizer
@@ -370,6 +417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussianize_probit": q_gaussianize_probit,
         "neutralizer_full_expr": q_neutralizer_full_expr,
         "feature_exposures": q_feature_exposures,
+        "diff_transformer": q_diff_transformer,
+        "expanding_aggregates": q_expanding_aggregates,
+        "session_ids": q_session_ids,
         **datapipe_queries.QUERIES,
         **relational_queries.QUERIES,
     }
@@ -462,6 +512,44 @@ def oracle_sql() -> dict[str, str]:
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
         "gaussianize_probit": _gaussianize_probit_oracle(),
         "neutralizer_full_expr": _neutralizer_full_expr_oracle(),
+        "diff_transformer": f"""
+            SELECT l_orderkey, l_linenumber,
+              l_extendedprice - lag(l_extendedprice, 1) OVER w
+                AS l_extendedprice_diff1,
+              round(l_extendedprice / lag(l_extendedprice, 1) OVER w - 1, 6)
+                AS l_extendedprice_pct1,
+              l_extendedprice - lag(l_extendedprice, 5) OVER w
+                AS l_extendedprice_diff5,
+              round(l_extendedprice / lag(l_extendedprice, 5) OVER w - 1, 6)
+                AS l_extendedprice_pct5
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL})
+        """,
+        "expanding_aggregates": f"""
+            SELECT l_orderkey, l_linenumber,
+              sum(l_quantity) OVER w AS l_quantity_expanding_sum,
+              max(l_quantity) OVER w AS l_quantity_expanding_max
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "session_ids": """
+            SELECT event_id, user_id,
+              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_epoch,
+              sum(CASE WHEN prev IS NULL
+                       OR epoch(date_trunc('second', ts)) - prev > 1800
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_idx
+            FROM (
+              SELECT event_id, user_id, ts,
+                     lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev
+              FROM events
+            )
+        """,
         "feature_exposures": """
             SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT)
                      AS era,

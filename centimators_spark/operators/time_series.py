@@ -160,6 +160,83 @@ class RollingAggTransformer(_OrderedPanelTransformer):
         ]
 
 
+class DiffTransformer(_OrderedPanelTransformer):
+    """Plain differences and percent changes within ticker:
+    ``{f}_diff{k}`` = f_t − f_{t−k} and (optionally) ``{f}_pct{k}`` =
+    f_t/f_{t−k} − 1; leading k rows null. The non-log sibling of
+    LogReturnTransformer, same single fused WindowSpec."""
+
+    def __init__(
+        self,
+        windows: Sequence[int] = (1,),
+        feature_names=None,
+        pct_change: bool = False,
+        **kwargs,
+    ):
+        super().__init__(feature_names, **kwargs)
+        self.windows = list(windows)
+        self.pct_change = pct_change
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = feats
+        w = self._window()
+        cols = []
+        for f in feats:
+            c = F.col(f)
+            for k in self.windows:
+                prev = F.lag(c, k).over(w)
+                cols.append((c - prev).alias(f"{f}_diff{k}"))
+                if self.pct_change:
+                    cols.append((c / prev - 1).alias(f"{f}_pct{k}"))
+        return cols
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names or getattr(self, "feature_names_")
+        out = []
+        for f in feats:
+            for k in self.windows:
+                out.append(f"{f}_diff{k}")
+                if self.pct_change:
+                    out.append(f"{f}_pct{k}")
+        return out
+
+
+class ExpandingAggTransformer(_OrderedPanelTransformer):
+    """Expanding (cumulative) aggregates within ticker:
+    ``{f}_expanding_{agg}`` over rows from the group start through the
+    current row, agg in mean/sum/min/max/std (std null until 2 rows).
+    One unbounded-preceding frame shared by every column."""
+
+    def __init__(
+        self,
+        feature_names=None,
+        aggs: Sequence[str] = ("sum",),
+        **kwargs,
+    ):
+        super().__init__(feature_names, **kwargs)
+        bad = [a for a in aggs if a not in _ROLLING_AGGS]
+        if bad:
+            raise ValueError(
+                f"Unknown expanding aggs {bad}; choose from {sorted(_ROLLING_AGGS)}"
+            )
+        self.aggs = list(aggs)
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = feats
+        frame = self._window().rowsBetween(Window.unboundedPreceding, 0)
+        return [
+            _ROLLING_AGGS[agg](F.col(f)).over(frame).alias(f"{f}_expanding_{agg}")
+            for f in feats
+            for agg in self.aggs
+        ]
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names or getattr(self, "feature_names_")
+        return [f"{f}_expanding_{a}" for f in feats for a in self.aggs]
+
+
 class LogReturnTransformer(_OrderedPanelTransformer):
     """``{f}_logreturn`` = ln(f_t) − ln(f_{t−1}) within ticker; first row null."""
 

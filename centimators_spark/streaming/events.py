@@ -97,6 +97,38 @@ def sessionize(
     )
 
 
+def session_ids(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Row-level session labeling — the assignment sibling of the
+    ``sessionize`` aggregate: a new session starts when the gap from the
+    previous event (per ``by`` key, ordered by (ts, id)) exceeds
+    ``gap_seconds``; ``session_idx`` is the 1-based running count of
+    session starts. One window shuffle; same gap semantics as
+    ``F.session_window`` (gap strictly greater ⇒ new session)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(ts_col, id_col)
+    prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - prev) > gap_seconds)
+    ).cast("long")
+    run = Window.partitionBy(by).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return events.select(
+        id_col,
+        by,
+        F.unix_timestamp(F.col(ts_col)).alias("ts_epoch"),
+        F.sum(is_new).over(run).alias("session_idx"),
+    )
+
+
 _RUNNING_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),

@@ -265,3 +265,47 @@ def test_clip_by_quantile_global_and_era(spark):
     v2 = {r.rid: r.x_clipped for r in out2.collect()}
     assert v2[49] == pytest.approx(44.1)
     assert v2[99] == pytest.approx(94.1)
+
+
+def test_diff_and_expanding_transformers(spark):
+    from centimators_spark.operators.time_series import (
+        DiffTransformer,
+        ExpandingAggTransformer,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "t", float(v)) for i, v in enumerate([10, 20, 15, 30])],
+        "rid long, tkr string, x double",
+    )
+    d = DiffTransformer([1], ["x"], pct_change=True, ticker_col="tkr",
+                        order_cols=["rid"], keep_cols=["rid"])
+    out = d.transform(df).orderBy("rid").collect()
+    assert [r.x_diff1 for r in out] == [None, 10.0, -5.0, 15.0]
+    assert out[1].x_pct1 == pytest.approx(1.0)
+    assert out[2].x_pct1 == pytest.approx(-0.25)
+    assert d.get_feature_names_out() == ["x_diff1", "x_pct1"]
+
+    e = ExpandingAggTransformer(["x"], aggs=["sum", "max"], ticker_col="tkr",
+                                order_cols=["rid"], keep_cols=["rid"])
+    out2 = e.transform(df).orderBy("rid").collect()
+    assert [r.x_expanding_sum for r in out2] == [10.0, 30.0, 45.0, 75.0]
+    assert [r.x_expanding_max for r in out2] == [10.0, 20.0, 20.0, 30.0]
+    with pytest.raises(ValueError, match="Unknown expanding"):
+        ExpandingAggTransformer(["x"], aggs=["median"])
+
+
+def test_session_ids_gap_rule(spark):
+    from datetime import datetime
+
+    from centimators_spark.streaming.events import session_ids
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, base),
+        (2, 7, datetime(2024, 1, 1, 12, 10)),   # within gap
+        (3, 7, datetime(2024, 1, 1, 13, 0)),    # 50min later -> new session
+        (4, 8, datetime(2024, 1, 1, 12, 5)),    # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.event_id: r.session_idx for r in session_ids(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
