@@ -256,9 +256,14 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ordered for the driver's 50-entry correctness window (see
+# __spark_entry__.queries()): rows-only / composite queries first, the
+# simplest longest-stable single-table queries last so they are the ones
+# that fall past the window if the total exceeds 50
 QUERIES = {
     "embedding_transformer": q_embedding_transformer,
     "dim_reducer_pca": q_dim_reducer_pca,
+    "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -270,13 +275,12 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
-    "text_token_counts": q_text_token_counts,
-    "doc_fingerprint": q_doc_fingerprint,
     "tfidf_topk": q_tfidf_topk,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_token_counts": q_text_token_counts,
     "multimodal_metadata": q_multimodal_metadata,
     "hash_split_sample": q_hash_split_sample,
     "pack_sequences": q_pack_sequences,
-    "corpus_clean": q_corpus_clean,
 }
 
 

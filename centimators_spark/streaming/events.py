@@ -41,8 +41,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (with local tz); the session tz is
+        # pinned UTC so this cast is a pure type change, not a value shift
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -45,3 +45,38 @@ def test_contract_shape():
     assert set(o) <= set(q)
     # every query key is a plain identifier (driver uses them as names)
     assert all(k.replace("_", "").isalnum() for k in q)
+
+
+def test_unverified_queries_inside_driver_window():
+    """The driver's correctness pass checks the first 50 queries()
+    entries. Everything that was red or unchecked in round 2 must sit
+    inside that window; only long-stable green queries may overflow."""
+    names = list(entrymod.queries())
+    window = set(names[:50])
+    must_check = {
+        "session_ids",           # r2 red (oracle dtype, now fixed)
+        "events_json_extract",   # r1 red, fix never driver-verified
+        "events_sessionize",
+        "top_orders_per_segment",
+        "shipping_priority",
+        "regional_revenue",
+    }
+    assert must_check <= window, must_check - window
+
+
+def test_compare_flags_int_float_dtype_mismatch():
+    """tools/check_oracle.compare must fail an int-vs-float column even
+    when values coerce equal — the exact bug class that shipped
+    session_ids red in r2 (DuckDB HUGEINT → pandas float64 vs Spark
+    int64 hashing differently at the driver)."""
+    import sys
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    spark_pdf = pd.DataFrame({"k": [1, 2], "v": pd.Series([2, 3], dtype="int64")})
+    oracle_pdf = pd.DataFrame({"k": [1, 2], "v": pd.Series([2.0, 3.0], dtype="float64")})
+    assert not compare("dtype_probe", spark_pdf, oracle_pdf)
+    # identical dtypes with equal values still pass
+    assert compare("dtype_probe_ok", spark_pdf, spark_pdf.copy())

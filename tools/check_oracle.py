@@ -42,6 +42,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> boo
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # the driver's canonical value hash sees dtypes: int64 2 vs
+        # float64 2.0 hash differently even when every value matches
+        # after coercion (how session_ids shipped red in r2 — DuckDB
+        # HUGEINT window sums land in pandas as float64). Flag kind
+        # mismatches as failures BEFORE the float coercion below hides
+        # them.
+        if sv.dtype.kind != ov.dtype.kind and {sv.dtype.kind, ov.dtype.kind} <= {
+            "i", "u", "f",
+        }:
+            print(
+                f"  [{name}] col {c}: DTYPE KIND MISMATCH spark={sv.dtype} "
+                f"oracle={ov.dtype} — driver hash WILL differ even if values "
+                f"match; CAST the oracle (or Spark) side"
+            )
+            ok = False
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sv = sv.astype("float64").to_numpy()
             ov = ov.astype("float64").to_numpy()
