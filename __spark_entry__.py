@@ -229,6 +229,22 @@ def q_neutralizer_full_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact 2-feature PCA projection — the expression twin of
+    DimReducer('pca') (closed-form 2×2 covariance eigen-solve as shared
+    SQL text over exact decimal sums; differential test pins the numpy
+    eigh kernel to this twin). One map-side-partial aggregation +
+    broadcast-back — the narrow-PCA scoring plan that holds at 100 TB."""
+    from centimators_spark.operators.dimreduction import pca2_project_expr
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        F.col("l_quantity").alias("xq"),
+        F.round(F.col("l_discount") * 100).alias("yd"),
+    )
+    return pca2_project_expr(li, "xq", "yd", keep_cols=KEYS)
+
+
 def q_diff_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain diff + pct-change within ticker (non-log sibling of
     log_return); pct rounded 6dp for the cross-engine division."""
@@ -405,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussianize_probit": q_gaussianize_probit,
         "neutralizer_full_expr": q_neutralizer_full_expr,
         "feature_exposures": q_feature_exposures,
+        "pca_project_expr": q_pca_project_expr,
         "diff_transformer": q_diff_transformer,
         "expanding_aggregates": q_expanding_aggregates,
         **datapipe_queries.QUERIES,
@@ -472,6 +489,17 @@ def _neutralizer_full_expr_oracle() -> str:
     )
 
 
+def _pca_project_expr_oracle() -> str:
+    from centimators_spark.operators.dimreduction import pca2_project_oracle_sql
+
+    return pca2_project_oracle_sql(
+        "lineitem",
+        "l_quantity",
+        "round(l_discount * 100)",
+        key_sqls=["l_orderkey", "l_linenumber"],
+    )
+
+
 def _neutralize_ols_era_oracle() -> str:
     from centimators_spark.operators.neutralization import (
         era_ols_neutralize_oracle_sql,
@@ -496,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         **datapipe_queries.oracle_sql(),
         **relational_queries.oracle_sql(),
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
+        "pca_project_expr": _pca_project_expr_oracle(),
         "gaussianize_probit": _gaussianize_probit_oracle(),
         "neutralizer_full_expr": _neutralizer_full_expr_oracle(),
         "diff_transformer": f"""

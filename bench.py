@@ -48,6 +48,11 @@ def main():
         # run absorbing a multi-second full GC)
         df = df2 = None
         gc.collect()
+        # the py4j refs are gone — now force the JVM full GC OUTSIDE the
+        # next query's timing window (heap garbage from heavy queries —
+        # decimal agg buffers, checkpoint blocks — otherwise lands as a
+        # multi-second stall inside whichever query runs next)
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -225,3 +225,143 @@ class DimReducer:
 
     def fit_transform(self, df: DataFrame, y=None) -> DataFrame:
         return self.fit(df).transform(df)
+
+
+# -- bit-exact 2-feature PCA twin -----------------------------------------
+
+
+def pca2_sql_fragments(dp: int = 6) -> dict:
+    """Shared SQL text for a bit-exact 2-feature PCA projection — the
+    expression twin of DimReducer(method='pca') for d=2 (same pattern as
+    the AS241 probit and the era-OLS Cramer fragments: identical text
+    evaluated by Spark and DuckDB over exactly-aggregated inputs).
+
+    Inputs are INTEGER-VALUED columns x, y (exact DECIMAL(38,0) sums ⇒
+    order-independent); the 2×2 covariance eigen-solve is closed form
+    (largest root of the characteristic quadratic, eigenvector
+    (b, λ−a)); components are sign-fixed largest-|loading|-positive —
+    the same convention as DimReducer._fit_pca_expr. Projection applies
+    components to the UNcentered data (Spark ML PCA semantics)."""
+    nd = "CAST(n AS DOUBLE)"
+    cov = {
+        "cxx": f"(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / {nd}) / ({nd} - 1.0)",
+        "cxy": f"(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / {nd}) / ({nd} - 1.0)",
+        "cyy": f"(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / {nd}) / ({nd} - 1.0)",
+    }
+    return {
+        "sums": [
+            "count(*) AS n",
+            "sum(CAST(x AS DECIMAL(38,0))) AS sx",
+            "sum(CAST(y AS DECIMAL(38,0))) AS sy",
+            "sum(CAST(x * x AS DECIMAL(38,0))) AS sxx",
+            "sum(CAST(x * y AS DECIMAL(38,0))) AS sxy",
+            "sum(CAST(y * y AS DECIMAL(38,0))) AS syy",
+        ],
+        "cov": cov,
+        "l1": "(cxx + cyy) / 2.0 + sqrt((cxx - cyy) * (cxx - cyy) / 4.0 + cxy * cxy)",
+        # eigenvector for λ1; cxy = 0 ⇒ axes are already eigenvectors
+        "vx": "CASE WHEN cxy <> 0.0 THEN cxy WHEN cxx >= cyy THEN 1.0 ELSE 0.0 END",
+        "vy": "CASE WHEN cxy <> 0.0 THEN l1 - cxx WHEN cxx >= cyy THEN 0.0 ELSE 1.0 END",
+        "ux0": "vx / sqrt(vx * vx + vy * vy)",
+        "uy0": "vy / sqrt(vx * vx + vy * vy)",
+        # numpy argmax tie-break: index 0 wins on |ux0| == |uy0|
+        "sgn": "CASE WHEN (CASE WHEN abs(ux0) >= abs(uy0) THEN ux0 ELSE uy0 END) < 0.0 THEN -1.0 ELSE 1.0 END",
+        "ux": "ux0 * sgn",
+        "uy": "uy0 * sgn",
+        # second component = orthogonal complement, own sign fix
+        "wx0": "0.0 - (uy0 * sgn)",
+        "wy0": "ux0 * sgn",
+        "sgn2": "CASE WHEN (CASE WHEN abs(wx0) >= abs(wy0) THEN wx0 ELSE wy0 END) < 0.0 THEN -1.0 ELSE 1.0 END",
+        "wx": "wx0 * sgn2",
+        "wy": "wy0 * sgn2",
+        "dim0": f"round(x * ux + y * uy, {dp})",
+        "dim1": f"round(x * wx + y * wy, {dp})",
+    }
+
+
+def pca2_project_expr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    keep_cols: Sequence[str] = (),
+    dp: int = 6,
+) -> DataFrame:
+    """Distributed bit-exact 2-feature PCA projection: ONE map-side
+    partial aggregation (six exact decimal sums) → a 1-row closed-form
+    eigen-solve → broadcast back onto the scan. Zero Python, zero extra
+    shuffles — the 100 TB plan for narrow-PCA scoring."""
+    fr = pca2_sql_fragments(dp)
+    keep = list(keep_cols)
+    base = df.select(
+        *keep,
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    s = base.agg(
+        *[
+            F.expr(t.rsplit(" AS ", 1)[0]).alias(t.rsplit(" AS ", 1)[1])
+            for t in fr["sums"]
+        ]
+    )
+    c = s.select("*", *[F.expr(e).alias(a) for a, e in fr["cov"].items()])
+    c = c.select("*", F.expr(fr["l1"]).alias("l1"))
+    c = c.select("*", F.expr(fr["vx"]).alias("vx"), F.expr(fr["vy"]).alias("vy"))
+    c = c.select("*", F.expr(fr["ux0"]).alias("ux0"), F.expr(fr["uy0"]).alias("uy0"))
+    c = c.select("*", F.expr(fr["sgn"]).alias("sgn"))
+    c = c.select("*", F.expr(fr["wx0"]).alias("wx0"), F.expr(fr["wy0"]).alias("wy0"))
+    c = c.select("*", F.expr(fr["sgn2"]).alias("sgn2"))
+    comp = c.select(
+        F.expr(fr["ux"]).alias("ux"),
+        F.expr(fr["uy"]).alias("uy"),
+        F.expr(fr["wx"]).alias("wx"),
+        F.expr(fr["wy"]).alias("wy"),
+    )
+    return base.crossJoin(F.broadcast(comp)).select(
+        *keep,
+        F.expr(fr["dim0"]).alias("dim_0"),
+        F.expr(fr["dim1"]).alias("dim_1"),
+    )
+
+
+def pca2_project_oracle_sql(
+    table_sql: str,
+    x_sql: str,
+    y_sql: str,
+    *,
+    key_sqls: Sequence[str],
+    dp: int = 6,
+) -> str:
+    """DuckDB oracle for pca2_project_expr — the SAME fragment text
+    staged through CTEs with the same alias names."""
+    fr = pca2_sql_fragments(dp)
+    keys = ", ".join(key_sqls)
+    cov = ",\n               ".join(f"{e} AS {a}" for a, e in fr["cov"].items())
+    return f"""
+        WITH base AS (
+          SELECT {keys}, CAST({x_sql} AS DOUBLE) AS x, CAST({y_sql} AS DOUBLE) AS y
+          FROM {table_sql}
+        ), s AS (
+          SELECT {", ".join(fr["sums"])} FROM base
+        ), c0 AS (
+          SELECT *, {cov} FROM s
+        ), c1 AS (
+          SELECT *, {fr["l1"]} AS l1 FROM c0
+        ), c2 AS (
+          SELECT *, {fr["vx"]} AS vx, {fr["vy"]} AS vy FROM c1
+        ), c3 AS (
+          SELECT *, {fr["ux0"]} AS ux0, {fr["uy0"]} AS uy0 FROM c2
+        ), c4 AS (
+          SELECT *, {fr["sgn"]} AS sgn FROM c3
+        ), c5 AS (
+          SELECT *, {fr["wx0"]} AS wx0, {fr["wy0"]} AS wy0 FROM c4
+        ), c6 AS (
+          SELECT *, {fr["sgn2"]} AS sgn2 FROM c5
+        ), comp AS (
+          SELECT {fr["ux"]} AS ux, {fr["uy"]} AS uy,
+                 {fr["wx"]} AS wx, {fr["wy"]} AS wy
+          FROM c6
+        )
+        SELECT {keys}, {fr["dim0"]} AS dim_0, {fr["dim1"]} AS dim_1
+        FROM base CROSS JOIN comp
+    """

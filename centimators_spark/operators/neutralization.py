@@ -187,6 +187,7 @@ def era_ols_neutralize(
     keep_cols: Sequence[str] = (),
     round_dp: int = 6,
     out_name: str = "neutralized",
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """Distributed per-era OLS neutralization as PURE column expressions
     — the deterministic (no-Φ⁻¹) sibling of FeatureNeutralizer's kernel,
@@ -225,8 +226,12 @@ def era_ols_neutralize(
         F.col(pred_name).cast("double").alias("y"),
     )
     # spread the decimal Gram work across cores — single-row-group local
-    # files scan as one task, and decimal sums are order-independent
-    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # files scan as one task, and decimal sums are order-independent.
+    # Only when the input is UNDER-partitioned: a well-partitioned 100 TB
+    # scan must not eat a full extra shuffle before a map-side-partial agg.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parallelism:
+        base = base.repartition(parallelism)
     gram = base.groupBy(era_col).agg(
         *[
             F.expr(expr).alias(name)
@@ -242,10 +247,18 @@ def era_ols_neutralize(
         # three consumers read the residuals (era std, global min-max,
         # the output projection) — materialize ONCE, narrowed to
         # keys+era+residual, instead of re-running the scan+join+decimal
-        # lineage per consumer (at cluster scale: persist/checkpoint)
+        # lineage per consumer
         .select(*keep, era_col, "neut")
-        .localCheckpoint(eager=True)
     )
+    if materialize == "localCheckpoint":
+        # fastest single-node: truncates lineage via driver-local blocks
+        r = r.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        # cluster-scale choice: executor-memory/disk blocks, no driver disk
+        r = r.persist()
+        r.count()
+    elif materialize != "none":
+        raise ValueError(f"materialize must be localCheckpoint|persist|none, got {materialize!r}")
     stats = r.groupBy(era_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(f"sum({fr['ni_spark']})").alias("s1"),

@@ -221,10 +221,11 @@ def clip_by_quantile(
     keys = [era_col] if era_col else []
     aggs = []
     for c in cols:
-        aggs += [
-            F.expr(f"{fn}({c}, {lo}{acc})").alias(f"__lo_{c}"),
-            F.expr(f"{fn}({c}, {hi}{acc})").alias(f"__hi_{c}"),
-        ]
+        # one aggregate per column computes BOTH bounds: exact percentile
+        # sorts the group once instead of twice (halves the dominant cost)
+        aggs.append(
+            F.expr(f"{fn}({c}, array({lo}, {hi}){acc})").alias(f"__b_{c}")
+        )
     bounds = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
     joined = (
         df.join(F.broadcast(bounds), keys)
@@ -234,7 +235,7 @@ def clip_by_quantile(
     out = joined
     for c in cols:
         clipped = F.least(
-            F.greatest(F.col(c), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")
+            F.greatest(F.col(c), F.col(f"__b_{c}")[0]), F.col(f"__b_{c}")[1]
         )
         out = out.withColumn(f"{c}{suffix}", clipped)
-    return out.drop(*[f"__{b}_{c}" for c in cols for b in ("lo", "hi")])
+    return out.drop(*[f"__b_{c}" for c in cols])

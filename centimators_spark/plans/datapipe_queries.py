@@ -135,6 +135,30 @@ def q_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_topk(emb, queries, k=ANN_K, n_planes=4, n_tables=16)
 
 
+def q_ann_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable recall@k contract for the LSH path: per query,
+    count how many TRUE top-k neighbors (brute-force side) the bucketed
+    search returned. With 2 planes × 32 tables the candidate sets cover
+    the full top-k at this SF (measured recall 1.0 with wide margin), so
+    the oracle — the exact top-k counted per query in SQL — hash-matches
+    iff LSH recall is 100%: any missed neighbor shows up as hits < k."""
+    from centimators_spark.similarity.ann import rp_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=ANN_K).select("query_id", "vec_id")
+    lsh = rp_lsh_topk(
+        emb, queries, k=ANN_K, n_planes=2, n_tables=32
+    ).select("query_id", "vec_id")
+    return (
+        exact.join(lsh, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
@@ -271,6 +295,7 @@ QUERIES = {
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "ann_rp_lsh": q_ann_rp_lsh,
+    "ann_rp_lsh_recall": q_ann_rp_lsh_recall,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "text_language_id": q_text_language_id,
@@ -474,6 +499,24 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K}
+        """,
+        "ann_rp_lsh_recall": f"""
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {ANN_N_QUERIES}
+            ), scored AS (
+              SELECT q.query_id, e.vec_id, {_cos('q.qv', 'e.v')} AS cos
+              FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+                  AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(count(*) AS BIGINT) AS hits
+            FROM ranked WHERE rank <= {ANN_K} GROUP BY query_id
         """,
         "text_language_id": _lang_sql(),
         "text_quality_score": f"""

@@ -3,6 +3,8 @@ from centimators_spark.streaming.events import (
     sessionize,
     read_events_stream,
     stateful_running_counts,
+    session_ids,
+    session_ids_stateful,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "sessionize",
     "read_events_stream",
     "stateful_running_counts",
+    "session_ids",
+    "session_ids_stateful",
 ]

@@ -134,6 +134,73 @@ def session_ids(
     )
 
 
+_SESSION_IDS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_epoch", LongType()),
+        StructField("session_idx", LongType()),
+    ]
+)
+# carried across micro-batches: last event time seen + current session index
+_SESSION_IDS_STATE = StructType(
+    [StructField("last_ts", LongType()), StructField("cur_idx", LongType())]
+)
+
+
+def session_ids_stateful(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    by: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``session_ids`` — the row-level session labeler
+    as an ``applyInPandasWithState`` operator: per user, state carries
+    (last event epoch, current session index) across micro-batches, so
+    incremental execution emits the same labels the batch window query
+    computes. Rows are ordered (ts, id) within each batch — the same tie
+    order as the batch sibling."""
+    import numpy as np
+
+    narrow = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(by).alias("user_id"),
+        F.unix_timestamp(F.col(ts_col)).alias("ts_epoch"),
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, cur = state.get if state.exists else (None, 0)
+        pdf = pd.concat(list(pdfs))
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["ts_epoch", "event_id"], kind="mergesort")
+        ts = pdf["ts_epoch"].to_numpy(dtype=np.int64)
+        gap_prev = np.empty(len(ts), dtype=np.int64)
+        gap_prev[1:] = ts[1:] - ts[:-1]
+        gap_prev[0] = gap_seconds + 1 if last_ts is None else ts[0] - last_ts
+        idx = cur + np.cumsum(gap_prev > gap_seconds)
+        state.update((int(ts[-1]), int(idx[-1])))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "ts_epoch": ts,
+                "session_idx": idx,
+            }
+        )
+
+    return narrow.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SESSION_IDS_SCHEMA,
+        stateStructType=_SESSION_IDS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _RUNNING_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),

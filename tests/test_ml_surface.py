@@ -114,6 +114,26 @@ def test_dimreducer_expr_matches_sparkml(spark):
         assert corr > 0.9999, (k, corr)
 
 
+def test_dimreducer_pca_matches_expr_twin(spark):
+    """The numpy-eigh kernel (DimReducer expr path) must agree with the
+    closed-form shared-SQL twin (pca2_project_expr) — the twin is the
+    oracle-hash-verified side, so this pins the rows-only kernel to it."""
+    from centimators_spark.operators.dimreduction import pca2_project_expr
+
+    rng = np.random.default_rng(7)
+    # integer-valued features, as the twin's exact decimal sums require
+    data = rng.integers(0, 50, size=(400, 2)).astype(float)
+    rows = [Row(rid=i, x=float(r[0]), y=float(r[1])) for i, r in enumerate(data)]
+    df = spark.createDataFrame(rows)
+
+    t = DimReducer("pca", 2, ["x", "y"], keep_cols=["rid"])
+    a = t.fit_transform(df).orderBy("rid").toPandas()
+    assert t._model == "expr"
+    b = pca2_project_expr(df, "x", "y", keep_cols=["rid"]).orderBy("rid").toPandas()
+    for k in range(2):
+        assert np.allclose(a[f"dim_{k}"], b[f"dim_{k}"], atol=1e-6), k
+
+
 def test_dimreducer_tsne_gated(spark):
     df = spark.createDataFrame([(0, 1.0, 2.0)], "rid int, a double, b double")
     t = DimReducer("tsne", 2, ["a", "b"])

@@ -70,6 +70,24 @@ def test_stateful_running_counts(spark):
     assert (merged.total_s == merged.total_b).all()
 
 
+def test_stream_session_ids_match_batch(spark):
+    """Incremental row-level session labels (applyInPandasWithState)
+    must equal the batch window query's labels."""
+    from centimators_spark.streaming import session_ids, session_ids_stateful
+
+    ev_stream = read_events_stream(spark, SF)
+    name = _run_stream(
+        session_ids_stateful(ev_stream), "session_labels", "update"
+    )
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    exp = session_ids(load_table(spark, SF, "events")).toPandas()
+    assert len(got) == len(exp)
+    merged = got.merge(exp, on="event_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(exp)
+    assert (merged.session_idx_s == merged.session_idx_b).all()
+    assert (merged.ts_epoch_s == merged.ts_epoch_b).all()
+
+
 def test_stream_exact_dedup(spark):
     from centimators_spark.streaming.dedup import stream_exact_dedup
 
