@@ -2,6 +2,7 @@ from centimators_spark.multimodal.columns import (
     read_binary_dir,
     with_media_metadata,
     decode_images,
+    decode_audio,
     extract_image_features,
     sample_video_frames,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "read_binary_dir",
     "with_media_metadata",
     "decode_images",
+    "decode_audio",
     "extract_image_features",
     "sample_video_frames",
 ]

@@ -204,6 +204,100 @@ def extract_image_features(
     return decoded.mapInPandas(compute, schema)
 
 
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("zero_crossing_rate", FloatType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """REAL audio decode for WAV/RIFF PCM — pure numpy, no codec
+    library: parse the fmt/data chunks, reinterpret the payload as
+    int16/int32/float32 samples, emit per-file acoustic features
+    (duration, RMS level, zero-crossing rate). Compressed formats
+    (mp3/ogg/flac) need librosa/ffmpeg on executors — those rows decode
+    to nulls rather than failing the batch, so a mixed corpus still
+    processes its PCM fraction. Map-side only; Arrow moves the bytes."""
+    narrow = df.select(F.col(path_col).alias("path"), F.col(content_col).alias("c"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in _AUDIO_SCHEMA}
+            for path, content in zip(pdf["path"], pdf["c"]):
+                parsed = _parse_wav(bytes(content)) if content is not None else None
+                rows["path"].append(path)
+                if parsed is None:
+                    for k in (
+                        "sample_rate",
+                        "n_channels",
+                        "n_samples",
+                        "duration_s",
+                        "rms",
+                        "zero_crossing_rate",
+                    ):
+                        rows[k].append(None)
+                    continue
+                sr, nch, samples = parsed
+                n = len(samples)
+                rows["sample_rate"].append(sr)
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(n / sr if sr else 0.0)
+                if n:
+                    rows["rms"].append(float(np.sqrt(np.mean(samples**2))))
+                    rows["zero_crossing_rate"].append(
+                        float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+                    )
+                else:
+                    rows["rms"].append(0.0)
+                    rows["zero_crossing_rate"].append(0.0)
+            yield pd.DataFrame(rows)
+
+    return narrow.mapInPandas(compute, _AUDIO_SCHEMA)
+
+
+def _parse_wav(b: bytes):
+    """(sample_rate, n_channels, mono float64 samples in [-1,1]) from a
+    RIFF/WAVE byte string, or None when not parseable PCM."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, nch, sr, _, _, bits = fmt
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:  # compressed / unusual PCM widths need a real codec
+        return None
+    if nch > 1:  # interleaved → mono mean, the standard analysis fold
+        samples = samples[: len(samples) // nch * nch].reshape(-1, nch).mean(axis=1)
+    return sr, nch, samples
+
+
 def sample_video_frames(
     df: DataFrame,
     content_col: str = "content",

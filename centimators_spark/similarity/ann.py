@@ -203,6 +203,76 @@ def embedding_cosine_pairs(
     return exploded.groupBy("p", "q").applyInPandas(score_block_pair, schema)
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the cluster-then-probe scale path,
+    complementing rp_lsh_topk's hash buckets:
+
+    1. distributed KMeans (pyspark.ml) learns ``n_lists`` cell
+       centroids over the vector table;
+    2. every vector is assigned to its nearest cell — the inverted
+       lists (at 100 TB: write the table bucketed by ``cell`` so probes
+       prune at scan time);
+    3. each query probes only its ``n_probe`` nearest cells (driver
+       numpy over the k×d centroid matrix — tiny), and exact cosine +
+       a per-query top-k window run over the probed cells only.
+
+    Recall < 1 by construction (a true neighbor may live in an
+    unprobed cell); n_probe == n_lists degenerates to exact search.
+    Compute drops from O(n_q·n) to O(n_q·n·n_probe/n_lists) — the
+    standard IVF trade."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vv"))
+    with_vec = v.withColumn("__vec", array_to_vector("vv"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__vec", predictionCol="cell")
+    model = km.fit(with_vec)
+    listed = model.transform(with_vec).select(id_col, "vv", "cell")
+
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    cnorm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+    )
+    qpd = q.toPandas()  # queries are small by contract (broadcast side)
+    qm = np.vstack([np.asarray(x, dtype=np.float64) for x in qpd["qv"]])
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe_cells = np.argsort(-(qn @ cnorm.T), axis=1)[:, :n_probe]
+    probes = [
+        (qid, int(c))
+        for qid, cells in zip(qpd[query_id_col], probe_cells)
+        for c in cells
+    ]
+    probe_df = q.sparkSession.createDataFrame(
+        probes, f"{query_id_col} long, cell int"
+    ).join(q, query_id_col)
+
+    scored = (
+        listed.join(F.broadcast(probe_df), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col, cosine(F.col("qv"), F.col("vv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def rp_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

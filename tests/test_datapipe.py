@@ -79,6 +79,26 @@ def test_rp_lsh_recall(spark, emb):
     assert (exact.groupby("query_id")["rank"].max() == 5).all()
 
 
+def test_ivf_topk_recall(spark, emb):
+    """Cluster-then-probe ANN: probing a fraction of cells finds most
+    true neighbors; probing every cell degenerates to exact search."""
+    from centimators_spark.similarity.ann import ivf_topk
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+
+    part = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3).toPandas()
+    p = {(r.query_id, r.vec_id) for r in part.itertuples()}
+    assert len(e & p) / len(e) >= 0.5, len(e & p) / len(e)
+
+    full = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8).toPandas()
+    f = {(r.query_id, r.vec_id) for r in full.itertuples()}
+    assert f == e  # all cells probed == exact
+
+
 def test_brute_force_topk_no_self(spark, emb):
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -345,3 +345,54 @@ def test_multimodal_pipeline(spark):
             decode_images(df, fake=False).collect()
         with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
             sample_video_frames(df).collect()
+
+
+def _tiny_wav(sr=8000, freq=440.0, secs=0.25, nch=1):
+    import numpy as np
+
+    t = np.arange(int(sr * secs)) / sr
+    mono = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype("<i2")
+    samples = np.repeat(mono, nch) if nch > 1 else mono
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, sr, sr * 2 * nch, 2 * nch, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_decode_audio_wav(spark):
+    """The PCM/WAV leg decodes for real (pure numpy, no codec): sample
+    rate, duration, RMS of a known sine, ZCR ≈ 2·freq/sr; non-WAV bytes
+    decode to nulls instead of failing the batch."""
+    import numpy as np
+
+    from centimators_spark.multimodal import decode_audio
+
+    rows = [
+        ("a.wav", bytearray(_tiny_wav(sr=8000, freq=400.0, secs=0.25))),
+        ("b.wav", bytearray(_tiny_wav(sr=16000, freq=100.0, secs=0.5, nch=2))),
+        ("not_audio.bin", bytearray(b"\x00\x01\x02\x03" * 20)),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r.path: r for r in decode_audio(df).collect()}
+
+    a = got["a.wav"]
+    assert a.sample_rate == 8000 and a.n_channels == 1
+    assert abs(a.duration_s - 0.25) < 1e-6
+    assert abs(a.rms - 0.5 / np.sqrt(2)) < 0.01  # sine RMS = A/√2
+    assert abs(a.zero_crossing_rate - 2 * 400.0 / 8000) < 0.01
+
+    b = got["b.wav"]
+    assert b.sample_rate == 16000 and b.n_channels == 2
+    assert abs(b.duration_s - 0.5) < 1e-6
+
+    n = got["not_audio.bin"]
+    assert n.sample_rate is None and n.rms is None
