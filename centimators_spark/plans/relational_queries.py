@@ -147,9 +147,12 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group file scans as ONE task — spread the Gram work;
     # decimal sums are order-independent, so this cannot change results.
     # Narrow to the fit columns FIRST so the shuffle moves no key bytes.
-    fit_input = scaled.select("q", "d100", "t100", "e100").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # Gate on under-partitioned input: a well-partitioned cluster-scale
+    # scan must not eat an extra full shuffle before a partial agg.
+    fit_input = scaled.select("q", "d100", "t100", "e100")
+    parallelism = spark.sparkContext.defaultParallelism
+    if fit_input.rdd.getNumPartitions() < parallelism:
+        fit_input = fit_input.repartition(parallelism)
     m = LinearRegressor(["q", "d100", "t100"], target="e100", exact=True).fit(
         fit_input
     )

@@ -111,6 +111,31 @@ def main():
         "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
     )
 
+    # 10. PCA expression twin: the eigen-solve rides a 1-row broadcast
+    # back onto the scan — no Python, no sort-merge join, partial agg
+    p = plan_of(q["pca_project_expr"](spark, sf_dir))
+    ok &= audit("pca_expr: no Python eval",
+                "Pandas" not in p and "EvalPython" not in p)
+    ok &= audit(
+        "pca_expr: components broadcast back",
+        "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p,
+    )
+    ok &= audit("pca_expr: partial Gram aggregation", "partial_" in p)
+
+    # 11. IVF ANN: probe pairs broadcast onto the cell-listed vectors —
+    # never a cartesian of the vector table against the queries
+    from centimators_spark.io import load_table
+    from centimators_spark.similarity.ann import ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf_q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = plan_of(ivf_topk(emb, ivf_q, k=5, n_lists=8, n_probe=2))
+    ok &= audit("ivf: probe join broadcast", "BroadcastHashJoin" in p)
+    ok &= audit("ivf: no cartesian scan", "Cartesian" not in p)
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
