@@ -254,14 +254,12 @@ def decode_audio(
                 rows["n_channels"].append(nch)
                 rows["n_samples"].append(n)
                 rows["duration_s"].append(n / sr if sr else 0.0)
-                if n:
-                    rows["rms"].append(float(np.sqrt(np.mean(samples**2))))
-                    rows["zero_crossing_rate"].append(
-                        float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
-                    )
-                else:
-                    rows["rms"].append(0.0)
-                    rows["zero_crossing_rate"].append(0.0)
+                rows["rms"].append(float(np.sqrt(np.mean(samples**2))) if n else 0.0)
+                rows["zero_crossing_rate"].append(
+                    float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+                    if n > 1
+                    else 0.0  # <2 samples: no crossings (avoids mean-of-empty NaN)
+                )
             yield pd.DataFrame(rows)
 
     return narrow.mapInPandas(compute, _AUDIO_SCHEMA)
@@ -269,33 +267,44 @@ def decode_audio(
 
 def _parse_wav(b: bytes):
     """(sample_rate, n_channels, mono float64 samples in [-1,1]) from a
-    RIFF/WAVE byte string, or None when not parseable PCM."""
-    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    RIFF/WAVE byte string, or None when not parseable PCM. Truncated or
+    malformed chunks return None (never raise) — one corrupt file in a
+    mixed corpus must not fail the whole batch."""
+    try:
+        if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                if len(body) < 16:  # truncated fmt chunk
+                    return None
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_format, nch, sr, _, _, bits = fmt
+        if sr <= 0 or nch <= 0:
+            return None
+        width = {(1, 16): 2, (1, 32): 4, (3, 32): 4}.get((audio_format, bits))
+        if width is None:  # compressed / unusual PCM widths need a real codec
+            return None
+        data = data[: len(data) // width * width]  # drop a trailing partial sample
+        if audio_format == 1 and bits == 16:
+            samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif audio_format == 1 and bits == 32:
+            samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        if nch > 1:  # interleaved → mono mean, the standard analysis fold
+            samples = samples[: len(samples) // nch * nch].reshape(-1, nch).mean(axis=1)
+        return sr, nch, samples
+    except Exception:
         return None
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(b):
-        cid = b[pos : pos + 4]
-        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-        body = b[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
-        return None
-    audio_format, nch, sr, _, _, bits = fmt
-    if audio_format == 1 and bits == 16:
-        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
-    elif audio_format == 1 and bits == 32:
-        samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
-    elif audio_format == 3 and bits == 32:
-        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
-    else:  # compressed / unusual PCM widths need a real codec
-        return None
-    if nch > 1:  # interleaved → mono mean, the standard analysis fold
-        samples = samples[: len(samples) // nch * nch].reshape(-1, nch).mean(axis=1)
-    return sr, nch, samples
 
 
 def sample_video_frames(

@@ -259,9 +259,13 @@ def pca2_sql_fragments(dp: int = 6) -> dict:
         ],
         "cov": cov,
         "l1": "(cxx + cyy) / 2.0 + sqrt((cxx - cyy) * (cxx - cyy) / 4.0 + cxy * cxy)",
-        # eigenvector for λ1; cxy = 0 ⇒ axes are already eigenvectors
-        "vx": "CASE WHEN cxy <> 0.0 THEN cxy WHEN cxx >= cyy THEN 1.0 ELSE 0.0 END",
-        "vy": "CASE WHEN cxy <> 0.0 THEN l1 - cxx WHEN cxx >= cyy THEN 0.0 ELSE 1.0 END",
+        # eigenvector for λ1; cxy = 0 ⇒ axes are already eigenvectors.
+        # Strict > on the isotropic tie (cxx == cyy): numpy eigh returns
+        # identity vectors with argsort(vals)[::-1] picking index 1 — the
+        # y-axis — so the twin must pick y there too to stay convention-
+        # identical with DimReducer._fit_pca_expr.
+        "vx": "CASE WHEN cxy <> 0.0 THEN cxy WHEN cxx > cyy THEN 1.0 ELSE 0.0 END",
+        "vy": "CASE WHEN cxy <> 0.0 THEN l1 - cxx WHEN cxx > cyy THEN 0.0 ELSE 1.0 END",
         "ux0": "vx / sqrt(vx * vx + vy * vy)",
         "uy0": "vy / sqrt(vx * vx + vy * vy)",
         # numpy argmax tie-break: index 0 wins on |ux0| == |uy0|

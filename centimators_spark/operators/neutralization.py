@@ -254,7 +254,11 @@ def era_ols_neutralize(
         # fastest single-node: truncates lineage via driver-local blocks
         r = r.localCheckpoint(eager=True)
     elif materialize == "persist":
-        # cluster-scale choice: executor-memory/disk blocks, no driver disk
+        # cluster-scale choice: executor-memory/disk blocks, no driver
+        # disk. The cached blocks outlive this call (the returned plan
+        # still reads them) — callers managing a long session should
+        # unpersist via spark.catalog.clearCache() or persist an
+        # upstream frame they hold a handle to.
         r = r.persist()
         r.count()
     elif materialize != "none":

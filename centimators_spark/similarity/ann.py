@@ -229,12 +229,35 @@ def ivf_topk(
     Recall < 1 by construction (a true neighbor may live in an
     unprobed cell); n_probe == n_lists degenerates to exact search.
     Compute drops from O(n_q·n) to O(n_q·n·n_probe/n_lists) — the
-    standard IVF trade."""
+    standard IVF trade.
+
+    Spherical IVF: KMeans runs on UNIT-normalized vectors (cosine
+    neighbors share a direction, not a magnitude — Euclidean cells over
+    raw vectors would split cosine-identical vectors by norm), and
+    queries rank probe cells by cosine to the centroid directions.
+    Scoring uses the original vectors, so cos values match the
+    brute-force baseline bit-for-bit."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vv"))
-    with_vec = v.withColumn("__vec", array_to_vector("vv"))
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+    )
+    out_schema = StructType(
+        [
+            StructType([q.schema[query_id_col]])[0],
+            StructType([v.schema[id_col]])[0],
+            StructField("cos", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+    qpd = q.toPandas()  # queries are small by contract (broadcast side)
+    if len(qpd) == 0:  # before the (expensive) KMeans fit
+        return q.sparkSession.createDataFrame([], out_schema)
+
+    with_vec = v.withColumn("__vec", array_to_vector(_unit(F.col("vv"))))
     km = KMeans(k=n_lists, seed=seed, featuresCol="__vec", predictionCol="cell")
     model = km.fit(with_vec)
     listed = model.transform(with_vec).select(id_col, "vv", "cell")
@@ -244,21 +267,25 @@ def ivf_topk(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
 
-    q = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
-    )
-    qpd = q.toPandas()  # queries are small by contract (broadcast side)
     qm = np.vstack([np.asarray(x, dtype=np.float64) for x in qpd["qv"]])
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     probe_cells = np.argsort(-(qn @ cnorm.T), axis=1)[:, :n_probe]
-    probes = [
-        (qid, int(c))
-        for qid, cells in zip(qpd[query_id_col], probe_cells)
-        for c in cells
-    ]
+    # qv rides along from the driver copy — no second execution of the
+    # queries plan just to re-attach vectors
     probe_df = q.sparkSession.createDataFrame(
-        probes, f"{query_id_col} long, cell int"
-    ).join(q, query_id_col)
+        [
+            (qid, int(c), [float(x) for x in qv])
+            for qid, qv, cells in zip(qpd[query_id_col], qpd["qv"], probe_cells)
+            for c in cells
+        ],
+        StructType(
+            [
+                StructType([q.schema[query_id_col]])[0],
+                StructField("cell", IntegerType()),
+                StructField("qv", q.schema["qv"].dataType),
+            ]
+        ),
+    )
 
     scored = (
         listed.join(F.broadcast(probe_df), "cell")

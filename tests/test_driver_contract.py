@@ -80,3 +80,12 @@ def test_compare_flags_int_float_dtype_mismatch():
     assert not compare("dtype_probe", spark_pdf, oracle_pdf)
     # identical dtypes with equal values still pass
     assert compare("dtype_probe_ok", spark_pdf, spark_pdf.copy())
+    # object-Decimal vs float (the r1 events_json_extract class) also fails
+    from decimal import Decimal
+
+    dec_pdf = pd.DataFrame({"k": [1, 2], "v": [Decimal("2"), Decimal("3")]})
+    assert not compare("dtype_probe_decimal", dec_pdf, oracle_pdf)
+    # width-only difference within a kind is driver-tolerated (8 such
+    # queries were hash-green in r2) — must NOT fail
+    narrow = pd.DataFrame({"k": [1, 2], "v": pd.Series([2, 3], dtype="int32")})
+    assert compare("dtype_probe_width", narrow, spark_pdf)

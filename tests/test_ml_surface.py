@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from centimators_spark.ml.embedders import ord_sum_embedder as mock_embedder
 from centimators_spark.operators.dimreduction import DimReducer
@@ -132,6 +133,39 @@ def test_dimreducer_pca_matches_expr_twin(spark):
     b = pca2_project_expr(df, "x", "y", keep_cols=["rid"]).orderBy("rid").toPandas()
     for k in range(2):
         assert np.allclose(a[f"dim_{k}"], b[f"dim_{k}"], atol=1e-6), k
+
+
+def test_pca2_twin_uncorrelated_branch(spark):
+    """cxy == 0 (axis-aligned covariance): the closed form must pick the
+    higher-variance axis as component 1 — exercises the CASE branch the
+    random-data test never hits."""
+    from centimators_spark.operators.dimreduction import pca2_project_expr
+
+    # y has variance 9x that of x, zero covariance by symmetry
+    rows = [
+        Row(rid=0, x=1.0, y=3.0),
+        Row(rid=1, x=2.0, y=9.0),
+        Row(rid=2, x=1.0, y=9.0),
+        Row(rid=3, x=2.0, y=3.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = pca2_project_expr(df, "x", "y", keep_cols=["rid"]).orderBy("rid").toPandas()
+    # component 1 = (0, 1) → dim_0 == y; component 2 = (1, 0) → dim_1 == x
+    assert (out["dim_0"] == [3.0, 9.0, 9.0, 3.0]).all()
+    assert (out["dim_1"] == [1.0, 2.0, 1.0, 2.0]).all()
+
+
+def test_ivf_topk_empty_queries(spark):
+    from centimators_spark.similarity.ann import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert ivf_topk(emb, q, k=3, n_lists=2, n_probe=1).count() == 0
 
 
 def test_dimreducer_tsne_gated(spark):

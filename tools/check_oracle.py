@@ -42,21 +42,29 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> boo
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c], o[c]
-        # the driver's canonical value hash sees dtypes: int64 2 vs
+        # the driver's canonical value hash sees dtype KIND: int64 2 vs
         # float64 2.0 hash differently even when every value matches
         # after coercion (how session_ids shipped red in r2 — DuckDB
-        # HUGEINT window sums land in pandas as float64). Flag kind
-        # mismatches as failures BEFORE the float coercion below hides
-        # them.
-        if sv.dtype.kind != ov.dtype.kind and {sv.dtype.kind, ov.dtype.kind} <= {
-            "i", "u", "f",
-        }:
+        # HUGEINT window sums land in pandas as float64). Width within a
+        # kind does NOT matter (8 int32-vs-int64 queries were driver-
+        # green in r2). Flag kind-class mismatches — int vs float vs
+        # object (Decimal/str) — as failures BEFORE the float coercion
+        # below hides them; warn on width-only differences.
+        kind_class = lambda k: "i" if k in "iu" else k  # noqa: E731
+        numeric = {"i", "u", "f"}
+        either_numeric = sv.dtype.kind in numeric or ov.dtype.kind in numeric
+        if either_numeric and kind_class(sv.dtype.kind) != kind_class(ov.dtype.kind):
             print(
                 f"  [{name}] col {c}: DTYPE KIND MISMATCH spark={sv.dtype} "
                 f"oracle={ov.dtype} — driver hash WILL differ even if values "
                 f"match; CAST the oracle (or Spark) side"
             )
             ok = False
+        elif sv.dtype != ov.dtype and either_numeric:
+            print(
+                f"  [{name}] col {c}: dtype width differs spark={sv.dtype} "
+                f"oracle={ov.dtype} (driver hash tolerates this; info only)"
+            )
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sv = sv.astype("float64").to_numpy()
             ov = ov.astype("float64").to_numpy()
