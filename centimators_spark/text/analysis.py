@@ -100,6 +100,82 @@ def token_counts(df: DataFrame, content_col: str = "text", id_col: str = "doc_id
     )
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_cap: int = 65_536,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """LM-based quality score: mean per-token log-probability under the
+    corpus's OWN add-α-smoothed unigram model (perplexity =
+    exp(−lm_logprob)) — the standard model-based quality filter one rung
+    above the heuristic ``quality_score``.
+
+    Distributed plan: one token-count aggregation (map-side partial),
+    vocabulary capped to the top ``vocab_cap`` tokens by (count desc,
+    token asc) so the log-prob table always broadcasts; OOV tokens take
+    the smoothed floor α/(N + α(V+1)). Per-token log-probs round to 6dp
+    and ride EXACT integer micro-unit carriers through the per-doc sum,
+    so the mean is partition-order independent (the same
+    decimal-carrier convention as the era-OLS oracle machinery).
+
+    Output: (doc_id, n_tokens, lm_logprob); empty docs → null score."""
+    tok = tokens(F.col(content_col))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tok).alias("t")
+    )
+    counts = exploded.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(vocab_cap)
+    # N (total corpus tokens) and V (kept vocab) are tiny exact scalars
+    totals = counts.agg(
+        F.sum("c").alias("n_corpus"), F.count(F.lit(1)).alias("n_distinct")
+    ).crossJoin(top.agg(F.count(F.lit(1)).alias("v")))
+    denom = F.col("n_corpus").cast("double") + F.lit(alpha) * (
+        F.col("v").cast("double") + 1.0
+    )
+    lp = top.crossJoin(F.broadcast(totals)).select(
+        "t",
+        F.round(F.log((F.col("c").cast("double") + F.lit(alpha)) / denom), 6).alias(
+            "lp"
+        ),
+    )
+    oov = totals.select(
+        F.round(F.log(F.lit(alpha) / denom), 6).alias("lp_oov")
+    )
+    scored = (
+        exploded.join(F.broadcast(lp), "t", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lp"), F.col("lp_oov")).alias("lp"),
+        )
+        # 6dp log-probs scale to exact integer micro-units: the per-doc
+        # sum is order-independent, unlike a raw double sum
+        .withColumn("lp_u", F.expr("CAST(round(lp * 1e6) AS BIGINT)"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp_u").alias("s")
+    )
+    out = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("s").cast("double") / 1e6 / F.col("n_tokens").cast("double"), 6
+        ).alias("lm_logprob"),
+    )
+    # docs with zero tokens never appear in `exploded` — re-attach with null
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "lm_logprob",
+        )
+    )
+
+
 def document_fingerprint(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -193,6 +193,74 @@ def test_jaccard_df_cap_consistent_semantics(spark):
     assert len(exact_pairs) > 700
 
 
+def test_unigram_lm_score_matches_duckdb(spark, docs):
+    """Differential oracle (same rigor as a contract query, run in-test):
+    the corpus-trained unigram LM score must match DuckDB evaluating the
+    identical semantics — capped vocab by (count desc, token asc),
+    add-α smoothing, 6dp log-probs on exact micro-unit carriers."""
+    import duckdb
+
+    from centimators_spark.text.analysis import unigram_lm_score
+    from centimators_spark.text.portable import sql_tokens
+
+    got = (
+        unigram_lm_score(docs, vocab_cap=200, alpha=1.0)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    tok = sql_tokens("text")
+    exp = con.execute(f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({tok}) AS t FROM documents
+        ), counts AS (
+          SELECT t, count(*) AS c FROM ex GROUP BY t
+        ), top AS (
+          SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT 200
+        ), totals AS (
+          SELECT (SELECT sum(c) FROM counts) AS n_corpus,
+                 (SELECT count(*) FROM top) AS v
+        ), lp AS (
+          SELECT t, round(ln((CAST(c AS DOUBLE) + 1.0)
+            / (CAST(n_corpus AS DOUBLE) + 1.0 * (CAST(v AS DOUBLE) + 1.0))), 6) AS lp
+          FROM top CROSS JOIN totals
+        ), oov AS (
+          SELECT round(ln(1.0
+            / (CAST(n_corpus AS DOUBLE) + 1.0 * (CAST(v AS DOUBLE) + 1.0))), 6) AS lp_oov
+          FROM totals
+        ), scored AS (
+          SELECT ex.doc_id,
+            CAST(round(coalesce(lp.lp, oov.lp_oov) * 1e6) AS BIGINT) AS lp_u
+          FROM ex LEFT JOIN lp ON ex.t = lp.t CROSS JOIN oov
+        ), per_doc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(CAST(sum(lp_u) AS DOUBLE) / 1e6 / count(*), 6) AS lm_logprob
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, p.lm_logprob
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id
+    """).fetchdf()
+
+    assert len(got) == len(exp)
+    assert (got["n_tokens"].to_numpy() == exp["n_tokens"].to_numpy()).all()
+    import numpy as np
+
+    assert np.allclose(
+        got["lm_logprob"].to_numpy(dtype=float),
+        exp["lm_logprob"].to_numpy(dtype=float),
+        atol=0,
+        rtol=0,
+        equal_nan=True,
+    ), "lm_logprob must be bit-identical"
+    # sanity: scores are negative log-probs, perplexity finite
+    assert (got["lm_logprob"].dropna() < 0).all()
+
+
 def test_event_percentiles_approx_close_to_exact(spark):
     from centimators_spark.io import load_table
     from centimators_spark.plans.relational_queries import event_percentiles
