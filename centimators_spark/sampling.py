@@ -96,6 +96,38 @@ def sql_sample_flag(key_sql: str, rate: float, salt: str = "") -> str:
     return f"({_sql_bucket(key_sql, salt)} < {int(rate * DENOM)})"
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer when a stratum
+    is smaller), chosen by keyed-hash order — deterministic under any
+    partitioning and cluster size, unlike ``sampleBy`` (rate-based,
+    rand()-seeded per partition).
+
+    Plan: one window shuffle on ``strata_col``; rows ranked by
+    (hash-bucket, key) — the hash makes the per-stratum pick uniform,
+    the key breaks bucket ties deterministically. At 100 TB the window
+    sorts each stratum once; for very hot strata pre-filter with
+    ``deterministic_sample`` at a few× the target rate first, then rank
+    the survivors."""
+    from pyspark.sql import Window
+
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -70,3 +70,33 @@ def test_pack_sequences_budget(spark):
     for r in out:
         totals[r.batch_id] = totals.get(r.batch_id, 0) + r.toks
     assert all(t <= 512 + 100 for t in totals.values())
+
+
+def test_stratified_sample_exact_k_and_invariant(spark):
+    from centimators_spark.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(f"u{i}", "big" if i < 80 else "small") for i in range(90)],
+        "user string, grp string",
+    )
+    out = stratified_sample(df, "grp", 10, key_col="user").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.grp, set()).add(r.user)
+    assert len(by["big"]) == 10          # exactly k from the large stratum
+    assert len(by["small"]) == 10        # the whole small stratum (== k)
+
+    # deterministic under a different partitioning
+    out2 = stratified_sample(df.repartition(7), "grp", 10, key_col="user").collect()
+    by2 = {}
+    for r in out2:
+        by2.setdefault(r.grp, set()).add(r.user)
+    assert by == by2
+
+    # a different salt draws a different (but still size-k) sample
+    out3 = stratified_sample(df, "grp", 10, key_col="user", salt="x").collect()
+    big3 = {r.user for r in out3 if r.grp == "big"}
+    assert len(big3) == 10 and big3 != by["big"]
+
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_sample(df, "grp", 0, key_col="user")
