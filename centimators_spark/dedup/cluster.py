@@ -22,6 +22,7 @@ def connected_components(
     a: str = "d1",
     b: str = "d2",
     driver_edge_cap: int = 5_000_000,
+    materialize: str = "localCheckpoint",
 ) -> DataFrame:
     """(node, cluster) for every node in `pairs`; cluster = min node id
     of its component.
@@ -32,17 +33,39 @@ def connected_components(
     union-find runs on the driver in one pass (no iterative jobs — at
     5M edges that is ~80 MB, the size of a modest broadcast build side).
     Larger edge sets take the distributed min-label-propagation fixpoint
-    (O(component diameter) rounds of hash-partitioned joins)."""
+    (O(component diameter) rounds of hash-partitioned joins).
+
+    ``materialize``: how the edge list (and each fixpoint round's
+    labels) are pinned — 'localCheckpoint' (fastest single-node;
+    driver-disk blocks), 'persist' (cluster-scale: executor blocks; the
+    final labels frame stays cached for the caller), or 'none' (re-run
+    the lineage — only sane for cheap ``pairs`` plans)."""
+    if materialize not in ("localCheckpoint", "persist", "none"):
+        raise ValueError(
+            f"materialize must be localCheckpoint|persist|none, got {materialize!r}"
+        )
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if materialize == "localCheckpoint":
+            return df.localCheckpoint(eager=True)
+        if materialize == "persist":
+            df = df.persist()
+            df.count()
+            return df
+        return df
+
     # materialize the edge list once — the fixpoint loop re-reads it every
     # round and `pairs` is usually an expensive lazy plan (LSH + verify)
-    edges = (
+    edges = _pin(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     if driver_edge_cap and edges.count() <= driver_edge_cap:
-        return _driver_union_find(edges)
+        out = _driver_union_find(edges)
+        if materialize == "persist":
+            edges.unpersist()
+        return out
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster", F.col("node")
     )
@@ -69,7 +92,10 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)  # cut the growing lineage
+        prev_labels = labels
+        labels = _pin(updated)  # cut the growing lineage each round
+        if materialize == "persist":
+            prev_labels.unpersist()
         if changed == 0:
             converged = True
             break
@@ -80,6 +106,10 @@ def connected_components(
             "the returned cluster labels are NOT a fixpoint; raise max_iter",
             RuntimeWarning,
         )
+    if materialize == "persist":
+        # labels is fully materialized (counted); its blocks no longer
+        # need the edge list
+        edges.unpersist()
     return labels
 
 

@@ -280,3 +280,29 @@ def test_event_percentiles_approx_close_to_exact(spark):
         for p, target in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
             cnt = sub.where(F.col("value") <= getattr(a, p)).count()
             assert abs(cnt / n - target) < 0.005
+
+
+def test_connected_components_persist_mode(spark):
+    """materialize='persist' must produce identical labels to the
+    default localCheckpoint path (and a bad value must raise)."""
+    from centimators_spark.dedup.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "d1 long, d2 long"
+    )
+    # driver_edge_cap=0 forces the distributed fixpoint (the branch that
+    # pins per-round labels)
+    a = {
+        (r.node, r.cluster)
+        for r in connected_components(pairs, driver_edge_cap=0).collect()
+    }
+    b = {
+        (r.node, r.cluster)
+        for r in connected_components(
+            pairs, driver_edge_cap=0, materialize="persist"
+        ).collect()
+    }
+    assert a == b == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    with pytest.raises(ValueError, match="materialize"):
+        connected_components(pairs, materialize="bogus")
