@@ -35,11 +35,13 @@ def connected_components(
     Larger edge sets take the distributed min-label-propagation fixpoint
     (O(component diameter) rounds of hash-partitioned joins).
 
-    ``materialize``: how the edge list (and each fixpoint round's
-    labels) are pinned — 'localCheckpoint' (fastest single-node;
-    driver-disk blocks), 'persist' (cluster-scale: executor blocks; the
-    final labels frame stays cached for the caller), or 'none' (re-run
-    the lineage — only sane for cheap ``pairs`` plans)."""
+    ``materialize``: how the EDGE LIST is pinned — 'localCheckpoint'
+    (fastest single-node; driver-disk blocks), 'persist' (cluster-scale:
+    executor blocks; the final labels frame stays cached for the
+    caller), or 'none' (re-run the lineage — only sane for cheap
+    ``pairs`` plans). The fixpoint's per-round labels always checkpoint
+    regardless: each round references the previous labels twice, so an
+    unpinned loop doubles the logical plan per round."""
     if materialize not in ("localCheckpoint", "persist", "none"):
         raise ValueError(
             f"materialize must be localCheckpoint|persist|none, got {materialize!r}"
@@ -93,7 +95,15 @@ def connected_components(
             .count()
         )
         prev_labels = labels
-        labels = _pin(updated)  # cut the growing lineage each round
+        # per-round labels ALWAYS pin: `updated` references `labels`
+        # twice, so an unpinned fixpoint doubles the logical plan every
+        # round (exponential Catalyst blow-up) — materialize='none'
+        # governs the edge list only
+        labels = (
+            updated.localCheckpoint(eager=True)
+            if materialize != "persist"
+            else _pin(updated)
+        )
         if materialize == "persist":
             prev_labels.unpersist()
         if changed == 0:

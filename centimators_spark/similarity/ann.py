@@ -33,8 +33,11 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double arrays."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two double arrays. Zero-norm vectors yield
+    NULL (try_divide) instead of an ANSI DIVIDE_BY_ZERO error — NULLs
+    sort last under the desc top-k windows, so degenerate vectors are
+    naturally excluded; bit-identical to plain division otherwise."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def _as_double(col: Column) -> Column:
@@ -247,8 +250,8 @@ def ivf_topk(
     )
     out_schema = StructType(
         [
-            StructType([q.schema[query_id_col]])[0],
-            StructType([v.schema[id_col]])[0],
+            q.schema[query_id_col],
+            v.schema[id_col],
             StructField("cos", DoubleType()),
             StructField("rank", IntegerType()),
         ]
@@ -257,7 +260,12 @@ def ivf_topk(
     if len(qpd) == 0:  # before the (expensive) KMeans fit
         return q.sparkSession.createDataFrame([], out_schema)
 
-    with_vec = v.withColumn("__vec", array_to_vector(_unit(F.col("vv"))))
+    # zero-norm-safe normalization (a padding/empty-doc zero vector must
+    # not NULL-poison the KMeans features; clustering needs no bit parity)
+    nrm = F.greatest(_norm(F.col("vv")), F.lit(1e-12))
+    with_vec = v.withColumn(
+        "__vec", array_to_vector(F.transform(F.col("vv"), lambda x: x / nrm))
+    )
     km = KMeans(k=n_lists, seed=seed, featuresCol="__vec", predictionCol="cell")
     model = km.fit(with_vec)
     listed = model.transform(with_vec).select(id_col, "vv", "cell")
@@ -280,7 +288,7 @@ def ivf_topk(
         ],
         StructType(
             [
-                StructType([q.schema[query_id_col]])[0],
+                q.schema[query_id_col],
                 StructField("cell", IntegerType()),
                 StructField("qv", q.schema["qv"].dataType),
             ]

@@ -128,9 +128,9 @@ def unigram_lm_score(
     counts = exploded.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(vocab_cap)
     # N (total corpus tokens) and V (kept vocab) are tiny exact scalars
-    totals = counts.agg(
-        F.sum("c").alias("n_corpus"), F.count(F.lit(1)).alias("n_distinct")
-    ).crossJoin(top.agg(F.count(F.lit(1)).alias("v")))
+    totals = counts.agg(F.sum("c").alias("n_corpus")).crossJoin(
+        top.agg(F.count(F.lit(1)).alias("v"))
+    )
     denom = F.col("n_corpus").cast("double") + F.lit(alpha) * (
         F.col("v").cast("double") + 1.0
     )

@@ -263,3 +263,17 @@ def test_embedding_array_mode(spark):
     )
     out = t.fit_transform(df).collect()[0]
     assert list(out["text__embed"]) == [3.0, float(sum(ord(c) for c in "abc") % 100)]
+
+
+def test_ivf_topk_zero_norm_vector(spark):
+    """An all-zero embedding (padding row) must not NULL-poison the
+    KMeans features or fail the job."""
+    from centimators_spark.similarity.ann import ivf_topk
+
+    rows = [(i, [float(i + 1), 1.0]) for i in range(10)] + [(99, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, q, k=3, n_lists=2, n_probe=2).collect()
+    assert len(out) == 3

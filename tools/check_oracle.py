@@ -47,13 +47,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> boo
         # after coercion (how session_ids shipped red in r2 — DuckDB
         # HUGEINT window sums land in pandas as float64). Width within a
         # kind does NOT matter (8 int32-vs-int64 queries were driver-
-        # green in r2). Flag kind-class mismatches — int vs float vs
-        # object (Decimal/str) — as failures BEFORE the float coercion
-        # below hides them; warn on width-only differences.
-        kind_class = lambda k: "i" if k in "iu" else k  # noqa: E731
+        # green in r2), but everything else — int vs float vs unsigned
+        # vs object (Decimal/str) — fails BEFORE the float coercion
+        # below hides it; width-only differences just warn.
         numeric = {"i", "u", "f"}
         either_numeric = sv.dtype.kind in numeric or ov.dtype.kind in numeric
-        if either_numeric and kind_class(sv.dtype.kind) != kind_class(ov.dtype.kind):
+        if either_numeric and sv.dtype.kind != ov.dtype.kind:
             print(
                 f"  [{name}] col {c}: DTYPE KIND MISMATCH spark={sv.dtype} "
                 f"oracle={ov.dtype} — driver hash WILL differ even if values "
