@@ -100,6 +100,48 @@ def token_counts(df: DataFrame, content_col: str = "text", id_col: str = "doc_id
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    content_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+) -> DataFrame:
+    """Corpus text normalization — the standard pre-dedup/pre-tokenize
+    cleanup: Unicode normal form (NFC default), optional lowercasing,
+    control-character strip, whitespace collapse. Pure stdlib
+    (unicodedata) over Arrow batches — vectorized pandas `.str` ops, no
+    external package, map-side only."""
+    import unicodedata
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out = out_col or content_col
+    schema = StructType(
+        [f for f in df.schema if f.name != out] + [StructField(out, StringType())]
+    )
+    passthrough = [f.name for f in df.schema if f.name != out]
+
+    def compute(batches):
+        for pdf in batches:
+            s = pdf[content_col].map(
+                lambda t: unicodedata.normalize(form, t) if t is not None else None
+            )
+            if strip_control:
+                s = s.str.replace(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", regex=True)
+            if lowercase:
+                s = s.str.lower()
+            if collapse_whitespace:
+                s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+            res = pdf[passthrough].copy()
+            res[out] = s
+            yield res
+
+    return df.mapInPandas(compute, schema)
+
+
 def unigram_lm_score(
     df: DataFrame,
     content_col: str = "text",

@@ -306,3 +306,34 @@ def test_connected_components_persist_mode(spark):
 
     with pytest.raises(ValueError, match="materialize"):
         connected_components(pairs, materialize="bogus")
+
+
+def test_normalize_text(spark):
+    """NFC folding, control strip, whitespace collapse, null pass-through
+    — verified against the stdlib reference per row."""
+    import unicodedata
+
+    from centimators_spark.text.analysis import normalize_text
+
+    rows = [
+        (0, "café   du\tmonde"),       # combining accent + runs of ws
+        (1, "already clean"),
+        (2, "ctrl\x00chars\x1fhere"),
+        (3, None),
+        (4, "  MiXeD Case  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in normalize_text(df, lowercase=True).collect()
+    }
+    assert got[0] == "café du monde"
+    assert got[0][3] == unicodedata.normalize("NFC", "é")  # composed é
+    assert got[1] == "already clean"
+    assert got[2] == "ctrlcharshere"
+    assert got[3] is None
+    assert got[4] == "mixed case"
+
+    # out_col keeps the original column intact
+    both = normalize_text(df, out_col="clean").where(F.col("doc_id") == 0).collect()[0]
+    assert both.text != both.clean

@@ -9,6 +9,7 @@ import numpy as np
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 values = st.lists(
     st.integers(min_value=-50, max_value=50), min_size=2, max_size=25
@@ -100,3 +101,44 @@ def test_moving_average_partial_windows_null(spark, xs, w):
             assert g is None or math.isnan(g)
         else:
             assert abs(g - e) < 1e-9
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.integers(min_value=0, max_value=20_000), # ts epoch
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_session_ids_matches_python_reference(spark, events):
+    """The window-based session labeler == a sequential python fold for
+    arbitrary event streams (gap rule, per-user, (ts, id) tie order)."""
+    from centimators_spark.streaming.events import session_ids
+
+    gap = 1800
+    rows = [(i, u, ts) for i, (u, ts) in enumerate(events)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_e long")
+    got = {
+        r.event_id: r.session_idx
+        for r in session_ids(
+            df.withColumn("ts", F.timestamp_seconds(F.col("ts_e"))).drop("ts_e")
+        ).collect()
+    }
+
+    exp = {}
+    by_user = {}
+    for i, u, ts in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        last, idx = by_user.get(u, (None, 0))
+        if last is None or ts - last > gap:
+            idx += 1
+        exp[i] = idx
+        by_user[u] = (ts, idx)
+    assert got == exp
