@@ -22,6 +22,7 @@ from centimators_spark.dedup import (
 from centimators_spark.io import load_table
 from centimators_spark.similarity.ann import brute_force_topk, embedding_cosine_pairs
 from centimators_spark.text import portable as P
+from centimators_spark.text.repetition import repetition_oracle_sql
 from centimators_spark.text.analysis import (
     LANG_PROFILES,
     PUNCT_RE,
@@ -173,6 +174,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=ANN_K)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate lines / top n-gram /
+    duplicated n-grams) — zero-shuffle sorted-array scan per doc."""
+    from centimators_spark.text.repetition import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
@@ -298,6 +307,7 @@ QUERIES = {
     "ann_rp_lsh_recall": q_ann_rp_lsh_recall,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "text_repetition": q_text_repetition,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
     "tfidf_topk": q_tfidf_topk,
@@ -518,6 +528,7 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT query_id, CAST(count(*) AS BIGINT) AS hits
             FROM ranked WHERE rank <= {ANN_K} GROUP BY query_id
         """,
+        "text_repetition": repetition_oracle_sql(),
         "text_language_id": _lang_sql(),
         "text_quality_score": f"""
             WITH t AS (

@@ -337,3 +337,38 @@ def test_normalize_text(spark):
     # out_col keeps the original column intact
     both = normalize_text(df, out_col="clean").where(F.col("doc_id") == 0).collect()[0]
     assert both.text != both.clean
+
+
+def test_repetition_signals_golden(spark):
+    """Hand-computed Gopher-style repetition signals on a tiny corpus."""
+    from centimators_spark.text.repetition import repetition_signals
+
+    rows = [
+        # 3 lines, "dup dup" repeated; text chars computed below
+        (1, "aa bb\naa bb\ncc"),
+        # no newlines, heavy 2-gram repetition: "x y x y x y"
+        (2, "x y x y x y"),
+        (3, ""),  # empty doc: all fractions 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in repetition_signals(df, top_n=2, dup_n=2).collect()
+    }
+    d1 = out[1]
+    assert d1.n_lines == 3
+    assert d1.dup_line_frac == pytest.approx(1 / 3)  # "aa bb" repeats once
+    # dup line chars = len("aa bb") = 5; total line chars = 5+5+2 = 12
+    assert d1.dup_line_char_frac == pytest.approx(5 / 12)
+    d2 = out[2]
+    # 2-grams: [x y, y x, x y, y x, x y] -> top "x y" cnt 3
+    assert d2.top_ngram_cnt == 3
+    # covered = 3 * len("x y") = 9 over 11 text chars
+    assert d2.top_ngram_char_frac == pytest.approx(9 / 11)
+    # dup occurrences beyond first: "x y"x2 + "y x"x1 -> 9 chars over 11
+    assert d2.dup_ngram_char_frac == pytest.approx(9 / 11)
+    d3 = out[3]
+    assert d3.n_lines == 0
+    assert d3.dup_line_frac == 0.0
+    assert d3.top_ngram_cnt == 0
+    assert d3.dup_ngram_char_frac == 0.0
