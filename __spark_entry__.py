@@ -213,12 +213,14 @@ def q_neutralizer_full_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gaussianize_expr(
         li, "l_extendedprice", era_col="era", order_col=ORDER
     ).withColumn("y6", F.round(F.col("l_extendedprice_gauss") * 1e6))
-    # the OLS stage reads its input twice (Gram aggregation + residual
-    # join); materialize the windowed gaussianize ONCE, narrowed to what
-    # the OLS needs (at cluster scale: persist or write the stage)
-    g = g.select(*KEYS, "era", "q", "d100", "t100", "y6").localCheckpoint(
-        eager=True
-    )
+    # the OLS stage's consumers re-read their input several times
+    # (Gram aggregation + residual join + std/min-max recompute under
+    # materialize="none"); the gaussianize window is the one expensive
+    # lineage here — persist it ONCE, narrowed to what the OLS needs
+    # (executor-memory blocks; measured: persist-here + recompute-below
+    # beats checkpointing either stage)
+    g = g.select(*KEYS, "era", "q", "d100", "t100", "y6").persist()
+    g.count()
     return era_ols_neutralize(
         g,
         "y6",

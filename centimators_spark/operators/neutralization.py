@@ -187,7 +187,7 @@ def era_ols_neutralize(
     keep_cols: Sequence[str] = (),
     round_dp: int = 6,
     out_name: str = "neutralized",
-    materialize: str = "localCheckpoint",
+    materialize: str = "none",
 ) -> DataFrame:
     """Distributed per-era OLS neutralization as PURE column expressions
     — the deterministic (no-Φ⁻¹) sibling of FeatureNeutralizer's kernel,
@@ -244,14 +244,20 @@ def era_ols_neutralize(
     r = (
         base.join(F.broadcast(th), era_col)
         .withColumn("neut", F.expr(fr["neut"]))
-        # three consumers read the residuals (era std, global min-max,
-        # the output projection) — materialize ONCE, narrowed to
-        # keys+era+residual, instead of re-running the scan+join+decimal
-        # lineage per consumer
         .select(*keep, era_col, "neut")
     )
+    # Three consumers read the residuals (era std, global min-max, the
+    # output projection). Default "none" recomputes the lineage per
+    # consumer — measured fastest here AND the scale-right default when
+    # the lineage is a pruned scan + broadcast join: two extra pruned
+    # scans feeding map-side-partial aggs cost less than materializing
+    # the full residual table. Every stage is deterministic (exact
+    # decimal sums, fixed-order Cramer, rounded residuals), so all
+    # consumers see identical values. Pass localCheckpoint/persist when
+    # the input lineage is expensive (e.g. a windowed stage) — or
+    # persist the INPUT df and keep "none" here.
     if materialize == "localCheckpoint":
-        # fastest single-node: truncates lineage via driver-local blocks
+        # single-node lineage cut via driver-local blocks
         r = r.localCheckpoint(eager=True)
     elif materialize == "persist":
         # cluster-scale choice: executor-memory/disk blocks, no driver
