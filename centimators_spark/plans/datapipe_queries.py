@@ -22,6 +22,7 @@ from centimators_spark.dedup import (
 from centimators_spark.io import load_table
 from centimators_spark.similarity.ann import brute_force_topk, embedding_cosine_pairs
 from centimators_spark.text import portable as P
+from centimators_spark.dedup.contamination import contamination_oracle_sql
 from centimators_spark.text.repetition import repetition_oracle_sql
 from centimators_spark.text.analysis import (
     LANG_PROFILES,
@@ -174,6 +175,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=ANN_K)
 
 
+CONTAM_N = 3  # docs in the synthetic corpus are short; real pipelines use 8-13
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 10th document plays the held-out
+    eval set; the rest are the training corpus. Broadcast gram join —
+    the corpus side never shuffles."""
+    from centimators_spark.dedup.contamination import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return ngram_contamination(corpus, bench, n=CONTAM_N)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (duplicate lines / top n-gram /
     duplicated n-grams) — zero-shuffle sorted-array scan per doc."""
@@ -308,6 +324,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "text_repetition": q_text_repetition,
+    "ngram_contamination": q_ngram_contamination,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
     "tfidf_topk": q_tfidf_topk,
@@ -529,6 +546,11 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked WHERE rank <= {ANN_K} GROUP BY query_id
         """,
         "text_repetition": repetition_oracle_sql(),
+        "ngram_contamination": contamination_oracle_sql(
+            "(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
+            "(SELECT * FROM documents WHERE doc_id % 10 = 0)",
+            n=CONTAM_N,
+        ),
         "text_language_id": _lang_sql(),
         "text_quality_score": f"""
             WITH t AS (

@@ -372,3 +372,28 @@ def test_repetition_signals_golden(spark):
     assert d3.dup_line_frac == 0.0
     assert d3.top_ngram_cnt == 0
     assert d3.dup_ngram_char_frac == 0.0
+
+
+def test_ngram_contamination_golden(spark):
+    """Planted overlap: corpus doc 1 shares its only 3-gram span with the
+    benchmark; doc 2 shares nothing; doc 3 is too short for any 3-gram."""
+    from centimators_spark.dedup.contamination import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # grams: 3 distinct
+            (2, "completely different words here"),
+            (3, "ab"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in ngram_contamination(corpus, bench, n=3).collect()}
+    # doc 1 grams: "the quick brown", "quick brown fox", "brown fox jumps"
+    # bench contains the first two
+    assert out[1].n_grams == 3 and out[1].n_hits == 2
+    assert out[1].contamination == pytest.approx(2 / 3)
+    assert out[2].n_grams == 2 and out[2].n_hits == 0
+    assert out[3].n_grams == 0 and out[3].contamination == 0.0
