@@ -59,6 +59,8 @@ def read_binary_dir(
 _MAGIC = {
     b"\x89PNG": ("image", "png"),
     b"\xff\xd8\xff": ("image", "jpeg"),
+    b"BM": ("image", "bmp"),
+    b"GIF8": ("image", "gif"),
     b"RIFF": ("audio", "wav"),
     b"OggS": ("audio", "ogg"),
     b"\x00\x00\x00\x18ftyp": ("video", "mp4"),
@@ -114,55 +116,115 @@ def decode_images(
     resize: tuple[int, int] | None = None,
     fake: bool = False,
 ) -> DataFrame:
-    """Decode image bytes → (path, width, height, pixels float array).
+    """Decode image bytes → (path, width, height, pixels float array in
+    [0,1], RGB row-major), optional nearest-neighbor ``resize=(w, h)``.
 
-    Real decode requires PIL on executors (not in this container →
-    ImportError). ``fake=True`` parses PNG IHDR / JPEG SOF headers for
-    dimensions and emits a deterministic pixel ramp — full Spark
-    contract, no codec."""
+    REAL decode for uncompressed 24/32-bit BMP — pure numpy, no codec
+    library (parse the BITMAPINFOHEADER, strip row padding, BGR→RGB).
+    Compressed formats (png/jpeg/gif) decode via PIL when executors have
+    it; without PIL those rows emit null dimensions rather than failing
+    the batch, so a mixed corpus still processes its BMP fraction —
+    the same degradation contract as ``decode_audio``. ``fake=True``
+    keeps the legacy deterministic-ramp stub (header-parsed dims, no
+    pixel decode) for plumbing tests."""
     narrow = df.select(F.col(path_col).alias("path"), F.col(content_col).alias("c"))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            try:
-                from PIL import Image  # type: ignore # noqa: F401
-            except ImportError as e:
-                raise ImportError(
-                    "decode_images requires Pillow on executors; pass "
-                    "fake=True for the deterministic stub"
-                ) from e
+        try:
+            from PIL import Image  # type: ignore
+        except ImportError:
+            Image = None
         for pdf in batches:
             rows = {"path": [], "width": [], "height": [], "pixels": []}
             for path, content in zip(pdf["path"], pdf["c"]):
-                b = bytes(content)
+                rows["path"].append(path)
+                b = bytes(content) if content is not None else b""
                 if fake:
                     w, h = _parse_dims(b)
                     n = min(w * h, 64)
-                    px = (np.arange(n, dtype=np.float32) % 256) / 255.0
-                else:  # pragma: no cover - PIL not in container
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixels"].append((np.arange(n, dtype=np.float32) % 256) / 255.0)
+                    continue
+                arr = _parse_bmp(b)
+                if arr is None and Image is not None:  # pragma: no cover - no PIL here
                     import io
 
-                    from PIL import Image
-
-                    img = Image.open(io.BytesIO(b))
-                    if resize:
-                        img = img.resize(resize)
-                    arr = np.asarray(img, dtype=np.float32) / 255.0
-                    h, w = arr.shape[:2]
-                    px = arr.ravel()
-                rows["path"].append(path)
+                    try:
+                        arr = np.asarray(
+                            Image.open(io.BytesIO(b)).convert("RGB"), dtype=np.float32
+                        ) / 255.0
+                    except Exception:
+                        arr = None
+                if arr is None:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["pixels"].append(None)
+                    continue
+                if resize:
+                    arr = _resize_nearest(arr, resize[0], resize[1])
+                h, w = arr.shape[:2]
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["pixels"].append(px)
+                rows["pixels"].append(arr.astype(np.float32).ravel())
             yield pd.DataFrame(rows)
 
     return narrow.mapInPandas(compute, _DECODED_SCHEMA)
 
 
+def _parse_bmp(b: bytes):
+    """h×w×3 float32 RGB array in [0,1] from an uncompressed (BI_RGB)
+    24/32-bit BMP, or None when not parseable. Handles bottom-up and
+    top-down (negative height) layouts and 4-byte row padding; never
+    raises — one corrupt file must not fail the whole Arrow batch."""
+    try:
+        if len(b) < 54 or b[:2] != b"BM":
+            return None
+        (data_off,) = struct.unpack("<I", b[10:14])
+        (hdr_size,) = struct.unpack("<I", b[14:18])
+        if hdr_size < 40:  # BITMAPCOREHEADER etc. — out of scope
+            return None
+        w, h_raw = struct.unpack("<ii", b[18:26])
+        planes, bits = struct.unpack("<HH", b[26:30])
+        (compression,) = struct.unpack("<I", b[30:34])
+        if compression != 0 or bits not in (24, 32) or w <= 0 or h_raw == 0:
+            return None
+        h = abs(h_raw)
+        nch = bits // 8
+        stride = (w * nch + 3) // 4 * 4
+        need = stride * h
+        px = b[data_off : data_off + need]
+        if len(px) < need:
+            return None
+        a = np.frombuffer(px, dtype=np.uint8).reshape(h, stride)[:, : w * nch]
+        a = a.reshape(h, w, nch)
+        if h_raw > 0:  # bottom-up storage → flip to row-major top-down
+            a = a[::-1]
+        rgb = a[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
+        return rgb.astype(np.float32) / 255.0
+    except Exception:
+        return None
+
+
+def _resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (the deterministic, dependency-free
+    kernel; swap for PIL/cv2 interpolation when executors have them)."""
+    h, w = arr.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[yi][:, xi]
+
+
 def _parse_dims(b: bytes) -> tuple[int, int]:
-    """PNG IHDR width/height; fallback 0x0."""
+    """Header-only width/height for PNG / BMP / GIF; fallback 0x0."""
     if b[:4] == b"\x89PNG" and len(b) >= 24:
         w, h = struct.unpack(">II", b[16:24])
+        return int(w), int(h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return int(w), abs(int(h))
+    if b[:4] == b"GIF8" and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
         return int(w), int(h)
     return 0, 0
 

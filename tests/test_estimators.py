@@ -340,11 +340,75 @@ def test_multimodal_pipeline(spark):
         feats = extract_image_features(decoded).collect()
         assert all(len(r.features) == 8 for r in feats)
 
-        # worker-side ImportError arrives wrapped in PythonException
-        with pytest.raises(Exception, match="Pillow"):
-            decode_images(df, fake=False).collect()
+        # compressed formats without PIL degrade to null rows (mixed
+        # corpus keeps processing) rather than failing the batch
+        real = decode_images(df, fake=False).collect()
+        assert len(real) == 3 and all(r.width is None for r in real)
         with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
             sample_video_frames(df).collect()
+
+
+def _tiny_bmp(w=3, h=2, top_down=False, bits=24):
+    """Uncompressed BMP: pixel (x,y) = RGB(10x, 10y, 100) for exact
+    decode assertions; bottom-up unless top_down."""
+    nch = bits // 8
+    stride = (w * nch + 3) // 4 * 4
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            px = [100, 10 * y, 10 * x]  # B, G, R
+            if nch == 4:
+                px.append(255)
+            row += bytes(px)
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    h_field = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, h_field, 1, bits, 0, len(data), 0, 0, 0, 0)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return header + info + data
+
+
+def test_decode_bmp_real(spark):
+    """The BMP leg decodes for real (pure numpy): exact pixel values,
+    bottom-up flip, top-down layout, padding strip, nearest resize."""
+    import numpy as np
+
+    from centimators_spark.multimodal import decode_images
+
+    rows = [
+        ("up.bmp", bytearray(_tiny_bmp(3, 2))),
+        ("down.bmp", bytearray(_tiny_bmp(3, 2, top_down=True))),
+        ("argb.bmp", bytearray(_tiny_bmp(2, 2, bits=32))),
+        ("corrupt.bmp", bytearray(b"BM" + b"\x00" * 10)),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r.path: r for r in decode_images(df).collect()}
+
+    up = got["up.bmp"]
+    assert up.width == 3 and up.height == 2
+    arr = np.asarray(up.pixels).reshape(2, 3, 3) * 255.0
+    # row-major top-down after the flip: pixel (x=2, y=0) = RGB(20, 0, 100)
+    assert np.allclose(arr[0, 2], [20, 0, 100], atol=1e-4)
+    assert np.allclose(arr[1, 0], [0, 10, 100], atol=1e-4)
+    # top-down input must decode identically
+    assert np.allclose(np.asarray(got["down.bmp"].pixels), np.asarray(up.pixels))
+    assert got["argb.bmp"].width == 2  # 32-bit path, alpha dropped
+    assert len(got["argb.bmp"].pixels) == 2 * 2 * 3
+    assert got["corrupt.bmp"].width is None
+
+    resized = {
+        r.path: r
+        for r in decode_images(df.where("path = 'up.bmp'"), resize=(6, 4)).collect()
+    }
+    r = resized["up.bmp"]
+    assert r.width == 6 and r.height == 4
+    a2 = np.asarray(r.pixels).reshape(4, 6, 3) * 255.0
+    # nearest-neighbor: output (0,0) replicates source (0,0) = RGB(0,0,100)
+    assert np.allclose(a2[0, 0], [0, 0, 100], atol=1e-4)
 
 
 def _tiny_wav(sr=8000, freq=440.0, secs=0.25, nch=1):
