@@ -406,7 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries that fell past the window, including the round-1 red
     ``events_json_extract`` — sits first; the long-stable green datapipe
     tail absorbs any overflow."""
-    return {
+    out = {
         "session_ids": q_session_ids,
         **relational_queries.QUERIES,
         "rank_transformer": q_rank_transformer,
@@ -428,6 +428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_aggregates": q_expanding_aggregates,
         **datapipe_queries.QUERIES,
     }
+    # rotate one long-stable relational demo (hash-green r2) to the tail
+    # so every NEW query sits inside the driver's 50-entry window; the
+    # tail overflow stays all previously-driver-verified queries
+    out["doc_string_funcs"] = out.pop("doc_string_funcs")
+    return out
 
 
 # ---------------------------------------------------------------- oracles

@@ -175,6 +175,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=ANN_K)
 
 
+MIXTURE_PARTS = {"en": 3, "de": 1, "fr": 1}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: downsample documents toward an
+    en:de:fr = 3:1:1 language mix (integer-exact thresholds, keyed-hash
+    selection; the smallest domain binds and keeps every row)."""
+    from centimators_spark.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "lang", MIXTURE_PARTS, key_col="doc_id", salt="mix1"
+    ).select("doc_id", "lang")
+
+
 CONTAM_N = 3  # docs in the synthetic corpus are short; real pipelines use 8-13
 
 
@@ -323,6 +338,7 @@ QUERIES = {
     "ann_rp_lsh_recall": q_ann_rp_lsh_recall,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "mixture_sample": q_mixture_sample,
     "text_repetition": q_text_repetition,
     "ngram_contamination": q_ngram_contamination,
     "text_language_id": q_text_language_id,
@@ -337,6 +353,19 @@ QUERIES = {
 
 
 # ---------------------------------------------------------------- oracles
+
+def _mixture_sample_oracle() -> str:
+    from centimators_spark.sampling import sql_mixture_sample
+
+    return sql_mixture_sample(
+        "documents",
+        "lang",
+        MIXTURE_PARTS,
+        key_sql="doc_id",
+        salt="mix1",
+        select_sql="doc_id, lang",
+    )
+
 
 def _hash_split_sample_oracle() -> str:
     from centimators_spark.sampling import sql_hash_split, sql_sample_flag
@@ -545,6 +574,7 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT query_id, CAST(count(*) AS BIGINT) AS hits
             FROM ranked WHERE rank <= {ANN_K} GROUP BY query_id
         """,
+        "mixture_sample": _mixture_sample_oracle(),
         "text_repetition": repetition_oracle_sql(),
         "ngram_contamination": contamination_oracle_sql(
             "(SELECT * FROM documents WHERE doc_id % 10 <> 0)",

@@ -128,6 +128,100 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_parts: Mapping[str, int],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Downsample a multi-domain corpus toward a target mixture — the
+    domain-reweighting step of every LLM data recipe (e.g. "web 6 :
+    code 3 : wiki 1"). ``target_parts`` are INTEGER mixture parts, so
+    every derived quantity is exact integer arithmetic and the DuckDB
+    oracle reproduces the selection bit-for-bit (float rates would
+    round differently across engines).
+
+    Semantics: with domain counts c_d and parts p_d (P = Σp), the
+    largest achievable total without upsampling is
+    N = min_d floor(c_d·P/p_d); each domain keeps ~p_d·N/P rows via the
+    keyed-hash bucket predicate (threshold_d =
+    floor(DENOM·p_d·N/(P·c_d))). Domains absent from ``target_parts``
+    (or with part 0) are dropped; target domains absent from the data
+    are ignored when sizing N (their target is unreachable).
+
+    Plan: one tiny groupBy(domain) count → scalar min → per-domain
+    thresholds broadcast back onto the scan; the corpus side is a
+    map-side filter (no collect, no corpus shuffle)."""
+    parts = {d: int(p) for d, p in target_parts.items() if int(p) > 0}
+    if not parts:
+        raise ValueError("target_parts must contain a positive part")
+    P = sum(parts.values())
+    part_of = F.coalesce(
+        *[F.when(F.col("__dom") == d, F.lit(p)) for d, p in parts.items()],
+        F.lit(None).cast("int"),
+    )
+    counts = (
+        df.groupBy(F.col(domain_col).alias("__dom"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__p", part_of)
+        .where(F.col("__p").isNotNull())
+    )
+    nmax = counts.agg(
+        F.min(F.expr(f"(__c * {P}) div __p")).alias("__n")
+    )
+    thresholds = counts.crossJoin(F.broadcast(nmax)).select(
+        "__dom",
+        F.expr(f"(CAST({DENOM} AS BIGINT) * __p * __n) div (CAST({P} AS BIGINT) * __c)").alias(
+            "__thr"
+        ),
+    )
+    return (
+        df.join(
+            F.broadcast(thresholds), df[domain_col] == F.col("__dom"), "inner"
+        )
+        .where(_bucket(F.col(key_col), salt) < F.col("__thr"))
+        .drop("__dom", "__thr")
+    )
+
+
+def sql_mixture_sample(
+    table: str,
+    domain_sql: str,
+    target_parts: Mapping[str, int],
+    key_sql: str,
+    salt: str = "",
+    select_sql: str = "*",
+) -> str:
+    """DuckDB query mirroring mixture_sample bit-for-bit (same integer
+    thresholds, same keyed-hash predicate)."""
+    parts = {d: int(p) for d, p in target_parts.items() if int(p) > 0}
+    P = sum(parts.values())
+    part_case = (
+        "CASE "
+        + " ".join(f"WHEN dom = '{d}' THEN {p}" for d, p in parts.items())
+        + " ELSE NULL END"
+    )
+    return f"""
+      WITH counts AS (
+        SELECT dom, c, p FROM (
+          SELECT {domain_sql} AS dom, CAST(count(*) AS BIGINT) AS c,
+                 {part_case} AS p
+          FROM {table} GROUP BY {domain_sql}
+        ) WHERE p IS NOT NULL
+      ), nmax AS (
+        SELECT min((c * {P}) // p) AS n FROM counts
+      ), thr AS (
+        SELECT dom, (CAST({DENOM} AS BIGINT) * p * n) // (CAST({P} AS BIGINT) * c)
+          AS threshold
+        FROM counts CROSS JOIN nmax
+      )
+      SELECT {select_sql} FROM {table} t
+      JOIN thr ON {domain_sql} = thr.dom
+      WHERE {_sql_bucket(key_sql, salt)} < thr.threshold
+    """
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

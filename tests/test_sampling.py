@@ -100,3 +100,26 @@ def test_stratified_sample_exact_k_and_invariant(spark):
 
     with pytest.raises(ValueError, match="n_per_stratum"):
         stratified_sample(df, "grp", 0, key_col="user")
+
+
+def test_mixture_sample_semantics(spark):
+    """Largest-achievable-total mixture: the binding domain keeps every
+    row; proportions approach target parts; selection is deterministic
+    and partition-invariant; unlisted domains drop."""
+    from centimators_spark.sampling import mixture_sample
+
+    rows = [(i, "a" if i < 600 else ("b" if i < 700 else "junk")) for i in range(800)]
+    df = spark.createDataFrame(rows, ["k", "dom"])
+    out = mixture_sample(df, "dom", {"a": 2, "b": 1}, key_col="k").toPandas()
+    by = out.groupby("dom").size().to_dict()
+    # N = min(600*3//2, 100*3//1) = 300; targets a=200, b=100
+    assert by.get("b") == 100  # binding domain: threshold = DENOM keeps all
+    assert abs(by.get("a") - 200) < 30  # hash-rate sampling is approximate
+    assert "junk" not in by
+    # partition invariance: identical selection at any layout
+    out2 = mixture_sample(
+        df.repartition(13), "dom", {"a": 2, "b": 1}, key_col="k"
+    ).toPandas()
+    assert sorted(out.k) == sorted(out2.k)
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "dom", {"a": 0}, key_col="k")
