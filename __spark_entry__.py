@@ -329,6 +329,45 @@ def q_rolling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORR_W = 10
+EWMA_SPAN = 4
+EWMA_WINDOW = 12
+
+
+def q_rolling_corr_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling co-movement family: trailing-10 corr + OLS beta of
+    extendedprice vs quantity per supplier, and a truncated EWMA of
+    quantity — five shared window sums + fused lags, ONE WindowExec."""
+    from centimators_spark.operators.time_series import (
+        EWMATransformer,
+        RollingCorrTransformer,
+    )
+
+    corr = RollingCorrTransformer(
+        bench_col="l_quantity",
+        windows=[CORR_W],
+        feature_names=["l_extendedprice"],
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        output_mode="append",
+    )
+    ewma = EWMATransformer(
+        spans=[EWMA_SPAN],
+        window=EWMA_WINDOW,
+        feature_names=["l_quantity"],
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        output_mode="append",
+    )
+    out = ewma.transform(corr.transform(_lineitem(spark, sf_dir)))
+    return out.select(
+        *KEYS,
+        f"l_extendedprice_corr{CORR_W}_l_quantity",
+        f"l_extendedprice_beta{CORR_W}_l_quantity",
+        f"l_quantity_ewma{EWMA_SPAN}",
+    )
+
+
 def q_winsorize_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-month quantile clipping of l_extendedprice (exact percentile
     mode pinned for oracle parity; approx sketch is the scale default)."""
@@ -419,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_penalizer": q_feature_penalizer,
         "neutralize_ols_era": q_neutralize_ols_era,
         "rolling_aggregates": q_rolling_aggregates,
+        "rolling_corr_ewma": q_rolling_corr_ewma,
         "winsorize_by_era": q_winsorize_by_era,
         "gaussianize_probit": q_gaussianize_probit,
         "neutralizer_full_expr": q_neutralizer_full_expr,
@@ -428,10 +468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_aggregates": q_expanding_aggregates,
         **datapipe_queries.QUERIES,
     }
-    # rotate one long-stable relational demo (hash-green r2) to the tail
-    # so every NEW query sits inside the driver's 50-entry window; the
-    # tail overflow stays all previously-driver-verified queries
-    out["doc_string_funcs"] = out.pop("doc_string_funcs")
+    # rotate long-stable queries (hash-green r2) to the tail so every
+    # NEW query sits inside the driver's 50-entry window; the tail
+    # overflow stays all previously-driver-verified queries
+    for stable in ("doc_string_funcs", "ann_cosine_topk"):
+        out[stable] = out.pop(stable)
     return out
 
 
@@ -507,6 +548,56 @@ def _pca_project_expr_oracle() -> str:
     )
 
 
+def _rolling_corr_ewma_oracle() -> str:
+    from centimators_spark.operators.time_series import ewma_weights
+
+    order = ", ".join(_ORDER_SQL.split(", "))
+    frame = (
+        f"PARTITION BY l_suppkey ORDER BY {order} "
+        f"ROWS BETWEEN {CORR_W - 1} PRECEDING AND CURRENT ROW"
+    )
+    lagw = f"PARTITION BY l_suppkey ORDER BY {order}"
+    wts = ewma_weights(EWMA_SPAN, EWMA_WINDOW)
+    total = repr(sum(wts))
+    terms = []
+    for i, wt in enumerate(wts):
+        src = f"lag(q, {i}) OVER ({lagw})" if i else "q"
+        terms.append(f"{src} * {wt!r}")
+    ewma = f"round(({' + '.join(terms)}) / {total}, 6)"
+    return f"""
+      WITH base AS (
+        SELECT l_suppkey, {_ORDER_SQL},
+               CASE WHEN l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                    THEN CAST(l_extendedprice AS DOUBLE) END AS xm,
+               CASE WHEN l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+                    THEN CAST(l_quantity AS DOUBLE) END AS ym,
+               CAST(l_quantity AS DOUBLE) AS q
+        FROM lineitem
+      ), sums AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(count(xm) OVER ({frame}) AS DOUBLE) AS nn,
+               sum(xm) OVER ({frame}) AS sx,
+               sum(ym) OVER ({frame}) AS sy,
+               sum(xm * ym) OVER ({frame}) AS sxy,
+               sum(xm * xm) OVER ({frame}) AS sxx,
+               sum(ym * ym) OVER ({frame}) AS syy,
+               {ewma} AS l_quantity_ewma{EWMA_SPAN}
+        FROM base
+      )
+      SELECT l_orderkey, l_linenumber,
+        CASE WHEN nn = {CORR_W}
+              AND nn * sxx - sx * sx > 0 AND nn * syy - sy * sy > 0
+             THEN round((nn * sxy - sx * sy)
+                        / (sqrt(nn * sxx - sx * sx) * sqrt(nn * syy - sy * sy)), 6)
+        END AS l_extendedprice_corr{CORR_W}_l_quantity,
+        CASE WHEN nn = {CORR_W} AND nn * syy - sy * sy > 0
+             THEN round((nn * sxy - sx * sy) / (nn * syy - sy * sy), 6)
+        END AS l_extendedprice_beta{CORR_W}_l_quantity,
+        l_quantity_ewma{EWMA_SPAN}
+      FROM sums
+    """
+
+
 def _neutralize_ols_era_oracle() -> str:
     from centimators_spark.operators.neutralization import (
         era_ols_neutralize_oracle_sql,
@@ -531,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         **datapipe_queries.oracle_sql(),
         **relational_queries.oracle_sql(),
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
+        "rolling_corr_ewma": _rolling_corr_ewma_oracle(),
         "pca_project_expr": _pca_project_expr_oracle(),
         "gaussianize_probit": _gaussianize_probit_oracle(),
         "neutralizer_full_expr": _neutralizer_full_expr_oracle(),

@@ -237,6 +237,151 @@ class ExpandingAggTransformer(_OrderedPanelTransformer):
         return [f"{f}_expanding_{a}" for f in feats for a in self.aggs]
 
 
+class RollingCorrTransformer(_OrderedPanelTransformer):
+    """Trailing-window Pearson correlation and OLS beta of each feature
+    against a benchmark column within ticker — the rolling
+    co-movement/beta family of a finance panel pipeline:
+
+    - ``{f}_corr{w}_{bench}`` = corr(f, bench) over the trailing w rows
+    - ``{f}_beta{w}_{bench}``  = cov(f, bench)/var(bench) (slope of f
+      regressed on bench)
+
+    Windows with fewer than w complete (both-non-null) pairs → null;
+    zero-variance windows → null. Computed from five shared window sums
+    (Σx, Σy, Σxy, Σx², Σy²) in ONE fused WindowExec — a single shuffle
+    for the whole fan-out, no UDFs; outputs round to ``round_dp`` so the
+    DuckDB oracle (same formula text over the same frame-ordered sums)
+    matches bit-for-bit."""
+
+    def __init__(
+        self,
+        bench_col: str,
+        windows: Sequence[int],
+        feature_names=None,
+        round_dp: int = 6,
+        **kwargs,
+    ):
+        super().__init__(feature_names, **kwargs)
+        self.bench_col = bench_col
+        self.windows = list(windows)
+        self.round_dp = round_dp
+
+    def _metadata_cols(self) -> list[str]:
+        return list(dict.fromkeys(super()._metadata_cols() + [self.bench_col]))
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = [f for f in feats if f != self.bench_col]
+        y = F.col(self.bench_col)
+        cols = []
+        for f in self.feature_names_:
+            x = F.col(f)
+            pair = x.isNotNull() & y.isNotNull()
+            xm = F.when(pair, x.cast("double"))
+            ym = F.when(pair, y.cast("double"))
+            for wsize in self.windows:
+                frame = self._window().rowsBetween(-(wsize - 1), 0)
+                n = F.count(F.when(pair, F.lit(1))).over(frame)
+                sx = F.sum(xm).over(frame)
+                sy = F.sum(ym).over(frame)
+                sxy = F.sum(xm * ym).over(frame)
+                sxx = F.sum(xm * xm).over(frame)
+                syy = F.sum(ym * ym).over(frame)
+                nn = n.cast("double")
+                cov_n = nn * sxy - sx * sy
+                varx_n = nn * sxx - sx * sx
+                vary_n = nn * syy - sy * sy
+                full = n == wsize
+                corr = F.when(
+                    full & (varx_n > 0) & (vary_n > 0),
+                    F.round(cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n)), self.round_dp),
+                )
+                beta = F.when(
+                    full & (vary_n > 0),
+                    F.round(cov_n / vary_n, self.round_dp),
+                )
+                cols.append(corr.alias(f"{f}_corr{wsize}_{self.bench_col}"))
+                cols.append(beta.alias(f"{f}_beta{wsize}_{self.bench_col}"))
+        return cols
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names_ if hasattr(self, "feature_names_") else [
+            f for f in (self.feature_names or []) if f != self.bench_col
+        ]
+        return [
+            f"{f}_{kind}{w}_{self.bench_col}"
+            for f in feats
+            for w in self.windows
+            for kind in ("corr", "beta")
+        ]
+
+
+def ewma_weights(span: int, window: int) -> list[float]:
+    """Truncated-EWMA weights (most-recent first): (1−α)^i with
+    α = 2/(span+1), pandas ``adjust=True`` convention. Computed once in
+    Python and injected as literals into BOTH engines' expressions —
+    pow() differs by ULPs across libms, identical literals do not."""
+    alpha = 2.0 / (span + 1.0)
+    return [(1.0 - alpha) ** i for i in range(window)]
+
+
+class EWMATransformer(_OrderedPanelTransformer):
+    """Truncated exponentially-weighted moving average within ticker:
+    ``{f}_ewma{span}`` = Σ_{i<w} (1−α)^i·f_{t−i} / Σ_{i<w} (1−α)^i with
+    α = 2/(span+1), truncated at ``window`` rows (weight below
+    (1−α)^w ≈ negligible for w ≳ 3·span). Any null inside the window →
+    null (matches the full-window rule of MovingAverage).
+
+    Plan: w fused F.lag calls over ONE WindowSpec — a single shuffle,
+    no arrays, no UDFs; the weight literals make the DuckDB oracle
+    bit-exact. Unbounded-history EWMA is deliberately not offered: its
+    exact distributed form needs a per-group sequential scan (an
+    O(n·w)-free recurrence), which truncation avoids at <1e-6 weight
+    loss."""
+
+    def __init__(
+        self,
+        spans: Sequence[int],
+        feature_names=None,
+        window: int | None = None,
+        round_dp: int = 6,
+        **kwargs,
+    ):
+        super().__init__(feature_names, **kwargs)
+        self.spans = list(spans)
+        self.window = window
+        self.round_dp = round_dp
+
+    def _win_len(self, span: int) -> int:
+        return self.window if self.window is not None else 3 * span
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = feats
+        w = self._window()
+        cols = []
+        for f in feats:
+            c = F.col(f).cast("double")
+            for span in self.spans:
+                wlen = self._win_len(span)
+                wts = ewma_weights(span, wlen)
+                total = sum(wts)
+                acc = None
+                for i, wt in enumerate(wts):
+                    term = (F.lag(c, i).over(w) if i else c) * F.lit(wt)
+                    acc = term if acc is None else acc + term
+                cols.append(
+                    F.round(acc / F.lit(total), self.round_dp).alias(
+                        f"{f}_ewma{span}"
+                    )
+                )
+        return cols
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names or getattr(self, "feature_names_")
+        return [f"{f}_ewma{s}" for f in feats for s in self.spans]
+
+
 class LogReturnTransformer(_OrderedPanelTransformer):
     """``{f}_logreturn`` = ln(f_t) − ln(f_{t−1}) within ticker; first row null."""
 

@@ -309,3 +309,81 @@ def test_session_ids_gap_rule(spark):
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
     out = {r.event_id: r.session_idx for r in session_ids(df).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_rolling_corr_beta_matches_pandas(spark):
+    """Trailing corr/beta against pandas rolling corr/cov on a 2-ticker
+    panel; partial windows and zero-variance windows null."""
+    import numpy as np
+    import pandas as pd
+
+    from centimators_spark.operators.time_series import RollingCorrTransformer
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for tk in ("A", "B"):
+        y = rng.normal(size=12)
+        x = 2.0 * y + rng.normal(scale=0.5, size=12)
+        rows += [(tk, i, float(x[i]), float(y[i])) for i in range(12)]
+    df = spark.createDataFrame(rows, ["ticker", "t", "x", "bench"])
+    t = RollingCorrTransformer(
+        bench_col="bench",
+        windows=[5],
+        feature_names=["x"],
+        ticker_col="ticker",
+        order_cols=["t"],
+        output_mode="append",
+    )
+    out = t.transform(df).toPandas().sort_values(["ticker", "t"])
+    assert t.get_feature_names_out() == ["x_corr5_bench", "x_beta5_bench"]
+    for tk, g in out.groupby("ticker"):
+        pdf = g.sort_values("t").reset_index()
+        exp_corr = pdf.x.rolling(5).corr(pdf.bench)
+        exp_beta = pdf.x.rolling(5).cov(pdf.bench) / pdf.bench.rolling(5).var()
+        got_c, got_b = pdf.x_corr5_bench, pdf.x_beta5_bench
+        assert got_c[:4].isna().all() and got_b[:4].isna().all()
+        assert np.allclose(got_c[4:], exp_corr[4:], atol=1e-6)
+        assert np.allclose(got_b[4:], exp_beta[4:], atol=1e-6)
+    # zero-variance benchmark -> null corr and beta
+    const = spark.createDataFrame(
+        [("A", i, float(i), 1.0) for i in range(6)], ["ticker", "t", "x", "bench"]
+    )
+    out2 = t.transform(const).toPandas()
+    assert out2.x_corr5_bench.isna().all() and out2.x_beta5_bench.isna().all()
+
+
+def test_ewma_matches_pandas(spark):
+    """Truncated EWMA equals pandas ewm(adjust=True) restricted to the
+    same window of history; leading rows (incomplete window) null."""
+    import numpy as np
+    import pandas as pd
+
+    from centimators_spark.operators.time_series import EWMATransformer, ewma_weights
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(
+        [("A", i, v) for i, v in enumerate(vals)], ["ticker", "t", "x"]
+    )
+    t = EWMATransformer(
+        spans=[3],
+        window=4,
+        feature_names=["x"],
+        ticker_col="ticker",
+        order_cols=["t"],
+        output_mode="append",
+    )
+    out = t.transform(df).toPandas().sort_values("t")
+    wts = ewma_weights(3, 4)
+    exp = [
+        sum(w * vals[i - j] for j, w in enumerate(wts)) / sum(wts)
+        if i >= 3
+        else None
+        for i in range(len(vals))
+    ]
+    got = out.x_ewma3.tolist()
+    assert all(g is None or g != g for g, e in zip(got, exp) if e is None)
+    assert np.allclose(
+        [g for g, e in zip(got, exp) if e is not None],
+        [e for e in exp if e is not None],
+        atol=1e-6,
+    )
