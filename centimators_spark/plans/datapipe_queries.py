@@ -23,6 +23,7 @@ from centimators_spark.io import load_table
 from centimators_spark.similarity.ann import brute_force_topk, embedding_cosine_pairs
 from centimators_spark.text import portable as P
 from centimators_spark.dedup.contamination import contamination_oracle_sql
+from centimators_spark.text.pii import mask_pii_oracle_sql
 from centimators_spark.text.repetition import repetition_oracle_sql
 from centimators_spark.text.analysis import (
     LANG_PROFILES,
@@ -213,6 +214,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email/IPv4/phone counts + masked text) — codegen
+    regex chain, cross-engine-identical pattern subset."""
+    from centimators_spark.text.pii import mask_pii
+
+    return mask_pii(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
@@ -341,6 +350,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "text_repetition": q_text_repetition,
     "ngram_contamination": q_ngram_contamination,
+    "text_pii_mask": q_text_pii_mask,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
     "tfidf_topk": q_tfidf_topk,
@@ -576,6 +586,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "mixture_sample": _mixture_sample_oracle(),
         "text_repetition": repetition_oracle_sql(),
+        "text_pii_mask": mask_pii_oracle_sql(),
         "ngram_contamination": contamination_oracle_sql(
             "(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
             "(SELECT * FROM documents WHERE doc_id % 10 = 0)",

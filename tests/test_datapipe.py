@@ -397,3 +397,24 @@ def test_ngram_contamination_golden(spark):
     assert out[1].contamination == pytest.approx(2 / 3)
     assert out[2].n_grams == 2 and out[2].n_hits == 0
     assert out[3].n_grams == 0 and out[3].contamination == 0.0
+
+
+def test_mask_pii_planted(spark):
+    """Planted PII masks correctly; clean text passes through unchanged."""
+    from centimators_spark.text.pii import mask_pii
+
+    rows = [
+        (1, "mail me at alice.smith+x@example.co.uk or bob@test.org thanks"),
+        (2, "server at 192.168.1.254 port 8080"),
+        (3, "call +1 555 867 5309 or 555-867-5309 today"),
+        (4, "no pii here, just 3.14 and v1.2.3 and a@b (not an email)"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in mask_pii(df).collect()}
+    assert out[1].n_email == 2
+    assert out[1].text_masked == "mail me at [EMAIL] or [EMAIL] thanks"
+    assert out[2].n_ipv4 == 1 and "[IP] port 8080" in out[2].text_masked
+    assert out[3].n_phone == 2
+    assert out[3].text_masked == "call [PHONE] or [PHONE] today"
+    assert out[4].n_email == 0 and out[4].n_ipv4 == 0 and out[4].n_phone == 0
+    assert out[4].text_masked == rows[3][1]
