@@ -38,17 +38,17 @@ def ngram_contamination(
 
     ``benchmark`` only needs ``content_col``; its gram set is globally
     deduplicated and broadcast."""
+    # stage token arrays before the n-gram lambda (an inlined split()
+    # re-evaluates per element access — measured ~10× slower)
     bench_grams = (
-        benchmark.select(
-            F.explode(token_ngrams(tokens(F.col(content_col)), n)).alias("g")
-        )
+        benchmark.select(tokens(F.col(content_col)).alias("__tok"))
+        .select(F.explode(token_ngrams(F.col("__tok"), n)).alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     corpus_grams = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(token_ngrams(tokens(F.col(content_col)), n)).alias("g"),
-    )
+        F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__tok")
+    ).select("doc_id", F.explode(token_ngrams(F.col("__tok"), n)).alias("g"))
     per_doc = (
         corpus_grams.join(F.broadcast(bench_grams), "g", "left")
         .groupBy("doc_id")

