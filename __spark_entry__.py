@@ -216,11 +216,14 @@ def q_neutralizer_full_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the OLS stage's consumers re-read their input several times
     # (Gram aggregation + residual join + std/min-max recompute under
     # materialize="none"); the gaussianize window is the one expensive
-    # lineage here — persist it ONCE, narrowed to what the OLS needs
-    # (executor-memory blocks; measured: persist-here + recompute-below
-    # beats checkpointing either stage)
-    g = g.select(*KEYS, "era", "q", "d100", "t100", "y6").persist()
-    g.count()
+    # lineage here — cut it ONCE, narrowed to what the OLS needs.
+    # localCheckpoint measured both fastest AND stable under repeated
+    # in-session runs (1.6-1.9s at sf0.1 vs 2-14s for persist/none,
+    # whose cached copies churn storage memory across reruns); at
+    # cluster scale swap for .persist() + downstream unpersist
+    g = g.select(*KEYS, "era", "q", "d100", "t100", "y6").localCheckpoint(
+        eager=True
+    )
     return era_ols_neutralize(
         g,
         "y6",

@@ -136,6 +136,39 @@ def main():
     ok &= audit("ivf: probe join broadcast", "BroadcastHashJoin" in p)
     ok &= audit("ivf: no cartesian scan", "Cartesian" not in p)
 
+    # 12. repetition signals: per-row sorted-array scan — zero shuffle,
+    # zero Python, whole-stage codegen project over the parquet scan
+    p = plan_of(q["text_repetition"](spark, sf_dir))
+    ok &= audit("repetition: zero shuffles", "Exchange" not in p)
+    ok &= audit("repetition: no Python eval", "EvalPython" not in p)
+
+    # 13. decontamination: benchmark gram set broadcast — the corpus
+    # side's only exchange is the tiny per-doc count aggregation
+    p = plan_of(q["ngram_contamination"](spark, sf_dir))
+    ok &= audit("contamination: bench grams broadcast", "BroadcastHashJoin" in p)
+    ok &= audit("contamination: no corpus sort-merge join", "SortMergeJoin" not in p)
+
+    # 14. mixture sampling: per-domain thresholds broadcast onto the
+    # scan; corpus side map-side filtered, never shuffled
+    p = plan_of(q["mixture_sample"](spark, sf_dir))
+    ok &= audit("mixture: thresholds broadcast", "BroadcastHashJoin" in p)
+    ok &= audit("mixture: no corpus shuffle join", "SortMergeJoin" not in p)
+
+    # 15. rolling corr/beta + EWMA: two frames (sliding sums + lags)
+    # may split into two Window execs, but they share ONE sort/shuffle
+    p = plan_of(q["rolling_corr_ewma"](spark, sf_dir))
+    n_window = len(re.findall(r"\bWindow\b", p))
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    ok &= audit("rolling_corr_ewma: <=2 Window execs (one per frame)",
+                n_window <= 2, f"windows={n_window}")
+    ok &= audit("rolling_corr_ewma: single shuffle", n_ex == 1,
+                f"exchanges={n_ex}")
+
+    # 16. PII masking: codegen regex chain, no shuffle, no Python
+    p = plan_of(q["text_pii_mask"](spark, sf_dir))
+    ok &= audit("pii: zero shuffles", "Exchange" not in p)
+    ok &= audit("pii: no Python eval", "EvalPython" not in p)
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
