@@ -108,3 +108,40 @@ def test_stream_exact_dedup(spark):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) c FROM dedup_stream").collect()[0].c
     assert n == ev.count()  # source has unique event_ids -> all kept
+
+
+def test_stream_stateless_text_operators_match_batch(spark):
+    """The stateless corpus operators (PII masking, repetition signals,
+    quality scoring) are pure projections — the SAME code runs unchanged
+    on a readStream source and must emit batch-identical rows."""
+    import tempfile
+
+    from centimators_spark.text.analysis import quality_score
+    from centimators_spark.text.pii import mask_pii
+    from centimators_spark.text.repetition import repetition_signals
+
+    docs = load_table(spark, SF, "documents")
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        docs.write.mode("overwrite").parquet(d + "/docs")
+        stream = spark.readStream.schema(docs.schema).parquet(d + "/docs")
+        assert stream.isStreaming
+        for i, (op, keycols) in enumerate(
+            [
+                (mask_pii, ["doc_id"]),
+                (repetition_signals, ["doc_id"]),
+                (quality_score, ["doc_id"]),
+            ]
+        ):
+            out = op(stream)
+            assert out.isStreaming
+            name = _run_stream(out, f"stateless_{i}", "append")
+            got = (
+                spark.sql(f"SELECT * FROM {name}")
+                .toPandas()
+                .sort_values(keycols)
+                .reset_index(drop=True)
+            )
+            exp = (
+                op(docs).toPandas().sort_values(keycols).reset_index(drop=True)
+            )
+            assert got.equals(exp[got.columns]), op.__name__
