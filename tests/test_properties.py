@@ -142,3 +142,89 @@ def test_session_ids_matches_python_reference(spark, events):
         exp[i] = idx
         by_user[u] = (ts, idx)
     assert got == exp
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab \n", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_signals_match_python_reference(spark, docs):
+    """Sorted-array scan signals == a Counter-based python fold for
+    arbitrary texts over a tiny alphabet (dense duplicate structure)."""
+    from collections import Counter
+
+    from centimators_spark.text.repetition import repetition_signals
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df, top_n=2, dup_n=2).collect()}
+
+    for i, text in enumerate(docs):
+        lines = [l for l in text.split("\n") if l != ""]
+        toks = [t for t in text.lower().split(" ") if t != ""]
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        lc, gc = Counter(lines), Counter(grams)
+        r = got[i]
+        assert r.n_lines == len(lines)
+        if lines:
+            assert abs(r.dup_line_frac - (len(lines) - len(lc)) / len(lines)) < 1e-9
+            lchars = sum(len(l) for l in lines)
+            dchars = sum((c - 1) * len(l) for l, c in lc.items())
+            if lchars:
+                assert abs(r.dup_line_char_frac - dchars / lchars) < 1e-9
+        else:
+            assert r.dup_line_frac == 0.0
+        if grams:
+            # tie-break: max count, lexicographically smallest gram
+            bc = max(gc.values())
+            bg = min(g for g, c in gc.items() if c == bc)
+            assert r.top_ngram_cnt == bc
+            assert abs(r.top_ngram_char_frac - bc * len(bg) / len(text)) < 1e-9
+            dup = sum((c - 1) * len(g) for g, c in gc.items())
+            assert abs(r.dup_ngram_char_frac - dup / len(text)) < 1e-9
+        else:
+            assert r.top_ngram_cnt == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(st.text(alphabet="xy ", min_size=0, max_size=40),
+                    min_size=1, max_size=6),
+    bench=st.lists(st.text(alphabet="xy ", min_size=0, max_size=40),
+                   min_size=1, max_size=4),
+)
+def test_contamination_matches_python_reference(spark, corpus, bench):
+    from centimators_spark.dedup.contamination import ngram_contamination
+
+    n = 2
+    cdf = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in ngram_contamination(cdf, bdf, n=n).collect()}
+
+    def grams(text):
+        toks = [t for t in text.lower().split(" ") if t != ""]
+        return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+    bgrams = set().union(*(grams(t) for t in bench)) if bench else set()
+    for i, text in enumerate(corpus):
+        g = grams(text)
+        r = got[i]
+        assert r.n_grams == len(g)
+        assert r.n_hits == len(g & bgrams)
+        if g:
+            assert abs(r.contamination - len(g & bgrams) / len(g)) < 1e-9
+        else:
+            assert r.contamination == 0.0
