@@ -474,7 +474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate long-stable queries (hash-green r2) to the tail so every
     # NEW query sits inside the driver's 50-entry window; the tail
     # overflow stays all previously-driver-verified queries
-    for stable in ("doc_string_funcs", "ann_cosine_topk", "simhash_fingerprint"):
+    for stable in (
+        "doc_string_funcs",
+        "ann_cosine_topk",
+        "simhash_fingerprint",
+        "window_distribution",
+    ):
         out[stable] = out.pop(stable)
     return out
 

@@ -23,6 +23,7 @@ from centimators_spark.io import load_table
 from centimators_spark.similarity.ann import brute_force_topk, embedding_cosine_pairs
 from centimators_spark.text import portable as P
 from centimators_spark.dedup.contamination import contamination_oracle_sql
+from centimators_spark.text.line_filters import c4_line_filters_oracle_sql
 from centimators_spark.text.pii import mask_pii_oracle_sql
 from centimators_spark.text.repetition import repetition_oracle_sql
 from centimators_spark.text.analysis import (
@@ -214,6 +215,21 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line filtering (terminal punctuation + min words + boilerplate
+    drop) — zero-shuffle per-row line arrays. The synthetic corpus is
+    single-line unpunctuated text, so the query first derives a
+    deterministic multi-line structure (' table' → '.\\n', identical
+    non-overlapping leftmost replace in both engines) to make every
+    rule discriminate."""
+    from centimators_spark.text.line_filters import c4_line_filters
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " table", ".\n").alias("text")
+    )
+    return c4_line_filters(docs)
+
+
 def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (email/IPv4/phone counts + masked text) — codegen
     regex chain, cross-engine-identical pattern subset."""
@@ -351,6 +367,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "ngram_contamination": q_ngram_contamination,
     "text_pii_mask": q_text_pii_mask,
+    "text_c4_filters": q_text_c4_filters,
     "text_language_id": q_text_language_id,
     "text_quality_score": q_text_quality_score,
     "tfidf_topk": q_tfidf_topk,
@@ -587,6 +604,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "mixture_sample": _mixture_sample_oracle(),
         "text_repetition": repetition_oracle_sql(),
         "text_pii_mask": mask_pii_oracle_sql(),
+        "text_c4_filters": c4_line_filters_oracle_sql(
+            "(SELECT doc_id, regexp_replace(text, ' table', '.' || chr(10), 'g')"
+            " AS text FROM documents)"
+        ),
         "ngram_contamination": contamination_oracle_sql(
             "(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
             "(SELECT * FROM documents WHERE doc_id % 10 = 0)",

@@ -418,3 +418,27 @@ def test_mask_pii_planted(spark):
     assert out[3].text_masked == "call [PHONE] or [PHONE] today"
     assert out[4].n_email == 0 and out[4].n_ipv4 == 0 and out[4].n_phone == 0
     assert out[4].text_masked == rows[3][1]
+
+
+def test_c4_line_filters_golden(spark):
+    from centimators_spark.text.line_filters import c4_line_filters
+
+    rows = [
+        (1, 'Good sentence here.\nshort.\nno terminal punct line\n'
+            'contains javascript code here.\nAnother fine sentence!'),
+        (2, "lorem ipsum dolor { sit }."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_line_filters(df).collect()}
+    d1 = out[1]
+    # kept: "Good sentence here." and "Another fine sentence!"; dropped:
+    # "short." (<3 words), no-punct line, javascript line
+    assert d1.n_lines == 5 and d1.n_kept == 2
+    assert d1.text_clean == "Good sentence here.\nAnother fine sentence!"
+    assert d1.has_lorem == 0 and d1.has_brace == 0
+    d2 = out[2]
+    assert d2.has_lorem == 1 and d2.has_brace == 1
+    assert d2.n_kept == 1  # 5+ words ending in '.'
+    d3 = out[3]
+    assert d3.n_lines == 0 and d3.text_clean == ""
