@@ -323,25 +323,50 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_T = 0.55
 
 
+REP_DUP_LINE_T = 0.5  # repetition gate (docs here are 1-line: frac is 0)
+CONTAM_T = 0.8  # drop docs whose 3-grams are >=80% inside the benchmark
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship end-to-end training-corpus cleaning in ONE lazy plan:
-    language filter + quality threshold + near-duplicate removal
-    (MinHash-LSH clusters, keep the min doc of each cluster; exact
-    duplicates are Jaccard-1.0 so the same pass removes them). The
-    oracle composes the individually-verified language/quality/cluster
-    oracles — the composed pipeline stays bit-exact."""
+    """Flagship end-to-end training-corpus cleaning in ONE lazy plan —
+    the full modern recipe: language filter + quality threshold +
+    Gopher repetition gate + near-duplicate removal (MinHash-LSH
+    clusters, keep the min doc; exact dups are Jaccard-1.0 members) +
+    benchmark decontamination (vs the doc_id%10 eval split). The oracle
+    composes the individually-verified stage oracles — the composed
+    pipeline stays bit-exact."""
     from centimators_spark.dedup.cluster import deduplicate
+    from centimators_spark.dedup.contamination import ngram_contamination
+    from centimators_spark.text.repetition import repetition_signals
 
     docs = load_table(spark, sf_dir, "documents")
     lang = language_id(docs).select("doc_id", "lang_pred")
     qual = quality_score(docs).select("doc_id", "quality")
+    rep = repetition_signals(docs).select("doc_id", "dup_ngram_char_frac")
     pairs = minhash_lsh_pairs(docs, threshold=MINHASH_T)
     kept = deduplicate(docs, pairs).select("doc_id")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    cont = ngram_contamination(corpus, bench, n=CONTAM_N).select(
+        "doc_id", "contamination"
+    )
     return (
         kept.join(lang, "doc_id")
         .join(qual, "doc_id")
-        .where((F.col("lang_pred") == "en") & (F.col("quality") >= QUALITY_T))
-        .select("doc_id", "lang_pred", F.round("quality", 6).alias("quality"))
+        .join(rep, "doc_id")
+        .join(cont, "doc_id")  # inner join also drops the bench docs
+        .where(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality") >= QUALITY_T)
+            & (F.col("dup_ngram_char_frac") <= REP_DUP_LINE_T)
+            & (F.col("contamination") < CONTAM_T)
+        )
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.round("quality", 6).alias("quality"),
+            "contamination",
+        )
     )
 
 
@@ -465,13 +490,20 @@ def oracle_sql() -> dict[str, str]:
     d["corpus_clean"] = f"""
         WITH lang AS ({d['text_language_id']}),
              qual AS ({d['text_quality_score']}),
+             rep AS ({d['text_repetition']}),
+             cont AS ({d['ngram_contamination']}),
              cc AS ({d['dedup_clusters']})
-        SELECT d.doc_id, lang.lang_pred, round(qual.quality, 6) AS quality
+        SELECT d.doc_id, lang.lang_pred, round(qual.quality, 6) AS quality,
+               cont.contamination
         FROM documents d
         JOIN lang USING (doc_id)
         JOIN qual USING (doc_id)
+        JOIN rep USING (doc_id)
+        JOIN cont USING (doc_id)
         LEFT JOIN cc ON d.doc_id = cc.doc_id
         WHERE lang.lang_pred = 'en' AND qual.quality >= {QUALITY_T}
+          AND rep.dup_ngram_char_frac <= {REP_DUP_LINE_T}
+          AND cont.contamination < {CONTAM_T}
           AND (cc.doc_id IS NULL OR cc.cluster = d.doc_id)
     """
     return d

@@ -37,28 +37,38 @@ def _nonempty_lines(col: Column) -> Column:
 
 def token_ngrams_all(tok: Column, n: int) -> Column:
     """ALL space-joined n-grams of consecutive tokens (with multiplicity,
-    unlike portable.token_ngrams which de-duplicates); [] if < n tokens."""
+    unlike portable.token_ngrams which de-duplicates); [] if < n tokens.
+
+    Pushdown-robust formulation: zip n shifted slices and concat each
+    zipped struct — the lambda references ONLY its own element, never
+    the outer token array. When Catalyst pushes a predicate below the
+    staging projection and re-inlines this expression, the token array
+    is rebuilt a constant number of times (once per slice), not once
+    per element_at access (the element_at form measured 60× slower
+    under a pushed-down filter)."""
     sz = F.size(tok)
-    parts = lambda i: [F.element_at(tok, i + j) for j in range(n)]  # noqa: E731
+    win = F.greatest(sz - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(tok, j + 1, win) for j in range(n)])
     grams = F.transform(
-        F.sequence(F.lit(1), sz - (n - 1)), lambda i: F.concat_ws(" ", *parts(i))
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
     return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def _dup_char_sum(sorted_arr: Column) -> Column:
-    """Σ length over occurrences beyond the first (sorted-adjacent trick).
-    Guarded: sequence(2, n) DESCENDS when n < 2 (ANSI element_at error)."""
-    scan = F.aggregate(
-        F.sequence(F.lit(2), F.size(sorted_arr)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.element_at(sorted_arr, i) == F.element_at(sorted_arr, i - 1),
-            F.length(F.element_at(sorted_arr, i)).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    """Σ length over occurrences beyond the first (sorted-adjacent
+    trick: zip the array against its 1-shifted self; every equal pair
+    marks a repeat occurrence). Lambdas reference only their own
+    elements — see token_ngrams_all on pushdown robustness."""
+    win = F.greatest(F.size(sorted_arr) - 1, F.lit(0))
+    pair_lens = F.zip_with(
+        F.slice(sorted_arr, 2, win),
+        F.slice(sorted_arr, 1, win),
+        lambda x, y: F.when(x == y, F.length(x).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
-    return F.when(F.size(sorted_arr) >= 2, scan).otherwise(F.lit(0).cast("long"))
+    return F.aggregate(pair_lens, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def _top_run(sorted_arr: Column) -> Column:
