@@ -43,11 +43,16 @@ def tokens(col: Column) -> Column:
 
 
 def token_ngrams(tok: Column, n: int = 3) -> Column:
-    """Distinct space-joined n-grams of consecutive tokens; [] if < n tokens."""
+    """Distinct space-joined n-grams of consecutive tokens; [] if < n
+    tokens. Built as arrays_zip of n shifted slices so the lambda
+    references only its own element — robust against Catalyst
+    re-inlining the token build per element access when a predicate is
+    pushed below the projection (see text/repetition.token_ngrams_all)."""
     sz = F.size(tok)
-    parts = lambda i: [F.element_at(tok, i + j) for j in range(n)]  # noqa: E731
+    win = F.greatest(sz - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(tok, j + 1, win) for j in range(n)])
     grams = F.transform(
-        F.sequence(F.lit(1), sz - (n - 1)), lambda i: F.concat_ws(" ", *parts(i))
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
     return F.when(sz >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
