@@ -559,12 +559,11 @@ def _pca_project_expr_oracle() -> str:
 def _rolling_corr_ewma_oracle() -> str:
     from centimators_spark.operators.time_series import ewma_weights
 
-    order = ", ".join(_ORDER_SQL.split(", "))
     frame = (
-        f"PARTITION BY l_suppkey ORDER BY {order} "
+        f"PARTITION BY l_suppkey ORDER BY {_ORDER_SQL} "
         f"ROWS BETWEEN {CORR_W - 1} PRECEDING AND CURRENT ROW"
     )
-    lagw = f"PARTITION BY l_suppkey ORDER BY {order}"
+    lagw = f"PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}"
     wts = ewma_weights(EWMA_SPAN, EWMA_WINDOW)
     total = repr(sum(wts))
     terms = []

@@ -10,11 +10,12 @@ or flagged before training.
 Scale design: the benchmark side is orders of magnitude smaller than
 the corpus (MBs of eval sets vs TBs of corpus), so its distinct-gram
 set is collected into a broadcast hash join — the corpus side streams
-map-side through explode → broadcast-join → per-doc partial-count, with
-the only shuffle being the tiny (doc_id, count) aggregation. No
-benchmark×corpus shuffle ever happens. Gram identity uses the shared
-portable tokenization, so the DuckDB oracle computes identical integer
-counts.
+ONE scan map-side through explode_outer → broadcast-join → per-doc
+partial-count; the only shuffle carries the per-doc (doc_id, counts)
+partials (one row per document after map-side combine, ~1e-3 of the
+gram volume). No benchmark×corpus shuffle ever happens. Gram identity
+uses the shared portable tokenization, so the DuckDB oracle computes
+identical integer counts.
 """
 
 from __future__ import annotations
@@ -46,31 +47,30 @@ def ngram_contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
+    # explode_outer keeps gram-less docs as a single null-gram row, so
+    # ONE scan + ONE per-doc aggregation covers every corpus document —
+    # no second corpus scan / corpus-cardinality re-join to restore them
     corpus_grams = corpus.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(content_col)).alias("__tok")
-    ).select("doc_id", F.explode(token_ngrams(F.col("__tok"), n)).alias("g"))
+    ).select("doc_id", F.explode_outer(token_ngrams(F.col("__tok"), n)).alias("g"))
     per_doc = (
         corpus_grams.join(F.broadcast(bench_grams), "g", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.col("g")).alias("n_grams"),  # null gram rows don't count
             F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
         )
     )
-    return (
-        corpus.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            F.when(
-                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
-                F.col("n_hits").cast("double") / F.col("n_grams").cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("contamination"),
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_hits",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_hits").cast("double") / F.col("n_grams").cast("double"),
         )
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
     )
 
 

@@ -336,8 +336,11 @@ class EWMATransformer(_OrderedPanelTransformer):
     no arrays, no UDFs; the weight literals make the DuckDB oracle
     bit-exact. Unbounded-history EWMA is deliberately not offered: its
     exact distributed form needs a per-group sequential scan (an
-    O(n·w)-free recurrence), which truncation avoids at <1e-6 weight
-    loss."""
+    O(n·w)-free recurrence), which truncation avoids. Discarded tail
+    weight is (1−α)^w of the mass — ~0.2% at the default w = 3·span
+    (adjust=True renormalizes within the window, so this biases only
+    vs an UNtruncated ewm); pass window ≈ 10·span when you need the
+    tail below 1e-6."""
 
     def __init__(
         self,

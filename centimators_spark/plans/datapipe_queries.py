@@ -323,7 +323,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_T = 0.55
 
 
-REP_DUP_LINE_T = 0.5  # repetition gate (docs here are 1-line: frac is 0)
+REP_DUP_NGRAM_T = 0.5  # repetition gate on duplicated-3-gram char fraction
 CONTAM_T = 0.8  # drop docs whose 3-grams are >=80% inside the benchmark
 
 
@@ -358,7 +358,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             (F.col("lang_pred") == "en")
             & (F.col("quality") >= QUALITY_T)
-            & (F.col("dup_ngram_char_frac") <= REP_DUP_LINE_T)
+            & (F.col("dup_ngram_char_frac") <= REP_DUP_NGRAM_T)
             & (F.col("contamination") < CONTAM_T)
         )
         .select(
@@ -502,7 +502,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN cont USING (doc_id)
         LEFT JOIN cc ON d.doc_id = cc.doc_id
         WHERE lang.lang_pred = 'en' AND qual.quality >= {QUALITY_T}
-          AND rep.dup_ngram_char_frac <= {REP_DUP_LINE_T}
+          AND rep.dup_ngram_char_frac <= {REP_DUP_NGRAM_T}
           AND cont.contamination < {CONTAM_T}
           AND (cc.doc_id IS NULL OR cc.cluster = d.doc_id)
     """

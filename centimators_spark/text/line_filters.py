@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from centimators_spark.text.portable import nonempty_lines
+
 TERMINAL = [".", "!", "?", '"']
 DROP_SUBSTRING = "javascript"  # C4 drops lines mentioning javascript
 LOREM = "lorem ipsum"
@@ -38,16 +40,19 @@ def c4_line_filters(
     and document flags ``has_lorem`` / ``has_brace`` (the C4
     page-level discard signals, reported rather than applied so callers
     choose the policy)."""
-    lines = F.filter(F.split(F.col(content_col), "\n"), lambda x: x != "")
+    # NULL text ≡ empty text (the NULL-propagating array chain would
+    # emit size=-1 / NULL text_clean while the oracle coalesces to '')
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    lines = nonempty_lines(content)
     kept = F.filter(lines, lambda l: _line_ok(l, min_words))
-    lo = F.lower(F.col(content_col))
+    lo = F.lower(content)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"),
         F.array_join(kept, "\n").alias("text_clean"),
         lo.contains(LOREM).cast("int").alias("has_lorem"),
-        F.col(content_col).contains("{").cast("int").alias("has_brace"),
+        content.contains("{").cast("int").alias("has_brace"),
     )
 
 
@@ -66,8 +71,9 @@ def c4_line_filters_oracle_sql(
     )
     return f"""
       WITH base AS (
-        SELECT {id_sql} AS doc_id, {content_sql} AS t,
-               list_filter(string_split(t, chr(10)), x -> x <> '') AS lines
+        SELECT {id_sql} AS doc_id, coalesce({content_sql}, '') AS t,
+               list_filter(string_split(coalesce({content_sql}, ''), chr(10)),
+                           x -> x <> '') AS lines
         FROM {table}
       ), k AS (
         SELECT doc_id, t, lines,

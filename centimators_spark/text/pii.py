@@ -34,7 +34,9 @@ def mask_pii(
     """Per document: ``n_email``/``n_ipv4``/``n_phone`` match counts
     (on the original text) and ``text_masked`` with every match replaced
     by its ``[KIND]`` token."""
-    text = F.col(content_col)
+    # NULL text ≡ empty text (F.size of a null match array is -1 while
+    # the oracle's len(NULL) is NULL — both wrong; 0 matches is right)
+    text = F.coalesce(F.col(content_col), F.lit(""))
     counts = [
         F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{kind}")
         for kind, pat, _ in PII_RULES
@@ -51,11 +53,12 @@ def mask_pii_oracle_sql(
     table: str = "documents", content_sql: str = "text", id_sql: str = "doc_id"
 ) -> str:
     """DuckDB mirror: same patterns, same order, global replacement."""
+    safe = f"coalesce({content_sql}, '')"
     counts = ", ".join(
-        f"len(regexp_extract_all({content_sql}, '{pat}')) AS n_{kind}"
+        f"len(regexp_extract_all({safe}, '{pat}')) AS n_{kind}"
         for kind, pat, _ in PII_RULES
     )
-    masked = content_sql
+    masked = safe
     for _, pat, repl in PII_RULES:
         masked = f"regexp_replace({masked}, '{pat}', '{repl}', 'g')"
     return f"""

@@ -42,21 +42,37 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), " +"), lambda t: t != "")
 
 
-def token_ngrams(tok: Column, n: int = 3) -> Column:
-    """Distinct space-joined n-grams of consecutive tokens; [] if < n
-    tokens. Built as arrays_zip of n shifted slices so the lambda
-    references only its own element — robust against Catalyst
-    re-inlining the token build per element access when a predicate is
-    pushed below the projection (see text/repetition.token_ngrams_all)."""
+def nonempty_lines(col: Column) -> Column:
+    """'\\n'-split lines, empties dropped."""
+    return F.filter(F.split(col, "\n"), lambda x: x != "")
+
+
+def token_ngrams_all(tok: Column, n: int) -> Column:
+    """ALL space-joined n-grams of consecutive tokens (with
+    multiplicity); [] if < n tokens.
+
+    Pushdown-robust formulation: zip n shifted slices and concat each
+    zipped struct — the lambda references ONLY its own element, never
+    the outer token array. When Catalyst pushes a predicate below a
+    staging projection and re-inlines this expression, the token array
+    is rebuilt a constant number of times (once per slice), not once
+    per element access (the element_at form measured 60× slower under
+    a pushed-down filter)."""
     sz = F.size(tok)
     win = F.greatest(sz - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(tok, j + 1, win) for j in range(n)])
     grams = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
     )
-    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def token_ngrams(tok: Column, n: int = 3) -> Column:
+    """Distinct space-joined n-grams of consecutive tokens; [] if < n
+    tokens (see token_ngrams_all for the pushdown-robust formulation)."""
+    return F.when(
+        F.size(tok) >= n, F.array_distinct(token_ngrams_all(tok, n))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def md5_long(col: Column) -> Column:

@@ -28,31 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from centimators_spark.text.portable import tokens
-
-
-def _nonempty_lines(col: Column) -> Column:
-    return F.filter(F.split(col, "\n"), lambda x: x != "")
-
-
-def token_ngrams_all(tok: Column, n: int) -> Column:
-    """ALL space-joined n-grams of consecutive tokens (with multiplicity,
-    unlike portable.token_ngrams which de-duplicates); [] if < n tokens.
-
-    Pushdown-robust formulation: zip n shifted slices and concat each
-    zipped struct — the lambda references ONLY its own element, never
-    the outer token array. When Catalyst pushes a predicate below the
-    staging projection and re-inlines this expression, the token array
-    is rebuilt a constant number of times (once per slice), not once
-    per element_at access (the element_at form measured 60× slower
-    under a pushed-down filter)."""
-    sz = F.size(tok)
-    win = F.greatest(sz - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(tok, j + 1, win) for j in range(n)])
-    grams = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
-    )
-    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+from centimators_spark.text.portable import (
+    nonempty_lines,
+    token_ngrams_all,
+    tokens,
+)
 
 
 def _dup_char_sum(sorted_arr: Column) -> Column:
@@ -129,14 +109,18 @@ def repetition_signals(
     top_2gram_char_frac > 0.20, dup_ngram char fractions ...) apply
     directly to these columns.
     """
+    # NULL text ≡ empty text (a null would NULL-poison the array chain
+    # while the oracle's per-group aggregation coalesces to 0 — the two
+    # engines would diverge exactly on scraped-corpus null rows)
+    content = F.coalesce(F.col(content_col), F.lit(""))
     # stage the token array FIRST: n-gram lambdas reference it per
     # element, and an inlined split()+filter() re-evaluates per access
     # (measured 10× slower); a bound column reference evaluates once
     tokenized = df.select(
         F.col(id_col).alias("doc_id"),
-        F.length(F.col(content_col)).cast("long").alias("__chars"),
-        F.array_sort(_nonempty_lines(F.col(content_col))).alias("__lines"),
-        tokens(F.col(content_col)).alias("__tok"),
+        F.length(content).cast("long").alias("__chars"),
+        F.array_sort(nonempty_lines(content)).alias("__lines"),
+        tokens(content).alias("__tok"),
     )
     staged = tokenized.select(
         "doc_id",
@@ -212,7 +196,7 @@ def repetition_oracle_sql(
                CAST(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(l) ELSE 0 END)
                     AS BIGINT) AS dup_line_chars
         FROM (
-          SELECT doc_id, l, count(*) AS cnt, count(*) AS occ
+          SELECT doc_id, l, count(*) AS cnt
           FROM (SELECT doc_id, unnest(lines) AS l FROM g) GROUP BY doc_id, l
         ) t
         GROUP BY doc_id

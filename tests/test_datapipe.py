@@ -442,3 +442,31 @@ def test_c4_line_filters_golden(spark):
     assert d2.n_kept == 1  # 5+ words ending in '.'
     d3 = out[3]
     assert d3.n_lines == 0 and d3.text_clean == ""
+
+
+def test_null_text_rows_are_empty_not_poison(spark):
+    """NULL text must behave as empty text in every text operator (the
+    oracle aggregations coalesce to 0; a NULL-propagating array chain
+    would emit size=-1 / NULL instead)."""
+    from centimators_spark.dedup.contamination import ngram_contamination
+    from centimators_spark.text.line_filters import c4_line_filters
+    from centimators_spark.text.pii import mask_pii
+    from centimators_spark.text.repetition import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a real line of text here.")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in repetition_signals(df).collect()}[1]
+    assert r.n_lines == 0 and r.dup_line_frac == 0.0
+    assert r.top_ngram_cnt == 0 and r.dup_ngram_char_frac == 0.0
+    c = {x.doc_id: x for x in c4_line_filters(df).collect()}[1]
+    assert c.n_lines == 0 and c.n_kept == 0 and c.text_clean == ""
+    assert c.has_lorem == 0 and c.has_brace == 0
+    p = {x.doc_id: x for x in mask_pii(df).collect()}[1]
+    assert p.n_email == 0 and p.n_ipv4 == 0 and p.n_phone == 0
+    assert p.text_masked == ""
+    bench = spark.createDataFrame([(9, "of text")], "doc_id long, text string")
+    g = {x.doc_id: x for x in ngram_contamination(df, bench, n=2).collect()}
+    assert g[1].n_grams == 0 and g[1].contamination == 0.0
+    assert g[2].n_grams == 5  # null row didn't poison the batch
