@@ -3,6 +3,7 @@ from centimators_spark.dedup.jaccard import ngram_jaccard_pairs
 from centimators_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
 from centimators_spark.dedup.simhash import simhash_fingerprints
 from centimators_spark.dedup.embedding_dup import embedding_cosine_pairs
+from centimators_spark.dedup.contamination import ngram_contamination
 
 __all__ = [
     "exact_dedup",
@@ -11,4 +12,5 @@ __all__ = [
     "minhash_signatures",
     "simhash_fingerprints",
     "embedding_cosine_pairs",
+    "ngram_contamination",
 ]

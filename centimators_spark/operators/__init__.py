@@ -1,8 +1,13 @@
 from centimators_spark.operators.ranking import RankTransformer
 from centimators_spark.operators.time_series import (
+    DiffTransformer,
+    EWMATransformer,
+    ExpandingAggTransformer,
     LagTransformer,
-    MovingAverageTransformer,
     LogReturnTransformer,
+    MovingAverageTransformer,
+    RollingAggTransformer,
+    RollingCorrTransformer,
 )
 from centimators_spark.operators.stats import GroupStatsTransformer
 from centimators_spark.operators.neutralization import FeatureNeutralizer
@@ -22,4 +27,9 @@ __all__ = [
     "MovingAverageTransformer",
     "LogReturnTransformer",
     "GroupStatsTransformer",
+    "DiffTransformer",
+    "ExpandingAggTransformer",
+    "RollingAggTransformer",
+    "RollingCorrTransformer",
+    "EWMATransformer",
 ]

@@ -1,0 +1,23 @@
+from centimators_spark.text.analysis import (
+    document_fingerprint,
+    language_id,
+    normalize_text,
+    quality_score,
+    token_counts,
+    unigram_lm_score,
+)
+from centimators_spark.text.line_filters import c4_line_filters
+from centimators_spark.text.pii import mask_pii
+from centimators_spark.text.repetition import repetition_signals
+
+__all__ = [
+    "c4_line_filters",
+    "document_fingerprint",
+    "language_id",
+    "mask_pii",
+    "normalize_text",
+    "quality_score",
+    "repetition_signals",
+    "token_counts",
+    "unigram_lm_score",
+]
