@@ -470,3 +470,51 @@ def test_null_text_rows_are_empty_not_poison(spark):
     g = {x.doc_id: x for x in ngram_contamination(df, bench, n=2).collect()}
     assert g[1].n_grams == 0 and g[1].contamination == 0.0
     assert g[2].n_grams == 5  # null row didn't poison the batch
+
+
+def test_url_canonicalization_and_dedup(spark):
+    from centimators_spark.text.urls import canonical_url, url_dedup
+
+    rows = [
+        (1, "https://WWW.Example.com:443/a/?utm=x#frag"),
+        (2, "http://example.com/a"),
+        (3, "example.com/a/"),
+        (4, "https://example.com/a/b"),
+        (5, "HTTP://EXAMPLE.COM:80/A"),  # path case preserved: distinct
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    canon = {r.doc_id: r.cu for r in df.select("doc_id", canonical_url(F.col("url")).alias("cu")).collect()}
+    assert canon[1] == canon[2] == canon[3] == "example.com/a"
+    assert canon[4] == "example.com/a/b"
+    assert canon[5] == "example.com/A"
+    assert canon[6] is None
+    out = {r.canonical_url: r for r in url_dedup(df.where("url IS NOT NULL")).collect()}
+    assert out["example.com/a"].keep_id == 1 and out["example.com/a"].n_dups == 3
+    assert out["example.com/a/b"].n_dups == 1
+
+
+def test_streaming_contamination_matches_batch(spark):
+    """Stream-static: streaming corpus joined against the static
+    broadcast benchmark gram set; complete-mode aggregation must equal
+    the batch result."""
+    import tempfile
+
+    from centimators_spark.dedup.contamination import ngram_contamination
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    exp = ngram_contamination(corpus, bench, n=3).toPandas().sort_values("doc_id").reset_index(drop=True)
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        corpus.write.mode("overwrite").parquet(d + "/c")
+        stream = spark.readStream.schema(corpus.schema).parquet(d + "/c")
+        out = ngram_contamination(stream, bench, n=3)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory").queryName("contam_stream")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM contam_stream").toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(exp[got.columns])
