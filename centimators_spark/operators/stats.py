@@ -193,6 +193,79 @@ class GroupStatsTransformer(PanelTransformer):
         ]
 
 
+def robust_zscore(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    era_col: str | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    consistency: float = 1.4826022185056018,
+    suffix: str = "_rz",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Median/MAD robust standardization — the outlier-immune sibling of
+    z-scoring that financial panels prefer for fat-tailed features:
+    ``rz = (x − median) / (consistency · MAD)`` with
+    MAD = median(|x − median|) and the Gaussian consistency constant
+    1/Φ⁻¹(3/4) ≈ 1.4826. Zero-MAD (majority-constant) columns → null.
+
+    Plan: TWO tiny grouped aggregations (median, then MAD over the
+    broadcast-joined deviations) broadcast back onto the scan — no
+    Python, no window over the full table. exact=False (scale default)
+    uses the mergeable approx_percentile sketch; exact=True uses
+    interpolated exact ``percentile`` (full per-group sort), which is
+    DuckDB ``quantile_cont``-parity for differential testing."""
+    from pyspark.sql import functions as F
+
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    keys = [era_col] if era_col else []
+
+    med = (
+        df.groupBy(*keys).agg(
+            *[F.expr(f"{fn}({c}, 0.5{acc})").alias(f"__m_{c}") for c in cols]
+        )
+        if keys
+        else df.agg(*[F.expr(f"{fn}({c}, 0.5{acc})").alias(f"__m_{c}") for c in cols])
+    )
+    with_med = (
+        df.join(F.broadcast(med), keys)
+        if keys
+        else df.crossJoin(F.broadcast(med))
+    )
+    mad = (
+        with_med.groupBy(*keys).agg(
+            *[
+                F.expr(f"{fn}(abs({c} - __m_{c}), 0.5{acc})").alias(f"__d_{c}")
+                for c in cols
+            ]
+        )
+        if keys
+        else with_med.agg(
+            *[
+                F.expr(f"{fn}(abs({c} - __m_{c}), 0.5{acc})").alias(f"__d_{c}")
+                for c in cols
+            ]
+        )
+    )
+    out = (
+        with_med.join(F.broadcast(mad), keys)
+        if keys
+        else with_med.crossJoin(F.broadcast(mad))
+    )
+    for c in cols:
+        z = F.when(
+            F.col(f"__d_{c}") > 0,
+            (F.col(c) - F.col(f"__m_{c}"))
+            / (F.lit(consistency) * F.col(f"__d_{c}")),
+        )
+        if round_dp is not None:
+            z = F.round(z, round_dp)
+        out = out.withColumn(f"{c}{suffix}", z)
+    return out.drop(*[f"__m_{c}" for c in cols], *[f"__d_{c}" for c in cols])
+
+
 def clip_by_quantile(
     df: DataFrame,
     cols: Sequence[str],

@@ -518,3 +518,52 @@ def test_streaming_contamination_matches_batch(spark):
         q.awaitTermination(120)
         got = spark.sql("SELECT * FROM contam_stream").toPandas().sort_values("doc_id").reset_index(drop=True)
     assert got.equals(exp[got.columns])
+
+
+def test_robust_zscore_matches_duckdb(spark):
+    """Exact-mode median/MAD standardization is bit-identical (at 6dp)
+    to a DuckDB quantile_cont differential on the same parquet."""
+    import duckdb
+
+    from centimators_spark.operators.stats import robust_zscore
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+        "era", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    got = (
+        robust_zscore(li, ["l_extendedprice"], era_col="era", exact=True)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice_rz")
+        .toPandas()
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+        # include the value so tie rows align across engines
+        .sort_values(["l_orderkey", "l_linenumber", "l_extendedprice_rz"])
+        .reset_index(drop=True)
+    )
+    C = 1.4826022185056018
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        WITH li AS (
+          SELECT *, date_trunc('month', l_shipdate) AS era
+          FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+        ), med AS (
+          SELECT era, quantile_cont(l_extendedprice, 0.5) AS m FROM li GROUP BY era
+        ), mad AS (
+          SELECT li.era, quantile_cont(abs(l_extendedprice - m), 0.5) AS d
+          FROM li JOIN med USING (era) GROUP BY li.era
+        )
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN d > 0
+                    THEN round((l_extendedprice - m) / ({C!r} * d), 6) END AS rz
+        FROM li JOIN med USING (era) JOIN mad USING (era)
+        ORDER BY l_orderkey, l_linenumber, rz
+    """).fetchdf()
+    import numpy as np
+
+    assert len(got) == len(exp)
+    assert np.array_equal(
+        got.l_extendedprice_rz.to_numpy(), exp.rz.to_numpy(), equal_nan=True
+    )
+    # zero-MAD guard: constant column -> all null
+    const = spark.createDataFrame([(i, 1.0) for i in range(10)], "id long, x double")
+    z = robust_zscore(const, ["x"]).toPandas()
+    assert z.x_rz.isna().all()
