@@ -170,11 +170,16 @@ def mixture_sample(
     nmax = counts.agg(
         F.min(F.expr(f"(__c * {P}) div __p")).alias("__n")
     )
+    # DECIMAL(38,0) intermediates: DENOM·p·N overflows BIGINT once a
+    # domain holds ~1.5e12/p rows (silent negative thresholds non-ANSI,
+    # hard error under ANSI/DuckDB); decimal div is exact and matches
+    # the oracle's HUGEINT // bit-for-bit
     thresholds = counts.crossJoin(F.broadcast(nmax)).select(
         "__dom",
-        F.expr(f"(CAST({DENOM} AS BIGINT) * __p * __n) div (CAST({P} AS BIGINT) * __c)").alias(
-            "__thr"
-        ),
+        F.expr(
+            f"CAST((CAST({DENOM} AS DECIMAL(38,0)) * __p * __n)"
+            f" div (CAST({P} AS DECIMAL(38,0)) * __c) AS BIGINT)"
+        ).alias("__thr"),
     )
     return (
         df.join(
@@ -212,8 +217,9 @@ def sql_mixture_sample(
       ), nmax AS (
         SELECT min((c * {P}) // p) AS n FROM counts
       ), thr AS (
-        SELECT dom, (CAST({DENOM} AS BIGINT) * p * n) // (CAST({P} AS BIGINT) * c)
-          AS threshold
+        SELECT dom,
+          CAST((CAST({DENOM} AS HUGEINT) * p * n)
+               // (CAST({P} AS HUGEINT) * c) AS BIGINT) AS threshold
         FROM counts CROSS JOIN nmax
       )
       SELECT {select_sql} FROM {table} t
@@ -241,6 +247,8 @@ def pack_sequences(
     SQL-expressible streaming formulation — bin-packing variants that
     reorder documents trade determinism and a shuffle for tighter
     packing. One shuffle (the ``by`` partition / global sort)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
     w = (
         Window.partitionBy(by) if by else Window.partitionBy()
     ).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)

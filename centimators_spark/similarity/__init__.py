@@ -1,7 +1,15 @@
 from centimators_spark.similarity.ann import (
-    cosine,
     brute_force_topk,
+    cosine,
+    embedding_cosine_pairs,
+    ivf_topk,
     rp_lsh_topk,
 )
 
-__all__ = ["cosine", "brute_force_topk", "rp_lsh_topk"]
+__all__ = [
+    "brute_force_topk",
+    "cosine",
+    "embedding_cosine_pairs",
+    "ivf_topk",
+    "rp_lsh_topk",
+]

@@ -261,10 +261,17 @@ def ivf_topk(
         return q.sparkSession.createDataFrame([], out_schema)
 
     # zero-norm-safe normalization (a padding/empty-doc zero vector must
-    # not NULL-poison the KMeans features; clustering needs no bit parity)
-    nrm = F.greatest(_norm(F.col("vv")), F.lit(1e-12))
-    with_vec = v.withColumn(
-        "__vec", array_to_vector(F.transform(F.col("vv"), lambda x: x / nrm))
+    # not NULL-poison the KMeans features; clustering needs no bit
+    # parity). Stage the norm as a real column FIRST: referenced inside
+    # the transform lambda it would re-evaluate the O(d) aggregate per
+    # element — O(d²) per row across the whole vector table.
+    with_vec = (
+        v.withColumn("__nrm", F.greatest(_norm(F.col("vv")), F.lit(1e-12)))
+        .withColumn(
+            "__vec",
+            array_to_vector(F.transform(F.col("vv"), lambda x: x / F.col("__nrm"))),
+        )
+        .drop("__nrm")
     )
     km = KMeans(k=n_lists, seed=seed, featuresCol="__vec", predictionCol="cell")
     model = km.fit(with_vec)
@@ -312,7 +319,7 @@ def rp_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 12,
     n_tables: int = 4,
     id_col: str = "vec_id",
@@ -321,7 +328,15 @@ def rp_lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign buckets, n_tables
-    independent tables; candidates = bucket collisions in any table."""
+    independent tables; candidates = bucket collisions in any table.
+    ``dim`` defaults to the measured embedding width (one tiny probe
+    job); pass it explicitly to skip the probe. A wrong value would
+    otherwise surface as an opaque matmul shape error inside executors."""
+    if dim is None:
+        first = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("rp_lsh_topk: vectors DataFrame is empty")
+        dim = int(first["d"])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
 

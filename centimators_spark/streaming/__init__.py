@@ -1,3 +1,4 @@
+from centimators_spark.streaming.dedup import stream_exact_dedup
 from centimators_spark.streaming.events import (
     windowed_event_counts,
     sessionize,
@@ -14,4 +15,5 @@ __all__ = [
     "stateful_running_counts",
     "session_ids",
     "session_ids_stateful",
+    "stream_exact_dedup",
 ]

@@ -21,8 +21,12 @@ def stream_exact_dedup(
     watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Drop rows whose content digest was already seen (within the
-    watermark horizon on streams; globally when watermark=None)."""
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    watermark horizon on streams; globally when watermark=None).
+
+    The digest is md5 over ``to_json(struct(cols))``: concat_ws SKIPS
+    null columns, so (NULL,'a') and ('a',NULL) would collide — JSON
+    keeps the column names, making every null layout distinct."""
+    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])))
     with_digest = events.withColumn("__digest", digest)
     if watermark is not None and events.isStreaming:
         return (

@@ -30,10 +30,16 @@ from pyspark.sql.types import (
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events parquet as a file-source stream (schema pinned — streaming
-    sources cannot infer). The source file stores TIMESTAMP(NANOS),
-    which Spark only reads as long (legacy conf); convert to µs."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sources cannot infer). When the source file stores TIMESTAMP(NANOS),
+    Spark only reads it via the session-wide legacy nanosAsLong conf —
+    set ONLY in that case (it changes how every later parquet read in
+    the session decodes nanos, and the lazy stream needs it at scan
+    time, so it cannot be restored here); we convert the longs to µs."""
+    from centimators_spark.io import _ts_unit_is_nanos
+
     path = f"{sf_dir}/events.parquet"
+    if _ts_unit_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # file stream source needs a directory; glob-filter to the events file
     stream = (
@@ -134,14 +140,6 @@ def session_ids(
     )
 
 
-_SESSION_IDS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("user_id", LongType()),
-        StructField("ts_epoch", LongType()),
-        StructField("session_idx", LongType()),
-    ]
-)
 # carried across micro-batches: last event time seen + current session index
 _SESSION_IDS_STATE = StructType(
     [StructField("last_ts", LongType()), StructField("cur_idx", LongType())]
@@ -160,13 +158,34 @@ def session_ids_stateful(
     (last event epoch, current session index) across micro-batches, so
     incremental execution emits the same labels the batch window query
     computes. Rows are ordered (ts, id) within each batch — the same tie
-    order as the batch sibling."""
+    order as the batch sibling.
+
+    Ordering contract: event time must be NON-DECREASING per key across
+    micro-batches (the standard per-key-ordered source, e.g. a keyed
+    Kafka partition) for exact batch parity. A late row that violates
+    it is labeled into the CURRENT session and state never regresses
+    (last_ts keeps its max), so one straggler cannot corrupt subsequent
+    labels; exact late-data reordering would require buffering events in
+    state until a watermark, which this operator deliberately does not
+    do. State is one (long, long) pair per key; key cardinality bounds
+    memory — add a timeout/TTL policy upstream for unbounded key spaces.
+    """
     import numpy as np
 
     narrow = events.select(
         F.col(id_col).alias("event_id"),
         F.col(by).alias("user_id"),
         F.unix_timestamp(F.col(ts_col)).alias("ts_epoch"),
+    )
+    # derive output schema from the actual key/id types (hardcoding
+    # LongType would break string user/event ids at Arrow conversion)
+    out_schema = StructType(
+        [
+            narrow.schema["event_id"],
+            narrow.schema["user_id"],
+            StructField("ts_epoch", LongType()),
+            StructField("session_idx", LongType()),
+        ]
     )
 
     def update(
@@ -182,7 +201,9 @@ def session_ids_stateful(
         gap_prev[1:] = ts[1:] - ts[:-1]
         gap_prev[0] = gap_seconds + 1 if last_ts is None else ts[0] - last_ts
         idx = cur + np.cumsum(gap_prev > gap_seconds)
-        state.update((int(ts[-1]), int(idx[-1])))
+        # never regress on out-of-order micro-batches (see docstring)
+        new_last = int(ts[-1]) if last_ts is None else max(int(ts[-1]), last_ts)
+        state.update((new_last, int(idx[-1])))
         yield pd.DataFrame(
             {
                 "event_id": pdf["event_id"].to_numpy(),
@@ -194,7 +215,7 @@ def session_ids_stateful(
 
     return narrow.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType=_SESSION_IDS_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_SESSION_IDS_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

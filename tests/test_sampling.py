@@ -123,3 +123,11 @@ def test_mixture_sample_semantics(spark):
     assert sorted(out.k) == sorted(out2.k)
     with pytest.raises(ValueError, match="positive"):
         mixture_sample(df, "dom", {"a": 0}, key_col="k")
+
+
+def test_pack_sequences_budget_validation(spark):
+    from centimators_spark.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, 10)], ["doc_id", "n"])
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "n", 0, order_cols=["doc_id"])

@@ -145,3 +145,17 @@ def test_stream_stateless_text_operators_match_batch(spark):
                 op(docs).toPandas().sort_values(keycols).reset_index(drop=True)
             )
             assert got.equals(exp[got.columns]), op.__name__
+
+
+def test_stream_dedup_null_layouts_distinct(spark):
+    """(NULL,'a') and ('a',NULL) must NOT collide to one digest
+    (concat_ws silently skips nulls; the JSON digest keeps names)."""
+    from centimators_spark.streaming import stream_exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "a", None), (3, "a", None)],
+        "id long, c1 string, c2 string",
+    )
+    out = stream_exact_dedup(df, ["c1", "c2"]).collect()
+    assert sorted(r.id for r in out)[:2] == [1, 2]  # only the (a,NULL) dup drops
+    assert len(out) == 2
