@@ -480,7 +480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprint",
         "window_distribution",
     ):
-        out[stable] = out.pop(stable)
+        if stable in out:  # a rename must not break the whole contract
+            out[stable] = out.pop(stable)
     return out
 
 
