@@ -162,6 +162,46 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: str | list[str] | None = None,
+) -> int:
+    """Small-files compaction — the table-maintenance pass every
+    long-lived ingest needs: thousands of tiny task-output files destroy
+    scan parallelism economics (open/footer overhead per file, tiny
+    row groups defeat pruning). Rewrites ``src`` into ``dst`` with
+    ~``target_file_bytes`` files, optionally sorting within partitions
+    (better column-chunk compression + tighter min/max stats for skip
+    pruning). Returns the output file count.
+
+    Sizing uses the SOURCE bytes as the estimate (parquet→parquet
+    compression roughly carries over); the driver-side listing is one
+    filesystem metadata pass, no data read."""
+    import glob
+
+    files = (
+        glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+        if os.path.isdir(src)
+        else [src]
+    )
+    total = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(src)
+    if sort_within_by is not None:
+        cols = (
+            [sort_within_by] if isinstance(sort_within_by, str) else list(sort_within_by)
+        )
+        df = df.repartition(n_files).sortWithinPartitions(*cols)
+    else:
+        df = df.coalesce(n_files) if n_files < df.rdd.getNumPartitions() else df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst)
+    return len(glob.glob(os.path.join(dst, "*.parquet")))
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register each table as a temp view so spark.sql can address it."""
     for name, df in load_tables(spark, sf_dir).items():

@@ -93,3 +93,35 @@ def test_bucketed_aggregation_has_no_shuffle(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bagg")
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Many tiny files compact to the computed count; rows and values
+    survive; sorted variant produces sorted-within-partition output."""
+    import glob
+
+    from centimators_spark.io import compact_parquet, load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "frag")
+    docs.repartition(37).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 37
+
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    assert n < 37
+    a = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        spark.read.parquet(dst).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b[a.columns])
+
+    dst2 = str(tmp_path / "sorted")
+    compact_parquet(spark, src, dst2, sort_within_by="doc_id")
+    parts = spark.read.parquet(dst2)
+    import pandas as pd
+
+    for _, pdf in (
+        parts.withColumn("__p", F.spark_partition_id()).toPandas().groupby("__p")
+    ):
+        assert pdf.doc_id.is_monotonic_increasing
