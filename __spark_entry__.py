@@ -397,6 +397,22 @@ def q_winsorize_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-era median/MAD robust standardization (exact-percentile mode
+    pinned for oracle parity; the mergeable approx sketch is the scale
+    default). Two tiny grouped aggregations broadcast back — no window
+    over the full table."""
+    from centimators_spark.operators.stats import robust_zscore
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        F.date_trunc("month", F.col("l_shipdate")).alias("era"),
+        "l_extendedprice",
+    )
+    out = robust_zscore(li, ["l_extendedprice"], era_col="era", exact=True)
+    return out.select(*KEYS, "l_extendedprice_rz")
+
+
 def q_feature_penalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-era Adamax exposure capping (applyInPandas kernel); rows-only."""
     li = _lineitem(spark, sf_dir).withColumn(
@@ -463,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_aggregates": q_rolling_aggregates,
         "rolling_corr_ewma": q_rolling_corr_ewma,
         "winsorize_by_era": q_winsorize_by_era,
+        "robust_zscore": q_robust_zscore,
         "gaussianize_probit": q_gaussianize_probit,
         "neutralizer_full_expr": q_neutralizer_full_expr,
         "feature_exposures": q_feature_exposures,
@@ -471,14 +488,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_aggregates": q_expanding_aggregates,
         **datapipe_queries.QUERIES,
     }
-    # rotate long-stable queries (hash-green r2) to the tail so every
-    # NEW query sits inside the driver's 50-entry window; the tail
-    # overflow stays all previously-driver-verified queries
+    # rotate long-stable queries (hash-green r2, code unchanged since)
+    # to the tail so every NEW query sits inside the driver's 50-entry
+    # window; the tail overflow stays all previously-driver-verified
+    # queries
     for stable in (
         "doc_string_funcs",
         "ann_cosine_topk",
         "simhash_fingerprint",
         "window_distribution",
+        "embedding_transformer",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "simhash_pairs",
+        "dedup_embedding_cosine",
+        "lag_transformer",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
@@ -700,6 +724,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WINDOW w5 AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "robust_zscore": """
+            WITH li AS (
+              SELECT l_orderkey, l_linenumber, l_extendedprice,
+                     date_trunc('month', l_shipdate) AS era
+              FROM lineitem
+            ), med AS (
+              SELECT era, quantile_cont(l_extendedprice, 0.5) AS m
+              FROM li GROUP BY era
+            ), mad AS (
+              SELECT li.era,
+                     quantile_cont(abs(l_extendedprice - m), 0.5) AS d
+              FROM li JOIN med USING (era) GROUP BY li.era
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN d > 0 THEN
+                     round((l_extendedprice - m)
+                           / (1.4826022185056018 * d), 6)
+                   END AS l_extendedprice_rz
+            FROM li JOIN med USING (era) JOIN mad USING (era)
         """,
         "winsorize_by_era": """
             WITH b AS (

@@ -41,6 +41,26 @@ MINHASH_T = 0.6
 COSINE_T = 0.5
 ANN_K = 10
 ANN_N_QUERIES = 5
+LM_VOCAB_CAP = 2000
+STRATA_K = 40
+
+# synthetic URL column over documents (the table has no real URL
+# field): deliberately messy — scheme/host case, www., default port,
+# query/fragment, trailing slash — so every canonicalization rule
+# fires; doc_id % 7 collides within (source, lang) to create real
+# duplicate groups. The SAME derivation runs in both engines.
+_URL_SPARK = (
+    "concat('HTTPS://WWW.', source, '.Example.com:443/', lang, '/', "
+    "CAST(doc_id % 7 AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/?utm=x#frag' "
+    "     WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)"
+)
+_URL_DUCK = (
+    "('HTTPS://WWW.' || source || '.Example.com:443/' || lang || '/' || "
+    "CAST(doc_id % 7 AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/?utm=x#frag' "
+    "     WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)"
+)
 
 
 # ---------------------------------------------------------------- queries
@@ -327,6 +347,52 @@ REP_DUP_NGRAM_T = 0.5  # repetition gate on duplicated-3-gram char fraction
 CONTAM_T = 0.8  # drop docs whose 3-grams are >=80% inside the benchmark
 
 
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM quality score (perplexity filter): one
+    token-count aggregation, top-``LM_VOCAB_CAP`` vocabulary broadcast
+    back, exact micro-unit log-prob carriers (order-independent sums)."""
+    from centimators_spark.text.analysis import unigram_lm_score
+
+    return unigram_lm_score(
+        load_table(spark, sf_dir, "documents"), vocab_cap=LM_VOCAB_CAP
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip + lowercase + whitespace collapse —
+    the standard pre-dedup text cleanup, map-side only (Arrow batches,
+    stdlib unicodedata)."""
+    from centimators_spark.text.analysis import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return normalize_text(docs, lowercase=True)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first dedup key of a
+    web-scale corpus. Pure codegen regex canonicalization, one
+    hash-groupBy; the synthetic URL derivation (``_URL_SPARK``)
+    exercises every rule."""
+    from centimators_spark.text.urls import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SPARK).alias("url")
+    )
+    return url_dedup(docs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``STRATA_K`` docs per language stratum, keyed-hash order
+    — deterministic under any partitioning/cluster size (one window
+    shuffle on the stratum key)."""
+    from centimators_spark.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", STRATA_K, key_col="doc_id", salt="st1"
+    ).select("doc_id", "lang")
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end training-corpus cleaning in ONE lazy plan —
     the full modern recipe: language filter + quality threshold +
@@ -375,6 +441,10 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simplest longest-stable single-table queries last so they are the ones
 # that fall past the window if the total exceeds 50
 QUERIES = {
+    "unigram_lm": q_unigram_lm,
+    "text_normalize": q_text_normalize,
+    "url_dedup": q_url_dedup,
+    "stratified_sample": q_stratified_sample,
     "embedding_transformer": q_embedding_transformer,
     "dim_reducer_pca": q_dim_reducer_pca,
     "corpus_clean": q_corpus_clean,
@@ -514,7 +584,31 @@ def _oracle_sql_base() -> dict[str, str]:
     sorted_gram_hashes = (
         f"list_sort(list_transform(gs, g -> {P.sql_md5_long('g')}))"
     )
+    from centimators_spark.sampling import sql_stratified_sample
+    from centimators_spark.text.analysis import (
+        normalize_text_oracle_sql,
+        unigram_lm_oracle_sql,
+    )
+    from centimators_spark.text.urls import sql_canonical_url
+
     return {
+        "unigram_lm": unigram_lm_oracle_sql(vocab_cap=LM_VOCAB_CAP),
+        "text_normalize": normalize_text_oracle_sql(lowercase=True),
+        "url_dedup": f"""
+            SELECT cu AS canonical_url, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM (SELECT doc_id, {sql_canonical_url(_URL_DUCK)} AS cu
+                  FROM documents)
+            GROUP BY cu
+        """,
+        "stratified_sample": sql_stratified_sample(
+            "documents",
+            "lang",
+            STRATA_K,
+            key_sql="doc_id",
+            salt="st1",
+            select_sql="doc_id, lang",
+        ),
         "multimodal_metadata": """
             SELECT doc_id,
                    'unknown' AS modality, 'unknown' AS format,

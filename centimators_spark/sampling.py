@@ -228,6 +228,26 @@ def sql_mixture_sample(
     """
 
 
+def sql_stratified_sample(
+    table: str,
+    strata_sql: str,
+    n_per_stratum: int,
+    key_sql: str,
+    salt: str = "",
+    select_sql: str = "*",
+) -> str:
+    """DuckDB query mirroring stratified_sample bit-for-bit (same keyed
+    hash bucket, same (bucket, key) rank order)."""
+    b = _sql_bucket(key_sql, salt)
+    return f"""
+      SELECT {select_sql} FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {strata_sql} ORDER BY {b}, {key_sql}) AS __rn
+        FROM {table})
+      WHERE __rn <= {n_per_stratum}
+    """
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -218,6 +218,82 @@ def unigram_lm_score(
     )
 
 
+def unigram_lm_oracle_sql(
+    table: str = "documents",
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+    vocab_cap: int = 65_536,
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB mirror of :func:`unigram_lm_score` — identical capped
+    vocabulary order, add-α smoothing, 6dp log-probs on exact
+    micro-unit carriers."""
+    from centimators_spark.text.portable import sql_tokens
+
+    tok = sql_tokens(content_sql)
+    a = repr(float(alpha))
+    return f"""
+        WITH ex AS (
+          SELECT {id_sql} AS doc_id, unnest({tok}) AS t FROM {table}
+        ), counts AS (
+          SELECT t, count(*) AS c FROM ex GROUP BY t
+        ), top AS (
+          SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT {vocab_cap}
+        ), totals AS (
+          SELECT (SELECT sum(c) FROM counts) AS n_corpus,
+                 (SELECT count(*) FROM top) AS v
+        ), lp AS (
+          SELECT t, round(ln((CAST(c AS DOUBLE) + {a})
+            / (CAST(n_corpus AS DOUBLE) + {a} * (CAST(v AS DOUBLE) + 1.0))), 6)
+            AS lp
+          FROM top CROSS JOIN totals
+        ), oov AS (
+          SELECT round(ln({a}
+            / (CAST(n_corpus AS DOUBLE) + {a} * (CAST(v AS DOUBLE) + 1.0))), 6)
+            AS lp_oov
+          FROM totals
+        ), scored AS (
+          SELECT ex.doc_id,
+            CAST(round(coalesce(lp.lp, oov.lp_oov) * 1e6) AS BIGINT) AS lp_u
+          FROM ex LEFT JOIN lp ON ex.t = lp.t CROSS JOIN oov
+        ), per_doc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(CAST(sum(lp_u) AS DOUBLE) / 1e6 / count(*), 6)
+                   AS lm_logprob
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, p.lm_logprob
+        FROM (SELECT {id_sql} AS doc_id FROM {table}) d
+        LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def normalize_text_oracle_sql(
+    table: str = "documents",
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+) -> str:
+    """DuckDB mirror of :func:`normalize_text` (NFC form) — DuckDB's
+    ``nfc_normalize`` implements the same Unicode normal form as
+    Python's ``unicodedata.normalize('NFC', …)``; the control-strip and
+    whitespace-collapse regexes are the identical patterns (ASCII
+    classes, portable across RE2/Java/Python regex)."""
+    s = f"nfc_normalize({content_sql})"
+    if strip_control:
+        s = (
+            f"regexp_replace({s}, "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+        )
+    if lowercase:
+        s = f"lower({s})"
+    if collapse_whitespace:
+        s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return f"SELECT {id_sql} AS doc_id, {s} AS text FROM {table}"
+
+
 def document_fingerprint(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

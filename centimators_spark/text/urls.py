@@ -34,6 +34,23 @@ def canonical_url(col: Column) -> Column:
     return F.concat(host, path)
 
 
+def sql_canonical_url(expr: str) -> str:
+    """DuckDB mirror of :func:`canonical_url` — the same anchored regex
+    steps over the same input expression; every pattern is in the
+    Java-regex ∩ RE2 common subset (the pii.py portability rule), so the
+    two engines transform identically."""
+    u = f"regexp_replace(trim({expr}), '(?i)^[a-z][a-z0-9+.-]*://', '')"
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({u}, '^([^/]*)', 1)),"
+        " '^www\\.', ''), ':(80|443)$', '')"
+    )
+    path = (
+        f"regexp_replace(regexp_replace(regexp_replace({u}, '^[^/]*', ''),"
+        " '[?#].*$', ''), '/$', '')"
+    )
+    return f"({host} || {path})"
+
+
 def url_dedup(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
