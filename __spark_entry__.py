@@ -503,6 +503,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs",
         "dedup_embedding_cosine",
         "lag_transformer",
+        "rank_transformer",
+        "moving_average",
+        "log_return",
+        "pricing_summary",
+        "gaussianize_probit",
+        "feature_exposures",
+        "diff_transformer",
+        "expanding_aggregates",
+        "rolling_aggregates",
+        "dedup_clusters",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)

@@ -15,8 +15,13 @@ from centimators_spark.operators.penalization import FeaturePenalizer
 from centimators_spark.operators.dimreduction import DimReducer
 from centimators_spark.operators.embedding import EmbeddingTransformer
 from centimators_spark.operators.asof import asof_join
+from centimators_spark.operators.rangejoin import band_label, interval_join
+from centimators_spark.operators.skew import salted_join
 
 __all__ = [
+    "interval_join",
+    "band_label",
+    "salted_join",
     "FeatureNeutralizer",
     "FeaturePenalizer",
     "DimReducer",

@@ -364,7 +364,175 @@ def q_sql_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q10_SQL)
 
 
+# quantity bands for the interval-join contract: width 10, stride 5 →
+# deliberately OVERLAPPING (each quantity matches 1-2 bands), literals
+# shared with the oracle's VALUES list
+QTY_BANDS = [(i * 5.0, i * 5.0 + 10.0, i) for i in range(11)]
+PIVOT_STATUSES = ["F", "O", "P"]
+VOLUME_NATIONS = ("NATION_1", "NATION_2")
+LARGE_ORDER_QTY = 250
+
+
+def q_interval_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via bucketed equi-join — each lineitem
+    matched to every OVERLAPPING quantity band containing it. The
+    non-equi predicate becomes a broadcast hash join on the bucket id
+    (operators/rangejoin.py), not a BroadcastNestedLoopJoin scan of
+    every interval per row."""
+    from centimators_spark.operators.rangejoin import interval_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    bands = spark.createDataFrame(QTY_BANDS, "lo double, hi double, band int")
+    out = interval_join(
+        li,
+        bands,
+        point_col="l_quantity",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=10.0,
+        broadcast_intervals=True,
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "band")
+
+
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order revenue by priority × status, statuses pinned as
+    literal pivot values (one partial-aggregated shuffle — Spark
+    rewrites pivot to CASE-WHEN aggregates, same as the oracle SQL)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.col(s).alias(f"rev_{s}") for s in PIVOT_STATUSES],
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact DISTINCT aggregation (Catalyst EXPAND plan:
+    one shuffle carrying each distinct set). Exact mode is the oracle
+    contract; at 100 TB swap ``approx_count_distinct`` (mergeable HLL
+    sketch, one ordinary partial agg) unless exactness is required."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderdate").alias("n_dates"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipped revenue between two nations (either
+    direction) by ship year. Scale shape: the nation-pair membership
+    filter is applied to supplier AND customer BEFORE any big join
+    (2/25 nations survive → both inputs shrink ~12×); the filtered
+    supplier side broadcasts onto the lineitem scan; the remaining
+    disjunction (which direction) runs after the one genuinely
+    large join (lineitem⋈orders, shuffle, AQE-planned)."""
+    n1, n2 = VOLUME_NATIONS
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(n1, n2)
+    )
+    supp = s.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        "s_nationkey",
+    )
+    cust = c.select("c_custkey", "c_nationkey").join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        "c_nationkey",
+    )
+    ord_cust = o.select("o_orderkey", "o_custkey").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(ord_cust, li["l_orderkey"] == F.col("o_orderkey"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total lineitem quantity exceeds a
+    threshold, with customer attribution — grouped HAVING feeding a
+    broadcast-able semi-enrichment join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.py): orders⋈customer
+    split across 8 salt buckets per key — the result multiset is
+    IDENTICAL to the plain join (the oracle), which is exactly the
+    contract a salting transform must keep."""
+    from centimators_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = salted_join(o, c, "c_custkey", n_salts=8)
+    return out.select("o_orderkey", "c_custkey", "o_totalprice", "c_mktsegment")
+
+
 QUERIES = {
+    "interval_band_join": q_interval_band_join,
+    "pivot_revenue": q_pivot_revenue,
+    "distinct_counts": q_distinct_counts,
+    "volume_shipping": q_volume_shipping,
+    "large_orders": q_large_orders,
+    "salted_join": q_salted_join,
     "spearman_by_month": q_spearman_by_month,
     "asof_join": q_asof_join,
     "sql_returned_revenue": q_sql_returned_revenue,
@@ -432,8 +600,64 @@ def _ols_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    n1, n2 = VOLUME_NATIONS
+    bands_values = ", ".join(
+        f"({lo!r}, {hi!r}, {b})" for lo, hi, b in QTY_BANDS
+    )
+    pivot_cols = ", ".join(
+        f"round(sum(CASE WHEN o_orderstatus = '{s}' THEN o_totalprice END), 2)"
+        f" AS rev_{s}"
+        for s in PIVOT_STATUSES
+    )
     return {
         "linear_regression": _ols_oracle_sql(),
+        "interval_band_join": f"""
+            WITH bands(lo, hi, band) AS (VALUES {bands_values})
+            SELECT l_orderkey, l_linenumber, l_quantity, band
+            FROM lineitem JOIN bands
+              ON l_quantity >= lo AND l_quantity < hi
+        """,
+        "pivot_revenue": f"""
+            SELECT o_orderpriority, {pivot_cols}
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "distinct_counts": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey) AS n_cust,
+                   count(DISTINCT o_orderdate) AS n_dates,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "volume_shipping": f"""
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE (sn.n_name = '{n1}' AND cn.n_name = '{n2}')
+               OR (sn.n_name = '{n2}' AND cn.n_name = '{n1}')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "large_orders": f"""
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum_qty > {LARGE_ORDER_QTY}) b
+              ON o_orderkey = b.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "salted_join": """
+            SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
+                   c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
         "spearman_by_month": """
             WITH r AS (
               SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS era,

@@ -1,0 +1,116 @@
+"""Interval (range) join and salted skew join semantics.
+
+Both operators' contract queries (interval_band_join, salted_join) are
+hash-verified against DuckDB; these tests pin the semantics the
+contract can't show: left-mode null extension, overlap multiplicity,
+boundary inclusivity, equality with the plain join, determinism, and
+the plan property that the bucketed join is a hash join (not
+BroadcastNestedLoopJoin).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from centimators_spark.operators import interval_join, salted_join
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [(1, 0.0), (2, 4.9), (3, 5.0), (4, 12.0), (5, 99.0)],
+        "id long, x double",
+    )
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    # [0,5) and [4,10) overlap on [4,5); [10,13) isolated
+    return spark.createDataFrame(
+        [(0.0, 5.0, "a"), (4.0, 10.0, "b"), (10.0, 13.0, "c")],
+        "lo double, hi double, tag string",
+    )
+
+
+def test_interval_join_inner_overlaps_and_bounds(points, intervals):
+    out = interval_join(
+        points, intervals, point_col="x", lo_col="lo", hi_col="hi",
+        bucket_width=5.0,
+    )
+    got = {(r.id, r.tag) for r in out.collect()}
+    # x=0.0: in [0,5) only. x=4.9: in BOTH [0,5) and [4,10).
+    # x=5.0: hi-exclusive for 'a', in 'b'. x=12.0: 'c'. x=99: none.
+    assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "c")}
+
+
+def test_interval_join_left_keeps_unmatched(points, intervals):
+    out = interval_join(
+        points, intervals, point_col="x", lo_col="lo", hi_col="hi",
+        bucket_width=5.0, how="left",
+    )
+    rows = out.collect()
+    # 5 matches + 1 null-extended unmatched point
+    assert len(rows) == 6
+    unmatched = [r for r in rows if r.tag is None]
+    assert [r.id for r in unmatched] == [5]
+
+
+def test_interval_join_keys_and_validation(spark, points, intervals):
+    with pytest.raises(ValueError):
+        interval_join(points, intervals, point_col="x", lo_col="lo",
+                      hi_col="hi", bucket_width=0.0)
+    with pytest.raises(ValueError):
+        interval_join(points, intervals, point_col="x", lo_col="lo",
+                      hi_col="hi", bucket_width=1.0, how="full")
+    # equi key: same interval table per key, matches respect the key
+    p = spark.createDataFrame(
+        [(1, "k1", 4.5), (2, "k2", 4.5)], "id long, k string, x double"
+    )
+    iv = spark.createDataFrame(
+        [("k1", 0.0, 5.0, "a")], "k string, lo double, hi double, tag string"
+    )
+    out = interval_join(
+        p, iv, point_col="x", lo_col="lo", hi_col="hi",
+        bucket_width=5.0, keys=["k"],
+    )
+    assert {(r.id, r.tag) for r in out.collect()} == {(1, "a")}
+
+
+def test_interval_join_is_hash_join_not_bnlj(points, intervals):
+    out = interval_join(
+        points, intervals, point_col="x", lo_col="lo", hi_col="hi",
+        bucket_width=5.0, broadcast_intervals=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.range(0, 2000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
+    )
+    right = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    plain = left.join(right, "k").orderBy("payload").collect()
+    salted = salted_join(left, right, "k", n_salts=5).orderBy("payload").collect()
+    assert [tuple(r) for r in salted] == [tuple(r) for r in plain]
+    # left mode keeps unmatched keys (7..9 never occur in left — all
+    # left keys match here, so make one miss)
+    left2 = left.withColumn("k", F.col("k") + 100)
+    lj = salted_join(left2, right, "k", n_salts=3, how="left").collect()
+    assert len(lj) == 2000 and all(r.v is None for r in lj)
+
+
+def test_salted_join_deterministic_across_partitionings(spark):
+    left = spark.range(0, 500).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("payload")
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b")], "k long, v string")
+    a = sorted(tuple(r) for r in salted_join(left, right, "k").collect())
+    b = sorted(
+        tuple(r)
+        for r in salted_join(left.repartition(13), right, "k").collect()
+    )
+    assert a == b
