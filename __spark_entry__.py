@@ -513,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_aggregates",
         "rolling_aggregates",
         "dedup_clusters",
+        "full_outer_activity",
+        "rollup_revenue",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)

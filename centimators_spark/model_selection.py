@@ -28,6 +28,7 @@ def time_series_splits(
     df: DataFrame,
     time_col: str,
     n_splits: int = 5,
+    embargo: float = 0.0,
 ) -> list[tuple[DataFrame, DataFrame]]:
     """Expanding-window CV folds on a time column (sklearn
     TimeSeriesSplit semantics, time-based instead of index-based):
@@ -38,9 +39,19 @@ def time_series_splits(
 
     One tiny quantile aggregation plans the boundaries; each fold is a
     pair of filter predicates on the ORIGINAL frame (scan-pruned, no
-    materialization)."""
+    materialization).
+
+    embargo: width of the gap (in ``time_col`` units after the
+    double-cast — seconds for timestamps) EXCLUDED from the end of each
+    training window. When labels are computed over a forward horizon
+    (next-month return, 30-day churn), a train row just before the
+    validation boundary sees validation-period outcomes; embargoing the
+    label horizon removes that leakage (the embargoed walk-forward
+    split standard in financial ML — set embargo ≥ the label horizon)."""
     if n_splits < 1:
         raise ValueError(f"n_splits must be >= 1, got {n_splits}")
+    if embargo < 0:
+        raise ValueError(f"embargo must be >= 0, got {embargo}")
     qs = [i / (n_splits + 1) for i in range(1, n_splits + 2)]
     t = F.col(time_col).cast("double")
     row = df.agg(
@@ -55,7 +66,7 @@ def time_series_splits(
     folds = []
     for i in range(n_splits):
         lo, hi = bounds[i], bounds[i + 1]
-        train = df.where(t < F.lit(lo))
+        train = df.where(t < F.lit(lo - embargo))
         if i + 1 == n_splits:  # last fold takes the tail inclusive
             val = df.where(t >= F.lit(lo))
         else:

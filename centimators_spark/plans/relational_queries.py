@@ -526,8 +526,40 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "c_custkey", "o_totalprice", "c_mktsegment")
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (streaming/joins.py, batch mode): each
+    view matched to the same user's purchases in the 30 minutes before
+    it. The SAME function on readStream inputs runs as a watermarked
+    stateful stream-stream join (tests/test_streaming.py parity test);
+    this batch twin is what the oracle pins."""
+    from centimators_spark.streaming.joins import interval_join_events
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("rts"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("pvalue"),
+    )
+    out = interval_join_events(
+        views, purchases, key="user_id", within="30 minutes"
+    )
+    return out.select(
+        "event_id",
+        "purchase_event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("rts").alias("purchase_ts_epoch"),
+        F.round("pvalue", 6).alias("pvalue"),
+    )
+
+
 QUERIES = {
     "interval_band_join": q_interval_band_join,
+    "events_interval_join": q_events_interval_join,
     "pivot_revenue": q_pivot_revenue,
     "distinct_counts": q_distinct_counts,
     "volume_shipping": q_volume_shipping,
@@ -657,6 +689,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
                    c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "events_interval_join": """
+            SELECT v.event_id, p.event_id AS purchase_event_id, v.user_id,
+                   CAST(epoch(date_trunc('second', v.ts)) AS BIGINT)
+                     AS ts_epoch,
+                   CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
+                     AS purchase_ts_epoch,
+                   round(p.value, 6) AS pvalue
+            FROM events v
+            JOIN events p
+              ON v.event_type = 'view' AND p.event_type = 'purchase'
+             AND v.user_id = p.user_id
+             AND p.ts >= v.ts - INTERVAL 30 MINUTE
+             AND p.ts <= v.ts
         """,
         "spearman_by_month": """
             WITH r AS (

@@ -1,4 +1,5 @@
 from centimators_spark.streaming.dedup import stream_exact_dedup
+from centimators_spark.streaming.joins import enrich_stream_static, interval_join_events
 from centimators_spark.streaming.events import (
     windowed_event_counts,
     sessionize,
@@ -16,4 +17,6 @@ __all__ = [
     "session_ids",
     "session_ids_stateful",
     "stream_exact_dedup",
+    "interval_join_events",
+    "enrich_stream_static",
 ]

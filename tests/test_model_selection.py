@@ -68,3 +68,27 @@ def test_grid_search_finds_better_model(spark, ts_df):
     assert means[True] > means[False]
     # the returned estimator is fitted and usable
     assert out["best_estimator"].coef_ is not None
+
+
+def test_time_series_splits_embargo(spark):
+    """Embargoed folds exclude the label-horizon band before each
+    validation window; embargo=0 reduces to the plain split."""
+    from pyspark.sql import functions as F
+
+    from centimators_spark.model_selection import time_series_splits
+
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("t"))
+    plain = time_series_splits(df, "t", n_splits=3)
+    emb = time_series_splits(df, "t", n_splits=3, embargo=50.0)
+    for (tr0, va0), (tr1, va1) in zip(plain, emb):
+        max_tr1 = tr1.agg(F.max("t")).collect()[0][0]
+        min_va1 = va1.agg(F.min("t")).collect()[0][0]
+        # the embargo band is excluded from training
+        assert min_va1 - max_tr1 >= 50.0
+        # validation windows are identical; training only shrinks
+        assert va0.count() == va1.count()
+        assert tr1.count() <= tr0.count()
+    import pytest
+
+    with pytest.raises(ValueError):
+        time_series_splits(df, "t", n_splits=3, embargo=-1.0)

@@ -159,3 +159,65 @@ def test_stream_dedup_null_layouts_distinct(spark):
     out = stream_exact_dedup(df, ["c1", "c2"]).collect()
     assert sorted(r.id for r in out)[:2] == [1, 2]  # only the (a,NULL) dup drops
     assert len(out) == 2
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """The watermarked stream-stream event-time join must emit exactly
+    the rows the batch twin (the events_interval_join oracle contract)
+    produces — availableNow processes all data, so no row is beyond the
+    final watermark."""
+    from centimators_spark.streaming.joins import interval_join_events
+
+    def split(df):
+        views = df.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("rts"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("value").alias("pvalue"),
+        )
+        return views, purchases
+
+    sv, sp = split(read_events_stream(spark, SF))
+    joined = interval_join_events(sv, sp, within="30 minutes")
+    assert joined.isStreaming
+    name = _run_stream(joined, "ss_interval_join", "append")
+    got = (
+        spark.sql(f"SELECT event_id, purchase_event_id, pvalue FROM {name}")
+        .toPandas()
+        .sort_values(["event_id", "purchase_event_id"])
+        .reset_index(drop=True)
+    )
+    bv, bp = split(load_table(spark, SF, "events"))
+    exp = (
+        interval_join_events(bv, bp, within="30 minutes")
+        .select("event_id", "purchase_event_id", "pvalue")
+        .toPandas()
+        .sort_values(["event_id", "purchase_event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 0
+    assert got.equals(exp[got.columns])
+
+
+def test_stream_static_enrichment(spark):
+    """Stream-static broadcast join: every stream row picks up its
+    static attribute; the static side is re-read per micro-batch."""
+    from centimators_spark.streaming.joins import enrich_stream_static
+
+    ev = read_events_stream(spark, SF)
+    dim = (
+        load_table(spark, SF, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"))
+    )
+    out = enrich_stream_static(ev.select("event_id", "user_id"), dim, "user_id")
+    name = _run_stream(out, "ss_enrich", "append")
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    n_events = load_table(spark, SF, "events").count()
+    assert len(got) == n_events
+    assert got.tier.notna().all()
+    assert ((got.user_id % 2 == 0) == (got.tier == "a")).all()
