@@ -169,6 +169,42 @@ def main():
     ok &= audit("pii: zero shuffles", "Exchange" not in p)
     ok &= audit("pii: no Python eval", "EvalPython" not in p)
 
+    # 17. interval band join: bucketed range join is a broadcast HASH
+    # join, not BroadcastNestedLoopJoin / cartesian
+    p = plan_of(q["interval_band_join"](spark, sf_dir))
+    ok &= audit("range join: hash join on bucket", "BroadcastHashJoin" in p)
+    ok &= audit(
+        "range join: no nested-loop/cartesian",
+        "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p,
+    )
+
+    # 18. volume shipping (Q7): nation filter reaches supplier/customer
+    # scans; the filtered supplier side broadcasts onto lineitem
+    p = plan_of(q["volume_shipping"](spark, sf_dir))
+    ok &= audit(
+        "q7: >=3 broadcast joins (nation x2, supplier side)",
+        p.count("BroadcastHashJoin") >= 3,
+        f"bhj={p.count('BroadcastHashJoin')}",
+    )
+    ok &= audit(
+        "q7: nation-name filter pushed to scan",
+        bool(re.search(r"PushedFilters: \[.*n_name", p)),
+    )
+
+    # 19. salted join: plain hash join shape (no BNLJ), salt is codegen
+    p = plan_of(q["salted_join"](spark, sf_dir))
+    ok &= audit("salted: no nested-loop", "BroadcastNestedLoopJoin" not in p)
+    ok &= audit("salted: no Python eval", "EvalPython" not in p)
+
+    # 20. events interval join (batch twin): range condition rides the
+    # user_id equi hash/sort-merge join — no cartesian
+    p = plan_of(q["events_interval_join"](spark, sf_dir))
+    ok &= audit(
+        "events-ij: equi join carries range predicate",
+        ("SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p),
+    )
+    ok &= audit("events-ij: no cartesian", "Cartesian" not in p)
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
