@@ -413,6 +413,51 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*KEYS, "l_extendedprice_rz")
 
 
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of the supplier id
+    against extendedprice, scoped per era — BIGINT micro-unit sums make
+    the category statistics engine/partition-order exact."""
+    from centimators_spark.operators.encoding import target_encode
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        "l_suppkey",
+        "l_extendedprice",
+        F.date_trunc("month", F.col("l_shipdate")).alias("era"),
+    )
+    out = target_encode(
+        li,
+        "l_suppkey",
+        "l_extendedprice",
+        smoothing=20.0,
+        era_col="era",
+        loo=True,
+        out_col="te",
+    )
+    return out.select(*KEYS, "te")
+
+
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population decile binning of extendedprice per era (exact
+    interpolated boundaries pinned for oracle parity; the mergeable
+    approx sketch is the scale default)."""
+    from centimators_spark.operators.encoding import quantile_bin
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        "l_extendedprice",
+        F.date_trunc("month", F.col("l_shipdate")).alias("era"),
+    )
+    out = quantile_bin(
+        li.repartition("era"),
+        ["l_extendedprice"],
+        n_bins=10,
+        era_col="era",
+        exact=True,
+    )
+    return out.select(*KEYS, F.col("l_extendedprice_bin").alias("bin"))
+
+
 def q_feature_penalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-era Adamax exposure capping (applyInPandas kernel); rows-only."""
     li = _lineitem(spark, sf_dir).withColumn(
@@ -480,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_ewma": q_rolling_corr_ewma,
         "winsorize_by_era": q_winsorize_by_era,
         "robust_zscore": q_robust_zscore,
+        "target_encode_loo": q_target_encode_loo,
+        "quantile_bin": q_quantile_bin,
         "gaussianize_probit": q_gaussianize_probit,
         "neutralizer_full_expr": q_neutralizer_full_expr,
         "feature_exposures": q_feature_exposures,
@@ -515,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters",
         "full_outer_activity",
         "rollup_revenue",
+        "set_ops_customers",
+        "exists_customers",
+        "events_percentiles",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
@@ -642,6 +692,34 @@ def _rolling_corr_ewma_oracle() -> str:
     """
 
 
+def _target_encode_oracle() -> str:
+    from centimators_spark.operators.encoding import target_encode_oracle_sql
+
+    return target_encode_oracle_sql(
+        "lineitem",
+        "l_suppkey",
+        "l_extendedprice",
+        smoothing=20.0,
+        era_sql="date_trunc('month', l_shipdate)",
+        loo=True,
+        select_sql="b.l_orderkey, b.l_linenumber",
+        out_name="te",
+    )
+
+
+def _quantile_bin_oracle() -> str:
+    from centimators_spark.operators.encoding import quantile_bin_oracle_sql
+
+    return quantile_bin_oracle_sql(
+        "lineitem",
+        "l_extendedprice",
+        n_bins=10,
+        era_sql="date_trunc('month', l_shipdate)",
+        select_sql="b.l_orderkey, b.l_linenumber",
+        out_name="bin",
+    )
+
+
 def _neutralize_ols_era_oracle() -> str:
     from centimators_spark.operators.neutralization import (
         era_ols_neutralize_oracle_sql,
@@ -737,6 +815,8 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w5 AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
+        "target_encode_loo": _target_encode_oracle(),
+        "quantile_bin": _quantile_bin_oracle(),
         "robust_zscore": """
             WITH li AS (
               SELECT l_orderkey, l_linenumber, l_extendedprice,

@@ -1,0 +1,263 @@
+"""Categorical/numeric feature encodings for training pipelines:
+smoothed target encoding (with leave-one-out), era-aware quantile
+binning, and the hashing trick.
+
+All three follow the engine's exact-carrier convention so the DuckDB
+oracles are bit-exact: category statistics accumulate as BIGINT sums of
+fixed-decimal targets (partition-order independent, unlike a raw double
+sum), bin boundaries come from the same interpolated-percentile
+computation both engines implement identically, and hash buckets ride
+the portable md5→BIGINT machinery (text/portable.py).
+
+Plans: every operator is one tiny grouped aggregation broadcast back
+onto the scan (target encode, quantile bin) or a pure map-side
+expression (feature hash) — nothing shuffles the fact table.
+
+Reference scope: the reference has no categorical encoders (its panels
+are all-numeric); this extends SURVEY.md §2.3's training-data
+inventory. Target encoding follows the standard smoothed/LOO scheme of
+the CatBoost/Micci-Barreca line of work.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centimators_spark.text.portable import md5_long, sql_md5_long
+
+TARGET_SCALE = 1_000_000  # fixed-decimal micro-units for exact sums
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    smoothing: float = 20.0,
+    era_col: str | None = None,
+    loo: bool = False,
+    out_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Append ``out_col`` = smoothed mean target per category:
+
+        enc = (S_cat + m · prior) / (n_cat + m)
+
+    with prior = global mean target and m = ``smoothing``. With
+    ``loo=True`` the row's own target leaves the statistic
+    (leave-one-out — the standard guard against self-leakage when the
+    encoding feeds a model trained on the same rows):
+
+        enc_i = (S_cat − y_i + m · prior) / (n_cat − 1 + m)
+
+    era_col scopes BOTH the category sums and the prior per era.
+    Exactness: targets are quantized to micro-units and summed as
+    BIGINT, so S_cat and the prior are identical in any engine and
+    partition order; the final division happens once, in doubles,
+    rounded to ``round_dp``. Singleton categories under LOO (n=1)
+    fall back to the pure prior.
+
+    Plan: one grouped aggregation per scope (category stats; the era
+    prior rides the same shuffle via a second tiny aggregation),
+    broadcast back — the fact table never shuffles.
+    """
+    out = out_col or f"{cat_col}_te"
+    keys = [era_col] if era_col else []
+    yq = F.round(F.col(target_col) * TARGET_SCALE).cast("long")
+    base = df.withColumn("__yq", yq)
+    cat_stats = base.groupBy(*keys, cat_col).agg(
+        F.sum("__yq").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    prior = (
+        base.groupBy(*keys).agg(
+            F.sum("__yq").alias("__st"), F.count(F.lit(1)).alias("__nt")
+        )
+        if keys
+        else base.agg(
+            F.sum("__yq").alias("__st"), F.count(F.lit(1)).alias("__nt")
+        )
+    )
+    j = base.join(F.broadcast(cat_stats), keys + [cat_col])
+    j = j.join(F.broadcast(prior), keys) if keys else j.crossJoin(F.broadcast(prior))
+    m = float(smoothing)
+    pr = F.col("__st").cast("double") / F.col("__nt").cast("double")
+    if loo:
+        n1 = F.col("__n").cast("double") - 1.0
+        enc = F.when(
+            F.col("__n") > 1,
+            ((F.col("__s") - F.col("__yq")).cast("double") + F.lit(m) * pr)
+            / (n1 + F.lit(m)),
+        ).otherwise(pr)
+    else:
+        enc = (F.col("__s").cast("double") + F.lit(m) * pr) / (
+            F.col("__n").cast("double") + F.lit(m)
+        )
+    enc = F.round(enc / TARGET_SCALE, round_dp)
+    return j.withColumn(out, enc).drop("__yq", "__s", "__n", "__st", "__nt")
+
+
+def target_encode_oracle_sql(
+    table: str,
+    cat_sql: str,
+    target_sql: str,
+    *,
+    smoothing: float = 20.0,
+    era_sql: str | None = None,
+    loo: bool = False,
+    select_sql: str = "*",
+    out_name: str = "te",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`target_encode` — identical BIGINT
+    micro-unit sums, identical smoothing arithmetic."""
+    m = repr(float(smoothing))
+    era_key = f"{era_sql} AS __era, " if era_sql else ""
+    era_grp = "__era, " if era_sql else ""
+    era_join = "b.__era = c.__era AND " if era_sql else ""
+    era_pjoin = "ON b.__era = p.__era" if era_sql else "ON 1 = 1"
+    prior_grp = "GROUP BY __era" if era_sql else ""
+    pr = "(CAST(p.__st AS DOUBLE) / CAST(p.__nt AS DOUBLE))"
+    if loo:
+        enc = f"""CASE WHEN c.__n > 1
+            THEN (CAST(c.__s - b.__yq AS DOUBLE) + {m} * {pr})
+                 / (CAST(c.__n AS DOUBLE) - 1.0 + {m})
+            ELSE {pr} END"""
+    else:
+        enc = f"""(CAST(c.__s AS DOUBLE) + {m} * {pr})
+                 / (CAST(c.__n AS DOUBLE) + {m})"""
+    return f"""
+        WITH b AS (
+          SELECT *, {era_key}{cat_sql} AS __cat,
+                 CAST(round(({target_sql}) * {TARGET_SCALE}) AS BIGINT) AS __yq
+          FROM {table}
+        ), c AS (
+          SELECT {era_grp}__cat, sum(__yq) AS __s,
+                 CAST(count(*) AS BIGINT) AS __n
+          FROM b GROUP BY {era_grp}__cat
+        ), p AS (
+          SELECT {era_grp}sum(__yq) AS __st,
+                 CAST(count(*) AS BIGINT) AS __nt
+          FROM b {prior_grp}
+        )
+        SELECT {select_sql},
+               round(({enc}) / {TARGET_SCALE}, {round_dp}) AS {out_name}
+        FROM b
+        JOIN c ON {era_join}b.__cat = c.__cat
+        JOIN p {era_pjoin}
+    """
+
+
+def quantile_bin(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    n_bins: int = 10,
+    era_col: str | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+    suffix: str = "_bin",
+) -> DataFrame:
+    """Append ``{col}{suffix}`` = which of ``n_bins`` equal-population
+    bins the value falls in (0-based): bin = #{interior boundaries
+    strictly below x}. Values below every boundary take 0, above every
+    boundary take n_bins−1; nulls stay null.
+
+    exact=False (scale default) derives boundaries from the mergeable
+    ``approx_percentile`` sketch; exact=True uses interpolated exact
+    ``percentile`` — DuckDB ``quantile_cont`` parity, the oracle mode.
+    One tiny aggregation computes ALL boundaries for ALL columns,
+    broadcast back; bin assignment is a codegen expression
+    (``aggregate`` over the boundary array) — the fact table never
+    shuffles."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    qs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    keys = [era_col] if era_col else []
+    aggs = [
+        F.expr(f"{fn}({c}, array({qs}){acc})").alias(f"__q_{c}") for c in cols
+    ]
+    bounds = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    out = (
+        df.join(F.broadcast(bounds), keys)
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    for c in cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(
+                F.col(c).isNotNull(),
+                F.expr(
+                    f"aggregate(__q_{c}, 0, (acc, b) ->"
+                    f" acc + CASE WHEN {c} > b THEN 1 ELSE 0 END)"
+                ),
+            ),
+        )
+    return out.drop(*[f"__q_{c}" for c in cols])
+
+
+def quantile_bin_oracle_sql(
+    table: str,
+    col_sql: str,
+    *,
+    n_bins: int = 10,
+    era_sql: str | None = None,
+    select_sql: str = "*",
+    out_name: str = "bin",
+) -> str:
+    """DuckDB mirror of :func:`quantile_bin` (exact mode, one column):
+    same interpolated quantile boundaries, same strict-> count."""
+    qs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    era_key = f"{era_sql} AS __era, " if era_sql else ""
+    era_grp = "GROUP BY __era" if era_sql else ""
+    era_sel = "__era, " if era_sql else ""
+    join = "ON b.__era = q.__era" if era_sql else "ON 1 = 1"
+    return f"""
+        WITH b AS (
+          SELECT *, {era_key}({col_sql}) AS __x FROM {table}
+        ), q AS (
+          SELECT {era_sel}quantile_cont(__x, [{qs}]) AS __qs
+          FROM b {era_grp}
+        )
+        SELECT {select_sql},
+               CASE WHEN __x IS NOT NULL THEN
+                 len(list_filter(q.__qs, v -> __x > v)) END AS {out_name}
+        FROM b JOIN q {join}
+    """
+
+
+def feature_hash(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    n_buckets: int = 1 << 18,
+    suffix: str = "_fh",
+) -> DataFrame:
+    """The hashing trick: ``{col}{suffix}`` = stable bucket in
+    [0, n_buckets) from the portable keyed md5 of ``"col=value"`` —
+    engine-, partition- and run-independent (unlike ``F.hash``, whose
+    Murmur3 seed/variant is Spark-specific), so train and serve code in
+    ANY stack can reproduce the buckets. Nulls stay null. Pure
+    map-side expressions."""
+    out = df
+    for c in cols:
+        key = F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(F.col(c).isNotNull(), md5_long(key) % n_buckets),
+        )
+    return out
+
+
+def feature_hash_sql(col_sql: str, col_name: str, n_buckets: int = 1 << 18) -> str:
+    """DuckDB expression mirroring :func:`feature_hash` for one column."""
+    keyed = f"'{col_name}=' || CAST({col_sql} AS VARCHAR)"
+    return (
+        f"CASE WHEN {col_sql} IS NOT NULL"
+        f" THEN {sql_md5_long(keyed)} % {n_buckets} END"
+    )

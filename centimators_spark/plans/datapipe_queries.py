@@ -393,6 +393,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick buckets for the categorical document columns —
+    portable keyed md5 (identical in any engine/serving stack), pure
+    map-side expressions."""
+    from centimators_spark.operators.encoding import feature_hash
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return feature_hash(docs, ["lang", "source"], n_buckets=1 << 18).select(
+        "doc_id", "lang_fh", "source_fh"
+    )
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end training-corpus cleaning in ONE lazy plan —
     the full modern recipe: language filter + quality threshold +
@@ -445,6 +459,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "url_dedup": q_url_dedup,
     "stratified_sample": q_stratified_sample,
+    "feature_hash": q_feature_hash,
     "embedding_transformer": q_embedding_transformer,
     "dim_reducer_pca": q_dim_reducer_pca,
     "corpus_clean": q_corpus_clean,
@@ -590,6 +605,7 @@ def _oracle_sql_base() -> dict[str, str]:
         unigram_lm_oracle_sql,
     )
     from centimators_spark.text.urls import sql_canonical_url
+    from centimators_spark.operators.encoding import feature_hash_sql
 
     return {
         "unigram_lm": unigram_lm_oracle_sql(vocab_cap=LM_VOCAB_CAP),
@@ -600,6 +616,12 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM (SELECT doc_id, {sql_canonical_url(_URL_DUCK)} AS cu
                   FROM documents)
             GROUP BY cu
+        """,
+        "feature_hash": f"""
+            SELECT doc_id,
+                   {feature_hash_sql('lang', 'lang', 1 << 18)} AS lang_fh,
+                   {feature_hash_sql('source', 'source', 1 << 18)} AS source_fh
+            FROM documents
         """,
         "stratified_sample": sql_stratified_sample(
             "documents",
