@@ -41,6 +41,7 @@ def target_encode(
     loo: bool = False,
     out_col: str | None = None,
     round_dp: int = 6,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Append ``out_col`` = smoothed mean target per category:
 
@@ -61,8 +62,12 @@ def target_encode(
     fall back to the pure prior.
 
     Plan: one grouped aggregation per scope (category stats; the era
-    prior rides the same shuffle via a second tiny aggregation),
-    broadcast back — the fact table never shuffles.
+    prior rides the same shuffle via a second tiny aggregation) joined
+    back. broadcast_stats=True (default) broadcasts the statistics so
+    the fact table never shuffles — right whenever |categories × eras|
+    is dimension-sized. For genuinely high-cardinality keys (user ids
+    at 100 TB) pass False and let AQE plan the stats join; the prior is
+    always broadcast (one row per era).
     """
     out = out_col or f"{cat_col}_te"
     keys = [era_col] if era_col else []
@@ -80,7 +85,9 @@ def target_encode(
             F.sum("__yq").alias("__st"), F.count(F.lit(1)).alias("__nt")
         )
     )
-    j = base.join(F.broadcast(cat_stats), keys + [cat_col])
+    if broadcast_stats:
+        cat_stats = F.broadcast(cat_stats)
+    j = base.join(cat_stats, keys + [cat_col])
     j = j.join(F.broadcast(prior), keys) if keys else j.crossJoin(F.broadcast(prior))
     m = float(smoothing)
     pr = F.col("__st").cast("double") / F.col("__nt").cast("double")
