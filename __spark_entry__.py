@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers",
         "exists_customers",
         "events_percentiles",
+        "spearman_by_month",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)

@@ -4,6 +4,7 @@ from centimators_spark.dedup.minhash import minhash_lsh_pairs, minhash_signature
 from centimators_spark.dedup.simhash import simhash_fingerprints
 from centimators_spark.dedup.embedding_dup import embedding_cosine_pairs
 from centimators_spark.dedup.contamination import ngram_contamination
+from centimators_spark.dedup.semantic import semantic_dedup
 
 __all__ = [
     "exact_dedup",
@@ -13,4 +14,5 @@ __all__ = [
     "simhash_fingerprints",
     "embedding_cosine_pairs",
     "ngram_contamination",
+    "semantic_dedup",
 ]

@@ -393,6 +393,26 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+EMB_DIM = 64
+SEMDEDUP_T = 0.35
+SEMDEDUP_PLANES = 6
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: sign-LSH buckets (literal
+    hyperplanes shared with the oracle) + within-bucket cosine prune,
+    keep the min-id representative — map-side bucketing, one per-bucket
+    self-join, one anti-join."""
+    from centimators_spark.dedup.semantic import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM,
+        threshold=SEMDEDUP_T,
+        n_planes=SEMDEDUP_PLANES,
+    )
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick buckets for the categorical document columns —
     portable keyed md5 (identical in any engine/serving stack), pure
@@ -460,6 +480,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "stratified_sample": q_stratified_sample,
     "feature_hash": q_feature_hash,
+    "semantic_dedup": q_semantic_dedup,
     "embedding_transformer": q_embedding_transformer,
     "dim_reducer_pca": q_dim_reducer_pca,
     "corpus_clean": q_corpus_clean,
@@ -606,6 +627,7 @@ def _oracle_sql_base() -> dict[str, str]:
     )
     from centimators_spark.text.urls import sql_canonical_url
     from centimators_spark.operators.encoding import feature_hash_sql
+    from centimators_spark.dedup.semantic import semantic_dedup_oracle_sql
 
     return {
         "unigram_lm": unigram_lm_oracle_sql(vocab_cap=LM_VOCAB_CAP),
@@ -617,6 +639,12 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM documents)
             GROUP BY cu
         """,
+        "semantic_dedup": semantic_dedup_oracle_sql(
+            "embeddings",
+            dim=EMB_DIM,
+            threshold=SEMDEDUP_T,
+            n_planes=SEMDEDUP_PLANES,
+        ),
         "feature_hash": f"""
             SELECT doc_id,
                    {feature_hash_sql('lang', 'lang', 1 << 18)} AS lang_fh,

@@ -567,3 +567,37 @@ def test_robust_zscore_matches_duckdb(spark):
     const = spark.createDataFrame([(i, 1.0) for i in range(10)], "id long, x double")
     z = robust_zscore(const, ["x"]).toPandas()
     assert z.x_rz.isna().all()
+
+
+def test_semantic_dedup_prunes_dominated(spark):
+    """Within a bucket, only the min-id member of each ≥τ-similar set
+    survives; near-orthogonal vectors are kept. Identical vectors land
+    in the same bucket by construction (same signs), so exact dups are
+    always pruned."""
+    import numpy as np
+
+    from centimators_spark.dedup.semantic import semantic_dedup
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base]),                      # exact dup of 1
+        (3, [float(x) for x in base + 0.01 * rng.standard_normal(16)]),  # near dup
+        (4, [float(x) for x in rng.standard_normal(16)]),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in semantic_dedup(
+        df, dim=16, threshold=0.9, n_planes=2
+    ).collect()}
+    assert 1 in kept and 2 not in kept and 4 in kept
+    # near-dup 3 pruned IF it shares 1's bucket (sign-LSH recall loss is
+    # possible but a 0.01 perturbation flipping a sign is rare for this
+    # seed; assert the actual semantic: pruned iff same bucket)
+    from centimators_spark.dedup.semantic import hyperplanes, _bucket_expr
+    from pyspark.sql import functions as F
+
+    b = {r.vec_id: r.b for r in df.select(
+        "vec_id", _bucket_expr(F.col("embedding"),
+                               hyperplanes(2, 16, 7)).alias("b")).collect()}
+    assert (3 in kept) == (b[3] != b[1])
