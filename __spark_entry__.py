@@ -566,6 +566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_customers",
         "events_percentiles",
         "spearman_by_month",
+        "asof_join",
+        "sql_returned_revenue",
+        "events_windowed_counts",
+        "text_language_id",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)

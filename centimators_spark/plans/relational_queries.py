@@ -557,9 +557,74 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_FRAME_SECONDS = 30 * 86400
+
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: orders above the global average price.
+    The one-row aggregate broadcasts (cross join) onto the scan — the
+    same shape a correlated scalar subquery decorrelates to."""
+    o = load_table(spark, sf_dir, "orders")
+    avg = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice", F.round("avg_price", 6).alias("avg_price"))
+    )
+
+
+def q_range_frame_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: per supplier, quantity
+    shipped in the trailing 30 days (value-based frame — peers enter by
+    timestamp distance, not row count). Integer-valued doubles keep the
+    frame sums exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[F.col(c) for c in ("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")],
+        F.unix_timestamp("l_shipdate").alias("ship_epoch"),
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("ship_epoch")
+        .rangeBetween(-RANGE_FRAME_SECONDS, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("qty_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: all four grouping combinations of (priority,
+    status) in one Expand + partial-agg pass (the rollup sibling)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+def q_string_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group: the names of the
+    low-key customers per market segment, sorted then joined — the
+    deterministic form of listagg/string_agg (unordered collect_list
+    is partition-order-dependent; the explicit sort pins it)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "interval_band_join": q_interval_band_join,
     "events_interval_join": q_events_interval_join,
+    "above_avg_orders": q_above_avg_orders,
+    "range_frame_sums": q_range_frame_sums,
+    "cube_revenue": q_cube_revenue,
+    "string_agg_segment": q_string_agg_segment,
     "pivot_revenue": q_pivot_revenue,
     "distinct_counts": q_distinct_counts,
     "volume_shipping": q_volume_shipping,
@@ -689,6 +754,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
                    c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "above_avg_orders": """
+            SELECT o_orderkey, o_totalprice,
+                   round((SELECT avg(o_totalprice) FROM orders), 6)
+                     AS avg_price
+            FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """,
+        "range_frame_sums": f"""
+            SELECT l_orderkey, l_linenumber,
+                   sum(l_quantity) OVER w AS qty_30d,
+                   count(*) OVER w AS n_30d
+            FROM (SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+                         CAST(epoch(date_trunc('second', l_shipdate)) AS BIGINT)
+                           AS ship_epoch
+                  FROM lineitem)
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_epoch
+                         RANGE BETWEEN {RANGE_FRAME_SECONDS} PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "cube_revenue": """
+            SELECT o_orderpriority, o_orderstatus,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders,
+                   CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+                     AS gid
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        """,
+        "string_agg_segment": """
+            SELECT c_mktsegment,
+                   string_agg(c_name, ',' ORDER BY c_name) AS names,
+                   count(*) AS n
+            FROM customer WHERE c_custkey <= 100
+            GROUP BY c_mktsegment
         """,
         "events_interval_join": """
             SELECT v.event_id, p.event_id AS purchase_event_id, v.user_id,
