@@ -413,6 +413,31 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*KEYS, "l_extendedprice_rz")
 
 
+def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-band anomaly flags on quantity per supplier — control-chart
+    rule |x − ewma| > 2σ over one shared window shuffle; 6dp-rounded
+    inputs make the flag set engine-exact."""
+    from centimators_spark.operators.anomaly import ewma_anomaly_flags
+
+    out = ewma_anomaly_flags(
+        _lineitem(spark, sf_dir),
+        "l_quantity",
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        span=EWMA_SPAN,
+        window=EWMA_WINDOW,
+        std_window=EWMA_WINDOW,
+        k=2.0,
+    )
+    return out.select(
+        *KEYS,
+        f"l_quantity_ewma{EWMA_SPAN}",
+        f"l_quantity_rolling_std{EWMA_WINDOW}",
+        "l_quantity_z",
+        "l_quantity_anomaly",
+    )
+
+
 def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out smoothed target encoding of the supplier id
     against extendedprice, scoped per era — BIGINT micro-unit sums make
@@ -526,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_by_era": q_winsorize_by_era,
         "robust_zscore": q_robust_zscore,
         "target_encode_loo": q_target_encode_loo,
+        "anomaly_flags": q_anomaly_flags,
         "quantile_bin": q_quantile_bin,
         "gaussianize_probit": q_gaussianize_probit,
         "neutralizer_full_expr": q_neutralizer_full_expr,
@@ -570,6 +596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_returned_revenue",
         "events_windowed_counts",
         "text_language_id",
+        "text_quality_score",
+        "tfidf_topk",
+        "doc_fingerprint",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
@@ -697,6 +726,52 @@ def _rolling_corr_ewma_oracle() -> str:
     """
 
 
+def _anomaly_flags_oracle() -> str:
+    from centimators_spark.operators.time_series import ewma_weights
+
+    w = EWMA_WINDOW
+    lagw = f"PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}"
+    frame = (
+        f"PARTITION BY l_suppkey ORDER BY {_ORDER_SQL} "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW"
+    )
+    wts = ewma_weights(EWMA_SPAN, w)
+    total = repr(sum(wts))
+    terms = []
+    for i, wt in enumerate(wts):
+        src = f"lag(q, {i}) OVER ({lagw})" if i else "q"
+        terms.append(f"{src} * {wt!r}")
+    ewma = f"round(({' + '.join(terms)}) / {total}, 6)"
+    return f"""
+      WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_suppkey, {_ORDER_SQL},
+               CAST(l_quantity AS DOUBLE) AS q
+        FROM lineitem
+      ), win AS (
+        SELECT l_orderkey, l_linenumber, l_suppkey, {_ORDER_SQL}, q,
+               {ewma} AS e,
+               round(CASE WHEN count(q) OVER ({frame}) = {w}
+                     THEN stddev_samp(q) OVER ({frame}) END, 6) AS s
+        FROM base
+      ), lagged AS (
+        SELECT l_orderkey, l_linenumber, q, e, s,
+               lag(e) OVER ({lagw}) AS e_prev,
+               lag(s) OVER ({lagw}) AS s_prev
+        FROM win
+      )
+      SELECT l_orderkey, l_linenumber,
+             e AS l_quantity_ewma{EWMA_SPAN},
+             s AS l_quantity_rolling_std{EWMA_WINDOW},
+             CASE WHEN s_prev IS NOT NULL AND s_prev <> 0
+                  THEN round((q - e_prev) / s_prev, 6)
+             END AS l_quantity_z,
+             CASE WHEN e_prev IS NOT NULL AND s_prev IS NOT NULL
+                  THEN CAST(abs(q - e_prev) > 2.0 * s_prev AS INT)
+             END AS l_quantity_anomaly
+      FROM lagged
+    """
+
+
 def _target_encode_oracle() -> str:
     from centimators_spark.operators.encoding import target_encode_oracle_sql
 
@@ -820,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w5 AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
+        "anomaly_flags": _anomaly_flags_oracle(),
         "target_encode_loo": _target_encode_oracle(),
         "quantile_bin": _quantile_bin_oracle(),
         "robust_zscore": """

