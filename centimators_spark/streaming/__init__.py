@@ -1,5 +1,6 @@
 from centimators_spark.streaming.dedup import stream_exact_dedup
 from centimators_spark.streaming.joins import enrich_stream_static, interval_join_events
+from centimators_spark.streaming.sink import grouped_overwrite_sink
 from centimators_spark.streaming.events import (
     windowed_event_counts,
     sessionize,
@@ -19,4 +20,5 @@ __all__ = [
     "stream_exact_dedup",
     "interval_join_events",
     "enrich_stream_static",
+    "grouped_overwrite_sink",
 ]

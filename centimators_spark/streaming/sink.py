@@ -1,0 +1,64 @@
+"""foreachBatch sinks: maintain a queryable parquet table from a
+streaming aggregation when the built-in file sink's append-only
+contract doesn't fit (grouped state, upserts).
+
+``grouped_overwrite_sink`` implements the standard idempotent pattern:
+the upstream streaming aggregation runs in update (or complete) mode,
+so each micro-batch delivers the refreshed rows for every group the
+batch changed; the sink overwrites exactly those groups' partitions in
+a partitioned parquet table (dynamic partition overwrite). Replayed
+batches rewrite the same partitions with the same values — idempotent
+under at-least-once delivery, no read-modify-write race, and the table
+stays queryable between batches.
+
+At scale this is the poor-engine's MERGE: per-batch work is
+proportional to the touched groups, not the table; a lakehouse format
+(Delta/Iceberg/Hudi) replaces the partition-overwrite with a
+transactional MERGE but the foreachBatch shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def grouped_overwrite_sink(
+    aggregated_stream: DataFrame,
+    *,
+    path: str,
+    partition_col: str,
+    checkpoint: str,
+    output_mode: str = "update",
+    query_name: str = "grouped_overwrite",
+):
+    """Build (unstarted) the writeStream for an ALREADY-AGGREGATED
+    stream: each micro-batch's rows — the refreshed aggregates of the
+    groups that changed — overwrite their ``partition_col`` partitions
+    in the parquet table at ``path``. Call ``.trigger(...).start()`` on
+    the result. ``output_mode='update'`` writes only changed groups per
+    batch; ``'complete'`` rewrites every group (use for small group
+    counts)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        aggregated_stream.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )

@@ -228,3 +228,47 @@ def test_contamination_matches_python_reference(spark, corpus, bench):
             assert abs(r.contamination - len(g & bgrams) / len(g)) < 1e-9
         else:
             assert r.contamination == 0.0
+
+
+@given(
+    points=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        min_size=1, max_size=25,
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            st.floats(min_value=0.1, max_value=30, allow_nan=False),
+        ),
+        min_size=1, max_size=10,
+    ),
+    width=st.sampled_from([1.0, 5.0, 17.3]),
+)
+@settings(deadline=None, max_examples=15,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_join_equals_brute_force(spark, points, intervals, width):
+    """Bucketed interval join ≡ the naive nested-loop range join for any
+    points/intervals/bucket width (buckets only generate candidates; the
+    exact predicate decides)."""
+    from centimators_spark.operators import interval_join
+
+    p = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(points)], "pid long, x double"
+    )
+    iv = spark.createDataFrame(
+        [(j, float(lo), float(lo + ln)) for j, (lo, ln) in enumerate(intervals)],
+        "ivid long, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.ivid)
+        for r in interval_join(
+            p, iv, point_col="x", lo_col="lo", hi_col="hi", bucket_width=width
+        ).collect()
+    }
+    exp = {
+        (i, j)
+        for i, x in enumerate(points)
+        for j, (lo, ln) in enumerate(intervals)
+        if lo <= x < lo + ln
+    }
+    assert got == exp

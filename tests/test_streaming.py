@@ -221,3 +221,60 @@ def test_stream_static_enrichment(spark):
     assert len(got) == n_events
     assert got.tier.notna().all()
     assert ((got.user_id % 2 == 0) == (got.tier == "a")).all()
+
+
+def test_grouped_overwrite_sink(spark, tmp_path):
+    """foreachBatch + dynamic partition overwrite maintains a parquet
+    table of per-event-type aggregates that matches the batch answer,
+    and a second (replayed) run leaves it unchanged (idempotence)."""
+    from centimators_spark.streaming.sink import grouped_overwrite_sink
+
+    out_dir = str(tmp_path / "agg_table")
+
+    def run(checkpoint):
+        ev = read_events_stream(spark, SF)
+        agg = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        q = (
+            grouped_overwrite_sink(
+                agg,
+                path=out_dir,
+                partition_col="event_type",
+                checkpoint=checkpoint,
+                output_mode="complete",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    exp = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got[exp.columns].equals(exp)
+    # replay from a fresh checkpoint: same partitions rewritten, same table
+    run(str(tmp_path / "ckpt2"))
+    got2 = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got2[exp.columns].equals(exp)
