@@ -409,7 +409,12 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("l_shipdate")).alias("era"),
         "l_extendedprice",
     )
-    out = robust_zscore(li, ["l_extendedprice"], era_col="era", exact=True)
+    # exact percentile sorts each era inside its aggregation buffer; the
+    # local single-row-group scan is ONE task — spread eras across tasks
+    # first (same rationale as winsorize_by_era)
+    out = robust_zscore(
+        li.repartition("era"), ["l_extendedprice"], era_col="era", exact=True
+    )
     return out.select(*KEYS, "l_extendedprice_rz")
 
 
