@@ -1,6 +1,7 @@
 from centimators_spark.streaming.dedup import stream_exact_dedup
 from centimators_spark.streaming.joins import enrich_stream_static, interval_join_events
 from centimators_spark.streaming.sink import grouped_overwrite_sink
+from centimators_spark.streaming.anomaly import ewma_anomaly_stream
 from centimators_spark.streaming.events import (
     windowed_event_counts,
     sessionize,
@@ -21,4 +22,5 @@ __all__ = [
     "interval_join_events",
     "enrich_stream_static",
     "grouped_overwrite_sink",
+    "ewma_anomaly_stream",
 ]

@@ -278,3 +278,48 @@ def test_grouped_overwrite_sink(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got2[exp.columns].equals(exp)
+
+
+def test_ewma_anomaly_stream_matches_batch_and_reference(spark):
+    """The stateful streaming EWMA scorer must agree with (a) its batch
+    applyInPandas twin and (b) a pure-pandas sequential reference."""
+    import numpy as np
+    import pandas as pd
+
+    from centimators_spark.streaming.anomaly import ewma_anomaly_stream
+
+    kw = dict(alpha=0.3, k=2.0, min_periods=5)
+    batch = (
+        ewma_anomaly_stream(load_table(spark, SF, "events"), **kw)
+        .toPandas()
+        .sort_values(["k", "ts_epoch", "event_id"])
+        .reset_index(drop=True)
+    )
+    stream = ewma_anomaly_stream(read_events_stream(spark, SF), **kw)
+    assert stream.isStreaming
+    name = _run_stream(stream, "ewma_anom", "update")
+    got = (
+        spark.sql(f"SELECT * FROM {name}")
+        .toPandas()
+        .sort_values(["k", "ts_epoch", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(batch[got.columns])
+
+    # pure-pandas reference on one key
+    key = batch["k"].iloc[0]
+    sub = batch[batch["k"] == key].reset_index(drop=True)
+    n, mean, var = 0, 0.0, 0.0
+    for i, x in enumerate(sub["x"]):
+        if n >= 5 and var > 0:
+            z = (x - mean) / np.sqrt(var)
+            assert abs(round(z, 6) - sub["z"][i]) < 1e-9
+            assert sub["anomaly"][i] == (1 if abs(z) > 2.0 else 0)
+        else:
+            assert pd.isna(sub["z"][i]) and pd.isna(sub["anomaly"][i])
+        d = x - mean
+        mean += 0.3 * d
+        var = 0.7 * (var + 0.3 * d * d)
+        n += 1
+    # sanity: some anomalies fire somewhere in the table
+    assert (batch["anomaly"] == 1).any()
