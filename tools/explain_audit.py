@@ -205,6 +205,38 @@ def main():
     )
     ok &= audit("events-ij: no cartesian", "Cartesian" not in p)
 
+    # 21. target encode: stats joins broadcast, fact table never shuffles
+    p = plan_of(q["target_encode_loo"](spark, sf_dir))
+    ok &= audit(
+        "target_encode: stats broadcast back",
+        p.count("BroadcastHashJoin") >= 2,
+        f"bhj={p.count('BroadcastHashJoin')}",
+    )
+    ok &= audit("target_encode: no sort-merge join", "SortMergeJoin" not in p)
+    ok &= audit("target_encode: no Python eval", "EvalPython" not in p)
+
+    # 22. quantile bin: ONE boundary aggregation broadcast back; bin
+    # assignment is codegen (no Python)
+    p = plan_of(q["quantile_bin"](spark, sf_dir))
+    ok &= audit("quantile_bin: boundaries broadcast", "BroadcastHashJoin" in p)
+    ok &= audit("quantile_bin: no Python eval", "EvalPython" not in p)
+
+    # 23. semantic dedup: map-side bucketing; the only joins are the
+    # per-bucket self-join + anti-join (no cartesian)
+    p = plan_of(q["semantic_dedup"](spark, sf_dir))
+    ok &= audit("semantic_dedup: no cartesian", "Cartesian" not in p)
+    ok &= audit("semantic_dedup: no Python eval", "EvalPython" not in p)
+
+    # 24. funnel: every stage join is broadcast (per-stage aggregates
+    # are tiny); the event table is scanned, never sort-merge joined
+    p = plan_of(q["event_funnel"](spark, sf_dir))
+    ok &= audit(
+        "funnel: stage aggregates broadcast",
+        p.count("BroadcastHashJoin") >= 3,
+        f"bhj={p.count('BroadcastHashJoin')}",
+    )
+    ok &= audit("funnel: no sort-merge join", "SortMergeJoin" not in p)
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
