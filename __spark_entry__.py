@@ -418,6 +418,54 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*KEYS, "l_extendedprice_rz")
 
 
+SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+RZ_C = 1.4826022185056018
+
+
+def q_panel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-prep flagship — per-era OLS neutralization →
+    global robust z-score → decile binning → deterministic hash split,
+    as ONE lazy plan whose oracle nests the individually-verified stage
+    oracles. Every stage rides exact carriers (decimal Gram sums,
+    6dp-rounded residuals, interpolated percentiles, md5 buckets), so
+    the END-TO-END pipeline is bit-exact — the composability property
+    a training platform actually needs."""
+    from centimators_spark.operators.encoding import quantile_bin
+    from centimators_spark.operators.neutralization import era_ols_neutralize
+    from centimators_spark.operators.stats import robust_zscore
+    from centimators_spark.sampling import hash_split
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        F.date_trunc("month", F.col("l_shipdate")).alias("era"),
+        F.col("l_quantity").cast("double").alias("q"),
+        F.round(F.col("l_discount") * 100).alias("d100"),
+        F.round(F.col("l_tax") * 100).alias("t100"),
+        F.round(F.col("l_extendedprice") * 100).alias("e100"),
+    )
+    n = era_ols_neutralize(
+        li, "e100", ["q", "d100", "t100"], era_col="era", proportion=0.5,
+        keep_cols=KEYS,
+    )
+    # the downstream quantile consumers (median, MAD, bin bounds) would
+    # each recompute the whole neutralization lineage — cut it once
+    # (same precedent as neutralizer_full_expr's gaussianize stage)
+    n = n.localCheckpoint(eager=True)
+    rz = robust_zscore(n, ["neutralized"], exact=True, consistency=RZ_C)
+    qb = quantile_bin(rz, ["neutralized"], n_bins=10, exact=True)
+    out = hash_split(
+        qb.withColumn("__k", F.concat_ws("|", *KEYS)), "__k", SPLIT_W,
+        salt="pf1",
+    )
+    return out.select(
+        *KEYS,
+        "neutralized",
+        F.col("neutralized_rz").alias("rz"),
+        F.col("neutralized_bin").alias("bin"),
+        "split",
+    )
+
+
 def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA-band anomaly flags on quantity per supplier — control-chart
     rule |x − ewma| > 2σ over one shared window shuffle; 6dp-rounded
@@ -557,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_zscore": q_robust_zscore,
         "target_encode_loo": q_target_encode_loo,
         "anomaly_flags": q_anomaly_flags,
+        "panel_features": q_panel_features,
         "quantile_bin": q_quantile_bin,
         "gaussianize_probit": q_gaussianize_probit,
         "neutralizer_full_expr": q_neutralizer_full_expr,
@@ -604,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score",
         "tfidf_topk",
         "doc_fingerprint",
+        "text_token_counts",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
@@ -728,6 +778,46 @@ def _rolling_corr_ewma_oracle() -> str:
         END AS l_extendedprice_beta{CORR_W}_l_quantity,
         l_quantity_ewma{EWMA_SPAN}
       FROM sums
+    """
+
+
+def _panel_features_oracle() -> str:
+    from centimators_spark.operators.neutralization import (
+        era_ols_neutralize_oracle_sql,
+    )
+    from centimators_spark.sampling import sql_hash_split
+
+    s1 = era_ols_neutralize_oracle_sql(
+        "lineitem",
+        "round(l_extendedprice * 100)",
+        [
+            "CAST(l_quantity AS DOUBLE)",
+            "round(l_discount * 100)",
+            "round(l_tax * 100)",
+        ],
+        era_sql="date_trunc('month', l_shipdate)",
+        key_sqls=["l_orderkey", "l_linenumber"],
+        proportion=0.5,
+    )
+    qs = ", ".join(repr(i / 10) for i in range(1, 10))
+    key = (
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+    )
+    split = sql_hash_split(key, SPLIT_W, salt="pf1")
+    return f"""
+        WITH s1 AS ({s1}),
+        med AS (SELECT quantile_cont(neutralized, 0.5) AS m FROM s1),
+        mad AS (SELECT quantile_cont(abs(neutralized - m), 0.5) AS d
+                FROM s1 CROSS JOIN med),
+        qb AS (SELECT quantile_cont(neutralized, [{qs}]) AS bounds FROM s1)
+        SELECT l_orderkey, l_linenumber, neutralized,
+               CASE WHEN d > 0
+                    THEN round((neutralized - m) / ({RZ_C!r} * d), 6)
+               END AS rz,
+               CASE WHEN neutralized IS NOT NULL THEN
+                 len(list_filter(bounds, v -> neutralized > v)) END AS bin,
+               {split} AS split
+        FROM s1 CROSS JOIN med CROSS JOIN mad CROSS JOIN qb
     """
 
 
@@ -900,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w5 AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
+        "panel_features": _panel_features_oracle(),
         "anomaly_flags": _anomaly_flags_oracle(),
         "target_encode_loo": _target_encode_oracle(),
         "quantile_bin": _quantile_bin_oracle(),
