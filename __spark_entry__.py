@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk",
         "doc_fingerprint",
         "text_token_counts",
+        "multimodal_metadata",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)

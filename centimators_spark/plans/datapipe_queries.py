@@ -413,6 +413,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (tau=0.5) domain mixture over document
+    languages - smallest language kept fully, larger ones downsampled
+    toward sqrt proportions; thresholds bit-identical via the
+    fixed-order fold (see sampling.temperature_mixture_sample)."""
+    from centimators_spark.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        docs, "lang", key_col="doc_id", salt="temp1"
+    ).select("doc_id", "lang")
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick buckets for the categorical document columns —
     portable keyed md5 (identical in any engine/serving stack), pure
@@ -481,6 +494,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "feature_hash": q_feature_hash,
     "semantic_dedup": q_semantic_dedup,
+    "temperature_mixture": q_temperature_mixture,
     "embedding_transformer": q_embedding_transformer,
     "dim_reducer_pca": q_dim_reducer_pca,
     "corpus_clean": q_corpus_clean,
@@ -620,7 +634,10 @@ def _oracle_sql_base() -> dict[str, str]:
     sorted_gram_hashes = (
         f"list_sort(list_transform(gs, g -> {P.sql_md5_long('g')}))"
     )
-    from centimators_spark.sampling import sql_stratified_sample
+    from centimators_spark.sampling import (
+        sql_stratified_sample,
+        sql_temperature_mixture_sample,
+    )
     from centimators_spark.text.analysis import (
         normalize_text_oracle_sql,
         unigram_lm_oracle_sql,
@@ -639,6 +656,13 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM documents)
             GROUP BY cu
         """,
+        "temperature_mixture": sql_temperature_mixture_sample(
+            "documents",
+            "lang",
+            key_sql="doc_id",
+            salt="temp1",
+            select_sql="doc_id, lang",
+        ),
         "semantic_dedup": semantic_dedup_oracle_sql(
             "embeddings",
             dim=EMB_DIM,

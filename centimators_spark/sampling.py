@@ -228,6 +228,97 @@ def sql_mixture_sample(
     """
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Downsample toward a TEMPERATURE-flattened mixture with τ = 0.5:
+    target fraction f_d ∝ c_d^0.5 — the standard recipe for boosting
+    low-resource domains/languages without upsampling (the smallest
+    domain keeps 100%, larger domains keep ~sqrt-proportionally less).
+
+    τ is fixed at 0.5 deliberately: sqrt is IEEE-exact in every engine,
+    whereas pow(c, τ) differs by ULPs across libms and would make the
+    keep thresholds engine-dependent. Cross-engine float determinism
+    for the remaining arithmetic comes from a FIXED-ORDER fold: the
+    domain counts are packed into a domain-sorted array and
+    W = Σ sqrt(c_d) folds left-to-right over it — the same association
+    order the DuckDB oracle's list_reduce evaluates, so thresholds are
+    bit-identical. (With c/f_d = W·sqrt(c_d), the achievable total is
+    N* = W·sqrt(min_d c_d).)
+
+    Plan: one tiny domain count, one one-row pack, thresholds broadcast
+    back — the corpus side is a map-side filter, same shape as
+    ``mixture_sample``."""
+    counts = df.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    packed = counts.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("__dom").alias("d"), F.col("__c").alias("c"))
+            )
+        ).alias("a")
+    )
+    scal = packed.select(
+        F.expr(
+            "aggregate(transform(a, s -> sqrt(CAST(s.c AS DOUBLE))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("W"),
+        F.expr(
+            "sqrt(CAST(array_min(transform(a, s -> s.c)) AS DOUBLE))"
+        ).alias("sm"),
+    )
+    # ONE shared formula text with the oracle (same association order):
+    # thr = round(DENOM * (sqrt(c)/W) * (W*sm) / c)
+    thr = counts.crossJoin(F.broadcast(scal)).select(
+        "__dom",
+        F.expr(
+            f"CAST(round({DENOM} * (sqrt(CAST(__c AS DOUBLE)) / W)"
+            " * (W * sm) / CAST(__c AS DOUBLE)) AS BIGINT)"
+        ).alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), df[domain_col] == F.col("__dom"))
+        .where(_bucket(F.col(key_col), salt) < F.col("__thr"))
+        .drop("__dom", "__thr")
+    )
+
+
+def sql_temperature_mixture_sample(
+    table: str,
+    domain_sql: str,
+    key_sql: str,
+    salt: str = "",
+    select_sql: str = "*",
+) -> str:
+    """DuckDB mirror of temperature_mixture_sample — identical sorted
+    fold, identical threshold formula text."""
+    return f"""
+      WITH counts AS (
+        SELECT {domain_sql} AS dom, CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY {domain_sql}
+      ), packed AS (
+        SELECT list(c ORDER BY dom) AS cs FROM counts
+      ), scal AS (
+        SELECT list_reduce(list_transform(cs, x -> sqrt(CAST(x AS DOUBLE))),
+                           (a, b) -> a + b) AS W,
+               sqrt(CAST(list_min(cs) AS DOUBLE)) AS sm
+        FROM packed
+      ), thr AS (
+        SELECT dom,
+          CAST(round({DENOM} * (sqrt(CAST(c AS DOUBLE)) / W)
+               * (W * sm) / CAST(c AS DOUBLE)) AS BIGINT) AS threshold
+        FROM counts CROSS JOIN scal
+      )
+      SELECT {select_sql} FROM {table} t
+      JOIN thr ON {domain_sql} = thr.dom
+      WHERE {_sql_bucket(key_sql, salt)} < thr.threshold
+    """
+
+
 def sql_stratified_sample(
     table: str,
     strata_sql: str,

@@ -131,3 +131,32 @@ def test_pack_sequences_budget_validation(spark):
     df = spark.createDataFrame([(1, 10)], ["doc_id", "n"])
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "n", 0, order_cols=["doc_id"])
+
+
+def test_temperature_mixture_flattens(spark):
+    """tau=0.5: smallest domain kept 100%; keep RATES decrease with
+    domain size; result is partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from centimators_spark.sampling import temperature_mixture_sample
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "mid") for i in range(400)]
+        + [(i + 2000, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = temperature_mixture_sample(df, "dom", key_col="doc_id", salt="t")
+    kept = out.groupBy("dom").count().collect()
+    n = {r.dom: r["count"] for r in kept}
+    assert n["small"] == 100  # smallest domain fully kept
+    rate = {d: n[d] / tot for d, tot in (("big", 900), ("mid", 400), ("small", 100))}
+    assert rate["small"] > rate["mid"] > rate["big"]
+    # expected keep rate for big ~ sqrt(100)/sqrt(900) = 1/3
+    assert abs(rate["big"] - 1 / 3) < 0.08
+    out2 = temperature_mixture_sample(
+        df.repartition(7), "dom", key_col="doc_id", salt="t"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
