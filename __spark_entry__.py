@@ -655,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint",
         "text_token_counts",
         "multimodal_metadata",
+        "hash_split_sample",
+        "group_stats",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)

@@ -16,6 +16,12 @@ from pyspark.sql import functions as F
 from centimators_spark.io import load_table
 from centimators_spark.streaming.events import sessionize, windowed_event_counts
 
+# deterministic panel ordering (shared with __spark_entry__.ORDER)
+_ORDER_SQL = (
+    "l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+    "l_discount, l_tax"
+)
+
 
 def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(load_table(spark, sf_dir, "events"))
@@ -637,7 +643,29 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions per supplier: first/last/nth value
+    over the running frame plus lead — the complement of the lag-based
+    transformers; one fused WindowExec for the identical-frame trio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        *[F.col(c) for c in ("l_shipdate", "l_orderkey", "l_linenumber",
+                             "l_quantity", "l_extendedprice", "l_discount",
+                             "l_tax")]
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_quantity").over(running).alias("first_qty"),
+        F.last("l_quantity").over(running).alias("running_last_qty"),
+        F.nth_value("l_quantity", 3).over(running).alias("third_qty"),
+        F.lead("l_quantity", 2).over(w).alias("lead2_qty"),
+    )
+
+
 QUERIES = {
+    "window_navigation": q_window_navigation,
     "interval_band_join": q_interval_band_join,
     "events_interval_join": q_events_interval_join,
     "event_funnel": q_event_funnel,
@@ -787,6 +815,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
                    c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "window_navigation": f"""
+            SELECT l_orderkey, l_linenumber,
+              first_value(l_quantity) OVER wr AS first_qty,
+              last_value(l_quantity) OVER wr AS running_last_qty,
+              nth_value(l_quantity, 3) OVER wr AS third_qty,
+              lead(l_quantity, 2) OVER w AS lead2_qty
+            FROM lineitem
+            WINDOW
+              w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}),
+              wr AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "event_funnel": __funnel_oracle(),
         "retention_cohorts": __retention_oracle(),
