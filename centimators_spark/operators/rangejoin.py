@@ -93,6 +93,36 @@ def interval_join(
     )
 
 
+def scd2_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    bucket_width: float,
+    how: str = "left",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) join: attach to each fact row
+    the dimension version whose ``[valid_from, valid_to)`` interval
+    contains the fact's timestamp, matching on ``key`` — the warehouse
+    validity-interval join, expressed as the bucketed interval join
+    (hash join on (key, time-bucket), never a nested loop). Pick
+    ``bucket_width`` near the typical version lifetime. Facts with no
+    valid version keep nulls under how='left'."""
+    return interval_join(
+        facts,
+        dim_history,
+        point_col=ts_col,
+        lo_col=valid_from,
+        hi_col=valid_to,
+        bucket_width=bucket_width,
+        keys=[key],
+        how=how,
+    )
+
+
 def band_label(
     points: DataFrame,
     bands: DataFrame,

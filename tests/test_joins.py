@@ -114,3 +114,23 @@ def test_salted_join_deterministic_across_partitionings(spark):
         for r in salted_join(left.repartition(13), right, "k").collect()
     )
     assert a == b
+
+
+def test_scd2_join_picks_valid_version(spark):
+    """Each fact row gets the dimension version whose validity interval
+    contains its timestamp; facts outside every version get nulls."""
+    from centimators_spark.operators.rangejoin import scd2_join
+
+    facts = spark.createDataFrame(
+        [(1, "u1", 5.0), (2, "u1", 15.0), (3, "u2", 5.0), (4, "u1", 99.0)],
+        "fid long, k string, t double",
+    )
+    dim = spark.createDataFrame(
+        [("u1", 0.0, 10.0, "v1"), ("u1", 10.0, 20.0, "v2"),
+         ("u2", 0.0, 50.0, "w1")],
+        "k string, valid_from double, valid_to double, ver string",
+    )
+    out = {r.fid: r.ver for r in scd2_join(
+        facts, dim, key="k", ts_col="t", bucket_width=10.0
+    ).collect()}
+    assert out == {1: "v1", 2: "v2", 3: "w1", 4: None}
