@@ -89,3 +89,24 @@ def test_compare_flags_int_float_dtype_mismatch():
     # queries were hash-green in r2) — must NOT fail
     narrow = pd.DataFrame({"k": [1, 2], "v": pd.Series([2, 3], dtype="int32")})
     assert compare("dtype_probe_width", narrow, spark_pdf)
+
+
+def test_correctness_window_covers_unverified_queries():
+    """Every query never hash-verified by a previous round's driver run
+    must sit inside the driver's 50-entry correctness window; the
+    overflow tail must be entirely previously-green queries. Guards the
+    queries() ordering against regressions when new queries land."""
+    import json
+    import pathlib
+
+    import __spark_entry__ as m
+
+    q = list(m.queries())
+    verified = {}
+    for p in sorted(pathlib.Path("/root/repo").glob("CORRECTNESS_r*.json")):
+        for k, row in json.loads(p.read_text()).items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                verified[k] = True
+    overflow = q[50:]
+    never = [k for k in overflow if k not in verified]
+    assert never == [], f"unverified queries past the window: {never}"
