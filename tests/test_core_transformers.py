@@ -387,3 +387,34 @@ def test_ewma_matches_pandas(spark):
         [e for e in exp if e is not None],
         atol=1e-6,
     )
+
+
+def test_resample_panel_gaps_and_ffill(spark):
+    """Spine rows appear only inside each ticker's own [min,max] span;
+    forward fill carries the last observation; is_observed marks gaps."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from centimators_spark.operators.resample import resample_panel
+
+    rows = [
+        ("a", dt.date(2024, 1, 1), 1.0),
+        ("a", dt.date(2024, 1, 4), 4.0),
+        ("b", dt.date(2024, 2, 1), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "t string, d date, x double")
+    out = resample_panel(
+        df, ticker_col="t", date_col="d", value_cols=["x"]
+    ).orderBy("t", "d").collect()
+    a = [(r.d.day, r.x, r.is_observed) for r in out if r.t == "a"]
+    assert a == [(1, 1.0, 1), (2, 1.0, 0), (3, 1.0, 0), (4, 4.0, 1)]
+    # ticker b: single-day span, no spillover from a's calendar
+    b = [(r.d, r.x, r.is_observed) for r in out if r.t == "b"]
+    assert b == [(dt.date(2024, 2, 1), 9.0, 1)]
+    # fill=None leaves gap rows null
+    raw = resample_panel(
+        df, ticker_col="t", date_col="d", value_cols=["x"], fill=None
+    )
+    nulls = raw.where(F.col("x").isNull()).count()
+    assert nulls == 2
