@@ -41,7 +41,11 @@ def resample_panel(
     column (forward-filled when ``fill='ffill'``), and ``is_observed``
     (1 for original rows, 0 for spine-inserted gaps). Duplicate
     (ticker, date) observations must be pre-aggregated (the join would
-    multiply spine rows)."""
+    multiply spine rows). With ``step_days > 1`` observation dates must
+    lie ON each ticker's grid (lo, lo+step, …) — off-grid observations
+    would miss the equi-join and silently vanish into filled gaps; keep
+    step_days=1 (and aggregate upstream) unless the data is known
+    grid-aligned."""
     if fill not in (None, "ffill"):
         raise ValueError(f"fill must be None|'ffill', got {fill!r}")
     vals = list(value_cols)

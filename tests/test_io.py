@@ -125,3 +125,31 @@ def test_compact_parquet(spark, tmp_path):
         parts.withColumn("__p", F.spark_partition_id()).toPandas().groupby("__p")
     ):
         assert pdf.doc_id.is_monotonic_increasing
+
+
+def test_bucketed_panel_window_transformer_no_exchange(spark):
+    """The 100 TB panel pattern: bucket the panel by ticker once at
+    write time, and every ordered transformer (window partitioned by
+    ticker) plans WITHOUT an Exchange — the bucketed scan already
+    provides the required distribution. Results identical to the
+    unbucketed path."""
+    from centimators_spark.operators import LagTransformer
+
+    df = spark.createDataFrame(
+        [(i % 7, i, float(i * i)) for i in range(200)],
+        "ticker long, ord long, x double",
+    )
+    write_bucketed(df, "t_bpanel", "ticker", 4, sort_by=["ticker", "ord"])
+    try:
+        t = LagTransformer(
+            [1], ["x"], ticker_col="ticker", order_cols=["ord"],
+            output_mode="append",
+        )
+        out = t.transform(spark.table("t_bpanel"))
+        plan = _plan(out)
+        assert "Exchange" not in plan, plan
+        got = {(r.ticker, r.ord): r.x_lag1 for r in out.collect()}
+        exp = {(r.ticker, r.ord): r.x_lag1 for r in t.transform(df).collect()}
+        assert got == exp
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bpanel")
