@@ -699,10 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- oracles
 
-_ORDER_SQL = (
-    "l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
-    "l_discount, l_tax"
-)
+# single definition shared with the relational plans (the
+# window_navigation oracle must use the identical ORDER BY text)
+from centimators_spark.plans.relational_queries import _ORDER_SQL  # noqa: E402
 
 
 def _gaussianize_probit_oracle() -> str:

@@ -106,7 +106,10 @@ def semantic_dedup_oracle_sql(
     out_id: str = "vec_id",
 ) -> str:
     """DuckDB mirror: identical plane literals, identical dimension-
-    ordered dot-product folds, identical keep rule."""
+    ordered dot-product folds, identical keep rule. The norm-product
+    guard mirrors Spark's try_divide: a zero-norm vector's cosine is
+    NULL (never >= threshold), not NaN (which DuckDB sorts above every
+    threshold)."""
     planes = hyperplanes(n_planes, dim, seed)
 
     def dot(vec: str, ws: list[float]) -> str:
@@ -143,7 +146,7 @@ def semantic_dedup_oracle_sql(
           SELECT DISTINCT a.id
           FROM bucketed a JOIN bucketed b
             ON a.bucket = b.bucket AND b.id < a.id
-          WHERE ({dotab}) / ({na} * {nb}) >= {threshold!r}
+          WHERE ({na} * {nb}) <> 0 AND ({dotab}) / ({na} * {nb}) >= {threshold!r}
         )
         SELECT id AS {out_id}, bucket
         FROM bucketed

@@ -87,8 +87,27 @@ def target_encode(
     )
     if broadcast_stats:
         cat_stats = F.broadcast(cat_stats)
-    j = base.join(cat_stats, keys + [cat_col])
-    j = j.join(F.broadcast(prior), keys) if keys else j.crossJoin(F.broadcast(prior))
+    # NULL-SAFE equality: a NULL category (or era) forms its own group
+    # in the aggregation, and its rows must re-attach — a plain equi
+    # join would silently DROP every null-keyed row from the output
+    stat_side = cat_stats.select(
+        *[F.col(c).alias(f"__r_{c}") for c in keys + [cat_col]],
+        "__s",
+        "__n",
+    )
+    cond = [base[c].eqNullSafe(stat_side[f"__r_{c}"]) for c in keys + [cat_col]]
+    j = base.join(stat_side, cond).drop(*[f"__r_{c}" for c in keys + [cat_col]])
+    if keys:
+        prior_side = F.broadcast(
+            prior.select(
+                *[F.col(c).alias(f"__p_{c}") for c in keys], "__st", "__nt"
+            )
+        )
+        j = j.join(
+            prior_side, [j[c].eqNullSafe(prior_side[f"__p_{c}"]) for c in keys]
+        ).drop(*[f"__p_{c}" for c in keys])
+    else:
+        j = j.crossJoin(F.broadcast(prior))
     m = float(smoothing)
     pr = F.col("__st").cast("double") / F.col("__nt").cast("double")
     if loo:
@@ -123,8 +142,8 @@ def target_encode_oracle_sql(
     m = repr(float(smoothing))
     era_key = f"{era_sql} AS __era, " if era_sql else ""
     era_grp = "__era, " if era_sql else ""
-    era_join = "b.__era = c.__era AND " if era_sql else ""
-    era_pjoin = "ON b.__era = p.__era" if era_sql else "ON 1 = 1"
+    era_join = "b.__era IS NOT DISTINCT FROM c.__era AND " if era_sql else ""
+    era_pjoin = "ON b.__era IS NOT DISTINCT FROM p.__era" if era_sql else "ON 1 = 1"
     prior_grp = "GROUP BY __era" if era_sql else ""
     pr = "(CAST(p.__st AS DOUBLE) / CAST(p.__nt AS DOUBLE))"
     if loo:
@@ -152,7 +171,7 @@ def target_encode_oracle_sql(
         SELECT {select_sql},
                round(({enc}) / {TARGET_SCALE}, {round_dp}) AS {out_name}
         FROM b
-        JOIN c ON {era_join}b.__cat = c.__cat
+        JOIN c ON {era_join}b.__cat IS NOT DISTINCT FROM c.__cat
         JOIN p {era_pjoin}
     """
 
@@ -189,11 +208,20 @@ def quantile_bin(
         F.expr(f"{fn}({c}, array({qs}){acc})").alias(f"__q_{c}") for c in cols
     ]
     bounds = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-    out = (
-        df.join(F.broadcast(bounds), keys)
-        if keys
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    if keys:
+        # NULL-SAFE join: NULL-era rows form their own boundary group
+        # and must re-attach (a plain equi join would drop them)
+        b = F.broadcast(
+            bounds.select(
+                *[F.col(k).alias(f"__e_{k}") for k in keys],
+                *[f"__q_{c}" for c in cols],
+            )
+        )
+        out = df.join(
+            b, [df[k].eqNullSafe(b[f"__e_{k}"]) for k in keys]
+        ).drop(*[f"__e_{k}" for k in keys])
+    else:
+        out = df.crossJoin(F.broadcast(bounds))
     for c in cols:
         out = out.withColumn(
             f"{c}{suffix}",
@@ -223,7 +251,7 @@ def quantile_bin_oracle_sql(
     era_key = f"{era_sql} AS __era, " if era_sql else ""
     era_grp = "GROUP BY __era" if era_sql else ""
     era_sel = "__era, " if era_sql else ""
-    join = "ON b.__era = q.__era" if era_sql else "ON 1 = 1"
+    join = "ON b.__era IS NOT DISTINCT FROM q.__era" if era_sql else "ON 1 = 1"
     return f"""
         WITH b AS (
           SELECT *, {era_key}({col_sql}) AS __x FROM {table}

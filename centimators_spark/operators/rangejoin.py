@@ -70,12 +70,40 @@ def interval_join(
         return F.floor(c.cast("double") / F.lit(w)).cast("long")
 
     p = points.withColumn("__b", bucket(F.col(point_col)))
-    iv = intervals.withColumn(
-        "__b",
-        F.explode(
-            F.sequence(bucket(F.col(lo_col)), bucket(F.col(hi_col)))
-        ),
-    )
+    # A NULL bound would make the interval silently unmatchable (the
+    # classic SCD2 open-ended current version: Catalyst derives
+    # IsNotNull from the range predicate and prunes the row before any
+    # per-row guard could fire — a raise_error() in the bucket
+    # expression never sees it). Validate EAGERLY instead: intervals
+    # are dimension-sized by assumption, so the probe is one tiny job.
+    # Open-ended intervals: coalesce the bound to a finite horizon
+    # first (see scd2_join's open_end param).
+    if not intervals.isStreaming:
+        bad = intervals.where(
+            F.col(lo_col).isNull() | F.col(hi_col).isNull()
+        ).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                f"interval_join: NULL {lo_col}/{hi_col} bound — "
+                "open-ended intervals must be coalesced to a finite "
+                "horizon first (scd2_join(open_end=...))"
+            )
+    # guard against a far-future sentinel exploding into millions of
+    # buckets per interval (this one DOES fire: non-null rows survive
+    # the optimizer)
+    lo_b, hi_b = bucket(F.col(lo_col)), bucket(F.col(hi_col))
+    span_cap = 1_000_000
+    hi_b = F.when(
+        hi_b - lo_b > span_cap,
+        F.raise_error(
+            F.lit(
+                f"interval_join: interval spans > {span_cap} buckets — "
+                "a sentinel end date with a small bucket_width? Raise "
+                "bucket_width or cap the interval"
+            )
+        ).cast("long"),
+    ).otherwise(hi_b)
+    iv = intervals.withColumn("__b", F.explode(F.sequence(lo_b, hi_b)))
     if broadcast_intervals:
         iv = F.broadcast(iv)
     cond = [p["__b"] == iv["__b"]]
@@ -103,6 +131,7 @@ def scd2_join(
     valid_to: str = "valid_to",
     bucket_width: float,
     how: str = "left",
+    open_end=None,
 ) -> DataFrame:
     """Slowly-changing-dimension (type 2) join: attach to each fact row
     the dimension version whose ``[valid_from, valid_to)`` interval
@@ -110,7 +139,17 @@ def scd2_join(
     validity-interval join, expressed as the bucketed interval join
     (hash join on (key, time-bucket), never a nested loop). Pick
     ``bucket_width`` near the typical version lifetime. Facts with no
-    valid version keep nulls under how='left'."""
+    valid version keep nulls under how='left'.
+
+    ``open_end``: value substituted for NULL ``valid_to`` (the standard
+    open-ended current-version marker) — pass a finite horizon just past
+    the data's max timestamp (NOT a 9999-12-31 sentinel, which would
+    explode into millions of buckets; interval_join raises on both NULL
+    bounds and sentinel-sized spans)."""
+    if open_end is not None:
+        dim_history = dim_history.withColumn(
+            valid_to, F.coalesce(F.col(valid_to), F.lit(open_end))
+        )
     return interval_join(
         facts,
         dim_history,

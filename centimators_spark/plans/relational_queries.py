@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from centimators_spark.io import load_table
 from centimators_spark.streaming.events import sessionize, windowed_event_counts
 
-# deterministic panel ordering (shared with __spark_entry__.ORDER)
+# deterministic panel ordering — THE shared definition (__spark_entry__
+# imports this; keep in sync with __spark_entry__.ORDER)
 _ORDER_SQL = (
     "l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
     "l_discount, l_tax"

@@ -252,8 +252,14 @@ def temperature_mixture_sample(
     Plan: one tiny domain count, one one-row pack, thresholds broadcast
     back — the corpus side is a map-side filter, same shape as
     ``mixture_sample``."""
-    counts = df.groupBy(F.col(domain_col).alias("__dom")).agg(
-        F.count(F.lit(1)).alias("__c")
+    # NULL domains are dropped explicitly (they would fall out of the
+    # inner threshold join anyway, but must not enter the sorted fold:
+    # sort_array puts NULL structs FIRST while the oracle's ORDER BY
+    # puts NULLs LAST — the fold order, hence W, would diverge)
+    counts = (
+        df.where(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("__dom"))
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     packed = counts.agg(
         F.sort_array(
@@ -299,7 +305,7 @@ def sql_temperature_mixture_sample(
     return f"""
       WITH counts AS (
         SELECT {domain_sql} AS dom, CAST(count(*) AS BIGINT) AS c
-        FROM {table} GROUP BY {domain_sql}
+        FROM {table} WHERE {domain_sql} IS NOT NULL GROUP BY {domain_sql}
       ), packed AS (
         SELECT list(c ORDER BY dom) AS cs FROM counts
       ), scal AS (

@@ -37,11 +37,30 @@ def grouped_overwrite_sink(
     in the parquet table at ``path``. Call ``.trigger(...).start()`` on
     the result. ``output_mode='update'`` writes only changed groups per
     batch; ``'complete'`` rewrites every group (use for small group
-    counts)."""
+    counts).
+
+    CORRECTNESS CONTRACT: ``partition_col`` must be the COMPLETE
+    grouping key of the upstream aggregation (one output row per
+    partition value). If the aggregation groups finer (e.g. by
+    (user, day) while partitioning only by day), overwriting a
+    partition with the batch's subset of its rows would DELETE the
+    untouched groups — the sink validates one-row-per-partition-value
+    per batch and raises instead."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from pyspark.sql import functions as F
+
+        counts = batch_df.groupBy(partition_col).count()
+        bad = counts.where(F.col("count") > 1).limit(1).collect()
+        if bad:
+            raise ValueError(
+                "grouped_overwrite_sink: multiple rows per "
+                f"{partition_col}={bad[0][0]!r} in batch {batch_id} — "
+                "partition_col must be the complete grouping key "
+                "(overwriting would delete sibling groups)"
+            )
         spark = batch_df.sparkSession
         prev = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"

@@ -108,12 +108,20 @@ def normalize_text(
     lowercase: bool = False,
     collapse_whitespace: bool = True,
     strip_control: bool = True,
+    ascii_whitespace: bool = True,
 ) -> DataFrame:
     """Corpus text normalization — the standard pre-dedup/pre-tokenize
     cleanup: Unicode normal form (NFC default), optional lowercasing,
     control-character strip, whitespace collapse. Pure stdlib
     (unicodedata) over Arrow batches — vectorized pandas `.str` ops, no
-    external package, map-side only."""
+    external package, map-side only.
+
+    ascii_whitespace=True (default) collapses/strips the explicit ASCII
+    class ``[ \\t\\n\\r\\f\\v]`` — the portable subset the DuckDB/RE2
+    oracle evaluates identically (Python's ``\\s`` additionally matches
+    Unicode spaces like U+00A0, which RE2's does not). Pass False for
+    full Unicode whitespace collapse when cross-engine parity doesn't
+    matter."""
     import unicodedata
 
     from pyspark.sql.types import StringType, StructField, StructType
@@ -123,6 +131,8 @@ def normalize_text(
         [f for f in df.schema if f.name != out] + [StructField(out, StringType())]
     )
     passthrough = [f.name for f in df.schema if f.name != out]
+    ws = r"[ \t\n\r\f\v]+" if ascii_whitespace else r"\s+"
+    strip_chars = " \t\n\r\f\v" if ascii_whitespace else None
 
     def compute(batches):
         for pdf in batches:
@@ -134,7 +144,7 @@ def normalize_text(
             if lowercase:
                 s = s.str.lower()
             if collapse_whitespace:
-                s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+                s = s.str.replace(ws, " ", regex=True).str.strip(strip_chars)
             res = pdf[passthrough].copy()
             res[out] = s
             yield res
@@ -290,7 +300,9 @@ def normalize_text_oracle_sql(
     if lowercase:
         s = f"lower({s})"
     if collapse_whitespace:
-        s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+        # the explicit ASCII class (not RE2's '\s', which lacks \x0b)
+        # mirrors normalize_text's ascii_whitespace=True contract
+        s = f"trim(regexp_replace({s}, '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))"
     return f"SELECT {id_sql} AS doc_id, {s} AS text FROM {table}"
 
 

@@ -102,3 +102,33 @@ def test_feature_hash_stable_and_bounded(spark):
     df2 = df.withColumnRenamed("lang", "other")
     out3 = {r.id: r.other_fh for r in feature_hash(df2, ["other"], n_buckets=64).collect()}
     assert out3[1] != out1[1] or out3[2] != out1[2]
+
+
+def test_target_encode_keeps_null_category_rows(spark):
+    """NULL categories form their own group and their rows stay in the
+    output (null-safe stats join), same for NULL eras."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 3.0), (3, None, 5.0)],
+        "id long, c string, y double",
+    )
+    out = {r.id: r.te for r in target_encode(
+        df, "c", "y", smoothing=0.0, out_col="te"
+    ).collect()}
+    assert len(out) == 3
+    assert out[2] == out[3] == 4.0  # the NULL-category mean
+    df2 = spark.createDataFrame(
+        [(1, None, "a", 2.0), (2, None, "a", 4.0)],
+        "id long, era string, c string, y double",
+    )
+    out2 = target_encode(df2, "c", "y", smoothing=0.0, era_col="era",
+                         out_col="te").collect()
+    assert len(out2) == 2 and all(r.te == 3.0 for r in out2)
+
+
+def test_quantile_bin_keeps_null_era_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "e", 1.0), (2, "e", 2.0), (3, None, 5.0), (4, None, 6.0)],
+        "id long, era string, x double",
+    )
+    out = quantile_bin(df, ["x"], n_bins=2, era_col="era", exact=True)
+    assert out.count() == 4

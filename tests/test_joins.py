@@ -134,3 +134,23 @@ def test_scd2_join_picks_valid_version(spark):
         facts, dim, key="k", ts_col="t", bucket_width=10.0
     ).collect()}
     assert out == {1: "v1", 2: "v2", 3: "w1", 4: None}
+
+
+def test_interval_join_null_bound_raises_and_scd2_open_end(spark):
+    """A NULL interval bound must fail loudly (silent drop is the SCD2
+    current-version trap); scd2_join's open_end coalesces it instead."""
+    from centimators_spark.operators.rangejoin import scd2_join
+
+    facts = spark.createDataFrame(
+        [(1, "u1", 25.0)], "fid long, k string, t double"
+    )
+    dim = spark.createDataFrame(
+        [("u1", 0.0, 10.0, "v1"), ("u1", 10.0, None, "v2")],
+        "k string, valid_from double, valid_to double, ver string",
+    )
+    with pytest.raises(Exception, match="open-ended"):
+        scd2_join(facts, dim, key="k", ts_col="t", bucket_width=10.0).collect()
+    out = scd2_join(
+        facts, dim, key="k", ts_col="t", bucket_width=10.0, open_end=100.0
+    ).collect()
+    assert out[0].ver == "v2"

@@ -323,3 +323,26 @@ def test_ewma_anomaly_stream_matches_batch_and_reference(spark):
         n += 1
     # sanity: some anomalies fire somewhere in the table
     assert (batch["anomaly"] == 1).any()
+
+
+def test_grouped_overwrite_sink_rejects_coarse_partition(spark, tmp_path):
+    """partition_col coarser than the grouping key would delete sibling
+    groups on overwrite - the sink must refuse."""
+    from centimators_spark.streaming.sink import grouped_overwrite_sink
+
+    ev = read_events_stream(spark, SF)
+    agg = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        grouped_overwrite_sink(
+            agg,
+            path=str(tmp_path / "bad_table"),
+            partition_col="event_type",
+            checkpoint=str(tmp_path / "ckpt_bad"),
+            output_mode="complete",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="complete grouping key"):
+        q.awaitTermination(120)
+        raise RuntimeError(str(q.exception()) if q.exception() else "no error")
