@@ -475,9 +475,16 @@ def q_panel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_cols=KEYS,
     )
     # the downstream quantile consumers (median, MAD, bin bounds) would
-    # each recompute the whole neutralization lineage — cut it once
-    # (same precedent as neutralizer_full_expr's gaussianize stage)
-    n = n.localCheckpoint(eager=True)
+    # each recompute the whole neutralization lineage — cut it once.
+    # persist(MEMORY_AND_DISK) + eager count measured the most stable
+    # tail under the bench's between-query GC protocol (localCheckpoint
+    # showed 7→20s bimodality from driver-block churn; a parquet
+    # round-trip was strictly worse); executor blocks LRU-evict under
+    # pressure, unlike checkpoint blocks that wait for ContextCleaner
+    from pyspark import StorageLevel
+
+    n = n.persist(StorageLevel.MEMORY_AND_DISK)
+    n.count()
     rz = robust_zscore(n, ["neutralized"], exact=True, consistency=RZ_C)
     qb = quantile_bin(rz, ["neutralized"], n_bins=10, exact=True)
     out = hash_split(
