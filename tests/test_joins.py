@@ -154,3 +154,22 @@ def test_interval_join_null_bound_raises_and_scd2_open_end(spark):
         facts, dim, key="k", ts_col="t", bucket_width=10.0, open_end=100.0
     ).collect()
     assert out[0].ver == "v2"
+
+
+def test_salted_join_null_keys_match_plain_join(spark):
+    """NULL join keys never match in a plain equi join; the salted
+    variant must agree (and the content-derived salt must not error on
+    null columns)."""
+    left = spark.createDataFrame(
+        [(1, 10.0), (None, 20.0), (2, None)], "k long, v double"
+    )
+    right = spark.createDataFrame([(1, "a"), (None, "x")], "k long, r string")
+    plain = sorted(
+        (tuple(r) for r in left.join(right, "k").collect())
+    )
+    salted = sorted(
+        (tuple(r) for r in salted_join(left, right, "k", n_salts=4).collect())
+    )
+    assert salted == plain
+    lj = salted_join(left, right, "k", n_salts=4, how="left").collect()
+    assert len(lj) == 3  # null-keyed left rows survive with null right
