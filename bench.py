@@ -34,12 +34,23 @@ def main():
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
-        best = float("inf")
+        runs = []
         for _ in range(2):  # best-of-2 to damp worker-churn variance
             t0 = time.perf_counter()
             df2 = fn(spark, sf_dir)
             df2.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
+        # a >2x disagreement means one run absorbed a full-GC/host stall
+        # (the decimal-Gram queries are bimodal under heap pressure) —
+        # one adaptive third run recovers the plan's real cost without
+        # paying 3x wall for the whole suite
+        if max(runs) > 2 * min(runs):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            df2 = fn(spark, sf_dir)
+            df2.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        best = min(runs)
         timings[name] = round(best, 3)
         # release this query's JVM-side state (localCheckpoint blocks,
         # broadcasts) promptly: dropping the py4j refs lets the
