@@ -6,6 +6,7 @@ from centimators_spark.operators.time_series import (
     LagTransformer,
     LogReturnTransformer,
     MovingAverageTransformer,
+    DrawdownTransformer,
     RollingAggTransformer,
     RollingCorrTransformer,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "DiffTransformer",
     "ExpandingAggTransformer",
     "RollingAggTransformer",
+    "DrawdownTransformer",
     "RollingCorrTransformer",
     "EWMATransformer",
 ]

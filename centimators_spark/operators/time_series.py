@@ -112,10 +112,24 @@ _ROLLING_AGGS = {
 }
 
 
+def _frame_median(c: Column, frame) -> Column:
+    """Exact median of a trailing frame. ``median``/``percentile``
+    reject custom window frames (INVALID_WINDOW_SPEC_FOR_AGGREGATION_
+    FUNC), so the frame is gathered with collect_list (frame-capable),
+    sorted, and interpolated — O(w log w) per row, fine for the small
+    trailing windows these transformers take."""
+    arr = F.array_sort(F.collect_list(c).over(frame))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return (lo + hi) / 2.0
+
+
 class RollingAggTransformer(_OrderedPanelTransformer):
     """Generic trailing-window aggregates — the MovingAverage family
-    extended to ``{f}_rolling_{agg}{w}`` for agg in mean/sum/min/max/std
-    (sample std, ddof=1). Same null rule as MovingAverage: windows with
+    extended to ``{f}_rolling_{agg}{w}`` for agg in
+    mean/sum/min/max/std/median (sample std ddof=1; exact interpolated
+    median). Same null rule as MovingAverage: windows with
     fewer than w non-null rows → null. All (feature × window × agg)
     columns share ONE WindowSpec per frame, so Catalyst fuses them into
     a single WindowExec — one shuffle for the whole fan-out."""
@@ -129,10 +143,11 @@ class RollingAggTransformer(_OrderedPanelTransformer):
     ):
         super().__init__(feature_names, **kwargs)
         self.windows = list(windows)
-        bad = [a for a in aggs if a not in _ROLLING_AGGS]
+        known = set(_ROLLING_AGGS) | {"median"}
+        bad = [a for a in aggs if a not in known]
         if bad:
             raise ValueError(
-                f"Unknown rolling aggs {bad}; choose from {sorted(_ROLLING_AGGS)}"
+                f"Unknown rolling aggs {bad}; choose from {sorted(known)}"
             )
         self.aggs = list(aggs)
 
@@ -146,7 +161,11 @@ class RollingAggTransformer(_OrderedPanelTransformer):
                 frame = self._window().rowsBetween(-(wsize - 1), 0)
                 full = F.count(c).over(frame) == wsize
                 for agg in self.aggs:
-                    expr = F.when(full, _ROLLING_AGGS[agg](c).over(frame))
+                    if agg == "median":
+                        stat = _frame_median(c, frame)
+                    else:
+                        stat = _ROLLING_AGGS[agg](c).over(frame)
+                    expr = F.when(full, stat)
                     cols.append(expr.alias(f"{f}_rolling_{agg}{wsize}"))
         return cols
 
@@ -400,3 +419,30 @@ class LogReturnTransformer(_OrderedPanelTransformer):
     def get_feature_names_out(self) -> list[str]:
         feats = self.feature_names or getattr(self, "feature_names_")
         return [f"{f}_logreturn" for f in feats]
+
+
+class DrawdownTransformer(_OrderedPanelTransformer):
+    """Running peak and drawdown per ticker: ``{f}_cummax`` (expanding
+    max) and ``{f}_drawdown`` = (peak − x)/peak — the standard
+    peak-to-trough loss measure of a value series. One unbounded-
+    preceding frame per ticker (shares the shuffle with any other
+    same-spec window); zero/negative peaks yield null drawdown
+    (try_divide) — drawdown is only defined for positive value paths."""
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = feats
+        frame = self._window().rowsBetween(Window.unboundedPreceding, 0)
+        cols = []
+        for f in feats:
+            peak = F.max(F.col(f)).over(frame)
+            dd = F.when(
+                peak > 0, F.try_divide(peak - F.col(f), peak)
+            )
+            cols.append(peak.alias(f"{f}_cummax"))
+            cols.append(dd.alias(f"{f}_drawdown"))
+        return cols
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names or getattr(self, "feature_names_")
+        return [n for f in feats for n in (f"{f}_cummax", f"{f}_drawdown")]

@@ -244,7 +244,7 @@ def test_rolling_agg_family(spark):
         "x_rolling_sum2", "x_rolling_min2", "x_rolling_max2", "x_rolling_std2",
     ]
     with pytest.raises(ValueError, match="Unknown rolling"):
-        RollingAggTransformer([2], ["x"], aggs=["median"])
+        RollingAggTransformer([2], ["x"], aggs=["mode"])
 
 
 def test_clip_by_quantile_global_and_era(spark):
@@ -291,7 +291,7 @@ def test_diff_and_expanding_transformers(spark):
     assert [r.x_expanding_sum for r in out2] == [10.0, 30.0, 45.0, 75.0]
     assert [r.x_expanding_max for r in out2] == [10.0, 20.0, 20.0, 30.0]
     with pytest.raises(ValueError, match="Unknown expanding"):
-        ExpandingAggTransformer(["x"], aggs=["median"])
+        ExpandingAggTransformer(["x"], aggs=["mode"])
 
 
 def test_session_ids_gap_rule(spark):
@@ -418,3 +418,51 @@ def test_resample_panel_gaps_and_ffill(spark):
     )
     nulls = raw.where(F.col("x").isNull()).count()
     assert nulls == 2
+
+
+def test_rolling_median_matches_pandas(spark):
+    """Exact rolling median agrees with the pandas reference (full
+    windows only; partial windows null)."""
+    import pandas as pd
+
+    from centimators_spark.operators import RollingAggTransformer
+
+    vals = [5.0, 1.0, 4.0, 2.0, 8.0, 3.0, 9.0, 7.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "t long, o long, x double"
+    )
+    out = (
+        RollingAggTransformer(
+            [3], ["x"], aggs=["median"], ticker_col="t", order_cols=["o"],
+            output_mode="append",
+        )
+        .transform(df)
+        .orderBy("o")
+        .collect()
+    )
+    exp = pd.Series(vals).rolling(3).median()
+    for i, r in enumerate(out):
+        if i < 2:
+            assert r.x_rolling_median3 is None
+        else:
+            assert r.x_rolling_median3 == exp[i]
+
+
+def test_drawdown_transformer(spark):
+    from centimators_spark.operators import DrawdownTransformer
+
+    vals = [10.0, 12.0, 9.0, 12.0, 6.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "t long, o long, x double"
+    )
+    out = (
+        DrawdownTransformer(["x"], ticker_col="t", order_cols=["o"],
+                            output_mode="append")
+        .transform(df)
+        .orderBy("o")
+        .collect()
+    )
+    assert [r.x_cummax for r in out] == [10.0, 12.0, 12.0, 12.0, 12.0]
+    assert [round(r.x_drawdown, 6) for r in out] == [
+        0.0, 0.0, 0.25, 0.0, 0.5,
+    ]
