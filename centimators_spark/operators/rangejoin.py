@@ -45,6 +45,7 @@ def interval_join(
     keys: Sequence[str] = (),
     how: str = "inner",
     broadcast_intervals: bool | None = None,
+    validate_bounds: bool = True,
 ) -> DataFrame:
     """All (point, interval) matches with ``lo <= point < hi`` (and
     equal ``keys``, when given), via the bucketed equi-join plan.
@@ -58,6 +59,16 @@ def interval_join(
     the exploded interval side; default None lets AQE decide from
     stats. Set True for dimension-sized interval tables so the point
     side never shuffles.
+
+    validate_bounds=True (default) runs ONE tiny eager job over the
+    interval side at plan-construction time to reject NULL bounds (a
+    lazy per-row guard cannot work — Catalyst's derived IsNotNull
+    prunes such rows before any guard evaluates, silently dropping the
+    interval). Pass False to skip the probe when the interval side's
+    lineage is expensive AND known null-free. STREAMING interval sides
+    cannot be probed: they always skip validation, so NULL-bound
+    intervals on a stream are silently unmatchable — coalesce open
+    bounds upstream (scd2_join's ``open_end``).
     """
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
@@ -78,7 +89,7 @@ def interval_join(
     # are dimension-sized by assumption, so the probe is one tiny job.
     # Open-ended intervals: coalesce the bound to a finite horizon
     # first (see scd2_join's open_end param).
-    if not intervals.isStreaming:
+    if validate_bounds and not intervals.isStreaming:
         bad = intervals.where(
             F.col(lo_col).isNull() | F.col(hi_col).isNull()
         ).limit(1)

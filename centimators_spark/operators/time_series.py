@@ -426,8 +426,9 @@ class DrawdownTransformer(_OrderedPanelTransformer):
     max) and ``{f}_drawdown`` = (peak − x)/peak — the standard
     peak-to-trough loss measure of a value series. One unbounded-
     preceding frame per ticker (shares the shuffle with any other
-    same-spec window); zero/negative peaks yield null drawdown
-    (try_divide) — drawdown is only defined for positive value paths."""
+    same-spec window); non-positive peaks yield null drawdown (the
+    when() guard) — drawdown is only defined for positive value
+    paths."""
 
     def _derived_columns(self, df: DataFrame) -> list[Column]:
         feats = self._resolve_features(df)
@@ -436,9 +437,7 @@ class DrawdownTransformer(_OrderedPanelTransformer):
         cols = []
         for f in feats:
             peak = F.max(F.col(f)).over(frame)
-            dd = F.when(
-                peak > 0, F.try_divide(peak - F.col(f), peak)
-            )
+            dd = F.when(peak > 0, (peak - F.col(f)) / peak)
             cols.append(peak.alias(f"{f}_cummax"))
             cols.append(dd.alias(f"{f}_drawdown"))
         return cols

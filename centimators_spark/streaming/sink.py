@@ -43,37 +43,58 @@ def grouped_overwrite_sink(
     grouping key of the upstream aggregation (one output row per
     partition value). If the aggregation groups finer (e.g. by
     (user, day) while partitioning only by day), overwriting a
-    partition with the batch's subset of its rows would DELETE the
-    untouched groups — the sink validates one-row-per-partition-value
-    per batch and raises instead."""
+    partition with the batch's subset of rows would DELETE the
+    untouched sibling groups. The sink validates one-row-per-
+    partition-value within each batch, which catches the misuse
+    whenever two sibling groups change in the same batch — but it is
+    NOT a complete guard: sibling groups changing in DIFFERENT batches
+    still overwrite each other undetected, so the contract itself is
+    on the caller."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         from pyspark.sql import functions as F
 
-        counts = batch_df.groupBy(partition_col).count()
-        bad = counts.where(F.col("count") > 1).limit(1).collect()
-        if bad:
-            raise ValueError(
-                "grouped_overwrite_sink: multiple rows per "
-                f"{partition_col}={bad[0][0]!r} in batch {batch_id} — "
-                "partition_col must be the complete grouping key "
-                "(overwriting would delete sibling groups)"
-            )
-        spark = batch_df.sparkSession
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # one pass serves emptiness + validation + write (foreachBatch
+        # frames recompute per action otherwise)
+        batch_df.persist()
         try:
-            (
-                batch_df.write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(path)
+            stats = (
+                batch_df.groupBy(partition_col)
+                .count()
+                .agg(
+                    F.max("count").alias("mx"),
+                    F.count(F.lit(1)).alias("n_parts"),
+                )
+                .first()
             )
+            if stats.n_parts == 0:
+                return
+            if stats.mx > 1:
+                raise ValueError(
+                    "grouped_overwrite_sink: multiple rows per "
+                    f"{partition_col} value in batch {batch_id} — "
+                    "partition_col must be the complete grouping key "
+                    "(overwriting would delete sibling groups)"
+                )
+            spark = batch_df.sparkSession
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    batch_df.write.mode("overwrite")
+                    .partitionBy(partition_col)
+                    .parquet(path)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            batch_df.unpersist()
 
     return (
         aggregated_stream.writeStream.foreachBatch(write_batch)
