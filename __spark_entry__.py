@@ -470,9 +470,12 @@ def q_panel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_tax") * 100).alias("t100"),
         F.round(F.col("l_extendedprice") * 100).alias("e100"),
     )
+    # inner materialize: the OLS residual frame feeds era-std/min-max
+    # consumers; checkpointing it once measured 6.6-11s per run vs
+    # 5.6-19s for full recompute at sf0.1 (cold runs halve)
     n = era_ols_neutralize(
         li, "e100", ["q", "d100", "t100"], era_col="era", proportion=0.5,
-        keep_cols=KEYS,
+        keep_cols=KEYS, materialize="localCheckpoint",
     )
     # the downstream quantile consumers (median, MAD, bin bounds) would
     # each recompute the whole neutralization lineage — cut it once.
