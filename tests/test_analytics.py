@@ -74,3 +74,17 @@ def test_anomaly_flags_spike(spark):
     assert all(f in (None, 0) for i, f in enumerate(flags) if i != 20 and i < 21)
     # z is null where std is 0 (flat window)
     assert out[19].x_z is None
+
+
+def test_funnel_unbroadcast_path_matches(spark):
+    from centimators_spark.analytics import funnel
+
+    rows = [
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        (2, "view", _ts(2)), (2, "click", _ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    a = sorted(tuple(r) for r in funnel(df, ["view", "click"]).collect())
+    b = sorted(tuple(r) for r in funnel(
+        df, ["view", "click"], broadcast_stages=False).collect())
+    assert a == b

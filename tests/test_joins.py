@@ -173,3 +173,14 @@ def test_salted_join_null_keys_match_plain_join(spark):
     assert salted == plain
     lj = salted_join(left, right, "k", n_salts=4, how="left").collect()
     assert len(lj) == 3  # null-keyed left rows survive with null right
+
+
+def test_interval_join_validate_bounds_off(points, intervals):
+    """validate_bounds=False builds lazily (no eager probe) and still
+    produces the same matches on clean data."""
+    out = interval_join(
+        points, intervals, point_col="x", lo_col="lo", hi_col="hi",
+        bucket_width=5.0, validate_bounds=False,
+    )
+    got = {(r.id, r.tag) for r in out.collect()}
+    assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "c")}

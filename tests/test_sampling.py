@@ -160,3 +160,13 @@ def test_temperature_mixture_flattens(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in out2.collect()
     )
+
+
+def test_temperature_mixture_drops_null_domains(spark):
+    from centimators_spark.sampling import temperature_mixture_sample
+
+    rows = [(i, "a") for i in range(50)] + [(100 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = temperature_mixture_sample(df, "dom", key_col="doc_id").collect()
+    assert all(r.dom == "a" for r in out)
+    assert len(out) == 50  # single non-null domain keeps everything
