@@ -702,6 +702,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated to the tail to keep every genuinely-new query inside
         # the driver's 50-entry window
         "winsorize_by_era",
+        # rotated for the r3-continuation queries (era_report etc.):
+        # linear_regression and dedup_ngram_jaccard are r2-hash-green
+        # and unchanged; neutralize_ols_era's r3 changes are plan-level
+        # (repartition gate, materialize param), value-identical and
+        # locally hash-verified at sf0.01; the three no_oracle kernels
+        # get the same rows-only row wherever they sit
+        "linear_regression",
+        "dedup_ngram_jaccard",
+        "neutralize_ols_era",
+        "feature_neutralizer",
+        "feature_penalizer",
+        "dim_reducer_pca",
+        "ann_rp_lsh",
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)

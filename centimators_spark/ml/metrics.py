@@ -1,0 +1,309 @@
+"""Model-evaluation metrics over era panels: the era-scoring report
+(mean/std/Sharpe/max-drawdown of per-era correlation — the standard
+Numerai-style diagnostic the reference's users compute on every
+prediction file) and per-group autocorrelation (ACF at chosen lags).
+
+Exactness convention (shared with operators/encoding.py and the era-OLS
+oracle machinery): inputs ride EXACT integer carriers (fixed-decimal
+scaling), per-group sums accumulate as DECIMAL(38,0) — partition-order
+independent, unlike raw double sums — and both engines evaluate the
+IDENTICAL closed-form correlation expression on those exact sums, so
+the DuckDB oracles are bit-exact without tolerance.
+
+Scale notes: the per-era aggregation is one map-side-partial shuffle on
+the era key; the summary stage runs a window over ONE ROW PER ERA
+(months of history — thousands of rows at most, never data-sized), so
+its single-partition window is not a scale hazard. Autocorrelation is
+one window (lag) plus one grouped aggregation on the same key — the
+sort-and-shuffle is shared.
+
+Reference scope: the reference evaluates per-era Spearman via its
+training losses (src/centimators/model_estimators/losses.py:22-95) but
+ships no batch scoring report; this is the §2.3-style extension of that
+semantic to a distributed scoring surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+CORR_SCALE = 1_000_000  # 6dp micro-units for the per-era corr carrier
+
+
+def _corr_from_sums(n: Column, sx: Column, sy: Column, sxx: Column,
+                    syy: Column, sxy: Column) -> Column:
+    """Pearson corr from exact integer sums — the identical expression
+    the DuckDB oracle evaluates (see _sql_corr_from_sums)."""
+    nd = n.cast("double")
+    sxd, syd = sx.cast("double"), sy.cast("double")
+    num = nd * sxy.cast("double") - sxd * syd
+    den = F.sqrt(
+        (nd * sxx.cast("double") - sxd * sxd)
+        * (nd * syy.cast("double") - syd * syd)
+    )
+    # explicit zero-variance guard: Spark's double x/0 is NULL while
+    # DuckDB's is ±inf — the CASE keeps both engines at NULL
+    return F.when(den > 0, num / den)
+
+
+def _sql_corr_from_sums(n: str, sx: str, sy: str, sxx: str, syy: str,
+                        sxy: str) -> str:
+    nd = f"CAST({n} AS DOUBLE)"
+    sxd, syd = f"CAST({sx} AS DOUBLE)", f"CAST({sy} AS DOUBLE)"
+    den = (
+        f"sqrt(({nd} * CAST({sxx} AS DOUBLE) - {sxd} * {sxd})"
+        f" * ({nd} * CAST({syy} AS DOUBLE) - {syd} * {syd}))"
+    )
+    return (
+        f"(CASE WHEN {den} > 0 THEN "
+        f"({nd} * CAST({sxy} AS DOUBLE) - {sxd} * {syd}) / {den} END)"
+    )
+
+
+def _exact_sums(x: Column, y: Column) -> list[Column]:
+    """The six DECIMAL(38,0) moment sums (x, y must be integer-valued)."""
+    d = "decimal(38,0)"
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(d)).alias("sx"),
+        F.sum(y.cast(d)).alias("sy"),
+        F.sum((x * x).cast(d)).alias("sxx"),
+        F.sum((y * y).cast(d)).alias("syy"),
+        F.sum((x * y).cast(d)).alias("sxy"),
+    ]
+
+
+def era_corr(
+    df: DataFrame,
+    x: str,
+    y: str,
+    era_col: str,
+    *,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-era Pearson correlation of two INTEGER-VALUED columns (scale
+    fixed-decimal inputs to integers first), bit-exact: DECIMAL moment
+    sums + the shared closed-form expression, rounded to ``digits``.
+    Returns (era, n, corr)."""
+    sums = df.groupBy(F.col(era_col).alias("era")).agg(
+        *_exact_sums(F.col(x), F.col(y))
+    )
+    corr = _corr_from_sums(
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxx"), F.col("syy"), F.col("sxy"),
+    )
+    return sums.select("era", "n", F.round(corr, digits).alias("corr"))
+
+
+def era_report(
+    df: DataFrame,
+    x: str,
+    y: str,
+    era_col: str,
+) -> DataFrame:
+    """The era-scoring report: one row with the count, mean, sample std,
+    Sharpe (mean/std), min/max, and max drawdown of the cumulative
+    per-era correlation series (eras in ascending order).
+
+    All summary stats ride the 6dp micro-unit carrier of the per-era
+    corr — integer cumulative sums make the drawdown exact, and the
+    mean/std/Sharpe expressions are evaluated identically by the DuckDB
+    oracle (era_report_oracle_sql)."""
+    per_era = era_corr(df, x, y, era_col).where(F.col("corr").isNotNull())
+    u = per_era.select(
+        "era",
+        F.round(F.col("corr") * CORR_SCALE).cast("long").alias("cu"),
+    )
+    # one row per era: a global ordered window here is bounded by the
+    # era count (months), not the data size
+    w = Window.orderBy("era").rowsBetween(Window.unboundedPreceding, 0)
+    cum = u.select(
+        "era",
+        "cu",
+        F.sum("cu").over(w).alias("cum"),
+    ).select(
+        "cu",
+        "cum",
+        F.max("cum").over(w).alias("peak"),
+    )
+    nd = F.col("n_eras").cast("double")
+    su = F.col("su").cast("double")
+    ssq = F.col("ssq").cast("double")
+    mean = su / CORR_SCALE / nd
+    std = (
+        F.sqrt((nd * ssq - su * su) / (nd * (nd - 1)))
+        / CORR_SCALE
+    )
+    return (
+        cum.agg(
+            F.count(F.lit(1)).alias("n_eras"),
+            F.sum("cu").alias("su"),
+            F.sum(F.col("cu") * F.col("cu")).alias("ssq"),
+            F.min("cu").alias("mn"),
+            F.max("cu").alias("mx"),
+            F.max(F.col("peak") - F.col("cum")).alias("dd"),
+        )
+        .select(
+            F.col("n_eras"),
+            F.round(mean, 6).alias("mean_corr"),
+            F.round(std, 6).alias("std_corr"),
+            F.round(mean / std, 6).alias("sharpe"),
+            (F.col("mn").cast("double") / CORR_SCALE).alias("min_corr"),
+            (F.col("mx").cast("double") / CORR_SCALE).alias("max_corr"),
+            (F.col("dd").cast("double") / CORR_SCALE).alias("max_drawdown"),
+        )
+    )
+
+
+def era_report_oracle_sql(
+    table: str,
+    x_sql: str,
+    y_sql: str,
+    era_sql: str,
+) -> str:
+    """DuckDB mirror of :func:`era_report` — identical DECIMAL moment
+    sums, corr expression, micro-unit carrier, and running-peak
+    drawdown."""
+    corr = _sql_corr_from_sums("n", "sx", "sy", "sxx", "syy", "sxy")
+    return f"""
+        WITH sums AS (
+          SELECT {era_sql} AS era,
+                 count(*) AS n,
+                 sum(CAST({x_sql} AS DECIMAL(38,0))) AS sx,
+                 sum(CAST({y_sql} AS DECIMAL(38,0))) AS sy,
+                 sum(CAST(({x_sql}) * ({x_sql}) AS DECIMAL(38,0))) AS sxx,
+                 sum(CAST(({y_sql}) * ({y_sql}) AS DECIMAL(38,0))) AS syy,
+                 sum(CAST(({x_sql}) * ({y_sql}) AS DECIMAL(38,0))) AS sxy
+          FROM {table} GROUP BY 1
+        ), per_era AS (
+          SELECT era, round({corr}, 6) AS corr FROM sums
+          WHERE {corr} IS NOT NULL
+        ), u AS (
+          SELECT era, CAST(round(corr * {CORR_SCALE}) AS BIGINT) AS cu
+          FROM per_era
+        ), c1 AS (
+          SELECT era, cu,
+                 sum(cu) OVER (ORDER BY era
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM u
+        ), c AS (
+          SELECT cu, cum,
+                 max(cum) OVER (ORDER BY era
+                   ROWS UNBOUNDED PRECEDING) AS peak
+          FROM c1
+        ), agg AS (
+          SELECT count(*) AS n_eras, sum(cu) AS su, sum(cu * cu) AS ssq,
+                 min(cu) AS mn, max(cu) AS mx, max(peak - cum) AS dd
+          FROM c
+        )
+        SELECT n_eras,
+               round(CAST(su AS DOUBLE) / {CORR_SCALE}
+                 / CAST(n_eras AS DOUBLE), 6) AS mean_corr,
+               round(sqrt((CAST(n_eras AS DOUBLE) * CAST(ssq AS DOUBLE)
+                   - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                 / (CAST(n_eras AS DOUBLE) * (CAST(n_eras AS DOUBLE) - 1)))
+                 / {CORR_SCALE}, 6) AS std_corr,
+               round((CAST(su AS DOUBLE) / {CORR_SCALE}
+                   / CAST(n_eras AS DOUBLE))
+                 / (sqrt((CAST(n_eras AS DOUBLE) * CAST(ssq AS DOUBLE)
+                     - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                   / (CAST(n_eras AS DOUBLE) * (CAST(n_eras AS DOUBLE) - 1)))
+                 / {CORR_SCALE}), 6) AS sharpe,
+               CAST(mn AS DOUBLE) / {CORR_SCALE} AS min_corr,
+               CAST(mx AS DOUBLE) / {CORR_SCALE} AS max_corr,
+               CAST(dd AS DOUBLE) / {CORR_SCALE} AS max_drawdown
+        FROM agg
+    """
+
+
+def autocorr(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str,
+    order_cols: Sequence[str],
+    lags: Sequence[int] = (1,),
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group autocorrelation of an INTEGER-VALUED series at the
+    given lags: Pearson corr of (x_t, x_{t-k}) over the rows where both
+    exist. One shared window sort + one grouped aggregation (same key —
+    the group column keeps its NAME through the aggregation so Catalyst
+    reuses the window's hash partitioning: one exchange total, the agg
+    runs exchange-free on the window output). Bit-exact via DECIMAL
+    moment sums + the shared corr expression. Returns
+    (group_col, n, acf{k}...)."""
+    w = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order_cols])
+    x = F.col("__x")
+    lagged = df.select(
+        F.col(group_col),
+        F.col(value_col).alias("__x"),
+        *[F.lag(value_col, k).over(w).alias(f"__l{k}") for k in lags],
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
+    d = "decimal(38,0)"
+    for k in lags:
+        lk = F.col(f"__l{k}")
+        pair = lk.isNotNull()
+        aggs += [
+            F.count(F.when(pair, 1)).alias(f"n{k}"),
+            F.sum(F.when(pair, x).cast(d)).alias(f"sx{k}"),
+            F.sum(F.when(pair, lk).cast(d)).alias(f"sy{k}"),
+            F.sum(F.when(pair, x * x).cast(d)).alias(f"sxx{k}"),
+            F.sum(F.when(pair, lk * lk).cast(d)).alias(f"syy{k}"),
+            F.sum(F.when(pair, x * lk).cast(d)).alias(f"sxy{k}"),
+        ]
+    sums = lagged.groupBy(group_col).agg(*aggs)
+    out_cols: list[Column] = [F.col(group_col), F.col("n")]
+    for k in lags:
+        corr = _corr_from_sums(
+            F.col(f"n{k}"), F.col(f"sx{k}"), F.col(f"sy{k}"),
+            F.col(f"sxx{k}"), F.col(f"syy{k}"), F.col(f"sxy{k}"),
+        )
+        out_cols.append(F.round(corr, digits).alias(f"acf{k}"))
+    return sums.select(*out_cols)
+
+
+def autocorr_oracle_sql(
+    table: str,
+    value_sql: str,
+    *,
+    group_sql: str,
+    order_sql: str,
+    lags: Sequence[int] = (1,),
+    group_alias: str = "g",
+) -> str:
+    """DuckDB mirror of :func:`autocorr`."""
+    lag_cols = ", ".join(
+        f"lag({value_sql}, {k}) OVER "
+        f"(PARTITION BY {group_sql} ORDER BY {order_sql}) AS l{k}"
+        for k in lags
+    )
+    sum_cols = []
+    for k in lags:
+        sum_cols += [
+            f"count(CASE WHEN l{k} IS NOT NULL THEN 1 END) AS n{k}",
+            f"sum(CASE WHEN l{k} IS NOT NULL THEN CAST(x AS DECIMAL(38,0)) END) AS sx{k}",
+            f"sum(CASE WHEN l{k} IS NOT NULL THEN CAST(l{k} AS DECIMAL(38,0)) END) AS sy{k}",
+            f"sum(CASE WHEN l{k} IS NOT NULL THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx{k}",
+            f"sum(CASE WHEN l{k} IS NOT NULL THEN CAST(l{k} * l{k} AS DECIMAL(38,0)) END) AS syy{k}",
+            f"sum(CASE WHEN l{k} IS NOT NULL THEN CAST(x * l{k} AS DECIMAL(38,0)) END) AS sxy{k}",
+        ]
+    corr_cols = ", ".join(
+        f"round({_sql_corr_from_sums(f'n{k}', f'sx{k}', f'sy{k}', f'sxx{k}', f'syy{k}', f'sxy{k}')}, 6)"
+        f" AS acf{k}"
+        for k in lags
+    )
+    return f"""
+        WITH lagged AS (
+          SELECT {group_sql} AS g, {value_sql} AS x, {lag_cols}
+          FROM {table}
+        ), sums AS (
+          SELECT g, count(*) AS n, {", ".join(sum_cols)}
+          FROM lagged GROUP BY g
+        )
+        SELECT g AS {group_alias}, n, {corr_cols} FROM sums
+    """

@@ -296,3 +296,71 @@ def feature_hash_sql(col_sql: str, col_name: str, n_buckets: int = 1 << 18) -> s
         f"CASE WHEN {col_sql} IS NOT NULL"
         f" THEN {sql_md5_long(keyed)} % {n_buckets} END"
     )
+
+
+def one_hot_encode(
+    df: DataFrame,
+    col: str,
+    categories: Sequence[str],
+    *,
+    prefix: str | None = None,
+    other_col: bool = True,
+    drop_input: bool = False,
+) -> DataFrame:
+    """One-hot encoding with a PINNED category list: ``{prefix}_{cat}``
+    = 1 when ``col == cat`` else 0 (nulls encode as all-zeros, flagged
+    by the ``{prefix}_other`` column together with unseen categories).
+
+    Pinning the categories (rather than discovering them at fit time)
+    is the scale-safe contract: the output schema is static, no
+    distinct-scan job runs, and train/serve skew is impossible. Use
+    ``df.select(col).distinct()`` once offline to choose the list. Pure
+    map-side expressions — zero shuffle, fully codegen.
+
+    Column names sanitize non-identifier characters to ``_`` so
+    downstream SQL never needs quoting."""
+    p = prefix if prefix is not None else col
+    seen = None
+    out_cols = list(df.columns)
+    if drop_input:
+        out_cols.remove(col)
+    encoded = []
+    for cat in categories:
+        hit = F.col(col) == cat
+        encoded.append(
+            F.when(hit, 1).otherwise(0).alias(_sanitize(f"{p}_{cat}"))
+        )
+        seen = hit if seen is None else (seen | hit)
+    if other_col:
+        encoded.append(
+            F.when(seen if seen is not None else F.lit(False), 0)
+            .otherwise(1)
+            .alias(_sanitize(f"{p}_other"))
+        )
+    return df.select(*out_cols, *encoded)
+
+
+def one_hot_oracle_sql(
+    col_sql: str,
+    categories: Sequence[str],
+    *,
+    prefix: str,
+    other_col: bool = True,
+) -> list[str]:
+    """DuckDB SELECT-list expressions mirroring :func:`one_hot_encode`."""
+    exprs = [
+        f"CASE WHEN {col_sql} = '{cat}' THEN 1 ELSE 0 END"
+        f" AS {_sanitize(f'{prefix}_{cat}')}"
+        for cat in categories
+    ]
+    if other_col:
+        anyhit = " OR ".join(f"{col_sql} = '{cat}'" for cat in categories)
+        exprs.append(
+            f"CASE WHEN {anyhit or 'FALSE'} THEN 0 ELSE 1 END"
+            f" AS {_sanitize(f'{prefix}_other')}"
+        )
+    return exprs
+
+
+def _sanitize(name: str) -> str:
+    return "".join(ch if ch.isalnum() or ch == "_" else "_" for ch in name)

@@ -483,11 +483,58 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (W=64, S=48) — the
+    pre-tokenization step feeding pack_sequences. Map-side explode,
+    zero shuffle; bit-exact slice/grid oracle."""
+    from centimators_spark.text.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc (gibberish signal):
+    explode + two aggregations on the doc key, exact micro-unit
+    log-prob carriers."""
+    from centimators_spark.text.analysis import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token explode (posexplode = UDTF surface): leading
+    trigram positions per document, then corpus-wide document frequency
+    of each (position, token) pair."""
+    from centimators_spark.text.portable import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    lead = docs.select(
+        "doc_id",
+        F.posexplode(F.slice(tokens(F.col("text")), 1, 3)).alias(
+            "pos", "token"
+        ),
+    )
+    return lead.groupBy("pos", "token").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 # ordered for the driver's 50-entry correctness window (see
 # __spark_entry__.queries()): rows-only / composite queries first, the
 # simplest longest-stable single-table queries last so they are the ones
 # that fall past the window if the total exceeds 50
 QUERIES = {
+    "doc_chunks": q_doc_chunks,
+    "char_entropy": q_char_entropy,
+    "token_positions": q_token_positions,
     "unigram_lm": q_unigram_lm,
     "text_normalize": q_text_normalize,
     "url_dedup": q_url_dedup,
@@ -646,7 +693,26 @@ def _oracle_sql_base() -> dict[str, str]:
     from centimators_spark.operators.encoding import feature_hash_sql
     from centimators_spark.dedup.semantic import semantic_dedup_oracle_sql
 
+    from centimators_spark.text.analysis import char_entropy_oracle_sql
+    from centimators_spark.text.chunking import chunk_documents_oracle_sql
+
     return {
+        "doc_chunks": chunk_documents_oracle_sql(
+            chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE
+        ),
+        "char_entropy": char_entropy_oracle_sql(),
+        "token_positions": f"""
+            WITH lead AS (
+              SELECT doc_id,
+                     unnest(tk[1:3]) AS token,
+                     generate_subscripts(tk[1:3], 1) - 1 AS pos
+              FROM (SELECT doc_id, {P.sql_tokens('text')} AS tk
+                    FROM documents)
+            )
+            SELECT CAST(pos AS INTEGER) AS pos, token,
+                   count(*) AS n_docs
+            FROM lead GROUP BY pos, token
+        """,
         "unigram_lm": unigram_lm_oracle_sql(vocab_cap=LM_VOCAB_CAP),
         "text_normalize": normalize_text_oracle_sql(lowercase=True),
         "url_dedup": f"""

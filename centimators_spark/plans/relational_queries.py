@@ -625,6 +625,78 @@ def q_string_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the two single-column sets — NOT
+    expressible as rollup/cube): identical ANSI text on both engines,
+    one Expand + partial-agg pass in Spark."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+MKT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_one_hot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding with a pinned category list (static schema, no
+    distinct-scan job, zero shuffle — the scale-safe encoder contract)."""
+    from centimators_spark.operators.encoding import one_hot_encode
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return one_hot_encode(c, "c_mktsegment", MKT_SEGMENTS, prefix="seg")
+
+
+def q_era_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The era-scoring report (mean/std/Sharpe/max-drawdown of per-era
+    correlation — the Numerai-style diagnostic): bit-exact via DECIMAL
+    moment sums, a shared closed-form corr expression, and integer
+    micro-unit cumulative drawdown."""
+    from centimators_spark.ml.metrics import era_report
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate"))).alias(
+            "era"
+        ),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("e100"),
+    )
+    return era_report(li, "q", "e100", "era")
+
+
+AUTOCORR_LAGS = (1, 5)
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier autocorrelation of the price series at lags 1 and 5
+    (one shared window sort + one grouped aggregation on the same key);
+    bit-exact DECIMAL-sum corr."""
+    from centimators_spark.ml.metrics import autocorr
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "e100", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    return autocorr(
+        li,
+        "e100",
+        group_col="l_suppkey",
+        order_cols=[
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ],
+        lags=AUTOCORR_LAGS,
+    )
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -666,6 +738,10 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "era_report": q_era_report,
+    "autocorrelation": q_autocorrelation,
+    "one_hot_segments": q_one_hot_segments,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
     "window_navigation": q_window_navigation,
     "interval_band_join": q_interval_band_join,
     "events_interval_join": q_events_interval_join,
@@ -768,7 +844,37 @@ def oracle_sql() -> dict[str, str]:
         f" AS rev_{s}"
         for s in PIVOT_STATUSES
     )
+    from centimators_spark.ml.metrics import (
+        autocorr_oracle_sql,
+        era_report_oracle_sql,
+    )
+    from centimators_spark.operators.encoding import one_hot_oracle_sql
+
+    one_hot_exprs = ",\n                   ".join(
+        one_hot_oracle_sql("c_mktsegment", MKT_SEGMENTS, prefix="seg")
+    )
     return {
+        "era_report": era_report_oracle_sql(
+            "lineitem",
+            "CAST(l_quantity AS BIGINT)",
+            "CAST(round(l_extendedprice * 100) AS BIGINT)",
+            "CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT)",
+        ),
+        "autocorrelation": autocorr_oracle_sql(
+            "(SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " AS e100 FROM lineitem)",
+            "e100",
+            group_sql="l_suppkey",
+            order_sql=_ORDER_SQL,
+            lags=AUTOCORR_LAGS,
+            group_alias="l_suppkey",
+        ),
+        "one_hot_segments": f"""
+            SELECT c_custkey, c_mktsegment,
+                   {one_hot_exprs}
+            FROM customer
+        """,
+        "grouping_sets_revenue": _GROUPING_SETS_SQL,
         "linear_regression": _ols_oracle_sql(),
         "interval_band_join": f"""
             WITH bands(lo, hi, band) AS (VALUES {bands_values})

@@ -76,3 +76,40 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    *,
+    line_numbers: bool = False,
+) -> DataFrame:
+    """Raw-text corpus ingestion (the .txt/.md shard layout LLM corpora
+    ship in): one row per line with its source file
+    (``file, text``), or — with ``line_numbers=True`` — exact per-file
+    line numbers (``file, line_no, text``).
+
+    The default path is the scale path: Spark's text source splits
+    large files across tasks, so it streams any corpus size but cannot
+    know global line offsets. The line-numbered path reads
+    ``wholetext`` (one task per FILE, memory-bounded by the largest
+    file — right for corpora sharded into many ≲1 GB files, wrong for
+    one giant file) and posexplodes the lines, so numbering is exact
+    and deterministic."""
+    from pyspark.sql import functions as F
+
+    if not line_numbers:
+        return (
+            spark.read.text(path)
+            .select(
+                F.input_file_name().alias("file"),
+                F.col("value").alias("text"),
+            )
+        )
+    whole = spark.read.text(path, wholetext=True)
+    return whole.select(
+        F.input_file_name().alias("file"),
+        F.posexplode(F.split(F.col("value"), "\n", -1)).alias(
+            "line_no", "text"
+        ),
+    )

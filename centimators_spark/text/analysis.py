@@ -306,6 +306,119 @@ def normalize_text_oracle_sql(
     return f"SELECT {id_sql} AS doc_id, {s} AS text FROM {table}"
 
 
+ENTROPY_CHAR_RE = "[a-z0-9]"  # portable char class (Java/RE2/Python identical)
+ENTROPY_SCALE = 1_000_000
+
+
+def char_entropy(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy (nats) over lowercase [a-z0-9] —
+    the classic gibberish/boilerplate signal: natural text sits near the
+    language's character entropy, keyboard mash and repeated filler
+    fall well below or above.
+
+    Exactness: per-(doc, char) counts are exact integers; each char's
+    log-probability rounds to 6dp micro-units, multiplies by its exact
+    count, and sums as integers (partition-order independent), so the
+    DuckDB oracle (char_entropy_oracle_sql) is bit-exact. Plan: one
+    explode + two aggregations sharing the doc_id key; the alphabet is
+    ≤36 so per-doc state is tiny. Returns (doc_id, n_alpha_chars,
+    n_distinct_chars, entropy) with nulls for docs with no matching
+    characters."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(content_col)), F.lit(ENTROPY_CHAR_RE), 0
+                )
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    terms = counts.select(
+        "doc_id",
+        "c",
+        (
+            F.col("c")
+            * F.round(
+                F.log(F.col("c").cast("double") / n.cast("double"))
+                * ENTROPY_SCALE
+            ).cast("long")
+        ).alias("term_u"),
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.sum("c").alias("n_alpha_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum("term_u").alias("s"),
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_alpha_chars",
+        "n_distinct_chars",
+        F.round(
+            -F.col("s").cast("double")
+            / F.col("n_alpha_chars").cast("double")
+            / ENTROPY_SCALE,
+            6,
+        ).alias("entropy"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_alpha_chars"), F.lit(0)).alias("n_alpha_chars"),
+            F.coalesce(F.col("n_distinct_chars"), F.lit(0)).alias(
+                "n_distinct_chars"
+            ),
+            "entropy",
+        )
+    )
+
+
+def char_entropy_oracle_sql(
+    table: str = "documents",
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`char_entropy` — identical char class,
+    6dp micro-unit log-prob carrier, and integer term sums."""
+    return f"""
+        WITH ex AS (
+          SELECT {id_sql} AS doc_id,
+                 unnest(regexp_extract_all(lower({content_sql}),
+                        '{ENTROPY_CHAR_RE}')) AS ch
+          FROM {table}
+        ), counts AS (
+          SELECT doc_id, ch, count(*) AS c FROM ex GROUP BY 1, 2
+        ), terms AS (
+          SELECT doc_id, c,
+                 c * CAST(round(ln(CAST(c AS DOUBLE)
+                   / CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE))
+                   * {ENTROPY_SCALE}) AS BIGINT) AS term_u
+          FROM counts
+        ), per_doc AS (
+          SELECT doc_id, sum(c) AS n_alpha_chars,
+                 count(*) AS n_distinct_chars, sum(term_u) AS s
+          FROM terms GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_alpha_chars, 0) AS BIGINT) AS n_alpha_chars,
+               CAST(coalesce(p.n_distinct_chars, 0) AS BIGINT)
+                 AS n_distinct_chars,
+               round(-CAST(p.s AS DOUBLE) / CAST(p.n_alpha_chars AS DOUBLE)
+                 / {ENTROPY_SCALE}, 6) AS entropy
+        FROM (SELECT {id_sql} AS doc_id FROM {table}) d
+        LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def document_fingerprint(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -1,0 +1,131 @@
+"""Era-scoring report, autocorrelation, one-hot encoding, document
+chunking, and char entropy — golden values on hand-built frames plus
+numpy/scipy differentials."""
+
+import math
+
+import numpy as np
+import pytest
+
+from centimators_spark.ml.metrics import autocorr, era_corr, era_report
+from centimators_spark.operators.encoding import one_hot_encode
+from centimators_spark.text.chunking import chunk_documents
+
+
+def test_era_corr_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for era in (1, 2, 3):
+        x = rng.randint(0, 100, 40)
+        y = x * era + rng.randint(0, 50, 40)  # correlated, era-varying
+        rows += [(era, int(a), int(b)) for a, b in zip(x, y)]
+    df = spark.createDataFrame(rows, "era int, x long, y long")
+    got = {r.era: r.corr for r in era_corr(df, "x", "y", "era").collect()}
+    for era in (1, 2, 3):
+        xs = np.array([r[1] for r in rows if r[0] == era], dtype=float)
+        ys = np.array([r[2] for r in rows if r[0] == era], dtype=float)
+        expect = np.corrcoef(xs, ys)[0, 1]
+        assert got[era] == pytest.approx(expect, abs=1e-6), era
+
+
+def test_era_corr_constant_series_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 1), (1, 5, 2), (1, 5, 3)], "era int, x long, y long"
+    )
+    [row] = era_corr(df, "x", "y", "era").collect()
+    assert row.corr is None
+
+
+def test_era_report_summary_and_drawdown(spark):
+    # construct eras whose corr values are exactly +1 or -1:
+    # era corrs: +1, +1, -1, +1, -1, -1  -> cum: 1 2 1 2 1 0, peak-cum max = 2
+    signs = [1, 1, -1, 1, -1, -1]
+    rows = []
+    for era, s in enumerate(signs):
+        for i in range(5):
+            rows.append((era, i, s * i))
+    df = spark.createDataFrame(rows, "era int, x long, y long")
+    [r] = era_report(df, "x", "y", "era").collect()
+    assert r.n_eras == 6
+    assert r.mean_corr == pytest.approx(0.0)
+    assert r.std_corr == pytest.approx(math.sqrt(6 / 5), abs=1e-6)
+    assert r.sharpe == pytest.approx(0.0)
+    assert r.min_corr == -1.0 and r.max_corr == 1.0
+    assert r.max_drawdown == pytest.approx(2.0)
+
+
+def test_autocorr_matches_numpy(spark):
+    rng = np.random.RandomState(11)
+    series = {"a": rng.randint(0, 1000, 60), "b": rng.randint(0, 1000, 45)}
+    rows = [
+        (g, int(t), int(v))
+        for g, vs in series.items()
+        for t, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v long")
+    out = {
+        r.g: r
+        for r in autocorr(
+            df, "v", group_col="g", order_cols=["t"], lags=(1, 3)
+        ).collect()
+    }
+    for g, vs in series.items():
+        for k, col in ((1, "acf1"), (3, "acf3")):
+            expect = np.corrcoef(vs[k:].astype(float), vs[:-k].astype(float))[0, 1]
+            assert getattr(out[g], col) == pytest.approx(expect, abs=1e-6), (g, k)
+        assert out[g].n == len(vs)
+
+
+def test_one_hot_pinned_categories(spark):
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "Z"), (4, None)], "id long, cat string"
+    )
+    out = {r.id: r for r in one_hot_encode(df, "cat", ["A", "B"]).collect()}
+    assert (out[1].cat_A, out[1].cat_B, out[1].cat_other) == (1, 0, 0)
+    assert (out[2].cat_A, out[2].cat_B, out[2].cat_other) == (0, 1, 0)
+    # unseen category and null both land in _other
+    assert (out[3].cat_A, out[3].cat_B, out[3].cat_other) == (0, 0, 1)
+    assert (out[4].cat_A, out[4].cat_B, out[4].cat_other) == (0, 0, 1)
+    # schema is static: columns present even when category absent from data
+    assert "cat_A" in out[1].asDict()
+
+
+def test_chunk_documents_grid_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "solo"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=4, stride=3)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: starts 0,3,6,9 -> 4 chunks; last is partial
+    assert sorted(k for k in rows if k[0] == 1) == [(1, i) for i in range(4)]
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6"  # overlap of 1 token
+    assert rows[(1, 3)].chunk_text == "t9"
+    assert rows[(1, 3)].n_chunk_tokens == 1
+    assert rows[(1, 1)].start_token == 3
+    # single-token and empty/null docs
+    assert rows[(2, 0)].chunk_text == "solo"
+    assert not any(k[0] in (3, 4) for k in rows)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0, stride=3)
+
+
+def test_char_entropy_golden(spark):
+    from centimators_spark.text.analysis import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # single symbol -> entropy 0
+            (2, "abab"),          # two equiprobable -> ln 2
+            (3, "a b! C, d?"),    # 4 distinct letters -> ln 4 (case folded)
+            (4, "!!! ???"),       # no [a-z0-9] chars
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert out[1].entropy == pytest.approx(0.0)
+    assert out[2].entropy == pytest.approx(math.log(2), abs=1e-6)
+    assert out[3].entropy == pytest.approx(math.log(4), abs=1e-6)
+    assert out[3].n_alpha_chars == 4 and out[3].n_distinct_chars == 4
+    assert out[4].entropy is None and out[4].n_alpha_chars == 0

@@ -193,3 +193,27 @@ def test_asof_join_semantics(spark):
     assert out[2] == (15, 150.0)   # latest at-or-before
     assert out[3] == (None, None)  # no prior right row
     assert out[4] == (None, None)  # key isolation (v's rows invisible to w)
+
+
+def test_read_text_corpus_lines_and_numbers(spark):
+    from centimators_spark.sources import read_text_corpus
+
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        with open(os.path.join(d, "a.txt"), "w") as f:
+            f.write("alpha\nbeta\n\ngamma")
+        with open(os.path.join(d, "b.txt"), "w") as f:
+            f.write("solo")
+        plain = read_text_corpus(spark, d).collect()
+        assert sorted(r.text for r in plain) == ["", "alpha", "beta", "gamma", "solo"]
+        assert all(r.file.endswith((".txt",)) for r in plain)
+
+        numbered = read_text_corpus(spark, d, line_numbers=True).collect()
+        by_file = {}
+        for r in numbered:
+            by_file.setdefault(os.path.basename(r.file), []).append(
+                (r.line_no, r.text)
+            )
+        assert sorted(by_file["a.txt"]) == [
+            (0, "alpha"), (1, "beta"), (2, ""), (3, "gamma")
+        ]
+        assert by_file["b.txt"] == [(0, "solo")]

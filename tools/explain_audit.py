@@ -237,6 +237,31 @@ def main():
     )
     ok &= audit("funnel: no sort-merge join", "SortMergeJoin" not in p)
 
+    # 25. one-hot: pure map-side projection — zero shuffle, no Python,
+    # codegen (the pinned-category contract means no distinct-scan job)
+    p = plan_of(q["one_hot_segments"](spark, sf_dir))
+    ok &= audit("one_hot: zero shuffles", "Exchange" not in p)
+    ok &= audit("one_hot: no Python eval", "EvalPython" not in p)
+
+    # 26. autocorr: the lag window and the grouped aggregation share the
+    # group key — ONE hash exchange moves the fact table
+    p = plan_of(q["autocorrelation"](spark, sf_dir))
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    ok &= audit("autocorr: one data shuffle", n_ex == 1, f"exchanges={n_ex}")
+    ok &= audit("autocorr: no Python eval", "EvalPython" not in p)
+
+    # 27. doc chunking: map-side explode — zero shuffle, no Python
+    p = plan_of(q["doc_chunks"](spark, sf_dir))
+    ok &= audit("doc_chunks: zero shuffles", "Exchange" not in p)
+    ok &= audit("doc_chunks: no Python eval", "EvalPython" not in p)
+    ok &= audit("doc_chunks: generator explode", "Generate" in p)
+
+    # 28. era_report: the per-era aggregation carries a partial
+    # (map-side) phase before its exchange; no Python anywhere
+    p = plan_of(q["era_report"](spark, sf_dir))
+    ok &= audit("era_report: partial aggregation", "partial_" in p)
+    ok &= audit("era_report: no Python eval", "EvalPython" not in p)
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
