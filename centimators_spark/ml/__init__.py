@@ -15,6 +15,7 @@ from centimators_spark.ml.architectures import TemperatureAnnealing
 from centimators_spark.ml.dspymator import DSPyMator
 from centimators_spark.ml.keras_cortex import KerasCortex
 from centimators_spark.ml.losses import make_keras_losses, spearman_corr
+from centimators_spark.ml.metrics import autocorr, era_corr, era_report
 
 __all__ = [
     "architectures",
@@ -28,6 +29,9 @@ __all__ = [
     "SequenceEstimator",
     "TemperatureAnnealing",
     "TransformerRegressor",
+    "autocorr",
+    "era_corr",
+    "era_report",
     "sequence_reshape",
     "DSPyMator",
     "KerasCortex",

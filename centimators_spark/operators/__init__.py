@@ -18,12 +18,18 @@ from centimators_spark.operators.embedding import EmbeddingTransformer
 from centimators_spark.operators.asof import asof_join
 from centimators_spark.operators.rangejoin import band_label, interval_join
 from centimators_spark.operators.skew import salted_join
-from centimators_spark.operators.encoding import feature_hash, quantile_bin, target_encode
+from centimators_spark.operators.encoding import (
+    feature_hash,
+    one_hot_encode,
+    quantile_bin,
+    target_encode,
+)
 
 __all__ = [
     "interval_join",
     "band_label",
     "salted_join",
+    "one_hot_encode",
     "target_encode",
     "quantile_bin",
     "feature_hash",

@@ -1,4 +1,5 @@
 from centimators_spark.text.analysis import (
+    char_entropy,
     document_fingerprint,
     language_id,
     normalize_text,
@@ -6,12 +7,15 @@ from centimators_spark.text.analysis import (
     token_counts,
     unigram_lm_score,
 )
+from centimators_spark.text.chunking import chunk_documents
 from centimators_spark.text.line_filters import c4_line_filters
 from centimators_spark.text.pii import mask_pii
 from centimators_spark.text.repetition import repetition_signals
 
 __all__ = [
     "c4_line_filters",
+    "char_entropy",
+    "chunk_documents",
     "document_fingerprint",
     "language_id",
     "mask_pii",
