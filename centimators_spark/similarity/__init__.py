@@ -5,11 +5,19 @@ from centimators_spark.similarity.ann import (
     ivf_topk,
     rp_lsh_topk,
 )
+from centimators_spark.similarity.pq import (
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
 
 __all__ = [
     "brute_force_topk",
     "cosine",
     "embedding_cosine_pairs",
     "ivf_topk",
+    "pq_encode",
+    "pq_topk",
     "rp_lsh_topk",
+    "train_pq_codebooks",
 ]

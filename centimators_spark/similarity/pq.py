@@ -1,0 +1,205 @@
+"""Product quantization (PQ) — the memory-compressed ANN path that
+complements `ann.rp_lsh_topk` (hash buckets) and `ann.ivf_topk`
+(cluster-then-probe): each d-dim vector becomes ``m`` one-byte codes
+(one per subspace), a 32×-plus compression that lets a 100 TB embedding
+corpus's index fit in executor memory; queries score against the codes
+with an asymmetric-distance lookup table (ADC) in PURE JVM expressions
+— no Python in the scoring hot path.
+
+Pipeline (the standard Jégou et al. 2011 decomposition, re-expressed
+Spark-first):
+
+1. ``train_pq_codebooks`` — driver-side numpy Lloyd k-means per
+   subspace over a bounded deterministic sample (codebooks are
+   m·k·(d/m) floats — kilobytes — the classic driver-side model the
+   IVF centroids already use; ann.py:280).
+2. ``pq_encode`` — one Arrow-batched mapInPandas pass: argmin codeword
+   per subspace → ``array<int>`` codes (store alongside or instead of
+   the raw vectors; at scale write the coded table bucketed by any
+   downstream join key).
+3. ``pq_topk`` — per query, the m×k table of partial squared distances
+   becomes ONE literal lookup-array column; the corpus side computes
+   distance = Σ_sub lut[sub·k + code_sub] via transform+aggregate
+   (whole-stage codegen), then a per-query top-k window. Compute is
+   O(n·m) lookups instead of O(n·d) multiplies, on 1/32nd the bytes.
+
+Vectors are unit-normalized before encoding, so the ADC squared
+distance is 2 − 2·cos and the ranking approximates cosine ranking; the
+returned ``approx_cos`` makes the approximation explicit (exact cos of
+the SURVIVORS can be re-scored against raw vectors — the standard
+re-rank step — shown in tests).
+
+Reference scope: the reference has no similarity search; this extends
+SURVEY.md §2.3 / BASELINE.json's north-star similarity inventory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _unitize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 256,
+    sample: int = 20_000,
+    iters: int = 20,
+) -> np.ndarray:
+    """Learn per-subspace codebooks: returns float64 array (m, k, d/m).
+
+    Deterministic by construction: the training sample is the first
+    ``sample`` vectors by ``id_col`` order (partition-invariant), init
+    takes every (n_sample // k)-th sorted sample row (spread, not
+    clumped), and Lloyd iterations are plain numpy argmin/mean — no
+    RNG anywhere, so retraining reproduces identical codebooks."""
+    pdf = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(sample)
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        raise ValueError("no vectors to train on")
+    X = _unitize(np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]))
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    kk = min(k, len(X))
+    books = np.empty((m, kk, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        # deterministic spread init over rows sorted by first component
+        order = np.lexsort(Xs.T[::-1])
+        cent = Xs[order[:: max(1, len(Xs) // kk)]][:kk].copy()
+        for _ in range(iters):
+            # assign: nearest centroid by squared L2
+            d2 = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(kk):
+                mask = a == c
+                if mask.any():
+                    cent[c] = Xs[mask].mean(axis=0)
+                # empty cluster: deterministically reseed to the point
+                # farthest from its centroid
+                else:
+                    cent[c] = Xs[d2.min(axis=1).argmax()]
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as m subspace code indices (array<int>).
+
+    One Arrow-batched mapInPandas pass; the codebooks (kilobytes)
+    serialize into the UDF closure — the same broadcast-small-model
+    shape as distributed Keras scoring."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m, kk, dsub = codebooks.shape
+    schema = StructType(
+        [vectors.schema[id_col], StructField(out_col, ArrayType(IntegerType()))]
+    )
+    books = codebooks.copy()
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = _unitize(
+                np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ) if len(pdf) else np.empty((0, m * dsub))
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: [list(map(int, c)) for c in codes]}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: per query one literal m·k lookup array; corpus-side
+    distance is transform+aggregate over the code array — whole-stage
+    codegen, zero Python, one broadcast join + one top-k window.
+
+    Returns (query_id, vec_id, approx_cos, rank); approx_cos =
+    1 − dist²/2 under unit-normalized training, monotone in the true
+    cosine up to quantization error (re-rank survivors against raw
+    vectors for exact scores)."""
+    m, kk, dsub = codebooks.shape
+    qpd = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
+    if len(qpd) == 0:
+        return encoded.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, approx_cos double, rank int",
+        )
+    Q = _unitize(np.vstack([np.asarray(v, dtype=np.float64) for v in qpd[vec_col]]))
+    # per-query LUT: partial squared distance of query subvector to every
+    # codeword, flattened subspace-major — m·k floats, kilobytes/query
+    luts = []
+    for qv in Q:
+        lut = np.empty(m * kk)
+        for s in range(m):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            lut[s * kk : s * kk + kk] = ((codebooks[s] - qs) ** 2).sum(axis=1)
+        luts.append([float(x) for x in lut])
+    spark = encoded.sparkSession
+    qdf = spark.createDataFrame(
+        list(zip(qpd[query_id_col].tolist(), luts)),
+        f"{query_id_col} long, __lut array<double>",
+    )
+    lut_col = F.col("__lut")
+    dist2 = F.aggregate(
+        F.transform(
+            F.col(code_col),
+            lambda c, i: F.element_at(lut_col, (i * kk + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(qdf))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (F.lit(1.0) - dist2 / 2).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -129,3 +129,56 @@ def test_char_entropy_golden(spark):
     assert out[3].entropy == pytest.approx(math.log(4), abs=1e-6)
     assert out[3].n_alpha_chars == 4 and out[3].n_distinct_chars == 4
     assert out[4].entropy is None and out[4].n_alpha_chars == 0
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Every token position is covered by at least one chunk; full
+    chunks overlap by exactly W-S tokens; stride==W tiles exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n=st.integers(1, 40),
+        w=st.integers(1, 10),
+        s=st.integers(1, 10),
+    )
+    def check(n, w, s):
+        text = " ".join(f"t{i}" for i in range(n))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=w, stride=s).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        covered = set()
+        for r in rows:
+            toks = r.chunk_text.split(" ")
+            assert len(toks) == r.n_chunk_tokens
+            assert toks == [f"t{i}" for i in range(r.start_token, min(r.start_token + w, n))]
+            covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
+        if w >= s:
+            assert covered == set(range(n))  # full coverage when windows meet
+        starts = [r.start_token for r in rows]
+        assert starts == list(range(0, n, s))
+
+    check()
+
+
+def test_era_report_partition_invariant(spark):
+    """The report is identical under any input row order / partitioning
+    (the DECIMAL-sum + integer-carrier design's whole point)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (era, rng.randrange(100), rng.randrange(1000))
+        for era in range(8)
+        for _ in range(30)
+    ]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    a = spark.createDataFrame(rows, "era int, x long, y long").repartition(1)
+    b = spark.createDataFrame(shuffled, "era int, x long, y long").repartition(7)
+    ra = era_report(a, "x", "y", "era").collect()[0]
+    rb = era_report(b, "x", "y", "era").collect()[0]
+    assert ra == rb

@@ -125,11 +125,16 @@ def test_stream_stateless_text_operators_match_batch(spark):
         docs.write.mode("overwrite").parquet(d + "/docs")
         stream = spark.readStream.schema(docs.schema).parquet(d + "/docs")
         assert stream.isStreaming
+        from centimators_spark.text.chunking import chunk_documents
+
         for i, (op, keycols) in enumerate(
             [
                 (mask_pii, ["doc_id"]),
                 (repetition_signals, ["doc_id"]),
                 (quality_score, ["doc_id"]),
+                # map-side explode is stateless too: chunking a stream of
+                # documents emits batch-identical chunk rows
+                (chunk_documents, ["doc_id", "chunk_idx"]),
             ]
         ):
             out = op(stream)
