@@ -133,9 +133,13 @@ def era_report(
     su = F.col("su").cast("double")
     ssq = F.col("ssq").cast("double")
     mean = su / CORR_SCALE / nd
-    std = (
-        F.sqrt((nd * ssq - su * su) / (nd * (nd - 1)))
-        / CORR_SCALE
+    # degenerate-input guards mirror _corr_from_sums: a single era
+    # (n-1 == 0) or an all-identical corr series (variance 0) must be
+    # NULL in BOTH engines — Spark's double x/0 is NULL while DuckDB's
+    # is inf/NaN, so the CASE is load-bearing for the oracle contract
+    std = F.when(
+        F.col("n_eras") > 1,
+        F.sqrt((nd * ssq - su * su) / (nd * (nd - 1))) / CORR_SCALE,
     )
     return (
         cum.agg(
@@ -150,7 +154,7 @@ def era_report(
             F.col("n_eras"),
             F.round(mean, 6).alias("mean_corr"),
             F.round(std, 6).alias("std_corr"),
-            F.round(mean / std, 6).alias("sharpe"),
+            F.round(F.when(std > 0, mean / std), 6).alias("sharpe"),
             (F.col("mn").cast("double") / CORR_SCALE).alias("min_corr"),
             (F.col("mx").cast("double") / CORR_SCALE).alias("max_corr"),
             (F.col("dd").cast("double") / CORR_SCALE).alias("max_drawdown"),
@@ -202,16 +206,20 @@ def era_report_oracle_sql(
         SELECT n_eras,
                round(CAST(su AS DOUBLE) / {CORR_SCALE}
                  / CAST(n_eras AS DOUBLE), 6) AS mean_corr,
-               round(sqrt((CAST(n_eras AS DOUBLE) * CAST(ssq AS DOUBLE)
+               round(CASE WHEN n_eras > 1 THEN
+                 sqrt((CAST(n_eras AS DOUBLE) * CAST(ssq AS DOUBLE)
                    - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
                  / (CAST(n_eras AS DOUBLE) * (CAST(n_eras AS DOUBLE) - 1)))
-                 / {CORR_SCALE}, 6) AS std_corr,
-               round((CAST(su AS DOUBLE) / {CORR_SCALE}
+                 / {CORR_SCALE} END, 6) AS std_corr,
+               round(CASE WHEN n_eras > 1
+                   AND (CAST(n_eras AS DOUBLE) * CAST(ssq AS DOUBLE)
+                     - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) > 0 THEN
+                 (CAST(su AS DOUBLE) / {CORR_SCALE}
                    / CAST(n_eras AS DOUBLE))
                  / (sqrt((CAST(n_eras AS DOUBLE) * CAST(ssq AS DOUBLE)
                      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
                    / (CAST(n_eras AS DOUBLE) * (CAST(n_eras AS DOUBLE) - 1)))
-                 / {CORR_SCALE}), 6) AS sharpe,
+                 / {CORR_SCALE}) END, 6) AS sharpe,
                CAST(mn AS DOUBLE) / {CORR_SCALE} AS min_corr,
                CAST(mx AS DOUBLE) / {CORR_SCALE} AS max_corr,
                CAST(dd AS DOUBLE) / {CORR_SCALE} AS max_drawdown

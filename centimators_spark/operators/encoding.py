@@ -348,13 +348,14 @@ def one_hot_oracle_sql(
     other_col: bool = True,
 ) -> list[str]:
     """DuckDB SELECT-list expressions mirroring :func:`one_hot_encode`."""
+    lits = {cat: cat.replace("'", "''") for cat in categories}
     exprs = [
-        f"CASE WHEN {col_sql} = '{cat}' THEN 1 ELSE 0 END"
+        f"CASE WHEN {col_sql} = '{lits[cat]}' THEN 1 ELSE 0 END"
         f" AS {_sanitize(f'{prefix}_{cat}')}"
         for cat in categories
     ]
     if other_col:
-        anyhit = " OR ".join(f"{col_sql} = '{cat}'" for cat in categories)
+        anyhit = " OR ".join(f"{col_sql} = '{lits[cat]}'" for cat in categories)
         exprs.append(
             f"CASE WHEN {anyhit or 'FALSE'} THEN 0 ELSE 1 END"
             f" AS {_sanitize(f'{prefix}_other')}"

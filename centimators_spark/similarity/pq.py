@@ -45,6 +45,15 @@ def _unitize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-12)
 
 
+def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Pairwise squared L2 via the matmul expansion — O(n·k) memory
+    instead of the (n, k, dsub) broadcast temporary (which at the
+    defaults would churn ~300 MB per Lloyd step)."""
+    x2 = (X * X).sum(axis=1)[:, None]
+    c2 = (C * C).sum(axis=1)[None, :]
+    return np.maximum(x2 + c2 - 2.0 * (X @ C.T), 0.0)
+
+
 def train_pq_codebooks(
     vectors: DataFrame,
     *,
@@ -83,17 +92,18 @@ def train_pq_codebooks(
         order = np.lexsort(Xs.T[::-1])
         cent = Xs[order[:: max(1, len(Xs) // kk)]][:kk].copy()
         for _ in range(iters):
-            # assign: nearest centroid by squared L2
-            d2 = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            d2 = _sq_dists(Xs, cent)
             a = d2.argmin(axis=1)
+            # deterministic reseeds for empty clusters: DISTINCT points,
+            # farthest-first (a shared reseed point would leave duplicate
+            # centroids dead for all remaining iterations)
+            far_order = iter(np.argsort(-d2.min(axis=1)))
             for c in range(kk):
                 mask = a == c
                 if mask.any():
                     cent[c] = Xs[mask].mean(axis=0)
-                # empty cluster: deterministically reseed to the point
-                # farthest from its centroid
                 else:
-                    cent[c] = Xs[d2.min(axis=1).argmax()]
+                    cent[c] = Xs[next(far_order)]
         books[s] = cent
     return books
 
@@ -129,8 +139,7 @@ def pq_encode(
             codes = np.empty((len(X), m), dtype=np.int32)
             for s in range(m):
                 Xs = X[:, s * dsub : (s + 1) * dsub]
-                d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d2.argmin(axis=1)
+                codes[:, s] = _sq_dists(Xs, books[s]).argmin(axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], out_col: [list(map(int, c)) for c in codes]}
             )
@@ -157,13 +166,28 @@ def pq_topk(
     1 − dist²/2 under unit-normalized training, monotone in the true
     cosine up to quantization error (re-rank survivors against raw
     vectors for exact scores)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     m, kk, dsub = codebooks.shape
+    # id types come from the INPUT schemas (string doc ids are as valid
+    # as bigint vec ids)
+    out_schema = StructType(
+        [
+            queries.schema[query_id_col],
+            encoded.schema[id_col],
+            StructField("approx_cos", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
     qpd = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
     if len(qpd) == 0:
-        return encoded.sparkSession.createDataFrame(
-            [],
-            f"{query_id_col} long, {id_col} long, approx_cos double, rank int",
-        )
+        return encoded.sparkSession.createDataFrame([], out_schema)
     Q = _unitize(np.vstack([np.asarray(v, dtype=np.float64) for v in qpd[vec_col]]))
     # per-query LUT: partial squared distance of query subvector to every
     # codeword, flattened subspace-major — m·k floats, kilobytes/query
@@ -177,7 +201,12 @@ def pq_topk(
     spark = encoded.sparkSession
     qdf = spark.createDataFrame(
         list(zip(qpd[query_id_col].tolist(), luts)),
-        f"{query_id_col} long, __lut array<double>",
+        StructType(
+            [
+                queries.schema[query_id_col],
+                StructField("__lut", ArrayType(DoubleType())),
+            ]
+        ),
     )
     lut_col = F.col("__lut")
     dist2 = F.aggregate(

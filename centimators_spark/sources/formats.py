@@ -107,9 +107,17 @@ def read_text_corpus(
             )
         )
     whole = spark.read.text(path, wholetext=True)
+    # POSIX line semantics, matching the plain mode's Spark text source:
+    # split on \r?\n (CRLF-safe) and drop the single phantom empty
+    # element a trailing newline produces ('a\nb\n' is TWO lines; a
+    # genuinely empty last line 'a\n\n' still yields 'a', '')
+    lines = F.split(F.col("value"), "\r?\n", -1)
+    n = F.size(lines)
+    lines = F.when(
+        (n > 1) & (F.element_at(lines, -1) == ""),
+        F.slice(lines, 1, n - 1),
+    ).otherwise(lines)
     return whole.select(
         F.input_file_name().alias("file"),
-        F.posexplode(F.split(F.col("value"), "\n", -1)).alias(
-            "line_no", "text"
-        ),
+        F.posexplode(lines).alias("line_no", "text"),
     )

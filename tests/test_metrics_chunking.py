@@ -182,3 +182,20 @@ def test_era_report_partition_invariant(spark):
     ra = era_report(a, "x", "y", "era").collect()[0]
     rb = era_report(b, "x", "y", "era").collect()[0]
     assert ra == rb
+
+
+def test_era_report_degenerate_inputs(spark):
+    """All-identical era corrs -> std 0, sharpe NULL; a single era ->
+    std/sharpe NULL (guards mirror the oracle's CASE expressions)."""
+    rows = [(e, i, i) for e in range(3) for i in range(4)]  # corr = +1 always
+    df = spark.createDataFrame(rows, "era int, x long, y long")
+    [r] = era_report(df, "x", "y", "era").collect()
+    assert r.std_corr == 0.0 and r.sharpe is None
+    assert r.mean_corr == 1.0 and r.max_drawdown == 0.0
+
+    one = spark.createDataFrame(
+        [(1, i, 2 * i + (i % 2)) for i in range(5)], "era int, x long, y long"
+    )
+    [r1] = era_report(one, "x", "y", "era").collect()
+    assert r1.n_eras == 1
+    assert r1.std_corr is None and r1.sharpe is None

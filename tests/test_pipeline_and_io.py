@@ -217,3 +217,28 @@ def test_read_text_corpus_lines_and_numbers(spark):
             (0, "alpha"), (1, "beta"), (2, ""), (3, "gamma")
         ]
         assert by_file["b.txt"] == [(0, "solo")]
+
+
+def test_read_text_corpus_trailing_newline_and_crlf(spark):
+    """POSIX trailing newline must not create a phantom line, CRLF must
+    not leak \\r — both modes agree on row counts and text."""
+    from centimators_spark.sources import read_text_corpus
+
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        with open(os.path.join(d, "posix.txt"), "w") as f:
+            f.write("alpha\nbeta\n")          # 2 lines, trailing \n
+        with open(os.path.join(d, "crlf.txt"), "wb") as f:
+            f.write(b"one\r\ntwo\r\n")        # CRLF, trailing
+        with open(os.path.join(d, "emptyend.txt"), "w") as f:
+            f.write("a\n\n")                  # genuinely empty 2nd line
+        plain = read_text_corpus(spark, d).collect()
+        numbered = read_text_corpus(spark, d, line_numbers=True).collect()
+        assert len(plain) == len(numbered) == 6
+        by_file = {}
+        for r in numbered:
+            by_file.setdefault(os.path.basename(r.file), []).append(
+                (r.line_no, r.text)
+            )
+        assert sorted(by_file["posix.txt"]) == [(0, "alpha"), (1, "beta")]
+        assert sorted(by_file["crlf.txt"]) == [(0, "one"), (1, "two")]
+        assert sorted(by_file["emptyend.txt"]) == [(0, "a"), (1, "")]
