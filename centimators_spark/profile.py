@@ -1,0 +1,108 @@
+"""Table profiling — the warehouse `SUMMARIZE`/`ANALYZE` utility: one
+aggregation pass producing per-column statistics (row/null/distinct
+counts, min/max, numeric moments) in long format.
+
+Two distinct-count modes, the engine's standard duality:
+
+- ``exact=False`` (scale default): ``approx_count_distinct`` — one HLL
+  sketch per column, mergeable map-side, one pass over 100 TB with no
+  per-column EXPAND blowup.
+- ``exact=True`` (oracle/verification mode): ``count(DISTINCT col)`` —
+  Spark plans the multi-column distinct via EXPAND (one row copy per
+  profiled column), exact but data-multiplying; right for bounded
+  verification scans, wrong as the default at scale.
+
+The wide→long unpivot happens on the SINGLE aggregated row (driver-side
+cost zero), never on the data.
+
+Reference scope: the reference has no profiling surface; this is
+engine tooling in the SURVEY.md §2.3 spirit (DuckDB's SUMMARIZE is the
+model).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_profile(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    exact: bool = False,
+) -> DataFrame:
+    """Profile columns in ONE aggregation pass. Returns long-format
+    rows (column, n, n_null, n_distinct, min_value, max_value, mean)
+    — min/max as strings (type-uniform across columns), mean only for
+    numeric columns."""
+    names = list(cols) if cols is not None else list(df.columns)
+    numeric = {
+        f.name
+        for f in df.schema
+        if f.dataType.typeName()
+        in ("integer", "long", "short", "byte", "double", "float", "decimal")
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__nn_{c}"),
+            (
+                F.countDistinct(col)
+                if exact
+                else F.approx_count_distinct(col)
+            ).alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+            (
+                F.avg(col.cast("double"))
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias(f"__av_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot the single aggregated row — a stack() over literals
+    parts = ", ".join(
+        f"'{c}', __n - __nn_{c}, __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}, __av_{c}"
+        for c in names
+    )
+    return wide.selectExpr(
+        "__n AS n",
+        f"stack({len(names)}, {parts}) AS "
+        "(column, n_null, n_non_null, n_distinct, min_value, max_value, mean)",
+    ).select(
+        "column", "n", "n_null", "n_non_null", "n_distinct",
+        "min_value", "max_value", F.round("mean", 6).alias("mean"),
+    )
+
+
+def table_profile_oracle_sql(
+    table: str, cols: Sequence[str], numeric_cols: Sequence[str]
+) -> str:
+    """DuckDB mirror of :func:`table_profile(exact=True)` (UNION ALL of
+    per-column rows over one aggregated CTE)."""
+    aggs = ["count(*) AS n"]
+    for c in cols:
+        aggs += [
+            f"count({c}) AS nn_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            f"CAST(min({c}) AS VARCHAR) AS mn_{c}",
+            f"CAST(max({c}) AS VARCHAR) AS mx_{c}",
+        ]
+        if c in set(numeric_cols):
+            aggs.append(f"avg(CAST({c} AS DOUBLE)) AS av_{c}")
+    rows = []
+    for c in cols:
+        av = f"round(av_{c}, 6)" if c in set(numeric_cols) else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"SELECT '{c}' AS column, n, n - nn_{c} AS n_null,"
+            f" nn_{c} AS n_non_null, nd_{c} AS n_distinct,"
+            f" mn_{c} AS min_value, mx_{c} AS max_value, {av} AS mean FROM g"
+        )
+    return (
+        f"WITH g AS (SELECT {', '.join(aggs)} FROM {table}) "
+        + " UNION ALL ".join(rows)
+    )

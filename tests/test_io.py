@@ -153,3 +153,71 @@ def test_bucketed_panel_window_transformer_no_exchange(spark):
         assert got == exp
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bpanel")
+
+
+def test_table_profile_exact_matches_duckdb(spark):
+    """Profile in exact mode == DuckDB mirror on the documents table;
+    approx mode agrees on everything but n_distinct (HLL estimate
+    within 10%)."""
+    import duckdb
+
+    from centimators_spark.io import load_table
+    from centimators_spark.profile import table_profile, table_profile_oracle_sql
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    cols = ["doc_id", "lang", "n_chars"]
+    got = (
+        table_profile(docs, cols, exact=True)
+        .toPandas()
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = (
+        con.execute(
+            table_profile_oracle_sql("documents", cols, ["doc_id", "n_chars"])
+        )
+        .fetchdf()
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    for c in ["column", "n", "n_null", "n_non_null", "n_distinct",
+              "min_value", "max_value"]:
+        assert got[c].astype(str).tolist() == exp[c].astype(str).tolist(), c
+    import numpy as np
+
+    np.testing.assert_allclose(
+        got["mean"].astype(float), exp["mean"].astype(float), rtol=1e-9
+    )
+
+    approx = table_profile(docs, cols).toPandas().set_index("column")
+    for c in cols:
+        nd_exact = int(got.set_index("column").loc[c, "n_distinct"])
+        nd_approx = int(approx.loc[c, "n_distinct"])
+        assert abs(nd_approx - nd_exact) <= max(2, 0.1 * nd_exact), c
+
+
+def test_parquet_schema_evolution_mergeschema(spark):
+    """Schema evolution: files written before a column existed read
+    back with nulls under mergeSchema — the additive-evolution contract
+    a long-lived 100 TB table needs."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        p = os.path.join(d, "t")
+        spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(
+            p + "/batch=1"
+        )
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, s string, score double"
+        ).write.parquet(p + "/batch=2")
+        back = spark.read.option("mergeSchema", "true").parquet(p)
+        rows = {r.id: r for r in back.collect()}
+        assert rows[1].score is None and rows[2].score == 9.5
+        assert set(back.columns) >= {"id", "s", "score", "batch"}
