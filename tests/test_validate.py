@@ -1,0 +1,81 @@
+"""Declarative validation: single-pass column checks + anti-join FKs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from centimators_spark.validate import (
+    foreign_key,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    unique,
+    validate,
+    violations,
+)
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0, "x-1"),
+            (2, "b", -5.0, "x-2"),
+            (2, None, 3.0, "y-9"),
+            (4, "z", None, "x-3"),
+        ],
+        "id long, cat string, v double, code string",
+    )
+
+
+def test_validate_column_checks(spark, frame):
+    rep = {
+        (r.check, r.column): r
+        for r in validate(
+            frame,
+            [
+                not_null("cat"),
+                unique("id"),
+                in_range("v", 0, None),
+                in_set("cat", ["a", "b"]),
+                matches("code", r"^x-\d$"),
+            ],
+        ).collect()
+    }
+    assert rep[("not_null", "cat")].n_violations == 1
+    assert rep[("unique", "id")].n_violations == 1  # id=2 twice -> 1 extra
+    assert rep[("in_range", "v")].n_violations == 1  # -5; null not counted
+    assert rep[("in_set", "cat")].n_violations == 1  # 'z'; null not counted
+    assert rep[("matches", "code")].n_violations == 1  # 'y-9'
+    assert not rep[("unique", "id")].passed
+    # all checks ran in one aggregation pass + stack
+    assert len(rep) == 5
+
+
+def test_validate_foreign_key_and_pass(spark, frame):
+    dim = spark.createDataFrame([(1,), (2,)], "key long")
+    rep = {
+        r.check: r
+        for r in validate(frame, [foreign_key("id", dim, "key")]).collect()
+    }
+    assert rep["foreign_key"].n_violations == 1  # id=4 orphaned
+    ok = spark.createDataFrame([(k,) for k in (1, 2, 4)], "key long")
+    [r] = validate(frame, [foreign_key("id", ok, "key")]).collect()
+    assert r.passed and r.n_violations == 0
+
+
+def test_violations_rows(spark, frame):
+    bad = violations(frame, in_range("v", 0, None)).collect()
+    assert [r.v for r in bad] == [-5.0]
+    dups = violations(frame, unique("id")).collect()
+    assert sorted(r.id for r in dups) == [2, 2]
+    with pytest.raises(ValueError):
+        validate(frame, [])
+    with pytest.raises(ValueError):
+        in_range("v")
+
+
+def test_validate_empty_table_vacuous(spark):
+    empty = spark.createDataFrame([], "id long, cat string")
+    rep = validate(empty, [not_null("cat"), unique("id")]).collect()
+    assert all(r.passed for r in rep)
