@@ -139,6 +139,39 @@ def write_partitioned(
     w.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    *,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Dynamic-partition overwrite — the idempotent batch-upsert shape
+    for partitioned tables WITHOUT a transactional format: only the
+    partitions PRESENT in ``df`` are replaced; every other partition's
+    files are untouched. This is how a daily re-run repairs one day of
+    a years-deep table at 100 TB instead of rewriting (or, under static
+    overwrite, silently DELETING) the rest.
+
+    Same guarantees/caveats as Spark's ``partitionOverwriteMode=dynamic``:
+    the replace is per-partition atomic-ish (rename-based), not
+    cross-partition transactional; concurrent writers to the SAME
+    partition still race. The session conf is set only for this write
+    and restored after."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    try:
+        spark.conf.set(key, "dynamic")
+        w = df.write.mode("overwrite").partitionBy(*cols)
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

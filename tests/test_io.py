@@ -221,3 +221,33 @@ def test_parquet_schema_evolution_mergeschema(spark):
         rows = {r.id: r for r in back.collect()}
         assert rows[1].score is None and rows[2].score == 9.5
         assert set(back.columns) >= {"id", "s", "score", "batch"}
+
+
+def test_overwrite_partitions_dynamic(spark):
+    """Dynamic partition overwrite replaces ONLY the partitions present
+    in the new frame — the idempotent daily-repair shape."""
+    import os
+    import tempfile
+
+    from centimators_spark.io import overwrite_partitions, write_partitioned
+
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        p = os.path.join(d, "t")
+        full = spark.createDataFrame(
+            [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0),
+             ("2024-01-02", 3, 30.0)],
+            "day string, id long, v double",
+        )
+        write_partitioned(full, p, "day")
+        repair = spark.createDataFrame(
+            [("2024-01-01", 9, 99.0)], "day string, id long, v double"
+        )
+        overwrite_partitions(repair, p, "day")
+        back = spark.read.parquet(p)
+        rows = {(str(r.day), r.id): r.v for r in back.collect()}
+        # day 1 fully replaced, day 2 untouched
+        assert rows == {("2024-01-01", 9): 99.0, ("2024-01-02", 3): 30.0}
+        # conf restored
+        assert spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        ).upper() == "STATIC"
