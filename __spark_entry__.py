@@ -1205,3 +1205,128 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
     }
+
+
+# ------------------------------------------------- staged (next round)
+#
+# Fully-implemented queries whose driver registration is DEFERRED: this
+# round's 50-entry correctness window is exactly full of
+# never-driver-verified queries, so these wait one round rather than
+# push an unverified query out of the window. They run under the SAME
+# local gate (tests/test_staged_queries.py mimics the driver compare at
+# sf0.001), so promotion is a two-line move into queries()/oracle_sql().
+
+def q_rank_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-era weighted rank-ensemble of two 'model' columns."""
+    from centimators_spark.ml.ensemble import rank_ensemble
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate"))).alias(
+            "era"
+        ),
+        F.col("l_quantity").alias("m1"),
+        F.col("l_extendedprice").alias("m2"),
+    )
+    out = rank_ensemble(li, ["m1", "m2"], era_col="era", weights=[2, 1])
+    return out.select(*KEYS, "era", "ensemble")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode per-column profile of the documents table."""
+    from centimators_spark.profile import table_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return table_profile(
+        docs, ["doc_id", "lang", "source", "n_chars"], exact=True
+    )
+
+
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative validation report over orders (+ customer FK)."""
+    from centimators_spark.validate import (
+        foreign_key,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+        validate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return validate(
+        orders,
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0, None),
+            in_set("o_orderstatus", ["F", "O", "P"]),
+            matches("o_orderpriority", r"^[1-5]-"),
+            foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "rank_ensemble": q_rank_ensemble,
+        "table_profile": q_table_profile,
+        "validate_orders": q_validate_orders,
+    }
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    from centimators_spark.ml.ensemble import rank_ensemble_oracle_sql
+    from centimators_spark.profile import table_profile_oracle_sql
+
+    return {
+        "rank_ensemble": rank_ensemble_oracle_sql(
+            "(SELECT l_orderkey, l_linenumber,"
+            " CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS era,"
+            " l_quantity AS m1, l_extendedprice AS m2 FROM lineitem)",
+            ["m1", "m2"],
+            era_sql="era",
+            select_sql="l_orderkey, l_linenumber, era",
+            weights=[2, 1],
+        ),
+        "table_profile": table_profile_oracle_sql(
+            "documents",
+            ["doc_id", "lang", "source", "n_chars"],
+            ["doc_id", "n_chars"],
+        ),
+        "validate_orders": """
+            WITH g AS (
+              SELECT count(*) AS n,
+                     count(o_orderkey) AS nn_k,
+                     count(DISTINCT o_orderkey) AS nd_k,
+                     count(CASE WHEN o_totalprice IS NOT NULL
+                           AND o_totalprice < 0 THEN 1 END) AS v_range,
+                     count(CASE WHEN o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('F','O','P') THEN 1 END)
+                       AS v_set,
+                     count(CASE WHEN o_orderpriority IS NOT NULL
+                           AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                           THEN 1 END) AS v_re
+              FROM orders
+            ), fk AS (
+              SELECT count(*) AS v_fk FROM orders
+              WHERE o_custkey IS NOT NULL
+                AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+            )
+            SELECT 'not_null' AS check, 'o_orderkey' AS column,
+                   (n - nn_k) = 0 AS passed, n - nn_k AS n_violations FROM g
+            UNION ALL
+            SELECT 'unique', 'o_orderkey', (nn_k - nd_k) = 0, nn_k - nd_k
+            FROM g
+            UNION ALL
+            SELECT 'in_range', 'o_totalprice', v_range = 0, v_range FROM g
+            UNION ALL
+            SELECT 'in_set', 'o_orderstatus', v_set = 0, v_set FROM g
+            UNION ALL
+            SELECT 'matches', 'o_orderpriority', v_re = 0, v_re FROM g
+            UNION ALL
+            SELECT 'foreign_key', 'o_custkey', v_fk = 0, v_fk FROM fk
+        """,
+    }
