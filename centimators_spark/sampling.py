@@ -373,3 +373,58 @@ def pack_sequences(
     return df.withColumn(
         batch_col, F.floor(prior / F.lit(budget)).cast("long")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k of
+    the Efraimidis–Spirakis key): each row gets u ∈ (0,1) from its
+    keyed 60-bit hash and survives if ln(u)/w is among the k largest —
+    inclusion probability proportional to weight, reproducible under
+    any partitioning/cluster size (no rand()).
+
+    Plan: pure map-side key computation + ORDER BY ... LIMIT k, which
+    Spark executes as TakeOrderedAndProject — per-partition partial
+    top-k then a k-row merge on the driver, NO global sort. Rows with
+    null or non-positive weight are excluded.
+
+    Determinism note: the A-ES key divides a log by the weight; both
+    engines' ``ln`` agree to ≤1 ulp, so the DuckDB mirror
+    (sql_weighted_sample) selects the identical set unless two keys
+    collide within float epsilon (hash granularity makes that
+    ~2^-50-improbable; exact ties break by key)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(DENOM)
+    aes = F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__aes", aes)
+        .orderBy(F.col("__aes").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__aes")
+    )
+
+
+def sql_weighted_sample(
+    table: str,
+    k: int,
+    weight_sql: str,
+    key_sql: str,
+    salt: str = "",
+    select_sql: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample`."""
+    u = f"(({_sql_bucket(key_sql, salt)}) + 0.5) / {DENOM}"
+    return f"""
+        SELECT {select_sql} FROM {table}
+        WHERE {weight_sql} IS NOT NULL AND CAST({weight_sql} AS DOUBLE) > 0
+        ORDER BY ln({u}) / CAST({weight_sql} AS DOUBLE) DESC, {key_sql} ASC
+        LIMIT {k}
+    """

@@ -1,6 +1,6 @@
 from centimators_spark.streaming.dedup import stream_exact_dedup
 from centimators_spark.streaming.joins import enrich_stream_static, interval_join_events
-from centimators_spark.streaming.sink import grouped_overwrite_sink
+from centimators_spark.streaming.sink import continuous_aggregate, grouped_overwrite_sink
 from centimators_spark.streaming.anomaly import ewma_anomaly_stream
 from centimators_spark.streaming.events import (
     windowed_event_counts,
@@ -21,6 +21,7 @@ __all__ = [
     "stream_exact_dedup",
     "interval_join_events",
     "enrich_stream_static",
+    "continuous_aggregate",
     "grouped_overwrite_sink",
     "ewma_anomaly_stream",
 ]

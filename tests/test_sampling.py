@@ -170,3 +170,49 @@ def test_temperature_mixture_drops_null_domains(spark):
     out = temperature_mixture_sample(df, "dom", key_col="doc_id").collect()
     assert all(r.dom == "a" for r in out)
     assert len(out) == 50  # single non-null domain keeps everything
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    import duckdb
+
+    from centimators_spark.sampling import sql_weighted_sample, weighted_sample
+
+    rows = [(i, 50.0 if i == 7 else (0.01 if i == 13 else 1.0)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    # determinism + DuckDB mirror picks the identical set
+    got = sorted(r.id for r in weighted_sample(df, 10, "w", "id", "s1").collect())
+    got2 = sorted(r.id for r in weighted_sample(df, 10, "w", "id", "s1").collect())
+    assert got == got2
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {w})" for i, w in rows)
+        + ") v(id, w)"
+    )
+    exp = sorted(
+        r[0]
+        for r in con.execute(
+            sql_weighted_sample("t", 10, "w", "id", "s1", select_sql="id")
+        ).fetchall()
+    )
+    assert got == exp
+
+    # inclusion frequency tracks weight across independent salts
+    heavy = light = 0
+    for s in range(25):
+        ids = {r.id for r in weighted_sample(df, 10, "w", "id", f"x{s}").collect()}
+        heavy += 7 in ids
+        light += 13 in ids
+    assert heavy >= 20      # w=50 vs w=1: ~always included
+    assert light <= heavy - 10  # w=0.01: rarely
+
+    # zero/null weights excluded; k > n returns all positive-weight rows
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 2.0)], "id long, w double"
+    )
+    assert [r.id for r in weighted_sample(df2, 10, "w", "id").collect()] == [3]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        weighted_sample(df, 0, "w", "id")

@@ -351,3 +351,64 @@ def test_grouped_overwrite_sink_rejects_coarse_partition(spark, tmp_path):
     with pytest.raises(Exception, match="complete grouping key"):
         q.awaitTermination(120)
         raise RuntimeError(str(q.exception()) if q.exception() else "no error")
+
+
+def test_continuous_aggregate_rollup_matches_batch(spark, tmp_path):
+    """Hypertable-style continuous aggregate: the streamed hourly
+    rollup table equals the batch window aggregation, and a replay
+    leaves it unchanged."""
+    from centimators_spark.streaming.sink import continuous_aggregate
+
+    out_dir = str(tmp_path / "rollup")
+
+    def run(ckpt):
+        ev = read_events_stream(spark, SF)
+        q = (
+            continuous_aggregate(
+                ev,
+                ts_col="ts",
+                window_duration="1 hour",
+                agg_exprs={"n": "count(*)", "sum_value": "round(sum(value), 6)"},
+                group_cols=["event_type"],
+                watermark="2 hours",
+                path=out_dir,
+                checkpoint=ckpt,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    exp = (
+        load_table(spark, SF, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    got = (
+        spark.read.parquet(out_dir)
+        .select(*cols)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got[cols].equals(exp[cols])
+    run(str(tmp_path / "ck2"))
+    got2 = (
+        spark.read.parquet(out_dir)
+        .select(*cols)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got2[cols].equals(exp[cols])
