@@ -1269,8 +1269,18 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift between the even/odd doc_id halves of the
+    corpus (smoothed unigram KL both directions + Jeffreys)."""
+    from centimators_spark.text.divergence import corpus_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_divergence(docs, F.col("doc_id") % 2 == 0)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "corpus_divergence": q_corpus_divergence,
         "rank_ensemble": q_rank_ensemble,
         "table_profile": q_table_profile,
         "validate_orders": q_validate_orders,
@@ -1280,8 +1290,10 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def staged_oracle_sql() -> dict[str, str]:
     from centimators_spark.ml.ensemble import rank_ensemble_oracle_sql
     from centimators_spark.profile import table_profile_oracle_sql
+    from centimators_spark.text.divergence import corpus_divergence_oracle_sql
 
     return {
+        "corpus_divergence": corpus_divergence_oracle_sql(),
         "rank_ensemble": rank_ensemble_oracle_sql(
             "(SELECT l_orderkey, l_linenumber,"
             " CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS era,"

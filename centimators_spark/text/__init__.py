@@ -8,6 +8,7 @@ from centimators_spark.text.analysis import (
     unigram_lm_score,
 )
 from centimators_spark.text.chunking import chunk_documents
+from centimators_spark.text.divergence import corpus_divergence, token_shift_report
 from centimators_spark.text.line_filters import c4_line_filters
 from centimators_spark.text.pii import mask_pii
 from centimators_spark.text.repetition import repetition_signals
@@ -16,6 +17,7 @@ __all__ = [
     "c4_line_filters",
     "char_entropy",
     "chunk_documents",
+    "corpus_divergence",
     "document_fingerprint",
     "language_id",
     "mask_pii",
@@ -23,5 +25,6 @@ __all__ = [
     "quality_score",
     "repetition_signals",
     "token_counts",
+    "token_shift_report",
     "unigram_lm_score",
 ]

@@ -199,3 +199,50 @@ def test_era_report_degenerate_inputs(spark):
     [r1] = era_report(one, "x", "y", "era").collect()
     assert r1.n_eras == 1
     assert r1.std_corr is None and r1.sharpe is None
+
+
+def test_corpus_divergence_properties_and_duckdb(spark):
+    """Smoothed KL is 0 for identical sides, positive under shift, and
+    the DuckDB mirror matches bitwise; the shift report surfaces the
+    driving token."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from centimators_spark.text.divergence import (
+        corpus_divergence,
+        corpus_divergence_oracle_sql,
+        token_shift_report,
+    )
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)], "doc_id long, text string"
+    )
+    [r0] = corpus_divergence(same, F.col("doc_id") % 2 == 0).collect()
+    assert r0.kl_ab == 0.0 and r0.jeffreys == 0.0
+    assert r0.n_tokens_a == r0.n_tokens_b == 15
+
+    rows = [
+        (i, "common words here plus drift" if i % 2 == 0 else "common words here")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = corpus_divergence(df, F.col("doc_id") % 2 == 0).collect()
+    assert r.kl_ab > 0 and r.kl_ba > 0 and r.jeffreys > 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    exp = con.execute(corpus_divergence_oracle_sql()).fetchdf().iloc[0]
+    assert (r.kl_ab, r.kl_ba, r.jeffreys) == (
+        exp.kl_ab, exp.kl_ba, exp.jeffreys
+    )
+    assert (r.n_tokens_a, r.n_tokens_b, r.vocab) == (
+        exp.n_tokens_a, exp.n_tokens_b, exp.vocab,
+    )
+
+    top = token_shift_report(df, F.col("doc_id") % 2 == 0, top_k=2).collect()
+    assert {t.t for t in top} <= {"drift", "plus", "common", "words", "here"}
+    assert top[0].t in ("drift", "plus")  # A-only tokens drive the shift
