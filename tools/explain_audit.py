@@ -262,6 +262,37 @@ def main():
     ok &= audit("era_report: partial aggregation", "partial_" in p)
     ok &= audit("era_report: no Python eval", "EvalPython" not in p)
 
+    # 29. staged queries' plans (promoted next round, plan-audited now):
+    # weighted sampling runs as a distributed partial top-k, never a
+    # global sort; the validation report is ONE aggregation + anti-join
+    from centimators_spark.sampling import weighted_sample
+    from centimators_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan_of(weighted_sample(docs, 10, "n_chars", "doc_id"))
+    ok &= audit(
+        "weighted_sample: partial top-k (TakeOrderedAndProject)",
+        "TakeOrderedAndProject" in p,
+    )
+    ok &= audit("weighted_sample: no global sort", "Exchange rangepartitioning" not in p)
+
+    sq = entrymod.staged_queries()
+    p = plan_of(sq["validate_orders"](spark, sf_dir))
+    ok &= audit("validate: no Python eval", "EvalPython" not in p)
+    n_agg_scans = p.count("Scan parquet")  # matches both spellings once
+    ok &= audit(
+        "validate: bounded scans (1 agg pass + FK anti-join)",
+        n_agg_scans <= 3,
+        f"scans={n_agg_scans}",
+    )
+    p = plan_of(sq["rank_ensemble"](spark, sf_dir))
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    ok &= audit(
+        "rank_ensemble: era windows share one shuffle",
+        n_ex == 1,
+        f"exchanges={n_ex}",
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
