@@ -56,6 +56,8 @@ def simhash_fingerprints(
             # per-row bit counts via add.reduceat
             tok_lists, ids = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["__t"]):
+                if text is None:  # null text → no tokens → no row,
+                    continue      # matching the expression twin's filter
                 toks = list(dict.fromkeys(t for t in ws.split(text.lower()) if t))
                 if toks:
                     tok_lists.append(toks)

@@ -44,8 +44,9 @@ def _corr_from_sums(n: Column, sx: Column, sy: Column, sxx: Column,
         (nd * sxx.cast("double") - sxd * sxd)
         * (nd * syy.cast("double") - syd * syd)
     )
-    # explicit zero-variance guard: Spark's double x/0 is NULL while
-    # DuckDB's is ±inf — the CASE keeps both engines at NULL
+    # explicit zero-variance guard: under ANSI (this engine's session
+    # default) Spark's double x/0 THROWS, and DuckDB's yields ±inf —
+    # the short-circuiting CASE keeps both engines at NULL
     return F.when(den > 0, num / den)
 
 
@@ -135,8 +136,8 @@ def era_report(
     mean = su / CORR_SCALE / nd
     # degenerate-input guards mirror _corr_from_sums: a single era
     # (n-1 == 0) or an all-identical corr series (variance 0) must be
-    # NULL in BOTH engines — Spark's double x/0 is NULL while DuckDB's
-    # is inf/NaN, so the CASE is load-bearing for the oracle contract
+    # NULL in BOTH engines — ANSI Spark THROWS on double x/0 and DuckDB
+    # yields inf/NaN, so the CASE is load-bearing for the contract
     std = F.when(
         F.col("n_eras") > 1,
         F.sqrt((nd * ssq - su * su) / (nd * (nd - 1))) / CORR_SCALE,

@@ -891,8 +891,9 @@ def _oracle_sql_base() -> dict[str, str]:
                 CAST(len(tk) AS DOUBLE) AS n_tokens,
                 CAST(length(text) - length(regexp_replace(lo, '{PUNCT_RE}', '', 'g'))
                      AS DOUBLE) AS punct_chars,
-                CAST(list_reduce(list_transform(tk, x -> length(x)), (a, b) -> a + b)
-                     AS DOUBLE) AS tok_len_sum,
+                CAST(CASE WHEN len(tk) > 0 THEN
+                  list_reduce(list_transform(tk, x -> length(x)), (a, b) -> a + b)
+                  END AS DOUBLE) AS tok_len_sum,
                 CAST(len(list_intersect(dtk,
                     [{', '.join("'" + w + "'" for w in LANG_PROFILES['en'])}]))
                      AS DOUBLE) AS stop_hits,
@@ -900,12 +901,16 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id, n_chars, n_tokens,
-              punct_chars / n_chars AS punct_ratio,
-              tok_len_sum / n_tokens AS mean_token_len,
-              stop_hits / n_distinct AS stopword_ratio,
-              0.4 * least(stop_hits / n_distinct * 4, 1.0)
+              CASE WHEN n_chars > 0 THEN punct_chars / n_chars END
+                AS punct_ratio,
+              CASE WHEN n_tokens > 0 THEN tok_len_sum / n_tokens END
+                AS mean_token_len,
+              CASE WHEN n_distinct > 0 THEN stop_hits / n_distinct END
+                AS stopword_ratio,
+              CASE WHEN n_tokens > 0 AND n_chars > 0 THEN
+                0.4 * least(stop_hits / n_distinct * 4, 1.0)
                 + 0.3 * (1.0 - least(punct_chars / n_chars * 10, 1.0))
-                + 0.3 * least(n_tokens / 100, 1.0) AS quality
+                + 0.3 * least(n_tokens / 100, 1.0) END AS quality
             FROM m
         """,
         "text_token_counts": f"""

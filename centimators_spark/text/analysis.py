@@ -65,22 +65,35 @@ def quality_score(df: DataFrame, content_col: str = "text", id_col: str = "doc_i
     n_chars = F.length("__text").cast("double")
     n_tokens = F.size(tok).cast("double")
     punct_chars = n_chars - F.length(F.regexp_replace(F.col("__lo"), PUNCT_RE, ""))
-    mean_tok_len = F.aggregate(
-        tok, F.lit(0.0), lambda acc, t: acc + F.length(t)
-    ) / n_tokens
-    stop_ratio = _hits(dtok, LANG_PROFILES["en"]).cast("double") / F.size(dtok)
+    # empty/whitespace-only docs have zero tokens/chars: every ratio is
+    # guarded (under ANSI — this engine's session default — an
+    # unguarded x/0 THROWS, it does not return NULL; a corrupt-doc row
+    # must degrade to null scores, never fail the job)
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(tok, F.lit(0.0), lambda acc, t: acc + F.length(t))
+        / n_tokens,
+    )
+    stop_ratio = F.when(
+        F.size(dtok) > 0,
+        _hits(dtok, LANG_PROFILES["en"]).cast("double") / F.size(dtok),
+    )
+    punct_ratio = F.when(n_chars > 0, punct_chars / n_chars)
     # composite: favor texts with some stopwords, low punctuation noise,
-    # moderate token length (pure arithmetic — portable)
-    score = (
+    # moderate token length (pure arithmetic — portable); EXPLICITLY
+    # null for empty docs — both engines' least() skip nulls
+    # differently, so the undefined case must not reach them
+    score = F.when(
+        (n_tokens > 0) & (n_chars > 0),
         F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_chars / n_chars * 10, F.lit(1.0)))
-        + F.lit(0.3) * F.least(n_tokens / 100, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.3) * F.least(n_tokens / 100, F.lit(1.0)),
     )
     return staged.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        (punct_chars / n_chars).alias("punct_ratio"),
+        punct_ratio.alias("punct_ratio"),
         mean_tok_len.alias("mean_token_len"),
         stop_ratio.alias("stopword_ratio"),
         score.alias("quality"),

@@ -75,7 +75,11 @@ def _hash_unique(uniques: np.ndarray, cache: dict) -> np.ndarray:
 
 def _py_grams(text: str, n: int) -> list[str]:
     """Python mirror of portable.tokens + token_ngrams (ASCII-equivalent
-    lower/split semantics; produces the same distinct gram SET)."""
+    lower/split semantics; produces the same distinct gram SET). Null
+    text → no grams, matching the expression side where
+    tokens(NULL) is NULL and the doc contributes no shingles."""
+    if text is None:
+        return []
     toks = [t for t in _WS.split(text.lower()) if t]
     if len(toks) < n:
         return []

@@ -681,3 +681,42 @@ def test_pq_validates_dims(spark, emb):
 
     with pytest.raises(ValueError):
         train_pq_codebooks(emb, m=7)  # 64 % 7 != 0
+
+
+def test_operators_survive_degenerate_docs(spark):
+    """Empty, whitespace-only, and NULL text must degrade (no row or
+    null scores) — never throw. Under ANSI (this engine's session
+    default) an unguarded x/0 raises, so these paths are load-bearing
+    at corpus scale where degenerate docs always exist."""
+    from centimators_spark.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_fingerprints,
+    )
+    from centimators_spark.text.analysis import (
+        char_entropy,
+        document_fingerprint,
+        language_id,
+        quality_score,
+        token_counts,
+        unigram_lm_score,
+    )
+    from centimators_spark.text.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "ok text here")],
+        "doc_id long, text string",
+    )
+    assert quality_score(df).count() == 4
+    [r1] = quality_score(df).where(F.col("doc_id") == 1).collect()
+    assert r1.quality is None and r1.stopword_ratio is None
+    assert language_id(df).count() == 4
+    assert token_counts(df).count() == 4
+    assert char_entropy(df).count() == 4
+    assert unigram_lm_score(df).count() == 4
+    # pair/fingerprint ops: degenerate docs simply produce no rows
+    assert document_fingerprint(df).count() == 1
+    assert simhash_fingerprints(df).count() == 1
+    assert minhash_lsh_pairs(df, threshold=0.5).count() == 0
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+    assert chunk_documents(df).count() == 1
