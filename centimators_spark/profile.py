@@ -106,3 +106,72 @@ def table_profile_oracle_sql(
         f"WITH g AS (SELECT {', '.join(aggs)} FROM {table}) "
         + " UNION ALL ".join(rows)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    *,
+    min_share: float = 0.01,
+    exact: bool = True,
+    support: float | None = None,
+) -> DataFrame:
+    """Values of ``col`` occurring in at least ``min_share`` of rows —
+    the heavy-hitters / frequent-items profile (skew diagnosis: the
+    keys that need salting; vocabulary heads; bot traffic).
+
+    exact=True (default): one full groupBy count + a total-count
+    scalar, returns (value, n, share) with exact counts — the right
+    mode whenever the distinct-value count fits a shuffle, which a
+    count aggregation handles at any corpus scale.
+
+    exact=False: Spark's built-in Misra-Gries sketch
+    (``df.stat.freqItems``) — one pass, bounded memory, NO exact
+    counts (returns candidate values only, share/n null), may include
+    false positives just under the threshold; right when distinct
+    values are data-scale (user ids). ``support`` overrides the MG
+    support parameter (defaults to min_share)."""
+    if not 0 < min_share <= 1:
+        raise ValueError(f"min_share must be in (0, 1], got {min_share}")
+    spark = df.sparkSession
+    if exact:
+        counts = df.groupBy(F.col(col).alias("value")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        total = df.count()
+        thresh = total * min_share
+        return (
+            counts.where(F.col("n") >= thresh)
+            .select(
+                "value",
+                "n",
+                F.round(F.col("n") / F.lit(total), 6).alias("share"),
+            )
+            .orderBy(F.col("n").desc(), F.col("value").asc())
+        )
+    [row] = df.stat.freqItems([col], support or min_share).collect()
+    values = row[f"{col}_freqItems"]
+    return spark.createDataFrame(
+        [(v, None, None) for v in values],
+        schema=(
+            df.select(F.col(col).alias("value")).schema
+            .add("n", "long").add("share", "double")
+        ),
+    )
+
+
+def heavy_hitters_oracle_sql(
+    table: str, col_sql: str, *, min_share: float = 0.01
+) -> str:
+    """DuckDB mirror of :func:`heavy_hitters(exact=True)`."""
+    return f"""
+        WITH __tot AS (SELECT count(*) AS total FROM {table}),
+        __cnt AS (
+          SELECT {col_sql} AS value, count(*) AS n
+          FROM {table} GROUP BY 1
+        )
+        SELECT value, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+        FROM __cnt CROSS JOIN __tot
+        WHERE n >= total * {min_share!r}
+        ORDER BY n DESC, value ASC
+    """

@@ -251,3 +251,34 @@ def test_overwrite_partitions_dynamic(spark):
         assert spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode"
         ).upper() == "STATIC"
+
+
+def test_heavy_hitters_exact_and_sketch(spark):
+    import duckdb
+
+    from centimators_spark.profile import heavy_hitters, heavy_hitters_oracle_sql
+
+    rows = [("hot",)] * 60 + [("warm",)] * 25 + [(f"cold{i}",) for i in range(15)]
+    df = spark.createDataFrame(rows, "k string")
+    got = heavy_hitters(df, "k", min_share=0.2).collect()
+    assert [(r.value, r.n) for r in got] == [("hot", 60), ("warm", 25)]
+    assert got[0].share == 0.6
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{k}')" for (k,) in rows)
+        + ") v(k)"
+    )
+    exp = con.execute(
+        heavy_hitters_oracle_sql("t", "k", min_share=0.2)
+    ).fetchall()
+    assert [(r.value, r.n, r.share) for r in got] == exp
+
+    # sketch mode: candidates include every true heavy hitter
+    approx = {r.value for r in heavy_hitters(df, "k", min_share=0.2, exact=False).collect()}
+    assert {"hot", "warm"} <= approx
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "k", min_share=0.0)
