@@ -1278,8 +1278,19 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_divergence(docs, F.col("doc_id") % 2 == 0)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent values of o_orderpriority (exact mode: full counts +
+    shares)."""
+    from centimators_spark.profile import heavy_hitters
+
+    return heavy_hitters(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", min_share=0.05
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "heavy_hitters": q_heavy_hitters,
         "corpus_divergence": q_corpus_divergence,
         "rank_ensemble": q_rank_ensemble,
         "table_profile": q_table_profile,
@@ -1292,7 +1303,12 @@ def staged_oracle_sql() -> dict[str, str]:
     from centimators_spark.profile import table_profile_oracle_sql
     from centimators_spark.text.divergence import corpus_divergence_oracle_sql
 
+    from centimators_spark.profile import heavy_hitters_oracle_sql
+
     return {
+        "heavy_hitters": heavy_hitters_oracle_sql(
+            "orders", "o_orderpriority", min_share=0.05
+        ),
         "corpus_divergence": corpus_divergence_oracle_sql(),
         "rank_ensemble": rank_ensemble_oracle_sql(
             "(SELECT l_orderkey, l_linenumber,"
