@@ -69,7 +69,13 @@ def token_ngrams_all(tok: Column, n: int) -> Column:
 
 def token_ngrams(tok: Column, n: int = 3) -> Column:
     """Distinct space-joined n-grams of consecutive tokens; [] if < n
-    tokens (see token_ngrams_all for the pushdown-robust formulation)."""
+    tokens (see token_ngrams_all for the pushdown-robust formulation).
+
+    PORTABILITY: only the gram SET is cross-engine stable — Spark's
+    array_distinct keeps first-occurrence order while DuckDB's
+    list_distinct is hash-ordered. Consumers must treat the array as a
+    set (explode/aggregate/intersect), never rely on element order
+    (fuzz-pinned in tests/test_properties.py)."""
     return F.when(
         F.size(tok) >= n, F.array_distinct(token_ngrams_all(tok, n))
     ).otherwise(F.array().cast("array<string>"))

@@ -272,3 +272,63 @@ def test_interval_join_equals_brute_force(spark, points, intervals, width):
         if lo <= x < lo + ln
     }
     assert got == exp
+
+
+def test_portable_primitives_cross_engine_fuzz(spark):
+    """Fuzz the portable primitives the oracles are built on: for
+    adversarial strings (unicode, quotes, tabs/newlines, multi-space,
+    empties) Spark and DuckDB must produce IDENTICAL token arrays,
+    distinct 2-grams, and 60-bit md5 hashes."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from centimators_spark.text.portable import (
+        md5_long,
+        sql_md5_long,
+        sql_token_ngrams,
+        sql_tokens,
+        token_ngrams,
+        tokens,
+    )
+
+    cases = [
+        "",
+        " ",
+        "   a   b ",
+        "a\tb\nc",            # tabs/newlines are NOT token separators
+        "Ünïcode ÆØÅ tokens",
+        "quote ' and \" marks",
+        "emoji 🙂 mixed 中文 text",
+        "UPPER lower MiXeD",
+        "a a a a",
+        "trailing space ",
+        "semi;colon,comma.dot",
+        "back\\slash $dollar %percent",
+    ]
+    pdf = pd.DataFrame({"rid": range(len(cases)), "text": cases})
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select(
+            "rid",
+            tokens(F.col("text")).alias("tok"),
+            token_ngrams(tokens(F.col("text")), 2).alias("g2"),
+            md5_long(F.col("text")).alias("h"),
+        )
+        .orderBy("rid")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        f"SELECT rid, {sql_tokens('text')} AS tok, "
+        f"{sql_token_ngrams(sql_tokens('text'), 2)} AS g2, "
+        f"{sql_md5_long('text')} AS h FROM t ORDER BY rid"
+    ).fetchall()
+    for g, e in zip(got, exp):
+        assert list(g.tok) == list(e[1]), (g.rid, g.tok, e[1])
+        # gram SETS are portable; element ORDER is not (DuckDB's
+        # list_distinct is hash-ordered, Spark's array_distinct keeps
+        # first occurrence) — every consumer uses set semantics
+        assert sorted(g.g2) == sorted(e[2]), (g.rid, g.g2, e[2])
+        assert g.h == e[3], (g.rid, cases[g.rid])
