@@ -15,6 +15,7 @@ from centimators_spark.ml.architectures import TemperatureAnnealing
 from centimators_spark.ml.dspymator import DSPyMator
 from centimators_spark.ml.keras_cortex import KerasCortex
 from centimators_spark.ml.losses import make_keras_losses, spearman_corr
+from centimators_spark.ml.conformal import conformal_interval, conformal_quantiles
 from centimators_spark.ml.ensemble import rank_ensemble
 from centimators_spark.ml.metrics import autocorr, era_corr, era_report
 
@@ -31,6 +32,8 @@ __all__ = [
     "TemperatureAnnealing",
     "TransformerRegressor",
     "autocorr",
+    "conformal_interval",
+    "conformal_quantiles",
     "era_corr",
     "era_report",
     "rank_ensemble",
