@@ -17,6 +17,7 @@ from centimators_spark.ml.keras_cortex import KerasCortex
 from centimators_spark.ml.losses import make_keras_losses, spearman_corr
 from centimators_spark.ml.conformal import conformal_interval, conformal_quantiles
 from centimators_spark.ml.ensemble import rank_ensemble
+from centimators_spark.ml.feature_selection import mutual_information
 from centimators_spark.ml.metrics import autocorr, era_corr, era_report
 
 __all__ = [
@@ -36,6 +37,7 @@ __all__ = [
     "conformal_quantiles",
     "era_corr",
     "era_report",
+    "mutual_information",
     "rank_ensemble",
     "sequence_reshape",
     "DSPyMator",

@@ -84,3 +84,54 @@ def test_conformal_era_isolation_and_oracle(spark):
         for r in conformal_quantiles(calib, "p", "t", era_col="era").collect()
     }
     assert got == exp
+
+
+def test_mutual_information_golden_and_oracle(spark):
+    """MI golden values (perfect dependence = H(Y); independence = 0),
+    ranking catches the nonlinear feature, DuckDB mirror bitwise."""
+    import math
+
+    import duckdb
+
+    from centimators_spark.ml.feature_selection import (
+        mutual_information,
+        mutual_information_oracle_sql,
+    )
+
+    rng = np.random.RandomState(23)
+    n = 4000
+    y = rng.randint(0, 2, n)
+    x_perfect = y.copy()                      # MI = H(Y) = ln 2
+    x_noise = rng.randint(0, 2, n)            # MI ~ 0
+    x_vshape = rng.randint(-2, 3, n)          # y depends on |x|
+    y_v = (np.abs(x_vshape) >= 2).astype(int)
+    rows = [
+        (int(a), int(b), int(c), int(d), int(e))
+        for a, b, c, d, e in zip(x_perfect, x_noise, x_vshape, y, y_v)
+    ]
+    df = spark.createDataFrame(rows, "xp int, xn int, xv int, y int, yv int")
+
+    out = {r.feature: r.mi for r in mutual_information(df, ["xp", "xn"], "y").collect()}
+    assert out["xp"] == pytest.approx(math.log(2), abs=2e-3)
+    assert out["xn"] == pytest.approx(0.0, abs=2e-3)
+
+    # V-shape: Pearson corr ~ 0 but MI large
+    [r] = mutual_information(df, ["xv"], "yv").collect()
+    assert r.mi > 0.3
+    corr = df.agg(F.corr("xv", "yv")).collect()[0][0]
+    assert abs(corr) < 0.1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a},{b},{c},{d},{e})" for a, b, c, d, e in rows)
+        + ") v(xp, xn, xv, y, yv)"
+    )
+    exp = con.execute(
+        mutual_information_oracle_sql("t", {"xp": "xp", "xn": "xn"}, "y")
+    ).fetchall()
+    got = mutual_information(df, ["xp", "xn"], "y").collect()
+    assert [(r.feature, r.n, r.mi) for r in got] == [tuple(e) for e in exp]
+
+    with pytest.raises(ValueError):
+        mutual_information(df, [], "y")
