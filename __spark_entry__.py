@@ -1288,8 +1288,23 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI feature screen over coarse integer bins of lineitem numerics
+    vs the return flag."""
+    from centimators_spark.ml.feature_selection import mutual_information
+
+    li = _lineitem(spark, sf_dir).select(
+        F.floor(F.col("l_quantity") / 10).cast("int").alias("qty_bin"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc_bin"),
+        F.round(F.col("l_tax") * 100).cast("int").alias("tax_bin"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    return mutual_information(li, ["qty_bin", "disc_bin", "tax_bin"], "flag")
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "mutual_information": q_mutual_information,
         "heavy_hitters": q_heavy_hitters,
         "corpus_divergence": q_corpus_divergence,
         "rank_ensemble": q_rank_ensemble,
@@ -1304,8 +1319,20 @@ def staged_oracle_sql() -> dict[str, str]:
     from centimators_spark.text.divergence import corpus_divergence_oracle_sql
 
     from centimators_spark.profile import heavy_hitters_oracle_sql
+    from centimators_spark.ml.feature_selection import (
+        mutual_information_oracle_sql,
+    )
 
     return {
+        "mutual_information": mutual_information_oracle_sql(
+            "lineitem",
+            {
+                "qty_bin": "CAST(floor(l_quantity / 10) AS INTEGER)",
+                "disc_bin": "CAST(round(l_discount * 100) AS INTEGER)",
+                "tax_bin": "CAST(round(l_tax * 100) AS INTEGER)",
+            },
+            "l_returnflag",
+        ),
         "heavy_hitters": heavy_hitters_oracle_sql(
             "orders", "o_orderpriority", min_share=0.05
         ),
