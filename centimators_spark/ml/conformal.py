@@ -80,11 +80,15 @@ def conformal_interval(
     q = conformal_quantiles(
         calib, pred_col, target_col, alpha=alpha, era_col=era_col
     )
-    joined = (
-        score.join(F.broadcast(q), on=era_col, how="left")
-        if era_col
-        else score.crossJoin(F.broadcast(q))
-    )
+    if era_col:
+        joined = score.join(F.broadcast(q), on=era_col, how="left")
+    else:
+        # LEFT join on a constant key, not crossJoin: an empty
+        # calibration (no valid residuals yet) must surface null
+        # bounds on every row, not silently drop the scoring output
+        joined = score.withColumn("__k", F.lit(1)).join(
+            F.broadcast(q.withColumn("__k", F.lit(1))), on="__k", how="left"
+        ).drop("__k")
     return joined.select(
         *score.columns,
         "q",

@@ -43,7 +43,8 @@ def mutual_information(
     pairwise-complete convention)."""
     if not feature_cols:
         raise ValueError("feature_cols must be non-empty")
-    spark = df.sparkSession
+    from pyspark.sql import Window
+
     outs = []
     for fc in feature_cols:
         cells = (
@@ -54,8 +55,6 @@ def mutual_information(
             )
             .agg(F.count(F.lit(1)).alias("cxy"))
         )
-        from pyspark.sql import Window
-
         wx = Window.partitionBy("xb")
         wy = Window.partitionBy("yb")
         wall = Window.partitionBy()

@@ -135,17 +135,22 @@ def heavy_hitters(
         raise ValueError(f"min_share must be in (0, 1], got {min_share}")
     spark = df.sparkSession
     if exact:
+        from pyspark.sql import Window
+
         counts = df.groupBy(F.col(col).alias("value")).agg(
             F.count(F.lit(1)).alias("n")
         )
-        total = df.count()
-        thresh = total * min_share
+        # total from a window over the (distinct-value-sized) counts
+        # frame — ONE scan of the data, mirroring the oracle's CTE,
+        # instead of a separate df.count() job
+        total = F.sum("n").over(Window.partitionBy())
         return (
-            counts.where(F.col("n") >= thresh)
+            counts.withColumn("__total", total)
+            .where(F.col("n") >= F.col("__total") * min_share)
             .select(
                 "value",
                 "n",
-                F.round(F.col("n") / F.lit(total), 6).alias("share"),
+                F.round(F.col("n") / F.col("__total"), 6).alias("share"),
             )
             .orderBy(F.col("n").desc(), F.col("value").asc())
         )

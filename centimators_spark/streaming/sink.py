@@ -147,10 +147,18 @@ def continuous_aggregate(
         .groupBy(win, *[F.col(c) for c in groups])
         .agg(*[F.expr(e).alias(name) for name, e in agg_exprs.items()])
     )
-    part = F.concat_ws(
-        "|",
-        F.unix_timestamp(F.col("window.start")).cast("string"),
-        *[F.col(c).cast("string") for c in groups],
+    # partition key = md5 of the JSON-encoded full grouping tuple:
+    # null-distinct and separator-safe (a concat_ws key would collapse
+    # ('a', NULL) with (NULL, 'a') and 'a|b'+'c' with 'a'+'b|c' —
+    # exactly the sibling-overwrite hazard the sink's contract forbids);
+    # the readable window_start/group columns ride along in the rows
+    part = F.md5(
+        F.to_json(
+            F.struct(
+                F.unix_timestamp(F.col("window.start")).alias("ws"),
+                *[F.col(c) for c in groups],
+            )
+        )
     )
     flat = agg.select(
         part.alias("window_key"),

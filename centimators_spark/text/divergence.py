@@ -26,17 +26,15 @@ from centimators_spark.text.portable import sql_tokens, tokens
 DIV_SCALE = 1_000_000
 
 
-def corpus_divergence(
+def _side_token_lpu(
     df: DataFrame,
     side_expr: Column,
-    *,
-    content_col: str = "text",
-) -> DataFrame:
-    """One row: token totals, union vocabulary size, and the smoothed
-    KL divergences in BOTH directions plus their symmetrised sum
-    (Jeffreys divergence). ``side_expr`` must evaluate to a boolean —
-    True rows form corpus A, False rows corpus B; null-side rows are
-    excluded."""
+    content_col: str,
+):
+    """Shared core of corpus_divergence and token_shift_report: the
+    per-token frame (t, ca, cb, na, nb, v) with the smoothed 6dp
+    micro-unit log-ratio ``lpu`` — ONE definition so the divergence
+    total and the per-token attribution can never desynchronize."""
     ex = df.select(
         side_expr.cast("boolean").alias("a"),
         F.explode(tokens(F.col(content_col))).alias("t"),
@@ -51,12 +49,26 @@ def corpus_divergence(
         F.count(F.lit(1)).alias("v"),
     )
     j = counts.crossJoin(F.broadcast(totals))
-    # smoothed log-ratio ln(pa/pb) as one ln of an exact integer ratio
     num = (F.col("ca") + 1) * (F.col("nb") + F.col("v"))
     den = (F.col("cb") + 1) * (F.col("na") + F.col("v"))
     lpu = F.round(
         F.log(num.cast("double") / den.cast("double")) * DIV_SCALE
     ).cast("long")
+    return j, lpu
+
+
+def corpus_divergence(
+    df: DataFrame,
+    side_expr: Column,
+    *,
+    content_col: str = "text",
+) -> DataFrame:
+    """One row: token totals, union vocabulary size, and the smoothed
+    KL divergences in BOTH directions plus their symmetrised sum
+    (Jeffreys divergence). ``side_expr`` must evaluate to a boolean —
+    True rows form corpus A, False rows corpus B; null-side rows are
+    excluded."""
+    j, lpu = _side_token_lpu(df, side_expr, content_col)
     terms = j.select(
         "na", "nb", "v",
         ((F.col("ca") + 1) * lpu).alias("ta"),   # (ca+1)·ln(pa/pb)·1e6
@@ -141,24 +153,7 @@ def token_shift_report(
     the Jeffreys divergence (exact micro-unit carriers; ties break by
     token). Companion to :func:`corpus_divergence` for debugging WHAT
     changed, not just how much."""
-    ex = df.select(
-        side_expr.cast("boolean").alias("a"),
-        F.explode(tokens(F.col(content_col))).alias("t"),
-    ).where(F.col("a").isNotNull())
-    counts = ex.groupBy("t").agg(
-        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("a"), 0).otherwise(1)).alias("cb"),
-    )
-    totals = counts.agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
-        F.count(F.lit(1)).alias("v"),
-    )
-    j = counts.crossJoin(F.broadcast(totals))
-    num = (F.col("ca") + 1) * (F.col("nb") + F.col("v"))
-    den = (F.col("cb") + 1) * (F.col("na") + F.col("v"))
-    lpu = F.round(
-        F.log(num.cast("double") / den.cast("double")) * DIV_SCALE
-    ).cast("long")
+    j, lpu = _side_token_lpu(df, side_expr, content_col)
     # per-token Jeffreys contribution, cleared of the two denominators
     # (× (na+v)(nb+v), a positive constant): exact DECIMAL arithmetic so
     # the ordering is deterministic, not ULP-dependent

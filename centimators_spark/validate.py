@@ -107,7 +107,6 @@ def validate(
     For `unique`, n_violations counts rows beyond the first per
     duplicated value (count − countDistinct over non-null values; null
     keys are not uniqueness violations — compose with not_null)."""
-    spark = df.sparkSession
     agg_checks = [c for c in checks if c.kind != "foreign_key"]
     fk_checks = [c for c in checks if c.kind == "foreign_key"]
 
@@ -121,8 +120,13 @@ def validate(
                     if approx_unique
                     else F.countDistinct(c.column)
                 )
+                # HLL can OVERestimate: clamp at 0 so a clean unique
+                # column never reports negative violations / fails
                 aggs.append(
-                    (F.count(F.col(c.column)) - nd).cast("long").alias(f"v{i}")
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        (F.count(F.col(c.column)) - nd).cast("long"),
+                    ).alias(f"v{i}")
                 )
             else:
                 aggs.append(
