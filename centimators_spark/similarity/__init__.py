@@ -6,6 +6,7 @@ from centimators_spark.similarity.ann import (
     rp_lsh_topk,
 )
 from centimators_spark.similarity.pq import (
+    ivfpq_topk,
     pq_encode,
     pq_topk,
     train_pq_codebooks,
@@ -16,6 +17,7 @@ __all__ = [
     "cosine",
     "embedding_cosine_pairs",
     "ivf_topk",
+    "ivfpq_topk",
     "pq_encode",
     "pq_topk",
     "rp_lsh_topk",

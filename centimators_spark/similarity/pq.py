@@ -232,3 +232,124 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ — the faiss-standard composition of the engine's two ANN
+    scale mechanisms: IVF cell pruning bounds WHICH vectors are scored
+    (n_probe/n_lists of the corpus), PQ codes bound the BYTES per
+    scored vector (m instead of 4·d) and keep scoring in pure JVM
+    expressions. At 100 TB: the coded table written bucketed by
+    ``cell`` gives scan-time pruning over an index 32× smaller than
+    the raw vectors.
+
+    Pipeline: spherical KMeans cells (ann.ivf_topk's clustering),
+    pq_encode over the listed vectors, then the ADC lookup join
+    restricted to each query's probed cells. Returns
+    (query_id, vec_id, approx_cos, rank) — re-rank survivors against
+    raw vectors for exact scores (see tests)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from centimators_spark.similarity.ann import _as_double, _norm
+
+    m, kk, dsub = codebooks.shape
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vv"))
+    with_vec = (
+        v.withColumn("__nrm", F.greatest(_norm(F.col("vv")), F.lit(1e-12)))
+        .withColumn(
+            "__vec",
+            array_to_vector(
+                F.transform(F.col("vv"), lambda x: x / F.col("__nrm"))
+            ),
+        )
+        .drop("__nrm")
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__vec", predictionCol="cell")
+    model = km.fit(with_vec)
+    listed = model.transform(with_vec).select(id_col, "vv", "cell")
+    coded = pq_encode(
+        listed.select(F.col(id_col), F.col("vv").alias(vec_col)),
+        codebooks,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).join(listed.select(id_col, "cell"), id_col)
+
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    cnorm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    qpd = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
+    if len(qpd) == 0:
+        return pq_topk(coded.drop("cell"), queries, codebooks, k=k,
+                       id_col=id_col, query_id_col=query_id_col,
+                       vec_col=vec_col)
+    Q = _unitize(
+        np.vstack([np.asarray(x, dtype=np.float64) for x in qpd[vec_col]])
+    )
+    probe_cells = np.argsort(-(Q @ cnorm.T), axis=1)[:, :n_probe]
+    luts = []
+    for qv in Q:
+        lut = np.empty(m * kk)
+        for s in range(m):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            lut[s * kk : s * kk + kk] = ((codebooks[s] - qs) ** 2).sum(axis=1)
+        luts.append([float(x) for x in lut])
+    spark = vectors.sparkSession
+    probe_df = spark.createDataFrame(
+        [
+            (qid, int(c), lut)
+            for qid, lut, cells in zip(qpd[query_id_col], luts, probe_cells)
+            for c in cells
+        ],
+        StructType(
+            [
+                queries.schema[query_id_col],
+                StructField("cell", IntegerType()),
+                StructField("__lut", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    lut_col = F.col("__lut")
+    dist2 = F.aggregate(
+        F.transform(
+            F.col("pq_code"),
+            lambda c, i: F.element_at(lut_col, (i * kk + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        coded.join(F.broadcast(probe_df), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (F.lit(1.0) - dist2 / 2).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -720,3 +720,34 @@ def test_operators_survive_degenerate_docs(spark):
     assert minhash_lsh_pairs(df, threshold=0.5).count() == 0
     assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
     assert chunk_documents(df).count() == 1
+
+
+def test_ivfpq_composition_recall(spark, emb):
+    """IVF cell pruning composed with PQ ADC scoring: probing every
+    cell degenerates to plain PQ ranking; partial probing still recalls
+    most of the PQ-shortlist set at a fraction of the scored pairs."""
+    from centimators_spark.similarity.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, m=8, k=64, iters=10)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full_pq = pq_topk(pq_encode(emb, books), queries, books, k=10).toPandas()
+    e = {(r.query_id, r.vec_id) for r in full_pq.itertuples()}
+
+    all_cells = ivfpq_topk(
+        emb, queries, books, k=10, n_lists=8, n_probe=8
+    ).toPandas()
+    a = {(r.query_id, r.vec_id) for r in all_cells.itertuples()}
+    assert a == e  # every cell probed == plain PQ ADC ranking
+
+    part = ivfpq_topk(
+        emb, queries, books, k=10, n_lists=8, n_probe=3
+    ).toPandas()
+    p = {(r.query_id, r.vec_id) for r in part.itertuples()}
+    assert len(e & p) / len(e) >= 0.4, len(e & p) / len(e)

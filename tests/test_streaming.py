@@ -412,3 +412,46 @@ def test_continuous_aggregate_rollup_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got2[cols].equals(exp[cols])
+
+
+def test_continuous_aggregate_null_and_separator_groups(spark, tmp_path):
+    """Distinct grouping tuples that a naive concat key would collapse
+    — ('a', NULL) vs (NULL, 'a'), and separator-bearing values — must
+    land in distinct partitions (regression for the md5-JSON key)."""
+    from centimators_spark.streaming.sink import continuous_aggregate
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 5), "a", None, 1.0),
+        (dt.datetime(2024, 1, 1, 0, 10), None, "a", 2.0),
+        (dt.datetime(2024, 1, 1, 0, 15), "a|b", "c", 3.0),
+        (dt.datetime(2024, 1, 1, 0, 20), "a", "b|c", 4.0),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "ts timestamp, g1 string, g2 string, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, g1 string, g2 string, value double"
+    ).parquet(src)
+    out_dir = str(tmp_path / "rollup")
+    q = (
+        continuous_aggregate(
+            stream,
+            ts_col="ts",
+            window_duration="1 hour",
+            agg_exprs={"n": "count(*)", "s": "round(sum(value), 6)"},
+            group_cols=["g1", "g2"],
+            watermark="2 hours",
+            path=out_dir,
+            checkpoint=str(tmp_path / "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 4  # no tuple collapsed into another's partition
+    assert {(r.g1, r.g2, r.s) for r in got} == {
+        ("a", None, 1.0), (None, "a", 2.0), ("a|b", "c", 3.0), ("a", "b|c", 4.0)
+    }
