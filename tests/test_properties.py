@@ -6,6 +6,7 @@ reference's cross-framework-equivalence idea pushed further (SURVEY.md
 import math
 
 import numpy as np
+import pytest
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -332,3 +333,80 @@ def test_portable_primitives_cross_engine_fuzz(spark):
         # first occurrence) — every consumer uses set semantics
         assert sorted(g.g2) == sorted(e[2]), (g.rid, g.g2, e[2])
         assert g.h == e[3], (g.rid, cases[g.rid])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # date group
+            st.integers(0, 1),                      # ticker
+            st.one_of(st.none(), st.integers(0, 5)),  # value with ties/nulls
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_core_transformers_match_pandas_reference(spark, data):
+    """Property differential: RankTransformer == pandas rank(average)/count,
+    LagTransformer == groupby.shift, MovingAverage == rolling(min_periods=w)
+    on arbitrary small panels with ties and nulls — the reference's own
+    backend semantics (narwhals-on-pandas)."""
+    import pandas as pd
+
+    from centimators_spark.operators import (
+        LagTransformer,
+        MovingAverageTransformer,
+        RankTransformer,
+    )
+
+    pdf = pd.DataFrame(data, columns=["date", "ticker", "v"]).astype(
+        {"v": "float64"}
+    )
+    pdf["rid"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+
+    got = (
+        RankTransformer(["v"], group_col="date")
+        .transform(df)
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp_rank = pdf.groupby("date")["v"].rank(method="average") / pdf.groupby(
+        "date"
+    )["v"].transform("count")
+    for g, e in zip(got.v_rank, exp_rank):
+        assert (pd.isna(g) and pd.isna(e)) or g == pytest.approx(e), (g, e)
+
+    common = dict(ticker_col="ticker", order_cols=["rid"])
+    got = (
+        LagTransformer([1], ["v"], **common)
+        .transform(df)
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    exp_lag = pdf.sort_values("rid").groupby("ticker")["v"].shift(1)
+    for g, e in zip(got.v_lag1, exp_lag):
+        assert (pd.isna(g) and pd.isna(e)) or g == e, (g, e)
+
+    w = 2
+    got = (
+        MovingAverageTransformer([w], ["v"], **common)
+        .transform(df)
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    # reference semantics: min_samples = window_size -> partial windows null
+    exp_ma = (
+        pdf.sort_values("rid")
+        .groupby("ticker")["v"]
+        .rolling(w, min_periods=w)
+        .mean()
+        .reset_index(level=0, drop=True)
+        .sort_index()
+    )
+    for g, e in zip(got[f"v_ma{w}"], exp_ma):
+        assert (pd.isna(g) and pd.isna(e)) or g == pytest.approx(e), (g, e)
