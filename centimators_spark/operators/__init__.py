@@ -15,7 +15,11 @@ from centimators_spark.operators.neutralization import FeatureNeutralizer
 from centimators_spark.operators.penalization import FeaturePenalizer
 from centimators_spark.operators.dimreduction import DimReducer
 from centimators_spark.operators.embedding import EmbeddingTransformer
-from centimators_spark.operators.asof import asof_join
+from centimators_spark.operators.asof import (
+    asof_join,
+    asof_join_forward,
+    asof_join_nearest,
+)
 from centimators_spark.operators.rangejoin import band_label, interval_join
 from centimators_spark.operators.skew import salted_join
 from centimators_spark.operators.encoding import (
@@ -38,6 +42,8 @@ __all__ = [
     "DimReducer",
     "EmbeddingTransformer",
     "asof_join",
+    "asof_join_forward",
+    "asof_join_nearest",
     "RankTransformer",
     "LagTransformer",
     "MovingAverageTransformer",

@@ -184,3 +184,55 @@ def test_interval_join_validate_bounds_off(points, intervals):
     )
     got = {(r.id, r.tag) for r in out.collect()}
     assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "b"), (4, "c")}
+
+
+def test_asof_forward_and_nearest_match_pandas(spark):
+    """Directional as-of joins vs pandas merge_asof on a randomized
+    panel (the reference differential for all three directions)."""
+    import numpy as np
+    import pandas as pd
+
+    from centimators_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    rng = np.random.RandomState(31)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 60),
+            "ts": rng.choice(np.arange(0, 1000, 7), 60).astype("int64"),
+            "lv": np.arange(60).astype("float64"),
+        }
+    ).drop_duplicates(["k", "ts"])
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 40),
+            "ts": rng.choice(np.arange(0, 1000, 11), 40).astype("int64"),
+            "rv": np.arange(40).astype("float64") * 10,
+        }
+    ).drop_duplicates(["k", "ts"])
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+
+    for direction, fn in [
+        ("backward", asof_join),
+        ("forward", asof_join_forward),
+        ("nearest", asof_join_nearest),
+    ]:
+        got = (
+            fn(sl, sr, on="ts", by="k", value_cols=["rv"])
+            .toPandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction=direction,
+        ).sort_values(["k", "ts"]).reset_index(drop=True)
+        for g, e in zip(got.rv_asof, exp.rv):
+            assert (pd.isna(g) and pd.isna(e)) or g == e, (direction, g, e)
