@@ -106,7 +106,8 @@ def mutual_information_oracle_sql(
     parts = []
     for name, expr in feature_sqls.items():
         parts.append(f"""
-        SELECT '{name}' AS feature, n, round(CAST(s AS DOUBLE)
+        SELECT '{name}' AS feature, CAST(n AS BIGINT) AS n,
+            round(CAST(s AS DOUBLE)
             / CAST(n AS DOUBLE) / {MI_SCALE}, 6) AS mi
         FROM (
           SELECT any_value(n) AS n, sum(cxy * CAST(round(ln(

@@ -5,7 +5,7 @@ oracle_sql() via DuckDB: row count, column names, and value equality on
 sorted rows (exact for non-floats; floats compared bitwise AND with
 tolerance, both reported — bitwise mismatches warn about hash risk).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--staged] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -87,16 +87,22 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> boo
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    staged = "--staged" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("check-oracle", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if staged:
+        queries = entrymod.staged_queries()
+        oracles = entrymod.staged_oracle_sql()
+    else:
+        queries = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in queries.items():
         if only and name not in only:
