@@ -2,7 +2,6 @@
 same compare the driver runs, so promotion into queries() is zero-risk."""
 
 import duckdb
-import numpy as np
 
 import __spark_entry__ as entrymod
 
@@ -16,24 +15,18 @@ def test_staged_queries_match_oracles(spark):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare  # the REAL gate: dtype-kind strict
+
     queries = entrymod.staged_queries()
     oracles = entrymod.staged_oracle_sql()
     assert set(queries) == set(oracles)
     for name, fn in queries.items():
         sdf = fn(spark, SF).toPandas()
         odf = con.execute(oracles[name]).fetchdf()
-        assert sorted(sdf.columns) == sorted(odf.columns), name
-        assert len(sdf) == len(odf), name
-        cols = sorted(sdf.columns)
-        s = sdf[cols].sort_values(cols, na_position="first").reset_index(drop=True)
-        o = odf[cols].sort_values(cols, na_position="first").reset_index(drop=True)
-        for c in cols:
-            if s[c].dtype.kind == "f" or o[c].dtype.kind == "f":
-                np.testing.assert_allclose(
-                    s[c].astype(float), o[c].astype(float),
-                    rtol=0, atol=0, equal_nan=True, err_msg=f"{name}.{c}",
-                )
-            else:
-                assert (
-                    s[c].astype(str).tolist() == o[c].astype(str).tolist()
-                ), (name, c)
+        # compare() flags int-vs-float dtype-kind mismatches the driver
+        # hash would fail on — a value-coercing assert here previously
+        # hid exactly that bug in the MI oracle
+        assert compare(name, sdf, odf), name
