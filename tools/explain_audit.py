@@ -293,6 +293,44 @@ def main():
         f"exchanges={n_ex}",
     )
 
+    # 30. directional as-of joins: union + carry window, NO join
+    # operator (the linear shape that survives dense keys)
+    from pyspark.sql import functions as Fx
+
+    from centimators_spark.operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(Fx.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.where(Fx.col("event_type") == "purchase").select(
+        "user_id", "ts", Fx.col("value").alias("pv")
+    )
+    p = plan_of(
+        asof_join_forward(views, purchases, on="ts", by="user_id", value_cols=["pv"])
+    )
+    ok &= audit("asof_forward: union+window, no join", "Join" not in p)
+    ok &= audit("asof_forward: single exchange", p.count("Exchange hashpartitioning") == 1)
+
+    # 31. PQ ADC scoring: the query fan-out is an explicit broadcast
+    # (queries are the small side by contract); scoring is pure JVM
+    from centimators_spark.similarity.pq import pq_encode, pq_topk, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=8, k=16, iters=3, sample=500)
+    coded = pq_encode(emb, books)
+    queries_df = emb.where(Fx.col("vec_id") < 3).select(
+        Fx.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = plan_of(pq_topk(coded, queries_df, books, k=5))
+    ok &= audit("pq_topk: broadcast query fan-out", "Broadcast" in p)
+    n_py = p.count("EvalPython")
+    ok &= audit(
+        "pq_topk: python only in encode, not scoring",
+        n_py <= 1,  # the single mapInPandas encode stage
+        f"python_stages={n_py}",
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
