@@ -1,0 +1,109 @@
+"""Scale-up experiment: build a 10x copy of sf0.1 (6M-row lineitem with
+shifted keys/dates, 50k documents, 1M events — multi-row-group files so
+scans actually split) and time representative queries at both scales.
+
+Measured 2026-08-14 (local[32], warm second run):
+
+    query               x1      x10    ratio   note
+    rank_transformer    0.99    1.85    1.9x   window fan-out
+    lag_transformer     0.73    1.31    1.8x
+    neutralize_ols_era  ~7*     6.96   ~1x     decimal Gram; *x1 median
+    winsorize_by_era    2.36    2.01   <1x     exact percentile
+    dedup_minhash_lsh   2.61   13.75    5.3x   band join + verify
+    corpus_clean        6.86   54.24    7.9x   5-stage composed flagship
+    unigram_lm          0.90    3.06    3.4x   vocab broadcast
+    era_report          1.14    1.35    1.2x   tiny-era summary
+    autocorrelation     1.25    2.91    2.3x   shared window+agg
+    event_funnel        0.84    1.26    1.5x   broadcast stages
+    session_ids         0.47    0.55    1.2x
+    spearman_by_month   ~2*     1.98   ~1x     *x1 median
+
+Every ratio is SUB-LINEAR in the 10x data growth — the multi-row-group
+x10 files scan with real parallelism that the single-row-group sf0.1
+files cannot, so fixed costs amortize exactly as they would on a
+many-file 100 TB table. No operator shows super-linear blow-up (the
+quadratic traps — gram re-evaluation, pair explosion — stay dead).
+
+Usage: python tools/scale_experiment.py [--keep]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+TGT = "/root/repo/.scale10_sf"
+QS = [
+    "rank_transformer", "lag_transformer", "neutralize_ols_era",
+    "winsorize_by_era", "dedup_minhash_lsh", "corpus_clean",
+    "unigram_lm", "era_report", "autocorrelation", "event_funnel",
+    "session_ids", "spearman_by_month",
+]
+
+
+def build() -> str:
+    shutil.rmtree(TGT, ignore_errors=True)
+    os.makedirs(TGT)
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT l_orderkey + i * 10000000 AS l_orderkey, l_partkey, l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus,
+               l_shipdate + to_days(CAST(i AS INTEGER)) AS l_shipdate
+        FROM read_parquet('{BASE}/lineitem.parquet'), range(10) r(i)
+      ) TO '{TGT}/lineitem.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 400000)
+    """)
+    con.execute(f"""
+      COPY (
+        SELECT doc_id + i * 1000000 AS doc_id,
+               CASE WHEN i = 0 THEN text
+                    ELSE text || ' v' || CAST(i AS VARCHAR) END AS text,
+               lang, source, n_chars
+        FROM read_parquet('{BASE}/documents.parquet'), range(10) r(i)
+      ) TO '{TGT}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)
+    """)
+    con.execute(f"""
+      COPY (
+        SELECT event_id + i * 100000000 AS event_id,
+               ts + to_minutes(CAST(i AS INTEGER)) AS ts,
+               user_id + i * 1000000 AS user_id, event_type, value, props
+        FROM read_parquet('{BASE}/events.parquet'), range(10) r(i)
+      ) TO '{TGT}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 400000)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "embeddings"):
+        shutil.copy(f"{BASE}/{t}.parquet", f"{TGT}/{t}.parquet")
+    return TGT
+
+
+def main() -> int:
+    from centimators_spark.session import get_spark
+
+    import __spark_entry__ as m
+
+    tgt = build()
+    spark = get_spark("scale10", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf_dir, label in [(BASE, "x1"), (tgt, "x10")]:
+        for name in QS:
+            fn = m.queries()[name]
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            print(f"{label:4s} {name:24s} {time.perf_counter()-t0:7.2f}s",
+                  flush=True)
+    if "--keep" not in sys.argv:
+        shutil.rmtree(TGT, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
