@@ -1302,8 +1302,16 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(li, ["qty_bin", "disc_bin", "tax_bin"], "flag")
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup stats (RefinedWeb boilerplate step)."""
+    from centimators_spark.text.line_filters import corpus_line_dedup
+
+    return corpus_line_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "line_dedup": q_line_dedup,
         "mutual_information": q_mutual_information,
         "heavy_hitters": q_heavy_hitters,
         "corpus_divergence": q_corpus_divergence,
@@ -1323,7 +1331,12 @@ def staged_oracle_sql() -> dict[str, str]:
         mutual_information_oracle_sql,
     )
 
+    from centimators_spark.text.line_filters import (
+        corpus_line_dedup_oracle_sql,
+    )
+
     return {
+        "line_dedup": corpus_line_dedup_oracle_sql(),
         "mutual_information": mutual_information_oracle_sql(
             "lineitem",
             {

@@ -9,7 +9,7 @@ from centimators_spark.text.analysis import (
 )
 from centimators_spark.text.chunking import chunk_documents
 from centimators_spark.text.divergence import corpus_divergence, token_shift_report
-from centimators_spark.text.line_filters import c4_line_filters
+from centimators_spark.text.line_filters import c4_line_filters, corpus_line_dedup
 from centimators_spark.text.pii import mask_pii
 from centimators_spark.text.repetition import repetition_signals
 
@@ -18,6 +18,7 @@ __all__ = [
     "char_entropy",
     "chunk_documents",
     "corpus_divergence",
+    "corpus_line_dedup",
     "document_fingerprint",
     "language_id",
     "mask_pii",

@@ -88,3 +88,121 @@ def c4_line_filters_oracle_sql(
              CAST(contains(t, '{{') AS INT) AS has_brace
       FROM k
     """
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_dup_docs: int = 2,
+    rewrite: bool = False,
+) -> DataFrame:
+    """CROSS-document line deduplication — the RefinedWeb/CCNet recipe
+    step the within-doc signals (repetition.py) and per-line rules
+    (c4_line_filters) don't cover: a line counts as duplicated when it
+    appears in ≥ ``min_dup_docs`` DISTINCT documents (boilerplate,
+    navigation, license banners).
+
+    Returns per doc: ``n_lines``, ``n_dup_lines`` (lines whose text is
+    corpus-duplicated), ``dup_line_frac``, and — with
+    ``rewrite=True`` — ``text_clean`` with those lines removed
+    (ORDER-PRESERVING; repeated occurrences inside one doc count once
+    per position).
+
+    Plan: explode distinct-per-doc lines → one (line → distinct-doc
+    count) aggregation — map-side partial, uniform md5-keyed —
+    broadcast of only the DUPLICATED line hashes back onto a second
+    per-line pass. At corpus scale the duplicated-line set is the
+    boilerplate vocabulary (small); if it ever isn't, swap the
+    broadcast join for a plain hash join — semantics identical."""
+    from centimators_spark.text.portable import md5_long
+
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    base = df.select(F.col(id_col).alias("doc_id"), content.alias("__text"))
+    per_line = base.select(
+        "doc_id", F.explode(nonempty_lines(F.col("__text"))).alias("line")
+    ).withColumn("lh", md5_long(F.col("line")))
+    dup_lines = (
+        per_line.select("doc_id", "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_dup_docs)
+        .select("lh")
+    )
+    flagged = per_line.join(
+        F.broadcast(dup_lines.withColumn("__dup", F.lit(1))), "lh", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup_lines"),
+    )
+    out = base.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("n_dup_lines"), F.lit(0)).alias("n_dup_lines"),
+        F.when(
+            F.col("n_lines") > 0,
+            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6),
+        ).alias("dup_line_frac"),
+    )
+    if not rewrite:
+        return out
+    # order-preserving rewrite: filter the line ARRAY against the
+    # broadcast duplicated-hash set (collected scalar — boilerplate-
+    # vocabulary-sized by the same argument as the join broadcast)
+    dup_set = {r.lh for r in dup_lines.collect()}
+    dup_arr = F.array(*[F.lit(h) for h in sorted(dup_set)]) if dup_set else F.array().cast("array<bigint>")
+    kept = F.filter(
+        nonempty_lines(F.col("__text")),
+        lambda l: ~F.array_contains(dup_arr, md5_long(l)),
+    )
+    rewritten = base.select(
+        "doc_id", F.array_join(kept, "\n").alias("text_clean")
+    )
+    return out.join(rewritten, "doc_id")
+
+
+def corpus_line_dedup_oracle_sql(
+    table: str = "documents",
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+    *,
+    min_dup_docs: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`corpus_line_dedup` (stats mode)."""
+    from centimators_spark.text.portable import sql_md5_long
+
+    lines = (
+        f"list_filter(string_split(coalesce({content_sql}, ''), chr(10)),"
+        " x -> x <> '')"
+    )
+    return f"""
+        WITH per_line AS (
+          SELECT {id_sql} AS doc_id, unnest({lines}) AS line
+          FROM {table}
+        ), hashed AS (
+          SELECT doc_id, {sql_md5_long('line')} AS lh FROM per_line
+        ), dup AS (
+          SELECT lh FROM (
+            SELECT lh, count(DISTINCT doc_id) AS n_docs
+            FROM hashed GROUP BY lh
+          ) WHERE n_docs >= {min_dup_docs}
+        ), per_doc AS (
+          SELECT h.doc_id,
+                 count(*) AS n_lines,
+                 sum(CASE WHEN d.lh IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_dup_lines
+          FROM hashed h LEFT JOIN dup d USING (lh)
+          GROUP BY h.doc_id
+        )
+        SELECT b.doc_id,
+               CAST(coalesce(p.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(coalesce(p.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+               CASE WHEN p.n_lines > 0
+                 THEN round(CAST(p.n_dup_lines AS DOUBLE) / p.n_lines, 6) END
+                 AS dup_line_frac
+        FROM (SELECT {id_sql} AS doc_id FROM {table}) b
+        LEFT JOIN per_doc p USING (doc_id)
+    """

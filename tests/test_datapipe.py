@@ -751,3 +751,59 @@ def test_ivfpq_composition_recall(spark, emb):
     ).toPandas()
     p = {(r.query_id, r.vec_id) for r in part.itertuples()}
     assert len(e & p) / len(e) >= 0.4, len(e & p) / len(e)
+
+
+def test_corpus_line_dedup_stats_rewrite_and_oracle(spark):
+    """Cross-doc line dedup: boilerplate lines flagged by distinct-doc
+    count, order-preserving rewrite, DuckDB mirror exact, and
+    within-doc repeats don't inflate the doc count."""
+    import duckdb
+
+    from centimators_spark.text.line_filters import (
+        corpus_line_dedup,
+        corpus_line_dedup_oracle_sql,
+    )
+
+    rows = [
+        (1, "unique alpha\nBOILER\ncontent one"),
+        (2, "BOILER\ncontent two"),
+        (3, "only unique things\nhere"),
+        (4, "SELFDUP\nSELFDUP\nown text"),   # within-doc repeat only
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus_line_dedup(df).collect()}
+    assert (out[1].n_lines, out[1].n_dup_lines) == (3, 1)
+    assert (out[2].n_lines, out[2].n_dup_lines) == (2, 1)
+    assert out[3].n_dup_lines == 0
+    # SELFDUP appears twice in ONE doc -> 1 distinct doc -> not corpus-dup
+    assert out[4].n_dup_lines == 0
+    assert out[5].n_lines == 0 and out[5].dup_line_frac is None
+    assert out[2].dup_line_frac == 0.5
+
+    rew = {r.doc_id: r.text_clean for r in corpus_line_dedup(df, rewrite=True).collect()}
+    assert rew[1] == "unique alpha\ncontent one"   # order preserved
+    assert rew[2] == "content two"
+    assert rew[4] == "SELFDUP\nSELFDUP\nown text"  # untouched
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    exp = con.execute(corpus_line_dedup_oracle_sql()).fetchdf()
+    got = corpus_line_dedup(df).toPandas()
+    cols = ["doc_id", "n_lines", "n_dup_lines", "dup_line_frac"]
+    g = got[cols].sort_values("doc_id").reset_index(drop=True)
+    e = exp[cols].sort_values("doc_id").reset_index(drop=True)
+    import numpy as np
+
+    for c in cols:
+        if g[c].dtype.kind == "f":
+            np.testing.assert_allclose(
+                g[c].astype(float), e[c].astype(float),
+                rtol=0, atol=0, equal_nan=True,
+            )
+        else:
+            assert g[c].astype(str).tolist() == e[c].astype(str).tolist(), c
