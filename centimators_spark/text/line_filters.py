@@ -149,19 +149,32 @@ def corpus_line_dedup(
     )
     if not rewrite:
         return out
-    # order-preserving rewrite: filter the line ARRAY against the
-    # broadcast duplicated-hash set (collected scalar — boilerplate-
-    # vocabulary-sized by the same argument as the join broadcast)
-    dup_set = {r.lh for r in dup_lines.collect()}
-    dup_arr = F.array(*[F.lit(h) for h in sorted(dup_set)]) if dup_set else F.array().cast("array<bigint>")
-    kept = F.filter(
-        nonempty_lines(F.col("__text")),
-        lambda l: ~F.array_contains(dup_arr, md5_long(l)),
+    # order-preserving rewrite via posexplode + anti-join + positional
+    # re-assembly — a JOIN, not a literal array in the plan (a pathological
+    # corpus could have a huge duplicated-line set; a thousands-element
+    # literal would bloat every task's plan and scan O(|dup|) per line)
+    pos_lines = base.select(
+        "doc_id",
+        F.posexplode(nonempty_lines(F.col("__text"))).alias("pos", "line"),
+    ).withColumn("lh", md5_long(F.col("line")))
+    kept = pos_lines.join(F.broadcast(dup_lines), "lh", "left_anti")
+    rewritten = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean")
+        )
     )
-    rewritten = base.select(
-        "doc_id", F.array_join(kept, "\n").alias("text_clean")
+    return out.join(rewritten, "doc_id", "left").select(
+        out["*"], F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean")
     )
-    return out.join(rewritten, "doc_id")
 
 
 def corpus_line_dedup_oracle_sql(
