@@ -135,3 +135,17 @@ def test_mutual_information_golden_and_oracle(spark):
 
     with pytest.raises(ValueError):
         mutual_information(df, [], "y")
+
+
+def test_conformal_empty_calibration_surfaces_nulls(spark):
+    """Global mode with an all-null calibration must keep every scored
+    row with null bounds (regression: crossJoin silently dropped them)."""
+    calib = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "p double, t double"
+    )
+    score = spark.createDataFrame([(5.0,), (6.0,)], "p double")
+    out = conformal_interval(
+        calib, score.withColumn("t", F.lit(None).cast("double")), "p", "t"
+    ).collect()
+    assert len(out) == 2
+    assert all(r.q is None and r.p_lo is None and r.p_hi is None for r in out)

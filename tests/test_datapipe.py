@@ -807,3 +807,20 @@ def test_corpus_line_dedup_stats_rewrite_and_oracle(spark):
             )
         else:
             assert g[c].astype(str).tolist() == e[c].astype(str).tolist(), c
+
+
+def test_pq_topk_empty_queries(spark, emb):
+    from centimators_spark.similarity.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, m=8, k=16, iters=3, sample=200)
+    coded = pq_encode(emb, books)
+    empty = emb.where(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(coded, empty, books, k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "approx_cos", "rank"}

@@ -79,3 +79,15 @@ def test_validate_empty_table_vacuous(spark):
     empty = spark.createDataFrame([], "id long, cat string")
     rep = validate(empty, [not_null("cat"), unique("id")]).collect()
     assert all(r.passed for r in rep)
+
+
+def test_validate_approx_unique_never_negative(spark):
+    """HLL overestimates must clamp to zero violations, not fail a
+    clean unique column with a negative count."""
+    df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+    [r] = validate(df, [unique("id")], approx_unique=True).collect()
+    assert r.n_violations >= 0
+    # a genuinely duplicated column still fails in approx mode
+    dup = spark.createDataFrame([(i % 10,) for i in range(5000)], "id long")
+    [r2] = validate(dup, [unique("id")], approx_unique=True).collect()
+    assert not r2.passed and r2.n_violations > 4000
