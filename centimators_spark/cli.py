@@ -1,0 +1,160 @@
+"""Command-line interface — the standalone-engine entry points for the
+operational tools (profiling, validation, corpus reports) over any
+parquet path, no notebook required:
+
+    python -m centimators_spark profile  /path/to/table.parquet
+    python -m centimators_spark validate /path/to/table.parquet \\
+        --not-null id --unique id --in-range "price:0:"
+    python -m centimators_spark corpus-report /path/to/docs.parquet \\
+        --text-col text --id-col doc_id
+    python -m centimators_spark heavy-hitters /path/to/t.parquet --col k
+
+Each subcommand builds one of the engine's audited plans and prints a
+small result table; exit code 1 when a validation check fails (CI
+gate semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cpus: str):
+    from centimators_spark.session import get_spark
+
+    return get_spark("centimators-cli", cpus=cpus)
+
+
+def _show(df, n: int = 50) -> None:
+    df.show(n, truncate=False)
+
+
+def cmd_profile(args) -> int:
+    from centimators_spark.profile import table_profile
+
+    spark = _spark(args.cpus)
+    df = spark.read.parquet(args.path)
+    cols = args.cols.split(",") if args.cols else None
+    _show(table_profile(df, cols, exact=args.exact))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from centimators_spark import validate as V
+
+    spark = _spark(args.cpus)
+    df = spark.read.parquet(args.path)
+    checks = []
+    for c in args.not_null or []:
+        checks.append(V.not_null(c))
+    for c in args.unique or []:
+        checks.append(V.unique(c))
+    for spec in args.in_range or []:
+        col, lo, hi = (spec.split(":") + ["", ""])[:3]
+        checks.append(
+            V.in_range(
+                col,
+                float(lo) if lo else None,
+                float(hi) if hi else None,
+            )
+        )
+    for spec in args.in_set or []:
+        col, vals = spec.split(":", 1)
+        checks.append(V.in_set(col, vals.split(",")))
+    for spec in args.matches or []:
+        col, regex = spec.split(":", 1)
+        checks.append(V.matches(col, regex))
+    if not checks:
+        print("no checks given", file=sys.stderr)
+        return 2
+    report = V.validate(df, checks)
+    _show(report)
+    return 0 if all(r.passed for r in report.collect()) else 1
+
+
+def cmd_corpus_report(args) -> int:
+    from pyspark.sql import functions as F
+
+    from centimators_spark.text.analysis import char_entropy, quality_score
+    from centimators_spark.text.line_filters import corpus_line_dedup
+    from centimators_spark.text.repetition import repetition_signals
+
+    spark = _spark(args.cpus)
+    df = spark.read.parquet(args.path)
+    t, i = args.text_col, args.id_col
+    q = quality_score(df, t, i).select("doc_id", "quality")
+    e = char_entropy(df, t, i).select("doc_id", "entropy")
+    r = repetition_signals(df, t, i).select("doc_id", "dup_ngram_char_frac")
+    ld = corpus_line_dedup(df, t, i).select("doc_id", "dup_line_frac")
+    joined = q.join(e, "doc_id").join(r, "doc_id").join(ld, "doc_id")
+    _show(
+        joined.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+            F.round(F.avg("dup_ngram_char_frac"), 4).alias("avg_rep_frac"),
+            F.round(F.avg("dup_line_frac"), 4).alias("avg_dup_line_frac"),
+        )
+    )
+    if args.per_doc:
+        _show(joined.orderBy("doc_id"), args.per_doc)
+    return 0
+
+
+def cmd_heavy_hitters(args) -> int:
+    from centimators_spark.profile import heavy_hitters
+
+    spark = _spark(args.cpus)
+    df = spark.read.parquet(args.path)
+    _show(
+        heavy_hitters(
+            df, args.col, min_share=args.min_share, exact=not args.sketch
+        )
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="centimators_spark")
+    p.add_argument("--cpus", default="8")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("profile", help="per-column SUMMARIZE")
+    sp.add_argument("path")
+    sp.add_argument("--cols", default=None, help="comma-separated subset")
+    sp.add_argument("--exact", action="store_true")
+    sp.set_defaults(fn=cmd_profile)
+
+    sv = sub.add_parser("validate", help="declarative checks (exit 1 on fail)")
+    sv.add_argument("path")
+    sv.add_argument("--not-null", action="append")
+    sv.add_argument("--unique", action="append")
+    sv.add_argument("--in-range", action="append", metavar="COL:LO:HI")
+    sv.add_argument("--in-set", action="append", metavar="COL:V1,V2")
+    sv.add_argument("--matches", action="append", metavar="COL:REGEX")
+    sv.set_defaults(fn=cmd_validate)
+
+    sc = sub.add_parser("corpus-report", help="quality/entropy/dup summary")
+    sc.add_argument("path")
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--per-doc", type=int, default=0, metavar="N")
+    sc.set_defaults(fn=cmd_corpus_report)
+
+    sh = sub.add_parser("heavy-hitters", help="frequent values of a column")
+    sh.add_argument("path")
+    sh.add_argument("--col", required=True)
+    sh.add_argument("--min-share", type=float, default=0.01)
+    sh.add_argument("--sketch", action="store_true")
+    sh.set_defaults(fn=cmd_heavy_hitters)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
