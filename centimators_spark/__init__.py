@@ -44,7 +44,7 @@ from centimators_spark.ml.keras_cortex import KerasCortex
 from centimators_spark.ml.losses import spearman_corr
 from centimators_spark.config import get_keras_backend, set_keras_backend
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # tracks pyproject.toml
 
 __all__ = [
     "get_spark",
