@@ -135,17 +135,17 @@ def heavy_hitters(
         raise ValueError(f"min_share must be in (0, 1], got {min_share}")
     spark = df.sparkSession
     if exact:
-        from pyspark.sql import Window
-
         counts = df.groupBy(F.col(col).alias("value")).agg(
             F.count(F.lit(1)).alias("n")
         )
-        # total from a window over the (distinct-value-sized) counts
-        # frame — ONE scan of the data, mirroring the oracle's CTE,
-        # instead of a separate df.count() job
-        total = F.sum("n").over(Window.partitionBy())
+        # total as a broadcast scalar cross-join (the oracle's one-row
+        # CTE): one scan of the data (the counts shuffle is reused by
+        # both consumers), and — unlike an unpartitioned window over
+        # the counts frame — no single-task pass over what can be a
+        # data-scale distinct-value set (user ids)
+        total = counts.agg(F.sum("n").alias("__total"))
         return (
-            counts.withColumn("__total", total)
+            counts.crossJoin(F.broadcast(total))
             .where(F.col("n") >= F.col("__total") * min_share)
             .select(
                 "value",
