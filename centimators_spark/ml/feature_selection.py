@@ -57,14 +57,16 @@ def mutual_information(
         )
         wx = Window.partitionBy("xb")
         wy = Window.partitionBy("yb")
-        wall = Window.partitionBy()
-        # the window frame is the CELL table (≤ bins², tiny), not data
+        # marginals via windows over the CELL table (≤ bins², tiny);
+        # the grand total joins back as a broadcast scalar — no
+        # unpartitioned window anywhere, even if a caller passes an
+        # unbinned high-cardinality pair
+        n_total = cells.agg(F.sum("cxy").alias("n"))
         t = cells.select(
             "cxy",
             F.sum("cxy").over(wx).alias("cx"),
             F.sum("cxy").over(wy).alias("cy"),
-            F.sum("cxy").over(wall).alias("n"),
-        )
+        ).crossJoin(F.broadcast(n_total))
         term_u = (
             F.col("cxy")
             * F.round(
