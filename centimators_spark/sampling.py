@@ -363,7 +363,14 @@ def pack_sequences(
     max_doc_tokens); documents are never split. This is the
     SQL-expressible streaming formulation — bin-packing variants that
     reorder documents trade determinism and a shuffle for tighter
-    packing. One shuffle (the ``by`` partition / global sort)."""
+    packing. One shuffle (the ``by`` partition / global sort).
+
+    SCALE: with ``by=None`` the exclusive cumsum is a single-partition
+    window — inherent to a globally-sequential packing order, and the
+    one place this engine accepts it over data-sized input. At corpus
+    scale ALWAYS pass ``by`` (a shard key: split, domain, hash bucket);
+    each shard packs independently and in parallel, which is also what
+    a multi-host tokenizer wants to consume."""
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     w = (
