@@ -1309,8 +1309,64 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_line_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES keys):
+    100 orders drawn with probability proportional to total price."""
+    from centimators_spark.sampling import weighted_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return weighted_sample(orders, 100, "o_totalprice", "o_orderkey", "ws1").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_conformal_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month conformal radius (k-th order statistic with the
+    finite-sample correction) of the naive-pricer residual."""
+    from centimators_spark.ml.conformal import conformal_quantiles
+
+    li = _lineitem(spark, sf_dir).select(
+        F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate"))).alias(
+            "era"
+        ),
+        (F.col("l_quantity") * 1000).alias("pred"),
+        F.col("l_extendedprice").alias("target"),
+    )
+    return conformal_quantiles(li, "pred", "target", alpha=0.1, era_col="era")
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each view picks up the user's NEXT purchase value
+    at or after it (union + reverse carry window)."""
+    from centimators_spark.operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join_forward(
+        views, purchases, on="ts", by="user_id", value_cols=["pvalue"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "value",
+        F.unix_timestamp("ts_asof").alias("next_purchase_ts_epoch"),
+        F.col("pvalue_asof").alias("next_purchase_value"),
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "weighted_sample": q_weighted_sample,
+        "conformal_quantiles": q_conformal_quantiles,
+        "asof_join_forward": q_asof_join_forward,
         "line_dedup": q_line_dedup,
         "mutual_information": q_mutual_information,
         "heavy_hitters": q_heavy_hitters,
@@ -1335,7 +1391,49 @@ def staged_oracle_sql() -> dict[str, str]:
         corpus_line_dedup_oracle_sql,
     )
 
+    from centimators_spark.ml.conformal import conformal_quantiles_oracle_sql
+    from centimators_spark.sampling import sql_weighted_sample
+
     return {
+        "weighted_sample": sql_weighted_sample(
+            "orders", 100, "o_totalprice", "o_orderkey", "ws1",
+            select_sql="o_orderkey, o_custkey, o_totalprice",
+        ),
+        "conformal_quantiles": conformal_quantiles_oracle_sql(
+            "(SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT)"
+            " AS era, l_quantity * 1000 AS pred,"
+            " l_extendedprice AS target FROM lineitem)",
+            "pred",
+            "target",
+            alpha=0.1,
+            era_sql="era",
+        ),
+        "asof_join_forward": """
+            WITH views AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'view'
+            ), purchases AS (
+              SELECT user_id, ts, max(value) AS pvalue FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ), nxt AS (
+              SELECT v.event_id, v.user_id, v.ts, v.value,
+                     min(p.ts) AS pts
+              FROM views v
+              LEFT JOIN purchases p
+                ON v.user_id = p.user_id AND p.ts >= v.ts
+              GROUP BY v.event_id, v.user_id, v.ts, v.value
+            )
+            SELECT n.event_id, n.user_id,
+                   CAST(epoch(date_trunc('second', n.ts)) AS BIGINT)
+                     AS ts_epoch,
+                   n.value,
+                   CAST(epoch(date_trunc('second', n.pts)) AS BIGINT)
+                     AS next_purchase_ts_epoch,
+                   p2.pvalue AS next_purchase_value
+            FROM nxt n
+            LEFT JOIN purchases p2
+              ON n.user_id = p2.user_id AND n.pts = p2.ts
+        """,
         "line_dedup": corpus_line_dedup_oracle_sql(),
         "mutual_information": mutual_information_oracle_sql(
             "lineitem",
