@@ -195,3 +195,39 @@ def violations(df: DataFrame, check: Check, limit: int = 20) -> DataFrame:
             .limit(limit)
         )
     return df.where(_violation_expr(check)).limit(limit)
+
+
+def observed_validation(df: DataFrame, checks: Sequence[Check]):
+    """Zero-extra-scan validation: attach the column checks as an
+    ``Observation`` on ``df`` — violation counters are collected DURING
+    whatever action the caller already runs (the write, the aggregate),
+    not by a second scan. The 100 TB shape of data-quality monitoring:
+    the table is read once, the counters ride the same pass.
+
+    Returns ``(observed_df, observation)``; after any action on
+    ``observed_df``, ``observation.get`` is a dict
+    ``{"{kind}:{column}": n_violations}``. Foreign-key checks need a
+    join and cannot ride an observation — pass them to
+    :func:`validate` instead (a ValueError here keeps the contract
+    explicit). ``unique`` is likewise excluded: count(DISTINCT) is not
+    an observable metric (it would force the extra pass this API
+    exists to avoid) — use :func:`validate` or a batch HLL.
+    """
+    from pyspark.sql import Observation
+
+    bad_kinds = {c.kind for c in checks} & {"foreign_key", "unique"}
+    if bad_kinds:
+        raise ValueError(
+            f"{sorted(bad_kinds)} checks cannot ride an observation — "
+            "use validate() for them"
+        )
+    if not checks:
+        raise ValueError("no checks given")
+    obs = Observation("validation")
+    metrics = [
+        F.count(F.when(_violation_expr(c), 1))
+        .cast("long")
+        .alias(f"{c.kind}:{c.column}")
+        for c in checks
+    ]
+    return df.observe(obs, *metrics), obs

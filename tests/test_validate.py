@@ -91,3 +91,31 @@ def test_validate_approx_unique_never_negative(spark):
     dup = spark.createDataFrame([(i % 10,) for i in range(5000)], "id long")
     [r2] = validate(dup, [unique("id")], approx_unique=True).collect()
     assert not r2.passed and r2.n_violations > 4000
+
+
+def test_observed_validation_rides_the_action(spark, frame):
+    """Observation counters equal the separate-scan validate() report
+    and are collected by the caller's OWN action (no extra scan)."""
+    from centimators_spark.validate import observed_validation
+
+    checks = [not_null("cat"), in_range("v", 0, None), in_set("cat", ["a", "b"])]
+    observed, obs = observed_validation(frame, checks)
+    # the caller's action: a write-shaped full pass
+    n = observed.count()
+    assert n == 4
+    got = obs.get
+    assert got["not_null:cat"] == 1
+    assert got["in_range:v"] == 1
+    assert got["in_set:cat"] == 1
+    # parity with the separate-scan report
+    rep = {
+        (r.check, r.column): r.n_violations
+        for r in validate(frame, checks).collect()
+    }
+    for key, v in got.items():
+        kind, col = key.split(":")
+        assert rep[(kind, col)] == v, key
+    with pytest.raises(ValueError):
+        observed_validation(frame, [unique("id")])
+    with pytest.raises(ValueError):
+        observed_validation(frame, [])
