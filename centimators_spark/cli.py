@@ -45,32 +45,43 @@ def cmd_validate(args) -> int:
 
     spark = _spark(args.cpus)
     df = spark.read.parquet(args.path)
-    checks = []
-    for c in args.not_null or []:
-        checks.append(V.not_null(c))
-    for c in args.unique or []:
-        checks.append(V.unique(c))
-    for spec in args.in_range or []:
-        col, lo, hi = (spec.split(":") + ["", ""])[:3]
-        checks.append(
-            V.in_range(
-                col,
-                float(lo) if lo else None,
-                float(hi) if hi else None,
+    # exit-code contract: 0 = all checks pass, 1 = a check FAILED,
+    # 2 = usage error — a malformed spec must be 2, never 1 (a CI gate
+    # reading 1 would mistake the typo for a data-quality failure)
+    try:
+        checks = []
+        for c in args.not_null or []:
+            checks.append(V.not_null(c))
+        for c in args.unique or []:
+            checks.append(V.unique(c))
+        for spec in args.in_range or []:
+            col, lo, hi = (spec.split(":") + ["", ""])[:3]
+            checks.append(
+                V.in_range(
+                    col,
+                    float(lo) if lo else None,
+                    float(hi) if hi else None,
+                )
             )
-        )
-    for spec in args.in_set or []:
-        col, vals = spec.split(":", 1)
-        checks.append(V.in_set(col, vals.split(",")))
-    for spec in args.matches or []:
-        col, regex = spec.split(":", 1)
-        checks.append(V.matches(col, regex))
+        for spec in args.in_set or []:
+            col, vals = spec.split(":", 1)
+            checks.append(V.in_set(col, vals.split(",")))
+        for spec in args.matches or []:
+            col, regex = spec.split(":", 1)
+            checks.append(V.matches(col, regex))
+    except (ValueError, IndexError) as e:
+        print(f"bad check spec: {e}", file=sys.stderr)
+        return 2
     if not checks:
         print("no checks given", file=sys.stderr)
         return 2
-    report = V.validate(df, checks)
-    _show(report)
-    return 0 if all(r.passed for r in report.collect()) else 1
+    # one execution: collect, then print and gate from the same rows
+    rows = V.validate(df, checks).collect()
+    for r in rows:
+        print(f"{r.check:12s} {r.column:24s} "
+              f"{'pass' if r.passed else 'FAIL'} "
+              f"violations={r.n_violations}")
+    return 0 if all(r.passed for r in rows) else 1
 
 
 def cmd_corpus_report(args) -> int:
@@ -87,7 +98,10 @@ def cmd_corpus_report(args) -> int:
     e = char_entropy(df, t, i).select("doc_id", "entropy")
     r = repetition_signals(df, t, i).select("doc_id", "dup_ngram_char_frac")
     ld = corpus_line_dedup(df, t, i).select("doc_id", "dup_line_frac")
+    # two actions read this four-scan join — materialize it once
     joined = q.join(e, "doc_id").join(r, "doc_id").join(ld, "doc_id")
+    if args.per_doc:
+        joined = joined.persist()
     _show(
         joined.agg(
             F.count(F.lit(1)).alias("n_docs"),

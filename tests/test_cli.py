@@ -15,7 +15,7 @@ def test_cli_validate_exit_codes(spark, capsys):
     ])
     assert ok == 0
     out = capsys.readouterr().out
-    assert "not_null" in out and "true" in out
+    assert "not_null" in out and "pass" in out
 
     bad = main([
         "validate", f"{SF}/orders.parquet",
@@ -23,6 +23,13 @@ def test_cli_validate_exit_codes(spark, capsys):
     ])
     assert bad == 1
     assert main(["validate", f"{SF}/orders.parquet"]) == 2  # no checks
+    # malformed spec is a USAGE error (2), never a data failure (1)
+    assert main([
+        "validate", f"{SF}/orders.parquet", "--in-range", "o_totalprice",
+    ]) == 2
+    assert main([
+        "validate", f"{SF}/orders.parquet", "--in-set", "o_orderstatus",
+    ]) == 2
 
 
 def test_cli_profile_heavy_hitters_corpus(spark, capsys):
