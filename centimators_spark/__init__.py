@@ -14,6 +14,7 @@ analysis, multimodal columns, streaming.
 
 from centimators_spark.session import get_spark
 from centimators_spark.io import load_tables, register_views
+from centimators_spark.base import melt_panel
 from centimators_spark.profile import heavy_hitters, table_profile
 from centimators_spark import validate
 from centimators_spark.operators.ranking import RankTransformer

@@ -133,3 +133,28 @@ class PanelTransformer(Transformer):
 
     def get_feature_names_out(self) -> list[str]:
         raise NotImplementedError
+
+
+def melt_panel(
+    df,
+    id_cols,
+    value_cols,
+    *,
+    var_name: str = "feature",
+    value_name: str = "value",
+):
+    """Wide→long reshape (pandas melt / SQL UNPIVOT): one row per
+    (id, feature) with the feature NAME as data — the storage/serving
+    layout for wide panel frames (a 5000-feature frame becomes a long
+    skinny table that partitions and prunes by feature).
+
+    Spark's built-in ``unpivot`` plans this as a single Expand node —
+    map-side only, zero shuffle, |value_cols|× row fan-out. Values are
+    cast to a common type by unpivot's contract (pass numeric columns
+    of one family, or cast first)."""
+    return df.unpivot(
+        [c for c in ([id_cols] if isinstance(id_cols, str) else list(id_cols))],
+        [c for c in ([value_cols] if isinstance(value_cols, str) else list(value_cols))],
+        var_name,
+        value_name,
+    )

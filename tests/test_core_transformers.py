@@ -466,3 +466,43 @@ def test_drawdown_transformer(spark):
     assert [round(r.x_drawdown, 6) for r in out] == [
         0.0, 0.0, 0.25, 0.0, 0.5,
     ]
+
+
+def test_melt_panel_matches_duckdb_unpivot(spark):
+    """Wide->long melt == DuckDB UNPIVOT; plan is a single Expand
+    (map-side, zero shuffle)."""
+    import duckdb
+    import pandas as pd
+
+    from centimators_spark.base import melt_panel
+
+    pdf = pd.DataFrame(
+        {
+            "rid": [1, 2],
+            "f_a": [1.0, 2.0],
+            "f_b": [3.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = melt_panel(df, "rid", ["f_a", "f_b"])
+    got = out.toPandas().sort_values(["rid", "feature"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = (
+        con.execute(
+            "SELECT rid, feature, value FROM t "
+            "UNPIVOT INCLUDE NULLS (value FOR feature IN (f_a, f_b))"
+        )
+        .fetchdf()
+        .sort_values(["rid", "feature"])
+        .reset_index(drop=True)
+    )
+    assert got[["rid", "feature"]].equals(exp[["rid", "feature"]])
+    import numpy as np
+
+    np.testing.assert_allclose(
+        got["value"].astype(float), exp["value"].astype(float),
+        rtol=0, atol=0, equal_nan=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "Exchange" not in plan
