@@ -1362,8 +1362,22 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (UNPIVOT) of three lineitem measures — single
+    Expand, zero shuffle."""
+    from centimators_spark.base import melt_panel
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS, "l_quantity", "l_discount", "l_tax"
+    )
+    return melt_panel(
+        li, KEYS, ["l_quantity", "l_discount", "l_tax"]
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "melt_lineitem": q_melt_lineitem,
         "weighted_sample": q_weighted_sample,
         "conformal_quantiles": q_conformal_quantiles,
         "asof_join_forward": q_asof_join_forward,
@@ -1395,6 +1409,13 @@ def staged_oracle_sql() -> dict[str, str]:
     from centimators_spark.sampling import sql_weighted_sample
 
     return {
+        "melt_lineitem": """
+            SELECT l_orderkey, l_linenumber, feature, value
+            FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                         l_discount, l_tax FROM lineitem)
+            UNPIVOT INCLUDE NULLS
+              (value FOR feature IN (l_quantity, l_discount, l_tax))
+        """,
         "weighted_sample": sql_weighted_sample(
             "orders", 100, "o_totalprice", "o_orderkey", "ws1",
             select_sql="o_orderkey, o_custkey, o_totalprice",
