@@ -1,7 +1,15 @@
 """Headline benchmark. Runs every __spark_entry__ query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS].
+
+Output contract (learned the hard way in round 3, where the single
+JSON line carrying a 96-entry per-query map outran the driver's stdout
+tail buffer and BENCH_r03 recorded ``parsed: null``): the per-query
+map is written to BENCH_DETAIL.json and printed as an EARLY stdout
+line; the LAST stdout line is a compact machine-parsable summary —
+{"metric", "value", "unit", "queries", "sf"} with ``queries`` limited
+to the slowest 10 — so tail truncation can never eat the number the
+driver parses.
 
 Each query is executed with a count-style action (foreach noop via
 ``write.format("noop")``) so measured time is plan execution, not
@@ -66,14 +74,42 @@ def main():
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    # full per-query map: to a sidecar file + an EARLY stdout line (so a
+    # human or tools/bench_compare.py can always find it) ...
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(full, fh)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout copy below still lands
+    print(json.dumps(full))
+    # ... and the LAST stdout line stays short enough that no tail
+    # buffer can truncate it: top-10 slowest queries only
+    top = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": top,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
