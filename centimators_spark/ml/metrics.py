@@ -65,15 +65,24 @@ def _sql_corr_from_sums(n: str, sx: str, sy: str, sxx: str, syy: str,
 
 
 def _exact_sums(x: Column, y: Column) -> list[Column]:
-    """The six DECIMAL(38,0) moment sums (x, y must be integer-valued)."""
+    """The six DECIMAL(38,0) moment sums (x, y must be integer-valued).
+
+    Products cast each OPERAND to DECIMAL(19,0) first — (19,0)×(19,0)
+    multiplies exactly into DECIMAL(38,0) in both engines. Multiplying
+    in LONG and casting after would overflow (ANSI ARITHMETIC_OVERFLOW)
+    for any carrier ≥ ~3.04e9, i.e. a 6dp micro-unit scaling of values
+    over ~3036 — a bound real panels exceed. Exactness now holds for
+    |x| < 1e19 with |x·y| < 1e38."""
     d = "decimal(38,0)"
+    d19 = "decimal(19,0)"
+    x19, y19 = x.cast(d19), y.cast(d19)
     return [
         F.count(F.lit(1)).alias("n"),
         F.sum(x.cast(d)).alias("sx"),
         F.sum(y.cast(d)).alias("sy"),
-        F.sum((x * x).cast(d)).alias("sxx"),
-        F.sum((y * y).cast(d)).alias("syy"),
-        F.sum((x * y).cast(d)).alias("sxy"),
+        F.sum(x19 * x19).alias("sxx"),
+        F.sum(y19 * y19).alias("syy"),
+        F.sum(x19 * y19).alias("sxy"),
     ]
 
 
@@ -179,9 +188,15 @@ def era_report_oracle_sql(
                  count(*) AS n,
                  sum(CAST({x_sql} AS DECIMAL(38,0))) AS sx,
                  sum(CAST({y_sql} AS DECIMAL(38,0))) AS sy,
-                 sum(CAST(({x_sql}) * ({x_sql}) AS DECIMAL(38,0))) AS sxx,
-                 sum(CAST(({y_sql}) * ({y_sql}) AS DECIMAL(38,0))) AS syy,
-                 sum(CAST(({x_sql}) * ({y_sql}) AS DECIMAL(38,0))) AS sxy
+                 -- operands cast BEFORE multiplying, mirroring
+                 -- _exact_sums: BIGINT products overflow at ~3e9 in
+                 -- both engines, which the differential gate can't see
+                 sum(CAST({x_sql} AS DECIMAL(19,0))
+                   * CAST({x_sql} AS DECIMAL(19,0))) AS sxx,
+                 sum(CAST({y_sql} AS DECIMAL(19,0))
+                   * CAST({y_sql} AS DECIMAL(19,0))) AS syy,
+                 sum(CAST({x_sql} AS DECIMAL(19,0))
+                   * CAST({y_sql} AS DECIMAL(19,0))) AS sxy
           FROM {table} GROUP BY 1
         ), per_era AS (
           SELECT era, round({corr}, 6) AS corr FROM sums
@@ -254,16 +269,23 @@ def autocorr(
     )
     aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
     d = "decimal(38,0)"
+    d19 = "decimal(19,0)"
     for k in lags:
         lk = F.col(f"__l{k}")
-        pair = lk.isNotNull()
+        # a pair contributes only when BOTH ends are non-null — counting
+        # on the lag alone would inflate n{k} for rows whose current
+        # value is null while adding nothing to the moment sums
+        pair = lk.isNotNull() & x.isNotNull()
+        x19, l19 = x.cast(d19), lk.cast(d19)
         aggs += [
             F.count(F.when(pair, 1)).alias(f"n{k}"),
             F.sum(F.when(pair, x).cast(d)).alias(f"sx{k}"),
             F.sum(F.when(pair, lk).cast(d)).alias(f"sy{k}"),
-            F.sum(F.when(pair, x * x).cast(d)).alias(f"sxx{k}"),
-            F.sum(F.when(pair, lk * lk).cast(d)).alias(f"syy{k}"),
-            F.sum(F.when(pair, x * lk).cast(d)).alias(f"sxy{k}"),
+            # operands cast before multiplying (same overflow bound as
+            # _exact_sums: exact for carriers < 1e19)
+            F.sum(F.when(pair, x19 * x19)).alias(f"sxx{k}"),
+            F.sum(F.when(pair, l19 * l19)).alias(f"syy{k}"),
+            F.sum(F.when(pair, x19 * l19)).alias(f"sxy{k}"),
         ]
     sums = lagged.groupBy(group_col).agg(*aggs)
     out_cols: list[Column] = [F.col(group_col), F.col("n")]
@@ -293,13 +315,16 @@ def autocorr_oracle_sql(
     )
     sum_cols = []
     for k in lags:
+        # both-ends-non-null pair condition + operand-first DECIMAL
+        # casts, mirroring autocorr() exactly
+        p = f"l{k} IS NOT NULL AND x IS NOT NULL"
         sum_cols += [
-            f"count(CASE WHEN l{k} IS NOT NULL THEN 1 END) AS n{k}",
-            f"sum(CASE WHEN l{k} IS NOT NULL THEN CAST(x AS DECIMAL(38,0)) END) AS sx{k}",
-            f"sum(CASE WHEN l{k} IS NOT NULL THEN CAST(l{k} AS DECIMAL(38,0)) END) AS sy{k}",
-            f"sum(CASE WHEN l{k} IS NOT NULL THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx{k}",
-            f"sum(CASE WHEN l{k} IS NOT NULL THEN CAST(l{k} * l{k} AS DECIMAL(38,0)) END) AS syy{k}",
-            f"sum(CASE WHEN l{k} IS NOT NULL THEN CAST(x * l{k} AS DECIMAL(38,0)) END) AS sxy{k}",
+            f"count(CASE WHEN {p} THEN 1 END) AS n{k}",
+            f"sum(CASE WHEN {p} THEN CAST(x AS DECIMAL(38,0)) END) AS sx{k}",
+            f"sum(CASE WHEN {p} THEN CAST(l{k} AS DECIMAL(38,0)) END) AS sy{k}",
+            f"sum(CASE WHEN {p} THEN CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) END) AS sxx{k}",
+            f"sum(CASE WHEN {p} THEN CAST(l{k} AS DECIMAL(19,0)) * CAST(l{k} AS DECIMAL(19,0)) END) AS syy{k}",
+            f"sum(CASE WHEN {p} THEN CAST(x AS DECIMAL(19,0)) * CAST(l{k} AS DECIMAL(19,0)) END) AS sxy{k}",
         ]
     corr_cols = ", ".join(
         f"round({_sql_corr_from_sums(f'n{k}', f'sx{k}', f'sy{k}', f'sxx{k}', f'syy{k}', f'sxy{k}')}, 6)"

@@ -39,6 +39,22 @@ def _sql_bucket(key_sql: str, salt: str) -> str:
     return f"{sql_md5_long(keyed)} % {DENOM}"
 
 
+# full 60-bit uniform u ∈ (0,1) — used where per-row DISTINCTNESS
+# matters (A-ES keys), not just a rate threshold
+_U_DENOM = float(2**60)
+
+
+def _unit_uniform(key: Column, salt: str) -> Column:
+    return (
+        md5_long(F.concat(F.lit(salt), key.cast("string"))) + F.lit(0.5)
+    ) / F.lit(_U_DENOM)
+
+
+def _sql_unit_uniform(key_sql: str, salt: str) -> str:
+    keyed = f"'{salt}' || CAST({key_sql} AS VARCHAR)"
+    return f"(({sql_md5_long(keyed)}) + 0.5) / {_U_DENOM!r}"
+
+
 def deterministic_sample(
     df: DataFrame, rate: float, key_col: str, salt: str = ""
 ) -> DataFrame:
@@ -404,11 +420,15 @@ def weighted_sample(
     engines' ``ln`` agree to ≤1 ulp, so the DuckDB mirror
     (sql_weighted_sample) selects the identical set unless two keys
     collide within float epsilon (hash granularity makes that
-    ~2^-50-improbable; exact ties break by key)."""
+    ~2^-50-improbable; exact ties break by key). u rides the FULL
+    60-bit hash (not the DENOM-quantized bucket): with only 1e6
+    distinct u values, multi-million-row inputs would collide on
+    identical A-ES keys and the key-ascending tie-break would bias
+    inclusion toward lexicographically small keys."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = F.col(weight_col).cast("double")
-    u = (_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(DENOM)
+    u = _unit_uniform(F.col(key_col), salt)
     aes = F.log(u) / w
     return (
         df.where(w.isNotNull() & (w > 0))
@@ -428,7 +448,7 @@ def sql_weighted_sample(
     select_sql: str = "*",
 ) -> str:
     """DuckDB mirror of :func:`weighted_sample`."""
-    u = f"(({_sql_bucket(key_sql, salt)}) + 0.5) / {DENOM}"
+    u = _sql_unit_uniform(key_sql, salt)
     return f"""
         SELECT {select_sql} FROM {table}
         WHERE {weight_sql} IS NOT NULL AND CAST({weight_sql} AS DOUBLE) > 0

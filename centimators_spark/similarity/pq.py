@@ -157,6 +157,7 @@ def pq_topk(
     code_col: str = "pq_code",
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC top-k: per query one literal m·k lookup array; corpus-side
     distance is transform+aggregate over the code array — whole-stage
@@ -165,7 +166,13 @@ def pq_topk(
     Returns (query_id, vec_id, approx_cos, rank); approx_cos =
     1 − dist²/2 under unit-normalized training, monotone in the true
     cosine up to quantization error (re-rank survivors against raw
-    vectors for exact scores)."""
+    vectors for exact scores).
+
+    ``exclude_self`` assumes the query-id space IS the corpus-id space
+    (queries drawn from the corpus) and drops the id-equal pair. Pass
+    False when query ids are unrelated to ``id_col`` — otherwise a
+    corpus vector whose id coincidentally equals a query id would be
+    silently excluded from that query's top-k."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -217,9 +224,11 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    scored = encoded.crossJoin(F.broadcast(qdf))
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
     scored = (
-        encoded.crossJoin(F.broadcast(qdf))
-        .where(F.col(id_col) != F.col(query_id_col))
+        scored
         .select(
             query_id_col,
             id_col,
@@ -246,6 +255,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ — the faiss-standard composition of the engine's two ANN
     scale mechanisms: IVF cell pruning bounds WHICH vectors are scored
@@ -259,7 +269,8 @@ def ivfpq_topk(
     pq_encode over the listed vectors, then the ADC lookup join
     restricted to each query's probed cells. Returns
     (query_id, vec_id, approx_cos, rank) — re-rank survivors against
-    raw vectors for exact scores (see tests)."""
+    raw vectors for exact scores (see tests). ``exclude_self`` as in
+    :func:`pq_topk` — pass False when query ids are not corpus ids."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.types import (
@@ -302,7 +313,7 @@ def ivfpq_topk(
     if len(qpd) == 0:
         return pq_topk(coded.drop("cell"), queries, codebooks, k=k,
                        id_col=id_col, query_id_col=query_id_col,
-                       vec_col=vec_col)
+                       vec_col=vec_col, exclude_self=exclude_self)
     Q = _unitize(
         np.vstack([np.asarray(x, dtype=np.float64) for x in qpd[vec_col]])
     )
@@ -338,9 +349,11 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    scored = coded.join(F.broadcast(probe_df), "cell")
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
     scored = (
-        coded.join(F.broadcast(probe_df), "cell")
-        .where(F.col(id_col) != F.col(query_id_col))
+        scored
         .select(
             query_id_col,
             id_col,

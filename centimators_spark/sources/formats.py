@@ -107,11 +107,14 @@ def read_text_corpus(
             )
         )
     whole = spark.read.text(path, wholetext=True)
-    # POSIX line semantics, matching the plain mode's Spark text source:
-    # split on \r?\n (CRLF-safe) and drop the single phantom empty
-    # element a trailing newline produces ('a\nb\n' is TWO lines; a
-    # genuinely empty last line 'a\n\n' still yields 'a', '')
-    lines = F.split(F.col("value"), "\r?\n", -1)
+    # Hadoop line-reader semantics, matching the plain mode's text
+    # source exactly: a zero-byte file yields ZERO rows (not one empty
+    # line — split('') would produce ['']), terminators are \r\n, \r,
+    # or \n (a lone \r terminates a line in Hadoop's LineReader), and
+    # the single phantom empty element a trailing terminator produces
+    # is dropped ('a\nb\n' is TWO lines; 'a\n\n' still yields 'a', '')
+    whole = whole.where(F.col("value") != "")
+    lines = F.split(F.col("value"), "\r\n|\r|\n", -1)
     n = F.size(lines)
     lines = F.when(
         (n > 1) & (F.element_at(lines, -1) == ""),

@@ -28,6 +28,46 @@ def test_era_corr_matches_numpy(spark):
         assert got[era] == pytest.approx(expect, abs=1e-6), era
 
 
+def test_era_corr_large_carriers_no_overflow(spark):
+    """Carriers ≥ ~3.04e9 (a 6dp micro-unit scaling of any value over
+    ~3036) overflowed the old LONG products into an ANSI
+    ARITHMETIC_OVERFLOW before the DECIMAL cast; operands now cast
+    first, so the products are exact DECIMAL(38,0) in both engines."""
+    rng = np.random.RandomState(3)
+    base = rng.randint(3_000_000_000, 4_000_000_000, 30)
+    noise = rng.randint(0, 1_000_000_000, 30)
+    rows = [(1, int(a), int(a + b)) for a, b in zip(base, noise)]
+    df = spark.createDataFrame(rows, "era int, x long, y long")
+    [row] = era_corr(df, "x", "y", "era").collect()
+    xs = np.array([r[1] for r in rows], dtype=float)
+    ys = np.array([r[2] for r in rows], dtype=float)
+    assert row.corr == pytest.approx(np.corrcoef(xs, ys)[0, 1], abs=1e-6)
+    # the autocorr sums shared the same overflow class
+    adf = spark.createDataFrame(
+        [("a", t, int(v)) for t, v in enumerate(base)], "g string, t int, v long"
+    )
+    [arow] = autocorr(adf, "v", group_col="g", order_cols=["t"], lags=(1,)).collect()
+    expect = np.corrcoef(base[1:].astype(float), base[:-1].astype(float))[0, 1]
+    assert arow.acf1 == pytest.approx(expect, abs=1e-6)
+
+
+def test_autocorr_null_values_excluded_from_pairs(spark):
+    """A row whose CURRENT value is null must not inflate the pair
+    count n{k} (it contributes nothing to the moment sums)."""
+    vals = [10, 20, None, 40, 50, 30, 70]
+    rows = [("a", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, v long")
+    [row] = autocorr(df, "v", group_col="g", order_cols=["t"], lags=(1,)).collect()
+    pairs = [
+        (c, p)
+        for c, p in zip(vals[1:], vals[:-1])
+        if c is not None and p is not None
+    ]
+    xs = np.array([c for c, _ in pairs], dtype=float)
+    ys = np.array([p for _, p in pairs], dtype=float)
+    assert row.acf1 == pytest.approx(np.corrcoef(xs, ys)[0, 1], abs=1e-6)
+
+
 def test_era_corr_constant_series_is_null(spark):
     df = spark.createDataFrame(
         [(1, 5, 1), (1, 5, 2), (1, 5, 3)], "era int, x long, y long"

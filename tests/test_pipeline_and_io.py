@@ -242,3 +242,22 @@ def test_read_text_corpus_trailing_newline_and_crlf(spark):
         assert sorted(by_file["posix.txt"]) == [(0, "alpha"), (1, "beta")]
         assert sorted(by_file["crlf.txt"]) == [(0, "one"), (1, "two")]
         assert sorted(by_file["emptyend.txt"]) == [(0, "a"), (1, "")]
+
+
+def test_read_text_corpus_empty_file_and_lone_cr(spark):
+    """Hadoop line-reader parity on edge files: a zero-byte file emits
+    ZERO rows in both modes, and a lone \\r is a line terminator (the
+    numbered mode used to split only \\r?\\n)."""
+    from centimators_spark.sources import read_text_corpus
+
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        open(os.path.join(d, "empty.txt"), "w").close()  # 0 bytes
+        with open(os.path.join(d, "maccr.txt"), "wb") as f:
+            f.write(b"one\rtwo\r")            # classic-Mac lone \r
+        plain = read_text_corpus(spark, d).collect()
+        numbered = read_text_corpus(spark, d, line_numbers=True).collect()
+        assert len(plain) == len(numbered) == 2
+        assert all(os.path.basename(r.file) == "maccr.txt" for r in numbered)
+        assert sorted((r.line_no, r.text) for r in numbered) == [
+            (0, "one"), (1, "two")
+        ]
