@@ -57,6 +57,19 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return b
 
 
+def derive_n_planes(n_rows: int, target_bucket_rows: int = 10_000) -> int:
+    """Plane count such that a UNIFORM spread of ``n_rows`` over 2^p
+    sign-buckets targets ≤ ``target_bucket_rows`` rows/bucket. Real
+    embedding distributions are far from uniform (that is what
+    ``max_bucket_rows`` chunking is for), but this keeps the DEFAULT
+    geometry from collapsing a billion vectors into 64 buckets."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket_rows)))
+
+
 def semantic_dedup(
     df: DataFrame,
     *,
@@ -64,26 +77,80 @@ def semantic_dedup(
     vec_col: str = "embedding",
     dim: int,
     threshold: float = 0.35,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     seed: int = 7,
+    target_bucket_rows: int = 10_000,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Kept rows after semantic pruning: ``(id, bucket)`` for every
     vector with NO same-bucket neighbor of smaller id and cosine ≥
     ``threshold``. Bucketing is recall-lossy across bucket boundaries
     (like any LSH dedup) — raise recall by lowering ``n_planes`` or
-    unioning several seeds' prunes."""
+    unioning several seeds' prunes.
+
+    Scale controls (the within-bucket join is O(Σ bucket²) — with the
+    historical default of 6 planes = 64 global buckets, 10⁹ vectors
+    would mean ~10¹⁴ comparisons landing on 64 shuffle tasks):
+
+    - ``n_planes="auto"`` derives the plane count from a count() of the
+      input via :func:`derive_n_planes` (one extra cheap action;
+      targets ``target_bucket_rows`` rows/bucket under a uniform
+      spread). Explicit ints stay pinned — required for the bit-exact
+      oracle, whose plane literals depend on the count.
+    - ``max_bucket_rows`` bounds the SKEW: rows get a deterministic
+      chunk index within their bucket (``ceil(bucket_rows /
+      max_bucket_rows)`` chunks, keyed md5 of the id), the b-side is
+      replicated to every chunk, and the join runs on (bucket, chunk) —
+      a fat bucket becomes m bounded tasks of ≤ max_bucket_rows·n_b
+      comparisons instead of one O(n²) straggler. Result set is
+      IDENTICAL to the unchunked plan (property-tested); cost is an
+      m× replication of fat-bucket rows through the shuffle, the
+      standard block-pair trade (similarity/ann.py block kernel).
+    """
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
+    if n_planes == "auto":
+        n_planes = derive_n_planes(base.count(), target_bucket_rows)
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
     planes = hyperplanes(n_planes, dim, seed)
     bucketed = base.withColumn("bucket", _bucket_expr(F.col("v"), planes))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    dominated = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("b.id") < F.col("a.id")),
+
+    if max_bucket_rows is not None:
+        if max_bucket_rows < 1:
+            raise ValueError(f"max_bucket_rows must be >= 1, got {max_bucket_rows}")
+        # tiny agg (≤ 2^p rows) broadcast back: chunks per bucket
+        sizes = bucketed.groupBy("bucket").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(max_bucket_rows))
+            .cast("int")
+            .alias("__m")
         )
+        chunked = bucketed.join(F.broadcast(sizes), "bucket").withColumn(
+            "__chunk",
+            F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(seed)), F.col("__m"))
+            .cast("int"),
+        )
+        a = chunked.select("id", "v", "bucket", "__chunk").alias("a")
+        # b-side: every row visits every chunk of its bucket
+        b = (
+            chunked.select(
+                "id", "v", "bucket",
+                F.explode(F.sequence(F.lit(0), F.col("__m") - 1)).alias("__chunk"),
+            )
+        ).alias("b")
+        pair_cond = (
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__chunk") == F.col("b.__chunk"))
+            & (F.col("b.id") < F.col("a.id"))
+        )
+    else:
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pair_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("b.id") < F.col("a.id")
+        )
+    dominated = (
+        a.join(b, pair_cond)
         .where(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
         .select(F.col("a.id").alias("id"))
         .distinct()

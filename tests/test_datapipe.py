@@ -603,6 +603,61 @@ def test_semantic_dedup_prunes_dominated(spark):
     assert (3 in kept) == (b[3] != b[1])
 
 
+def test_semantic_dedup_chunked_matches_unchunked(spark):
+    """max_bucket_rows decomposes a fat bucket into block-pair tasks;
+    the kept set must be IDENTICAL to the unchunked plan. The input is
+    deliberately skewed: 60 vectors share the all-positive orthant (one
+    bucket for any plane count), 20 are random."""
+    import numpy as np
+
+    from centimators_spark.dedup.semantic import semantic_dedup
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(60):  # same orthant: abs() keeps every plane-sign equal-ish
+        v = np.abs(rng.standard_normal(8)) + 0.1
+        rows.append((i, [float(x) for x in v]))
+    for i in range(60, 80):
+        rows.append((i, [float(x) for x in rng.standard_normal(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=8, threshold=0.8, n_planes=3)
+    plain = {(r.vec_id, r.bucket) for r in semantic_dedup(df, **kw).collect()}
+    for cap in (1, 7, 1000):
+        chunked = {
+            (r.vec_id, r.bucket)
+            for r in semantic_dedup(df, max_bucket_rows=cap, **kw).collect()
+        }
+        assert chunked == plain, cap
+
+
+def test_semantic_dedup_auto_planes():
+    """'auto' derives the plane count from the row count so the default
+    geometry cannot collapse web-scale input into 64 buckets."""
+    from centimators_spark.dedup.semantic import derive_n_planes
+
+    assert derive_n_planes(1_000) == 1
+    assert derive_n_planes(20_000) == 1
+    assert derive_n_planes(20_001, target_bucket_rows=10_000) == 2
+    assert derive_n_planes(100_000) == 4          # 2^4 = 16 buckets
+    assert derive_n_planes(1_000_000_000) == 17   # 131072 buckets of ~7.6k
+    assert derive_n_planes(10**12) == 27
+
+
+def test_semantic_dedup_auto_planes_runs(spark):
+    import numpy as np
+
+    from centimators_spark.dedup.semantic import semantic_dedup
+
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 50 rows, target 10 → ceil(log2(5)) = 3 planes; just must run and keep ≤ 50
+    out = semantic_dedup(
+        df, dim=8, threshold=0.99, n_planes="auto", target_bucket_rows=10
+    ).collect()
+    assert 0 < len(out) <= 50
+
+
 def test_pq_roundtrip_recall_and_determinism(spark, emb):
     """Product quantization: codes are deterministic; ADC top-k recalls
     most true neighbors at 32x compression; a fine codebook (k close to
