@@ -449,14 +449,24 @@ SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
 RZ_C = 1.4826022185056018
 
 
-def q_panel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_panel_features(
+    spark: SparkSession, sf_dir: str, materialize: str = "localCheckpoint"
+) -> DataFrame:
     """Composed training-prep flagship — per-era OLS neutralization →
     global robust z-score → decile binning → deterministic hash split,
     as ONE lazy plan whose oracle nests the individually-verified stage
     oracles. Every stage rides exact carriers (decimal Gram sums,
     6dp-rounded residuals, interpolated percentiles, md5 buckets), so
     the END-TO-END pipeline is bit-exact — the composability property
-    a training platform actually needs."""
+    a training platform actually needs.
+
+    ``materialize`` (localCheckpoint|persist|none) selects how the two
+    multi-consumer frames (the OLS residual frame and the neutralized
+    frame the quantile stages re-read) are cut, same surface as the
+    stages' own parameter: localCheckpoint is fastest/stablest on
+    local[n] (see inline notes); on a cluster pass "persist" so the
+    lineage cut is storage-evictable and rack-replicated rather than
+    pinned to executor-local block files."""
     from centimators_spark.operators.encoding import quantile_bin
     from centimators_spark.operators.neutralization import era_ols_neutralize
     from centimators_spark.operators.stats import robust_zscore
@@ -475,20 +485,29 @@ def q_panel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5.6-19s for full recompute at sf0.1 (cold runs halve)
     n = era_ols_neutralize(
         li, "e100", ["q", "d100", "t100"], era_col="era", proportion=0.5,
-        keep_cols=KEYS, materialize="localCheckpoint",
+        keep_cols=KEYS, materialize=materialize,
     )
     # the downstream quantile consumers (median, MAD, bin bounds) would
     # each recompute the whole neutralization lineage — cut it once.
-    # localCheckpoint, NOT persist(): Spark's CacheManager matches
-    # CANONICALIZED plans, so a persist here would make every later
-    # rebuild of this query (bench's repeated timed runs) silently read
-    # the first run's cache — the recorded time would measure cache
+    # Default localCheckpoint, NOT persist(): Spark's CacheManager
+    # matches CANONICALIZED plans, so a persist here would make every
+    # later rebuild of this query (bench's repeated timed runs) silently
+    # read the first run's cache — the recorded time would measure cache
     # hits, not the plan — and the un-unpersisted blocks would occupy
     # executor memory for the rest of the suite. Checkpoint blocks are
     # per-instance and freed by the ContextCleaner once the py4j refs
     # drop (bench gc's between queries). The occasional full-GC stall
-    # this can absorb is handled by bench's adaptive third run.
-    n = n.localCheckpoint(eager=True)
+    # this can absorb is handled by bench's adaptive third run. On a
+    # cluster pass materialize="persist" (evictable, not pinned to
+    # executor-local block files) or "none" (pure lazy recompute).
+    if materialize == "localCheckpoint":
+        n = n.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        n = n.persist()
+    elif materialize != "none":
+        raise ValueError(
+            f"materialize must be localCheckpoint|persist|none, got {materialize!r}"
+        )
     rz = robust_zscore(n, ["neutralized"], exact=True, consistency=RZ_C)
     qb = quantile_bin(rz, ["neutralized"], n_bins=10, exact=True)
     out = hash_split(

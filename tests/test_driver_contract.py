@@ -91,6 +91,23 @@ def test_compare_flags_int_float_dtype_mismatch():
     assert compare("dtype_probe_width", narrow, spark_pdf)
 
 
+def test_panel_features_materialize_param(spark):
+    """The flagship's contract form honors the same materialize=
+    surface as its stages — identical rows under every mode (the
+    cluster profile is one argument away from the local default)."""
+    import pytest
+
+    base = entrymod.q_panel_features(spark, SF).toPandas()
+    cols = sorted(base.columns)
+    base = base[cols].sort_values(cols).reset_index(drop=True)
+    for mode in ("none", "persist"):
+        alt = entrymod.q_panel_features(spark, SF, materialize=mode).toPandas()
+        alt = alt[cols].sort_values(cols).reset_index(drop=True)
+        assert alt.equals(base), mode
+    with pytest.raises(ValueError):
+        entrymod.q_panel_features(spark, SF, materialize="bogus")
+
+
 def test_correctness_window_covers_unverified_queries():
     """Every query never hash-verified by a previous round's driver run
     must sit inside the driver's 50-entry correctness window; the
