@@ -643,6 +643,91 @@ def q_penalizer_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unique_key_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key-unique subset of lineitem — (l_orderkey, l_linenumber)
+    pairs appearing exactly once; a well-defined join domain both
+    engines agree on."""
+    return (
+        _lineitem(spark, sf_dir)
+        .groupBy(*KEYS)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") == 1)
+        .select(*KEYS)
+    )
+
+
+_UNIQUE_KEY_COUNT_SQL = """(
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    GROUP BY 1, 2 HAVING count(*) = 1
+)"""
+
+
+def q_neutralizer_kernel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash contract tying the applyInPandas FeatureNeutralizer
+    KERNEL (#18, unrounded Φ⁻¹ + numpy lstsq — rows-only on its own) to
+    the hash-verified expression twin (neutralizer_full_expr): Spark
+    joins kernel and twin on the row keys and counts rows whose outputs
+    agree within 1e-3 (the local differential test pins 2e-4 at
+    tests/test_neutralization.py:338; 5× margin); the oracle asserts
+    the claim — every row close, row count from the raw table. OLS
+    predictions are invariant to the twin's fixed-decimal feature
+    scaling, so raw-feature kernel vs scaled-feature twin is the same
+    transformation.
+
+    The comparison restricts to KEY-UNIQUE rows ((l_orderkey,
+    l_linenumber) collides in this synthetic data, and duplicate-key
+    rows are interchangeable under the ordinal-rank tiebreak — their
+    per-row pairing is not well-defined); both engines compute the
+    same key-unique set exactly."""
+    kernel = q_feature_neutralizer(spark, sf_dir).select(
+        *KEYS,
+        F.col("`l_extendedprice_neutralized_0.5`").alias("__k"),
+    )
+    twin = q_neutralizer_full_expr(spark, sf_dir).select(
+        *KEYS, F.col("neutralized").alias("__t")
+    )
+    j = kernel.join(twin, KEYS).join(_unique_key_rows(spark, sf_dir), KEYS)
+    close = F.abs(F.col("__k") - F.col("__t")) <= 1e-3
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(close, 1).otherwise(0)).cast("long").alias("n_close"),
+    )
+
+
+def q_pca_kernel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash contract tying DimReducer('pca')'s aggregation +
+    driver-eigh kernel (#21, rows-only on its own) to the hash-verified
+    closed-form twin (pca_project_expr): same inputs, join on keys,
+    count rows where both projected dims agree within 1e-6 (the
+    tolerance the differential test pins at tests/test_ml_surface.py:135);
+    oracle asserts every row close."""
+    from centimators_spark.operators.dimreduction import (
+        DimReducer,
+        pca2_project_expr,
+    )
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        F.col("l_quantity").alias("xq"),
+        F.round(F.col("l_discount") * 100).alias("yd"),
+    )
+    t = DimReducer("pca", 2, ["xq", "yd"], keep_cols=KEYS)
+    kernel = t.fit_transform(li).select(
+        *KEYS, F.col("dim_0").alias("__k0"), F.col("dim_1").alias("__k1")
+    )
+    twin = pca2_project_expr(li, "xq", "yd", keep_cols=KEYS).select(
+        *KEYS, F.col("dim_0").alias("__t0"), F.col("dim_1").alias("__t1")
+    )
+    j = kernel.join(twin, KEYS).join(_unique_key_rows(spark, sf_dir), KEYS)
+    close = (F.abs(F.col("__k0") - F.col("__t0")) <= 1e-6) & (
+        F.abs(F.col("__k1") - F.col("__t1")) <= 1e-6
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(close, 1).otherwise(0)).cast("long").alias("n_close"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference README's 4-stage panel pipeline
     (logreturn → rank → lag → ma) on the sf0.001 lineitem panel
@@ -695,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders": q_validate_orders,
         # --- new this round ---
         "penalizer_contract": q_penalizer_contract,
+        "neutralizer_kernel_contract": q_neutralizer_kernel_contract,
+        "pca_kernel_contract": q_pca_kernel_contract,
         # --- round-3 greens (window re-verification is harmless) ---
         "session_ids": q_session_ids,
         **relational_queries.QUERIES,
@@ -1089,6 +1176,16 @@ def oracle_sql() -> dict[str, str]:
         **relational_queries.oracle_sql(),
         **_promoted_oracle_sql(),
         "penalizer_contract": _penalizer_contract_oracle(),
+        # kernel-contract claims: every key-unique row agrees within the
+        # differential-test tolerance — any kernel drift breaks the hash
+        "neutralizer_kernel_contract": f"""
+            SELECT count(*) AS n_rows, count(*) AS n_close
+            FROM {_UNIQUE_KEY_COUNT_SQL}
+        """,
+        "pca_kernel_contract": f"""
+            SELECT count(*) AS n_rows, count(*) AS n_close
+            FROM {_UNIQUE_KEY_COUNT_SQL}
+        """,
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
         "rolling_corr_ewma": _rolling_corr_ewma_oracle(),
         "pca_project_expr": _pca_project_expr_oracle(),

@@ -44,7 +44,7 @@ QS = [
     "rank_transformer", "lag_transformer", "neutralize_ols_era",
     "winsorize_by_era", "dedup_minhash_lsh", "corpus_clean",
     "unigram_lm", "era_report", "autocorrelation", "event_funnel",
-    "session_ids", "spearman_by_month",
+    "session_ids", "spearman_by_month", "panel_features",
 ]
 
 
