@@ -2,27 +2,32 @@
 shifted keys/dates, 50k documents, 1M events — multi-row-group files so
 scans actually split) and time representative queries at both scales.
 
-Measured 2026-08-14 (local[32], warm second run):
+Measured 2026-08-14 round 4 (local[32], warm second run; round-3
+numbers in tools/ history):
 
     query               x1      x10    ratio   note
-    rank_transformer    0.99    1.85    1.9x   window fan-out
-    lag_transformer     0.73    1.31    1.8x
-    neutralize_ols_era  ~7*     6.96   ~1x     decimal Gram; *x1 median
-    winsorize_by_era    2.36    2.01   <1x     exact percentile
-    dedup_minhash_lsh   2.61   13.75    5.3x   band join + verify
-    corpus_clean        6.86   54.24    7.9x   5-stage composed flagship
-    unigram_lm          0.90    3.06    3.4x   vocab broadcast
-    era_report          1.14    1.35    1.2x   tiny-era summary
-    autocorrelation     1.25    2.91    2.3x   shared window+agg
-    event_funnel        0.84    1.26    1.5x   broadcast stages
-    session_ids         0.47    0.55    1.2x
-    spearman_by_month   ~2*     1.98   ~1x     *x1 median
+    rank_transformer    1.25    2.35    1.9x   window fan-out
+    lag_transformer     0.82    1.44    1.8x
+    neutralize_ols_era  8.93   20.42    2.3x   decimal Gram
+    winsorize_by_era    1.99   11.71    5.9x   exact percentile
+    dedup_minhash_lsh   2.96   23.90    8.1x   band join + verify
+    corpus_clean        7.13   40.79    5.7x   5-stage composed flagship
+    unigram_lm          1.01    3.00    3.0x   vocab broadcast
+    era_report          1.35    1.37    1.0x   tiny-era summary
+    autocorrelation     1.35    2.69    2.0x   shared window+agg
+    event_funnel        1.43    1.07   <1x     broadcast stages
+    session_ids         0.62    0.40   <1x
+    spearman_by_month   1.38    1.86    1.3x
+    panel_features     13.47   20.66    1.5x   4-stage composed flagship
 
 Every ratio is SUB-LINEAR in the 10x data growth — the multi-row-group
 x10 files scan with real parallelism that the single-row-group sf0.1
 files cannot, so fixed costs amortize exactly as they would on a
 many-file 100 TB table. No operator shows super-linear blow-up (the
 quadratic traps — gram re-evaluation, pair explosion — stay dead).
+Both composed flagships hold: panel_features 1.5x (its checkpoint +
+three tiny aggs amortize), corpus_clean 5.7x (LSH banding dominates,
+linear in candidate pairs).
 
 Usage: python tools/scale_experiment.py [--keep]
 """
