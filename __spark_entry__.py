@@ -728,6 +728,69 @@ def q_pca_kernel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_FEATS = ("l_quantity", "l_extendedprice", "l_discount")
+PSI_REF_DATE = "1996-01-01"
+CV_EMBARGO = 30 * 86400.0  # 30-day label horizon, in epoch seconds
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per feature between the pre-1996
+    training slice and the rest — the drift monitor a serving pipeline
+    runs next to era_report. Exact-percentile boundaries pinned for
+    oracle parity; the mergeable approx sketch is the scale default."""
+    from centimators_spark.operators.drift import psi_drift
+
+    li = _lineitem(spark, sf_dir)
+    out = psi_drift(
+        li,
+        list(PSI_FEATS),
+        F.col("l_shipdate") < F.lit(PSI_REF_DATE),
+        n_bins=10,
+        exact=True,
+    )
+    return out
+
+
+def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence of order priority against the finished-order
+    label — the classification sibling of target_encode_loo."""
+    from centimators_spark.operators.encoding import woe_encode
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__lbl", F.col("o_orderstatus") == "F"
+    )
+    out = woe_encode(
+        orders, "o_orderpriority", "__lbl", smoothing=0.5, out_col="woe"
+    )
+    return out.select("o_orderkey", "o_orderpriority", "woe")
+
+
+def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level embargoed walk-forward CV fold assignment (the
+    reference's TimeSeriesSplit surface made distributed): validation
+    fold id + embargo flag per row, exact quantile boundaries."""
+    from centimators_spark.model_selection import assign_folds
+
+    li = _lineitem(spark, sf_dir).select(*KEYS, "l_shipdate")
+    out = assign_folds(
+        li, "l_shipdate", n_splits=5, embargo=CV_EMBARGO, exact=True
+    )
+    return out.select(*KEYS, "fold", "embargoed")
+
+
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI token pairs over the documents corpus (capped-vocab
+    co-occurrence — collocation mining on training text)."""
+    from centimators_spark.text.cooccur import pmi_pairs
+
+    return pmi_pairs(
+        load_table(spark, sf_dir, "documents"),
+        vocab_size=100,
+        min_pair_count=5,
+        top_k=50,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference README's 4-stage panel pipeline
     (logreturn → rank → lag → ma) on the sf0.001 lineitem panel
@@ -782,6 +845,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "penalizer_contract": q_penalizer_contract,
         "neutralizer_kernel_contract": q_neutralizer_kernel_contract,
         "pca_kernel_contract": q_pca_kernel_contract,
+        "psi_drift": q_psi_drift,
+        "woe_encode": q_woe_encode,
+        "cv_folds": q_cv_folds,
+        "pmi_cooccur": q_pmi_cooccur,
+        "market_share": relational_queries.q_market_share,
         # --- round-3 greens (window re-verification is harmless) ---
         "session_ids": q_session_ids,
         **relational_queries.QUERIES,
@@ -1161,6 +1229,52 @@ def _neutralize_ols_era_oracle() -> str:
     )
 
 
+def _psi_drift_oracle() -> str:
+    from centimators_spark.operators.drift import psi_drift_oracle_sql
+
+    return psi_drift_oracle_sql(
+        "lineitem",
+        {f: f for f in PSI_FEATS},
+        f"l_shipdate < TIMESTAMP '{PSI_REF_DATE}'",
+        n_bins=10,
+    )
+
+
+def _woe_encode_oracle() -> str:
+    from centimators_spark.operators.encoding import woe_encode_oracle_sql
+
+    return woe_encode_oracle_sql(
+        "orders",
+        "o_orderpriority",
+        "o_orderstatus = 'F'",
+        smoothing=0.5,
+        select_sql="b.o_orderkey, b.o_orderpriority",
+        out_name="woe",
+    )
+
+
+def _cv_folds_oracle() -> str:
+    from centimators_spark.model_selection import assign_folds_oracle_sql
+
+    # DuckDB cannot CAST TIMESTAMP AS DOUBLE directly; epoch() yields
+    # the same fractional-seconds double Spark's timestamp→double cast does
+    return assign_folds_oracle_sql(
+        "lineitem",
+        "epoch(l_shipdate)",
+        n_splits=5,
+        embargo=CV_EMBARGO,
+        select_sql="l_orderkey, l_linenumber",
+    )
+
+
+def _pmi_cooccur_oracle() -> str:
+    from centimators_spark.text.cooccur import pmi_pairs_oracle_sql
+
+    return pmi_pairs_oracle_sql(
+        "documents", vocab_size=100, min_pair_count=5, top_k=50
+    )
+
+
 def _penalizer_contract_oracle() -> str:
     return f"""
         SELECT CAST(epoch(date_trunc('year', l_shipdate)) AS BIGINT) AS era,
@@ -1186,6 +1300,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_rows, count(*) AS n_close
             FROM {_UNIQUE_KEY_COUNT_SQL}
         """,
+        "psi_drift": _psi_drift_oracle(),
+        "woe_encode": _woe_encode_oracle(),
+        "cv_folds": _cv_folds_oracle(),
+        "pmi_cooccur": _pmi_cooccur_oracle(),
+        "market_share": relational_queries._MARKET_SHARE_ORACLE,
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
         "rolling_corr_ewma": _rolling_corr_ewma_oracle(),
         "pca_project_expr": _pca_project_expr_oracle(),

@@ -24,6 +24,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _epoch_double_sql(df: DataFrame, time_col: str) -> str:
+    """SQL text for ``time_col`` as a DOUBLE (epoch seconds for
+    temporal types). TIMESTAMP_NTZ/DATE cannot cast straight to DOUBLE
+    in Spark — route through TIMESTAMP_LTZ (identity under the
+    engine's pinned-UTC sessions, matching DuckDB's epoch())."""
+    kind = df.selectExpr(f"({time_col}) AS __t").schema[0].dataType.simpleString()
+    if kind in ("timestamp_ntz", "date"):
+        return f"CAST(CAST(({time_col}) AS TIMESTAMP_LTZ) AS DOUBLE)"
+    return f"CAST(({time_col}) AS DOUBLE)"
+
+
 def time_series_splits(
     df: DataFrame,
     time_col: str,
@@ -53,12 +64,11 @@ def time_series_splits(
     if embargo < 0:
         raise ValueError(f"embargo must be >= 0, got {embargo}")
     qs = [i / (n_splits + 1) for i in range(1, n_splits + 2)]
-    t = F.col(time_col).cast("double")
+    t_sql = _epoch_double_sql(df, time_col)
+    t = F.expr(t_sql)
     row = df.agg(
         *[
-            F.expr(
-                f"approx_percentile(CAST({time_col} AS DOUBLE), {q}, 10000)"
-            ).alias(f"q{i}")
+            F.expr(f"approx_percentile({t_sql}, {q}, 10000)").alias(f"q{i}")
             for i, q in enumerate(qs)
         ]
     ).collect()[0]
@@ -73,6 +83,110 @@ def time_series_splits(
             val = df.where((t >= F.lit(lo)) & (t < F.lit(hi)))
         folds.append((train, val))
     return folds
+
+
+def assign_folds(
+    df: DataFrame,
+    time_col: str,
+    *,
+    n_splits: int = 5,
+    embargo: float = 0.0,
+    out_col: str = "fold",
+    flag_col: str | None = "embargoed",
+    exact: bool = False,
+) -> DataFrame:
+    """Row-level companion of :func:`time_series_splits`: append the
+    VALIDATION fold index each row belongs to (−1 for the seed block
+    before the first boundary, which only ever trains) and — with
+    ``flag_col`` — whether the row sits inside the embargo gap trailing
+    its fold (rows a later fold's training must drop when labels look
+    ``embargo`` units ahead).
+
+    Same boundaries as time_series_splits: the (i/(n_splits+1))
+    quantiles of ``time_col`` (cast to double — epoch seconds for
+    timestamps). ``exact=True`` uses interpolated exact percentiles
+    (sorts the column inside one aggregation buffer — oracle-parity
+    mode with a bit-exact DuckDB mirror in
+    :func:`assign_folds_oracle_sql`); the default approx sketch is the
+    100 TB path. One tiny aggregation broadcast back; the fold label is
+    a pure codegen expression on the scan."""
+    if n_splits < 1:
+        raise ValueError(f"n_splits must be >= 1, got {n_splits}")
+    if embargo < 0:
+        raise ValueError(f"embargo must be >= 0, got {embargo}")
+    qs = [i / (n_splits + 1) for i in range(1, n_splits + 1)]
+    probs_sql = ", ".join(repr(q) for q in qs)
+    fn = "percentile" if exact else "approx_percentile"
+    t_sql = _epoch_double_sql(df, time_col)
+    bounds = df.agg(
+        F.expr(f"{fn}({t_sql}, array({probs_sql}))").alias("__bounds")
+    )
+    t = F.expr(t_sql)
+    fold = (
+        F.aggregate(
+            F.col("__bounds"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(t >= b, 1).otherwise(0),
+        )
+        - 1
+    )
+    out = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, fold.cast("int"))
+    )
+    if flag_col is not None:
+        # inside the embargo gap before the NEXT boundary: a training
+        # set built "strictly before boundary i with embargo" excludes
+        # exactly these rows (time_series_splits: t < lo − embargo)
+        # F.get (0-based) returns NULL past the last boundary — ANSI
+        # element_at would THROW for the final fold's rows
+        nxt = F.get(F.col("__bounds"), F.col(out_col) + 1)
+        out = out.withColumn(
+            flag_col,
+            F.when(
+                (F.col(out_col) < n_splits - 1)
+                & (t >= nxt - F.lit(float(embargo))),
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
+    return out.drop("__bounds")
+
+
+def assign_folds_oracle_sql(
+    table: str,
+    time_sql: str,
+    *,
+    n_splits: int = 5,
+    embargo: float = 0.0,
+    select_sql: str = "*",
+    fold_name: str = "fold",
+    flag_name: str | None = "embargoed",
+) -> str:
+    """DuckDB mirror of :func:`assign_folds` (exact mode) — identical
+    interpolated quantile boundaries and fold/embargo rules."""
+    qs = [i / (n_splits + 1) for i in range(1, n_splits + 1)]
+    probs_sql = ", ".join(repr(q) for q in qs)
+    fold = (
+        f"(len(list_filter(b.bounds, v -> CAST({time_sql} AS DOUBLE) >= v))"
+        f" - 1)"
+    )
+    cols = f"{select_sql}, CAST({fold} AS INTEGER) AS {fold_name}"
+    if flag_name is not None:
+        flag = f"""CASE WHEN {fold} < {n_splits - 1}
+            AND CAST({time_sql} AS DOUBLE)
+                >= b.bounds[{fold} + 2] - {float(embargo)!r}
+            THEN 1 ELSE 0 END"""
+        cols += f", CAST({flag} AS INTEGER) AS {flag_name}"
+    return f"""
+        WITH b AS (
+          SELECT quantile_cont(CAST({time_sql} AS DOUBLE), [{probs_sql}])
+            AS bounds
+          FROM {table}
+        )
+        SELECT {cols} FROM {table} CROSS JOIN b
+    """
 
 
 def grid_search(

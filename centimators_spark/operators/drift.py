@@ -1,0 +1,178 @@
+"""Feature-drift monitoring: Population Stability Index between a
+reference and a current slice of a panel — the standard production
+check that a served feature's distribution still looks like training.
+
+Spark shape (holds at 100 TB): ONE filtered exact/approx percentile
+aggregation over the reference slice plans the bin boundaries per
+feature (tiny row, broadcast back), one melt (Expand, map-side) turns
+the wide feature columns into (feature, side, bin) rows, and one
+grouped aggregation counts them — two small shuffles total, no per-row
+Python, no driver loop over features.
+
+Exactness: boundaries are interpolated percentiles (Spark
+``percentile`` == DuckDB ``quantile_cont`` — the parity
+operators/encoding.quantile_bin already pins), counts are exact
+integers, and the PSI expression over smoothed proportions is shared
+text rounded to ``digits`` — hash-exact DuckDB oracle
+(:func:`psi_drift_oracle_sql`).
+
+Reference scope: the reference ships no drift monitor; this is the
+§2.3-style extension a training platform needs next to era_report
+(scores drifting) — PSI over the same fixed-decimal carriers.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _psi_expr(p_ref: Column, p_cur: Column) -> Column:
+    return (p_cur - p_ref) * (F.log(p_cur) - F.log(p_ref))
+
+
+def psi_drift(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    ref_cond: Column,
+    *,
+    n_bins: int = 10,
+    exact: bool = True,
+    digits: int = 6,
+) -> DataFrame:
+    """PSI per feature between the ``ref_cond`` slice (reference /
+    training period) and its complement (current period).
+
+    Bins are equal-population on the REFERENCE side (n_bins−1 interior
+    interpolated percentiles; bin = number of boundaries strictly below
+    the value, same rule as quantile_bin); both sides' bin counts are
+    Laplace-smoothed by 0.5 so empty bins contribute finitely:
+    p = (c + 0.5) / (n + 0.5·n_bins). Returns one row per feature:
+    (feature, n_ref, n_cur, psi) with psi rounded to ``digits``.
+
+    Rule of thumb: psi < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
+    action. ``exact=False`` swaps the boundary aggregation for the
+    mergeable ``approx_percentile`` sketch (the 100 TB default; exact
+    mode sorts each feature's reference values inside one aggregation
+    buffer and exists for oracle parity)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    feats = list(feature_cols)
+    probs = [i / n_bins for i in range(1, n_bins)]
+    probs_sql = ", ".join(repr(p) for p in probs)
+    fn = "percentile" if exact else "approx_percentile"
+    sided = df.withColumn("__ref", ref_cond)
+    bounds = sided.select("__ref", *feats).agg(
+        *[
+            F.expr(
+                f"{fn}(CASE WHEN __ref THEN CAST(`{c}` AS DOUBLE) END,"
+                f" array({probs_sql}))"
+            ).alias(f"__b_{i}")
+            for i, c in enumerate(feats)
+        ]
+    )
+    def _bin_expr(i: int, c: str):
+        # closure factory: a default-arg lambda would confuse pyspark's
+        # higher-order-function arity detection (it must see exactly 2)
+        v = F.col(f"`{c}`").cast("double")
+        return F.aggregate(
+            F.col(f"__b_{i}"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+        )
+
+    melted = sided.crossJoin(F.broadcast(bounds)).select(
+        "__ref",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        _bin_expr(i, c).alias("bin"),
+                    )
+                    for i, c in enumerate(feats)
+                ]
+            )
+        ).alias("fb"),
+    )
+    counts = melted.groupBy(
+        F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("__ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("__ref"), 0).otherwise(1)).alias("c_cur"),
+    )
+    tot = counts.groupBy("feature").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    smooth = 0.5
+    j = counts.join(F.broadcast(tot), "feature")
+    p_ref = (F.col("c_ref") + smooth) / (
+        F.col("n_ref") + F.lit(smooth * n_bins)
+    )
+    p_cur = (F.col("c_cur") + smooth) / (
+        F.col("n_cur") + F.lit(smooth * n_bins)
+    )
+    return (
+        j.withColumn("__t", _psi_expr(p_ref, p_cur))
+        .groupBy("feature")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(F.sum("__t"), digits).alias("psi"),
+        )
+    )
+
+
+def psi_drift_oracle_sql(
+    table: str,
+    feature_sqls: dict[str, str],
+    ref_cond_sql: str,
+    *,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`psi_drift` (exact mode): identical
+    interpolated boundaries, bin rule, smoothing, and PSI expression.
+    ``feature_sqls`` maps output feature name → SQL expression."""
+    probs = [i / n_bins for i in range(1, n_bins)]
+    probs_sql = ", ".join(repr(p) for p in probs)
+    smooth = 0.5
+    branches = []
+    for name, expr in feature_sqls.items():
+        branches.append(f"""
+          SELECT '{name}' AS feature, __ref,
+                 len(list_filter(
+                   (SELECT quantile_cont(CASE WHEN {ref_cond_sql}
+                             THEN CAST({expr} AS DOUBLE) END, [{probs_sql}])
+                    FROM {table}),
+                   b -> CAST({expr} AS DOUBLE) > b)) AS bin
+          FROM (SELECT *, ({ref_cond_sql}) AS __ref FROM {table})
+        """)
+    union = " UNION ALL ".join(branches)
+    return f"""
+        WITH melted AS ({union}),
+        counts AS (
+          SELECT feature, bin,
+                 sum(CASE WHEN __ref THEN 1 ELSE 0 END) AS c_ref,
+                 sum(CASE WHEN __ref THEN 0 ELSE 1 END) AS c_cur
+          FROM melted GROUP BY feature, bin
+        ), tot AS (
+          SELECT feature, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur
+          FROM counts GROUP BY feature
+        ), terms AS (
+          SELECT c.feature, t.n_ref, t.n_cur,
+                 ((c.c_cur + {smooth!r}) / (t.n_cur + {smooth * n_bins!r})
+                  - (c.c_ref + {smooth!r}) / (t.n_ref + {smooth * n_bins!r}))
+                 * (ln((c.c_cur + {smooth!r}) / (t.n_cur + {smooth * n_bins!r}))
+                    - ln((c.c_ref + {smooth!r}) / (t.n_ref + {smooth * n_bins!r})))
+                   AS term
+          FROM counts c JOIN tot t USING (feature)
+        )
+        SELECT feature,
+               CAST(max(n_ref) AS BIGINT) AS n_ref,
+               CAST(max(n_cur) AS BIGINT) AS n_cur,
+               round(sum(term), {digits}) AS psi
+        FROM terms GROUP BY feature
+    """

@@ -176,6 +176,97 @@ def target_encode_oracle_sql(
     """
 
 
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    *,
+    smoothing: float = 0.5,
+    out_col: str | None = None,
+    round_dp: int = 6,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Append ``out_col`` = Weight of Evidence of the category against
+    a binary label — the classification sibling of :func:`target_encode`
+    (credit-scoring standard; also the log-odds feature a GBM sees):
+
+        woe_cat = ln( ((pos_cat + s) / (pos + 2s))
+                    / ((neg_cat + s) / (neg + 2s)) )
+
+    with ``s`` the Laplace ``smoothing`` keeping single-class
+    categories finite. ``label_col`` is interpreted as boolean
+    (nonzero/true = positive); NULL labels count as negative.
+
+    Exactness: pos/neg counts are exact integers, the ln evaluates on
+    identical ratios in both engines, rounded to ``round_dp``
+    (:func:`woe_encode_oracle_sql`).
+
+    Plan: one grouped count aggregation + broadcast join back (the
+    global totals ride a second tiny aggregation) — the fact table
+    never shuffles when ``broadcast_stats`` (default; pass False for
+    genuinely high-cardinality keys and let AQE plan it)."""
+    out = out_col or f"{cat_col}_woe"
+    y = F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)
+    base = df.withColumn("__y", y)
+    cat_stats = base.groupBy(cat_col).agg(
+        F.sum("__y").alias("__pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__neg"),
+    )
+    tot = base.agg(
+        F.sum("__y").alias("__post"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__negt"),
+    )
+    if broadcast_stats:
+        cat_stats = F.broadcast(cat_stats)
+    stat_side = cat_stats.select(
+        F.col(cat_col).alias("__r_cat"), "__pos", "__neg"
+    )
+    j = base.join(
+        stat_side, base[cat_col].eqNullSafe(stat_side["__r_cat"])
+    ).drop("__r_cat").crossJoin(F.broadcast(tot))
+    s = float(smoothing)
+    woe = F.log(
+        ((F.col("__pos") + s) / (F.col("__post") + 2 * s))
+        / ((F.col("__neg") + s) / (F.col("__negt") + 2 * s))
+    )
+    return j.withColumn(out, F.round(woe, round_dp)).drop(
+        "__y", "__pos", "__neg", "__post", "__negt"
+    )
+
+
+def woe_encode_oracle_sql(
+    table: str,
+    cat_sql: str,
+    label_sql: str,
+    *,
+    smoothing: float = 0.5,
+    select_sql: str = "*",
+    out_name: str = "woe",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`woe_encode` — identical counts and ln
+    arithmetic. ``label_sql`` must evaluate to BOOLEAN."""
+    s = repr(float(smoothing))
+    return f"""
+        WITH b AS (
+          SELECT *, {cat_sql} AS __cat,
+                 CASE WHEN {label_sql} THEN 1 ELSE 0 END AS __y
+          FROM {table}
+        ), c AS (
+          SELECT __cat, sum(__y) AS __pos, sum(1 - __y) AS __neg
+          FROM b GROUP BY __cat
+        ), t AS (
+          SELECT sum(__y) AS __post, sum(1 - __y) AS __negt FROM b
+        )
+        SELECT {select_sql},
+               round(ln(((c.__pos + {s}) / (t.__post + 2 * {s}))
+                      / ((c.__neg + {s}) / (t.__negt + 2 * {s}))),
+                     {round_dp}) AS {out_name}
+        FROM b JOIN c ON b.__cat IS NOT DISTINCT FROM c.__cat
+        CROSS JOIN t
+    """
+
+
 def quantile_bin(
     df: DataFrame,
     cols: Sequence[str],

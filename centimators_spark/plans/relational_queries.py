@@ -120,6 +120,75 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: NATION_5 suppliers' share
+    of ECONOMY-part volume sold to AMERICA-region customers, per order
+    year. 8-way join — the two fact tables shuffle on l_orderkey, every
+    dimension broadcasts; volume rides an exact integer carrier
+    (price-cents × discount-complement-cents, summed as DECIMAL(38,0))
+    so the share is bit-exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.alias("n1")  # customer nation → region filter
+    n2 = nation.alias("n2")  # supplier nation → share numerator
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(F.col("p_type") == "ECONOMY")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .where(F.col("r_name") == "AMERICA")
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+    )
+    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    d = "decimal(38,0)"
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("n2.n_name") == "NATION_5", vol).otherwise(0).cast(d)
+        ).alias("__num"),
+        F.sum(vol.cast(d)).alias("__den"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("__num").cast("double") / F.col("__den").cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
+_MARKET_SHARE_ORACLE = """
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             n2.n_name AS supp_nation,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT) AS vol
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                          THEN vol ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+    FROM base GROUP BY o_year
+"""
+
+
 def q_spearman_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-era (month) Spearman rank correlation — the reference's
     era-scoring semantic as a pure window+aggregate plan."""

@@ -1,0 +1,143 @@
+"""Token co-occurrence / PMI over a document corpus — the association
+mining step behind collocation extraction, topic seeding, and
+embedding-free term-similarity checks on training corpora.
+
+Spark shape (holds at corpus scale): the vocabulary is CAPPED first —
+top-``vocab_size`` tokens by (document frequency desc, token asc), one
+grouped count + one deterministic top-k, broadcast — so the per-doc
+pair fan-out is bounded by vocab_size², never by raw document length;
+the pair count is one grouped aggregation over the exploded
+(doc, token_a, token_b) pairs (a < b), and PMI evaluates on exact
+integer counts. No Python in the hot path: tokenization is
+``regexp_extract_all``, pairs come from a within-doc self-join on the
+broadcast-pruned token set.
+
+Exactness: counts are integers, PMI = ln(c_ab·N / (c_a·c_b)) evaluates
+identical ratios in both engines, rounded to 6dp; ordering
+(pmi desc, token_a, token_b) is total, so the top-k cut is
+deterministic and the DuckDB oracle (:func:`pmi_pairs_oracle_sql`)
+hash-matches.
+
+Reference scope: no reference counterpart (the reference ships no
+text analytics); §2.3-style extension beside tfidf/divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from centimators_spark.text.analysis import WORD_RE
+
+
+def pmi_pairs(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 100,
+    min_pair_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` token pairs by PMI over documents: tokens are
+    lowercase letter/digit runs (shared WORD_RE), presence is per-doc
+    DISTINCT, vocabulary capped to ``vocab_size`` by (doc-frequency
+    desc, token asc), pairs ordered (token_a < token_b) with joint
+    count ≥ ``min_pair_count``. Returns
+    (token_a, token_b, n_pair, n_a, n_b, pmi) sorted
+    (pmi desc, token_a, token_b)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col(content_col)), F.lit(WORD_RE), 0
+                )
+            )
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+    vocab = (
+        dfreq.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= vocab_size)
+        .select("tok", "df")
+    )
+    pruned = toks.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "df")
+    a = pruned.select(
+        "doc_id", F.col("tok").alias("token_a"), F.col("df").alias("n_a")
+    )
+    b = pruned.select(
+        "doc_id", F.col("tok").alias("token_b"), F.col("df").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pair"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    total = df.agg(F.countDistinct(id_col).alias("__nd"))
+    pmi = F.round(
+        F.log(
+            F.col("n_pair").cast("double")
+            * F.col("__nd").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select("token_a", "token_b", "n_pair", "n_a", "n_b", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "token_a", "token_b")
+        .limit(top_k)
+    )
+
+
+def pmi_pairs_oracle_sql(
+    table: str = "documents",
+    *,
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+    vocab_size: int = 100,
+    min_pair_count: int = 5,
+    top_k: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`pmi_pairs` — identical tokenization,
+    vocab cap, pair rule, and PMI arithmetic."""
+    return f"""
+        WITH toks AS (
+          SELECT DISTINCT {id_sql} AS doc_id,
+                 unnest(regexp_extract_all(lower({content_sql}),
+                        '{WORD_RE}')) AS tok
+          FROM {table}
+        ), dfreq AS (
+          SELECT tok, count(*) AS df FROM toks GROUP BY tok
+        ), vocab AS (
+          SELECT tok, df FROM dfreq
+          ORDER BY df DESC, tok ASC LIMIT {vocab_size}
+        ), pruned AS (
+          SELECT t.doc_id, t.tok, v.df FROM toks t JOIN vocab v USING (tok)
+        ), pairs AS (
+          SELECT a.tok AS token_a, b.tok AS token_b,
+                 CAST(count(*) AS BIGINT) AS n_pair,
+                 CAST(max(a.df) AS BIGINT) AS n_a,
+                 CAST(max(b.df) AS BIGINT) AS n_b
+          FROM pruned a JOIN pruned b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2
+          HAVING count(*) >= {min_pair_count}
+        ), total AS (
+          SELECT count(DISTINCT {id_sql}) AS nd FROM {table}
+        )
+        SELECT token_a, token_b, n_pair, n_a, n_b,
+               round(ln(CAST(n_pair AS DOUBLE) * CAST(nd AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS pmi
+        FROM pairs CROSS JOIN total
+        ORDER BY pmi DESC, token_a, token_b
+        LIMIT {top_k}
+    """
