@@ -103,11 +103,16 @@ def psi_drift(
         F.sum(F.when(F.col("__ref"), 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("__ref"), 0).otherwise(1)).alias("c_cur"),
     )
-    tot = counts.groupBy("feature").agg(
-        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
-    )
+    # per-feature totals as window sums over the TINY counts frame
+    # (features × bins rows) — a separate groupBy+join here would make
+    # Spark recompute the whole melt lineage (a second full scan)
+    from pyspark.sql import Window
+
+    wtot = Window.partitionBy("feature")
     smooth = 0.5
-    j = counts.join(F.broadcast(tot), "feature")
+    j = counts.withColumn("n_ref", F.sum("c_ref").over(wtot)).withColumn(
+        "n_cur", F.sum("c_cur").over(wtot)
+    )
     p_ref = (F.col("c_ref") + smooth) / (
         F.col("n_ref") + F.lit(smooth * n_bins)
     )

@@ -262,7 +262,7 @@ def main():
     ok &= audit("era_report: partial aggregation", "partial_" in p)
     ok &= audit("era_report: no Python eval", "EvalPython" not in p)
 
-    # 29. staged queries' plans (promoted next round, plan-audited now):
+    # 29. round-3-staged queries' plans (promoted to the window in r4):
     # weighted sampling runs as a distributed partial top-k, never a
     # global sort; the validation report is ONE aggregation + anti-join
     from centimators_spark.sampling import weighted_sample
@@ -276,7 +276,7 @@ def main():
     )
     ok &= audit("weighted_sample: no global sort", "Exchange rangepartitioning" not in p)
 
-    sq = entrymod.staged_queries()
+    sq = entrymod.queries()
     p = plan_of(sq["validate_orders"](spark, sf_dir))
     ok &= audit("validate: no Python eval", "EvalPython" not in p)
     n_agg_scans = p.count("Scan parquet")  # matches both spellings once
@@ -330,6 +330,44 @@ def main():
         n_py <= 1,  # the single mapInPandas encode stage
         f"python_stages={n_py}",
     )
+
+    # 32. round-4 additions: drift melt is one Expand (no per-feature
+    # scans), WOE stats broadcast back (fact side never shuffles), the
+    # 8-way market-share join broadcasts every dimension, CV fold
+    # labels are a broadcast of one tiny agg (no data shuffle), and the
+    # PMI vocab prune is a broadcast join
+    p = plan_of(sq["psi_drift"](spark, sf_dir))
+    ok &= audit(
+        "psi_drift: map-side melt (Generate explode, no per-feature scan)",
+        "Generate explode" in p and p.count("Scan parquet") == 2,  # data + bounds
+    )
+    ok &= audit("psi_drift: no Python eval", "EvalPython" not in p)
+    p = plan_of(sq["woe_encode"](spark, sf_dir))
+    ok &= audit("woe_encode: stats broadcast join", "BroadcastHashJoin" in p)
+    ok &= audit(
+        "woe_encode: fact side never exchanges",
+        "Exchange hashpartitioning" not in p
+        or p.count("Exchange hashpartitioning") <= 2,  # the two stat aggs
+    )
+    p = plan_of(sq["market_share"](spark, sf_dir))
+    n_bc = p.count("BroadcastHashJoin")
+    ok &= audit(
+        "market_share: dimensions broadcast",
+        n_bc >= 6,
+        f"broadcast_joins={n_bc}",
+    )
+    ok &= audit(
+        "market_share: one big-big shuffle join (lineitem-orders)",
+        p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1,
+    )
+    p = plan_of(sq["cv_folds"](spark, sf_dir))
+    ok &= audit(
+        "cv_folds: fold label via broadcast bounds, no data shuffle",
+        "BroadcastNestedLoopJoin" in p
+        and "Exchange hashpartitioning" not in p.split("BroadcastNestedLoopJoin")[0],
+    )
+    p = plan_of(sq["pmi_cooccur"](spark, sf_dir))
+    ok &= audit("pmi_cooccur: vocab prune broadcast", "BroadcastHashJoin" in p)
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
