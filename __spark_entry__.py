@@ -778,6 +778,56 @@ def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*KEYS, "fold", "embargoed")
 
 
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month 10%-trimmed mean/min/max of extendedprice — the robust
+    location family on exact integer carriers + decimal kept-sums."""
+    from centimators_spark.operators.stats import trimmed_stats
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate"))).alias(
+            "era"
+        ),
+        "l_extendedprice",
+    )
+    return trimmed_stats(
+        li, "l_extendedprice", era_col="era", trim=0.1, order_cols=KEYS
+    )
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier Page–Hinkley upward-shift detection on quantity —
+    the window-expressible changepoint test on exact integer carriers."""
+    from centimators_spark.operators.anomaly import page_hinkley
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS, "l_suppkey", *[c for c in ORDER if c not in KEYS], "l_quantity"
+    ).select(*dict.fromkeys(KEYS + ["l_suppkey"] + ORDER + ["l_quantity"]))
+    out = page_hinkley(
+        li,
+        "l_quantity",
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        lambda_sigmas=5.0,
+    )
+    # contract checks the EXACT integer statistic; the display double
+    # (ph) can flip a 6dp half-boundary by 1 ulp across engines
+    return out.select(*KEYS, "ph_int", "changepoint")
+
+
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar covariates of the order date — cross-engine dow via
+    shared epoch-day arithmetic; pure map-side codegen."""
+    from centimators_spark.functions.calendar import calendar_features
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    return calendar_features(orders, "o_orderdate", prefix="d_").drop(
+        "o_orderdate"
+    )
+
+
 def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 PMI token pairs over the documents corpus (capped-vocab
     co-occurrence — collocation mining on training text)."""
@@ -850,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_folds": q_cv_folds,
         "pmi_cooccur": q_pmi_cooccur,
         "market_share": relational_queries.q_market_share,
+        "trimmed_stats": q_trimmed_stats,
+        "page_hinkley": q_page_hinkley,
+        "calendar_features": q_calendar_features,
         # --- round-3 greens (window re-verification is harmless) ---
         "session_ids": q_session_ids,
         **relational_queries.QUERIES,
@@ -1275,6 +1328,43 @@ def _pmi_cooccur_oracle() -> str:
     )
 
 
+def _trimmed_stats_oracle() -> str:
+    from centimators_spark.operators.stats import trimmed_stats_oracle_sql
+
+    return trimmed_stats_oracle_sql(
+        "lineitem",
+        "l_extendedprice",
+        "CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT)",
+        trim=0.1,
+        order_sql="l_orderkey, l_linenumber",
+    )
+
+
+def _page_hinkley_oracle() -> str:
+    from centimators_spark.operators.anomaly import page_hinkley_oracle_sql
+    from centimators_spark.plans.relational_queries import _ORDER_SQL
+
+    return page_hinkley_oracle_sql(
+        "lineitem",
+        "l_quantity",
+        "l_suppkey",
+        _ORDER_SQL,
+        lambda_sigmas=5.0,
+        select_sql="l_orderkey, l_linenumber",
+        include_display=False,
+    )
+
+
+def _calendar_features_oracle() -> str:
+    from centimators_spark.functions.calendar import (
+        calendar_features_oracle_sql,
+    )
+
+    return calendar_features_oracle_sql(
+        "orders", "o_orderdate", prefix="d_", select_sql="o_orderkey"
+    )
+
+
 def _penalizer_contract_oracle() -> str:
     return f"""
         SELECT CAST(epoch(date_trunc('year', l_shipdate)) AS BIGINT) AS era,
@@ -1305,6 +1395,9 @@ def oracle_sql() -> dict[str, str]:
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),
         "market_share": relational_queries._MARKET_SHARE_ORACLE,
+        "trimmed_stats": _trimmed_stats_oracle(),
+        "page_hinkley": _page_hinkley_oracle(),
+        "calendar_features": _calendar_features_oracle(),
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
         "rolling_corr_ewma": _rolling_corr_ewma_oracle(),
         "pca_project_expr": _pca_project_expr_oracle(),

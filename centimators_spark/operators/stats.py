@@ -312,3 +312,112 @@ def clip_by_quantile(
         )
         out = out.withColumn(f"{c}{suffix}", clipped)
     return out.drop(*[f"__b_{c}" for c in cols])
+
+
+def trimmed_stats(
+    df: DataFrame,
+    value_col: str,
+    *,
+    era_col: str,
+    trim: float = 0.1,
+    scale: int = 100,
+    order_cols: Sequence[str] = (),
+    round_dp: int = 6,
+):
+    """Per-era TRIMMED mean/min/max of ``value_col`` — the robust
+    location family between the raw mean (outlier-dominated) and the
+    median (throws information away): drop the lowest and highest
+    ``floor(n·trim)`` observations by RANK, aggregate the rest.
+
+    Exactness contract (bit-exact DuckDB oracle,
+    :func:`trimmed_stats_oracle_sql`): values ride a fixed-decimal
+    integer carrier (``round(x · scale)``), the trim cut is integer
+    rank logic (row_number ordered by the carrier then ``order_cols``
+    as tiebreak), and the kept-sum accumulates as DECIMAL(38,0) —
+    partition-order independent; the single division to the mean
+    happens once, rounded to ``round_dp``.
+
+    Plan: one window (rank within era — reuses the era shuffle) + one
+    grouped aggregation on the same key, Catalyst-fused into a single
+    exchange. Returns (era, n, n_kept, trimmed_mean, trimmed_min,
+    trimmed_max) with min/max back in original units."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not 0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    u = F.round(F.col(value_col) * scale).cast("long")
+    w = Window.partitionBy(era_col).orderBy(
+        F.col("__u"), *[F.col(c) for c in order_cols]
+    )
+    ranked = (
+        df.withColumn("__u", u)
+        .withColumn("__r", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(era_col)))
+    )
+    k = F.floor(F.col("__n") * F.lit(trim)).cast("long")
+    kept = ranked.where((F.col("__r") > k) & (F.col("__r") <= F.col("__n") - k))
+    d = "decimal(38,0)"
+    return (
+        kept.groupBy(F.col(era_col).alias("era"))
+        .agg(
+            F.max("__n").alias("n"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("__u").cast(d)).alias("__s"),
+            F.min("__u").alias("__mn"),
+            F.max("__u").alias("__mx"),
+        )
+        .select(
+            "era",
+            "n",
+            "n_kept",
+            F.round(
+                F.col("__s").cast("double")
+                / F.col("n_kept").cast("double")
+                / scale,
+                round_dp,
+            ).alias("trimmed_mean"),
+            (F.col("__mn").cast("double") / scale).alias("trimmed_min"),
+            (F.col("__mx").cast("double") / scale).alias("trimmed_max"),
+        )
+    )
+
+
+def trimmed_stats_oracle_sql(
+    table: str,
+    value_sql: str,
+    era_sql: str,
+    *,
+    trim: float = 0.1,
+    scale: int = 100,
+    order_sql: str = "",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`trimmed_stats` — identical carrier,
+    rank rule, and decimal kept-sum."""
+    tiebreak = f", {order_sql}" if order_sql else ""
+    return f"""
+        WITH ranked AS (
+          SELECT {era_sql} AS era,
+                 CAST(round(({value_sql}) * {scale}) AS BIGINT) AS u,
+                 row_number() OVER (
+                   PARTITION BY {era_sql}
+                   ORDER BY CAST(round(({value_sql}) * {scale}) AS BIGINT){tiebreak}
+                 ) AS r,
+                 count(*) OVER (PARTITION BY {era_sql}) AS n
+          FROM {table}
+        ), kept AS (
+          SELECT * FROM ranked
+          WHERE r > CAST(floor(n * {trim!r}) AS BIGINT)
+            AND r <= n - CAST(floor(n * {trim!r}) AS BIGINT)
+        )
+        SELECT era,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               round(CAST(sum(CAST(u AS DECIMAL(38,0))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / {scale}, {round_dp})
+                 AS trimmed_mean,
+               CAST(min(u) AS DOUBLE) / {scale} AS trimmed_min,
+               CAST(max(u) AS DOUBLE) / {scale} AS trimmed_max
+        FROM kept GROUP BY era
+    """

@@ -114,6 +114,70 @@ def test_assign_folds_timestamp_column(spark):
     assert {r.fold for r in out} == {-1, 0, 1}
 
 
+def test_trimmed_stats_known_values(spark):
+    """10% trim of 10 values drops exactly the min and max."""
+    from centimators_spark.operators.stats import trimmed_stats
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "era int, rid int, x double")
+    [r] = trimmed_stats(
+        df, "x", era_col="era", trim=0.1, order_cols=["rid"]
+    ).collect()
+    kept = vals[1:-1]
+    assert r.n == 10 and r.n_kept == 8
+    assert r.trimmed_mean == pytest.approx(sum(kept) / 8, abs=1e-6)
+    assert r.trimmed_min == 2.0 and r.trimmed_max == 9.0
+
+
+def test_page_hinkley_detects_shift(spark):
+    """A mean shift mid-series raises PH past the σ-derived threshold;
+    a flat series never flags."""
+    from centimators_spark.operators.anomaly import page_hinkley
+
+    rng = np.random.RandomState(3)
+    flat = rng.normal(10, 0.5, 200)
+    shifted = np.concatenate([rng.normal(10, 0.5, 100), rng.normal(20, 0.5, 100)])
+    rows = [("flat", t, float(v)) for t, v in enumerate(flat)] + [
+        ("shift", t, float(v)) for t, v in enumerate(shifted)
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    # δ = half the smallest shift of interest (the standard PH tuning:
+    # with δ=0 any random walk's cumsum bridge eventually flags)
+    out = page_hinkley(
+        df, "x", ticker_col="g", order_cols=["t"], delta=2.0,
+        lambda_sigmas=5.0,
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    assert not any(r.changepoint for r in by_g["flat"])
+    flags = [r.t for r in by_g["shift"] if r.changepoint]
+    assert flags and min(flags) >= 100  # fires after the true change
+    # ph is nonnegative and ph_int is its exact integer carrier
+    for r in out:
+        assert r.ph >= 0 and r.ph_int >= 0
+
+
+def test_calendar_features_known_dates(spark):
+    from centimators_spark.functions.calendar import calendar_features
+
+    rows = [
+        (1, "2024-02-29"),  # leap Thursday, month end
+        (2, "1970-01-01"),  # epoch Thursday
+        (3, "2023-12-31"),  # Sunday, month+year end
+    ]
+    df = spark.createDataFrame(rows, "id int, d string").select(
+        "id", F.to_date("d").alias("d")
+    )
+    out = {r.id: r for r in calendar_features(df, "d", prefix="c_").collect()}
+    assert (out[1].c_year, out[1].c_month, out[1].c_day) == (2024, 2, 29)
+    assert out[1].c_dow == 4 and out[1].c_is_month_end == 1  # Thursday
+    assert out[2].c_dow == 4 and out[2].c_is_weekend == 0
+    assert out[3].c_dow == 0 and out[3].c_is_weekend == 1
+    assert out[3].c_is_month_end == 1 and out[3].c_quarter == 4
+
+
 def test_pmi_pairs_small_corpus(spark):
     """PMI ranks the always-together pair above an independent pair."""
     from centimators_spark.text.cooccur import pmi_pairs
