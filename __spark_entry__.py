@@ -678,8 +678,24 @@ def q_neutralizer_kernel_contract(spark: SparkSession, sf_dir: str) -> DataFrame
     l_linenumber) collides in this synthetic data, and duplicate-key
     rows are interchangeable under the ordinal-rank tiebreak — their
     per-row pairing is not well-defined); both engines compute the
-    same key-unique set exactly."""
-    kernel = q_feature_neutralizer(spark, sf_dir).select(
+    same key-unique set exactly.
+
+    The kernel runs with ONLY the contract's proportion (0.5) — the
+    rows-only q_feature_neutralizer computes two proportions, and the
+    second would double the kernel cost for a column this contract
+    never reads."""
+    li = _lineitem(spark, sf_dir).withColumn(
+        "era", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    t = FeatureNeutralizer(
+        proportion=[0.5],
+        pred_name="l_extendedprice",
+        feature_names=["l_quantity", "l_discount", "l_tax"],
+        era_col="era",
+        order_col=ORDER,
+        keep_cols=KEYS,
+    )
+    kernel = t.transform(li).select(
         *KEYS,
         F.col("`l_extendedprice_neutralized_0.5`").alias("__k"),
     )
@@ -828,6 +844,39 @@ def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forward_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-return label construction per supplier (horizons 1, 5)
+    — the lead-based complement of lag features; trailing rows null."""
+    from centimators_spark.operators.time_series import (
+        ForwardReturnTransformer,
+    )
+
+    t = ForwardReturnTransformer(
+        horizons=[1, 5],
+        feature_names=["l_extendedprice"],
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        output_mode="replace",
+        keep_cols=KEYS,
+    )
+    return t.transform(_lineitem(spark, sf_dir))
+
+
+def q_era_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Era-balanced sample weights (each month contributes equally to a
+    weighted loss) — one tiny count aggregation broadcast back."""
+    from centimators_spark.sampling import era_balanced_weights
+
+    li = _lineitem(spark, sf_dir).select(
+        *KEYS,
+        F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate"))).alias(
+            "era"
+        ),
+    )
+    out = era_balanced_weights(li, "era")
+    return out.select(*KEYS, "weight")
+
+
 def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 PMI token pairs over the documents corpus (capped-vocab
     co-occurrence — collocation mining on training text)."""
@@ -903,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_stats": q_trimmed_stats,
         "page_hinkley": q_page_hinkley,
         "calendar_features": q_calendar_features,
+        "forward_returns": q_forward_returns,
+        "era_weights": q_era_weights,
         # --- round-3 greens (window re-verification is harmless) ---
         "session_ids": q_session_ids,
         **relational_queries.QUERIES,
@@ -1355,6 +1406,16 @@ def _page_hinkley_oracle() -> str:
     )
 
 
+def _era_weights_oracle() -> str:
+    from centimators_spark.sampling import era_balanced_weights_oracle_sql
+
+    return era_balanced_weights_oracle_sql(
+        "lineitem",
+        "CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT)",
+        select_sql="l_orderkey, l_linenumber",
+    )
+
+
 def _calendar_features_oracle() -> str:
     from centimators_spark.functions.calendar import (
         calendar_features_oracle_sql,
@@ -1398,6 +1459,16 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_stats": _trimmed_stats_oracle(),
         "page_hinkley": _page_hinkley_oracle(),
         "calendar_features": _calendar_features_oracle(),
+        "forward_returns": f"""
+            SELECT l_orderkey, l_linenumber,
+              round(lead(l_extendedprice, 1) OVER w / l_extendedprice - 1, 6)
+                AS l_extendedprice_fwd1,
+              round(lead(l_extendedprice, 5) OVER w / l_extendedprice - 1, 6)
+                AS l_extendedprice_fwd5
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY {_ORDER_SQL})
+        """,
+        "era_weights": _era_weights_oracle(),
         "neutralize_ols_era": _neutralize_ols_era_oracle(),
         "rolling_corr_ewma": _rolling_corr_ewma_oracle(),
         "pca_project_expr": _pca_project_expr_oracle(),

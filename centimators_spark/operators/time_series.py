@@ -445,3 +445,51 @@ class DrawdownTransformer(_OrderedPanelTransformer):
     def get_feature_names_out(self) -> list[str]:
         feats = self.feature_names or getattr(self, "feature_names_")
         return [n for f in feats for n in (f"{f}_cummax", f"{f}_drawdown")]
+
+
+class ForwardReturnTransformer(_OrderedPanelTransformer):
+    """LABEL construction: forward returns within ticker —
+    ``{f}_fwd{k}`` = f_{t+k}/f_t − 1 (or the log return with
+    ``log=True``); the trailing k rows of each group are null (the
+    future is unknown there, never zero-filled).
+
+    The supervised-learning complement of LagTransformer: lags build
+    features, leads build targets. Combine with
+    ``model_selection.assign_folds(embargo=horizon)`` — a forward
+    label of horizon k is exactly the leakage window the embargo
+    exists for. Same single fused WindowSpec as the other ordered
+    transformers (one shuffle on the ticker key); rounded to
+    ``round_dp`` for cross-engine division parity."""
+
+    def __init__(
+        self,
+        horizons: Sequence[int] = (1,),
+        feature_names=None,
+        log: bool = False,
+        round_dp: int = 6,
+        **kwargs,
+    ):
+        super().__init__(feature_names, **kwargs)
+        self.horizons = list(horizons)
+        self.log = log
+        self.round_dp = round_dp
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = feats
+        w = self._window()
+        cols = []
+        for f in feats:
+            c = F.col(f)
+            for k in self.horizons:
+                nxt = F.lead(c, k).over(w)
+                if self.log:
+                    r = F.log(nxt) - F.log(c)
+                else:
+                    r = nxt / c - 1
+                cols.append(F.round(r, self.round_dp).alias(f"{f}_fwd{k}"))
+        return cols
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names or getattr(self, "feature_names_")
+        return [f"{f}_fwd{k}" for f in feats for k in self.horizons]

@@ -455,3 +455,63 @@ def sql_weighted_sample(
         ORDER BY ln({u}) / CAST({weight_sql} AS DOUBLE) DESC, {key_sql} ASC
         LIMIT {k}
     """
+
+
+def era_balanced_weights(
+    df: DataFrame,
+    era_col: str,
+    *,
+    out_col: str = "weight",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Append per-row sample weights that make every era contribute
+    equally to a weighted loss regardless of its row count:
+
+        w = N / (E · n_era)        (mean weight 1, Σw = N)
+
+    — the standard correction when eras are months of very different
+    liquidity and the model must not overfit the crowded ones.
+
+    Exact: N, E, n_era are exact integers from ONE grouped count
+    (broadcast back; era keys are dimension-sized); the single
+    division is rounded to ``round_dp`` identically in the DuckDB
+    mirror (:func:`era_balanced_weights_oracle_sql`)."""
+    counts = df.groupBy(era_col).agg(F.count(F.lit(1)).alias("__n_era"))
+    # tiny second agg over the COUNTS frame (one row per era)
+    tot = counts.agg(
+        F.sum("__n_era").alias("__N"), F.count(F.lit(1)).alias("__E")
+    )
+    j = df.join(F.broadcast(counts), era_col).crossJoin(F.broadcast(tot))
+    w = F.col("__N").cast("double") / (
+        F.col("__E").cast("double") * F.col("__n_era").cast("double")
+    )
+    return j.withColumn(out_col, F.round(w, round_dp)).drop(
+        "__n_era", "__N", "__E"
+    )
+
+
+def era_balanced_weights_oracle_sql(
+    table: str,
+    era_sql: str,
+    *,
+    select_sql: str = "*",
+    out_name: str = "weight",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`era_balanced_weights`."""
+    return f"""
+        WITH b AS (
+          SELECT *, {era_sql} AS __era FROM {table}
+        ), c AS (
+          SELECT __era, CAST(count(*) AS BIGINT) AS n_era
+          FROM b GROUP BY __era
+        ), t AS (
+          SELECT CAST(sum(n_era) AS BIGINT) AS N,
+                 CAST(count(*) AS BIGINT) AS E FROM c
+        )
+        SELECT {select_sql},
+               round(CAST(N AS DOUBLE)
+                     / (CAST(E AS DOUBLE) * CAST(n_era AS DOUBLE)),
+                     {round_dp}) AS {out_name}
+        FROM b JOIN c USING (__era) CROSS JOIN t
+    """

@@ -178,6 +178,47 @@ def test_calendar_features_known_dates(spark):
     assert out[3].c_is_month_end == 1 and out[3].c_quarter == 4
 
 
+def test_forward_returns_known_values(spark):
+    """fwd_k = x_{t+k}/x_t − 1 within ticker; trailing rows null."""
+    from centimators_spark.operators.time_series import (
+        ForwardReturnTransformer,
+    )
+
+    rows = [("a", t, float(100 + 10 * t)) for t in range(5)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    t = ForwardReturnTransformer(
+        horizons=[1, 2], feature_names=["x"], ticker_col="g",
+        order_cols=["t"], output_mode="append",
+    )
+    out = {r.t: r for r in t.transform(df).collect()}
+    assert out[0].x_fwd1 == pytest.approx(110 / 100 - 1, abs=1e-6)
+    assert out[0].x_fwd2 == pytest.approx(120 / 100 - 1, abs=1e-6)
+    assert out[4].x_fwd1 is None and out[3].x_fwd2 is None
+    assert t.get_feature_names_out() == ["x_fwd1", "x_fwd2"]
+    # log mode
+    tl = ForwardReturnTransformer(
+        horizons=[1], feature_names=["x"], log=True, ticker_col="g",
+        order_cols=["t"], output_mode="append",
+    )
+    [r0] = [r for r in tl.transform(df).collect() if r.t == 0]
+    assert r0.x_fwd1 == pytest.approx(math.log(110 / 100), abs=1e-6)
+
+
+def test_era_balanced_weights(spark):
+    """Each era's total weight equals N/E; mean weight is 1."""
+    from centimators_spark.sampling import era_balanced_weights
+
+    rows = [(1, i) for i in range(10)] + [(2, i) for i in range(40)]
+    df = spark.createDataFrame(rows, "era int, rid int")
+    out = era_balanced_weights(df, "era").collect()
+    w_by_era = {}
+    for r in out:
+        w_by_era.setdefault(r.era, []).append(r.weight)
+    assert sum(w_by_era[1]) == pytest.approx(25.0, abs=1e-3)
+    assert sum(w_by_era[2]) == pytest.approx(25.0, abs=1e-3)
+    assert sum(len(v) for v in w_by_era.values()) == 50
+
+
 def test_pmi_pairs_small_corpus(spark):
     """PMI ranks the always-together pair above an independent pair."""
     from centimators_spark.text.cooccur import pmi_pairs
