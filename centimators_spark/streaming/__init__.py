@@ -2,6 +2,7 @@ from centimators_spark.streaming.dedup import stream_exact_dedup
 from centimators_spark.streaming.joins import enrich_stream_static, interval_join_events
 from centimators_spark.streaming.sink import continuous_aggregate, grouped_overwrite_sink
 from centimators_spark.streaming.anomaly import ewma_anomaly_stream
+from centimators_spark.streaming.drift import reference_histogram, windowed_psi
 from centimators_spark.streaming.events import (
     windowed_event_counts,
     sessionize,
@@ -24,4 +25,6 @@ __all__ = [
     "continuous_aggregate",
     "grouped_overwrite_sink",
     "ewma_anomaly_stream",
+    "reference_histogram",
+    "windowed_psi",
 ]
