@@ -1834,19 +1834,59 @@ def q_melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Queries implemented but deferred to the NEXT round's window.
+def q_psi_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI of order status/priority between pre-1996 and
+    later orders — the discrete sibling of psi_drift."""
+    from centimators_spark.operators.drift import psi_drift_categorical
 
-    Empty right now: everything previously staged is promoted into
-    queries() this round. New operators land here first when the
-    current window has no room (tests/test_staged_queries.py runs the
-    same driver-mimic gate over whatever sits here)."""
-    return {}
+    orders = load_table(spark, sf_dir, "orders")
+    return psi_drift_categorical(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        F.col("o_orderdate") < F.lit(PSI_REF_DATE),
+    )
+
+
+def q_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation of the corpus (RE2-safe shared pattern)."""
+    from centimators_spark.text.chunking import doc_sentences
+
+    return doc_sentences(load_table(spark, sf_dir, "documents"))
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries implemented but deferred to the NEXT round's window
+    (this round's 50-entry window already carries 24 never-verified
+    entries; tests/test_staged_queries.py runs the same driver-mimic
+    gate over these, so promotion is a two-line move)."""
+    return {
+        "promo_revenue": relational_queries.q_promo_revenue,
+        "supplier_counts": relational_queries.q_supplier_counts,
+        "psi_categorical": q_psi_categorical,
+        "doc_sentences": q_doc_sentences,
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracle texts for staged_queries() — empty while nothing is staged."""
-    return {}
+    """Oracle texts for staged_queries()."""
+    from centimators_spark.operators.drift import (
+        psi_drift_categorical_oracle_sql,
+    )
+    from centimators_spark.text.chunking import doc_sentences_oracle_sql
+
+    return {
+        "promo_revenue": relational_queries._PROMO_REVENUE_ORACLE,
+        "supplier_counts": relational_queries._SUPPLIER_COUNTS_ORACLE,
+        "psi_categorical": psi_drift_categorical_oracle_sql(
+            "orders",
+            {
+                "o_orderstatus": "o_orderstatus",
+                "o_orderpriority": "o_orderpriority",
+            },
+            f"o_orderdate < TIMESTAMP '{PSI_REF_DATE}'",
+        ),
+        "doc_sentences": doc_sentences_oracle_sql(),
+    }
 
 
 def _promoted_oracle_sql() -> dict[str, str]:

@@ -181,3 +181,121 @@ def psi_drift_oracle_sql(
                round(sum(term), {digits}) AS psi
         FROM terms GROUP BY feature
     """
+
+
+def psi_drift_categorical(
+    df: DataFrame,
+    cat_cols: Sequence[str],
+    ref_cond: Column,
+    *,
+    digits: int = 6,
+) -> DataFrame:
+    """Categorical PSI per column between the ``ref_cond`` slice and
+    its complement — the sibling of :func:`psi_drift` for discrete
+    features (each observed category is its own bin; no quantile
+    boundaries, so no percentile aggregation at all).
+
+    Smoothing matches the numeric operator: p = (c + 0.5) /
+    (n + 0.5·K) with K the column's observed category count (both
+    sides pooled — a category unseen in one side still contributes
+    via its smoothed zero). NULL is a category. Returns
+    (feature, n_ref, n_cur, n_categories, psi).
+
+    Plan: one Generate-explode melt + one grouped count + window-sum
+    totals over the tiny counts frame — same two-small-shuffle shape
+    as the numeric PSI, no driver collect."""
+    from pyspark.sql import Window
+
+    feats = list(cat_cols)
+    sided = df.withColumn("__ref", ref_cond)
+    melted = sided.select(
+        "__ref",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(f"`{c}`").cast("string").alias("cat"),
+                    )
+                    for c in feats
+                ]
+            )
+        ).alias("fc"),
+    )
+    counts = melted.groupBy(
+        F.col("fc.feature").alias("feature"), F.col("fc.cat").alias("cat")
+    ).agg(
+        F.sum(F.when(F.col("__ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("__ref"), 0).otherwise(1)).alias("c_cur"),
+    )
+    wtot = Window.partitionBy("feature")
+    smooth = 0.5
+    j = (
+        counts.withColumn("n_ref", F.sum("c_ref").over(wtot))
+        .withColumn("n_cur", F.sum("c_cur").over(wtot))
+        .withColumn("k", F.count(F.lit(1)).over(wtot))
+    )
+    p_ref = (F.col("c_ref") + smooth) / (
+        F.col("n_ref") + smooth * F.col("k")
+    )
+    p_cur = (F.col("c_cur") + smooth) / (
+        F.col("n_cur") + smooth * F.col("k")
+    )
+    return (
+        j.withColumn("__t", _psi_expr(p_ref, p_cur))
+        .groupBy("feature")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.max("k").alias("n_categories"),
+            F.round(F.sum("__t"), digits).alias("psi"),
+        )
+    )
+
+
+def psi_drift_categorical_oracle_sql(
+    table: str,
+    feature_sqls: dict[str, str],
+    ref_cond_sql: str,
+    *,
+    digits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`psi_drift_categorical`."""
+    smooth = 0.5
+    branches = []
+    for name, expr in feature_sqls.items():
+        branches.append(f"""
+          SELECT '{name}' AS feature, ({ref_cond_sql}) AS __ref,
+                 CAST({expr} AS VARCHAR) AS cat
+          FROM {table}
+        """)
+    union = " UNION ALL ".join(branches)
+    return f"""
+        WITH melted AS ({union}),
+        counts AS (
+          SELECT feature, cat,
+                 sum(CASE WHEN __ref THEN 1 ELSE 0 END) AS c_ref,
+                 sum(CASE WHEN __ref THEN 0 ELSE 1 END) AS c_cur
+          FROM melted GROUP BY feature, cat
+        ), tot AS (
+          SELECT *,
+                 sum(c_ref) OVER (PARTITION BY feature) AS n_ref,
+                 sum(c_cur) OVER (PARTITION BY feature) AS n_cur,
+                 count(*) OVER (PARTITION BY feature) AS k
+          FROM counts
+        ), terms AS (
+          SELECT feature, n_ref, n_cur, k,
+                 ((c_cur + {smooth!r}) / (n_cur + {smooth!r} * k)
+                  - (c_ref + {smooth!r}) / (n_ref + {smooth!r} * k))
+                 * (ln((c_cur + {smooth!r}) / (n_cur + {smooth!r} * k))
+                    - ln((c_ref + {smooth!r}) / (n_ref + {smooth!r} * k)))
+                   AS term
+          FROM tot
+        )
+        SELECT feature,
+               CAST(max(n_ref) AS BIGINT) AS n_ref,
+               CAST(max(n_cur) AS BIGINT) AS n_cur,
+               CAST(max(k) AS BIGINT) AS n_categories,
+               round(sum(term), {digits}) AS psi
+        FROM terms GROUP BY feature
+    """

@@ -189,6 +189,78 @@ _MARKET_SHARE_ORACLE = """
 """
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: PROMO parts' share of monthly
+    revenue. One broadcast dimension join + one grouped aggregation on
+    exact integer volume carriers (cents × discount-complement cents
+    summed as DECIMAL(38,0)) — the share division happens once,
+    rounded 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    d = "decimal(38,0)"
+    agg = j.groupBy(
+        F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate"))).alias(
+            "month"
+        )
+    ).agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", vol).otherwise(0).cast(d)
+        ).alias("__p"),
+        F.sum(vol.cast(d)).alias("__t"),
+    )
+    return agg.select(
+        "month",
+        F.round(
+            F.lit(100.0) * F.col("__p").cast("double")
+            / F.col("__t").cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+    )
+
+
+_PROMO_REVENUE_ORACLE = """
+    SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS month,
+           round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                 AS DOUBLE), 6) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY month
+"""
+
+
+def q_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier counting: distinct suppliers serving
+    each (p_brand, p_size) outside one excluded brand — broadcast
+    dimension join + exact COUNT(DISTINCT) (Expand-based)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(F.col("p_brand") != "Brand#1")
+    )
+    return (
+        j.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SUPPLIER_COUNTS_ORACLE = """
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+    GROUP BY p_brand, p_size
+"""
+
+
 def q_spearman_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-era (month) Spearman rank correlation — the reference's
     era-scoring semantic as a pure window+aggregate plan."""

@@ -89,3 +89,61 @@ def chunk_documents_oracle_sql(
                  AS chunk_text
         FROM s
     """
+
+
+# sentence rule shared by both engines: runs of non-terminators plus
+# their trailing terminator run. NO lookaround — DuckDB's RE2 has none,
+# so the portable split is an EXTRACT, not a split-on-boundary.
+SENTENCE_RE = "[^.!?]+[.!?]*"
+
+
+def doc_sentences(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Sentence segmentation: one row per (doc, sentence_no, sentence)
+    — the unit the chunkers, line filters, and PII scans often want
+    instead of raw lines. Sentences are maximal runs of
+    non-``[.!?]`` characters with their trailing terminators, trimmed;
+    empty/whitespace results are dropped (``min_chars`` on the trimmed
+    text). Map-side posexplode — zero shuffle, same shape as
+    chunk_documents. Bit-exact oracle: :func:`doc_sentences_oracle_sql`
+    (shared RE2-safe pattern — no lookbehind, which DuckDB lacks)."""
+    sents = F.expr(
+        f"filter(transform(regexp_extract_all(`{content_col}`,"
+        f" '{SENTENCE_RE}', 0), x -> trim(x)),"
+        f" x -> length(x) >= {min_chars})"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sents).alias("sentence_no", "sentence"),
+    )
+
+
+def doc_sentences_oracle_sql(
+    table: str = "documents",
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+    *,
+    min_chars: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`doc_sentences`."""
+    return f"""
+        WITH ex AS (
+          SELECT {id_sql} AS doc_id,
+                 list_filter(
+                   list_transform(
+                     regexp_extract_all({content_sql}, '{SENTENCE_RE}'),
+                     x -> trim(x)),
+                   x -> length(x) >= {min_chars}) AS sents
+          FROM {table}
+        )
+        SELECT doc_id,
+               CAST(generate_subscripts(sents, 1) - 1 AS INTEGER)
+                 AS sentence_no,
+               unnest(sents) AS sentence
+        FROM ex
+    """

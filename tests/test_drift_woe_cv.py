@@ -178,6 +178,43 @@ def test_calendar_features_known_dates(spark):
     assert out[3].c_is_month_end == 1 and out[3].c_quarter == 4
 
 
+def test_psi_categorical_shift(spark):
+    """Identical category mixes → ~0; a shifted mix → large; NULL is a
+    category."""
+    from centimators_spark.operators.drift import psi_drift_categorical
+
+    rows = [(0, "a")] * 50 + [(0, "b")] * 50 + [(1, "a")] * 90 + [(1, None)] * 10
+    df = spark.createDataFrame(rows, "side int, cat string")
+    [r] = psi_drift_categorical(df, ["cat"], F.col("side") == 0).collect()
+    assert r.n_ref == 100 and r.n_cur == 100 and r.n_categories == 3
+    assert r.psi > 0.5  # b vanished, nulls appeared
+    same = spark.createDataFrame(
+        [(i % 2, c) for i in range(200) for c in ("x", "y")],
+        "side int, cat string",
+    )
+    [r2] = psi_drift_categorical(same, ["cat"], F.col("side") == 0).collect()
+    assert abs(r2.psi) < 1e-6
+
+
+def test_doc_sentences_segmentation(spark):
+    from centimators_spark.text.chunking import doc_sentences
+
+    docs = [
+        (1, "First one. Second!  Third? trailing bit"),
+        (2, "no terminators at all"),
+        (3, "..."),  # terminator-only: no sentence CONTENT → no rows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {}
+    for r in doc_sentences(df).collect():
+        out.setdefault(r.doc_id, []).append((r.sentence_no, r.sentence))
+    assert [s for _, s in sorted(out[1])] == [
+        "First one.", "Second!", "Third?", "trailing bit",
+    ]
+    assert out[2] == [(0, "no terminators at all")]
+    assert 3 not in out
+
+
 def test_forward_returns_known_values(spark):
     """fwd_k = x_{t+k}/x_t − 1 within ticker; trailing rows null."""
     from centimators_spark.operators.time_series import (

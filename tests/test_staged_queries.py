@@ -6,7 +6,7 @@ import duckdb
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("lineitem", "orders", "customer", "documents", "events")
+TABLES = ("lineitem", "orders", "customer", "documents", "events", "part")
 
 
 def test_staged_queries_match_oracles(spark):
