@@ -1854,6 +1854,29 @@ def q_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_sentences(load_table(spark, sf_dir, "documents"))
 
 
+def q_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition table (Markov path analysis);
+    final events transition to NULL."""
+    from centimators_spark.analytics import transition_counts
+
+    return transition_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat filter: drop events of the same (user, type)
+    arriving within a day of the previous raw event (the synthetic
+    stream is sparse — p05 same-key gap is ~2.5 h, so a 1-day window
+    actually exercises the filter)."""
+    from centimators_spark.analytics import debounce_events
+
+    ev = load_table(spark, sf_dir, "events")
+    out = debounce_events(ev, 86400)
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window
     (this round's 50-entry window already carries 24 never-verified
@@ -1864,11 +1887,17 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_counts": relational_queries.q_supplier_counts,
         "psi_categorical": q_psi_categorical,
         "doc_sentences": q_doc_sentences,
+        "transition_counts": q_transition_counts,
+        "event_debounce": q_event_debounce,
     }
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
+    from centimators_spark.analytics import (
+        debounce_events_oracle_sql,
+        transition_counts_oracle_sql,
+    )
     from centimators_spark.operators.drift import (
         psi_drift_categorical_oracle_sql,
     )
@@ -1886,6 +1915,15 @@ def staged_oracle_sql() -> dict[str, str]:
             f"o_orderdate < TIMESTAMP '{PSI_REF_DATE}'",
         ),
         "doc_sentences": doc_sentences_oracle_sql(),
+        "transition_counts": transition_counts_oracle_sql(),
+        "event_debounce": debounce_events_oracle_sql(
+            "events",
+            86400,
+            select_sql=(
+                "event_id, user_id, event_type,"
+                " CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_epoch"
+            ),
+        ),
     }
 
 

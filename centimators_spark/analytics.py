@@ -170,3 +170,113 @@ def retention_oracle_sql(
         FROM ev JOIN first USING (user_id)
         GROUP BY cohort_wk, week_offset
     """
+
+
+def transition_counts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order path analysis: counts of (event_type → next
+    event_type) transitions within each user's ordered stream — the
+    Markov transition table behind funnel diagnostics and
+    next-action models. A user's final event transitions to NULL
+    ('exit'), so rows sum to the event count exactly.
+
+    One window (lead over the user shuffle) + one grouped count.
+    Bit-exact oracle: :func:`transition_counts_oracle_sql` (identical
+    (ts, id) ordering)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    )
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def transition_counts_oracle_sql(
+    table: str = "events",
+    *,
+    user_sql: str = "user_id",
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    id_sql: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`transition_counts`."""
+    return f"""
+        WITH pairs AS (
+          SELECT {type_sql} AS from_type,
+                 lead({type_sql}) OVER (
+                   PARTITION BY {user_sql} ORDER BY {ts_sql}, {id_sql})
+                   AS to_type
+          FROM {table}
+        )
+        SELECT from_type, to_type, count(*) AS n
+        FROM pairs GROUP BY from_type, to_type
+    """
+
+
+def debounce_events(
+    events: DataFrame,
+    min_gap_seconds: int,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Windowed de-duplication of rapid repeats: keep an event only if
+    the SAME user's PREVIOUS KEPT-OR-DROPPED event of the same type is
+    at least ``min_gap_seconds`` older — the client-retry / double-
+    click filter that runs before sessionization.
+
+    Semantics note (deliberate, and what one window can express): the
+    gap is measured to the immediately preceding RAW event, not the
+    last kept one — a burst of N rapid repeats keeps only its first
+    event as long as consecutive gaps stay under the threshold, but a
+    slow drip each ``min_gap−ε`` apart keeps nothing after the first
+    only while gaps stay short. (Last-KEPT semantics is a running
+    state; use streaming/dedup for that shape.) One window on the
+    (user, type) key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col, type_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+    gap_ok = prev.isNull() | (
+        F.unix_timestamp(F.col(ts_col)) - prev >= min_gap_seconds
+    )
+    return events.withColumn("__keep", gap_ok).where(F.col("__keep")).drop(
+        "__keep"
+    )
+
+
+def debounce_events_oracle_sql(
+    table: str,
+    min_gap_seconds: int,
+    *,
+    select_sql: str = "*",
+    user_sql: str = "user_id",
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    id_sql: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`debounce_events`."""
+    epoch = f"CAST(epoch(date_trunc('second', {ts_sql})) AS BIGINT)"
+    return f"""
+        WITH lagged AS (
+          SELECT *, lag({epoch}) OVER (
+                   PARTITION BY {user_sql}, {type_sql}
+                   ORDER BY {ts_sql}, {id_sql}) AS __prev,
+                 {epoch} AS __now
+          FROM {table}
+        )
+        SELECT {select_sql} FROM lagged
+        WHERE __prev IS NULL OR __now - __prev >= {min_gap_seconds}
+    """
