@@ -1877,6 +1877,27 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-era quantile normalization of extendedprice onto the
+    pre-1996 reference distribution (exact-percentile mode)."""
+    from centimators_spark.operators.stats import quantile_normalize
+
+    li = _lineitem(spark, sf_dir).select(
+        *dict.fromkeys(KEYS + ORDER),
+        F.date_trunc("month", F.col("l_shipdate")).alias("era"),
+    )
+    out = quantile_normalize(
+        li,
+        "l_extendedprice",
+        ref_cond=F.col("l_shipdate") < F.lit(PSI_REF_DATE),
+        era_col="era",
+        n_points=50,
+        order_cols=[c for c in ORDER if c != "l_extendedprice"],
+        exact=True,
+    )
+    return out.select(*KEYS, F.col("l_extendedprice_qnorm").alias("qnorm"))
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window
     (this round's 50-entry window already carries 24 never-verified
@@ -1889,6 +1910,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentences": q_doc_sentences,
         "transition_counts": q_transition_counts,
         "event_debounce": q_event_debounce,
+        "quantile_normalize": q_quantile_normalize,
     }
 
 
@@ -1900,6 +1922,9 @@ def staged_oracle_sql() -> dict[str, str]:
     )
     from centimators_spark.operators.drift import (
         psi_drift_categorical_oracle_sql,
+    )
+    from centimators_spark.operators.stats import (
+        quantile_normalize_oracle_sql,
     )
     from centimators_spark.text.chunking import doc_sentences_oracle_sql
 
@@ -1923,6 +1948,18 @@ def staged_oracle_sql() -> dict[str, str]:
                 "event_id, user_id, event_type,"
                 " CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_epoch"
             ),
+        ),
+        "quantile_normalize": quantile_normalize_oracle_sql(
+            "lineitem",
+            "l_extendedprice",
+            ref_cond_sql=f"l_shipdate < TIMESTAMP '{PSI_REF_DATE}'",
+            era_sql="date_trunc('month', l_shipdate)",
+            n_points=50,
+            order_sql=", ".join(
+                c for c in (_ORDER_SQL.split(", ")) if c != "l_extendedprice"
+            ),
+            select_sql="l_orderkey, l_linenumber",
+            out_name="qnorm",
         ),
     }
 

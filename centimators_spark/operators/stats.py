@@ -421,3 +421,122 @@ def trimmed_stats_oracle_sql(
                CAST(max(u) AS DOUBLE) / {scale} AS trimmed_max
         FROM kept GROUP BY era
     """
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    ref_cond=None,
+    era_col: str | None = None,
+    n_points: int = 100,
+    order_cols: Sequence[str] = (),
+    out_col: str | None = None,
+    exact: bool = False,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Map ``value_col``'s distribution onto a REFERENCE distribution —
+    the quantile-normalization step that forces a drifted feature back
+    into its training-time shape (the batch analogue of the
+    rank→gaussianize family, but targeting an empirical distribution
+    instead of a Gaussian):
+
+        p    = (rank − 0.5) / n                (ordinal rank, full frame)
+        out  = interp(p·K over Q[0..K])        (piecewise linear)
+
+    where Q is the (K+1)-point interpolated quantile vector of the
+    ``ref_cond`` slice (default: the whole frame — a pure
+    re-normalization). K = ``n_points`` bounds BOTH the state and the
+    approximation error; the reference vector is one aggregation
+    broadcast back as a literal-sized array.
+
+    ``exact=True`` pins interpolated exact percentiles for the oracle
+    (:func:`quantile_normalize_oracle_sql`); the approx sketch is the
+    100 TB default. ``order_cols`` breaks rank ties deterministically
+    (same contract as gaussianize_expr). ``era_col`` ranks within each
+    cross-section (the panel form that scales — and the semantic the
+    rank family uses); omit it only on dimension-sized frames."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = out_col or f"{value_col}_qnorm"
+    K = int(n_points)
+    if K < 2:
+        raise ValueError(f"n_points must be >= 2, got {K}")
+    probs = [i / K for i in range(K + 1)]
+    probs_sql = ", ".join(repr(p) for p in probs)
+    fn = "percentile" if exact else "approx_percentile"
+    src = F.when(ref_cond, F.col(value_col)) if ref_cond is not None else F.col(value_col)
+    qvec = df.select(src.alias("__rv")).agg(
+        F.expr(f"{fn}(CAST(__rv AS DOUBLE), array({probs_sql}))").alias("__q")
+    )
+    # era_col partitions the rank (the scalable panel form: each
+    # cross-section maps onto the reference distribution); WITHOUT it
+    # the rank is a single-partition global window — fine for
+    # dimension-sized frames, wrong for 100 TB (pass era_col there)
+    part = [era_col] if era_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col(value_col), *[F.col(c) for c in order_cols]
+    )
+    ranked = df.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*part))
+    )
+    j = ranked.crossJoin(F.broadcast(qvec))
+    pk = (
+        (F.col("__r").cast("double") - 0.5)
+        / F.col("__n").cast("double")
+        * K
+    )
+    i = F.floor(pk).cast("int")
+    frac = pk - i.cast("double")
+    lo = F.get(F.col("__q"), i)
+    hi = F.get(F.col("__q"), i + 1)
+    val = lo * (F.lit(1.0) - frac) + hi * frac
+    return j.withColumn(out, F.round(val, round_dp)).drop(
+        "__r", "__n", "__q"
+    )
+
+
+def quantile_normalize_oracle_sql(
+    table: str,
+    value_sql: str,
+    *,
+    ref_cond_sql: str | None = None,
+    era_sql: str | None = None,
+    n_points: int = 100,
+    order_sql: str = "",
+    select_sql: str = "*",
+    out_name: str = "qnorm",
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`quantile_normalize` (exact mode)."""
+    K = int(n_points)
+    probs_sql = ", ".join(repr(i / K) for i in range(K + 1))
+    src = (
+        f"CASE WHEN {ref_cond_sql} THEN CAST({value_sql} AS DOUBLE) END"
+        if ref_cond_sql is not None
+        else f"CAST({value_sql} AS DOUBLE)"
+    )
+    part = f"PARTITION BY {era_sql} " if era_sql else ""
+    tiebreak = f", {order_sql}" if order_sql else ""
+    return f"""
+        WITH q AS (
+          SELECT quantile_cont({src}, [{probs_sql}]) AS qv FROM {table}
+        ), ranked AS (
+          SELECT *,
+                 row_number() OVER ({part}ORDER BY {value_sql}{tiebreak}) AS r,
+                 count(*) OVER ({part.rstrip()}) AS n
+          FROM {table}
+        ), interp AS (
+          SELECT *,
+                 (CAST(r AS DOUBLE) - 0.5) / CAST(n AS DOUBLE) * {K} AS pk
+          FROM ranked CROSS JOIN q
+        )
+        SELECT {select_sql},
+               round(qv[CAST(floor(pk) AS INTEGER) + 1]
+                       * (1.0 - (pk - CAST(floor(pk) AS DOUBLE)))
+                     + qv[CAST(floor(pk) AS INTEGER) + 2]
+                       * (pk - CAST(floor(pk) AS DOUBLE)),
+                     {round_dp}) AS {out_name}
+        FROM interp
+    """

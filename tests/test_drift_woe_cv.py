@@ -215,6 +215,38 @@ def test_doc_sentences_segmentation(spark):
     assert 3 not in out
 
 
+def test_quantile_normalize_identity_and_shift(spark):
+    """Normalizing a column onto its own distribution reproduces it
+    (within interpolation error); a shifted current slice maps back
+    onto the reference's range."""
+    from centimators_spark.operators.stats import quantile_normalize
+
+    rng = np.random.RandomState(8)
+    ref = rng.normal(0, 1, 500)
+    cur = rng.normal(5, 1, 500)  # drifted slice
+    rows = [(0, i, float(v)) for i, v in enumerate(ref)] + [
+        (1, i + 500, float(v)) for i, v in enumerate(cur)
+    ]
+    df = spark.createDataFrame(rows, "side int, rid long, x double")
+    # identity: whole frame onto itself
+    out = quantile_normalize(
+        df.where(F.col("side") == 0), "x", n_points=200,
+        order_cols=["rid"], exact=True,
+    ).collect()
+    errs = sorted(abs(r.x_qnorm - r.x) for r in out)
+    assert errs[len(errs) // 2] < 0.01      # median: essentially exact
+    assert errs[-1] < 0.3                   # tails: interpolation error
+    # drift correction: map everything onto the side-0 reference —
+    # the drifted slice's values land inside the reference range
+    out2 = quantile_normalize(
+        df, "x", ref_cond=F.col("side") == 0, n_points=100,
+        order_cols=["rid"], exact=True,
+    )
+    cur_mapped = [r.x_qnorm for r in out2.where(F.col("side") == 1).collect()]
+    assert max(cur_mapped) <= ref.max() + 1e-9
+    assert np.mean(cur_mapped) > 0  # drifted-high slice maps to upper half
+
+
 def test_forward_returns_known_values(spark):
     """fwd_k = x_{t+k}/x_t − 1 within ticker; trailing rows null."""
     from centimators_spark.operators.time_series import (
