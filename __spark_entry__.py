@@ -1898,6 +1898,33 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*KEYS, F.col("l_extendedprice_qnorm").alias("qnorm"))
 
 
+def q_rolling_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10 rank of quantity within supplier (bounded-memory
+    rank feature; integer-exact)."""
+    from centimators_spark.operators.time_series import (
+        RollingRankTransformer,
+    )
+
+    t = RollingRankTransformer(
+        windows=[10],
+        feature_names=["l_quantity"],
+        ticker_col="l_suppkey",
+        order_cols=ORDER,
+        output_mode="replace",
+        keep_cols=KEYS,
+    )
+    return t.transform(_lineitem(spark, sf_dir))
+
+
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold GROUP assignment by supplier (every row of
+    a supplier in one fold — the entity-leakage guard)."""
+    from centimators_spark.sampling import group_kfold
+
+    li = _lineitem(spark, sf_dir).select(*KEYS, "l_suppkey")
+    return group_kfold(li, "l_suppkey", 5, salt="gk1")
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window
     (this round's 50-entry window already carries 24 never-verified
@@ -1911,6 +1938,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_counts": q_transition_counts,
         "event_debounce": q_event_debounce,
         "quantile_normalize": q_quantile_normalize,
+        "rolling_rank": q_rolling_rank,
+        "group_kfold": q_group_kfold,
     }
 
 
@@ -1926,7 +1955,12 @@ def staged_oracle_sql() -> dict[str, str]:
     from centimators_spark.operators.stats import (
         quantile_normalize_oracle_sql,
     )
+    from centimators_spark.sampling import sql_group_kfold
     from centimators_spark.text.chunking import doc_sentences_oracle_sql
+
+    sql_group_kfold_text = (
+        sql_group_kfold("l_suppkey", 5, salt="gk1") + " AS fold"
+    )
 
     return {
         "promo_revenue": relational_queries._PROMO_REVENUE_ORACLE,
@@ -1949,6 +1983,29 @@ def staged_oracle_sql() -> dict[str, str]:
                 " CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_epoch"
             ),
         ),
+        "rolling_rank": f"""
+            WITH w10 AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(l_quantity AS DOUBLE) AS q,
+                     array_agg(CAST(l_quantity AS DOUBLE)) OVER (
+                       PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr,
+                     count(l_quantity) OVER (
+                       PARTITION BY l_suppkey ORDER BY {_ORDER_SQL}
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CASE WHEN n = 10 AND q IS NOT NULL THEN
+                     len(list_filter(arr, v -> v < q)) + 1 END AS INTEGER)
+                     AS l_quantity_rollrank10
+            FROM w10
+        """,
+        "group_kfold": f"""
+            SELECT l_orderkey, l_linenumber, l_suppkey,
+                   {sql_group_kfold_text}
+            FROM lineitem
+        """,
         "quantile_normalize": quantile_normalize_oracle_sql(
             "lineitem",
             "l_extendedprice",

@@ -493,3 +493,53 @@ class ForwardReturnTransformer(_OrderedPanelTransformer):
     def get_feature_names_out(self) -> list[str]:
         feats = self.feature_names or getattr(self, "feature_names_")
         return [f"{f}_fwd{k}" for f in feats for k in self.horizons]
+
+
+class RollingRankTransformer(_OrderedPanelTransformer):
+    """Trailing-window rank within ticker: ``{f}_rollrank{k}`` = 1 +
+    (count of strictly-smaller values among the trailing k
+    observations, current included) — the bounded-memory rank feature
+    quant pipelines use where a full cross-sectional rank would leak
+    across time. Integer-valued (ties share the low rank), null until
+    the window fills or when the current value is null.
+
+    Plan: the trailing values ride a ``collect_list`` over the SAME
+    fused (ticker, order) WindowSpec as the other ordered transformers
+    (arrays of ≤ k doubles — k is a small literal); the rank is a pure
+    codegen array fold. One shuffle. Bit-exact DuckDB oracle: the
+    identical list-filter count."""
+
+    def __init__(
+        self,
+        windows: Sequence[int] = (5,),
+        feature_names=None,
+        **kwargs,
+    ):
+        super().__init__(feature_names, **kwargs)
+        self.windows = list(windows)
+
+    def _derived_columns(self, df: DataFrame) -> list[Column]:
+        feats = self._resolve_features(df)
+        self.feature_names_ = feats
+        cols = []
+        for f in feats:
+            c = F.col(f).cast("double")
+            for k in self.windows:
+                wk = self._window().rowsBetween(-(k - 1), 0)
+                arr = F.collect_list(c).over(wk)
+                n = F.count(c).over(wk)
+                rank = F.aggregate(
+                    arr,
+                    F.lit(0),
+                    lambda acc, v: acc + F.when(v < c, 1).otherwise(0),
+                ) + F.lit(1)
+                cols.append(
+                    F.when((n == k) & c.isNotNull(), rank)
+                    .cast("int")
+                    .alias(f"{f}_rollrank{k}")
+                )
+        return cols
+
+    def get_feature_names_out(self) -> list[str]:
+        feats = self.feature_names or getattr(self, "feature_names_")
+        return [f"{f}_rollrank{k}" for f in feats for k in self.windows]

@@ -515,3 +515,35 @@ def era_balanced_weights_oracle_sql(
                      {round_dp}) AS {out_name}
         FROM b JOIN c USING (__era) CROSS JOIN t
     """
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    *,
+    salt: str = "",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic GROUP k-fold assignment: every row of a group
+    lands in the same fold (``md5(group) mod k`` — the leakage guard
+    that keeps one entity's rows out of both train and validation),
+    reproducible under any partitioning. The categorical sibling of
+    the time-based :func:`~centimators_spark.model_selection.assign_folds`.
+    Pure map-side expression; mirrored bit-for-bit by
+    :func:`sql_group_kfold`."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        out_col,
+        (
+            md5_long(F.concat(F.lit(salt), F.col(group_col).cast("string")))
+            % k
+        ).cast("int"),
+    )
+
+
+def sql_group_kfold(group_sql: str, k: int, salt: str = "") -> str:
+    """DuckDB expression mirroring :func:`group_kfold`."""
+    keyed = f"'{salt}' || CAST({group_sql} AS VARCHAR)"
+    return f"CAST({sql_md5_long(keyed)} % {k} AS INTEGER)"

@@ -50,6 +50,7 @@ QS = [
     "winsorize_by_era", "dedup_minhash_lsh", "corpus_clean",
     "unigram_lm", "era_report", "autocorrelation", "event_funnel",
     "session_ids", "spearman_by_month", "panel_features",
+    "psi_drift", "page_hinkley", "market_share", "woe_encode",
 ]
 
 
