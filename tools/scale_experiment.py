@@ -20,13 +20,20 @@ numbers in tools/ history):
     spearman_by_month   1.38    1.86    1.3x
     panel_features     13.47   20.66    1.5x   4-stage composed flagship
 
+Round-4 additions (second run, same protocol):
+
+    psi_drift           3.67   11.45    3.1x   percentile + melt
+    page_hinkley        2.06    7.87    3.8x   integer window test
+    market_share        1.10    1.49    1.4x   8-way broadcast join
+    woe_encode          0.45    0.42   <1x     broadcast stats
+
 Every ratio is SUB-LINEAR in the 10x data growth — the multi-row-group
 x10 files scan with real parallelism that the single-row-group sf0.1
 files cannot, so fixed costs amortize exactly as they would on a
 many-file 100 TB table. No operator shows super-linear blow-up (the
 quadratic traps — gram re-evaluation, pair explosion — stay dead).
-Both composed flagships hold: panel_features 1.5x (its checkpoint +
-three tiny aggs amortize), corpus_clean 5.7x (LSH banding dominates,
+Both composed flagships hold: panel_features 1.5-1.7x (its checkpoint
++ three tiny aggs amortize), corpus_clean 5.7x (LSH banding dominates,
 linear in candidate pairs).
 
 Usage: python tools/scale_experiment.py [--keep]
