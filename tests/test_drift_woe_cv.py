@@ -159,6 +159,83 @@ def test_page_hinkley_detects_shift(spark):
         assert r.ph >= 0 and r.ph_int >= 0
 
 
+def test_page_hinkley_matches_sequential_reference(spark):
+    """The window formulation must equal the textbook sequential
+    Page–Hinkley recurrence computed row-by-row in pandas."""
+    from centimators_spark.operators.anomaly import page_hinkley
+
+    rng = np.random.RandomState(17)
+    x = np.round(rng.normal(50, 5, 300), 2)
+    rows = [("g", t, float(v)) for t, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    delta = 1.0
+    out = sorted(
+        page_hinkley(
+            df, "x", ticker_col="g", order_cols=["t"], delta=delta,
+            lambda_sigmas=5.0,
+        ).collect(),
+        key=lambda r: r.t,
+    )
+    # sequential reference: m_t = sum(x - mu - delta); PH = m - min(m)
+    mu = x.mean()
+    m = np.cumsum(x - mu - delta)
+    ph_ref = m - np.minimum.accumulate(m)
+    for r, expect in zip(out, ph_ref):
+        assert r.ph == pytest.approx(max(expect, 0.0), abs=2e-5), r.t
+
+
+def test_trimmed_stats_matches_numpy_reference(spark):
+    """Trimmed mean equals the sorted-slice mean for random eras."""
+    from centimators_spark.operators.stats import trimmed_stats
+
+    rng = np.random.RandomState(23)
+    rows = []
+    data = {}
+    for era in range(4):
+        vals = np.round(rng.uniform(0, 1000, 37 + era * 13), 2)
+        data[era] = vals
+        rows += [(era, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "era int, rid int, x double")
+    out = {
+        r.era: r
+        for r in trimmed_stats(
+            df, "x", era_col="era", trim=0.2, order_cols=["rid"]
+        ).collect()
+    }
+    for era, vals in data.items():
+        s = np.sort(vals)
+        k = int(np.floor(len(s) * 0.2))
+        kept = s[k : len(s) - k]
+        assert out[era].n_kept == len(kept)
+        assert out[era].trimmed_mean == pytest.approx(kept.mean(), abs=1e-6)
+        assert out[era].trimmed_min == pytest.approx(kept.min(), abs=1e-9)
+        assert out[era].trimmed_max == pytest.approx(kept.max(), abs=1e-9)
+
+
+def test_rolling_rank_matches_pandas(spark):
+    """Trailing-window rank equals the pandas rolling strict-less
+    count + 1."""
+    from centimators_spark.operators.time_series import (
+        RollingRankTransformer,
+    )
+
+    rng = np.random.RandomState(29)
+    vals = rng.randint(0, 50, 80).astype(float)
+    rows = [("g", t, float(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    t = RollingRankTransformer(
+        windows=[7], feature_names=["x"], ticker_col="g",
+        order_cols=["t"], output_mode="append",
+    )
+    out = {r.t: r.x_rollrank7 for r in t.transform(df).collect()}
+    for i in range(len(vals)):
+        if i < 6:
+            assert out[i] is None
+        else:
+            w = vals[i - 6 : i + 1]
+            assert out[i] == int((w < vals[i]).sum()) + 1, i
+
+
 def test_calendar_features_known_dates(spark):
     from centimators_spark.functions.calendar import calendar_features
 
