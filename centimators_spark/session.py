@@ -55,3 +55,54 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    *,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 256,
+    input_tb: float = 100.0,
+) -> dict[str, str]:
+    """The conf dict this engine is DESIGNED for at cluster scale —
+    pass to ``get_spark(extra_conf=cluster_conf())`` on a real cluster
+    (the local[32] defaults above are the test profile). Every choice
+    is the one the operators assume:
+
+    - shuffle.partitions sized so a full-input shuffle lands
+      ~``target_partition_mb`` per task (AQE coalesces smaller stages
+      down from there — start high, let AQE shrink; never the
+      reverse).
+    - AQE + skew-join on: the salted-join operator handles KNOWN hot
+      keys deterministically; AQE catches the unknown ones.
+    - maxPartitionBytes 256m: TB-scale tables scan in fewer, fuller
+      tasks; the operators never rely on scan-partition count for
+      correctness.
+    - Broadcast threshold 64m: every dimension join in the plans
+      (nation/region/part/customer at this ratio, stats frames,
+      quantile vectors) must broadcast; raising this beats a shuffle
+      join as long as executors have the headroom.
+    - Arrow batches 64k rows: amortizes pandas-UDF overhead for the
+      per-era kernels without blowing executor memory on wide panels.
+    - Shuffle/broadcast compression and reused exchanges stay default.
+
+    The numbers are a starting profile, not magic: re-derive
+    shuffle.partitions when input_tb changes materially."""
+    total_cores = executors * cores_per_executor
+    # one full-input shuffle wave lands target_partition_mb per task
+    parts = max(
+        total_cores,
+        int(input_tb * 1024 * 1024 / target_partition_mb),
+    )
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": "268435456",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }

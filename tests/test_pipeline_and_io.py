@@ -261,3 +261,21 @@ def test_read_text_corpus_empty_file_and_lone_cr(spark):
         assert sorted((r.line_no, r.text) for r in numbered) == [
             (0, "one"), (1, "two")
         ]
+
+
+def test_cluster_conf_profile():
+    """The documented 100 TB profile: partitions sized for ~256 MB
+    shuffle tasks, floored at total cores; AQE/skew/Arrow/UTC pinned."""
+    from centimators_spark.session import cluster_conf
+
+    c = cluster_conf()
+    assert int(c["spark.sql.shuffle.partitions"]) == 409600  # 100TB/256MB
+    small = cluster_conf(input_tb=0.001, executors=4, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) == 16  # cores floor
+    for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+    ):
+        assert c[k] == "true"
+    assert c["spark.sql.session.timeZone"] == "UTC"
