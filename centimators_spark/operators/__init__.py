@@ -3,14 +3,24 @@ from centimators_spark.operators.time_series import (
     DiffTransformer,
     EWMATransformer,
     ExpandingAggTransformer,
+    ForwardReturnTransformer,
     LagTransformer,
     LogReturnTransformer,
     MovingAverageTransformer,
     DrawdownTransformer,
     RollingAggTransformer,
     RollingCorrTransformer,
+    RollingRankTransformer,
 )
-from centimators_spark.operators.stats import GroupStatsTransformer
+from centimators_spark.operators.stats import (
+    GroupStatsTransformer,
+    clip_by_quantile,
+    quantile_normalize,
+    robust_zscore,
+    trimmed_stats,
+)
+from centimators_spark.operators.anomaly import ewma_anomaly_flags, page_hinkley
+from centimators_spark.operators.drift import psi_drift, psi_drift_categorical
 from centimators_spark.operators.neutralization import FeatureNeutralizer
 from centimators_spark.operators.penalization import FeaturePenalizer
 from centimators_spark.operators.dimreduction import DimReducer
@@ -27,6 +37,7 @@ from centimators_spark.operators.encoding import (
     one_hot_encode,
     quantile_bin,
     target_encode,
+    woe_encode,
 )
 
 __all__ = [
@@ -55,4 +66,15 @@ __all__ = [
     "DrawdownTransformer",
     "RollingCorrTransformer",
     "EWMATransformer",
+    "ForwardReturnTransformer",
+    "RollingRankTransformer",
+    "woe_encode",
+    "robust_zscore",
+    "clip_by_quantile",
+    "trimmed_stats",
+    "quantile_normalize",
+    "psi_drift",
+    "psi_drift_categorical",
+    "page_hinkley",
+    "ewma_anomaly_flags",
 ]
