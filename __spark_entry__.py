@@ -1925,6 +1925,20 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_kfold(li, "l_suppkey", 5, salt="gk1")
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical product names (≤2 substitutions) via pigeonhole
+    segment blocking + levenshtein verify, over DISTINCT names keyed
+    by their min part id."""
+    from centimators_spark.dedup.fuzzy import fuzzy_self_join
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+    )
+    return fuzzy_self_join(names, "p_name", "name_id", max_dist=2)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window
     (this round's 50-entry window already carries 24 never-verified
@@ -1940,6 +1954,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "rolling_rank": q_rolling_rank,
         "group_kfold": q_group_kfold,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
     }
 
 
@@ -1955,6 +1970,7 @@ def staged_oracle_sql() -> dict[str, str]:
     from centimators_spark.operators.stats import (
         quantile_normalize_oracle_sql,
     )
+    from centimators_spark.dedup.fuzzy import fuzzy_self_join_oracle_sql
     from centimators_spark.sampling import sql_group_kfold
     from centimators_spark.text.chunking import doc_sentences_oracle_sql
 
@@ -1982,6 +1998,13 @@ def staged_oracle_sql() -> dict[str, str]:
                 "event_id, user_id, event_type,"
                 " CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_epoch"
             ),
+        ),
+        "fuzzy_name_pairs": fuzzy_self_join_oracle_sql(
+            "(SELECT p_name, min(p_partkey) AS name_id FROM part"
+            " GROUP BY p_name)",
+            "p_name",
+            "name_id",
+            max_dist=2,
         ),
         "rolling_rank": f"""
             WITH w10 AS (

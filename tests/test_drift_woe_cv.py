@@ -365,6 +365,29 @@ def test_era_balanced_weights(spark):
     assert sum(len(v) for v in w_by_era.values()) == 50
 
 
+def test_fuzzy_self_join_substitution_pairs(spark):
+    """Pigeonhole blocking finds every equal-length pair within
+    max_dist substitutions, never an over-distance pair; indels are
+    out of scope by design (length rides in the key)."""
+    from centimators_spark.dedup.fuzzy import fuzzy_self_join
+
+    rows = [
+        (1, "alpha"), (2, "alphx"),   # dist 1
+        (3, "alpxx"),                 # dist 2 from 1, 1 from 2
+        (4, "betas"),                 # unrelated, same length
+        (5, "alphaa"),                # longer: indel from 1 — excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_self_join(df, "name", "id", max_dist=2).collect()
+    }
+    assert out[(1, 2)] == 1 and out[(2, 3)] == 1 and out[(1, 3)] == 2
+    assert (1, 5) not in out           # indel
+    assert all(k for k in out if (4,) not in (k,))  # betas pairs nothing
+    assert not any(4 in k for k in out)
+
+
 def test_pmi_pairs_small_corpus(spark):
     """PMI ranks the always-together pair above an independent pair."""
     from centimators_spark.text.cooccur import pmi_pairs
