@@ -344,8 +344,45 @@ def test_multimodal_pipeline(spark):
         # corpus keeps processing) rather than failing the batch
         real = decode_images(df, fake=False).collect()
         assert len(real) == 3 and all(r.width is None for r in real)
-        with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
-            sample_video_frames(df).collect()
+        # undecodable video bytes degrade to NO rows (pngs aren't video)
+        assert sample_video_frames(df).count() == 0
+
+
+def test_sample_video_frames_rawv(spark):
+    """REAL frame sampling over the deterministic RAWV container:
+    every_n fan-out, exact pixel round-trip, undecodable rows skipped."""
+    import numpy as np
+
+    from centimators_spark.multimodal import (
+        read_binary_dir,
+        sample_video_frames,
+    )
+    from centimators_spark.multimodal.columns import encode_rawv
+
+    rng = np.random.RandomState(5)
+    vids = {
+        "a.rawv": rng.randint(0, 256, (7, 2, 3, 3), dtype=np.uint8),
+        "b.rawv": rng.randint(0, 256, (1, 4, 2, 3), dtype=np.uint8),
+    }
+    with tempfile.TemporaryDirectory(dir="/root/repo") as d:
+        for name, fr in vids.items():
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(encode_rawv(fr))
+        with open(os.path.join(d, "junk.rawv"), "wb") as f:
+            f.write(b"not a video at all")
+        df = read_binary_dir(spark, d, glob="*.rawv")
+        out = sample_video_frames(df, every_n=3).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.path.split("/")[-1], []).append(r)
+        # 7 frames, every 3rd → indices 0, 3, 6
+        assert sorted(r.frame_index for r in by["a.rawv"]) == [0, 3, 6]
+        assert by["b.rawv"][0].frame_index == 0
+        assert "junk.rawv" not in by  # undecodable → no rows
+        r0 = [r for r in by["a.rawv"] if r.frame_index == 3][0]
+        assert (r0.width, r0.height) == (3, 2)
+        expect = (vids["a.rawv"][3].astype(np.float32) / 255.0).ravel()
+        np.testing.assert_allclose(np.array(r0.frame), expect, atol=1e-7)
 
 
 def _tiny_bmp(w=3, h=2, top_down=False, bits=24):
