@@ -13,10 +13,15 @@ equi-joining on it finds every substitution-bounded
 insert/delete matches are deliberately out of scope for this operator
 (the full PassJoin shifted-segment scheme trades many more candidate
 keys for indel coverage — compose with MinHash-LSH when token-level
-edits matter). Verification is the built-in
-``levenshtein`` — the same dynamic program in Spark and DuckDB, so
-distances are integer-identical and the oracle
-(:func:`fuzzy_self_join_oracle_sql`) is bit-exact.
+edits matter). Verification is the HAMMING distance (positional
+mismatch count) as a shared per-character fold — NOT levenshtein,
+whose equal-length distance can undercut the mismatch count on
+shifted strings ("abc"/"bca" is levenshtein 2 but 3 substitutions),
+which would make the result set depend on which shift-pairs happen to
+share a segment. With Hamming the output is EXACTLY the set of
+equal-length pairs within ``max_dist`` substitutions
+(property-tested against brute force), and the DuckDB oracle
+(:func:`fuzzy_self_join_oracle_sql`) evaluates the identical fold.
 
 Scale shape: map-side segment-key explode (×(d+1) rows), one
 equi-join shuffle on the segment key, distinct candidate pairs, then
@@ -90,7 +95,12 @@ def fuzzy_self_join(
         )
         .distinct()
     )
-    dist = F.levenshtein("text_a", "text_b")
+    # Hamming via a positional fold (lengths equal by the blocking key)
+    dist = F.expr(
+        "aggregate(sequence(1, length(text_a)), 0, (acc, i) -> acc + "
+        "CASE WHEN substring(text_a, i, 1) <> substring(text_b, i, 1) "
+        "THEN 1 ELSE 0 END)"
+    ).cast("int")
     return cand.select(
         "id_a", "id_b", "text_a", "text_b", dist.alias("dist")
     ).where(F.col("dist") <= max_dist)
@@ -104,7 +114,7 @@ def fuzzy_self_join_oracle_sql(
     max_dist: int = 1,
 ) -> str:
     """DuckDB mirror of :func:`fuzzy_self_join` — identical segment
-    arithmetic, candidate rule, and levenshtein verify."""
+    arithmetic, candidate rule, and Hamming fold."""
     n_seg = max_dist + 1
     seg_rows = []
     for i in range(n_seg):
@@ -128,7 +138,17 @@ def fuzzy_self_join_oracle_sql(
            AND a.len = b.len AND a.id < b.id
         )
         SELECT id_a, id_b, text_a, text_b,
-               CAST(levenshtein(text_a, text_b) AS INTEGER) AS dist
+               CAST(list_reduce(list_transform(
+                      range(1, length(text_a) + 1),
+                      i -> CASE WHEN substring(text_a, i, 1)
+                                  <> substring(text_b, i, 1)
+                           THEN 1 ELSE 0 END),
+                    (x, y) -> x + y) AS INTEGER) AS dist
         FROM cand
-        WHERE levenshtein(text_a, text_b) <= {max_dist}
+        WHERE list_reduce(list_transform(
+                range(1, length(text_a) + 1),
+                i -> CASE WHEN substring(text_a, i, 1)
+                            <> substring(text_b, i, 1)
+                     THEN 1 ELSE 0 END),
+              (x, y) -> x + y) <= {max_dist}
     """

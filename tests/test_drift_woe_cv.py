@@ -388,7 +388,69 @@ def test_fuzzy_self_join_substitution_pairs(spark):
     assert not any(4 in k for k in out)
 
 
-def test_pmi_pairs_small_corpus(spark):
+def test_fuzzy_self_join_matches_bruteforce(spark):
+    """Property: over random low-alphabet strings, the blocked join
+    returns EXACTLY the brute-force set of equal-length pairs within
+    max_dist substitutions."""
+    from centimators_spark.dedup.fuzzy import fuzzy_self_join
+
+    rng = np.random.RandomState(31)
+    alphabet = list("abc")
+    strs = [
+        "".join(rng.choice(alphabet, rng.randint(3, 7)))
+        for _ in range(60)
+    ]
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join(df, "name", "id", max_dist=2).collect()
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    expect = {
+        (i, j, ham(strs[i], strs[j]))
+        for i in range(len(strs))
+        for j in range(i + 1, len(strs))
+        if len(strs[i]) == len(strs[j]) and ham(strs[i], strs[j]) <= 2
+    }
+    assert got == expect
+
+
+def test_calendar_dow_cross_engine_fuzz(spark):
+    """The shared epoch-day dow formula agrees with DuckDB over random
+    dates 1950-2100 (incl. pre-epoch negatives and leap days)."""
+    import duckdb
+
+    from centimators_spark.functions.calendar import (
+        calendar_features,
+        calendar_features_oracle_sql,
+    )
+
+    rng = np.random.RandomState(37)
+    days = rng.randint(-7305, 47482, 300)  # 1950-01-02 .. 2100-ish
+    df = spark.createDataFrame(
+        [(int(d),) for d in days], "ed int"
+    ).select("ed", F.date_add(F.lit("1970-01-01").cast("date"), F.col("ed")).alias("d"))
+    got = {
+        r.ed: (r.c_dow, r.c_is_weekend, r.c_is_month_end, r.c_week)
+        for r in calendar_features(df, "d", prefix="c_").collect()
+    }
+    con = duckdb.connect()
+    lst = ", ".join(str(int(d)) for d in sorted(set(int(d) for d in days)))
+    con.execute(
+        f"CREATE VIEW t AS SELECT ed, DATE '1970-01-01' + ed AS d FROM "
+        f"(SELECT unnest([{lst}]) AS ed)"
+    )
+    oracle = calendar_features_oracle_sql(
+        "t", "d", prefix="c_", select_sql="ed"
+    )
+    for row in con.execute(oracle).fetchall():
+        ed, yr, q, mo, day, wk, dow, wkend, mend = row
+        g = got[ed]
+        assert g == (dow, wkend, mend, wk), (ed, g, row)
     """PMI ranks the always-together pair above an independent pair."""
     from centimators_spark.text.cooccur import pmi_pairs
 
