@@ -817,8 +817,8 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     from centimators_spark.operators.anomaly import page_hinkley
 
     li = _lineitem(spark, sf_dir).select(
-        *KEYS, "l_suppkey", *[c for c in ORDER if c not in KEYS], "l_quantity"
-    ).select(*dict.fromkeys(KEYS + ["l_suppkey"] + ORDER + ["l_quantity"]))
+        *dict.fromkeys(KEYS + ["l_suppkey"] + ORDER + ["l_quantity"])
+    )
     out = page_hinkley(
         li,
         "l_quantity",
