@@ -920,12 +920,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's correctness
-    pass (which checks a 50-entry window from the top): the 12 queries
-    never driver-verified — the 11 promoted round-3 staged queries plus
-    the new ``penalizer_contract`` — sit first; everything after them
-    in the window is round-3 hash-green, and the overflow tail is
-    entirely previously-driver-green (guard:
-    tests/test_driver_contract.py::test_correctness_window_covers_unverified_queries)."""
+    pass (which checks a 50-entry window from the top): the 24 queries
+    never driver-verified — 11 promoted round-3 staged queries, 3
+    kernel contracts, and 10 round-4 operators — sit first; everything
+    after them in the window is round-3 hash-green, and the overflow
+    tail is entirely previously-driver-green (guard:
+    tests/test_driver_contract.py::test_correctness_window_covers_unverified_queries).
+    Round-5 playbook: promote staged_queries() (10 entries, all
+    locally gate-green) into this head and rotate 10 long-stable
+    greens to the tail — same two-line move as this round."""
     out = {
         # --- promoted round-3 staged queries (locally 11/11 gate-green
         # at sf0.001, judge-reverified; never driver-checked) ---
