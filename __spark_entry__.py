@@ -926,12 +926,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     after them in the window is round-3 hash-green, and the overflow
     tail is entirely previously-driver-green (guard:
     tests/test_driver_contract.py::test_correctness_window_covers_unverified_queries).
-    Round-5 playbook: promote staged_queries() (10 entries, all
-    locally gate-green) into this head and rotate 10 long-stable
-    greens to the tail — same two-line move as this round."""
+    Round-5: the 10 round-4 staged queries are promoted into this
+    head; the 24 round-4-green head entries rotate to the tail."""
     out = {
-        # --- promoted round-3 staged queries (locally 11/11 gate-green
-        # at sf0.001, judge-reverified; never driver-checked) ---
+        # --- promoted round-4 staged queries (locally 10/10 gate-green
+        # at sf0.001 + sf0.01; never driver-checked) ---
+        "promo_revenue": relational_queries.q_promo_revenue,
+        "supplier_counts": relational_queries.q_supplier_counts,
+        "psi_categorical": q_psi_categorical,
+        "doc_sentences": q_doc_sentences,
+        "transition_counts": q_transition_counts,
+        "event_debounce": q_event_debounce,
+        "quantile_normalize": q_quantile_normalize,
+        "rolling_rank": q_rolling_rank,
+        "group_kfold": q_group_kfold,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        # --- round-3 promotions, driver-green r4 (rotate toward tail
+        # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
         "weighted_sample": q_weighted_sample,
         "conformal_quantiles": q_conformal_quantiles,
@@ -1443,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         **datapipe_queries.oracle_sql(),
         **relational_queries.oracle_sql(),
         **_promoted_oracle_sql(),
+        **_promoted_r5_oracle_sql(),
         "penalizer_contract": _penalizer_contract_oracle(),
         # kernel-contract claims: every key-unique row agrees within the
         # differential-test tolerance — any kernel drift breaks the hash
@@ -1943,26 +1955,21 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Queries implemented but deferred to the NEXT round's window
-    (this round's 50-entry window already carries 24 never-verified
-    entries; tests/test_staged_queries.py runs the same driver-mimic
-    gate over these, so promotion is a two-line move)."""
-    return {
-        "promo_revenue": relational_queries.q_promo_revenue,
-        "supplier_counts": relational_queries.q_supplier_counts,
-        "psi_categorical": q_psi_categorical,
-        "doc_sentences": q_doc_sentences,
-        "transition_counts": q_transition_counts,
-        "event_debounce": q_event_debounce,
-        "quantile_normalize": q_quantile_normalize,
-        "rolling_rank": q_rolling_rank,
-        "group_kfold": q_group_kfold,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    }
+    """Queries implemented but deferred to the NEXT round's window.
+    Empty this round: all ten round-4 staged queries are promoted into
+    the head of queries(). tests/test_staged_queries.py runs the same
+    driver-mimic gate over whatever is staged here, so promotion stays
+    a two-line move."""
+    return {}
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracle texts for staged_queries()."""
+    """Oracle texts for staged_queries() (empty — see staged_queries)."""
+    return {}
+
+
+def _promoted_r5_oracle_sql() -> dict[str, str]:
+    """Oracles for the round-4 staged queries promoted this round."""
     from centimators_spark.analytics import (
         debounce_events_oracle_sql,
         transition_counts_oracle_sql,

@@ -49,17 +49,25 @@ def test_contract_shape():
 
 def test_unverified_queries_inside_driver_window():
     """The driver's correctness pass checks the first 50 queries()
-    entries. Everything that was red or unchecked in round 2 must sit
-    inside that window; only long-stable green queries may overflow."""
+    entries. Everything never driver-verified (this round: the ten
+    promoted round-4 staged queries) must sit inside that window; only
+    long-stable green queries may overflow.
+    test_correctness_window_covers_unverified_queries enforces the
+    same invariant dynamically from the CORRECTNESS_r*.json history;
+    this static set documents the current round's intent."""
     names = list(entrymod.queries())
     window = set(names[:50])
     must_check = {
-        "session_ids",           # r2 red (oracle dtype, now fixed)
-        "events_json_extract",   # r1 red, fix never driver-verified
-        "events_sessionize",
-        "top_orders_per_segment",
-        "shipping_priority",
-        "regional_revenue",
+        "promo_revenue",
+        "supplier_counts",
+        "psi_categorical",
+        "doc_sentences",
+        "transition_counts",
+        "event_debounce",
+        "quantile_normalize",
+        "rolling_rank",
+        "group_kfold",
+        "fuzzy_name_pairs",
     }
     assert must_check <= window, must_check - window
 
