@@ -941,6 +941,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_rank": q_rolling_rank,
         "group_kfold": q_group_kfold,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        # --- new this round: recall contracts for the compressed-index
+        # ANN paths (mirror ann_rp_lsh_recall's hash-verified recall@k) ---
+        "pq_recall_contract": datapipe_queries.QUERIES["pq_recall_contract"],
+        "ivfpq_recall_contract": datapipe_queries.QUERIES[
+            "ivfpq_recall_contract"
+        ],
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,

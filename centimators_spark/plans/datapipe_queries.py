@@ -183,6 +183,111 @@ def q_ann_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_hits(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query count of TRUE top-k neighbors the approximate path
+    returned — the shared shape of every ANN recall contract: the
+    oracle computes the exact top-k count in SQL, so the hash matches
+    iff recall is 100% (any missed neighbor shows up as hits < k)."""
+    return (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+def _exact_rerank(shortlist: DataFrame, emb: DataFrame, queries: DataFrame,
+                  k: int) -> DataFrame:
+    """Standard ANN re-rank step: exact cosine of the shortlist
+    survivors against the raw vectors, top-k per query. Same ordering
+    (cos DESC, vec_id ASC) as brute_force_topk and the SQL oracle."""
+    from pyspark.sql import Window as W
+
+    from centimators_spark.similarity.ann import cosine
+
+    rer = (
+        shortlist.select("query_id", "vec_id")
+        .join(emb, "vec_id")
+        .join(
+            F.broadcast(
+                queries.select("query_id", F.col("embedding").alias("__qv"))
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("__qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return rer.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def q_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable recall@k contract for the PQ path (the
+    compressed-index sibling of ann_rp_lsh_recall): ADC shortlist over
+    the m-byte codes → exact re-rank of survivors against raw vectors →
+    join with brute-force top-k, count hits per query.
+
+    The synthetic embeddings are near-isotropic — PQ's hardest case —
+    so the contract uses a fine codebook (k=256) and a half-corpus
+    shortlist to reach measured recall 1.0 with ~3× ADC-rank margin at
+    the gate SF (worst true-top-10 ADC rank: 81/250 at sf0.01). The
+    half-corpus shortlist is a VERIFICATION setting: the production
+    path is a constant O(k) shortlist on real (clustered) embeddings;
+    this query's job is to hash-prove encode→ADC→re-rank end-to-end."""
+    from centimators_spark.similarity.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = train_pq_codebooks(emb, m=8, k=256, iters=20)
+    coded = pq_encode(emb, books)
+    shortlist_k = max(25 * ANN_K, emb.count() // 2)
+    short = pq_topk(coded, queries, books, k=shortlist_k)
+    rerank = _exact_rerank(short, emb, queries, k=ANN_K)
+    exact = brute_force_topk(emb, queries, k=ANN_K)
+    return _recall_hits(exact, rerank)
+
+
+def q_ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k contract for IVF-PQ (the faiss-standard composition):
+    KMeans cells → per-query probe join → ADC over the probed codes →
+    exact re-rank → hits vs brute-force top-k.
+
+    Probes ALL cells at the gate SF: the synthetic vectors are
+    isotropic, so cells carry no neighborhood signal and ANY pruning
+    loses true neighbors (measured: n_probe=6/8 leaves 4 of 50 true
+    neighbors unprobed at sf0.01) — full probe equals plain PQ ranking
+    (the degeneracy is unit-tested in test_ivfpq_composition_recall)
+    while still hash-exercising the entire IVF-PQ code path: cell
+    assignment, the broadcast probe join, per-cell ADC scoring, and
+    re-rank. On real clustered embeddings n_lists ≫ n_probe is the
+    production setting; pruning selectivity is covered by unit tests."""
+    from centimators_spark.similarity.pq import ivfpq_topk, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = train_pq_codebooks(emb, m=8, k=256, iters=20)
+    shortlist_k = max(25 * ANN_K, emb.count() // 2)
+    short = ivfpq_topk(
+        emb, queries, books, k=shortlist_k, n_lists=8, n_probe=8
+    )
+    rerank = _exact_rerank(short, emb, queries, k=ANN_K)
+    exact = brute_force_topk(emb, queries, k=ANN_K)
+    return _recall_hits(exact, rerank)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
@@ -553,6 +658,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_rp_lsh": q_ann_rp_lsh,
     "ann_rp_lsh_recall": q_ann_rp_lsh_recall,
+    "pq_recall_contract": q_pq_recall_contract,
+    "ivfpq_recall_contract": q_ivfpq_recall_contract,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "mixture_sample": q_mixture_sample,
@@ -849,7 +956,10 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {ANN_K}
         """,
-        "ann_rp_lsh_recall": f"""
+        # shared by every ANN recall contract (LSH / PQ / IVF-PQ): the
+        # exact top-k count per query — the approximate path's joined
+        # hits hash-match iff its recall is 100%
+        "ann_rp_lsh_recall": (_recall_oracle := f"""
             WITH e AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings
@@ -866,7 +976,9 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT query_id, CAST(count(*) AS BIGINT) AS hits
             FROM ranked WHERE rank <= {ANN_K} GROUP BY query_id
-        """,
+        """),
+        "pq_recall_contract": _recall_oracle,
+        "ivfpq_recall_contract": _recall_oracle,
         "mixture_sample": _mixture_sample_oracle(),
         "text_repetition": repetition_oracle_sql(),
         "text_pii_mask": mask_pii_oracle_sql(),
