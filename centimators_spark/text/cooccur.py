@@ -24,7 +24,7 @@ text analytics); §2.3-style extension beside tfidf/divergence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from centimators_spark.text.analysis import WORD_RE
@@ -57,11 +57,13 @@ def pmi_pairs(
         ).alias("tok"),
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
-    vocab = (
-        dfreq.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= vocab_size)
-        .select("tok", "df")
+    # top-K via sort+limit → Catalyst plans TakeOrderedAndProject: each
+    # partition keeps its own top vocab_size, one reducer merges K·P
+    # rows — never a single-partition sort over the distinct-token
+    # frame (which at 100 TB corpora is itself 100M+ rows). The
+    # (df desc, tok asc) order is total, so the cut stays deterministic.
+    vocab = dfreq.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(
+        vocab_size
     )
     pruned = toks.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "df")
     a = pruned.select(

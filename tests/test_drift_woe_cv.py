@@ -451,6 +451,9 @@ def test_calendar_dow_cross_engine_fuzz(spark):
         ed, yr, q, mo, day, wk, dow, wkend, mend = row
         g = got[ed]
         assert g == (dow, wkend, mend, wk), (ed, g, row)
+
+
+def test_pmi_pairs_ranking(spark):
     """PMI ranks the always-together pair above an independent pair."""
     from centimators_spark.text.cooccur import pmi_pairs
 

@@ -368,6 +368,12 @@ def main():
     )
     p = plan_of(sq["pmi_cooccur"](spark, sf_dir))
     ok &= audit("pmi_cooccur: vocab prune broadcast", "BroadcastHashJoin" in p)
+    ok &= audit(
+        "pmi_cooccur: vocab top-K is TakeOrdered (distributed two-phase),"
+        " not a single-partition window over the token frame",
+        "TakeOrderedAndProject" in p
+        and not re.search(r"Window \[row_number", p),
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
