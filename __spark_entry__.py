@@ -767,6 +767,40 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_psi_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver contract for the DEFAULT (approx_percentile sketch) PSI
+    path: runs the sketch mode beside the exact mode and emits the
+    exact numbers (hash-pinned by the oracle) plus a boolean asserting
+    the sketch PSI lies within ±0.01 of the exact PSI — so the hash
+    breaks if the scale path ever drifts from the oracle-parity path.
+    (Measured sketch-vs-exact gap at sf0.01: ≤ 2e-4 per feature; the
+    band is 50× that.) Bin counts and totals are integers identical in
+    both modes; only the interpolated boundaries differ."""
+    from centimators_spark.operators.drift import psi_drift
+
+    li = _lineitem(spark, sf_dir)
+    cond = F.col("l_shipdate") < F.lit(PSI_REF_DATE)
+    exact = psi_drift(li, list(PSI_FEATS), cond, n_bins=10, exact=True)
+    sketch = psi_drift(li, list(PSI_FEATS), cond, n_bins=10, exact=False)
+    return (
+        exact.join(
+            sketch.select(
+                "feature", F.col("psi").alias("__psi_sketch")
+            ),
+            "feature",
+        )
+        .select(
+            "feature",
+            "n_ref",
+            "n_cur",
+            "psi",
+            (F.abs(F.col("__psi_sketch") - F.col("psi")) <= 0.01).alias(
+                "sketch_within_band"
+            ),
+        )
+    )
+
+
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence of order priority against the finished-order
     label — the classification sibling of target_encode_loo."""
@@ -947,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall_contract": datapipe_queries.QUERIES[
             "ivfpq_recall_contract"
         ],
+        # sketch-path PSI pinned to the exact oracle (the default
+        # boundary mode flipped to approx_percentile this round)
+        "psi_sketch_contract": q_psi_sketch_contract,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1364,6 +1401,23 @@ def _psi_drift_oracle() -> str:
     )
 
 
+def _psi_sketch_contract_oracle() -> str:
+    """Exact-mode PSI numbers plus the asserted band claim: the oracle
+    states sketch_within_band = true; the Spark side measures it."""
+    from centimators_spark.operators.drift import psi_drift_oracle_sql
+
+    inner = psi_drift_oracle_sql(
+        "lineitem",
+        {f: f for f in PSI_FEATS},
+        f"l_shipdate < TIMESTAMP '{PSI_REF_DATE}'",
+        n_bins=10,
+    )
+    return f"""
+        SELECT feature, n_ref, n_cur, psi, true AS sketch_within_band
+        FROM ({inner})
+    """
+
+
 def _woe_encode_oracle() -> str:
     from centimators_spark.operators.encoding import woe_encode_oracle_sql
 
@@ -1473,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
             FROM {_UNIQUE_KEY_COUNT_SQL}
         """,
         "psi_drift": _psi_drift_oracle(),
+        "psi_sketch_contract": _psi_sketch_contract_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

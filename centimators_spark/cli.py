@@ -140,10 +140,12 @@ def cmd_drift(args) -> int:
     )
     frames = []
     if num:
+        # default = mergeable approx_percentile sketch (the 100 TB
+        # path); --exact opts into the oracle-parity single-buffer sort
         frames.append(
             psi_drift(
                 both, num, F.col("__side"), n_bins=args.bins,
-                exact=not args.sketch,
+                exact=args.exact,
             ).select("feature", "n_ref", "n_cur", "psi")
         )
     if cat:
@@ -211,7 +213,13 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--cat", default=None, help="comma-separated categorical cols")
     sd.add_argument("--bins", type=int, default=10)
     sd.add_argument("--threshold", type=float, default=0.25)
-    sd.add_argument("--sketch", action="store_true")
+    sd.add_argument(
+        "--exact",
+        action="store_true",
+        help="exact percentile boundaries (single-buffer sort per "
+        "feature — oracle parity mode; the default is the scalable "
+        "approx_percentile sketch)",
+    )
     sd.set_defaults(fn=cmd_drift)
 
     sh = sub.add_parser("heavy-hitters", help="frequent values of a column")

@@ -39,7 +39,7 @@ def psi_drift(
     ref_cond: Column,
     *,
     n_bins: int = 10,
-    exact: bool = True,
+    exact: bool = False,
     digits: int = 6,
 ) -> DataFrame:
     """PSI per feature between the ``ref_cond`` slice (reference /
@@ -49,14 +49,18 @@ def psi_drift(
     interpolated percentiles; bin = number of boundaries strictly below
     the value, same rule as quantile_bin); both sides' bin counts are
     Laplace-smoothed by 0.5 so empty bins contribute finitely:
-    p = (c + 0.5) / (n + 0.5·n_bins). Returns one row per feature:
-    (feature, n_ref, n_cur, psi) with psi rounded to ``digits``.
+    p = (c + 0.5) / (n + 0.5·n_bins). NULL feature values are excluded
+    from that feature's bins and totals (a missing value is not drift
+    evidence), so n_ref/n_cur are per-feature NON-NULL counts. Returns
+    one row per feature: (feature, n_ref, n_cur, psi) with psi rounded
+    to ``digits``.
 
     Rule of thumb: psi < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
-    action. ``exact=False`` swaps the boundary aggregation for the
-    mergeable ``approx_percentile`` sketch (the 100 TB default; exact
-    mode sorts each feature's reference values inside one aggregation
-    buffer and exists for oracle parity)."""
+    action. The default boundary aggregation is the mergeable
+    ``approx_percentile`` sketch — the 100 TB path (exact mode sorts
+    each feature's reference values inside ONE aggregation buffer:
+    executor-OOM bait on a real table; it exists for oracle parity and
+    is pinned to the sketch by the psi_sketch_contract query)."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     feats = list(feature_cols)
@@ -77,10 +81,16 @@ def psi_drift(
         # closure factory: a default-arg lambda would confuse pyspark's
         # higher-order-function arity detection (it must see exactly 2)
         v = F.col(f"`{c}`").cast("double")
-        return F.aggregate(
-            F.col(f"__b_{i}"),
-            F.lit(0),
-            lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+        # NULL value -> NULL bin (filtered below): without the guard a
+        # NULL falls into bin 0 (every v > b is NULL -> otherwise(0))
+        # and silently inflates the lowest bin of sparse features
+        return F.when(
+            v.isNotNull(),
+            F.aggregate(
+                F.col(f"__b_{i}"),
+                F.lit(0),
+                lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+            ),
         )
 
     melted = sided.crossJoin(F.broadcast(bounds)).select(
@@ -97,6 +107,7 @@ def psi_drift(
             )
         ).alias("fb"),
     )
+    melted = melted.where(F.col("fb.bin").isNotNull())
     counts = melted.groupBy(
         F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin")
     ).agg(
@@ -139,8 +150,9 @@ def psi_drift_oracle_sql(
     digits: int = 6,
 ) -> str:
     """DuckDB mirror of :func:`psi_drift` (exact mode): identical
-    interpolated boundaries, bin rule, smoothing, and PSI expression.
-    ``feature_sqls`` maps output feature name → SQL expression."""
+    interpolated boundaries, bin rule, NULL exclusion, smoothing, and
+    PSI expression. ``feature_sqls`` maps output feature name → SQL
+    expression."""
     probs = [i / n_bins for i in range(1, n_bins)]
     probs_sql = ", ".join(repr(p) for p in probs)
     smooth = 0.5
@@ -154,6 +166,7 @@ def psi_drift_oracle_sql(
                     FROM {table}),
                    b -> CAST({expr} AS DOUBLE) > b)) AS bin
           FROM (SELECT *, ({ref_cond_sql}) AS __ref FROM {table})
+          WHERE {expr} IS NOT NULL
         """)
     union = " UNION ALL ".join(branches)
     return f"""

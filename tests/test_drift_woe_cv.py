@@ -36,6 +36,27 @@ def test_psi_shifted_distribution_large(spark):
     assert r.psi > 1.0
 
 
+def test_psi_nulls_excluded_and_sketch_near_exact(spark):
+    """NULL feature values are excluded from bins AND totals (they are
+    not drift evidence); the default sketch mode stays within the
+    contract band of the exact mode."""
+    from centimators_spark.operators.drift import psi_drift
+
+    rng = np.random.RandomState(7)
+    vals = rng.normal(0, 1, 1000)
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    # 200 NULLs on the current side would all land in bin 0 without the
+    # guard, inflating n_cur and faking a low-tail shift
+    rows += [(1000 + i, None) for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    [r] = psi_drift(df, ["x"], F.col("i") % 2 == 0, exact=True).collect()
+    assert r.n_ref + r.n_cur == 1000  # NULLs out of the totals
+    assert abs(r.psi) < 0.05
+    [rs] = psi_drift(df, ["x"], F.col("i") % 2 == 0, exact=False).collect()
+    assert (rs.n_ref, rs.n_cur) == (r.n_ref, r.n_cur)
+    assert abs(rs.psi - r.psi) <= 0.01  # the psi_sketch_contract band
+
+
 def test_woe_known_values(spark):
     """Hand-checked WOE on a 2-category frame."""
     from centimators_spark.operators.encoding import woe_encode
