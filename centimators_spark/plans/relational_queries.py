@@ -279,7 +279,12 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact (engine- and partition-order-independent), and the 4×4
     solve evaluates the identical Cramer expression in both engines
     (ml/cramer.py generates both sides from one term enumeration).
-    Predictions rescale back to the original units."""
+    Predictions rescale back to the original units.
+
+    exact=True is the ORACLE setting; the library default
+    (LinearRegressor(exact=False)) is the float fast path — plain
+    double sums + numpy solve, no decimal casts — for production fits
+    where bit-reproducibility across engines isn't required."""
     from centimators_spark.ml.estimators import LinearRegressor
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -298,9 +303,21 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gate on under-partitioned input: a well-partitioned cluster-scale
     # scan must not eat an extra full shuffle before a partial agg.
     fit_input = scaled.select("q", "d100", "t100", "e100")
+    from centimators_spark.operators.neutralization import (
+        _estimated_scan_partitions,
+    )
+
     parallelism = spark.sparkContext.defaultParallelism
-    if fit_input.rdd.getNumPartitions() < parallelism:
-        fit_input = fit_input.repartition(parallelism)
+    est = _estimated_scan_partitions(fit_input)
+    if est is not None and est < parallelism:
+        # hash-partition on a synthetic key, NOT round-robin
+        # repartition(n): round-robin does a retry-determinism local
+        # sort of every row first (spark.sql.execution.sortBeforeRepartition)
+        # — measured 1.8× slower here; the decimal sums are
+        # order-independent so any spread is equally correct
+        fit_input = fit_input.repartition(
+            parallelism, F.monotonically_increasing_id()
+        )
     m = LinearRegressor(["q", "d100", "t100"], target="e100", exact=True).fit(
         fit_input
     )
