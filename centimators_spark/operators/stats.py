@@ -455,7 +455,14 @@ def quantile_normalize(
     100 TB default. ``order_cols`` breaks rank ties deterministically
     (same contract as gaussianize_expr). ``era_col`` ranks within each
     cross-section (the panel form that scales — and the semantic the
-    rank family uses); omit it only on dimension-sized frames."""
+    rank family uses); omit it only on dimension-sized frames.
+
+    NULL values have no quantile: they are excluded from the rank
+    denominator (NULLS LAST ordering keeps non-null ranks 1..n intact)
+    and emit NULL in ``out_col`` — pinned identically in the oracle
+    (engines disagree on default NULL ordering: Spark sorts NULLS
+    FIRST, DuckDB NULLS LAST, so an unpinned ordering would silently
+    shift every rank on a nullable column)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -476,10 +483,12 @@ def quantile_normalize(
     # dimension-sized frames, wrong for 100 TB (pass era_col there)
     part = [era_col] if era_col else []
     w = Window.partitionBy(*part).orderBy(
-        F.col(value_col), *[F.col(c) for c in order_cols]
+        F.col(value_col).asc_nulls_last(), *[F.col(c) for c in order_cols]
     )
     ranked = df.withColumn("__r", F.row_number().over(w)).withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy(*part))
+        # count(value_col): non-null denominator — NULLs rank last so
+        # non-null ranks stay 1..n
+        "__n", F.count(F.col(value_col)).over(Window.partitionBy(*part))
     )
     j = ranked.crossJoin(F.broadcast(qvec))
     pk = (
@@ -492,9 +501,8 @@ def quantile_normalize(
     lo = F.get(F.col("__q"), i)
     hi = F.get(F.col("__q"), i + 1)
     val = lo * (F.lit(1.0) - frac) + hi * frac
-    return j.withColumn(out, F.round(val, round_dp)).drop(
-        "__r", "__n", "__q"
-    )
+    guarded = F.when(F.col(value_col).isNotNull(), F.round(val, round_dp))
+    return j.withColumn(out, guarded).drop("__r", "__n", "__q")
 
 
 def quantile_normalize_oracle_sql(
@@ -524,8 +532,8 @@ def quantile_normalize_oracle_sql(
           SELECT quantile_cont({src}, [{probs_sql}]) AS qv FROM {table}
         ), ranked AS (
           SELECT *,
-                 row_number() OVER ({part}ORDER BY {value_sql}{tiebreak}) AS r,
-                 count(*) OVER ({part.rstrip()}) AS n
+                 row_number() OVER ({part}ORDER BY {value_sql} ASC NULLS LAST{tiebreak}) AS r,
+                 count({value_sql}) OVER ({part.rstrip()}) AS n
           FROM {table}
         ), interp AS (
           SELECT *,
@@ -533,10 +541,11 @@ def quantile_normalize_oracle_sql(
           FROM ranked CROSS JOIN q
         )
         SELECT {select_sql},
+               CASE WHEN {value_sql} IS NOT NULL THEN
                round(qv[CAST(floor(pk) AS INTEGER) + 1]
                        * (1.0 - (pk - CAST(floor(pk) AS DOUBLE)))
                      + qv[CAST(floor(pk) AS INTEGER) + 2]
                        * (pk - CAST(floor(pk) AS DOUBLE)),
-                     {round_dp}) AS {out_name}
+                     {round_dp}) END AS {out_name}
         FROM interp
     """

@@ -475,18 +475,24 @@ def era_balanced_weights(
     Exact: N, E, n_era are exact integers from ONE grouped count
     (broadcast back; era keys are dimension-sized); the single
     division is rounded to ``round_dp`` identically in the DuckDB
-    mirror (:func:`era_balanced_weights_oracle_sql`)."""
+    mirror (:func:`era_balanced_weights_oracle_sql`). A NULL era is a
+    first-class era (its rows get weights like any other; the
+    broadcast-back join is null-safe so Σw = N holds on frames with
+    missing era labels too)."""
     counts = df.groupBy(era_col).agg(F.count(F.lit(1)).alias("__n_era"))
     # tiny second agg over the COUNTS frame (one row per era)
     tot = counts.agg(
         F.sum("__n_era").alias("__N"), F.count(F.lit(1)).alias("__E")
     )
-    j = df.join(F.broadcast(counts), era_col).crossJoin(F.broadcast(tot))
+    cn = counts.withColumnRenamed(era_col, "__era_key")
+    j = df.join(
+        F.broadcast(cn), F.col(era_col).eqNullSafe(F.col("__era_key"))
+    ).crossJoin(F.broadcast(tot))
     w = F.col("__N").cast("double") / (
         F.col("__E").cast("double") * F.col("__n_era").cast("double")
     )
     return j.withColumn(out_col, F.round(w, round_dp)).drop(
-        "__n_era", "__N", "__E"
+        "__era_key", "__n_era", "__N", "__E"
     )
 
 
@@ -498,7 +504,8 @@ def era_balanced_weights_oracle_sql(
     out_name: str = "weight",
     round_dp: int = 6,
 ) -> str:
-    """DuckDB mirror of :func:`era_balanced_weights`."""
+    """DuckDB mirror of :func:`era_balanced_weights` (null-safe era
+    join, matching the Spark side's eqNullSafe)."""
     return f"""
         WITH b AS (
           SELECT *, {era_sql} AS __era FROM {table}
@@ -513,7 +520,7 @@ def era_balanced_weights_oracle_sql(
                round(CAST(N AS DOUBLE)
                      / (CAST(E AS DOUBLE) * CAST(n_era AS DOUBLE)),
                      {round_dp}) AS {out_name}
-        FROM b JOIN c USING (__era) CROSS JOIN t
+        FROM b JOIN c ON b.__era IS NOT DISTINCT FROM c.__era CROSS JOIN t
     """
 
 

@@ -345,6 +345,49 @@ def test_quantile_normalize_identity_and_shift(spark):
     assert np.mean(cur_mapped) > 0  # drifted-high slice maps to upper half
 
 
+def test_quantile_normalize_null_values(spark):
+    """NULL values get NULL output and don't shift non-null ranks —
+    both engines pin NULLS LAST (their defaults disagree)."""
+    import duckdb
+
+    from centimators_spark.operators.stats import (
+        quantile_normalize,
+        quantile_normalize_oracle_sql,
+    )
+
+    rows = [(i, float(i)) for i in range(20)] + [(100 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "rid long, x double")
+    out = {r.rid: r.x_qnorm for r in quantile_normalize(
+        df, "x", n_points=10, order_cols=["rid"], exact=True
+    ).collect()}
+    assert all(out[100 + i] is None for i in range(5))
+    # identity mapping for the non-null values (own distribution)
+    assert abs(out[10] - 10.0) < 1.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({rid}, {v!r}::DOUBLE)" if v is not None else f"({rid}, NULL::DOUBLE)"
+            for rid, v in rows
+        )
+        + ") AS v(rid, x)"
+    )
+    oracle = con.execute(
+        quantile_normalize_oracle_sql(
+            "t", "x", n_points=10, order_sql="rid",
+            select_sql="rid", out_name="x_qnorm",
+        )
+    ).fetchdf()
+    odict = {int(r.rid): (None if np.isnan(r.x_qnorm) else r.x_qnorm)
+             for r in oracle.itertuples()}
+    for rid, v in out.items():
+        ov = odict[rid]
+        if v is None:
+            assert ov is None
+        else:
+            assert abs(v - ov) < 1e-9, rid
+
+
 def test_forward_returns_known_values(spark):
     """fwd_k = x_{t+k}/x_t − 1 within ticker; trailing rows null."""
     from centimators_spark.operators.time_series import (
@@ -384,6 +427,14 @@ def test_era_balanced_weights(spark):
     assert sum(w_by_era[1]) == pytest.approx(25.0, abs=1e-3)
     assert sum(w_by_era[2]) == pytest.approx(25.0, abs=1e-3)
     assert sum(len(v) for v in w_by_era.values()) == 50
+    # NULL era is a first-class era (null-safe join): rows kept, Σw = N
+    rows_n = rows + [(None, 100 + i) for i in range(25)]
+    dfn = spark.createDataFrame(rows_n, "era int, rid int")
+    outn = era_balanced_weights(dfn, "era").collect()
+    assert len(outn) == 75
+    null_w = [r.weight for r in outn if r.era is None]
+    assert sum(null_w) == pytest.approx(25.0, abs=1e-3)  # N/E = 75/3
+    assert sum(r.weight for r in outn) == pytest.approx(75.0, abs=1e-2)
 
 
 def test_fuzzy_self_join_substitution_pairs(spark):
