@@ -301,6 +301,73 @@ def test_keras_estimator_score_r2(spark, monkeypatch):
             del sys.modules[name]
 
 
+def test_mlp_forward_pass_pins_target_scaling(spark):
+    """End-to-end numeric pin of the Keras surface WITHOUT keras: the
+    stub's Dense layers do a real forward pass, so fit() target scaling
+    (Spark avg/stddev_pop — reference keras_estimators/base.py:89-100)
+    and the distributed _score_with path (to_json → ship weights →
+    model_from_json → predict → inverse scale, :119-153) are asserted
+    against a hand-computed linear model."""
+    import sys
+
+    import numpy as np
+
+    import tests.keras_stub as ks
+
+    if not ks.install():
+        pytest.skip("real keras installed")
+    try:
+        # workers import 'keras' by name inside the scoring UDF; ship a
+        # file spelling of the stub so their import resolves too
+        import tests.stub_pyfiles  # noqa: F401  (asserts the dir exists)
+
+        spark.sparkContext.addPyFile(
+            "/root/repo/tests/stub_pyfiles/keras.py"
+        )
+        spark.sparkContext.addPyFile("/root/repo/tests/keras_stub.py")
+        from centimators_spark.ml.estimators import MLPRegressor
+
+        rows = [
+            (1.0, 2.0, 9.0),
+            (2.0, 0.5, 11.0),
+            (3.0, 1.0, 13.0),
+            (0.0, 4.0, 7.0),
+        ]
+        df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+        est = MLPRegressor(
+            ["x1", "x2"], target="y",
+            hidden_units=(2,), activation="linear", epochs=1,
+        )
+        est.fit(df)
+        y = np.array([r[2] for r in rows])
+        mu, sd = y.mean(), y.std()  # population std, ddof=0
+        assert est._y_mean == pytest.approx(mu, abs=1e-12)
+        assert est._y_std == pytest.approx(sd, abs=1e-12)
+        # hand-built linear model through the 2-layer chain:
+        # hidden = identity, head = 2*x1 + 3*x2 + 1 (on the SCALED target)
+        est.model.set_weights([
+            np.eye(2), np.zeros(2),
+            np.array([[2.0], [3.0]]), np.array([1.0]),
+        ])
+        got = {
+            (r.x1, r.x2): r.prediction for r in est.predict(df).collect()
+        }
+        for x1, x2, _ in rows:
+            expected = (2 * x1 + 3 * x2 + 1) * sd + mu  # inverse scale
+            assert got[(x1, x2)] == pytest.approx(expected, rel=1e-6), (
+                x1, x2,
+            )
+        # distributed R² agrees with a local recomputation
+        preds = np.array([(2 * a + 3 * b + 1) * sd + mu for a, b, _ in rows])
+        expected_r2 = 1 - ((y - preds) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert est.score(df) == pytest.approx(expected_r2, rel=1e-9)
+    finally:
+        for name in [
+            m for m in sys.modules if m == "keras" or m.startswith("keras.")
+        ]:
+            del sys.modules[name]
+
+
 def _tiny_png(w=4, h=3):
     sig = b"\x89PNG\r\n\x1a\n"
     ihdr_data = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
