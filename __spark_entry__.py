@@ -801,6 +801,23 @@ def q_psi_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/bloomjoin.py): orders of
+    high-balance customers. The blocked-Bloom word table prunes the
+    fact side before the exact leftsemi join; no false negatives, so
+    the result is row-identical to the plain semi-join the oracle
+    states — the hash proves the pruning is transparent."""
+    from centimators_spark.operators.bloomjoin import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > 9000
+    )
+    return bloom_semi_join(
+        orders, rich, "o_custkey", dim_key="c_custkey"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence of order priority against the finished-order
     label — the classification sibling of target_encode_loo."""
@@ -984,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch-path PSI pinned to the exact oracle (the default
         # boundary mode flipped to approx_percentile this round)
         "psi_sketch_contract": q_psi_sketch_contract,
+        "bloom_semi_join": q_bloom_semi_join,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1528,6 +1546,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "psi_drift": _psi_drift_oracle(),
         "psi_sketch_contract": _psi_sketch_contract_oracle(),
+        "bloom_semi_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_custkey IN (
+              SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+            )
+        """,
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

@@ -236,3 +236,48 @@ def test_asof_forward_and_nearest_match_pandas(spark):
         ).sort_values(["k", "ts"]).reset_index(drop=True)
         for g, e in zip(got.rv_asof, exp.rv):
             assert (pd.isna(g) and pd.isna(e)) or g == e, (direction, g, e)
+
+
+def test_bloom_semi_join_identical_to_plain_and_prunes(spark):
+    """The blocked Bloom has no false negatives (semi-join result
+    identical to the plain one); the prune alone passes every true key
+    plus only a small false-positive tail."""
+    from centimators_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_prune,
+        bloom_semi_join,
+    )
+
+    # fact keys 0..1999; dim keys = multiples of 20 (5% selectivity)
+    fact = spark.range(0, 2000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 2000, 20).withColumnRenamed("id", "k")
+
+    got = sorted(r.k for r in bloom_semi_join(fact, dim, "k").collect())
+    exp = sorted(r.k for r in fact.join(dim, "k", "leftsemi").collect())
+    assert got == exp
+
+    words, n_words = bloom_build(dim, "k")
+    pruned = {r.k for r in bloom_prune(fact, words, n_words, "k").collect()}
+    true_keys = set(range(0, 2000, 20))
+    assert true_keys <= pruned  # no false negatives
+    # fpp at 10 bits/key, k=4 blocked is a few percent — far under 20%
+    fp = len(pruned - true_keys) / (2000 - len(true_keys))
+    assert fp < 0.2, fp
+
+
+def test_bloom_semi_join_string_keys_and_dim_key_rename(spark):
+    from centimators_spark.operators.bloomjoin import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(f"u{i}",) for i in range(300)], "uid string"
+    )
+    dim = spark.createDataFrame(
+        [(f"u{i}",) for i in range(0, 300, 7)], "user_id string"
+    )
+    got = sorted(
+        r.uid
+        for r in bloom_semi_join(
+            fact, dim, "uid", dim_key="user_id"
+        ).collect()
+    )
+    assert got == sorted(f"u{i}" for i in range(0, 300, 7))

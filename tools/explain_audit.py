@@ -374,6 +374,16 @@ def main():
         "TakeOrderedAndProject" in p
         and not re.search(r"Window \[row_number", p),
     )
+    p = plan_of(sq["bloom_semi_join"](spark, sf_dir))
+    ok &= audit(
+        "bloom_semi_join: word table + keys both broadcast, fact side"
+        " never sort-merge-shuffles",
+        p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p,
+    )
+    ok &= audit(
+        "bloom_semi_join: probe is pure bitwise codegen (no Python)",
+        "EvalPython" not in p and "shiftleft" in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
