@@ -818,6 +818,22 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining (ml/itemsets.py): frequent brand sets per
+    order via distributed FP-Growth; the contract restricts to sizes
+    ≤ 2 where the SQL oracle enumerates exactly (singles + basket
+    self-join pairs, identical ceil threshold)."""
+    from centimators_spark.ml.itemsets import frequent_itemsets, make_baskets
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bi = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    baskets = make_baskets(bi, "l_orderkey", "p_brand")
+    return frequent_itemsets(baskets, min_support=0.01, max_size=2)
+
+
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence of order priority against the finished-order
     label — the classification sibling of target_encode_loo."""
@@ -1002,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boundary mode flipped to approx_percentile this round)
         "psi_sketch_contract": q_psi_sketch_contract,
         "bloom_semi_join": q_bloom_semi_join,
+        "frequent_itemsets": q_frequent_itemsets,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1436,6 +1453,18 @@ def _psi_sketch_contract_oracle() -> str:
     """
 
 
+def _frequent_itemsets_oracle() -> str:
+    from centimators_spark.ml.itemsets import frequent_itemsets_oracle_sql
+
+    return frequent_itemsets_oracle_sql(
+        "(SELECT l_orderkey AS basket, p_brand AS item"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey)",
+        basket_sql="basket",
+        item_sql="item",
+        min_support=0.01,
+    )
+
+
 def _woe_encode_oracle() -> str:
     from centimators_spark.operators.encoding import woe_encode_oracle_sql
 
@@ -1552,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey FROM customer WHERE c_acctbal > 9000
             )
         """,
+        "frequent_itemsets": _frequent_itemsets_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

@@ -277,3 +277,39 @@ def test_ivf_topk_zero_norm_vector(spark):
     )
     out = ivf_topk(emb, q, k=3, n_lists=2, n_probe=2).collect()
     assert len(out) == 3
+
+
+def test_frequent_itemsets_known_counts_and_threshold(spark):
+    """Hand-computed baskets: exact freqs, the mllib ceil threshold
+    boundary, and deterministic sorted item keys."""
+    from centimators_spark.ml.itemsets import (
+        frequent_itemsets,
+        make_baskets,
+    )
+
+    # 10 baskets: {a,b} x6, {a,c} x3, {c} x1  (item 'a' in 9, 'b' 6,
+    # 'c' 4; pair a,b 6; pair a,c 3)
+    rows = []
+    bid = 0
+    for _ in range(6):
+        rows += [(bid, "a"), (bid, "b")]; bid += 1
+    for _ in range(3):
+        rows += [(bid, "a"), (bid, "c")]; bid += 1
+    rows += [(bid, "c")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    baskets = make_baskets(df, "basket", "item")
+    # min_support 0.4 -> min_count = ceil(4.0) = 4: keeps c (4) exactly
+    # on the boundary, drops pair a,c (3)
+    out = {r.items_key: (r.size, r.freq)
+           for r in frequent_itemsets(baskets, min_support=0.4).collect()}
+    assert out == {
+        "a": (1, 9), "b": (1, 6), "c": (1, 4), "a,b": (2, 6),
+    }
+    # duplicate items within a basket count once
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x")], "basket long, item string"
+    )
+    out2 = {r.items_key: r.freq for r in frequent_itemsets(
+        make_baskets(dup, "basket", "item"), min_support=0.5
+    ).collect()}
+    assert out2 == {"x": 2}
