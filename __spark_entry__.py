@@ -834,6 +834,17 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(baskets, min_support=0.01, max_size=2)
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD construction (analytics.scd2_intervals): each user's
+    event_type change-log becomes versioned validity intervals with
+    no-op changes collapsed — one shuffle, three shared-window ops."""
+    from centimators_spark.analytics import scd2_intervals
+
+    return scd2_intervals(
+        load_table(spark, sf_dir, "events"), "event_type"
+    )
+
+
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence of order priority against the finished-order
     label — the classification sibling of target_encode_loo."""
@@ -1019,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_sketch_contract": q_psi_sketch_contract,
         "bloom_semi_join": q_bloom_semi_join,
         "frequent_itemsets": q_frequent_itemsets,
+        "scd2_intervals": q_scd2_intervals,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1465,6 +1477,12 @@ def _frequent_itemsets_oracle() -> str:
     )
 
 
+def _scd2_oracle() -> str:
+    from centimators_spark.analytics import scd2_intervals_oracle_sql
+
+    return scd2_intervals_oracle_sql("events", "event_type")
+
+
 def _woe_encode_oracle() -> str:
     from centimators_spark.operators.encoding import woe_encode_oracle_sql
 
@@ -1582,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "frequent_itemsets": _frequent_itemsets_oracle(),
+        "scd2_intervals": _scd2_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

@@ -88,3 +88,41 @@ def test_funnel_unbroadcast_path_matches(spark):
     b = sorted(tuple(r) for r in funnel(
         df, ["view", "click"], broadcast_stages=False).collect())
     assert a == b
+
+
+def test_scd2_intervals_hand_computed(spark):
+    """Change-log → versioned intervals: no-op changes collapse
+    (null-safe), last version open, intervals tile the timeline."""
+    from centimators_spark.analytics import scd2_intervals
+
+    rows = [
+        # user 1: a@0, a@10 (no-op), b@20, b@30 (no-op), NULL@40,
+        # NULL@50 (no-op), a@60
+        (1, 1, 0, "a"), (2, 1, 10, "a"), (3, 1, 20, "b"),
+        (4, 1, 30, "b"), (5, 1, 40, None), (6, 1, 50, None),
+        (7, 1, 60, "a"),
+        # user 2: single event
+        (8, 2, 5, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type",
+    )
+    out = sorted(
+        (
+            (r.user_id, r.version, r.event_type,
+             r.valid_from_epoch, r.valid_to_epoch)
+            for r in scd2_intervals(df, "event_type").collect()
+        )
+    )
+    assert out == [
+        (1, 1, "a", 0, 20),
+        (1, 2, "b", 20, 40),
+        (1, 3, None, 40, 60),
+        (1, 4, "a", 60, None),
+        (2, 1, "x", 5, None),
+    ]
+    # collapse=False keeps every event as its own version
+    assert scd2_intervals(df, "event_type", collapse=False).count() == 8
