@@ -845,6 +845,20 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language embedding centroids (class prototypes):
+    embeddings joined to their documents' lang, micro-unit integer
+    component sums — order-independent, one posexplode + one grouped
+    aggregation (similarity/centroids.py)."""
+    from centimators_spark.similarity.centroids import group_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    return group_centroids(emb.join(docs, "vec_id"), "lang")
+
+
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence of order priority against the finished-order
     label — the classification sibling of target_encode_loo."""
@@ -1031,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "frequent_itemsets": q_frequent_itemsets,
         "scd2_intervals": q_scd2_intervals,
+        "embedding_centroids": q_embedding_centroids,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1483,6 +1498,19 @@ def _scd2_oracle() -> str:
     return scd2_intervals_oracle_sql("events", "event_type")
 
 
+def _embedding_centroids_oracle() -> str:
+    from centimators_spark.similarity.centroids import (
+        group_centroids_oracle_sql,
+    )
+
+    return group_centroids_oracle_sql(
+        "(SELECT d.lang, e.embedding FROM embeddings e"
+        " JOIN documents d ON e.vec_id = d.doc_id)",
+        "lang",
+        group_name="lang",
+    )
+
+
 def _woe_encode_oracle() -> str:
     from centimators_spark.operators.encoding import woe_encode_oracle_sql
 
@@ -1601,6 +1629,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "frequent_itemsets": _frequent_itemsets_oracle(),
         "scd2_intervals": _scd2_oracle(),
+        "embedding_centroids": _embedding_centroids_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

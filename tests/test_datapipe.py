@@ -879,3 +879,27 @@ def test_pq_topk_empty_queries(spark, emb):
     out = pq_topk(coded, empty, books, k=5)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "vec_id", "approx_cos", "rank"}
+
+
+def test_group_centroids_exact_and_null_handling(spark):
+    """Hand-computed centroids; NULL vectors excluded; exact across
+    partitionings (integer micro-unit sums)."""
+    from centimators_spark.similarity.centroids import group_centroids
+
+    rows = [
+        ("a", [1.0, 2.0]),
+        ("a", [3.0, 4.0]),
+        ("b", [10.0, -2.0]),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, embedding array<double>")
+    out = {(r.grp, r.pos): (r.centroid, r.n)
+           for r in group_centroids(df, "grp").collect()}
+    assert out == {
+        ("a", 1): (2.0, 2), ("a", 2): (3.0, 2),
+        ("b", 1): (10.0, 1), ("b", 2): (-2.0, 1),
+    }
+    # partition-order independence: same result under repartition
+    out2 = {(r.grp, r.pos): (r.centroid, r.n)
+            for r in group_centroids(df.repartition(7), "grp").collect()}
+    assert out == out2
