@@ -859,6 +859,22 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_centroids(emb.join(docs, "vec_id"), "lang")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (graphs.py) over the bidirectional
+    supplier↔part supply graph — 3 damped iterations of join+grouped
+    sum in BIGINT micro-units; the oracle unrolls the identical integer
+    arithmetic as chained CTEs (the iterative-algorithm contract)."""
+    from centimators_spark.graphs import pagerank_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank_int(edges, iters=3)
+
+
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence of order priority against the finished-order
     label — the classification sibling of target_encode_loo."""
@@ -1046,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_itemsets": q_frequent_itemsets,
         "scd2_intervals": q_scd2_intervals,
         "embedding_centroids": q_embedding_centroids,
+        "pagerank": q_pagerank,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1498,6 +1515,19 @@ def _scd2_oracle() -> str:
     return scd2_intervals_oracle_sql("events", "event_type")
 
 
+def _pagerank_oracle() -> str:
+    from centimators_spark.graphs import pagerank_int_oracle_sql
+
+    return pagerank_int_oracle_sql(
+        "(SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,"
+        "        'P' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem"
+        " UNION ALL"
+        " SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR),"
+        "        'S' || CAST(l_suppkey AS VARCHAR) FROM lineitem)",
+        iters=3,
+    )
+
+
 def _embedding_centroids_oracle() -> str:
     from centimators_spark.similarity.centroids import (
         group_centroids_oracle_sql,
@@ -1630,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_itemsets": _frequent_itemsets_oracle(),
         "scd2_intervals": _scd2_oracle(),
         "embedding_centroids": _embedding_centroids_oracle(),
+        "pagerank": _pagerank_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

@@ -1,0 +1,144 @@
+"""Graph analytics beyond connected components (dedup/cluster.py):
+integer-exact PageRank over an edge DataFrame.
+
+Spark shape (the classic Pregel-as-joins loop): per iteration, ONE
+join of the rank table with the edge list on src + ONE grouped sum on
+dst + ONE left join back onto the node list. Ranks and contributions
+are BIGINT micro-units with integer division, so every iteration is
+exact and partition-order independent — which is what makes a
+bit-exact cross-engine oracle possible for an ITERATIVE algorithm: the
+DuckDB mirror (:func:`pagerank_int_oracle_sql`) unrolls the same fixed
+iteration count as chained CTEs evaluating identical integer
+arithmetic.
+
+Semantics: the damped update in units of ``scale``:
+
+    r₀(v)    = scale // N
+    rₜ₊₁(v) = (scale·(100−d)) // (100·N)
+              + (d · Σ_{u→v} (rₜ(u) // outdeg(u))) // 100
+
+with d = ``damping_pct``. Integer flooring loses < 1 unit per term —
+at the default scale (1e9) that is ~1e-9 relative, far below any
+ranking-relevant difference, and EXACTLY mirrored by the oracle.
+Dangling nodes (outdeg 0) simply emit no contribution — their rank
+mass decays to the base term, the "remove dangling mass" variant.
+
+At 100 TB: the rank table is n_nodes rows (tiny next to edges); the
+per-iteration shuffle is the edge join keyed on src — pre-partition or
+bucket the edge list by src once and every iteration reuses that
+layout. ``materialize`` cuts the lineage per iteration (default
+``none`` composes one lazy plan — right for small iteration counts;
+use ``localCheckpoint``/``persist`` for deep loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_int(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+    materialize: str = "none",
+) -> DataFrame:
+    """PageRank in exact BIGINT micro-units. Returns (node, rank_int)
+    after ``iters`` damped iterations; Σ rank_int ≈ scale (minus
+    integer-floor and dangling leakage)."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
+    if materialize not in ("none", "localCheckpoint", "persist"):
+        raise ValueError(f"bad materialize {materialize!r}")
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_int", F.lit(0).cast("long"))
+    deg = e.groupBy(F.col("__src").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    base = (scale * (100 - damping_pct)) // (100 * n)
+    r = nodes.withColumn("rank_int", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            r.join(deg, "node")
+            .join(e, F.col("node") == F.col("__src"))
+            .select(
+                F.col("__dst").alias("node"),
+                F.expr("rank_int DIV __deg").alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        r = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({damping_pct} * coalesce(__s, 0L)) DIV 100"
+                )
+            ).alias("rank_int"),
+        )
+        if materialize == "localCheckpoint":
+            r = r.localCheckpoint(eager=True)
+        elif materialize == "persist":
+            r = r.persist()
+            r.count()
+    return r
+
+
+def pagerank_int_oracle_sql(
+    edges_sql: str,
+    *,
+    src_sql: str = "src",
+    dst_sql: str = "dst",
+    iters: int = 3,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB mirror of :func:`pagerank_int`: the fixed iteration count
+    unrolls into chained CTEs r0..r{iters} evaluating the identical
+    integer arithmetic (// == Spark's DIV on the all-positive ranks)."""
+    parts = [
+        f"""e AS (
+          SELECT {src_sql} AS src, {dst_sql} AS dst FROM {edges_sql}
+        ), nodes AS (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+                FROM e GROUP BY src),
+        r0 AS (
+          SELECT node, CAST(CAST({scale} AS BIGINT) // n AS BIGINT) AS rank_int
+          FROM nodes CROSS JOIN nn
+        )"""
+    ]
+    for t in range(iters):
+        parts.append(f"""s{t + 1} AS (
+          SELECT e.dst AS node,
+                 sum(r.rank_int // d.dg) AS s
+          FROM r{t} r JOIN deg d USING (node) JOIN e ON e.src = r.node
+          GROUP BY e.dst
+        ), r{t + 1} AS (
+          SELECT nodes.node,
+                 CAST((CAST({scale} AS BIGINT) * {100 - damping_pct})
+                     // (100 * nn.n)
+                   + ({damping_pct} * coalesce(s{t + 1}.s, 0)) // 100
+                   AS BIGINT) AS rank_int
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN s{t + 1} ON nodes.node = s{t + 1}.node
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank_int FROM r{iters}"
+    )

@@ -903,3 +903,27 @@ def test_group_centroids_exact_and_null_handling(spark):
     out2 = {(r.grp, r.pos): (r.centroid, r.n)
             for r in group_centroids(df.repartition(7), "grp").collect()}
     assert out == out2
+
+
+def test_pagerank_int_hub_ranks_highest_and_is_exact(spark):
+    """Star graph: the hub outranks leaves; results are identical under
+    repartitioning (integer arithmetic); rank mass ~ scale."""
+    from centimators_spark.graphs import pagerank_int
+
+    # 6 leaves all pointing at hub h, hub pointing back at every leaf
+    edges = [(f"l{i}", "h") for i in range(6)] + [
+        ("h", f"l{i}") for i in range(6)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r.rank_int for r in pagerank_int(df, iters=3).collect()}
+    assert len(out) == 7
+    assert out["h"] > max(v for k, v in out.items() if k != "h")
+    total = sum(out.values())
+    assert abs(total - 10**9) < 10**6  # floor loss only
+    # leaves are symmetric -> identical ranks
+    assert len({v for k, v in out.items() if k != "h"}) == 1
+    out2 = {
+        r.node: r.rank_int
+        for r in pagerank_int(df.repartition(5), iters=3).collect()
+    }
+    assert out == out2
