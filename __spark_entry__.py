@@ -875,6 +875,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3)
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (analytics.attribution):
+    per channel, conversions credited to the user's earliest and latest
+    in-lookback touchpoint — RANGE-frame struct min/max, deterministic
+    tie-breaks."""
+    from centimators_spark.analytics import attribution
+
+    return attribution(load_table(spark, sf_dir, "events"))
+
+
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence of order priority against the finished-order
     label — the classification sibling of target_encode_loo."""
@@ -1063,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "embedding_centroids": q_embedding_centroids,
         "pagerank": q_pagerank,
+        "attribution": q_attribution,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1515,6 +1526,12 @@ def _scd2_oracle() -> str:
     return scd2_intervals_oracle_sql("events", "event_type")
 
 
+def _attribution_oracle() -> str:
+    from centimators_spark.analytics import attribution_oracle_sql
+
+    return attribution_oracle_sql("events")
+
+
 def _pagerank_oracle() -> str:
     from centimators_spark.graphs import pagerank_int_oracle_sql
 
@@ -1661,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_intervals": _scd2_oracle(),
         "embedding_centroids": _embedding_centroids_oracle(),
         "pagerank": _pagerank_oracle(),
+        "attribution": _attribution_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

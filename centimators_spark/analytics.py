@@ -305,6 +305,105 @@ def scd2_intervals_oracle_sql(
     """
 
 
+def attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    lookback_seconds: int = 7 * 86400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch marketing attribution: for every
+    conversion event, credit the channel (event type) of the user's
+    EARLIEST and LATEST non-conversion touchpoint in the trailing
+    ``lookback_seconds`` window. Returns one row per channel:
+    (channel, first_touch, last_touch) conversion counts; conversions
+    with no in-window touchpoint credit the NULL channel ('direct').
+
+    Determinism: the touchpoint inside the RANGE frame is chosen as
+    min/max of a (epoch, id, type) struct — a total order, so equal
+    timestamps break ties identically in both engines (plain
+    first_value/last_value would depend on peer scan order). One
+    window over the (user) shuffle + one grouped count."""
+    from pyspark.sql import Window
+
+    ep = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ep)
+        .rangeBetween(-lookback_seconds, -1)
+    )
+    touch = F.when(
+        F.col(type_col) != conversion_type,
+        F.struct(
+            ep.alias("ep"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("ch"),
+        ),
+    )
+    tagged = events.select(
+        F.col(type_col),
+        F.coalesce(
+            F.min(touch).over(w).getField("ch"), F.lit("direct")
+        ).alias("__first"),
+        F.coalesce(
+            F.max(touch).over(w).getField("ch"), F.lit("direct")
+        ).alias("__last"),
+    ).where(F.col(type_col) == conversion_type)
+    per_first = tagged.groupBy(F.col("__first").alias("channel")).agg(
+        F.count(F.lit(1)).alias("first_touch")
+    )
+    per_last = tagged.groupBy(F.col("__last").alias("channel")).agg(
+        F.count(F.lit(1)).alias("last_touch")
+    )
+    return per_first.join(per_last, "channel", "full").select(
+        "channel",
+        F.coalesce("first_touch", F.lit(0)).alias("first_touch"),
+        F.coalesce("last_touch", F.lit(0)).alias("last_touch"),
+    )
+
+
+def attribution_oracle_sql(
+    table: str = "events",
+    *,
+    conversion_type: str = "purchase",
+    lookback_seconds: int = 7 * 86400,
+    user_sql: str = "user_id",
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    id_sql: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`attribution` (identical struct-ordered
+    touchpoint choice)."""
+    epoch = f"CAST(epoch(date_trunc('second', {ts_sql})) AS BIGINT)"
+    touch = (
+        f"CASE WHEN {type_sql} <> '{conversion_type}' THEN "
+        f"{{'ep': {epoch}, 'id': {id_sql}, 'ch': {type_sql}}} END"
+    )
+    over = (
+        f"PARTITION BY {user_sql} ORDER BY {epoch} "
+        f"RANGE BETWEEN {lookback_seconds} PRECEDING AND 1 PRECEDING"
+    )
+    return f"""
+        WITH tagged AS (
+          SELECT {type_sql} AS t,
+                 coalesce((min({touch}) OVER ({over})).ch, 'direct') AS f,
+                 coalesce((max({touch}) OVER ({over})).ch, 'direct') AS l
+          FROM {table}
+        ), conv AS (SELECT * FROM tagged WHERE t = '{conversion_type}'),
+        pf AS (SELECT f AS channel, CAST(count(*) AS BIGINT) AS first_touch
+               FROM conv GROUP BY f),
+        pl AS (SELECT l AS channel, CAST(count(*) AS BIGINT) AS last_touch
+               FROM conv GROUP BY l)
+        SELECT channel,
+               coalesce(first_touch, 0) AS first_touch,
+               coalesce(last_touch, 0) AS last_touch
+        FROM pf FULL JOIN pl USING (channel)
+    """
+
+
 def debounce_events(
     events: DataFrame,
     min_gap_seconds: int,

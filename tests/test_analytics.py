@@ -126,3 +126,39 @@ def test_scd2_intervals_hand_computed(spark):
     ]
     # collapse=False keeps every event as its own version
     assert scd2_intervals(df, "event_type", collapse=False).count() == 8
+
+
+def test_attribution_hand_computed(spark):
+    """First/last-touch credit with lookback cutoff, direct fallback,
+    and deterministic same-timestamp tie-break (struct order by id)."""
+    from centimators_spark.analytics import attribution
+
+    rows = [
+        # user 1: ad@0, email@10, purchase@20 -> first=ad, last=email
+        (1, 1, 0, "ad"), (2, 1, 10, "email"), (3, 1, 20, "purchase"),
+        # user 2: ad@0, purchase@200 with lookback 100 -> direct
+        (4, 2, 0, "ad"), (5, 2, 200, "purchase"),
+        # user 3: two touches at the SAME second (ids 6,7) then buy:
+        # min struct -> id 6 (ad), max struct -> id 7 (email)
+        (6, 3, 50, "ad"), (7, 3, 50, "email"), (8, 3, 60, "purchase"),
+        # purchase itself is never a touchpoint for a later purchase
+        (9, 4, 0, "purchase"), (10, 4, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type",
+    )
+    out = {
+        r.channel: (r.first_touch, r.last_touch)
+        for r in attribution(df, lookback_seconds=100).collect()
+    }
+    # u1: first=ad last=email; u2: direct; u3: first=ad(id 6)
+    # last=email(id 7); u4: both purchases direct (a purchase is
+    # never a touchpoint)
+    assert out == {
+        "ad": (2, 0),
+        "email": (0, 2),
+        "direct": (3, 3),
+    }
