@@ -875,6 +875,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3)
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record-linkage scoring (dedup/linkage.py): customers
+    blocked by nation, compared on derived fields (balance bucket,
+    phone prefix, market segment) with integer weights — candidate
+    pairs only from the block join, never all-pairs."""
+    from centimators_spark.dedup.linkage import record_linkage
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        (F.round(F.col("c_acctbal") * 100).cast("long") % 97).alias(
+            "bal_mod"
+        ),
+        "c_mktsegment",
+    )
+    return record_linkage(
+        cust,
+        "c_custkey",
+        "c_nationkey",
+        {"bal_bucket": 3, "bal_mod": 2, "c_mktsegment": 1},
+        threshold=4,
+    )
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First/last-touch conversion attribution (analytics.attribution):
     per channel, conversions credited to the user's earliest and latest
@@ -1074,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "pagerank": q_pagerank,
         "attribution": q_attribution,
+        "record_linkage": q_record_linkage,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1526,6 +1552,21 @@ def _scd2_oracle() -> str:
     return scd2_intervals_oracle_sql("events", "event_type")
 
 
+def _record_linkage_oracle() -> str:
+    from centimators_spark.dedup.linkage import record_linkage_oracle_sql
+
+    return record_linkage_oracle_sql(
+        "(SELECT c_custkey, c_nationkey,"
+        " CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,"
+        " CAST(round(c_acctbal * 100) AS BIGINT) % 97 AS bal_mod,"
+        " c_mktsegment FROM customer)",
+        "c_custkey",
+        "c_nationkey",
+        {"bal_bucket": 3, "bal_mod": 2, "c_mktsegment": 1},
+        threshold=4,
+    )
+
+
 def _attribution_oracle() -> str:
     from centimators_spark.analytics import attribution_oracle_sql
 
@@ -1679,6 +1720,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _embedding_centroids_oracle(),
         "pagerank": _pagerank_oracle(),
         "attribution": _attribution_oracle(),
+        "record_linkage": _record_linkage_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

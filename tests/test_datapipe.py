@@ -927,3 +927,29 @@ def test_pagerank_int_hub_ranks_highest_and_is_exact(spark):
         for r in pagerank_int(df.repartition(5), iters=3).collect()
     }
     assert out == out2
+
+
+def test_record_linkage_scoring(spark):
+    """Blocked pairs only; NULL never agrees; integer weighted score."""
+    from centimators_spark.dedup.linkage import record_linkage
+
+    rows = [
+        (1, "b1", "x", 10),
+        (2, "b1", "x", 10),   # agrees with 1 on both fields
+        (3, "b1", "y", 10),   # agrees with 1,2 on f2 only
+        (4, "b1", None, 10),  # NULL f1 never agrees
+        (5, "b2", "x", 10),   # other block: no pair with 1-4
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, f1 string, f2 int")
+    out = {(r.id_a, r.id_b): (r.score, r.agree_f1, r.agree_f2)
+           for r in record_linkage(
+               df, "id", "blk", {"f1": 5, "f2": 2}, threshold=0
+           ).collect()}
+    assert out[(1, 2)] == (7, True, True)
+    assert out[(1, 3)] == (2, False, True)
+    assert out[(1, 4)] == (2, False, True)
+    assert not any(5 in p for p in out)  # blocking respected
+    # threshold filters
+    from centimators_spark.dedup.linkage import record_linkage as rl
+    hi = rl(df, "id", "blk", {"f1": 5, "f2": 2}, threshold=7)
+    assert [(r.id_a, r.id_b) for r in hi.collect()] == [(1, 2)]
