@@ -875,6 +875,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3)
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curves (ml/survival.py): per-user
+    time-to-first-purchase from the event stream, right-censored at
+    the last seen event; three cohorts; nano-unit log carriers make
+    the cumulative product cross-engine exact."""
+    from centimators_spark.ml.survival import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(ep).alias("__mn"),
+        F.min(F.when(F.col("event_type") == "purchase", ep)).alias("__mp"),
+        F.max(ep).alias("__mx"),
+    )
+    subjects = per_user.select(
+        (F.col("user_id") % 3).cast("int").alias("cohort"),
+        F.when(
+            F.col("__mp").isNotNull(), F.col("__mp") - F.col("__mn")
+        ).otherwise(F.col("__mx") - F.col("__mn")).alias("duration"),
+        F.when(F.col("__mp").isNotNull(), 1).otherwise(0).alias("event"),
+    )
+    return kaplan_meier(subjects)
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked record-linkage scoring (dedup/linkage.py): customers
     blocked by nation, compared on derived fields (balance bucket,
@@ -1100,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "attribution": q_attribution,
         "record_linkage": q_record_linkage,
+        "kaplan_meier": q_kaplan_meier,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1552,6 +1577,27 @@ def _scd2_oracle() -> str:
     return scd2_intervals_oracle_sql("events", "event_type")
 
 
+def _kaplan_meier_oracle() -> str:
+    from centimators_spark.ml.survival import kaplan_meier_oracle_sql
+
+    ep = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+    subjects = f"""(
+      WITH per_user AS (
+        SELECT user_id,
+               min({ep}) AS mn,
+               min({ep}) FILTER (WHERE event_type = 'purchase') AS mp,
+               max({ep}) AS mx
+        FROM events GROUP BY user_id
+      )
+      SELECT CAST(user_id % 3 AS INTEGER) AS cohort,
+             CASE WHEN mp IS NOT NULL THEN mp - mn ELSE mx - mn END
+               AS duration,
+             CASE WHEN mp IS NOT NULL THEN 1 ELSE 0 END AS event
+      FROM per_user
+    )"""
+    return kaplan_meier_oracle_sql(subjects)
+
+
 def _record_linkage_oracle() -> str:
     from centimators_spark.dedup.linkage import record_linkage_oracle_sql
 
@@ -1721,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(),
         "attribution": _attribution_oracle(),
         "record_linkage": _record_linkage_oracle(),
+        "kaplan_meier": _kaplan_meier_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

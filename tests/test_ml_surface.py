@@ -313,3 +313,27 @@ def test_frequent_itemsets_known_counts_and_threshold(spark):
         make_baskets(dup, "basket", "item"), min_support=0.5
     ).collect()}
     assert out2 == {"x": 2}
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """Textbook KM: survival drops only at event times, censoring only
+    shrinks the risk set, absorbing zero when everyone left fails."""
+    from centimators_spark.ml.survival import kaplan_meier
+
+    # cohort A: durations (1,e) (2,censor) (3,e) (4,e)
+    #   t=1: n=4 d=1 -> 3/4
+    #   t=3: n=2 d=1 -> 3/4 * 1/2 = 3/8
+    #   t=4: n=1 d=1 -> 0 (absorbing)
+    rows = [
+        ("A", 1, 1), ("A", 2, 0), ("A", 3, 1), ("A", 4, 1),
+        # cohort B: ties at one time: t=2 n=3 d=2 -> 1/3; censor at 5
+        ("B", 2, 1), ("B", 2, 1), ("B", 5, 0),
+    ]
+    df = spark.createDataFrame(rows, "cohort string, duration int, event int")
+    out = {(r.cohort, r.duration): (r.at_risk, r.events, r.survival)
+           for r in kaplan_meier(df).collect()}
+    assert out[("A", 1)] == (4, 1, 0.75)
+    assert out[("A", 3)] == (2, 1, 0.375)
+    assert out[("A", 4)] == (1, 1, 0.0)
+    assert out[("B", 2)] == (3, 2, pytest.approx(1 / 3, abs=1e-6))
+    assert len(out) == 4  # censor-only times emit no row
