@@ -875,6 +875,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3)
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (ml/abtest.py): users split by parity
+    into control/treatment; conversion = any purchase, metric = total
+    event value. Exact count/decimal carriers; z-scores are pure
+    IEEE arithmetic — bit-identical cross-engine."""
+    from centimators_spark.ml.abtest import ab_test_report
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.coalesce(F.sum("value"), F.lit(0.0)).alias("metric"),
+    )
+    subjects = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        "converted",
+        "metric",
+    )
+    return ab_test_report(subjects)
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier survival curves (ml/survival.py): per-user
     time-to-first-purchase from the event stream, right-censored at
@@ -1125,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "record_linkage": q_record_linkage,
         "kaplan_meier": q_kaplan_meier,
+        "ab_test": q_ab_test,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1577,6 +1602,24 @@ def _scd2_oracle() -> str:
     return scd2_intervals_oracle_sql("events", "event_type")
 
 
+def _ab_test_oracle() -> str:
+    from centimators_spark.ml.abtest import ab_test_report_oracle_sql
+
+    subjects = """(
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                  ELSE 'treatment' END AS variant,
+             converted, metric
+      FROM (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted,
+               coalesce(sum(value), 0.0) AS metric
+        FROM events GROUP BY user_id
+      )
+    )"""
+    return ab_test_report_oracle_sql(subjects)
+
+
 def _kaplan_meier_oracle() -> str:
     from centimators_spark.ml.survival import kaplan_meier_oracle_sql
 
@@ -1768,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _attribution_oracle(),
         "record_linkage": _record_linkage_oracle(),
         "kaplan_meier": _kaplan_meier_oracle(),
+        "ab_test": _ab_test_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

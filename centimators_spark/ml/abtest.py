@@ -1,0 +1,162 @@
+"""A/B experiment readout — per-variant conversion and metric
+statistics with two-proportion / Welch two-mean z-scores against a
+control variant.
+
+Spark shape: ONE grouped aggregation over the assignment table (exact
+integer conversion counts + DECIMAL(38,0) micro-unit metric sums →
+partition-order independent), then a broadcast join of the one-row
+control slice back onto the tiny per-variant frame — the data-sized
+input is touched exactly once.
+
+Cross-engine exactness: every post-aggregation operation is +,−,×,÷,
+sqrt — all IEEE correctly-rounded, so identical double inputs give
+bit-identical z-scores in Spark and DuckDB; outputs are still rounded
+to ``round_dp`` as belt-and-braces. (No transcendentals anywhere: we
+report z, not p-values — the monotone map to p is presentation, not
+analysis, and erf differs across libms.)
+
+Reference scope: no reference counterpart — §2.3 analytics extension;
+the experiment-analysis sibling of era_report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ab_test_report(
+    df: DataFrame,
+    *,
+    variant_col: str = "variant",
+    converted_col: str = "converted",
+    metric_col: str = "metric",
+    control: str = "control",
+    metric_dp: int = 6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-variant experiment stats + z-scores vs ``control``:
+
+    (variant, n, conversions, conv_rate, z_conv, mean_metric, z_mean)
+
+    ``converted_col`` is 0/1 per subject; ``metric_col`` is the
+    per-subject outcome (quantized to ``metric_dp`` decimals for exact
+    sums). z_conv is the pooled two-proportion z; z_mean the
+    unpooled (Welch) two-mean z. The control row carries NULL z."""
+    scale = float(10 ** metric_dp)
+    q = F.round(F.col(metric_col).cast("double") * scale).cast(
+        "decimal(38,0)"
+    )
+    per = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(converted_col).cast("long")).alias("conversions"),
+        F.sum(q).alias("__s1"),
+        F.sum(q * q).alias("__s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("__s1").cast("double") / scale
+    s2 = F.col("__s2").cast("double") / (scale * scale)
+    stats = per.select(
+        "variant",
+        "n",
+        "conversions",
+        (F.col("conversions").cast("double") / nd).alias("__p"),
+        s1.alias("__sum"),
+        ((s2 - s1 * s1 / nd) / (nd - 1)).alias("__var"),
+    )
+    ctrl = F.broadcast(
+        stats.where(F.col("variant") == control).select(
+            F.col("n").alias("__cn"),
+            F.col("conversions").alias("__cc"),
+            F.col("__p").alias("__cp"),
+            F.col("__sum").alias("__csum"),
+            F.col("__var").alias("__cvar"),
+        )
+    )
+    j = stats.crossJoin(ctrl)
+    nd_c = F.col("__cn").cast("double")
+    pooled = (
+        F.col("conversions") + F.col("__cc")
+    ).cast("double") / (nd + nd_c)
+    se_p = F.sqrt(pooled * (1 - pooled) * (1 / nd + 1 / nd_c))
+    mean = F.col("__sum") / nd
+    cmean = F.col("__csum") / nd_c
+    se_m = F.sqrt(F.col("__var") / nd + F.col("__cvar") / nd_c)
+    is_ctrl = F.col("variant") == control
+    # degenerate arms (everyone converts / zero variance) have no
+    # defined z — emit NULL, never a divide-by-zero (ANSI session)
+    z_conv = F.when(
+        ~is_ctrl & (se_p > 0), (F.col("__p") - F.col("__cp")) / se_p
+    )
+    z_mean = F.when(~is_ctrl & (se_m > 0), (mean - cmean) / se_m)
+    return j.select(
+        "variant",
+        "n",
+        "conversions",
+        F.round(F.col("__p"), round_dp).alias("conv_rate"),
+        F.round(z_conv, round_dp).alias("z_conv"),
+        F.round(mean, round_dp).alias("mean_metric"),
+        F.round(z_mean, round_dp).alias("z_mean"),
+    )
+
+
+def ab_test_report_oracle_sql(
+    table_sql: str,
+    *,
+    variant_sql: str = "variant",
+    converted_sql: str = "converted",
+    metric_sql: str = "metric",
+    control: str = "control",
+    metric_dp: int = 6,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`ab_test_report` (identical carrier
+    quantization and IEEE expression order)."""
+    scale = float(10 ** metric_dp)
+    return f"""
+        WITH per AS (
+          SELECT {variant_sql} AS variant,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST({converted_sql} AS BIGINT)) AS BIGINT)
+                   AS conversions,
+                 sum(CAST(round(CAST({metric_sql} AS DOUBLE) * {scale!r})
+                          AS HUGEINT)) AS s1,
+                 sum(CAST(round(CAST({metric_sql} AS DOUBLE) * {scale!r})
+                          AS HUGEINT)
+                     * CAST(round(CAST({metric_sql} AS DOUBLE) * {scale!r})
+                            AS HUGEINT)) AS s2
+          FROM {table_sql} GROUP BY 1
+        ), stats AS (
+          SELECT variant, n, conversions,
+                 CAST(conversions AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 CAST(s1 AS DOUBLE) / {scale!r} AS sm,
+                 (CAST(s2 AS DOUBLE) / ({scale!r} * {scale!r})
+                  - (CAST(s1 AS DOUBLE) / {scale!r})
+                    * (CAST(s1 AS DOUBLE) / {scale!r})
+                    / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1) AS v
+          FROM per
+        ), ctrl AS (
+          SELECT n AS cn, conversions AS cc, p AS cp, sm AS csum, v AS cv
+          FROM stats WHERE variant = '{control}'
+        ), ses AS (
+          SELECT *,
+            sqrt((CAST(conversions + cc AS DOUBLE)
+                  / (CAST(n AS DOUBLE) + CAST(cn AS DOUBLE)))
+                 * (1 - CAST(conversions + cc AS DOUBLE)
+                    / (CAST(n AS DOUBLE) + CAST(cn AS DOUBLE)))
+                 * (1 / CAST(n AS DOUBLE) + 1 / CAST(cn AS DOUBLE)))
+              AS se_p,
+            sqrt(v / CAST(n AS DOUBLE) + cv / CAST(cn AS DOUBLE)) AS se_m
+          FROM stats CROSS JOIN ctrl
+        )
+        SELECT variant, n, conversions,
+               round(p, {round_dp}) AS conv_rate,
+               CASE WHEN variant <> '{control}' AND se_p > 0 THEN round(
+                 (p - cp) / se_p, {round_dp}) END AS z_conv,
+               round(sm / CAST(n AS DOUBLE), {round_dp}) AS mean_metric,
+               CASE WHEN variant <> '{control}' AND se_m > 0 THEN round(
+                 (sm / CAST(n AS DOUBLE) - csum / CAST(cn AS DOUBLE))
+                 / se_m, {round_dp}) END AS z_mean
+        FROM ses
+    """

@@ -337,3 +337,43 @@ def test_kaplan_meier_hand_computed(spark):
     assert out[("A", 4)] == (1, 1, 0.0)
     assert out[("B", 2)] == (3, 2, pytest.approx(1 / 3, abs=1e-6))
     assert len(out) == 4  # censor-only times emit no row
+
+
+def test_ab_test_report_hand_computed(spark):
+    """Two-proportion pooled z and Welch mean z against scipy-free
+    hand arithmetic; degenerate (all-convert) arm yields NULL z."""
+    import math
+
+    from centimators_spark.ml.abtest import ab_test_report
+
+    # control: 100 subjects, 20 convert, metric ~ N-ish values
+    rows = []
+    for i in range(100):
+        rows.append(("control", 1 if i < 20 else 0, float(10 + (i % 7))))
+    for i in range(80):
+        rows.append(("treatment", 1 if i < 28 else 0, float(12 + (i % 5))))
+    df = spark.createDataFrame(rows, "variant string, converted int, metric double")
+    out = {r.variant: r for r in ab_test_report(df).collect()}
+    c, t = out["control"], out["treatment"]
+    assert (c.n, c.conversions, c.conv_rate) == (100, 20, 0.2)
+    assert (t.n, t.conversions, t.conv_rate) == (80, 28, 0.35)
+    assert c.z_conv is None and c.z_mean is None
+    p_pool = 48 / 180
+    z = (0.35 - 0.2) / math.sqrt(p_pool * (1 - p_pool) * (1 / 80 + 1 / 100))
+    assert t.z_conv == pytest.approx(z, abs=1e-6)
+    import numpy as np
+
+    cm = np.array([10 + (i % 7) for i in range(100)], dtype=float)
+    tm = np.array([12 + (i % 5) for i in range(80)], dtype=float)
+    zm = (tm.mean() - cm.mean()) / math.sqrt(
+        cm.var(ddof=1) / 100 + tm.var(ddof=1) / 80
+    )
+    assert t.z_mean == pytest.approx(zm, abs=1e-6)
+
+    # degenerate: every subject converts -> pooled p = 1 -> NULL z_conv
+    dg = spark.createDataFrame(
+        [("control", 1, 1.0), ("treatment", 1, 2.0)] * 3,
+        "variant string, converted int, metric double",
+    )
+    o2 = {r.variant: r for r in ab_test_report(dg).collect()}
+    assert o2["treatment"].z_conv is None
