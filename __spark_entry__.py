@@ -875,6 +875,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3)
 
 
+def q_z_order_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (l_partkey, l_suppkey) —
+    the multi-dimensional data-skipping layout key (io.z_order_key);
+    pure shift/mask arithmetic, identical expression text both
+    engines. write_z_ordered uses it for range-partitioned clustered
+    writes (tested in tests/test_io.py)."""
+    from centimators_spark.io import z_order_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        *KEYS, z_order_key(["l_partkey", "l_suppkey"]).alias("zkey")
+    )
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout (ml/abtest.py): users split by parity
     into control/treatment; conversion = any purchase, metric = total
@@ -1150,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "kaplan_meier": q_kaplan_meier,
         "ab_test": q_ab_test,
+        "z_order_key": q_z_order_key,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1602,6 +1617,15 @@ def _scd2_oracle() -> str:
     return scd2_intervals_oracle_sql("events", "event_type")
 
 
+def _z_order_key_oracle() -> str:
+    from centimators_spark.io import z_order_key_sql
+
+    z = z_order_key_sql(["l_partkey", "l_suppkey"])
+    return f"""
+        SELECT l_orderkey, l_linenumber, {z} AS zkey FROM lineitem
+    """
+
+
 def _ab_test_oracle() -> str:
     from centimators_spark.ml.abtest import ab_test_report_oracle_sql
 
@@ -1812,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         "record_linkage": _record_linkage_oracle(),
         "kaplan_meier": _kaplan_meier_oracle(),
         "ab_test": _ab_test_oracle(),
+        "z_order_key": _z_order_key_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

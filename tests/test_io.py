@@ -282,3 +282,37 @@ def test_heavy_hitters_exact_and_sketch(spark):
 
     with _pt.raises(ValueError):
         heavy_hitters(df, "k", min_share=0.0)
+
+
+def test_z_order_key_and_clustered_write(spark, tmp_path):
+    """Morton key interleaves bits correctly; a z-ordered write yields
+    files whose per-file (x, y) ranges are compact cells (both columns
+    bounded), which is what makes min/max skipping work on either."""
+    import pyspark.sql.functions as F
+
+    from centimators_spark.io import write_z_ordered, z_order_key
+
+    # hand-check: x=0b11, y=0b01 with 2 cols -> bits x at even slots,
+    # y at odd: z = x0<<0 | y0<<1 | x1<<2 | y1<<3 = 1 + 2 + 4 + 0 = 7
+    df = spark.createDataFrame([(3, 1)], "x long, y long")
+    [row] = df.select(z_order_key(["x", "y"], bits=2).alias("z")).collect()
+    assert row.z == 7
+
+    grid = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    out = str(tmp_path / "zordered")
+    write_z_ordered(grid, out, ["x", "y"], bits=4, n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 256
+    # each file covers a compact cell: x-range * y-range well under the
+    # full 16x16 domain (a row-major sort would give full-width x)
+    import glob as g
+
+    spans = []
+    for f in sorted(g.glob(out + "/*.parquet")):
+        pdf = spark.read.parquet(f).toPandas()
+        spans.append(
+            (pdf.x.max() - pdf.x.min() + 1) * (pdf.y.max() - pdf.y.min() + 1)
+        )
+    assert max(spans) <= 128, spans  # half the domain per file at most
