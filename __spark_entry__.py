@@ -746,6 +746,7 @@ def q_pca_kernel_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PSI_FEATS = ("l_quantity", "l_extendedprice", "l_discount")
 PSI_REF_DATE = "1996-01-01"
+AB_SPLIT_DATE = "2024-01-16"  # events span 2024-01; pre/post CUPED split
 CV_EMBARGO = 30 * 86400.0  # 30-day label horizon, in epoch seconds
 
 
@@ -873,6 +874,66 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     edges = sp.union(sp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank_int(edges, iters=3)
+
+
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (ml/abtest.cuped_adjust → report):
+    pre-period event value is the covariate, post-period value the
+    metric — θ from one exact-carrier aggregation; the adjusted z
+    gains power with no bias."""
+    from centimators_spark.ml.abtest import ab_test_report, cuped_adjust
+
+    ev = load_table(spark, sf_dir, "events")
+    post = F.col("ts") >= F.lit(AB_SPLIT_DATE).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & post, 1
+            ).otherwise(0)
+        ).alias("converted"),
+        F.coalesce(
+            F.sum(F.when(post, F.col("value"))), F.lit(0.0)
+        ).alias("metric"),
+        F.coalesce(
+            F.sum(F.when(~post, F.col("value"))), F.lit(0.0)
+        ).alias("pre_metric"),
+    )
+    subjects = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+        "converted",
+        "metric",
+        "pre_metric",
+    )
+    adjusted = cuped_adjust(subjects)
+    return ab_test_report(adjusted, metric_col="metric_cuped")
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (profile.benford_check)
+    — observed vs log10(1+1/d) shares with per-digit chi² terms;
+    string-based digit extraction shared with the oracle."""
+    from centimators_spark.profile import benford_check
+
+    return benford_check(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_gini_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment (analytics.gini_by_group)
+    — rank-weighted DECIMAL carriers, one window + one aggregation."""
+    from centimators_spark.analytics import gini_by_group
+
+    joined = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return gini_by_group(joined, "o_totalprice", "c_mktsegment")
 
 
 def q_z_order_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1125,14 +1186,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's correctness
-    pass (which checks a 50-entry window from the top): the 24 queries
-    never driver-verified — 11 promoted round-3 staged queries, 3
-    kernel contracts, and 10 round-4 operators — sit first; everything
-    after them in the window is round-3 hash-green, and the overflow
-    tail is entirely previously-driver-green (guard:
+    pass (which checks a 50-entry window from the top): the 22 queries
+    never driver-verified — 10 promoted round-4 staged queries and 12
+    round-5 operators/contracts — sit first; everything after them in
+    the window is previously hash-green, and the overflow tail is
+    entirely previously-driver-green (guard:
     tests/test_driver_contract.py::test_correctness_window_covers_unverified_queries).
-    Round-5: the 10 round-4 staged queries are promoted into this
-    head; the 24 round-4-green head entries rotate to the tail."""
+    Round-6 playbook: stage new queries in staged_queries() (empty
+    this round), gate them with `check_oracle --staged`, then promote
+    into this head and rotate long-stable greens to the tail."""
     out = {
         # --- promoted round-4 staged queries (locally 10/10 gate-green
         # at sf0.001 + sf0.01; never driver-checked) ---
@@ -1165,6 +1227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "ab_test": q_ab_test,
         "z_order_key": q_z_order_key,
+        "ab_cuped": q_ab_cuped,
+        "benford_digits": q_benford_digits,
+        "gini_segments": q_gini_segments,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1617,6 +1682,55 @@ def _scd2_oracle() -> str:
     return scd2_intervals_oracle_sql("events", "event_type")
 
 
+def _ab_cuped_oracle() -> str:
+    from centimators_spark.ml.abtest import (
+        ab_test_report_oracle_sql,
+        cuped_adjust_oracle_sql,
+    )
+
+    per_user = f"""(
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                  ELSE 'treatment' END AS variant,
+             converted, metric, pre_metric
+      FROM (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '{AB_SPLIT_DATE}'
+                        THEN 1 ELSE 0 END) AS converted,
+               coalesce(sum(CASE WHEN ts >= TIMESTAMP '{AB_SPLIT_DATE}'
+                                 THEN value END), 0.0) AS metric,
+               coalesce(sum(CASE WHEN NOT (ts >= TIMESTAMP '{AB_SPLIT_DATE}')
+                                 THEN value END), 0.0) AS pre_metric
+        FROM events GROUP BY user_id
+      )
+    )"""
+    adjusted = (
+        "("
+        + cuped_adjust_oracle_sql(
+            per_user, select_sql="variant, converted, metric, pre_metric"
+        )
+        + ")"
+    )
+    return ab_test_report_oracle_sql(adjusted, metric_sql="metric_cuped")
+
+
+def _benford_oracle() -> str:
+    from centimators_spark.profile import benford_check_oracle_sql
+
+    return benford_check_oracle_sql("orders", "o_totalprice")
+
+
+def _gini_oracle() -> str:
+    from centimators_spark.analytics import gini_by_group_oracle_sql
+
+    return gini_by_group_oracle_sql(
+        "(SELECT o_totalprice, c_mktsegment FROM orders"
+        " JOIN customer ON o_custkey = c_custkey)",
+        "o_totalprice",
+        "c_mktsegment",
+    )
+
+
 def _z_order_key_oracle() -> str:
     from centimators_spark.io import z_order_key_sql
 
@@ -1837,6 +1951,9 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier": _kaplan_meier_oracle(),
         "ab_test": _ab_test_oracle(),
         "z_order_key": _z_order_key_oracle(),
+        "ab_cuped": _ab_cuped_oracle(),
+        "benford_digits": _benford_oracle(),
+        "gini_segments": _gini_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

@@ -461,3 +461,92 @@ def debounce_events_oracle_sql(
         SELECT {select_sql} FROM lagged
         WHERE __prev IS NULL OR __now - __prev >= {min_gap_seconds}
     """
+
+
+def gini_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    value_dp: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Gini concentration coefficient per group over a non-negative
+    value column (revenue/volume inequality — the standard
+    concentration diagnostic next to heavy_hitters):
+
+        G = (2·Σᵢ i·x₍ᵢ₎) / (n·Σx) − (n+1)/n      (x sorted asc)
+
+    Exactness: values quantized to ``value_dp`` decimals ride as
+    DECIMAL(38,0); the rank-weighted sum Σ i·x₍ᵢ₎ is invariant under
+    tie permutations (equal x share the tie block's rank sum), so the
+    carriers are partition- and tie-order independent; ONE double
+    division at the end, rounded identically in the mirror. One
+    (group, value) sort window + one grouped aggregation.
+
+    Rows with NULL value are excluded; negative values are a caller
+    error for Gini (not checked — the formula simply loses its
+    [0,1) interpretation)."""
+    from pyspark.sql import Window
+
+    scale = 10 ** value_dp
+    q = F.round(F.col(value_col).cast("double") * scale).cast(
+        "decimal(38,0)"
+    )
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), q.alias("__q"))
+        .withColumn("__i", F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.col("__q"))
+        ).cast("decimal(38,0)"))
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__i") * F.col("__q")).alias("__s"),
+        F.sum("__q").alias("__t"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("__s")
+        - (n + 1) * F.col("__t")
+    ).cast("double")
+    den = (n * F.col("__t")).cast("double")
+    return agg.select(
+        "grp",
+        "n",
+        F.when(den > 0, F.round(num / den, round_dp)).alias("gini"),
+    )
+
+
+def gini_by_group_oracle_sql(
+    table_sql: str,
+    value_sql: str,
+    group_sql: str,
+    *,
+    value_dp: int = 2,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`gini_by_group`."""
+    scale = 10 ** value_dp
+    return f"""
+        WITH ranked AS (
+          SELECT {group_sql} AS grp,
+                 CAST(round(CAST({value_sql} AS DOUBLE) * {scale})
+                      AS HUGEINT) AS q,
+                 CAST(row_number() OVER (
+                   PARTITION BY {group_sql}
+                   ORDER BY CAST(round(CAST({value_sql} AS DOUBLE) * {scale})
+                            AS HUGEINT)) AS HUGEINT) AS i
+          FROM {table_sql} WHERE {value_sql} IS NOT NULL
+        ), agg AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 sum(i * q) AS s, sum(q) AS t
+          FROM ranked GROUP BY grp
+        )
+        SELECT grp, n,
+               CASE WHEN CAST(CAST(n AS HUGEINT) * t AS DOUBLE) > 0 THEN
+                 round(CAST(2 * s - (CAST(n AS HUGEINT) + 1) * t AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * t AS DOUBLE), {round_dp})
+               END AS gini
+        FROM agg
+    """

@@ -100,6 +100,94 @@ def ab_test_report(
     )
 
 
+def cuped_adjust(
+    df: DataFrame,
+    *,
+    metric_col: str = "metric",
+    covariate_col: str = "pre_metric",
+    out_col: str = "metric_cuped",
+    metric_dp: int = 6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): adjust the outcome
+    metric by its pre-experiment covariate,
+
+        y' = y − θ·(x − x̄),   θ = cov(x, y) / var(x)
+
+    so the A/B z-test on ``y'`` gains power without bias (E[y'] =
+    E[y]). θ and x̄ come from ONE aggregation of exact DECIMAL(38,0)
+    micro-unit carriers broadcast back — partition-order independent,
+    so θ is bit-identical cross-engine; the adjusted metric rounds to
+    ``round_dp``. Feed the output to :func:`ab_test_report` with
+    ``metric_col=out_col``."""
+    scale = float(10 ** metric_dp)
+    qx = F.round(F.col(covariate_col).cast("double") * scale).cast(
+        "decimal(38,0)"
+    )
+    qy = F.round(F.col(metric_col).cast("double") * scale).cast(
+        "decimal(38,0)"
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(qx).alias("__sx"),
+        F.sum(qy).alias("__sy"),
+        F.sum(qx * qx).alias("__sxx"),
+        F.sum(qx * qy).alias("__sxy"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    nd = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double") / scale
+    sy = F.col("__sy").cast("double") / scale
+    sxx = F.col("__sxx").cast("double") / (scale * scale)
+    sxy = F.col("__sxy").cast("double") / (scale * scale)
+    var_x = sxx - sx * sx / nd
+    cov_xy = sxy - sx * sy / nd
+    theta = F.when(var_x > 0, cov_xy / var_x).otherwise(F.lit(0.0))
+    adj = F.col(metric_col).cast("double") - theta * (
+        F.col(covariate_col).cast("double") - sx / nd
+    )
+    return j.withColumn(out_col, F.round(adj, round_dp)).drop(
+        "__n", "__sx", "__sy", "__sxx", "__sxy"
+    )
+
+
+def cuped_adjust_oracle_sql(
+    table_sql: str,
+    *,
+    metric_sql: str = "metric",
+    covariate_sql: str = "pre_metric",
+    select_sql: str = "*",
+    out_name: str = "metric_cuped",
+    metric_dp: int = 6,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`cuped_adjust` (identical carriers and
+    expression order)."""
+    scale = float(10 ** metric_dp)
+    qx = f"CAST(round(CAST({covariate_sql} AS DOUBLE) * {scale!r}) AS HUGEINT)"
+    qy = f"CAST(round(CAST({metric_sql} AS DOUBLE) * {scale!r}) AS HUGEINT)"
+    return f"""
+        WITH s AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum({qx}) AS DOUBLE) / {scale!r} AS sx,
+                 CAST(sum({qy}) AS DOUBLE) / {scale!r} AS sy,
+                 CAST(sum({qx} * {qx}) AS DOUBLE) / ({scale!r} * {scale!r})
+                   AS sxx,
+                 CAST(sum({qx} * {qy}) AS DOUBLE) / ({scale!r} * {scale!r})
+                   AS sxy
+          FROM {table_sql}
+        )
+        SELECT {select_sql},
+               round(CAST({metric_sql} AS DOUBLE)
+                 - (CASE WHEN sxx - sx * sx / n > 0
+                         THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                         ELSE 0.0 END)
+                   * (CAST({covariate_sql} AS DOUBLE) - sx / n),
+                 {round_dp}) AS {out_name}
+        FROM {table_sql} CROSS JOIN s
+    """
+
+
 def ab_test_report_oracle_sql(
     table_sql: str,
     *,

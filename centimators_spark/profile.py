@@ -180,3 +180,98 @@ def heavy_hitters_oracle_sql(
         WHERE n >= total * {min_share!r}
         ORDER BY n DESC, value ASC
     """
+
+
+def benford_check(
+    df: DataFrame,
+    value_col: str,
+    *,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb 1881 / Benford 1938;
+    Nigrini's fraud screen): observed leading-digit distribution of
+    |value| vs the expected log10(1 + 1/d), with the chi-square
+    statistic contribution per digit. Values with no leading nonzero
+    digit (0 / NULL) are excluded.
+
+    One grouped count over a map-side digit extraction + broadcast
+    totals — the scan is touched once. Digit extraction is string-based
+    (first nonzero char of the integer rendering of |value| scaled to
+    an integer) — exact, no float log tricks; expected shares and
+    chi² terms are IEEE arithmetic rounded to ``round_dp``, identical
+    in the DuckDB mirror. Returns
+    (digit, n, share, expected, chi2_term)."""
+    import math
+
+    v = F.abs(F.col(value_col).cast("double"))
+    # leading digit of a positive double: strip '0.'/'.'/zeros from the
+    # plain-decimal rendering. format_number avoids scientific notation.
+    s = F.regexp_replace(
+        F.format_number(v, 10), "[.,0]*", ""
+    )
+    # try_cast: a sub-1e-10 value renders as all zeros -> '' -> NULL
+    # digit (ANSI cast of '' would throw); such rows are excluded
+    digit = F.when(v > 0, F.substring(s, 1, 1).try_cast("int"))
+    counts = (
+        df.select(digit.alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("__t"))
+    j = counts.crossJoin(F.broadcast(tot))
+    share = F.col("n").cast("double") / F.col("__t").cast("double")
+    expected_map = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(math.log10(1 + 1 / d)))
+        ]
+    )
+    expected = expected_map[F.col("digit")]
+    chi2 = (
+        (share - expected) * (share - expected) / expected
+        * F.col("__t").cast("double")
+    )
+    return j.select(
+        "digit",
+        "n",
+        F.round(share, round_dp).alias("share"),
+        F.round(expected, round_dp).alias("expected"),
+        F.round(chi2, round_dp).alias("chi2_term"),
+    )
+
+
+def benford_check_oracle_sql(
+    table_sql: str,
+    value_sql: str,
+    *,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`benford_check`: identical string-based
+    digit extraction (format '%.10f' rendering == format_number up to
+    the stripped characters) and literal expected shares."""
+    import math
+
+    exp_case = " ".join(
+        f"WHEN {d} THEN {math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+    )
+    v = f"abs(CAST({value_sql} AS DOUBLE))"
+    s = f"regexp_replace(format('{{:.10f}}', {v}), '[.,0]*', '', 'g')"
+    return f"""
+        WITH digits AS (
+          SELECT TRY_CAST(substr({s}, 1, 1) AS INTEGER) AS digit
+          FROM {table_sql} WHERE {v} > 0
+        ), counts AS (
+          SELECT digit, CAST(count(*) AS BIGINT) AS n
+          FROM digits WHERE digit IS NOT NULL GROUP BY digit
+        ), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / t, {round_dp}) AS share,
+               round(CASE digit {exp_case} END, {round_dp}) AS expected,
+               round((CAST(n AS DOUBLE) / t - CASE digit {exp_case} END)
+                     * (CAST(n AS DOUBLE) / t - CASE digit {exp_case} END)
+                     / (CASE digit {exp_case} END) * t,
+                     {round_dp}) AS chi2_term
+        FROM counts CROSS JOIN tot
+    """

@@ -377,3 +377,44 @@ def test_ab_test_report_hand_computed(spark):
     )
     o2 = {r.variant: r for r in ab_test_report(dg).collect()}
     assert o2["treatment"].z_conv is None
+
+
+def test_cuped_reduces_variance_preserves_mean(spark):
+    """CUPED: adjusted metric has the same mean (to rounding) and
+    strictly lower variance when pre/post correlate; theta matches the
+    closed form."""
+    import numpy as np
+
+    from centimators_spark.ml.abtest import cuped_adjust
+
+    rng = np.random.RandomState(11)
+    pre = rng.normal(50, 10, 400)
+    post = pre * 0.8 + rng.normal(0, 3, 400)  # strongly correlated
+    rows = [(float(a), float(b)) for a, b in zip(pre, post)]
+    df = spark.createDataFrame(rows, "pre_metric double, metric double")
+    out = cuped_adjust(df).toPandas()
+    assert abs(out.metric_cuped.mean() - post.mean()) < 1e-3
+    assert out.metric_cuped.var() < 0.2 * post.var()
+
+
+def test_benford_and_gini_known_values(spark):
+    """Benford digits from hand-built values; Gini of a uniform group
+    ~ (n-1)/(3n)... no — exact hand cases: all-equal -> 0; extreme
+    concentration -> (n-1)/n."""
+    from centimators_spark.analytics import gini_by_group
+    from centimators_spark.profile import benford_check
+
+    vals = [
+        (None if v is None else float(v),)
+        for v in (1.0, 12.0, 0.19, 950.0, 2.5, 0.0, None)
+    ]
+    df = spark.createDataFrame(vals, "x double")
+    out = {r.digit: r.n for r in benford_check(df, "x").collect()}
+    # leading digits: 1, 1, 1, 9, 2 (0/None excluded)
+    assert out == {1: 3, 9: 1, 2: 1}
+
+    rows = [("eq", 5.0)] * 4 + [("conc", 0.0)] * 3 + [("conc", 100.0)]
+    gdf = spark.createDataFrame(rows, "grp string, v double")
+    g = {r.grp: r.gini for r in gini_by_group(gdf, "v", "grp").collect()}
+    assert g["eq"] == 0.0
+    assert g["conc"] == 0.75  # (n-1)/n with all mass on one row, n=4
