@@ -876,6 +876,56 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3)
 
 
+def _returnflag_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared classifier-eval frame: pseudo-probability from quantity,
+    label = returned line (deterministic, both engines derive it
+    identically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        ((F.col("l_quantity") * 2 - 1) / 100).alias("p"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("era"),
+    )
+
+
+_SCORED_SQL = (
+    "(SELECT (l_quantity * 2 - 1) / 100 AS p,"
+    " CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,"
+    " date_trunc('month', l_shipdate) AS era FROM lineitem)"
+)
+
+
+def q_auc_by_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-era ROC-AUC (ml/classification_metrics.auc_score):
+    Mann–Whitney average-rank identity — integer-plus-half rationals,
+    no threshold sweep."""
+    from centimators_spark.ml.classification_metrics import auc_score
+
+    out = auc_score(
+        _returnflag_scored(spark, sf_dir), "p", "y", group_col="era"
+    )
+    return out.select(
+        F.col("group").alias("era_ts"), "n_pos", "n_neg", "auc"
+    ).withColumn("era", F.unix_timestamp("era_ts")).drop("era_ts")
+
+
+def q_logloss_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-loss + reliability bins in one frame: the one-row loss
+    cross-joined onto the K-bin calibration table (nano-unit log
+    carriers; value-based bins)."""
+    from centimators_spark.ml.classification_metrics import (
+        calibration_bins,
+        log_loss,
+    )
+
+    scored = _returnflag_scored(spark, sf_dir)
+    ll = log_loss(scored, "p", "y").select(
+        F.col("n").alias("n_total"), "logloss"
+    )
+    cal = calibration_bins(scored, "p", "y")
+    return cal.crossJoin(F.broadcast(ll))
+
+
 def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED-adjusted A/B readout (ml/abtest.cuped_adjust → report):
     pre-period event value is the covariate, post-period value the
@@ -1230,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_cuped": q_ab_cuped,
         "benford_digits": q_benford_digits,
         "gini_segments": q_gini_segments,
+        "auc_by_era": q_auc_by_era,
+        "logloss_calibration": q_logloss_calibration,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1682,6 +1734,33 @@ def _scd2_oracle() -> str:
     return scd2_intervals_oracle_sql("events", "event_type")
 
 
+def _auc_oracle() -> str:
+    from centimators_spark.ml.classification_metrics import (
+        auc_score_oracle_sql,
+    )
+
+    inner = auc_score_oracle_sql(_SCORED_SQL, "p", "y", group_sql="era")
+    return f"""
+        SELECT CAST(epoch("group") AS BIGINT) AS era, n_pos, n_neg, auc
+        FROM ({inner})
+    """
+
+
+def _logloss_calibration_oracle() -> str:
+    from centimators_spark.ml.classification_metrics import (
+        calibration_bins_oracle_sql,
+        log_loss_oracle_sql,
+    )
+
+    cal = calibration_bins_oracle_sql(_SCORED_SQL, "p", "y")
+    ll = log_loss_oracle_sql(_SCORED_SQL, "p", "y")
+    return f"""
+        SELECT c.bin, c.n, c.mean_p, c.frac_pos,
+               l.n AS n_total, l.logloss
+        FROM ({cal}) c CROSS JOIN ({ll}) l
+    """
+
+
 def _ab_cuped_oracle() -> str:
     from centimators_spark.ml.abtest import (
         ab_test_report_oracle_sql,
@@ -1954,6 +2033,8 @@ def oracle_sql() -> dict[str, str]:
         "ab_cuped": _ab_cuped_oracle(),
         "benford_digits": _benford_oracle(),
         "gini_segments": _gini_oracle(),
+        "auc_by_era": _auc_oracle(),
+        "logloss_calibration": _logloss_calibration_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

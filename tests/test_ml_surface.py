@@ -418,3 +418,42 @@ def test_benford_and_gini_known_values(spark):
     g = {r.grp: r.gini for r in gini_by_group(gdf, "v", "grp").collect()}
     assert g["eq"] == 0.0
     assert g["conc"] == 0.75  # (n-1)/n with all mass on one row, n=4
+
+
+def test_auc_logloss_calibration_known_values(spark):
+    """AUC vs sklearn-free hand computation (with ties), logloss vs
+    numpy, calibration bin edges."""
+    import math
+
+    from centimators_spark.ml.classification_metrics import (
+        auc_score,
+        calibration_bins,
+        log_loss,
+    )
+
+    # scores: two ties across classes
+    rows = [
+        (0.1, 0), (0.2, 0), (0.35, 1), (0.35, 0), (0.8, 1), (0.8, 1),
+        (0.9, 1),
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    [r] = auc_score(df, "p", "y").collect()
+    # avg ranks: 0.1->1, 0.2->2, 0.35->3.5,3.5, 0.8->5.5,5.5, 0.9->7
+    # rsum+ = 3.5 + 5.5 + 5.5 + 7 = 21.5; auc = (21.5 - 10)/ (4*3)
+    assert (r.n_pos, r.n_neg) == (4, 3)
+    assert r.auc == pytest.approx((21.5 - 10) / 12, abs=1e-6)
+
+    [l] = log_loss(df, "p", "y").collect()
+    expect = -sum(
+        math.log(p) if y else math.log(1 - p) for p, y in rows
+    ) / len(rows)
+    assert l.logloss == pytest.approx(expect, abs=1e-6)
+
+    cal = {c.bin: (c.n, c.frac_pos) for c in
+           calibration_bins(df, "p", "y", n_bins=10).collect()}
+    assert cal[3] == (2, 0.5)   # both 0.35s
+    assert cal[8] == (2, 1.0)   # both 0.8s
+    # p = 1.0 would land in bin 9 via the least() clamp
+    dfe = spark.createDataFrame([(1.0, 1)], "p double, y int")
+    [ce] = calibration_bins(dfe, "p", "y", n_bins=10).collect()
+    assert ce.bin == 9
