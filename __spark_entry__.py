@@ -876,6 +876,67 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3)
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration reconciliation (reconcile.table_diff): orders vs a
+    deterministically perturbed copy (every 97th key dropped, every
+    100th total bumped, every 50th priority nulled) — one full outer
+    join + one aggregation, per-column agree/disagree counts."""
+    from centimators_spark.reconcile import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = (
+        orders.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 100 == 0,
+                F.col("o_totalprice") + 1,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 50 == 0, F.lit(None)).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    return table_diff(
+        orders, b, ["o_orderkey"],
+        ["o_totalprice", "o_orderpriority", "o_orderstatus"],
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window sessionization (F.session_window, 30-min
+    gap) — the built-in whose batch semantics the oracle mirrors with
+    microsecond-exact island detection (new session when the gap is
+    ≥ the duration; end = last event + gap)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def us(col: str):
+        # NTZ: pure naive date arithmetic (session-timezone independent
+        # — matches DuckDB's naive epoch_us); tz-typed: unix_micros
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            return F.expr(
+                f"timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+            )
+        return F.unix_micros(F.col(col))
+
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            us("w.start").alias("session_start_us"),
+            us("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def _returnflag_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared classifier-eval frame: pseudo-probability from quantity,
     label = returned line (deterministic, both engines derive it
@@ -1282,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_segments": q_gini_segments,
         "auc_by_era": q_auc_by_era,
         "logloss_calibration": q_logloss_calibration,
+        "table_diff": q_table_diff,
+        "session_window": q_session_window,
         # --- round-3 promotions, driver-green r4 (rotate toward tail
         # naturally as the head grows) ---
         "melt_lineitem": q_melt_lineitem,
@@ -1734,6 +1797,50 @@ def _scd2_oracle() -> str:
     return scd2_intervals_oracle_sql("events", "event_type")
 
 
+def _table_diff_oracle() -> str:
+    from centimators_spark.reconcile import table_diff_oracle_sql
+
+    b = """(
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+    )"""
+    return table_diff_oracle_sql(
+        "orders", b, ["o_orderkey"],
+        ["o_totalprice", "o_orderpriority", "o_orderstatus"],
+    )
+
+
+def _session_window_oracle() -> str:
+    gap_us = 30 * 60 * 1_000_000
+    return f"""
+        WITH o AS (
+          SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), flagged AS (
+          SELECT *, CASE WHEN prev IS NULL OR us - prev >= {gap_us}
+                         THEN 1 ELSE 0 END AS new_s
+          FROM o
+        ), sess AS (
+          SELECT *, sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               min(us) AS session_start_us,
+               max(us) + {gap_us} AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """
+
+
 def _auc_oracle() -> str:
     from centimators_spark.ml.classification_metrics import (
         auc_score_oracle_sql,
@@ -2035,6 +2142,8 @@ def oracle_sql() -> dict[str, str]:
         "gini_segments": _gini_oracle(),
         "auc_by_era": _auc_oracle(),
         "logloss_calibration": _logloss_calibration_oracle(),
+        "table_diff": _table_diff_oracle(),
+        "session_window": _session_window_oracle(),
         "woe_encode": _woe_encode_oracle(),
         "cv_folds": _cv_folds_oracle(),
         "pmi_cooccur": _pmi_cooccur_oracle(),

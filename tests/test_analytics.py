@@ -162,3 +162,41 @@ def test_attribution_hand_computed(spark):
         "email": (0, 2),
         "direct": (3, 3),
     }
+
+
+def test_table_diff_hand_computed(spark):
+    """Reconciliation counts: presence, null-safe equality, per-column
+    diffs."""
+    from centimators_spark.reconcile import table_diff
+
+    a = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, None), (3, 30.0, "z"), (4, 40.0, "w")],
+        "k long, v double, s string",
+    )
+    b = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 99.0, None), (3, 30.0, "Z"), (5, 50.0, "q")],
+        "k long, v double, s string",
+    )
+    out = {r.column: r for r in table_diff(a, b, ["k"], ["v", "s"]).collect()}
+    rows = out["__rows__"]
+    assert (rows.n_only_a, rows.n_only_b, rows.n_both) == (1, 1, 3)
+    assert (out["v"].n_equal, out["v"].n_diff) == (2, 1)   # k=2 differs
+    # s: k=1 equal, k=2 NULL==NULL equal, k=3 'z' vs 'Z' differs
+    assert (out["s"].n_equal, out["s"].n_diff) == (2, 1)
+
+
+def test_session_window_query_vs_manual(spark):
+    """Native session_window merges events with gaps < 30 min; end =
+    last event + gap."""
+    import __spark_entry__ as entry
+
+    out = entry.q_session_window(spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    assert (pdf.n_events >= 1).all()
+    # every session spans >= the 30-min gap (end = last + gap)
+    assert ((pdf.session_end_us - pdf.session_start_us) >= 1800_000_000).all()
+    # sessions of one user never overlap
+    g = pdf.sort_values(["user_id", "session_start_us"])
+    prev_end = g.groupby("user_id").session_end_us.shift()
+    ok = prev_end.isna() | (g.session_start_us >= prev_end - 1)
+    assert ok.all()
