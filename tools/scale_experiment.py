@@ -58,6 +58,9 @@ QS = [
     "unigram_lm", "era_report", "autocorrelation", "event_funnel",
     "session_ids", "spearman_by_month", "panel_features",
     "psi_drift", "page_hinkley", "market_share", "woe_encode",
+    # round-5 additions
+    "pagerank", "bloom_semi_join", "frequent_itemsets",
+    "scd2_intervals", "auc_by_era", "session_window", "kaplan_meier",
 ]
 
 
