@@ -164,6 +164,47 @@ def cmd_drift(args) -> int:
     return 1 if worst > args.threshold else 0
 
 
+def cmd_diff(args) -> int:
+    """Table reconciliation: exit 1 when any column disagrees or rows
+    are missing from either side (CI gate shape)."""
+    from centimators_spark.reconcile import table_diff
+
+    spark = _spark(args.cpus)
+    a = spark.read.parquet(args.table_a)
+    b = spark.read.parquet(args.table_b)
+    keys = args.keys.split(",")
+    cols = (
+        args.cols.split(",")
+        if args.cols
+        else [c for c in a.columns if c not in keys and c in b.columns]
+    )
+    rows = table_diff(a, b, keys, cols).collect()
+    clean = True
+    for r in rows:
+        if r.column == "__rows__":
+            print(f"{'rows':24s} only_a={r.n_only_a} only_b={r.n_only_b} "
+                  f"both={r.n_both}")
+            clean &= (r.n_only_a == 0 and r.n_only_b == 0)
+        else:
+            print(f"{r.column:24s} equal={r.n_equal} diff={r.n_diff}")
+            clean &= r.n_diff == 0
+    return 0 if clean else 1
+
+
+def cmd_benford(args) -> int:
+    from centimators_spark.profile import benford_check
+
+    spark = _spark(args.cpus)
+    df = spark.read.parquet(args.path)
+    rows = benford_check(df, args.col).orderBy("digit").collect()
+    chi2 = sum(r.chi2_term for r in rows)
+    for r in rows:
+        print(f"digit {r.digit}: n={r.n} share={r.share} "
+              f"expected={r.expected}")
+    print(f"chi2={round(chi2, 4)} (df=8; ~15.5 is the 5% line)")
+    return 1 if chi2 > args.threshold else 0
+
+
 def cmd_heavy_hitters(args) -> int:
     from centimators_spark.profile import heavy_hitters
 
@@ -221,6 +262,21 @@ def build_parser() -> argparse.ArgumentParser:
         "approx_percentile sketch)",
     )
     sd.set_defaults(fn=cmd_drift)
+
+    sf = sub.add_parser(
+        "diff", help="reconcile two parquet tables (exit 1 on any diff)"
+    )
+    sf.add_argument("table_a")
+    sf.add_argument("table_b")
+    sf.add_argument("--keys", required=True, help="comma-separated key cols")
+    sf.add_argument("--cols", default=None, help="compare cols (default: shared non-keys)")
+    sf.set_defaults(fn=cmd_diff)
+
+    sb = sub.add_parser("benford", help="first-digit audit (exit 1 over chi2 threshold)")
+    sb.add_argument("path")
+    sb.add_argument("--col", required=True)
+    sb.add_argument("--threshold", type=float, default=15.51)
+    sb.set_defaults(fn=cmd_benford)
 
     sh = sub.add_parser("heavy-hitters", help="frequent values of a column")
     sh.add_argument("path")

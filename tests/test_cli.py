@@ -74,3 +74,39 @@ def test_cli_drift_exit_codes(spark, capsys):
         "drift", f"{SF}/orders.parquet", f"{SF}/orders.parquet",
         "--num", "o_totalprice", "--threshold", "-1.0",
     ]) == 1
+
+
+def test_cli_diff_and_benford(spark, capsys, tmp_path):
+    from centimators_spark.cli import main
+
+    # identical tables -> clean exit 0
+    assert main([
+        "diff", f"{SF}/orders.parquet", f"{SF}/orders.parquet",
+        "--keys", "o_orderkey", "--cols", "o_totalprice,o_orderstatus",
+    ]) == 0
+    assert "equal=" in capsys.readouterr().out
+    # perturbed copy -> exit 1
+    import duckdb
+
+    alt = str(tmp_path / "orders_alt.parquet")
+    duckdb.sql(
+        f"COPY (SELECT o_orderkey, o_totalprice + CASE WHEN o_orderkey % 10 = 0"
+        f" THEN 1 ELSE 0 END AS o_totalprice, o_orderstatus"
+        f" FROM read_parquet('{SF}/orders.parquet')) TO '{alt}' (FORMAT PARQUET)"
+    )
+    assert main([
+        "diff", f"{SF}/orders.parquet", alt,
+        "--keys", "o_orderkey", "--cols", "o_totalprice",
+    ]) == 1
+
+    # benford: synthetic prices are NOT Benford-ish -> gate with huge
+    # threshold passes, tiny threshold trips
+    assert main([
+        "benford", f"{SF}/orders.parquet", "--col", "o_totalprice",
+        "--threshold", "1e12",
+    ]) == 0
+    assert "chi2=" in capsys.readouterr().out
+    assert main([
+        "benford", f"{SF}/orders.parquet", "--col", "o_totalprice",
+        "--threshold", "-1",
+    ]) == 1
