@@ -876,6 +876,85 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3)
 
 
+def q_isotonic_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration contract (pyspark.ml IsotonicRegression —
+    distributed PAVA): fit y ~ p on the scored frame, then emit the
+    integer invariants PAVA guarantees — zero monotonicity violations
+    within every era (ordered by p), predictions inside [min y, max y],
+    and Σ fitted == Σ y (PAVA preserves the weighted mean; compared at
+    3dp, float error ~1e-10). The oracle asserts the claims from the
+    raw table — the penalizer_contract pattern for a driver-solve-free
+    distributed estimator."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    scored = _returnflag_scored(spark, sf_dir)
+    va = VectorAssembler(inputCols=["p"], outputCol="__f")
+    model = IsotonicRegression(
+        featuresCol="__f", labelCol="y", predictionCol="fit"
+    ).fit(va.transform(scored.select("p", F.col("y").cast("double"), "era")))
+    fitted = model.transform(
+        va.transform(scored.select("p", F.col("y").cast("double"), "era"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("era").orderBy("p")
+    flagged = fitted.withColumn(
+        "__viol",
+        (F.col("fit") < F.lag("fit").over(w)).cast("long"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("__viol"), F.lit(0).cast("long")).alias(
+            "n_violations"
+        ),
+        (F.min("fit") >= F.min("y")).alias("min_ok"),
+        (F.max("fit") <= F.max("y")).alias("max_ok"),
+        F.round(F.sum("fit"), 3).alias("sum_fit"),
+    )
+
+
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-flavored min-cost supplier per part (the testdata has
+    no partsupp, so unit cost comes from observed lineitem prices):
+    integer cents-per-unit via DIV, per-part argmin as a struct min
+    (total order — deterministic ties), supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " DIV CAST(l_quantity AS BIGINT)"
+            )
+        ).alias("__c")
+    )
+    best = cost.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("__c"), F.col("l_suppkey"))).alias("b")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        best.select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("b.l_suppkey").alias("s_suppkey"),
+            F.col("b.__c").alias("cost_cents_per_unit"),
+        )
+        .join(F.broadcast(supp), "s_suppkey")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "p_partkey", "s_suppkey", "cost_cents_per_unit",
+            "s_name", "n_name",
+        )
+    )
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Migration reconciliation (reconcile.table_diff): orders vs a
     deterministically perturbed copy (every 97th key dropped, every
@@ -2633,16 +2712,51 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window.
-    Empty this round: all ten round-4 staged queries are promoted into
-    the head of queries(). tests/test_staged_queries.py runs the same
-    driver-mimic gate over whatever is staged here, so promotion stays
-    a two-line move."""
-    return {}
+    Round-6 candidates (the round-5 window is full at 30 never-verified
+    entries): isotonic_contract (distributed PAVA invariants) and
+    cheapest_supplier (Q2-flavored struct-argmin). Both gate-green via
+    tests/test_staged_queries.py; promotion stays a two-line move."""
+    return {
+        "isotonic_contract": q_isotonic_contract,
+        "cheapest_supplier": q_cheapest_supplier,
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracle texts for staged_queries() (empty — see staged_queries)."""
-    return {}
+    """Oracle texts for staged_queries()."""
+    return {
+        "isotonic_contract": f"""
+            WITH s AS (
+              SELECT (l_quantity * 2 - 1) / 100 AS p,
+                     CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+              FROM lineitem
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(0 AS BIGINT) AS n_violations,
+                   true AS min_ok, true AS max_ok,
+                   round(sum(y), 3) AS sum_fit
+            FROM s
+        """,
+        "cheapest_supplier": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     min(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         // CAST(l_quantity AS BIGINT)) AS c
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), best AS (
+              SELECT l_partkey AS p_partkey,
+                     min({'c': c, 's': l_suppkey}) AS b
+              FROM cost GROUP BY l_partkey
+            )
+            SELECT p_partkey,
+                   CAST(b.s AS BIGINT) AS s_suppkey,
+                   CAST(b.c AS BIGINT) AS cost_cents_per_unit,
+                   s_name, n_name
+            FROM best
+            JOIN supplier ON b.s = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+        """,
+    }
 
 
 def _promoted_r5_oracle_sql() -> dict[str, str]:

@@ -6,7 +6,10 @@ import duckdb
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("lineitem", "orders", "customer", "documents", "events", "part")
+TABLES = (
+    "lineitem", "orders", "customer", "documents", "events", "part",
+    "supplier", "nation", "region", "embeddings",
+)
 
 
 def test_staged_queries_match_oracles(spark):
