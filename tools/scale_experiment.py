@@ -27,6 +27,21 @@ Round-4 additions (second run, same protocol):
     market_share        1.10    1.49    1.4x   8-way broadcast join
     woe_encode          0.45    0.42   <1x     broadcast stats
 
+Round-5 additions (measured 2026-08-14, same protocol):
+
+    pagerank            1.07    1.00   ~1x    edge set = distinct
+                                              (supp,part) pairs — x10
+                                              lineitem adds no new
+                                              pairs, so this measures
+                                              fixed cost only
+    bloom_semi_join     0.58    0.54   ~1x    orders/customer are not
+                                              scaled by the x10 build
+    frequent_itemsets   4.33   23.54    5.4x  10x baskets (PFP mining)
+    scd2_intervals      0.44    0.43   ~1x    events window
+    auc_by_era          0.89    1.85    2.1x  rank windows
+    session_window      0.46    0.59    1.3x  native session agg
+    kaplan_meier        0.48    0.44   ~1x    per-user agg + tiny KM
+
 Every ratio is SUB-LINEAR in the 10x data growth — the multi-row-group
 x10 files scan with real parallelism that the single-row-group sf0.1
 files cannot, so fixed costs amortize exactly as they would on a
