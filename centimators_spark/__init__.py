@@ -44,6 +44,27 @@ from centimators_spark.ml.dspymator import DSPyMator
 from centimators_spark.ml.keras_cortex import KerasCortex
 from centimators_spark.ml.losses import spearman_corr
 from centimators_spark.config import get_keras_backend, set_keras_backend
+from centimators_spark.analytics import (
+    attribution,
+    funnel,
+    gini_by_group,
+    retention_cohorts,
+    scd2_intervals,
+)
+from centimators_spark.graphs import pagerank_int
+from centimators_spark.reconcile import table_diff
+from centimators_spark.ml.survival import kaplan_meier
+from centimators_spark.ml.abtest import ab_test_report, cuped_adjust
+from centimators_spark.ml.classification_metrics import (
+    auc_score,
+    calibration_bins,
+    log_loss,
+)
+from centimators_spark.ml.itemsets import frequent_itemsets, make_baskets
+from centimators_spark.operators.bloomjoin import bloom_semi_join
+from centimators_spark.dedup.linkage import record_linkage
+from centimators_spark.similarity.centroids import group_centroids
+from centimators_spark.io import write_z_ordered, z_order_key
 
 __version__ = "0.3.0"  # tracks pyproject.toml
 
@@ -79,4 +100,25 @@ __all__ = [
     "LinearRegressor",
     "KerasEstimator",
     "spearman_corr",
+    # round-5 analytics / ML / join surface
+    "attribution",
+    "funnel",
+    "gini_by_group",
+    "retention_cohorts",
+    "scd2_intervals",
+    "pagerank_int",
+    "table_diff",
+    "kaplan_meier",
+    "ab_test_report",
+    "cuped_adjust",
+    "auc_score",
+    "calibration_bins",
+    "log_loss",
+    "frequent_itemsets",
+    "make_baskets",
+    "bloom_semi_join",
+    "record_linkage",
+    "group_centroids",
+    "write_z_ordered",
+    "z_order_key",
 ]
