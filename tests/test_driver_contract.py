@@ -20,7 +20,12 @@ def test_queries_tz_independent(spark):
         )
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        for q in ("events_windowed_counts", "spearman_by_month"):
+        for q in (
+            "events_windowed_counts",
+            "spearman_by_month",
+            "scd2_intervals",
+            "session_window",
+        ):
             sdf = entrymod.queries()[q](spark, SF).toPandas()
             odf = con.execute(entrymod.oracle_sql()[q]).fetchdf()
             cols = sorted(sdf.columns)
