@@ -876,6 +876,37 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3)
 
 
+def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch contract (the psi_sketch_contract pattern for
+    approx_count_distinct): per order priority, the EXACT distinct
+    customer count (hash-pinned) plus a boolean asserting the sketch
+    lands within its configured 5% relative error. At 100 TB the
+    sketch is the only viable per-group distinct; this row proves its
+    error contract against the exact path on every driver run."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.05).cast(
+                    "double"
+                )
+                - F.countDistinct("o_custkey").cast("double")
+            )
+            <= 3 * 0.05 * F.countDistinct("o_custkey").cast("double")
+        ).alias("sketch_within_band"),
+    )
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction over the documents corpus
+    (text/keywords.py) — micro-unit integer word scores, two-pass
+    stopword delimiting shared with the oracle."""
+    from centimators_spark.text.keywords import rake_keywords
+
+    return rake_keywords(load_table(spark, sf_dir, "documents"))
+
+
 def q_isotonic_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration contract (pyspark.ml IsotonicRegression —
     distributed PAVA): fit y ~ p on the scored frame, then emit the
@@ -2719,12 +2750,23 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "isotonic_contract": q_isotonic_contract,
         "cheapest_supplier": q_cheapest_supplier,
+        "approx_distinct_contract": q_approx_distinct_contract,
+        "rake_keywords": q_rake_keywords,
     }
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
+    from centimators_spark.text.keywords import rake_keywords_oracle_sql
+
     return {
+        "rake_keywords": rake_keywords_oracle_sql(),
+        "approx_distinct_contract": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+                   true AS sketch_within_band
+            FROM orders GROUP BY o_orderpriority
+        """,
         "isotonic_contract": f"""
             WITH s AS (
               SELECT (l_quantity * 2 - 1) / 100 AS p,

@@ -953,3 +953,30 @@ def test_record_linkage_scoring(spark):
     from centimators_spark.dedup.linkage import record_linkage as rl
     hi = rl(df, "id", "blk", {"f1": 5, "f2": 2}, threshold=7)
     assert [(r.id_a, r.id_b) for r in hi.collect()] == [(1, 2)]
+
+
+def test_rake_keywords_hand_computed(spark):
+    """RAKE on a textbook-style corpus: multi-word phrase outranks its
+    constituent single words; adjacent stopwords split correctly."""
+    from centimators_spark.text.keywords import rake_keywords
+
+    docs = [
+        (1, "linear algebra of the linear systems"),
+        (2, "linear algebra in a nutshell"),
+        (3, "systems and the nutshell"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.phrase: r for r in rake_keywords(
+        df, min_occurrences=1, top_k=20
+    ).collect()}
+    # phrases: 'linear algebra' x2, 'linear systems', 'nutshell' x2,
+    # 'systems'
+    assert out["linear algebra"].n_occurrences == 2
+    # word stats: linear freq3 deg(2+2+2)=6 -> 2.0; algebra f2 d4 -> 2;
+    # systems f2 d(2+1)=3 -> 1.5; nutshell f2 d2 -> 1
+    assert out["linear algebra"].score == pytest.approx(4.0, abs=1e-6)
+    assert out["linear systems"].score == pytest.approx(3.5, abs=1e-6)
+    assert out["nutshell"].score == pytest.approx(1.0, abs=1e-6)
+    # top phrase is the high-degree multiword one
+    top = max(out.values(), key=lambda r: (r.score, r.phrase))
+    assert top.phrase == "linear algebra"
