@@ -898,6 +898,45 @@ def q_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (analytics.interval_union_length): each
+    event opens a 5-minute activity window; per user, the union length
+    of the overlapping windows — the classic island merge, exact in
+    microsecond integers."""
+    from centimators_spark.analytics import interval_union_length
+
+    ev = load_table(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:
+        us = F.unix_micros(F.col("ts"))
+    spans = ev.select(
+        "user_id",
+        us.alias("s"),
+        (us + 300 * 1_000_000).alias("e"),
+    )
+    return interval_union_length(
+        spans, "s", "e", "user_id", out_col="active_us"
+    )
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower weighted median (operators/stats.weighted_median):
+    per return flag, the quantity level at which half the extended-
+    price volume sits below — integer weights, no float tie ambiguity."""
+    from centimators_spark.operators.stats import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+    )
+    return weighted_median(li, "qty", "w", "l_returnflag")
+
+
 def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrase extraction over the documents corpus
     (text/keywords.py) — micro-unit integer word scores, two-pass
@@ -2752,15 +2791,30 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_supplier": q_cheapest_supplier,
         "approx_distinct_contract": q_approx_distinct_contract,
         "rake_keywords": q_rake_keywords,
+        "active_time": q_active_time,
+        "weighted_median": q_weighted_median,
     }
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
+    from centimators_spark.analytics import interval_union_length_oracle_sql
+    from centimators_spark.operators.stats import weighted_median_oracle_sql
     from centimators_spark.text.keywords import rake_keywords_oracle_sql
 
+    ev_us = ("(SELECT user_id, epoch_us(ts) AS s,"
+             " epoch_us(ts) + 300000000 AS e FROM events)")
     return {
         "rake_keywords": rake_keywords_oracle_sql(),
+        "active_time": interval_union_length_oracle_sql(
+            ev_us, "s", "e", "user_id", out_name="active_us"
+        ),
+        "weighted_median": weighted_median_oracle_sql(
+            "(SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS w"
+            " FROM lineitem)",
+            "qty", "w", "l_returnflag",
+        ),
         "approx_distinct_contract": """
             SELECT o_orderpriority,
                    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,

@@ -550,3 +550,86 @@ def gini_by_group_oracle_sql(
                END AS gini
         FROM agg
     """
+
+
+def interval_union_length(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_col: str,
+    *,
+    out_col: str = "covered",
+) -> DataFrame:
+    """Total length covered by a set of possibly-overlapping intervals
+    per group — the classic island merge (total active time from
+    session intervals, SLA coverage, sensor uptime).
+
+    One window pass: an interval starts a new island when its start
+    exceeds the running max of previous ends; islands sum
+    (max(end) − min(start)). All arithmetic on the caller's integer
+    units — exact. Returns (group, n_intervals, n_islands, covered)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        ).otherwise(0),
+    )
+    labeled = flagged.withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = labeled.groupBy(group_col, "__island").agg(
+        F.min(start_col).alias("__s"),
+        F.max(end_col).alias("__e"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return islands.groupBy(group_col).agg(
+        F.sum("__n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("__e") - F.col("__s")).alias(out_col),
+    )
+
+
+def interval_union_length_oracle_sql(
+    table_sql: str,
+    start_sql: str,
+    end_sql: str,
+    group_sql: str,
+    *,
+    out_name: str = "covered",
+) -> str:
+    """DuckDB mirror of :func:`interval_union_length` (the group column
+    keeps its name)."""
+    g = group_sql
+    over = f"PARTITION BY {group_sql} ORDER BY {start_sql}, {end_sql}"
+    return f"""
+        WITH flagged AS (
+          SELECT {group_sql} AS {g}, {start_sql} AS s, {end_sql} AS e,
+                 CASE WHEN max({end_sql}) OVER ({over}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                      OR {start_sql} > max({end_sql}) OVER ({over}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS new_s
+          FROM {table_sql}
+        ), labeled AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY {g} ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+          FROM flagged
+        ), islands AS (
+          SELECT {g}, island, min(s) AS i_s, max(e) AS i_e,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM labeled GROUP BY {g}, island
+        )
+        SELECT {g}, CAST(sum(n) AS BIGINT) AS n_intervals,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(i_e - i_s) AS BIGINT) AS {out_name}
+        FROM islands GROUP BY {g}
+    """

@@ -549,3 +549,80 @@ def quantile_normalize_oracle_sql(
                      {round_dp}) END AS {out_name}
         FROM interp
     """
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    *,
+    out_col: str = "wmedian",
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value v such
+    that Σ w over rows ≤ v reaches half the total weight (2·cumw ≥ W,
+    integer weights — the comparison is exact, no float tie ambiguity).
+    The standard robust location estimate when rows carry volumes.
+
+    One (group, value) sort window + one grouped min over qualifying
+    rows. Returns (group, n, total_weight, wmedian)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = F.sum(F.col(weight_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum(F.col(weight_col)).over(Window.partitionBy(group_col))
+    flagged = df.select(
+        F.col(group_col),
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).alias("__w"),
+        cum.alias("__cum"),
+        tot.alias("__tot"),
+    )
+    return (
+        flagged.where(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy(group_col)
+        .agg(F.min("__v").alias(out_col))
+        .join(
+            flagged.groupBy(group_col).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("__tot").alias("total_weight"),
+            ),
+            group_col,
+        )
+        .select(group_col, "n", "total_weight", out_col)
+    )
+
+
+def weighted_median_oracle_sql(
+    table_sql: str,
+    value_sql: str,
+    weight_sql: str,
+    group_sql: str,
+    *,
+    out_name: str = "wmedian",
+) -> str:
+    """DuckDB mirror of :func:`weighted_median` (the group column keeps
+    its name)."""
+    g = group_sql
+    return f"""
+        WITH flagged AS (
+          SELECT {group_sql} AS {g}, {value_sql} AS v, {weight_sql} AS wt,
+                 sum({weight_sql}) OVER (PARTITION BY {group_sql}
+                   ORDER BY {value_sql}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum({weight_sql}) OVER (PARTITION BY {group_sql}) AS tot
+          FROM {table_sql}
+        ), med AS (
+          SELECT {g}, min(v) AS {out_name}
+          FROM flagged WHERE 2 * cum >= tot GROUP BY {g}
+        ), stats AS (
+          SELECT {g}, CAST(count(*) AS BIGINT) AS n,
+                 CAST(max(tot) AS BIGINT) AS total_weight
+          FROM flagged GROUP BY {g}
+        )
+        SELECT {g}, n, total_weight, {out_name}
+        FROM med JOIN stats USING ({g})
+    """

@@ -200,3 +200,33 @@ def test_session_window_query_vs_manual(spark):
     prev_end = g.groupby("user_id").session_end_us.shift()
     ok = prev_end.isna() | (g.session_start_us >= prev_end - 1)
     assert ok.all()
+
+
+def test_interval_union_and_weighted_median(spark):
+    """Island merge: overlapping/touching/disjoint intervals; weighted
+    median boundary cases."""
+    from centimators_spark.analytics import interval_union_length
+    from centimators_spark.operators.stats import weighted_median
+
+    rows = [
+        ("u", 0, 10), ("u", 5, 12),    # overlap -> [0,12]
+        ("u", 12, 15),                 # touching (start == prev end) merges
+        ("u", 20, 25),                 # disjoint island
+        ("v", 1, 2),
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    out = {r.g: (r.n_intervals, r.n_islands, r.covered)
+           for r in interval_union_length(df, "s", "e", "g").collect()}
+    assert out["u"] == (4, 2, 20)   # [0,15] + [20,25]
+    assert out["v"] == (1, 1, 1)
+
+    wm = [("a", 1, 1), ("a", 2, 1), ("a", 3, 2)]  # W=4, half=2 -> 2*cum>=4 at v=2
+    wdf = spark.createDataFrame(wm, "g string, v long, w long")
+    [r] = weighted_median(wdf, "v", "w", "g").collect()
+    assert (r.n, r.total_weight, r.wmedian) == (3, 4, 2)
+    # all weight on the last value -> median is that value
+    wm2 = [("b", 1, 1), ("b", 9, 10)]
+    [r2] = weighted_median(
+        spark.createDataFrame(wm2, "g string, v long, w long"), "v", "w", "g"
+    ).collect()
+    assert r2.wmedian == 9
