@@ -384,6 +384,22 @@ def main():
         "bloom_semi_join: probe is pure bitwise codegen (no Python)",
         "EvalPython" not in p and "shiftleft" in p,
     )
+    p = plan_of(sq["scd2_intervals"](spark, sf_dir))
+    ok &= audit(
+        "scd2_intervals: collapse+lead+version share ONE entity shuffle",
+        p.count("Exchange hashpartitioning") == 1,
+    )
+    p = plan_of(sq["kaplan_meier"](spark, sf_dir))
+    ok &= audit(
+        "kaplan_meier: every window partitions by cohort (no"
+        " unpartitioned window over data-sized frames)",
+        not re.search(r"Window \[[^\]]*\], \[\]", p),
+    )
+    p = plan_of(sq["gini_segments"](spark, sf_dir))
+    ok &= audit(
+        "gini_segments: customer dim broadcast into the orders scan",
+        "BroadcastHashJoin" in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
