@@ -491,3 +491,49 @@ def test_stream_windowed_psi_matches_batch(spark):
     # the full-corpus reference compared against itself, per-day slices:
     # PSI small but finite; all values non-negative
     assert (got["psi"] >= 0).all()
+
+
+def test_stream_session_window_matches_batch(spark):
+    """Native session_window is a stateful streaming aggregation: with
+    a watermark and availableNow processing it must emit the same
+    sessions the batch aggregation computes."""
+    from centimators_spark.streaming import read_events_stream
+
+    ev = load_table(spark, SF, "events")
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+        .toPandas()
+        .sort_values(["user_id", "s"])
+        .reset_index(drop=True)
+    )
+    stream = read_events_stream(spark, SF)
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+    )
+    assert out.isStreaming
+    name = _run_stream(out, "session_win_stream", "append")
+    got = (
+        spark.sql(f"SELECT * FROM {name}")
+        .toPandas()
+        .sort_values(["user_id", "s"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    assert got[["user_id", "n_events"]].equals(batch[["user_id", "n_events"]])
+    assert (got["s"].values == batch["s"].values).all()
+    assert (got["e"].values == batch["e"].values).all()
