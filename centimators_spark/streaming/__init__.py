@@ -10,6 +10,8 @@ from centimators_spark.streaming.events import (
     stateful_running_counts,
     session_ids,
     session_ids_stateful,
+    session_windows,
+    flushed_session_windows,
 )
 
 __all__ = [
@@ -19,6 +21,8 @@ __all__ = [
     "stateful_running_counts",
     "session_ids",
     "session_ids_stateful",
+    "session_windows",
+    "flushed_session_windows",
     "stream_exact_dedup",
     "interval_join_events",
     "enrich_stream_static",

@@ -252,3 +252,96 @@ def stateful_running_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- session windows
+
+#: Key used for the watermark-flush sentinel event. Real user ids in the
+#: synthetic corpus are >= 0; any pipeline adopting the flush pattern
+#: must pick a key value outside its real domain.
+SENTINEL_USER_ID = -1
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+    by: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native ``F.session_window`` aggregation (per-key gap-merged
+    sessions with start/end and event count). Batch/streaming unified.
+
+    Streaming contract (append mode): a session row is emitted exactly
+    once, when the watermark passes its close time. Consequently a
+    bounded replay (``availableNow``) HOLDS BACK every session whose
+    close time lies within ``watermark`` of the stream's max event time
+    — there is no later event to advance the watermark past them. For a
+    complete drain, union the source with a far-future sentinel event
+    (:func:`flushed_session_windows`); in production the same role is
+    played by the continuous arrival of new events.
+    """
+    e = events
+    if watermark is not None and e.isStreaming:
+        e = e.withWatermark(ts_col, watermark)
+    return (
+        e.groupBy(by, F.session_window(ts_col, gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            by,
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+        )
+    )
+
+
+def flushed_session_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    sentinel_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows over the events stream with a watermark-flush
+    sentinel: a single synthetic event 30 days past the corpus horizon
+    is written to ``sentinel_dir`` and unioned into the stream, so the
+    final no-data micro-batch advances the watermark beyond every real
+    session's close time and append mode emits ALL real sessions. The
+    sentinel's own (held-back) session is excluded by key.
+
+    This is the streaming-side twin of the batch ``session_window``
+    query: incremental execution == batch aggregation, exactly.
+
+    Append-mode contract: the sentinel's OWN session is never emitted —
+    its close time (sentinel_ts + gap) always lies inside the final
+    watermark hold-back (final watermark = sentinel_ts − watermark), so
+    no explicit key filter is needed. Deliberately so: a
+    ``user_id != SENTINEL`` predicate on the grouping key gets pushed
+    by Catalyst below the EventTimeWatermark operator down to the file
+    scan, which removes the sentinel row BEFORE watermark tracking sees
+    it and silently defeats the flush (observed: the sentinel source
+    reads 0 rows). Callers using update/complete output modes must
+    filter ``user_id != SENTINEL_USER_ID`` on the SINK side instead.
+    """
+    from centimators_spark.io import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    horizon = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinel = (
+        batch.limit(1)
+        .withColumn("event_id", F.lit(-1).cast("long"))
+        .withColumn("user_id", F.lit(SENTINEL_USER_ID).cast("long"))
+        .withColumn(
+            "ts",
+            F.lit(horizon).cast("timestamp") + F.expr("INTERVAL 30 DAYS"),
+        )
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sentinel_dir)
+
+    stream = read_events_stream(spark, sf_dir)
+    sent_stream = (
+        spark.readStream.schema(stream.schema).parquet(sentinel_dir)
+    )
+    unioned = stream.unionByName(sent_stream)
+    return session_windows(unioned, gap=gap, watermark=watermark)

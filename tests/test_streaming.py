@@ -493,37 +493,27 @@ def test_stream_windowed_psi_matches_batch(spark):
     assert (got["psi"] >= 0).all()
 
 
-def test_stream_session_window_matches_batch(spark):
+def test_stream_session_window_matches_batch(spark, tmp_path):
     """Native session_window is a stateful streaming aggregation: with
-    a watermark and availableNow processing it must emit the same
-    sessions the batch aggregation computes."""
-    from centimators_spark.streaming import read_events_stream
+    a watermark, availableNow processing, and a watermark-flush sentinel
+    (streaming/events.flushed_session_windows — a bounded replay has no
+    later event to advance the final watermark past trailing sessions,
+    so a far-future sentinel event is unioned in and filtered out) it
+    must emit EXACTLY the sessions the batch aggregation computes."""
+    from centimators_spark.streaming import (
+        flushed_session_windows,
+        session_windows,
+    )
 
     ev = load_table(spark, SF, "events")
     batch = (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("s"),
-            F.col("session_window.end").alias("e"),
-            "n_events",
-        )
+        session_windows(ev)
         .toPandas()
         .sort_values(["user_id", "s"])
         .reset_index(drop=True)
     )
-    stream = read_events_stream(spark, SF)
-    out = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("s"),
-            F.col("session_window.end").alias("e"),
-            "n_events",
-        )
+    out = flushed_session_windows(
+        spark, SF, str(tmp_path / "sentinel")
     )
     assert out.isStreaming
     name = _run_stream(out, "session_win_stream", "append")
