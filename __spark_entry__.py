@@ -1456,8 +1456,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round), gate them with `check_oracle --staged`, then promote
     into this head and rotate long-stable greens to the tail."""
     out = {
-        # --- promoted round-4 staged queries (locally 10/10 gate-green
-        # at sf0.001 + sf0.01; never driver-checked) ---
+        # --- promoted round-6 staged queries (locally 6/6 gate-green at
+        # sf0.001 + sf0.01 via tests/test_staged_queries.py; never
+        # driver-checked) ---
+        "isotonic_contract": q_isotonic_contract,
+        "cheapest_supplier": q_cheapest_supplier,
+        "approx_distinct_contract": q_approx_distinct_contract,
+        "rake_keywords": q_rake_keywords,
+        "active_time": q_active_time,
+        "weighted_median": q_weighted_median,
+        # --- regression re-verification (round-6): core round-1/2
+        # operators last driver-checked in r2 whose files kept evolving
+        # (_frame_median, RollingAgg additions) — rotated back through
+        # the window as a drift guard, below the never-verified head ---
+        "rank_transformer": q_rank_transformer,
+        "lag_transformer": q_lag_transformer,
+        "moving_average": q_moving_average,
+        "group_stats": q_group_stats,
+        "gaussianize_probit": q_gaussianize_probit,
+        # --- promoted round-4 staged queries (driver-green r5) ---
         "promo_revenue": relational_queries.q_promo_revenue,
         "supplier_counts": relational_queries.q_supplier_counts,
         "psi_categorical": q_psi_categorical,
@@ -1524,11 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 greens (window re-verification is harmless) ---
         "session_ids": q_session_ids,
         **relational_queries.QUERIES,
-        "rank_transformer": q_rank_transformer,
-        "lag_transformer": q_lag_transformer,
-        "moving_average": q_moving_average,
         "log_return": q_log_return,
-        "group_stats": q_group_stats,
         "pricing_summary": q_pricing_summary,
         "feature_neutralizer": q_feature_neutralizer,
         "feature_penalizer": q_feature_penalizer,
@@ -1542,7 +1555,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "panel_features": q_panel_features,
         "resample_ffill": q_resample_ffill,
         "quantile_bin": q_quantile_bin,
-        "gaussianize_probit": q_gaussianize_probit,
         "neutralizer_full_expr": q_neutralizer_full_expr,
         "feature_exposures": q_feature_exposures,
         "pca_project_expr": q_pca_project_expr,
@@ -1564,12 +1576,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh",
         "simhash_pairs",
         "dedup_embedding_cosine",
-        "lag_transformer",
-        "rank_transformer",
-        "moving_average",
+        # (rank/lag/moving_average/group_stats/gaussianize_probit left
+        # OUT of this tail rotation in round 6 — they sit in the window
+        # head for regression re-verification)
         "log_return",
         "pricing_summary",
-        "gaussianize_probit",
         "feature_exposures",
         "diff_transformer",
         "expanding_aggregates",
@@ -1591,7 +1602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts",
         "multimodal_metadata",
         "hash_split_sample",
-        "group_stats",
         "pack_sequences",
         # winsorize_by_era's r3 change (one percentile call instead of
         # two) is value-identical and locally hash-verified at sf0.01;
@@ -2258,6 +2268,7 @@ def oracle_sql() -> dict[str, str]:
         **relational_queries.oracle_sql(),
         **_promoted_oracle_sql(),
         **_promoted_r5_oracle_sql(),
+        **_promoted_r6_oracle_sql(),
         "penalizer_contract": _penalizer_contract_oracle(),
         # kernel-contract claims: every key-unique row agrees within the
         # differential-test tolerance — any kernel drift breaks the hash
@@ -2782,22 +2793,21 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window.
-    Round-6 candidates (the round-5 window is full at 30 never-verified
-    entries): isotonic_contract (distributed PAVA invariants) and
-    cheapest_supplier (Q2-flavored struct-argmin). Both gate-green via
-    tests/test_staged_queries.py; promotion stays a two-line move."""
-    return {
-        "isotonic_contract": q_isotonic_contract,
-        "cheapest_supplier": q_cheapest_supplier,
-        "approx_distinct_contract": q_approx_distinct_contract,
-        "rake_keywords": q_rake_keywords,
-        "active_time": q_active_time,
-        "weighted_median": q_weighted_median,
-    }
+    Empty at the start of round 6 — the six round-5-staged queries
+    (isotonic_contract, cheapest_supplier, approx_distinct_contract,
+    rake_keywords, active_time, weighted_median) were promoted into the
+    queries() head. Stage round-7 candidates here, gate them with
+    `check_oracle --staged`, then promote."""
+    return {}
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracle texts for staged_queries()."""
+    """Oracle texts for staged_queries() (empty — see staged_queries)."""
+    return {}
+
+
+def _promoted_r6_oracle_sql() -> dict[str, str]:
+    """Oracles for the round-5 staged queries promoted in round 6."""
     from centimators_spark.analytics import interval_union_length_oracle_sql
     from centimators_spark.operators.stats import weighted_median_oracle_sql
     from centimators_spark.text.keywords import rake_keywords_oracle_sql

@@ -54,25 +54,29 @@ def test_contract_shape():
 
 def test_unverified_queries_inside_driver_window():
     """The driver's correctness pass checks the first 50 queries()
-    entries. Everything never driver-verified (this round: the ten
-    promoted round-4 staged queries) must sit inside that window; only
-    long-stable green queries may overflow.
+    entries. Everything never driver-verified (this round: the six
+    promoted round-5 staged queries) must sit inside that window, plus
+    the round-6 regression-guard rotation of round-1/2 core operators;
+    only long-stable green queries may overflow.
     test_correctness_window_covers_unverified_queries enforces the
     same invariant dynamically from the CORRECTNESS_r*.json history;
     this static set documents the current round's intent."""
     names = list(entrymod.queries())
     window = set(names[:50])
     must_check = {
-        "promo_revenue",
-        "supplier_counts",
-        "psi_categorical",
-        "doc_sentences",
-        "transition_counts",
-        "event_debounce",
-        "quantile_normalize",
-        "rolling_rank",
-        "group_kfold",
-        "fuzzy_name_pairs",
+        # never driver-verified (promoted this round)
+        "isotonic_contract",
+        "cheapest_supplier",
+        "approx_distinct_contract",
+        "rake_keywords",
+        "active_time",
+        "weighted_median",
+        # regression re-verification of r1/r2 greens whose files evolved
+        "rank_transformer",
+        "lag_transformer",
+        "moving_average",
+        "group_stats",
+        "gaussianize_probit",
     }
     assert must_check <= window, must_check - window
 
