@@ -64,16 +64,30 @@ def ab_test_report(
         s1.alias("__sum"),
         ((s2 - s1 * s1 / nd) / (nd - 1)).alias("__var"),
     )
-    ctrl = F.broadcast(
-        stats.where(F.col("variant") == control).select(
-            F.col("n").alias("__cn"),
-            F.col("conversions").alias("__cc"),
-            F.col("__p").alias("__cp"),
-            F.col("__sum").alias("__csum"),
-            F.col("__var").alias("__cvar"),
+    # materialize the one-row control slice: validates the control
+    # variant EXISTS (ADVICE r5 — a misspelled control= used to
+    # crossJoin an empty frame and silently return an empty report)
+    # and replaces the crossJoin with literal columns, so the final
+    # plan aggregates the assignment table exactly once
+    ctrl_rows = stats.where(F.col("variant") == control).select(
+        "n", "conversions", "__p", "__sum", "__var"
+    ).collect()
+    if not ctrl_rows:
+        variants = sorted(
+            r.variant for r in stats.select("variant").collect()
         )
+        raise ValueError(
+            f"ab_test_report: control variant {control!r} not present; "
+            f"observed variants: {variants}"
+        )
+    c = ctrl_rows[0]
+    j = (
+        stats.withColumn("__cn", F.lit(c["n"]))
+        .withColumn("__cc", F.lit(c["conversions"]))
+        .withColumn("__cp", F.lit(c["__p"]))
+        .withColumn("__csum", F.lit(c["__sum"]))
+        .withColumn("__cvar", F.lit(c["__var"]))
     )
-    j = stats.crossJoin(ctrl)
     nd_c = F.col("__cn").cast("double")
     pooled = (
         F.col("conversions") + F.col("__cc")

@@ -42,6 +42,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _norm_type(dtype: str) -> str:
+    """Canonical hash-input type for a key dtype: xxhash64 hashes the
+    PHYSICAL type, so IntegerType(5) and LongType(5) produce different
+    hashes — a silent empty-result bug when fact and dim key types
+    differ. Integral types normalize to bigint, floats to double,
+    everything else hashes as-is."""
+    if dtype in _INTEGRAL:
+        return "bigint"
+    if dtype in ("float", "double"):
+        return "double"
+    return dtype
+
+
+def _norm_key(df: DataFrame, key_col: str) -> Column:
+    dtype = dict(df.dtypes)[key_col]
+    target = _norm_type(dtype)
+    c = F.col(key_col)
+    return c.cast(target) if target != dtype else c
+
+
 def _pattern(key: Column, k: int) -> Column:
     """k-bit within-word pattern: OR of k single-bit longs, positions
     from independent xxhash64 seeds."""
@@ -73,7 +96,7 @@ def bloom_build(
 
     Returns (words_df(word, mask), n_words). ``n_keys`` skips the
     sizing count when the caller already knows the key cardinality."""
-    keys = dim.select(F.col(key_col).alias("__k")).distinct()
+    keys = dim.select(_norm_key(dim, key_col).alias("__k")).distinct()
     n = int(n_keys) if n_keys is not None else keys.count()
     n_words = max(1, math.ceil(max(n, 1) * bits_per_key / 64))
     kc = F.col("__k")
@@ -93,8 +116,10 @@ def bloom_prune(
 ) -> DataFrame:
     """Keep only fact rows whose key MIGHT be in the built filter
     (no false negatives; ~fpp false positives). Broadcast join on the
-    word index + two bitwise ops — the fact side never shuffles."""
-    kc = F.col(key_col)
+    word index + two bitwise ops — the fact side never shuffles. The
+    key is normalized to the same canonical hash type the build side
+    used, so an int fact key probes a long-built filter correctly."""
+    kc = _norm_key(fact, key_col)
     pat = _pattern(kc, k)
     probed = fact.join(
         F.broadcast(words),
@@ -125,9 +150,22 @@ def bloom_semi_join(
     positives), but the exact join only processes bloom survivors.
 
     ``dim_key`` names the dim-side column when it differs from the
-    fact-side ``on``."""
+    fact-side ``on``. Integral/float key types may differ between the
+    sides (both normalize to the same canonical hash type); any other
+    cross-type pairing fails loudly rather than silently matching
+    nothing."""
     dk = dim_key or on
-    keys = dim.select(F.col(dk).alias(on)).distinct()
+    f_t = _norm_type(dict(fact.dtypes)[on])
+    d_t = _norm_type(dict(dim.dtypes)[dk])
+    if f_t != d_t:
+        raise TypeError(
+            f"bloom_semi_join key type mismatch: fact[{on}] normalizes "
+            f"to {f_t} but dim[{dk}] to {d_t}; cast one side explicitly"
+        )
+    # dim keys cast to the fact's key dtype so the exact leftsemi join
+    # below compares like types (Spark would coerce anyway; explicit
+    # keeps the equality semantics identical to the bloom hash domain)
+    keys = dim.select(F.col(dk).cast(f_t).alias(on)).distinct()
     words, n_words = bloom_build(keys, on, bits_per_key=bits_per_key, k=k)
     pruned = bloom_prune(fact, words, n_words, on, k=k)
     return pruned.join(keys, on, "leftsemi")

@@ -209,9 +209,11 @@ def benford_check(
     s = F.regexp_replace(
         F.format_number(v, 10), "[.,0]*", ""
     )
-    # try_cast: a sub-1e-10 value renders as all zeros -> '' -> NULL
-    # digit (ANSI cast of '' would throw); such rows are excluded
-    digit = F.when(v > 0, F.substring(s, 1, 1).try_cast("int"))
+    # a sub-1e-10 value renders as all zeros -> '' -> excluded via the
+    # rlike guard (ANSI cast of '' would throw; Column.try_cast only
+    # exists from PySpark 4.0 and pyproject declares >=3.5 — ADVICE r5)
+    first = F.substring(s, 1, 1)
+    digit = F.when((v > 0) & first.rlike("^[0-9]$"), first.cast("int"))
     counts = (
         df.select(digit.alias("digit"))
         .where(F.col("digit").isNotNull())

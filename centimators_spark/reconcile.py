@@ -40,7 +40,17 @@ def table_diff(
     bsel = b.select(*ks, *[F.col(c).alias(f"__b_{c}") for c in cols]).withColumn(
         "__in_b", F.lit(1)
     )
-    j = asel.join(bsel, ks, "full_outer")
+    # NULL-key semantics (ADVICE r5): keys join NULL-SAFELY — a
+    # NULL-keyed row present on both sides counts as n_both, exactly
+    # like the oracle's IS NOT DISTINCT FROM join; plain equality would
+    # count it n_only_a + n_only_b and the two engines would diverge.
+    # eqNullSafe stays a hash-joinable equi-condition (no BNLJ).
+    ja, jb = asel.alias("__ta"), bsel.alias("__tb")
+    cond = None
+    for k in ks:
+        e = F.col(f"__ta.{k}").eqNullSafe(F.col(f"__tb.{k}"))
+        cond = e if cond is None else (cond & e)
+    j = ja.join(jb, cond, "full_outer")
     in_a = F.col("__in_a").isNotNull()
     in_b = F.col("__in_b").isNotNull()
     aggs = [

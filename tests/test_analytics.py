@@ -230,3 +230,17 @@ def test_interval_union_and_weighted_median(spark):
         spark.createDataFrame(wm2, "g string, v long, w long"), "v", "w", "g"
     ).collect()
     assert r2.wmedian == 9
+
+
+def test_table_diff_null_keys_match_null_safely(spark):
+    """ADVICE r5 (medium): a NULL join key present in both tables must
+    count as n_both (null-safe key join), matching the DuckDB oracle's
+    IS NOT DISTINCT FROM — plain equality counted it only_a + only_b."""
+    from centimators_spark.reconcile import table_diff
+
+    a = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k int, v double")
+    b = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k int, v double")
+    out = {r.column: r for r in table_diff(a, b, ["k"], ["v"]).collect()}
+    rows = out["__rows__"]
+    assert (rows.n_only_a, rows.n_only_b, rows.n_both) == (0, 0, 2)
+    assert (out["v"].n_equal, out["v"].n_diff) == (2, 0)

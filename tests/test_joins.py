@@ -281,3 +281,32 @@ def test_bloom_semi_join_string_keys_and_dim_key_rename(spark):
         ).collect()
     )
     assert got == sorted(f"u{i}" for i in range(0, 300, 7))
+
+
+def test_bloom_semi_join_mixed_integral_key_types(spark):
+    """ADVICE r5 (high): xxhash64 hashes IntegerType and LongType
+    values differently, so an int fact key probing a long-built filter
+    matched NOTHING. Keys now normalize to a canonical hash type; a
+    genuinely incompatible pairing fails loudly."""
+    import pytest
+
+    from centimators_spark.operators.bloomjoin import bloom_semi_join
+
+    fact = spark.createDataFrame([(i,) for i in range(100)], "k int")
+    dim = spark.createDataFrame([(i,) for i in range(0, 100, 10)], "k long")
+    got = sorted(r.k for r in bloom_semi_join(fact, dim, "k").collect())
+    assert got == list(range(0, 100, 10))
+    # reversed direction too (long fact, int dim)
+    got2 = sorted(r.k for r in bloom_semi_join(dim, fact, "k").collect())
+    assert got2 == list(range(0, 100, 10))
+    # float/double also normalize together
+    ffact = spark.createDataFrame([(float(i),) for i in range(50)], "k float")
+    fdim = spark.createDataFrame(
+        [(float(i),) for i in range(0, 50, 5)], "k double"
+    )
+    got3 = sorted(r.k for r in bloom_semi_join(ffact, fdim, "k").collect())
+    assert got3 == [float(i) for i in range(0, 50, 5)]
+    # string vs int cannot be silently reconciled
+    sdim = spark.createDataFrame([("1",)], "k string")
+    with pytest.raises(TypeError, match="type mismatch"):
+        bloom_semi_join(fact, sdim, "k")

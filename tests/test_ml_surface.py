@@ -457,3 +457,19 @@ def test_auc_logloss_calibration_known_values(spark):
     dfe = spark.createDataFrame([(1.0, 1)], "p double, y int")
     [ce] = calibration_bins(dfe, "p", "y", n_bins=10).collect()
     assert ce.bin == 9
+
+
+def test_ab_test_report_unknown_control_fails_loudly(spark):
+    """ADVICE r5 (low): a misspelled control= used to produce an EMPTY
+    report (empty control slice crossJoined away every row); it must
+    raise instead, naming the observed variants."""
+    import pytest
+
+    from centimators_spark.ml.abtest import ab_test_report
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 0, 2.0)],
+        "variant string, converted int, metric double",
+    )
+    with pytest.raises(ValueError, match="not present.*'a'.*'b'"):
+        ab_test_report(df, control="controll")
