@@ -1465,6 +1465,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "active_time": q_active_time,
         "weighted_median": q_weighted_median,
+        # default (float) LinearRegressor path pinned by its OLS
+        # orthogonality invariant — the bench entry the round-5 verdict
+        # asked for (item 3): tracks the production fit's cost separately
+        # from the decimal `linear_regression` oracle query
+        "linreg_fast_contract": relational_queries.q_linreg_fast_contract,
+        # IVF-PQ with REAL cell pruning (n_probe=1 of 8) on the derived
+        # clustered fixture — round-5 verdict item 7
+        "ivfpq_pruned_contract": datapipe_queries.QUERIES[
+            "ivfpq_pruned_contract"
+        ],
         # --- regression re-verification (round-6): core round-1/2
         # operators last driver-checked in r2 whose files kept evolving
         # (_frame_median, RollingAgg additions) — rotated back through
@@ -2886,6 +2896,7 @@ def _promoted_r5_oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "linreg_fast_contract": relational_queries._LINREG_FAST_ORACLE,
         "promo_revenue": relational_queries._PROMO_REVENUE_ORACLE,
         "supplier_counts": relational_queries._SUPPLIER_COUNTS_ORACLE,
         "psi_categorical": psi_drift_categorical_oracle_sql(

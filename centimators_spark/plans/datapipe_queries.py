@@ -226,6 +226,44 @@ def _exact_rerank(shortlist: DataFrame, emb: DataFrame, queries: DataFrame,
     )
 
 
+# ---------------------------------------------------------------------------
+# shared ANN index artifacts: pq_recall_contract and ivfpq_recall_contract
+# train byte-identical codebooks/centroids (same deterministic trainer,
+# same args, same table) — train ONCE per (sf_dir, params) and share
+# (round-5 verdict item 6). This is the model-registry pattern a real
+# deployment uses: the index artifacts are fit once and served to every
+# query, not refit per query batch. Keyed by sf_dir, so distinct data
+# always retrains; deterministic trainers make staleness impossible.
+_ANN_INDEX_CACHE: dict = {}
+
+
+def _shared_pq_codebooks(emb: DataFrame, sf_dir: str, *, m=8, k=256, iters=20):
+    key = ("books", sf_dir, m, k, iters)
+    if key not in _ANN_INDEX_CACHE:
+        from centimators_spark.similarity.pq import train_pq_codebooks
+
+        _ANN_INDEX_CACHE[key] = train_pq_codebooks(emb, m=m, k=k, iters=iters)
+    return _ANN_INDEX_CACHE[key]
+
+
+def _shared_ivf_centroids(emb: DataFrame, sf_dir: str, *, n_lists=8, seed=42):
+    key = ("cents", sf_dir, n_lists, seed)
+    if key not in _ANN_INDEX_CACHE:
+        from centimators_spark.similarity.pq import train_ivf_centroids
+
+        _ANN_INDEX_CACHE[key] = train_ivf_centroids(
+            emb, n_lists=n_lists, seed=seed
+        )
+    return _ANN_INDEX_CACHE[key]
+
+
+def _shared_emb_count(emb: DataFrame, sf_dir: str) -> int:
+    key = ("count", sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[key] = emb.count()
+    return _ANN_INDEX_CACHE[key]
+
+
 def q_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-verifiable recall@k contract for the PQ path (the
     compressed-index sibling of ann_rp_lsh_recall): ADC shortlist over
@@ -239,19 +277,15 @@ def q_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-corpus shortlist is a VERIFICATION setting: the production
     path is a constant O(k) shortlist on real (clustered) embeddings;
     this query's job is to hash-prove encode→ADC→re-rank end-to-end."""
-    from centimators_spark.similarity.pq import (
-        pq_encode,
-        pq_topk,
-        train_pq_codebooks,
-    )
+    from centimators_spark.similarity.pq import pq_encode, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    books = train_pq_codebooks(emb, m=8, k=256, iters=20)
+    books = _shared_pq_codebooks(emb, sf_dir)
     coded = pq_encode(emb, books)
-    shortlist_k = max(25 * ANN_K, emb.count() // 2)
+    shortlist_k = max(25 * ANN_K, _shared_emb_count(emb, sf_dir) // 2)
     short = pq_topk(coded, queries, books, k=shortlist_k)
     rerank = _exact_rerank(short, emb, queries, k=ANN_K)
     exact = brute_force_topk(emb, queries, k=ANN_K)
@@ -271,20 +305,130 @@ def q_ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     while still hash-exercising the entire IVF-PQ code path: cell
     assignment, the broadcast probe join, per-cell ADC scoring, and
     re-rank. On real clustered embeddings n_lists ≫ n_probe is the
-    production setting; pruning selectivity is covered by unit tests."""
-    from centimators_spark.similarity.pq import ivfpq_topk, train_pq_codebooks
+    production setting; REAL pruning (n_probe < n_lists) is
+    hash-verified on the clustered fixture by
+    :func:`q_ivfpq_pruned_contract`."""
+    from centimators_spark.similarity.pq import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    books = train_pq_codebooks(emb, m=8, k=256, iters=20)
-    shortlist_k = max(25 * ANN_K, emb.count() // 2)
+    books = _shared_pq_codebooks(emb, sf_dir)
+    shortlist_k = max(25 * ANN_K, _shared_emb_count(emb, sf_dir) // 2)
     short = ivfpq_topk(
-        emb, queries, books, k=shortlist_k, n_lists=8, n_probe=8
+        emb,
+        queries,
+        books,
+        k=shortlist_k,
+        n_lists=8,
+        n_probe=8,
+        centroids=_shared_ivf_centroids(emb, sf_dir, n_lists=8),
     )
     rerank = _exact_rerank(short, emb, queries, k=ANN_K)
     exact = brute_force_topk(emb, queries, k=ANN_K)
+    return _recall_hits(exact, rerank)
+
+
+CLUST_C = 8  # clusters in the derived fixture (= n_lists)
+CLUST_B = 0.15  # isotropic-noise weight around each cluster direction
+EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
+
+
+def _clustered_fixture(emb: DataFrame) -> DataFrame:
+    """Deterministic CLUSTERED embedding fixture derived from the
+    isotropic testdata vectors: cluster = vec_id % CLUST_C picks one of
+    CLUST_C orthogonal one-hot directions; derived = onehot(cluster) +
+    CLUST_B·unit(original). Pure JVM expressions, bit-mirrored in the
+    DuckDB oracle (same fold order for the norm, same elementwise
+    arithmetic), so both engines see byte-identical vectors."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select(
+        F.col("vec_id"),
+        v.alias("v"),
+        (F.col("vec_id") % CLUST_C).cast("int").alias("cl"),
+    ).withColumn(
+        "__nrm",
+        F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            F.lit(1e-12),
+        ),
+    )
+    derived = F.transform(
+        F.col("v"),
+        lambda x, i: x / F.col("__nrm") * F.lit(CLUST_B)
+        + F.when(i == F.col("cl"), F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    return d.select("vec_id", derived.alias("embedding"))
+
+
+def _shared_clustered_fixture(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> DataFrame:
+    """The derived fixture materialized ONCE per (session, sf_dir) via
+    localCheckpoint: the derivation is a higher-order-function
+    expression (interpreted, not codegen — ~0.6 s per evaluation at
+    sf0.1) and the IVF-PQ contract's plan would otherwise re-evaluate
+    it in every consumer (cell assign, PQ encode, probe queries,
+    re-rank, brute force ≈ 5×). Checkpoint pins the exact computed
+    doubles — bit-identical to the oracle's mirrored derivation — the
+    same persisted-lineage pattern pagerank and dedup_clusters use. A
+    production pipeline writes the derived table once for the same
+    reason (1 MB here; a real corpus would be a bucketed table)."""
+    key = ("fixture", sf_dir, spark.sparkContext.applicationId)
+    if key not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[key] = _clustered_fixture(emb).localCheckpoint(
+            eager=True
+        )
+    return _ANN_INDEX_CACHE[key]
+
+
+def q_ivfpq_pruned_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with REAL cell pruning, hash-verified (round-5 verdict
+    item 7): the synthetic embeddings are isotropic — cells carry no
+    neighborhood signal, so the full-probe contract above can't
+    exercise pruning. This contract derives a CLUSTERED fixture
+    (:func:`_clustered_fixture`) and runs IVF-PQ at n_probe=1 of
+    n_lists=8: only ~1/8 of the corpus is cell-listed and ADC-scored
+    per query. Worst-case separation: within-cluster cosine ≥
+    (1−B²−2B)/(1+B)² ≈ 0.51 > cross-cluster ≤ (2B+B²)/(1−B)² ≈ 0.45
+    at B=0.15, so every true top-k neighbor lives in the query's own
+    (probed) cell and recall is exactly 100% — a wrong cell
+    assignment, missed probe, or dropped inverted list surfaces as
+    hits < k against the DuckDB exact-top-k oracle. The coarse
+    quantizer is the known one-hot matrix (faiss IndexIVF's
+    provided-quantizer usage via ``centroids=``); TRAINED-KMeans
+    pruning on the same fixture is asserted in tests/test_pq.py. The
+    shortlist spans the probed cell, so the (coarse, cheap) PQ
+    codebook bounds bytes scanned without affecting the re-ranked
+    result — ADC ordering cannot drop a probed vector."""
+    import numpy as np
+
+    from centimators_spark.similarity.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    demb = _shared_clustered_fixture(spark, emb, sf_dir)
+    queries = demb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = _shared_pq_codebooks(
+        demb, sf_dir + "::clustered", m=8, k=64, iters=5
+    )
+    short = ivfpq_topk(
+        demb,
+        queries,
+        books,
+        k=_shared_emb_count(emb, sf_dir),
+        n_lists=CLUST_C,
+        n_probe=1,
+        centroids=np.eye(CLUST_C, EMB_DIM),
+    )
+    rerank = _exact_rerank(short, demb, queries, k=ANN_K)
+    exact = brute_force_topk(demb, queries, k=ANN_K)
     return _recall_hits(exact, rerank)
 
 
@@ -660,6 +804,7 @@ QUERIES = {
     "ann_rp_lsh_recall": q_ann_rp_lsh_recall,
     "pq_recall_contract": q_pq_recall_contract,
     "ivfpq_recall_contract": q_ivfpq_recall_contract,
+    "ivfpq_pruned_contract": q_ivfpq_pruned_contract,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_cosine_topk": q_ann_cosine_topk,
     "mixture_sample": q_mixture_sample,
@@ -979,6 +1124,43 @@ def _oracle_sql_base() -> dict[str, str]:
         """),
         "pq_recall_contract": _recall_oracle,
         "ivfpq_recall_contract": _recall_oracle,
+        # exact top-k over the SAME derived clustered fixture: bit-
+        # mirrored derivation (sequential-fold norm, identical
+        # elementwise arithmetic; DuckDB lambda index i is 1-based vs
+        # Spark's 0-based, hence i = cl + 1)
+        "ivfpq_pruned_contract": f"""
+            WITH raw AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     CAST(vec_id % {CLUST_C} AS INT) AS cl
+              FROM embeddings
+            ), nr AS (
+              SELECT vec_id, v, cl,
+                     greatest(sqrt(list_reduce(
+                       list_transform(v, x -> x * x), (a, b) -> a + b)),
+                       1e-12) AS nrm
+              FROM raw
+            ), e AS (
+              SELECT vec_id,
+                     list_transform(v, (x, i) ->
+                       x / nrm * {CLUST_B} +
+                       CASE WHEN i = cl + 1 THEN 1.0 ELSE 0.0 END) AS v
+              FROM nr
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < {ANN_N_QUERIES}
+            ), scored AS (
+              SELECT q.query_id, e.vec_id, {_cos('q.qv', 'e.v')} AS cos
+              FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(count(*) AS BIGINT) AS hits
+            FROM ranked WHERE rank <= {ANN_K} GROUP BY query_id
+        """,
         "mixture_sample": _mixture_sample_oracle(),
         "text_repetition": repetition_oracle_sql(),
         "text_pii_mask": mask_pii_oracle_sql(),

@@ -328,6 +328,59 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linreg_fast_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correctness pin for the DEFAULT (float) LinearRegressor path —
+    the production fit: plain double Gram sums + numpy solve, no
+    DECIMAL carriers. Float coefficients aren't bit-reproducible
+    across engines, so the contract checks the defining OLS invariant
+    instead: at the optimum the residual is orthogonal to every
+    regressor column, X'(y − Xθ) = 0. One extra double aggregation
+    computes each gradient component normalized Cauchy–Schwarz style
+    (|Σ xⱼr| / (‖xⱼ‖·‖r‖)); a correct solve leaves all of them at
+    float-noise level (<1e-6), any fitting bug breaks the hash-green
+    (n, grad_ok) row. Bench-wise this entry IS the default-path cost
+    the round-4/5 verdicts asked to track separately from the decimal
+    oracle query."""
+    from centimators_spark.ml.estimators import LinearRegressor
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("double").alias("q"),
+        F.round(F.col("l_discount") * 100).alias("d100"),
+        F.round(F.col("l_tax") * 100).alias("t100"),
+        F.round(F.col("l_extendedprice") * 100).alias("e100"),
+    )
+    feats = ["q", "d100", "t100"]
+    m = LinearRegressor(feats, target="e100").fit(d)  # default float path
+    resid = F.col("e100") - (
+        F.lit(m.intercept_)
+        + sum(
+            (F.col(c) * F.lit(float(w)) for c, w in zip(feats, m.coef_)),
+            F.lit(0.0),
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in feats + ["__one"]:
+        xc = F.lit(1.0) if c == "__one" else F.col(c)
+        aggs.append(F.sum(xc * resid).alias(f"g_{c}"))
+        aggs.append(F.sum(xc * xc).alias(f"xx_{c}"))
+    aggs.append(F.sum(resid * resid).alias("rr"))
+    g = d.agg(*aggs)
+    checks = None
+    for c in feats + ["__one"]:
+        rel = F.abs(F.col(f"g_{c}")) / (
+            F.sqrt(F.col(f"xx_{c}")) * F.sqrt(F.col("rr")) + F.lit(1e-300)
+        )
+        ok = rel < F.lit(1e-6)
+        checks = ok if checks is None else (checks & ok)
+    return g.select(F.col("n").cast("long").alias("n"), checks.alias("grad_ok"))
+
+
+_LINREG_FAST_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n, true AS grad_ok FROM lineitem
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each 'view' event picks up the user's most recent
     'purchase' value at or before it (union + carry-forward window —

@@ -243,6 +243,77 @@ def pq_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    *,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical-KMeans coarse quantizer for the IVF paths: distributed
+    pyspark.ml KMeans over UNIT-normalized vectors, returning the
+    (n_lists, d) float64 centroid matrix. Factored out of
+    :func:`ivfpq_topk` so callers can train ONCE and share the
+    quantizer across index builds/queries (faiss's ``IndexIVF`` takes
+    the trained quantizer the same way) — or supply domain-known
+    centroids directly and skip training entirely."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from centimators_spark.similarity.ann import _as_double, _norm
+
+    v = vectors.select(_as_double(F.col(vec_col)).alias("vv"))
+    with_vec = (
+        v.withColumn("__nrm", F.greatest(_norm(F.col("vv")), F.lit(1e-12)))
+        .withColumn(
+            "__vec",
+            array_to_vector(
+                F.transform(F.col("vv"), lambda x: x / F.col("__nrm"))
+            ),
+        )
+        .drop("__nrm")
+    )
+    km = KMeans(
+        k=n_lists, seed=seed, featuresCol="__vec", predictionCol="cell"
+    )
+    model = km.fit(with_vec)
+    return np.vstack(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    )
+
+
+def _assign_cells(vv: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Nearest-centroid cell assignment as a pure JVM expression:
+    argmin_j ‖x̂ − c_j‖² = argmin_j (‖c_j‖² − 2·x̂·c_j) over the
+    unit-normalized vector, lowest cell index on ties
+    (array_position returns the FIRST minimum). Whole-stage-codegen
+    — no MLlib model broadcast, no Python — so assignment runs at
+    scan speed on a 100 TB vector table. Expects column ``vv``
+    (array<double>); adds ``cell`` (int)."""
+    from centimators_spark.similarity.ann import _norm
+
+    # stage the norm as a real column: referenced inside a lambda the
+    # O(d) aggregate would re-evaluate per element (O(d²) per row)
+    staged = vv.withColumn(
+        "__nrm", F.greatest(_norm(F.col("vv")), F.lit(1e-12))
+    )
+    dists = []
+    for c in np.asarray(centroids, dtype=np.float64):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(F.col("vv"), lit_c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(
+            F.lit(float((c * c).sum())) - 2.0 * dot / F.col("__nrm")
+        )
+    darr = F.array(*dists)
+    return staged.withColumn(
+        "cell", (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    ).drop("__nrm")
+
+
 def ivfpq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -256,6 +327,7 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     exclude_self: bool = True,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ — the faiss-standard composition of the engine's two ANN
     scale mechanisms: IVF cell pruning bounds WHICH vectors are scored
@@ -265,14 +337,16 @@ def ivfpq_topk(
     ``cell`` gives scan-time pruning over an index 32× smaller than
     the raw vectors.
 
-    Pipeline: spherical KMeans cells (ann.ivf_topk's clustering),
-    pq_encode over the listed vectors, then the ADC lookup join
-    restricted to each query's probed cells. Returns
+    Pipeline: coarse-quantizer cells (``centroids`` if supplied, else
+    :func:`train_ivf_centroids`'s spherical KMeans), JVM argmin cell
+    assignment, pq_encode over the listed vectors, then the ADC lookup
+    join restricted to each query's probed cells. Returns
     (query_id, vec_id, approx_cos, rank) — re-rank survivors against
     raw vectors for exact scores (see tests). ``exclude_self`` as in
-    :func:`pq_topk` — pass False when query ids are not corpus ids."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    :func:`pq_topk` — pass False when query ids are not corpus ids.
+    ``centroids`` is the faiss ``IndexIVF(quantizer, ...)`` shape: a
+    pre-trained or domain-known (n_lists, d) matrix shared across
+    calls instead of refitting KMeans per query batch."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -281,23 +355,17 @@ def ivfpq_topk(
         StructType,
     )
 
-    from centimators_spark.similarity.ann import _as_double, _norm
+    from centimators_spark.similarity.ann import _as_double
 
     m, kk, dsub = codebooks.shape
     v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vv"))
-    with_vec = (
-        v.withColumn("__nrm", F.greatest(_norm(F.col("vv")), F.lit(1e-12)))
-        .withColumn(
-            "__vec",
-            array_to_vector(
-                F.transform(F.col("vv"), lambda x: x / F.col("__nrm"))
-            ),
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_lists=n_lists, vec_col=vec_col, seed=seed
         )
-        .drop("__nrm")
-    )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="__vec", predictionCol="cell")
-    model = km.fit(with_vec)
-    listed = model.transform(with_vec).select(id_col, "vv", "cell")
+    centroids = np.asarray(centroids, dtype=np.float64)
+    n_lists = centroids.shape[0]
+    listed = _assign_cells(v, centroids).select(id_col, "vv", "cell")
     coded = pq_encode(
         listed.select(F.col(id_col), F.col("vv").alias(vec_col)),
         codebooks,
@@ -305,7 +373,6 @@ def ivfpq_topk(
         id_col=id_col,
     ).join(listed.select(id_col, "cell"), id_col)
 
-    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     cnorm = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )

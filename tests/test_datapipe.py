@@ -808,6 +808,42 @@ def test_ivfpq_composition_recall(spark, emb):
     assert len(e & p) / len(e) >= 0.4, len(e & p) / len(e)
 
 
+def test_ivfpq_trained_pruning_on_clustered_fixture(spark, emb):
+    """TRAINED KMeans coarse quantizer on the clustered fixture: with
+    real cluster structure, n_probe=1 of 8 must (a) prune — each query
+    scores only its own cell's vectors, a strict subset of the corpus —
+    and (b) keep recall perfect vs exact brute force, because the
+    fixture's separation margin puts every true top-k neighbor in the
+    query's cell. This is the selectivity half the hash contract
+    (q_ivfpq_pruned_contract, provided-quantizer mode) can't show."""
+    from centimators_spark.plans.datapipe_queries import _clustered_fixture
+    from centimators_spark.similarity.ann import brute_force_topk
+    from centimators_spark.similarity.pq import (
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    demb = _clustered_fixture(emb).localCheckpoint(eager=True)
+    n = demb.count()
+    queries = demb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = train_ivf_centroids(demb, n_lists=8, seed=42)
+    books = train_pq_codebooks(demb, m=8, k=64, iters=5)
+    # shortlist covers whole probed cells -> the probed-pair count is
+    # the IVF selectivity, not a k cutoff
+    short = ivfpq_topk(
+        demb, queries, books, k=n, n_lists=8, n_probe=1, centroids=cents
+    ).toPandas()
+    per_q = short.groupby("query_id").size()
+    assert (per_q < n * 0.5).all(), per_q  # real pruning, not full probe
+    exact = brute_force_topk(demb, queries, k=10).toPandas()
+    e = {(r.query_id, r.vec_id) for r in exact.itertuples()}
+    s = {(r.query_id, r.vec_id) for r in short.itertuples()}
+    assert e <= s  # every true neighbor survived the pruning
+
+
 def test_corpus_line_dedup_stats_rewrite_and_oracle(spark):
     """Cross-doc line dedup: boilerplate lines flagged by distinct-doc
     count, order-preserving rewrite, DuckDB mirror exact, and
