@@ -182,6 +182,30 @@ def custom_layers() -> SimpleNamespace:
             )
             return cfg
 
+        # ---- numeric protocol for the keras-free test stub
+        # (tests/keras_stub.py tier 2): inert under real keras, where
+        # call()/get_weights() take precedence. Mirrors call() exactly:
+        # the learned (seq, d) table broadcast over the batch. ----
+        def forward(self, vals):
+            x = np.asarray(vals[0], dtype=np.float64)
+            if getattr(self, "_pe_table", None) is None:
+                self._pe_table = np.zeros(
+                    (self.sequence_length, x.shape[-1])
+                )
+            return self._pe_table[None, :, :]
+
+        def weight_list(self):
+            if getattr(self, "_pe_table", None) is None:
+                raise ValueError("PositionEmbedding not built")
+            return [self._pe_table]
+
+        def take_weights(self, ws):
+            self._pe_table = np.asarray(ws[0], dtype=np.float64)
+            return 1
+
+        def spec_config(self):
+            return {"sequence_length": self.sequence_length}
+
     @serializable(package="centimators_spark")
     class CrossAttention(L.Layer):
         """Sum of attention over the time axis and over the feature axis

@@ -242,7 +242,7 @@ def era_ols_neutralize(
     keep_cols: Sequence[str] = (),
     round_dp: int = 6,
     out_name: str = "neutralized",
-    materialize: str = "none",
+    materialize: str = "auto",
 ) -> DataFrame:
     """Distributed per-era OLS neutralization as PURE column expressions
     — the deterministic (no-Φ⁻¹) sibling of FeatureNeutralizer's kernel,
@@ -289,11 +289,39 @@ def era_ols_neutralize(
     # (an extra plan materialization) on every call.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     est = _estimated_scan_partitions(base)
-    if est is not None and est < parallelism:
-        # hash on a synthetic key: round-robin repartition(n) local-sorts
-        # every row first (sortBeforeRepartition) — measured 1.8× slower;
-        # decimal Gram sums are order-independent, any spread is correct
-        base = base.repartition(parallelism, F.monotonically_increasing_id())
+    gated = est is not None and est < parallelism
+    if materialize == "auto":
+        # the residual lineage feeds multiple consumers (era std,
+        # global min-max, output projection). When the repartition gate
+        # fires the lineage contains an explicit shuffle, and
+        # re-executing it per consumer measured 54s at 10x data
+        # (6M rows) vs 15s with one localCheckpoint cut and 7s with
+        # persist. localCheckpoint is the auto choice, not persist:
+        # persisted plans are matched by CANONICALIZED plan in the
+        # CacheManager, so a later rebuild of the same query would
+        # silently read the first run's cache (stale-looking bench
+        # numbers, blocks never freed), while checkpoint blocks are
+        # per-instance and ContextCleaner-freed (same reasoning as
+        # q_quantile_bin's outer cut). On a well-partitioned cluster
+        # scan (gate off) the lineage is a pruned scan + broadcast
+        # join, and re-scanning into map-side-partial aggs beats
+        # materializing the residual table — the original "none"
+        # rationale, now scoped to where it measured true.
+        materialize = "localCheckpoint" if gated else "none"
+    if gated:
+        # hash on a DETERMINISTIC synthetic key (xxhash64 of the whole
+        # projected row): round-robin repartition(n) local-sorts every
+        # row first (sortBeforeRepartition) — measured 1.8× slower —
+        # and monotonically_increasing_id is NONDETERMINISTIC, which
+        # blocks ReusedExchange: this operator's lineage feeds FOUR
+        # consumers (era Gram, era std, global min-max, output
+        # projection), and with a nondeterministic key each consumer
+        # re-executed the full scan+shuffle (measured 12.7x at 10x
+        # data instead of ~2x). A deterministic key makes the four
+        # exchanges identical, so Spark plans ONE shuffle and reuses
+        # it. Decimal Gram sums are order-independent, so any spread
+        # is equally correct.
+        base = base.repartition(parallelism, F.xxhash64(*base.columns))
     gram = base.groupBy(era_col).agg(
         *[
             F.expr(expr).alias(name)
@@ -308,16 +336,14 @@ def era_ols_neutralize(
         .withColumn("neut", F.expr(fr["neut"]))
         .select(*keep, era_col, "neut")
     )
-    # Three consumers read the residuals (era std, global min-max, the
-    # output projection). Default "none" recomputes the lineage per
-    # consumer — measured fastest here AND the scale-right default when
-    # the lineage is a pruned scan + broadcast join: two extra pruned
-    # scans feeding map-side-partial aggs cost less than materializing
-    # the full residual table. Every stage is deterministic (exact
-    # decimal sums, fixed-order Cramer, rounded residuals), so all
-    # consumers see identical values. Pass localCheckpoint/persist when
-    # the input lineage is expensive (e.g. a windowed stage) — or
-    # persist the INPUT df and keep "none" here.
+    # Multiple consumers read the residuals (era std, global min-max,
+    # the output projection). "none" recomputes the lineage per
+    # consumer — right when the lineage is a pruned scan + broadcast
+    # join; "persist" materializes once — right when the lineage holds
+    # a shuffle or an expensive upstream stage. The "auto" default
+    # picks per the repartition gate above. Every stage is
+    # deterministic (exact decimal sums, fixed-order Cramer, rounded
+    # residuals), so all consumers see identical values either way.
     if materialize == "localCheckpoint":
         # single-node lineage cut via driver-local blocks
         r = r.localCheckpoint(eager=True)
@@ -330,7 +356,10 @@ def era_ols_neutralize(
         r = r.persist()
         r.count()
     elif materialize != "none":
-        raise ValueError(f"materialize must be localCheckpoint|persist|none, got {materialize!r}")
+        raise ValueError(
+            "materialize must be auto|localCheckpoint|persist|none, "
+            f"got {materialize!r}"
+        )
     stats = r.groupBy(era_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(f"sum({fr['ni_spark']})").alias("s1"),

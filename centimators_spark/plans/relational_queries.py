@@ -310,13 +310,15 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism = spark.sparkContext.defaultParallelism
     est = _estimated_scan_partitions(fit_input)
     if est is not None and est < parallelism:
-        # hash-partition on a synthetic key, NOT round-robin
-        # repartition(n): round-robin does a retry-determinism local
-        # sort of every row first (spark.sql.execution.sortBeforeRepartition)
-        # — measured 1.8× slower here; the decimal sums are
-        # order-independent so any spread is equally correct
+        # hash-partition on a DETERMINISTIC synthetic key, NOT
+        # round-robin repartition(n) (whose retry-determinism local
+        # sort — spark.sql.execution.sortBeforeRepartition — measured
+        # 1.8× slower) and not monotonically_increasing_id (whose
+        # nondeterminism blocks ReusedExchange when a lineage has
+        # multiple consumers; see era_ols_neutralize). The decimal
+        # sums are order-independent so any spread is equally correct.
         fit_input = fit_input.repartition(
-            parallelism, F.monotonically_increasing_id()
+            parallelism, F.xxhash64(*fit_input.columns)
         )
     m = LinearRegressor(["q", "d100", "t100"], target="e100", exact=True).fit(
         fit_input

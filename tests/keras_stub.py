@@ -6,14 +6,25 @@ keras installed — two capability tiers:
    ``Sym`` nodes that absorb any arithmetic/slicing, so builder code
    traces end-to-end and tests assert layer counts, wiring order, and
    compile() arguments.
-2. NUMERIC (Dense-chain graphs, i.e. the MLP): Dense layers hold real
-   numpy kernels, Dropout/noise/norm layers are inference-time
-   identity, and ``Model`` supports the full serialization surface the
-   engine's distributed scorer uses — ``to_json`` / ``get_weights`` /
-   ``models.model_from_json`` / ``set_weights`` / ``predict`` — with a
-   real forward pass. This numerically pins target scaling and
-   ``KerasEstimator._score_with`` end-to-end (reference behavior:
-   keras_estimators/base.py:89-100,129-130) without keras.
+2. NUMERIC (layer DAGs: Dense chains, stacked LSTM, transformer
+   encoder blocks with residual adds and multi-head attention):
+   Dense/LSTM/MultiHeadAttention/GlobalAveragePooling1D/Activation
+   hold real numpy weights and forward passes (keras weight shapes
+   and inference semantics); Dropout/noise/norm layers are
+   inference-time identity; the arithmetic dunders on ``Sym`` record
+   an evaluable op DAG (residual ``x + attn(x)``). ``Model`` supports
+   the full serialization surface the engine's distributed scorer
+   uses — ``to_json`` / ``get_weights`` / ``models.model_from_json``
+   / ``set_weights`` / ``predict`` — over the whole DAG. This
+   numerically pins target scaling and ``KerasEstimator._score_with``
+   end-to-end (reference behavior: keras_estimators/base.py:89-100,
+   129-130), and the recurrent/attention forward passes of the
+   LSTM/transformer builders (reference sequence.py:114-153,
+   transformer.py:108-245), without keras. Custom layers opt in by
+   implementing the same ``forward`` / ``weight_list`` /
+   ``take_weights`` / ``spec_config`` protocol (see
+   architectures.custom_layers PositionEmbedding) and are rebuilt by
+   name via register_keras_serializable's CUSTOM_OBJECTS registry.
 
 Usage: ``install()`` registers the stub as ``sys.modules['keras']``
 (only if real keras is absent); call ``reset()`` between builds.
@@ -42,22 +53,56 @@ def constructed(cls_name: str) -> list:
 
 class Sym:
     """Symbolic tensor: any op yields another Sym. Layer calls record
-    producer + inputs so Dense-chain graphs can be numerically
-    evaluated and serialized."""
+    producer + inputs, and the arithmetic dunders record (op, operands),
+    so layer-DAG graphs — chains, residual adds, multi-input attention —
+    can be numerically evaluated and serialized."""
 
-    def __init__(self, producer=None):
+    def __init__(self, producer=None, op=None, operands=()):
         self.producer = producer
+        self.op = op
+        self.operands: tuple = tuple(operands)
         self.call_inputs: tuple = ()
 
     def _chain(self, *_a, **_k):
         return Sym(self)
 
-    __add__ = __radd__ = __sub__ = __rsub__ = _chain
-    __mul__ = __rmul__ = __truediv__ = __rtruediv__ = _chain
-    __neg__ = __getitem__ = _chain
+    def _binop(name, flip=False):  # noqa: N805 — closure factory
+        def fn(self, other):
+            ops = (other, self) if flip else (self, other)
+            return Sym(op=name, operands=ops)
+
+        return fn
+
+    __add__ = _binop("add")
+    __radd__ = _binop("add", flip=True)
+    __sub__ = _binop("sub")
+    __rsub__ = _binop("sub", flip=True)
+    __mul__ = _binop("mul")
+    __rmul__ = _binop("mul", flip=True)
+    __truediv__ = _binop("div")
+    __rtruediv__ = _binop("div", flip=True)
+    del _binop
+
+    def __neg__(self):
+        return Sym(op="neg", operands=(self,))
+
+    __getitem__ = _chain
 
     def assign(self, _v):
         pass
+
+
+_OP_FNS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+    "neg": lambda a: -a,
+}
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
 
 
 _ACTIVATIONS = {
@@ -65,7 +110,8 @@ _ACTIVATIONS = {
     "linear": lambda x: x,
     "relu": lambda x: np.maximum(x, 0.0),
     "tanh": np.tanh,
-    "sigmoid": lambda x: 1.0 / (1.0 + np.exp(-x)),
+    "sigmoid": _sigmoid,
+    "swish": lambda x: x * _sigmoid(x),
 }
 
 
@@ -163,20 +209,170 @@ class Dense(Layer):
 
 
 Dropout = _layer_type("Dropout")
-LSTM = _layer_type("LSTM")
 Bidirectional = _layer_type("Bidirectional")
 LayerNormalization = _layer_type("LayerNormalization")
 BatchNormalization = _layer_type("BatchNormalization")
 GaussianNoise = _layer_type("GaussianNoise")
-Activation = _layer_type("Activation")
 Permute = _layer_type("Permute")
-GlobalAveragePooling1D = _layer_type("GlobalAveragePooling1D")
 Concatenate = _layer_type("Concatenate")
 
 
+class Activation(Layer):
+    """Numerically real: applies the named activation elementwise."""
+
+    def forward(self, vals):
+        name = self.args[0] if self.args else self.kwargs.get("activation")
+        act = _ACTIVATIONS.get(name)
+        if act is None:
+            raise NotImplementedError(f"stub Activation {name!r}")
+        return act(np.asarray(vals[0], dtype=np.float64))
+
+    def spec_config(self):
+        return {
+            "activation": self.args[0]
+            if self.args
+            else self.kwargs.get("activation")
+        }
+
+
+class GlobalAveragePooling1D(Layer):
+    """Numerically real: mean over the sequence (axis 1)."""
+
+    def forward(self, vals):
+        return np.asarray(vals[0], dtype=np.float64).mean(axis=1)
+
+
+class LSTM(Layer):
+    """Numerically real single-direction LSTM (keras inference
+    semantics — dropout inert): gate order [i, f, c̃, o], kernel
+    (in, 4u), recurrent_kernel (u, 4u), bias (4u,); σ recurrent
+    activation, configurable cell activation (keras default tanh);
+    ``return_sequences`` controls (n, t, u) vs last-step (n, u)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        units = args[0] if args else kwargs.get("units")
+        self.units = int(units)
+        self.activation = kwargs.get("activation", "tanh")
+        self.return_sequences = bool(kwargs.get("return_sequences", False))
+        self.kernel = None
+        self.recurrent_kernel = None
+        self.lstm_bias = None
+
+    def _ensure_built(self, in_dim: int):
+        if self.kernel is None:
+            self.kernel = np.zeros((in_dim, 4 * self.units))
+            self.recurrent_kernel = np.zeros((self.units, 4 * self.units))
+            self.lstm_bias = np.zeros(4 * self.units)
+
+    def forward(self, vals):
+        x = np.asarray(vals[0], dtype=np.float64)  # (n, t, d)
+        if x.ndim != 3:
+            raise NotImplementedError("stub LSTM expects (n, t, d) input")
+        self._ensure_built(x.shape[-1])
+        act = _ACTIVATIONS.get(self.activation)
+        if act is None:
+            raise NotImplementedError(
+                f"stub LSTM activation {self.activation!r}"
+            )
+        n, t, _ = x.shape
+        u = self.units
+        h = np.zeros((n, u))
+        c = np.zeros((n, u))
+        seq = []
+        for step in range(t):
+            z = x[:, step, :] @ self.kernel + h @ self.recurrent_kernel
+            z = z + self.lstm_bias
+            i = _sigmoid(z[:, :u])
+            f = _sigmoid(z[:, u : 2 * u])
+            g = act(z[:, 2 * u : 3 * u])
+            o = _sigmoid(z[:, 3 * u :])
+            c = f * c + i * g
+            h = o * act(c)
+            seq.append(h)
+        return np.stack(seq, axis=1) if self.return_sequences else h
+
+    def weight_list(self):
+        if self.kernel is None:
+            raise ValueError("LSTM not built — run fit/predict first")
+        return [self.kernel, self.recurrent_kernel, self.lstm_bias]
+
+    def take_weights(self, ws):
+        self.kernel = np.asarray(ws[0], dtype=np.float64)
+        self.recurrent_kernel = np.asarray(ws[1], dtype=np.float64)
+        self.lstm_bias = np.asarray(ws[2], dtype=np.float64)
+        self.units = self.recurrent_kernel.shape[0]
+        return 3
+
+    def spec_config(self):
+        return {
+            "units": self.units,
+            "activation": self.activation,
+            "return_sequences": self.return_sequences,
+        }
+
+
 class MultiHeadAttention(Layer):
+    """Numerically real scaled-dot-product multi-head attention (keras
+    weight shapes, inference semantics — dropout inert): per-head
+    projections Wq/Wk/Wv (d_in, H, key_dim) + biases (H, key_dim),
+    output projection Wo (H, key_dim, d_out) + bias (d_out,);
+    scores = QKᵀ/√key_dim softmaxed over the key axis."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.key_dim = int(kwargs.get("key_dim", 8))
+        self.num_heads = int(kwargs.get("num_heads", 1))
+        self.wq = self.bq = self.wk = self.bk = None
+        self.wv = self.bv = self.wo = self.bo = None
+
     def call(self, q, v=None, **kw):
         return Sym(self)
+
+    def _ensure_built(self, d_in: int, d_out: int):
+        if self.wq is None:
+            h, kd = self.num_heads, self.key_dim
+            self.wq = np.zeros((d_in, h, kd))
+            self.bq = np.zeros((h, kd))
+            self.wk = np.zeros((d_in, h, kd))
+            self.bk = np.zeros((h, kd))
+            self.wv = np.zeros((d_in, h, kd))
+            self.bv = np.zeros((h, kd))
+            self.wo = np.zeros((h, kd, d_out))
+            self.bo = np.zeros(d_out)
+
+    def forward(self, vals):
+        q = np.asarray(vals[0], dtype=np.float64)  # (n, tq, d)
+        v = np.asarray(vals[1] if len(vals) > 1 else vals[0], np.float64)
+        self._ensure_built(q.shape[-1], q.shape[-1])
+        Q = np.einsum("ntd,dhk->nhtk", q, self.wq) + self.bq[None, :, None]
+        K = np.einsum("nsd,dhk->nhsk", v, self.wk) + self.bk[None, :, None]
+        V = np.einsum("nsd,dhk->nhsk", v, self.wv) + self.bv[None, :, None]
+        scores = np.einsum("nhtk,nhsk->nhts", Q, K) / np.sqrt(self.key_dim)
+        scores = scores - scores.max(axis=-1, keepdims=True)
+        w = np.exp(scores)
+        w = w / w.sum(axis=-1, keepdims=True)
+        ctx = np.einsum("nhts,nhsk->nhtk", w, V)
+        return np.einsum("nhtk,hkd->ntd", ctx, self.wo) + self.bo
+
+    def weight_list(self):
+        if self.wq is None:
+            raise ValueError("MHA not built — run fit/predict first")
+        return [
+            self.wq, self.bq, self.wk, self.bk,
+            self.wv, self.bv, self.wo, self.bo,
+        ]
+
+    def take_weights(self, ws):
+        (self.wq, self.bq, self.wk, self.bk,
+         self.wv, self.bv, self.wo, self.bo) = [
+            np.asarray(w, dtype=np.float64) for w in ws[:8]
+        ]
+        self.num_heads, self.key_dim = self.wq.shape[1], self.wq.shape[2]
+        return 8
+
+    def spec_config(self):
+        return {"key_dim": self.key_dim, "num_heads": self.num_heads}
 
 
 class _InputTensor(Sym):
@@ -202,36 +398,52 @@ class Model(Layer):
     def compile(self, **kwargs):
         self.compile_kwargs = kwargs
 
-    # ---- numeric tier: Dense-chain graphs only ----
-    def _chain_layers(self) -> list:
-        """Walk outputs → input; returns layers input-first. Raises
-        NotImplementedError for non-chain graphs (multi-input layers,
-        arithmetic Syms) — those stay structure-only."""
+    # ---- numeric tier: layer-DAG graphs (chains, residual adds,
+    # multi-input attention). Nodes the stub can't evaluate (dead Syms
+    # from keras.ops) raise NotImplementedError — those graphs stay
+    # structure-only, exactly as the chain tier did. ----
+    def _out_nodes(self) -> list:
         out = self.outputs
-        if isinstance(out, (list, tuple)):
-            if len(out) != 1:
-                raise NotImplementedError("numeric stub: single output only")
-            out = out[0]
-        layers = []
-        node = out
-        while not isinstance(node, _InputTensor):
-            if not isinstance(node, Sym) or not isinstance(
-                node.producer, Layer
-            ):
+        return list(out) if isinstance(out, (list, tuple)) else [out]
+
+    def _walk(self):
+        """Deterministic post-order DFS over the DAG from the outputs:
+        yields every reachable Sym exactly once, input-side first (a
+        plain chain yields the old input-first layer order)."""
+        seen: set = set()
+        order: list = []
+
+        def visit(node):
+            if not isinstance(node, Sym) or id(node) in seen:
+                return
+            seen.add(id(node))
+            for child in (node.call_inputs or ()) + (node.operands or ()):
+                visit(child)
+            order.append(node)
+
+        for out in self._out_nodes():
+            visit(out)
+        return order
+
+    def _dag_layers(self) -> list:
+        """Unique producer layers, DFS order. Raises for graphs holding
+        dead Syms (keras.ops results — no producer, no op)."""
+        layers, seen = [], set()
+        for node in self._walk():
+            if isinstance(node, _InputTensor) or node.op is not None:
+                continue
+            if not isinstance(node.producer, Layer):
                 raise NotImplementedError(
-                    "numeric stub supports layer-chain graphs only"
+                    "numeric stub supports layer/arithmetic DAGs only"
                 )
-            if len(node.call_inputs) != 1:
-                raise NotImplementedError(
-                    "numeric stub supports single-input chains only"
-                )
-            layers.append(node.producer)
-            node = node.call_inputs[0]
-        return list(reversed(layers))
+            if id(node.producer) not in seen:
+                seen.add(id(node.producer))
+                layers.append(node.producer)
+        return layers
 
     def fit(self, X=None, y=None, **kwargs):
         self.fit_calls.append(kwargs)
-        # build Dense kernels from real input widths so get_weights()
+        # build kernels from real input widths so get_weights()
         # works right after fit, like keras
         try:
             if X is not None:
@@ -240,68 +452,178 @@ class Model(Layer):
             pass
         return types.SimpleNamespace(history={})
 
-    def predict(self, X, batch_size=None, verbose=0):
-        val = np.asarray(X, dtype=np.float64)
-        for layer in self._chain_layers():
-            val = layer.forward([val])
+    def _eval(self, node, env: dict):
+        if not isinstance(node, Sym):  # python scalar in an op
+            return node
+        key = id(node)
+        if key in env:
+            return env[key]
+        if isinstance(node, _InputTensor):
+            raise NotImplementedError(
+                "unbound Input — multi-input models unsupported"
+            )
+        if node.op is not None:
+            val = _OP_FNS[node.op](
+                *[self._eval(o, env) for o in node.operands]
+            )
+        elif isinstance(node.producer, Layer):
+            vals = [self._eval(i, env) for i in node.call_inputs]
+            val = node.producer.forward(vals)
+        else:
+            raise NotImplementedError(
+                "numeric stub supports layer/arithmetic DAGs only"
+            )
+        env[key] = val
         return val
 
+    def predict(self, X, batch_size=None, verbose=0):
+        val = np.asarray(X, dtype=np.float64)
+        inputs = self.inputs
+        if isinstance(inputs, (list, tuple)):
+            if len(inputs) != 1:
+                raise NotImplementedError("numeric stub: single input only")
+            inputs = inputs[0]
+        env = {id(inputs): val}
+        outs = [self._eval(o, env) for o in self._out_nodes()]
+        return outs[0] if len(outs) == 1 else outs
+
     def get_weights(self):
-        return [w for l in self._chain_layers() for w in l.weight_list()]
+        return [w for l in self._dag_layers() for w in l.weight_list()]
 
     def set_weights(self, ws):
         i = 0
-        for layer in self._chain_layers():
+        for layer in self._dag_layers():
             i += layer.take_weights(ws[i:])
         if i != len(ws):
             raise ValueError(f"set_weights: {len(ws)} given, {i} consumed")
 
     def to_json(self):
-        layers = self._chain_layers()
-        in_shape = None
-        node = self.inputs
-        if isinstance(node, (list, tuple)):
-            node = node[0]
-        if isinstance(node, _InputTensor):
-            in_shape = list(node.shape[1:])
+        """Serialize the layer DAG: nodes in DFS order with integer
+        ids — the ship-spec-and-weights half of the engine's
+        distributed scorer. Layer configs come from spec_config();
+        layers are deduped so a layer called twice rebuilds as ONE
+        layer (weight order matches _dag_layers)."""
+        node_ids: dict = {}
+        layer_ids: dict = {}
+        layers: list = []
+        nodes: list = []
+        in_node = self.inputs
+        if isinstance(in_node, (list, tuple)):
+            in_node = in_node[0]
+        for node in self._walk():
+            nid = len(nodes)
+            node_ids[id(node)] = nid
+            if isinstance(node, _InputTensor):
+                nodes.append(
+                    {"kind": "input", "shape": list(node.shape[1:])}
+                )
+                continue
+            if node.op is not None:
+                nodes.append(
+                    {
+                        "kind": "op",
+                        "op": node.op,
+                        "operands": [
+                            node_ids[id(o)]
+                            if isinstance(o, Sym)
+                            else ["const", float(o)]
+                            for o in node.operands
+                        ],
+                    }
+                )
+                continue
+            lyr = node.producer
+            if not isinstance(lyr, Layer):
+                raise NotImplementedError(
+                    "to_json: layer/arithmetic DAGs only"
+                )
+            if id(lyr) not in layer_ids:
+                layer_ids[id(lyr)] = len(layers)
+                layers.append(
+                    {
+                        "type": type(lyr).__name__,
+                        "config": lyr.spec_config(),
+                    }
+                )
+            nodes.append(
+                {
+                    "kind": "layer",
+                    "layer": layer_ids[id(lyr)],
+                    "inputs": [node_ids[id(i)] for i in node.call_inputs],
+                }
+            )
         return json.dumps(
             {
-                "stub": "keras_stub-chain",
-                "input_shape": in_shape,
-                "layers": [
-                    {"type": type(l).__name__, "config": l.spec_config()}
-                    for l in layers
-                ],
+                "stub": "keras_stub-dag",
+                "layers": layers,
+                "nodes": nodes,
+                "outputs": [node_ids[id(o)] for o in self._out_nodes()],
+                "input": node_ids[id(in_node)],
             }
         )
 
 
-def model_from_json(spec: str) -> "Model":
-    """Rebuild a Dense-chain model from ``Model.to_json`` output — the
-    deserialization half of the engine's ship-spec-and-weights scoring
-    path."""
-    d = json.loads(spec)
-    if d.get("stub") != "keras_stub-chain":
-        raise NotImplementedError("stub model_from_json: chain specs only")
-    registry = {
+# custom layers registered through keras.saving.register_keras_serializable
+# (the stub records them so model_from_json can rebuild them by name)
+CUSTOM_OBJECTS: dict = {}
+
+
+def _builtin_registry() -> dict:
+    reg = {
         c.__name__: c
         for c in (
             Dense, Dropout, LayerNormalization, BatchNormalization,
-            GaussianNoise, Activation,
+            GaussianNoise, Activation, LSTM, MultiHeadAttention,
+            GlobalAveragePooling1D, Permute, Concatenate,
         )
     }
-    inp = Input(shape=tuple(d["input_shape"] or ()))
-    x = inp
-    for ld in d["layers"]:
-        cls = registry[ld["type"]]
-        cfg = ld.get("config") or {}
-        layer = (
-            cls(cfg["units"], activation=cfg["activation"])
-            if ld["type"] == "Dense"
-            else cls()
-        )
-        x = layer(x)
-    return Model(inputs=inp, outputs=x)
+    reg.update(CUSTOM_OBJECTS)
+    return reg
+
+
+def model_from_json(spec: str) -> "Model":
+    """Rebuild a layer-DAG model from ``Model.to_json`` output — the
+    deserialization half of the engine's ship-spec-and-weights scoring
+    path. Unknown layer types trigger a lazy import of the engine's
+    custom layers (they self-register via register_keras_serializable
+    on definition — the worker-side analogue of keras custom-object
+    registration)."""
+    d = json.loads(spec)
+    if d.get("stub") != "keras_stub-dag":
+        raise NotImplementedError("stub model_from_json: dag specs only")
+    registry = _builtin_registry()
+    if any(ld["type"] not in registry for ld in d["layers"]):
+        from centimators_spark.ml.architectures import custom_layers
+
+        custom_layers()  # defining them registers into CUSTOM_OBJECTS
+        registry = _builtin_registry()
+    layers = [
+        registry[ld["type"]](**(ld.get("config") or {}))
+        for ld in d["layers"]
+    ]
+    built: list = []
+    inp = None
+    for nd in d["nodes"]:
+        if nd["kind"] == "input":
+            node = Input(shape=tuple(nd["shape"] or ()))
+            inp = node
+        elif nd["kind"] == "op":
+            node = Sym(
+                op=nd["op"],
+                operands=tuple(
+                    o[1] if isinstance(o, list) else built[o]
+                    for o in nd["operands"]
+                ),
+            )
+        else:
+            node = layers[nd["layer"]](
+                *[built[i] for i in nd["inputs"]]
+            )
+        built.append(node)
+    outs = [built[i] for i in d["outputs"]]
+    return Model(
+        inputs=inp, outputs=outs[0] if len(outs) == 1 else outs
+    )
 
 
 class Callback:
@@ -336,6 +658,7 @@ def _ops_fn(*_a, **_k):
 
 def _make_module():
     keras = types.ModuleType("keras")
+    keras.__doc__ = "keras_stub stand-in (tests/keras_stub.py)"
 
     layers = types.ModuleType("keras.layers")
     for n, obj in dict(
@@ -372,7 +695,15 @@ def _make_module():
     optimizers.Adam = Optimizer
 
     saving = types.ModuleType("keras.saving")
-    saving.register_keras_serializable = lambda **kw: (lambda cls: cls)
+
+    def _register(**_kw):
+        def deco(cls):
+            CUSTOM_OBJECTS[cls.__name__] = cls
+            return cls
+
+        return deco
+
+    saving.register_keras_serializable = _register
 
     for n, mod in dict(
         layers=layers, models=models, ops=ops, initializers=initializers,
@@ -390,7 +721,15 @@ def install() -> bool:
     try:
         import keras  # noqa: F401
 
-        return "keras_stub" in getattr(keras, "__doc__", "") or False
+        if "keras_stub" not in (getattr(keras, "__doc__", None) or ""):
+            return False  # real keras wins
+        # a stub module is present but may be a stale instance built
+        # from a DIFFERENT keras_stub copy (addPyFile puts
+        # tests/stub_pyfiles/keras.py on the driver's path too, and
+        # its `import keras_stub` is a second module object with its
+        # own CONSTRUCTED/CUSTOM_OBJECTS registries). Reinstall from
+        # THIS module so tests read the registries they populate.
     except ImportError:
-        sys.modules["keras"] = _make_module()
-        return True
+        pass
+    sys.modules["keras"] = _make_module()
+    return True

@@ -42,6 +42,28 @@ Round-5 additions (measured 2026-08-14, same protocol):
     session_window      0.46    0.59    1.3x  native session agg
     kaplan_meier        0.48    0.44   ~1x    per-user agg + tiny KM
 
+Round-6 additions (measured 2026-08-14, same protocol):
+
+    gini_segments       1.00    1.00   ~1x    group-sort window
+    cheapest_supplier   1.17    0.99   <1x    dim tables not scaled
+    active_time         0.48    0.86    1.8x  island merge
+    weighted_median     1.11    4.13    3.7x  exact weighted quantile
+    rake_keywords       0.76    1.92    2.5x  phrase split + gram agg
+    isotonic_contract   2.51    4.45    1.8x  PAVA via era kernel
+    approx_distinct     0.50    0.46   ~1x    HLL sketch agg
+    linreg_fast         0.93    1.33    1.4x  float Gram + grad check
+
+Round-6 FIX: neutralize_ols_era measured 12.7x (3.6s -> 45.5s) on the
+first round-6 run — SUPER-linear. Two causes, both fixed: (a) the
+under-partitioned repartition gate used monotonically_increasing_id,
+whose NONDETERMINISM blocks ReusedExchange, so each of the residual
+lineage's consumers re-executed the full scan+shuffle (fix:
+deterministic xxhash64 spread key -> one reused exchange; 45.5 -> 24s);
+(b) materialize="none" re-evaluated the heavy decimal/Cramer residual
+expressions per consumer (fix: materialize="auto" localCheckpoints the
+residual table exactly when the gate fires; 24 -> 7.8s, ratio 2.0x).
+neutralizer_full_expr got the same cut explicitly (49 -> 13.6s, 3.7x).
+
 Every ratio is SUB-LINEAR in the 10x data growth — the multi-row-group
 x10 files scan with real parallelism that the single-row-group sf0.1
 files cannot, so fixed costs amortize exactly as they would on a
@@ -76,6 +98,12 @@ QS = [
     # round-5 additions
     "pagerank", "bloom_semi_join", "frequent_itemsets",
     "scd2_intervals", "auc_by_era", "session_window", "kaplan_meier",
+    # round-6 additions (gini_segments was the one round-5 operator not
+    # yet probed; the rest are the round-6 promoted queries that touch
+    # tables the x10 build scales — lineitem/orders/documents/events)
+    "gini_segments", "cheapest_supplier", "active_time",
+    "weighted_median", "rake_keywords", "isotonic_contract",
+    "approx_distinct_contract", "linreg_fast_contract",
 ]
 
 
