@@ -2806,19 +2806,273 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join(names, "p_name", "name_id", max_dist=2)
 
 
+BM25_TERMS = ["hash", "join", "vector", "stream"]
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier maximum drawdown of the signed-revenue equity path
+    (returned lines negate): one fused window shuffle, integer cents."""
+    from centimators_spark.operators.finance import max_drawdown
+
+    li = _lineitem(spark, sf_dir).select(
+        "l_suppkey",
+        *ORDER,
+        F.when(
+            F.col("l_returnflag") == "R",
+            -F.round(F.col("l_extendedprice") * 100),
+        )
+        .otherwise(F.round(F.col("l_extendedprice") * 100))
+        .alias("signed_cents"),
+    )
+    return max_drawdown(li, "signed_cents", ORDER, "l_suppkey")
+
+
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS of quantity distributions (open vs finished lines)
+    per return flag — exact integer numerator contract."""
+    from centimators_spark.ml.metrics import ks_two_sample
+
+    li = _lineitem(spark, sf_dir).select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_linestatus") == "O").alias("is_open"),
+    )
+    return ks_two_sample(li, "qty", "is_open", "l_returnflag")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed term query."""
+    from centimators_spark.text.features import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=10)
+
+
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift deciles of discount-as-score against returned-flag
+    labels — exact interval arithmetic over the distinct score stream."""
+    from centimators_spark.ml.classification_metrics import gains_table
+
+    li = _lineitem(spark, sf_dir).select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("score"),
+        (F.col("l_returnflag") == "R").alias("label"),
+    )
+    return gains_table(li, "score", "label", n_buckets=10)
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the supplier co-supply graph (edge = two
+    suppliers sharing a part). Edge build: distinct (part, supplier)
+    pairs self-joined per part — fan-out bounded by suppliers-per-part
+    (TPC-H ~4), so edge generation is linear in lineitem, not
+    quadratic; the count itself is the degree-oriented two-join."""
+    from centimators_spark.graphs import triangle_count
+
+    ps = (
+        _lineitem(spark, sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    edges = (
+        ps.alias("x")
+        .join(ps.alias("y"), "l_partkey")
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+def q_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on this schema: positive-balance customers above
+    the global positive-balance average, restricted to a nation-key
+    set, with NO RECENT orders (anti-join on the date-filtered order
+    stream — every testdata customer has SOME order, so Q22's "never
+    ordered" degenerates; "inactive since 1999" keeps the shape and a
+    non-trivial result); per nation: count + balance cents. Scalar
+    subquery broadcasts; the anti-join shuffles once on custkey."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin([1, 3, 5, 7, 9])
+    )
+    avg_bal = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.round(F.col("c_acctbal") * 100))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+    )
+
+
+def q_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds 0.05% of global
+    revenue — grouped integer-cent sums HAVING a broadcast scalar
+    threshold (exact: 10000·part_rev > 5·total_rev in cents)."""
+    li = _lineitem(spark, sf_dir).select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    total = part_rev.agg(F.sum("rev_cents").alias("__tot"))
+    return (
+        part_rev.crossJoin(F.broadcast(total))
+        .where(F.col("rev_cents") * 10000 > F.col("__tot") * 5)
+        .select("l_partkey", "rev_cents")
+    )
+
+
+def q_supplier_return_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per supplier, count multi-supplier orders where
+    THIS supplier returned a line (EXISTS) and no other supplier did
+    (NOT EXISTS) — the classic double-correlated-exists, expressed as
+    one grouped pass over per-(order, supplier) flags: aggregate
+    lineitem to (order, supplier, returned?), then per order compare
+    each supplier's flag with the others' via order-level totals
+    broadcast back (two aggs + one join — no correlated re-scans)."""
+    os = (
+        _lineitem(spark, sf_dir)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("ret")
+        )
+    )
+    per_order = os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("ret").alias("n_ret"),
+    )
+    return (
+        os.join(per_order, "l_orderkey")
+        .where(
+            (F.col("n_supp") >= 2)
+            & (F.col("ret") == 1)
+            & (F.col("n_ret") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Queries implemented but deferred to the NEXT round's window.
-    Empty at the start of round 6 — the six round-5-staged queries
-    (isotonic_contract, cheapest_supplier, approx_distinct_contract,
-    rake_keywords, active_time, weighted_median) were promoted into the
-    queries() head. Stage round-7 candidates here, gate them with
-    `check_oracle --staged`, then promote."""
-    return {}
+    """Queries implemented but deferred to the NEXT round's window —
+    the round-7 candidate set, gate-checked by
+    tests/test_staged_queries.py and `check_oracle --staged`:
+    drawdown, two-sample KS, BM25 retrieval, gains/lift deciles,
+    degree-oriented triangle counting, and three new TPC-H shapes
+    (Q22 anti-join prospects, Q11 share-threshold, Q21
+    double-correlated-exists)."""
+    return {
+        "max_drawdown": q_max_drawdown,
+        "ks_statistic": q_ks_statistic,
+        "bm25_search": q_bm25_search,
+        "gains_table": q_gains_table,
+        "triangle_count": q_triangle_count,
+        "prospect_customers": q_prospect_customers,
+        "part_share": q_part_share,
+        "supplier_return_blame": q_supplier_return_blame,
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:
-    """Oracle texts for staged_queries() (empty — see staged_queries)."""
-    return {}
+    """Oracle texts for staged_queries()."""
+    from centimators_spark.ml.classification_metrics import (
+        gains_table_oracle_sql,
+    )
+    from centimators_spark.ml.metrics import ks_two_sample_oracle_sql
+    from centimators_spark.operators.finance import max_drawdown_oracle_sql
+    from centimators_spark.graphs import triangle_count_oracle_sql
+    from centimators_spark.text.features import bm25_topk_oracle_sql
+
+    return {
+        "max_drawdown": max_drawdown_oracle_sql(
+            "(SELECT *, CASE WHEN l_returnflag = 'R'"
+            " THEN -round(l_extendedprice * 100)"
+            " ELSE round(l_extendedprice * 100) END AS signed_cents"
+            " FROM lineitem)",
+            "signed_cents",
+            ORDER,
+            "l_suppkey",
+            out_by="l_suppkey",
+        ),
+        "ks_statistic": ks_two_sample_oracle_sql(
+            "lineitem",
+            "CAST(l_quantity AS BIGINT)",
+            "l_linestatus = 'O'",
+            "l_returnflag",
+            out_by="l_returnflag",
+        ),
+        "bm25_search": bm25_topk_oracle_sql(BM25_TERMS, k=10),
+        "gains_table": gains_table_oracle_sql(
+            "lineitem",
+            "CAST(round(l_discount * 100) AS BIGINT)",
+            "l_returnflag = 'R'",
+            n_buckets=10,
+        ),
+        "triangle_count": triangle_count_oracle_sql(
+            "(SELECT x.l_suppkey AS src, y.l_suppkey AS dst"
+            " FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) x"
+            " JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) y"
+            " USING (l_partkey)"
+            " WHERE x.l_suppkey < y.l_suppkey)"
+        ),
+        "prospect_customers": """
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS bal_cents
+            FROM customer c
+            WHERE c_nationkey IN (1, 3, 5, 7, 9)
+              AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_nationkey
+        """,
+        "part_share": """
+            WITH pr AS (
+              SELECT l_partkey,
+                     CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+                       AS rev_cents
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, rev_cents FROM pr
+            WHERE rev_cents * 10000 > (SELECT sum(rev_cents) FROM pr) * 5
+        """,
+        "supplier_return_blame": """
+            WITH os AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS ret
+              FROM lineitem GROUP BY l_orderkey, l_suppkey
+            ), per_order AS (
+              SELECT l_orderkey, count(*) AS n_supp, sum(ret) AS n_ret
+              FROM os GROUP BY l_orderkey
+            )
+            SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+            FROM os JOIN per_order USING (l_orderkey)
+            WHERE n_supp >= 2 AND ret = 1 AND n_ret = 1
+            GROUP BY l_suppkey
+        """,
+    }
 
 
 def _promoted_r6_oracle_sql() -> dict[str, str]:

@@ -244,3 +244,162 @@ def calibration_bins_oracle_sql(
                      {round_dp}) AS frac_pos
         FROM base GROUP BY bin
     """
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Exact gains/lift table WITHOUT a global row sort: rows enter by
+    descending score (industry gains-chart order), bucket d of
+    ``n_buckets`` holds global ranks r with floor((r−1)·nb/n) = d, and
+    every count is derived from the DISTINCT (score, label) stream —
+    a group occupying exclusive-start s, size c lands in buckets
+    floor(s·nb/n) … floor((s+c−1)·nb/n) with an integer interval
+    overlap per bucket. The heavy input collapses to its score/label
+    cardinality before the only ordered window (the anti-ntile
+    discipline of this module: ntile's tie handling is order-
+    dependent; interval arithmetic over homogeneous groups is not —
+    rows tied on (score, label) are interchangeable, so no row-id
+    tiebreak is needed and the result is partition-order exact).
+
+    Returns per bucket: n_rows, n_pos, cum_rows, cum_pos (BIGINT,
+    exact) plus gain = cum_pos/total_pos and lift =
+    (cum_pos/cum_rows)/(total_pos/n), both rounded to 6dp.
+    """
+    nb = int(n_buckets)
+    groups = df.groupBy(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    totals = groups.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.when(F.col("__y"), F.col("__c")).otherwise(0)).alias("__np"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("__s").desc(), F.col("__y").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the ordered window runs over the DISTINCT (score, label) stream —
+    # bounded by value cardinality, not row count (KS discipline)
+    cum = groups.select(
+        "__y",
+        "__c",
+        (F.sum("__c").over(w) - F.col("__c")).alias("__start"),
+    ).crossJoin(F.broadcast(totals))
+    spread = cum.select(
+        "__y",
+        "__c",
+        "__start",
+        "__n",
+        "__np",
+        F.explode(
+            F.sequence(
+                F.expr(f"__start * {nb} div __n"),
+                F.expr(f"(__start + __c - 1) * {nb} div __n"),
+            )
+        ).alias("bucket"),
+    ).select(
+        "__y",
+        "__n",
+        "__np",
+        "bucket",
+        (
+            F.least(
+                F.expr(f"((bucket + 1) * __n + {nb} - 1) div {nb}"),
+                F.col("__start") + F.col("__c"),
+            )
+            - F.greatest(
+                F.expr(f"(bucket * __n + {nb} - 1) div {nb} + 1"),
+                F.col("__start") + 1,
+            )
+            + 1
+        ).alias("__overlap"),
+    )
+    per_bucket = spread.groupBy("bucket", "__n", "__np").agg(
+        F.sum("__overlap").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("__y"), F.col("__overlap")).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(wb).cast("long").alias("cum_rows"),
+        F.sum("n_pos").over(wb).cast("long").alias("cum_pos"),
+        "__n",
+        "__np",
+    ).select(
+        "bucket",
+        "n_rows",
+        "n_pos",
+        "cum_rows",
+        "cum_pos",
+        F.round(F.col("cum_pos") / F.col("__np"), 6).alias("gain"),
+        F.round(
+            (F.col("cum_pos") / F.col("cum_rows"))
+            / (F.col("__np") / F.col("__n")),
+            6,
+        ).alias("lift"),
+    )
+
+
+def gains_table_oracle_sql(
+    table_sql: str,
+    score_sql: str,
+    label_sql: str,
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB twin of :func:`gains_table` — identical integer interval
+    arithmetic over the distinct (score, label) stream."""
+    nb = int(n_buckets)
+    return f"""
+        WITH groups AS (
+          SELECT {score_sql} AS s, CAST({label_sql} AS BOOLEAN) AS y,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM {table_sql} GROUP BY 1, 2
+        ), totals AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN y THEN c ELSE 0 END) AS BIGINT) AS np
+          FROM groups
+        ), cum AS (
+          SELECT y, c,
+                 CAST(sum(c) OVER (ORDER BY s DESC, y ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                   AS BIGINT) AS start, n, np
+          FROM groups CROSS JOIN totals
+        ), spread AS (
+          SELECT y, n, np, bucket,
+                 least(((bucket + 1) * n + {nb} - 1) // {nb}, start + c)
+                 - greatest((bucket * n + {nb} - 1) // {nb} + 1, start + 1)
+                 + 1 AS overlap
+          FROM cum,
+               unnest(generate_series(start * {nb} // n,
+                                      (start + c - 1) * {nb} // n))
+                 AS t(bucket)
+        ), per_bucket AS (
+          SELECT bucket, n, np,
+                 CAST(sum(overlap) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN y THEN overlap ELSE 0 END) AS BIGINT)
+                   AS n_pos
+          FROM spread GROUP BY bucket, n, np
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket, n_rows, n_pos,
+               CAST(sum(n_rows) OVER wb AS BIGINT) AS cum_rows,
+               CAST(sum(n_pos) OVER wb AS BIGINT) AS cum_pos,
+               round(CAST(sum(n_pos) OVER wb AS DOUBLE) / np, 6) AS gain,
+               round((CAST(sum(n_pos) OVER wb AS DOUBLE)
+                      / sum(n_rows) OVER wb)
+                     / (CAST(np AS DOUBLE) / n), 6) AS lift
+        FROM per_bucket
+        WINDOW wb AS (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """

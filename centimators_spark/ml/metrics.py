@@ -341,3 +341,107 @@ def autocorr_oracle_sql(
         )
         SELECT g AS {group_alias}, n, {corr_cols} FROM sums
     """
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    flag_col: str,
+    by: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per group, in
+    INTEGER arithmetic: for samples A (``flag_col`` false) and B
+    (true) with sizes n_a, n_b,
+
+        D = max_x |F_A(x) − F_B(x)|
+          = max_x |n_b·C_A(x) − n_a·C_B(x)| / (n_a·n_b)
+
+    where C are cumulative counts at each distinct value. Returning
+    the integer numerator plus sizes (and D rounded to 6dp) makes the
+    contract hash-exact — no float CDF subtraction anywhere.
+
+    Plan: distinct-value counts (one shuffle on (group, value)), one
+    cumulative window per group ordered by value, one closing max per
+    group — the window and the final agg share the group partitioning.
+    Drift monitoring at 100 TB runs this per feature on the distinct
+    value stream, which is bounded by cardinality, not row count.
+    """
+    per_val = (
+        df.groupBy(by, F.col(value_col).alias("__x"))
+        .agg(
+            F.sum(
+                F.when(~F.col(flag_col).cast("boolean"), 1).otherwise(0)
+            ).alias("__na"),
+            F.sum(
+                F.when(F.col(flag_col).cast("boolean"), 1).otherwise(0)
+            ).alias("__nb"),
+        )
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(by)
+    cum = per_val.select(
+        by,
+        F.sum("__na").over(w).alias("__ca"),
+        F.sum("__nb").over(w).alias("__cb"),
+        F.sum("__na").over(tot).alias("n_a"),
+        F.sum("__nb").over(tot).alias("n_b"),
+    )
+    return (
+        cum.groupBy(by, "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("n_b") * F.col("__ca")
+                    - F.col("n_a") * F.col("__cb")
+                )
+            ).alias("ks_num")
+        )
+        .select(
+            by,
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("ks_num").cast("long").alias("ks_num"),
+            F.round(
+                F.col("ks_num") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("ks"),
+        )
+    )
+
+
+def ks_two_sample_oracle_sql(
+    table_sql: str,
+    value_sql: str,
+    flag_sql: str,
+    by_sql: str,
+    *,
+    out_by: str = "g",
+) -> str:
+    """DuckDB twin of :func:`ks_two_sample` — same integer carriers."""
+    return f"""
+        WITH per_val AS (
+          SELECT {by_sql} AS g, {value_sql} AS x,
+                 sum(CASE WHEN NOT ({flag_sql}) THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN {flag_sql} THEN 1 ELSE 0 END) AS nb
+          FROM {table_sql} GROUP BY 1, 2
+        ), cum AS (
+          SELECT g,
+                 sum(na) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                 sum(nb) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+                 sum(na) OVER (PARTITION BY g) AS n_a,
+                 sum(nb) OVER (PARTITION BY g) AS n_b
+          FROM per_val
+        )
+        SELECT g AS {out_by},
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(max(abs(n_b * ca - n_a * cb)) AS BIGINT) AS ks_num,
+               round(CAST(max(abs(n_b * ca - n_a * cb)) AS DOUBLE)
+                     / (n_a * n_b), 6) AS ks
+        FROM cum GROUP BY g, n_a, n_b
+    """
