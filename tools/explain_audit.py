@@ -401,6 +401,81 @@ def main():
         "BroadcastHashJoin" in p,
     )
 
+    # 33. round-6 additions: the pruned IVF-PQ contract must probe via
+    # broadcast (never a cartesian over the corpus), and the float-OLS
+    # contract is two scans + aggregations with no Python eval
+    p = plan_of(sq["ivfpq_pruned_contract"](spark, sf_dir))
+    ok &= audit(
+        "ivfpq_pruned: probe join broadcast, no cartesian",
+        "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+    )
+    p = plan_of(sq["linreg_fast_contract"](spark, sf_dir))
+    ok &= audit("linreg_fast: no Python eval", "EvalPython" not in p)
+
+    # 34. round-7 staged set (gate-green, next round's window head)
+    st = entrymod.staged_queries()
+    p = plan_of(st["max_drawdown"](spark, sf_dir))
+    ok &= audit(
+        "max_drawdown: equity+peak windows fuse on ONE (group, order)"
+        " sort — single exchange",
+        p.count("Exchange hashpartitioning") == 1
+        and len(re.findall(r"\bWindow\b", p)) <= 2
+        and p.count("Sort ") <= 1,
+    )
+    p = plan_of(st["ks_statistic"](spark, sf_dir))
+    ok &= audit(
+        "ks_statistic: cumulative window runs over the DISTINCT value"
+        " stream, partitioned by group",
+        not re.search(r"Window \[[^\]]*\], \[\]", p),
+    )
+    ok &= audit("ks_statistic: no Python eval", "EvalPython" not in p)
+    p = plan_of(st["triangle_count"](spark, sf_dir))
+    ok &= audit(
+        "triangle_count: wedge-closing is a keyed join (no cartesian;"
+        " the only BNLJs are the two 1-row scalar-count crossJoins)",
+        "CartesianProduct" not in p
+        and p.count("BroadcastNestedLoopJoin") <= 2
+        and ("SortMergeJoin [least(" in p or "ShuffledHashJoin" in p
+             or "BroadcastHashJoin [least(" in p),
+    )
+    p = plan_of(st["bm25_search"](spark, sf_dir))
+    ok &= audit(
+        "bm25: df/corpus stats broadcast back onto the hits stream",
+        p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2,
+    )
+    ok &= audit(
+        "bm25: global top-k is TakeOrdered (two-phase), not a"
+        " single-partition sort",
+        "TakeOrderedAndProject" in p,
+    )
+    p = plan_of(st["part_share"](spark, sf_dir))
+    ok &= audit(
+        "part_share: global-revenue threshold broadcast (Q11 HAVING"
+        " never re-shuffles the grouped stream)",
+        p.count("Exchange hashpartitioning") <= 2,
+    )
+    p = plan_of(st["supplier_return_blame"](spark, sf_dir))
+    ok &= audit(
+        "supplier_return_blame: per-order totals BROADCAST onto the"
+        " (order,supplier) stream — the fact side never re-shuffles"
+        " for the join (4 exchanges = the partial aggs only)",
+        "BroadcastHashJoin [l_orderkey" in p
+        and p.count("Exchange hashpartitioning") <= 4
+        and "SortMergeJoin" not in p,
+    )
+    p = plan_of(st["prospect_customers"](spark, sf_dir))
+    ok &= audit(
+        "prospect_customers: anti-join + scalar subquery broadcast",
+        ("BroadcastHashJoin" in p and "LeftAnti" in p)
+        or "BroadcastNestedLoopJoin" in p,
+    )
+    p = plan_of(st["gains_table"](spark, sf_dir))
+    ok &= audit(
+        "gains_table: heavy input collapses to the distinct"
+        " (score,label) stream before any ordered window",
+        "EvalPython" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
