@@ -2972,6 +2972,34 @@ def q_supplier_return_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_WEIGHTS = {
+    "fast": 200_000,
+    "slow": -300_000,
+    "join": 100_000,
+    "scan": -50_000,
+    "vector": 150_000,
+}
+QUALITY_BIAS = -100_000
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-span removal (exact-substring dedup at
+    w-gram granularity) over the documents table."""
+    from centimators_spark.text.span_dedup import corpus_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_span_dedup(docs, w=8, min_docs=2)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality filter served as one codegen
+    expression — integer micro-unit weights, zero shuffles."""
+    from centimators_spark.text.classifier import linear_text_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_text_score(docs, QUALITY_WEIGHTS, QUALITY_BIAS)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
     the round-7 candidate set, gate-checked by
@@ -2989,6 +3017,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prospect_customers": q_prospect_customers,
         "part_share": q_part_share,
         "supplier_return_blame": q_supplier_return_blame,
+        "span_dedup": q_span_dedup,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -3000,9 +3030,19 @@ def staged_oracle_sql() -> dict[str, str]:
     from centimators_spark.ml.metrics import ks_two_sample_oracle_sql
     from centimators_spark.operators.finance import max_drawdown_oracle_sql
     from centimators_spark.graphs import triangle_count_oracle_sql
+    from centimators_spark.text.classifier import (
+        linear_text_score_oracle_sql,
+    )
     from centimators_spark.text.features import bm25_topk_oracle_sql
+    from centimators_spark.text.span_dedup import (
+        corpus_span_dedup_oracle_sql,
+    )
 
     return {
+        "span_dedup": corpus_span_dedup_oracle_sql(w=8, min_docs=2),
+        "quality_classifier": linear_text_score_oracle_sql(
+            QUALITY_WEIGHTS, QUALITY_BIAS
+        ),
         "max_drawdown": max_drawdown_oracle_sql(
             "(SELECT *, CASE WHEN l_returnflag = 'R'"
             " THEN -round(l_extendedprice * 100)"

@@ -122,3 +122,55 @@ def test_triangle_count_star_no_triangles(spark):
     )
     r = triangle_count(df).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (21, 20, 0)
+
+
+def test_span_dedup_planted_duplicates(spark):
+    shared = "a b c d e f g h"  # exactly w=8 tokens -> one shared gram
+    docs = [
+        (1, shared + " x y z"),
+        (2, "p q " + shared),
+        (3, "solo text with nothing repeated here at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    from centimators_spark.text.span_dedup import corpus_span_dedup
+
+    out = {r.doc_id: r for r in corpus_span_dedup(df, w=8).collect()}
+    # the shared 8-token span is removed from both docs, tails survive
+    assert out[1].n_dup_tokens == 8 and out[1].clean_text == "x y z"
+    assert out[2].n_dup_tokens == 8 and out[2].clean_text == "p q"
+    assert out[3].n_dup_tokens == 0
+    assert out[3].clean_text == "solo text with nothing repeated here at all"
+    assert out[4].clean_text is None
+
+
+def test_span_dedup_overlapping_spans_union(spark):
+    # two docs share a 9-token run -> two overlapping 8-grams; covered
+    # positions are the UNION (9 tokens), not 16
+    run = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame(
+        [(1, run + " tail"), (2, run)], "doc_id int, text string"
+    )
+    from centimators_spark.text.span_dedup import corpus_span_dedup
+
+    out = {r.doc_id: r for r in corpus_span_dedup(df, w=8).collect()}
+    assert out[1].n_dup_tokens == 9 and out[1].clean_text == "tail"
+    assert out[2].n_dup_tokens == 9 and out[2].clean_text == ""
+
+
+def test_linear_text_score_hand_weights(spark):
+    from centimators_spark.text.classifier import linear_text_score
+
+    df = spark.createDataFrame(
+        [(1, "good good bad"), (2, "bad"), (3, "neutral words only")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.score_micro, bool(r.keep))
+        for r in linear_text_score(
+            df, {"good": 500_000, "bad": -400_000}, bias_micro=100_000
+        ).collect()
+    }
+    assert out[1] == (100_000 + 2 * 500_000 - 400_000, True)
+    assert out[2] == (100_000 - 400_000, False)
+    assert out[3] == (100_000, True)  # bias only

@@ -475,6 +475,18 @@ def main():
         " (score,label) stream before any ordered window",
         "EvalPython" not in p,
     )
+    p = plan_of(st["quality_classifier"](spark, sf_dir))
+    ok &= audit(
+        "quality_classifier: the whole model serve is ONE codegen scan"
+        " — zero shuffles, zero joins, zero Python",
+        "Exchange" not in p and "Join" not in p and "EvalPython" not in p,
+    )
+    p = plan_of(st["span_dedup"](spark, sf_dir))
+    ok &= audit(
+        "span_dedup: dup-gram filter joins back on the aggregation's"
+        " own gram partitioning, no Python eval",
+        "EvalPython" not in p and "CartesianProduct" not in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
