@@ -193,6 +193,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # the canonical edge set feeds FIVE consumers (degree union ×2,
+        # wedge sides ×2, closing set, edge count); cut the lineage
+        # once — the same persisted-edge-list discipline pagerank_int
+        # documents. At cluster scale, write the canonical edges as a
+        # bucketed table instead.
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -219,6 +225,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             .alias("e")
         )
         .select("e.u", "e.w")
+        # three consumers (both wedge sides + the closing set): cut once
+        .localCheckpoint(eager=True)
     )
     wedges = (
         oriented.alias("x")
