@@ -251,6 +251,8 @@ def gains_table(
     score_col: str,
     label_col: str,
     n_buckets: int = 10,
+    *,
+    n_cells: int | None = 4096,
 ) -> DataFrame:
     """Exact gains/lift table WITHOUT a global row sort: rows enter by
     descending score (industry gains-chart order), bucket d of
@@ -259,11 +261,27 @@ def gains_table(
     a group occupying exclusive-start s, size c lands in buckets
     floor(s·nb/n) … floor((s+c−1)·nb/n) with an integer interval
     overlap per bucket. The heavy input collapses to its score/label
-    cardinality before the only ordered window (the anti-ntile
-    discipline of this module: ntile's tie handling is order-
-    dependent; interval arithmetic over homogeneous groups is not —
-    rows tied on (score, label) are interchangeable, so no row-id
-    tiebreak is needed and the result is partition-order exact).
+    cardinality before any ordered window (the anti-ntile discipline
+    of this module: ntile's tie handling is order-dependent; interval
+    arithmetic over homogeneous groups is not — rows tied on
+    (score, label) are interchangeable, so no row-id tiebreak is
+    needed and the result is partition-order exact).
+
+    The global cumulative start is computed in TWO PHASES so no task
+    ever sorts the whole distinct stream (continuous scores have
+    distinct ≈ N): each distinct row is mapped to one of ``n_cells``
+    score cells by the monotone map floor((s − min)/(max − min) ·
+    n_cells) — IEEE subtraction/division/multiplication by positive
+    constants are weakly monotone, so cell order is consistent with
+    score order and equal scores always share a cell — then (phase 1)
+    a cell-partitioned window cumulates within each cell while
+    (phase 2) an ordered window over the ≤ n_cells+1 cell subtotals
+    produces per-cell offsets that broadcast-join back. Every ordered
+    window is therefore bounded: by the per-cell distinct count
+    (phase 1, hash-parallel) or by n_cells (phase 2, one tiny task).
+    The arithmetic is exact integers, so the result is bit-identical
+    to the single-window formulation (``n_cells=None`` keeps that
+    reference path for value-cardinality-bounded scores).
 
     Returns per bucket: n_rows, n_pos, cum_rows, cum_pos (BIGINT,
     exact) plus gain = cum_pos/total_pos and lift =
@@ -277,20 +295,75 @@ def gains_table(
     totals = groups.agg(
         F.sum("__c").alias("__n"),
         F.sum(F.when(F.col("__y"), F.col("__c")).otherwise(0)).alias("__np"),
+        F.min(F.col("__s").cast("double")).alias("__smin"),
+        F.max(F.col("__s").cast("double")).alias("__smax"),
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy(F.col("__s").desc(), F.col("__y").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # the ordered window runs over the DISTINCT (score, label) stream —
-    # bounded by value cardinality, not row count (KS discipline)
-    cum = groups.select(
-        "__y",
-        "__c",
-        (F.sum("__c").over(w) - F.col("__c")).alias("__start"),
-    ).crossJoin(F.broadcast(totals))
+    if n_cells is None:
+        # reference path: ONE ordered window over the distinct
+        # (score, label) stream — bounded by value cardinality only,
+        # appropriate for discrete scores
+        w = Window.orderBy(
+            F.col("__s").desc(), F.col("__y").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = groups.select(
+            "__y",
+            "__c",
+            (F.sum("__c").over(w) - F.col("__c")).alias("__start"),
+        ).crossJoin(F.broadcast(totals.select("__n", "__np")))
+    else:
+        nc = int(n_cells)
+        g = groups.crossJoin(F.broadcast(totals))
+        s = F.col("__s").cast("double")
+        # cell must be order-consistent with __s DESC: nulls sort LAST
+        # under desc → cell −1 (below every real score); NaN sorts
+        # FIRST (Spark: NaN > any double) and least() skips down to
+        # nc−1 → the top cell. Both stay exact.
+        cell = (
+            F.when(s.isNull(), F.lit(-1))
+            .when(
+                F.col("__smax") > F.col("__smin"),
+                F.least(
+                    F.floor(
+                        (s - F.col("__smin"))
+                        / (F.col("__smax") - F.col("__smin"))
+                        * nc
+                    ),
+                    F.lit(nc - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+        )
+        g = g.withColumn("__cell", cell)
+        w_in = Window.partitionBy("__cell").orderBy(
+            F.col("__s").desc(), F.col("__y").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        within = g.select(
+            "__y",
+            "__c",
+            "__n",
+            "__np",
+            "__cell",
+            (F.sum("__c").over(w_in) - F.col("__c")).alias("__within"),
+        )
+        cell_totals = g.groupBy("__cell").agg(F.sum("__c").alias("__ct"))
+        w_cells = Window.orderBy(F.col("__cell").desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = cell_totals.select(
+            "__cell",
+            F.coalesce(F.sum("__ct").over(w_cells), F.lit(0)).alias(
+                "__off"
+            ),
+        )
+        cum = within.join(F.broadcast(offsets), "__cell").select(
+            "__y",
+            "__c",
+            (F.col("__within") + F.col("__off")).alias("__start"),
+            "__n",
+            "__np",
+        )
     spread = cum.select(
         "__y",
         "__c",

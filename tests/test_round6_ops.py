@@ -105,6 +105,45 @@ def test_gains_table_tie_groups_split_exactly(spark):
     assert last.cum_rows == 40 and last.cum_pos == 10 and last.gain == 1.0
 
 
+def test_gains_table_continuous_scores_two_phase_exact(spark):
+    # continuous scores (distinct ≈ N — the degenerate case for a
+    # single global window): the two-phase cell cumsum must be
+    # bit-identical to the single-window reference path, and the plan
+    # must carry the cell-partitioned window instead of one
+    # unpartitioned sort of the whole distinct stream
+    rows = [
+        (math.sin(i * 1.7) * 100 + i * 0.001, i % 3 == 0)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    fast = sorted(
+        gains_table(df, "score", "label", n_cells=64).collect()
+    )
+    ref = sorted(
+        gains_table(df, "score", "label", n_cells=None).collect()
+    )
+    assert fast == ref
+    plan = gains_table(df, "score", "label")._jdf.queryExecution().executedPlan().toString()
+    assert "__cell" in plan
+
+
+def test_gains_table_null_and_tied_scores_two_phase(spark):
+    # nulls sort last under DESC; ties share a cell — offsets must
+    # stay exact with both present
+    rows = (
+        [(None, True)] * 5
+        + [(1.5, False)] * 7
+        + [(1.5, True)] * 3
+        + [(9.0, True)] * 5
+    )
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    fast = sorted(gains_table(df, "score", "label", n_cells=4).collect())
+    ref = sorted(gains_table(df, "score", "label", n_cells=None).collect())
+    assert fast == ref
+    last = max(fast, key=lambda r: r.bucket)
+    assert last.cum_rows == 20 and last.cum_pos == 13
+
+
 def test_triangle_count_known_graphs(spark):
     # K4 has 4 triangles, plus a disjoint path (0 triangles), plus a
     # duplicate/reversed/self-loop noise that canonicalization drops
