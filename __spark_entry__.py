@@ -1457,13 +1457,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window is previously hash-green, and the overflow tail is
     entirely previously-driver-green (guard:
     tests/test_driver_contract.py::test_correctness_window_covers_unverified_queries).
-    Round-6 playbook: stage new queries in staged_queries() (empty
-    this round), gate them with `check_oracle --staged`, then promote
-    into this head and rotate long-stable greens to the tail."""
+    Round-7 playbook: stage new queries in staged_queries(), gate them
+    with `check_oracle --staged`, then promote into this head and
+    rotate long-stable greens to the tail."""
     out = {
+        # --- promoted round-7 staged queries (locally gate-green at
+        # sf0.001 + sf0.01; never driver-checked) + the new
+        # dspymator_contract (round-6 verdict item 5) ---
+        "dspymator_contract": q_dspymator_contract,
+        "max_drawdown": q_max_drawdown,
+        "ks_statistic": q_ks_statistic,
+        "bm25_search": q_bm25_search,
+        "gains_table": q_gains_table,
+        "triangle_count": q_triangle_count,
+        "prospect_customers": q_prospect_customers,
+        "part_share": q_part_share,
+        "supplier_return_blame": q_supplier_return_blame,
+        "span_dedup": q_span_dedup,
+        "quality_classifier": q_quality_classifier,
         # --- promoted round-6 staged queries (locally 6/6 gate-green at
-        # sf0.001 + sf0.01 via tests/test_staged_queries.py; never
-        # driver-checked) ---
+        # sf0.001 + sf0.01 via tests/test_staged_queries.py; driver-green
+        # r6) ---
         "isotonic_contract": q_isotonic_contract,
         "cheapest_supplier": q_cheapest_supplier,
         "approx_distinct_contract": q_approx_distinct_contract,
@@ -1583,20 +1597,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries
     for stable in (
         "doc_string_funcs",
-        "ann_cosine_topk",
         "simhash_fingerprint",
         "window_distribution",
-        "embedding_transformer",
-        "dedup_exact",
-        "dedup_minhash_lsh",
         "simhash_pairs",
         "dedup_embedding_cosine",
-        # (rank/lag/moving_average/group_stats/gaussianize_probit left
-        # OUT of this tail rotation in round 6 — they sit in the window
-        # head for regression re-verification)
-        "log_return",
+        # (log_return / embedding_transformer / feature_exposures /
+        # winsorize_by_era / dedup_exact / dedup_minhash_lsh /
+        # ann_cosine_topk / multimodal_metadata left OUT of this tail
+        # rotation in round 7 — they rotate through the window head
+        # below as the r2-era drift re-verification, verdict item 7)
         "pricing_summary",
-        "feature_exposures",
         "diff_transformer",
         "expanding_aggregates",
         "rolling_aggregates",
@@ -1615,14 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk",
         "doc_fingerprint",
         "text_token_counts",
-        "multimodal_metadata",
         "hash_split_sample",
         "pack_sequences",
-        # winsorize_by_era's r3 change (one percentile call instead of
-        # two) is value-identical and locally hash-verified at sf0.01;
-        # rotated to the tail to keep every genuinely-new query inside
-        # the driver's 50-entry window
-        "winsorize_by_era",
         # rotated for the r3-continuation queries (era_report etc.):
         # linear_regression and dedup_ngram_jaccard are r2-hash-green
         # and unchanged; neutralize_ols_era's r3 changes are plan-level
@@ -1639,7 +1643,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
-    return out
+    # round-7 drift re-verification (verdict item 7): pull 8 r2-era
+    # greens — hash-green in round 2, never re-checked since — up into
+    # the window, right behind the never-verified head, so the driver
+    # re-verifies them against drift this round
+    head = list(out)[:11] + [
+        "log_return",
+        "embedding_transformer",
+        "feature_exposures",
+        "winsorize_by_era",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "multimodal_metadata",
+    ]
+    pulled = {k: out.pop(k) for k in head if k in out}
+    return {**pulled, **out}
 
 
 # ---------------------------------------------------------------- oracles
@@ -2284,6 +2303,8 @@ def oracle_sql() -> dict[str, str]:
         **_promoted_oracle_sql(),
         **_promoted_r5_oracle_sql(),
         **_promoted_r6_oracle_sql(),
+        **_promoted_r7_oracle_sql(),
+        "dspymator_contract": DSPYMATOR_CONTRACT_ORACLE,
         "penalizer_contract": _penalizer_contract_oracle(),
         # kernel-contract claims: every key-unique row agrees within the
         # differential-test tolerance — any kernel drift breaks the hash
@@ -3000,30 +3021,65 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_text_score(docs, QUALITY_WEIGHTS, QUALITY_BIAS)
 
 
+def q_dspymator_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSPyMator through its REAL distributed inference path — fit
+    (field-routing resolution), mapInPandas, per-partition asyncio
+    semaphore — with a deterministic pure-arithmetic program
+    (answer = 7·qty + cents mod 97, stringified) that DuckDB
+    bit-mirrors. The one §2.1 operator that had no driver row: the LLM
+    call is the only part swapped out (no dspy/network in the
+    container); signature routing, predict's target-only projection,
+    and the executor batch shape are the production code."""
+    from centimators_spark.ml.dspymator import (
+        DSPyMator,
+        arithmetic_demo_program,
+    )
+
+    li = _lineitem(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").cast("string").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("cents"),
+    )
+    mator = DSPyMator(
+        program=arithmetic_demo_program(),
+        target_names="answer",
+        feature_names=["qty", "cents"],
+        keep_cols=["l_orderkey", "l_linenumber"],
+        max_concurrent=8,
+    )
+    return mator.fit(li).predict(li)
+
+
+DSPYMATOR_CONTRACT_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS BIGINT) * 7
+                + CAST(round(l_extendedprice * 100) AS BIGINT) % 97
+                AS VARCHAR) AS answer
+    FROM lineitem
+"""
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
-    the round-7 candidate set, gate-checked by
-    tests/test_staged_queries.py and `check_oracle --staged`:
-    drawdown, two-sample KS, BM25 retrieval, gains/lift deciles,
-    degree-oriented triangle counting, and three new TPC-H shapes
-    (Q22 anti-join prospects, Q11 share-threshold, Q21
-    double-correlated-exists)."""
-    return {
-        "max_drawdown": q_max_drawdown,
-        "ks_statistic": q_ks_statistic,
-        "bm25_search": q_bm25_search,
-        "gains_table": q_gains_table,
-        "triangle_count": q_triangle_count,
-        "prospect_customers": q_prospect_customers,
-        "part_share": q_part_share,
-        "supplier_return_blame": q_supplier_return_blame,
-        "span_dedup": q_span_dedup,
-        "quality_classifier": q_quality_classifier,
-    }
+    the round-8 candidate set, gate-checked by
+    tests/test_staged_queries.py and `check_oracle --staged`. (The
+    round-7 set — drawdown, KS, BM25, gains deciles, triangle count,
+    Q22/Q11/Q21, span dedup, quality classifier — was promoted into
+    queries() this round.)"""
+    return {}
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
+    return {}
+
+
+def _promoted_r7_oracle_sql() -> dict[str, str]:
+    """Oracle texts for the round-7 promoted set."""
     from centimators_spark.ml.classification_metrics import (
         gains_table_oracle_sql,
     )

@@ -324,6 +324,77 @@ def custom_layers() -> SimpleNamespace:
             mu = ops.reshape(mu, [batch, self.num_leaves])
             return ops.matmul(mu, self.pi)
 
+        # ---- numeric protocol for the keras-free test stub
+        # (tests/keras_stub.py tier 3): inert under real keras, where
+        # call()/get_weights() take precedence. Mirrors call() exactly
+        # in numpy: mask → routing logits → temperature-scaled sigmoid
+        # → breadth-first product of per-level decisions → leaf-value
+        # matmul (reference tree.py:170-207). Weight order
+        # [mask, pi, temperature, decision kernel, decision bias]. ----
+        def _ensure_np(self, in_dim: int):
+            if getattr(self, "_mask_np", None) is None:
+                n_used = max(
+                    1,
+                    int(round(self.num_features * self.used_features_rate)),
+                )
+                self._mask_np = np.eye(in_dim)[:n_used]
+                self._pi_np = np.zeros((self.num_leaves, self.output_units))
+                self._temp_np = np.asarray(self._init_temperature, float)
+                self._dec_kernel = np.zeros(
+                    (self._mask_np.shape[0], self.num_leaves)
+                )
+                self._dec_bias = np.zeros(self.num_leaves)
+
+        def forward(self, vals):
+            x = np.asarray(vals[0], dtype=np.float64)
+            self._ensure_np(x.shape[-1])
+            n = x.shape[0]
+            masked = x @ self._mask_np.T
+            logits = masked @ self._dec_kernel + self._dec_bias
+            d = 1.0 / (1.0 + np.exp(-logits / float(self._temp_np)))
+            branch = np.stack([d, 1.0 - d], axis=2)  # (n, leaves, 2)
+            mu = np.ones((n, 1, 1))
+            lo, hi = 1, 2
+            for level in range(self.depth):
+                mu = mu.reshape(n, -1, 1)
+                mu = np.tile(mu, (1, 1, 2))
+                mu = mu * branch[:, lo:hi, :]
+                lo, hi = hi, hi + 2 ** (level + 1)
+            mu = mu.reshape(n, self.num_leaves)
+            return mu @ self._pi_np
+
+        def weight_list(self):
+            if getattr(self, "_mask_np", None) is None:
+                raise ValueError("NeuralDecisionTree not built")
+            return [
+                self._mask_np,
+                self._pi_np,
+                self._temp_np,
+                self._dec_kernel,
+                self._dec_bias,
+            ]
+
+        def take_weights(self, ws):
+            (mask, pi, temp, k, b) = ws[:5]
+            self._mask_np = np.asarray(mask, dtype=np.float64)
+            self._pi_np = np.asarray(pi, dtype=np.float64)
+            self._temp_np = np.asarray(temp, dtype=np.float64)
+            self._dec_kernel = np.asarray(k, dtype=np.float64)
+            self._dec_bias = np.asarray(b, dtype=np.float64)
+            self.num_leaves = self._pi_np.shape[0]
+            self.output_units = self._pi_np.shape[1]
+            self.depth = int(round(np.log2(self.num_leaves)))
+            return 5
+
+        def spec_config(self):
+            return {
+                "depth": self.depth,
+                "num_features": self.num_features,
+                "used_features_rate": self.used_features_rate,
+                "output_units": self.output_units,
+                "temperature": self._init_temperature,
+            }
+
     class TemperatureAnnealing(keras.callbacks.Callback):
         """Linearly anneal every tree's routing temperature from soft to
         sharp over training (reference tree.py:21-51)."""

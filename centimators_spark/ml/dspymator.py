@@ -75,6 +75,25 @@ class FunctionProgram:
         return await asyncio.to_thread(self.fn, **kwargs)
 
 
+def _arith_fn(qty: str, cents: str) -> dict:
+    q, c = int(qty), int(cents)
+    return {"answer": str(q * 7 + c % 97), "workings": f"7*{q}+{c}%97"}
+
+
+def arithmetic_demo_program() -> FunctionProgram:
+    """Deterministic pure-integer-arithmetic program used by the driver
+    contract query: exercises the REAL inference path — signature field
+    routing, mapInPandas, per-partition asyncio semaphore — with an
+    output that DuckDB can bit-mirror (`answer = 7·qty + cents mod 97`
+    as a string). The reference's LLM programs are swapped for this the
+    same way its tests stub dspy (reference
+    tests/test_dspymator.py-style determinism); the Spark plumbing is
+    identical to a real dspy module's."""
+    return FunctionProgram(
+        _arith_fn, Signature(("qty", "cents"), ("answer", "workings"))
+    )
+
+
 def _get_signature(program):
     """Reference `_get_signature` (`dspymator.py:180-196`):
     ChainOfThought-style modules nest it at .predict.signature."""

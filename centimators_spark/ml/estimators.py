@@ -150,6 +150,7 @@ class KerasEstimator:
         output_names: Sequence[str] = ("prediction",),
         input_reshape=None,
         predict_output_index: int | None = None,
+        distribution_strategy: str | None = None,
     ):
         self.build_model = build_model
         self.feature_names = list(feature_names)
@@ -161,6 +162,7 @@ class KerasEstimator:
         self.output_names = list(output_names)
         self.input_reshape = input_reshape
         self.predict_output_index = predict_output_index
+        self.distribution_strategy = distribution_strategy
         self.model = None
         self._y_mean = 0.0
         self._y_std = 1.0
@@ -168,11 +170,28 @@ class KerasEstimator:
     def _build(self):
         return self.build_model()
 
+    def _setup_distribution_strategy(self) -> None:
+        """Reference parity (keras_estimators/base.py:59-61): any truthy
+        ``distribution_strategy`` enables keras DataParallel across the
+        DRIVER's local devices for the fit step — orthogonal to the
+        engine's executor-side scoring parallelism. Import-gated:
+        ``keras.distribution`` exists on JAX/TF backends only."""
+        keras = _require_keras()
+        dist = getattr(keras, "distribution", None)
+        if dist is None:  # backend without keras.distribution (torch)
+            raise ImportError(
+                "distribution_strategy requires keras.distribution "
+                "(JAX or TensorFlow backend)"
+            )
+        dist.set_distribution(dist.DataParallel())
+
     def _fit_targets(self, X: np.ndarray, y: np.ndarray):
         return y
 
     def fit(self, df: DataFrame, y=None, **fit_kwargs):
         _require_keras()
+        if self.distribution_strategy:
+            self._setup_distribution_strategy()
         if self.scale_target:
             stats = df.agg(
                 F.avg(self.target).alias("mu"),

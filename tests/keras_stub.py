@@ -40,11 +40,13 @@ import numpy as np
 
 CONSTRUCTED: list = []  # every Layer/Model instance, construction order
 MODELS: list = []       # every functional Model
+DISTRIBUTIONS: list = []  # every keras.distribution.set_distribution arg
 
 
 def reset():
     CONSTRUCTED.clear()
     MODELS.clear()
+    DISTRIBUTIONS.clear()
 
 
 def constructed(cls_name: str) -> list:
@@ -57,10 +59,11 @@ class Sym:
     so layer-DAG graphs — chains, residual adds, multi-input attention —
     can be numerically evaluated and serialized."""
 
-    def __init__(self, producer=None, op=None, operands=()):
+    def __init__(self, producer=None, op=None, operands=(), op_kwargs=None):
         self.producer = producer
         self.op = op
         self.operands: tuple = tuple(operands)
+        self.op_kwargs: dict = dict(op_kwargs or {})
         self.call_inputs: tuple = ()
 
     def _chain(self, *_a, **_k):
@@ -98,6 +101,14 @@ _OP_FNS = {
     "mul": lambda a, b: a * b,
     "div": lambda a, b: a / b,
     "neg": lambda a: -a,
+    # n-ary evaluable keras.ops (tier 3: the NDF ensemble combine) —
+    # operands are the stacked tensors; axis rides in op_kwargs
+    "stack": lambda *vals, axis=0: np.stack(
+        [np.asarray(v, dtype=np.float64) for v in vals], axis=axis
+    ),
+    "mean": lambda v, axis=None: np.asarray(v, dtype=np.float64).mean(
+        axis=axis
+    ),
 }
 
 
@@ -464,7 +475,8 @@ class Model(Layer):
             )
         if node.op is not None:
             val = _OP_FNS[node.op](
-                *[self._eval(o, env) for o in node.operands]
+                *[self._eval(o, env) for o in node.operands],
+                **node.op_kwargs,
             )
         elif isinstance(node.producer, Layer):
             vals = [self._eval(i, env) for i in node.call_inputs]
@@ -529,6 +541,7 @@ class Model(Layer):
                             else ["const", float(o)]
                             for o in node.operands
                         ],
+                        "kwargs": node.op_kwargs,
                     }
                 )
                 continue
@@ -614,6 +627,7 @@ def model_from_json(spec: str) -> "Model":
                     o[1] if isinstance(o, list) else built[o]
                     for o in nd["operands"]
                 ),
+                op_kwargs=nd.get("kwargs"),
             )
         else:
             node = layers[nd["layer"]](
@@ -677,8 +691,21 @@ def _make_module():
 
     ops = types.ModuleType("keras.ops")
     for n in ("expand_dims softmax sum shape matmul transpose sigmoid "
-              "reshape tile stack mean ones").split():
+              "reshape tile ones").split():
         setattr(ops, n, _ops_fn)
+
+    # tier-3 evaluable ops: the NDF builder's ensemble combine —
+    # stack(list, axis) records all tree outputs as operands; mean
+    # collapses the tree axis. Other ops stay dead Syms (their graphs
+    # remain structure-only), exactly as before.
+    def _stack(xs, axis=0):
+        return Sym(op="stack", operands=tuple(xs), op_kwargs={"axis": axis})
+
+    def _mean(x, axis=None):
+        return Sym(op="mean", operands=(x,), op_kwargs={"axis": axis})
+
+    ops.stack = _stack
+    ops.mean = _mean
 
     initializers = types.ModuleType("keras.initializers")
     initializers.get = _initializers_get
@@ -694,6 +721,15 @@ def _make_module():
     optimizers = types.ModuleType("keras.optimizers")
     optimizers.Adam = Optimizer
 
+    distribution = types.ModuleType("keras.distribution")
+
+    class DataParallel:
+        def __init__(self, *a, **kw):
+            pass
+
+    distribution.DataParallel = DataParallel
+    distribution.set_distribution = DISTRIBUTIONS.append
+
     saving = types.ModuleType("keras.saving")
 
     def _register(**_kw):
@@ -708,7 +744,7 @@ def _make_module():
     for n, mod in dict(
         layers=layers, models=models, ops=ops, initializers=initializers,
         regularizers=regularizers, callbacks=callbacks,
-        optimizers=optimizers, saving=saving,
+        optimizers=optimizers, saving=saving, distribution=distribution,
     ).items():
         setattr(keras, n, mod)
         sys.modules[f"keras.{n}"] = mod

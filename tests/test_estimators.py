@@ -522,6 +522,185 @@ def test_transformer_attention_forward_distributed(spark):
             ), (f0, f1)
 
 
+def test_autoencoder_dual_head_forward_distributed(spark):
+    """AE dual-loss forward numerics pinned WITHOUT keras (round-6
+    verdict item 4): the bottleneck builder's joint
+    reconstruction+target DAG (reference autoencoder.py:25-86), scored
+    through the DISTRIBUTED to_json → ship-weights → model_from_json
+    path, must match a hand-computed numpy forward on BOTH heads, and
+    the shared-layer encoder transform must return the latent code."""
+    import numpy as np
+
+    with _stub_keras(spark):
+        from centimators_spark.ml.estimators import BottleneckEncoder
+
+        rows = [
+            (0.5, -0.3, 1.0, 9.0),
+            (1.2, 0.8, -0.5, 11.0),
+            (-0.4, 0.1, 2.0, 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "x1 double, x2 double, x3 double, y double"
+        )
+        est = BottleneckEncoder(
+            ["x1", "x2", "x3"], target="y",
+            encoder_units=((2, 0.1),), latent_units=(2, 0.1),
+            ae_units=((2, 0.4),), activation="relu", epochs=1,
+        )
+        est.fit(df)
+        shapes = [w.shape for w in est.model.get_weights()]
+        # DFS from the reconstruction head down, then the target head:
+        # enc Dense, latent Dense, dec Dense, recon Dense, ae Dense,
+        # target Dense (BatchNorm/Noise/Dropout are weightless in the
+        # inference-time stub)
+        assert shapes == [
+            (3, 2), (2,), (2, 2), (2,), (2, 2), (2,),
+            (2, 3), (3,), (3, 2), (2,), (2, 1), (1,),
+        ], shapes
+        E, be = np.array([[0.4, -0.2], [0.1, 0.5], [-0.3, 0.2]]), np.array([0.1, 0.0])
+        L_, bl = np.array([[0.6, 0.3], [-0.2, 0.7]]), np.array([0.0, 0.05])
+        D, bd = np.array([[0.5, -0.4], [0.2, 0.8]]), np.array([0.02, 0.0])
+        Rk, br = np.array([[0.3, 0.6, -0.1], [0.4, -0.5, 0.2]]), np.array([0.1, 0.0, -0.1])
+        A, ba = np.array([[0.7, 0.1], [-0.3, 0.4], [0.2, 0.6]]), np.array([0.0, 0.1])
+        T, bt = np.array([[1.2], [-0.9]]), np.array([0.3])
+        est.model.set_weights([E, be, L_, bl, D, bd, Rk, br, A, ba, T, bt])
+
+        def relu(v):
+            return np.maximum(v, 0.0)
+
+        def stages(x):
+            h = relu(x @ E + be)
+            lat = relu(h @ L_ + bl)
+            dec = relu(lat @ D + bd)
+            recon = dec @ Rk + br  # linear reconstruction head
+            head = relu(recon @ A + ba)
+            target = head @ T + bt
+            return lat, recon, target
+
+        # predict = target head (output_index=1, reference
+        # autoencoder.py:137-144)
+        got = {
+            (r.x1, r.x2, r.x3): r.prediction
+            for r in est.predict(df).collect()
+        }
+        for x1, x2, x3, _ in rows:
+            _, _, t = stages(np.array([x1, x2, x3]))
+            assert got[(x1, x2, x3)] == pytest.approx(float(t[0]), rel=1e-6)
+        # reconstruction head through the same shipped model
+        rec = {
+            (r.x1, r.x2, r.x3): (r.r0, r.r1, r.r2)
+            for r in est._score_with(
+                df, est.model, ["r0", "r1", "r2"],
+                scale=False, output_index=0,
+            ).collect()
+        }
+        for x1, x2, x3, _ in rows:
+            _, r, _ = stages(np.array([x1, x2, x3]))
+            assert rec[(x1, x2, x3)] == pytest.approx(tuple(r), rel=1e-6)
+        # transform = the ENCODER model (shared layer objects → shares
+        # the hand-set weights), distributed through its own spec
+        lat_got = {
+            (r.x1, r.x2, r.x3): (r.latent_0, r.latent_1)
+            for r in est.transform(df).collect()
+        }
+        for x1, x2, x3, _ in rows:
+            lat, _, _ = stages(np.array([x1, x2, x3]))
+            assert lat_got[(x1, x2, x3)] == pytest.approx(
+                tuple(lat), rel=1e-6
+            )
+
+
+def test_distribution_strategy_knob(spark):
+    """Reference API parity (keras_estimators/base.py:59-61): a truthy
+    distribution_strategy makes fit() install keras DataParallel before
+    training; unset, nothing is installed."""
+    import numpy as np
+
+    with _stub_keras(spark) as ks:
+        from centimators_spark.ml.estimators import MLPRegressor
+
+        ks.reset()
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 9.0), (2.0, 0.5, 11.0)], "x1 double, x2 double, y double"
+        )
+        MLPRegressor(["x1", "x2"], target="y", hidden_units=(2,), epochs=1).fit(df)
+        assert ks.DISTRIBUTIONS == []
+        MLPRegressor(
+            ["x1", "x2"], target="y", hidden_units=(2,), epochs=1,
+            distribution_strategy="data_parallel",
+        ).fit(df)
+        assert len(ks.DISTRIBUTIONS) == 1
+        import keras
+
+        assert isinstance(ks.DISTRIBUTIONS[0], keras.distribution.DataParallel)
+
+
+def test_ndf_soft_routing_forward_distributed(spark):
+    """NDF soft-routing forward numerics pinned WITHOUT keras (round-6
+    verdict item 4): per-tree temperature-scaled sigmoid routing with
+    breadth-first leaf-probability products and leaf-value matmul
+    (reference tree.py:170-207), two trees averaged through the
+    evaluable stack/mean ops — through the DISTRIBUTED
+    to_json/model_from_json path, vs a hand-computed recomputation."""
+    import numpy as np
+
+    with _stub_keras(spark):
+        from centimators_spark.ml.estimators import (
+            NeuralDecisionForestRegressor,
+        )
+
+        rows = [
+            (0.5, -0.3, 1.0),
+            (1.2, 0.8, 2.0),
+            (-0.4, 0.1, 0.0),
+            (2.0, -1.0, 0.5),
+        ]
+        df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+        est = NeuralDecisionForestRegressor(
+            ["x1", "x2"], target="y",
+            num_trees=2, depth=2, used_features_rate=1.0,
+            temperature=0.5, epochs=1, scale_target=False,
+        )
+        est.fit(df)
+        shapes = [w.shape for w in est.model.get_weights()]
+        # two trees, each [mask, pi, temperature, dec kernel, dec bias]
+        assert shapes == [
+            (2, 2), (4, 1), (), (2, 4), (4,),
+            (2, 2), (4, 1), (), (2, 4), (4,),
+        ], shapes
+        I2 = np.eye(2)
+        pi1 = np.array([[1.0], [-2.0], [3.0], [0.5]])
+        k1 = np.array([[0.8, -0.4, 0.2, 0.6], [0.1, 0.9, -0.7, 0.3]])
+        b1 = np.array([0.0, 0.1, -0.1, 0.05])
+        pi2 = np.array([[-0.5], [1.5], [0.7], [-1.1]])
+        k2 = np.array([[-0.3, 0.5, 0.4, -0.6], [0.7, 0.2, -0.1, 0.8]])
+        b2 = np.array([0.2, 0.0, 0.1, -0.05])
+        t1, t2 = 0.5, 1.5
+        est.model.set_weights([
+            I2, pi1, np.asarray(t1), k1, b1,
+            I2, pi2, np.asarray(t2), k2, b2,
+        ])
+
+        def tree_out(x, k, b, temp, pi):
+            d = 1.0 / (1.0 + np.exp(-(x @ k + b) / temp))
+            # decisions column 0 unused; 1 = root, 2..3 = level-1 nodes
+            mu = np.array([
+                d[1] * d[2], d[1] * (1 - d[2]),
+                (1 - d[1]) * d[3], (1 - d[1]) * (1 - d[3]),
+            ])
+            return float((mu @ pi)[0])
+
+        got = {(r.x1, r.x2): r.prediction for r in est.predict(df).collect()}
+        for x1, x2, _ in rows:
+            x = np.array([x1, x2])
+            expected = (
+                tree_out(x, k1, b1, t1, pi1) + tree_out(x, k2, b2, t2, pi2)
+            ) / 2
+            assert got[(x1, x2)] == pytest.approx(expected, rel=1e-6), (
+                x1, x2,
+            )
+
+
 def _tiny_png(w=4, h=3):
     sig = b"\x89PNG\r\n\x1a\n"
     ihdr_data = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)

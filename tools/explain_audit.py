@@ -412,8 +412,9 @@ def main():
     p = plan_of(sq["linreg_fast_contract"](spark, sf_dir))
     ok &= audit("linreg_fast: no Python eval", "EvalPython" not in p)
 
-    # 34. round-7 staged set (gate-green, next round's window head)
-    st = entrymod.staged_queries()
+    # 34. round-7 set (promoted into queries() in round 7; staged
+    # queries, if any, are merged so this section audits both)
+    st = {**entrymod.queries(), **entrymod.staged_queries()}
     p = plan_of(st["max_drawdown"](spark, sf_dir))
     ok &= audit(
         "max_drawdown: equity+peak windows fuse on ONE (group, order)"
