@@ -3069,13 +3069,24 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_staged_queries.py and `check_oracle --staged`. (The
     round-7 set — drawdown, KS, BM25, gains deciles, triangle count,
     Q22/Q11/Q21, span dedup, quality classifier — was promoted into
-    queries() this round.)"""
-    return {}
+    queries() this round.) Round-8 candidates: TPC-H Q3
+    (order-limit-over-join as TakeOrderedAndProject) and Q5 (cycle
+    join closed broadcast-side) — the two join shapes the suite
+    lacked (round-6 verdict item 9)."""
+    return {
+        "shipping_priority": relational_queries.q_shipping_priority,
+        "local_supplier_volume": relational_queries.q_local_supplier_volume,
+    }
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
-    return {}
+    return {
+        "shipping_priority": relational_queries._SHIPPING_PRIORITY_ORACLE,
+        "local_supplier_volume": (
+            relational_queries._LOCAL_SUPPLIER_VOLUME_ORACLE
+        ),
+    }
 
 
 def _promoted_r7_oracle_sql() -> dict[str, str]:
