@@ -3076,6 +3076,10 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "shipping_priority": relational_queries.q_shipping_priority,
         "local_supplier_volume": relational_queries.q_local_supplier_volume,
+        "customer_distribution": relational_queries.q_customer_distribution,
+        "large_volume_customers": (
+            relational_queries.q_large_volume_customers
+        ),
     }
 
 
@@ -3085,6 +3089,12 @@ def staged_oracle_sql() -> dict[str, str]:
         "shipping_priority": relational_queries._SHIPPING_PRIORITY_ORACLE,
         "local_supplier_volume": (
             relational_queries._LOCAL_SUPPLIER_VOLUME_ORACLE
+        ),
+        "customer_distribution": (
+            relational_queries._CUSTOMER_DISTRIBUTION_ORACLE
+        ),
+        "large_volume_customers": (
+            relational_queries._LARGE_VOLUME_CUSTOMERS_ORACLE
         ),
     }
 

@@ -1067,6 +1067,93 @@ _LOCAL_SUPPLIER_VOLUME_ORACLE = """
 """
 
 
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): histogram
+    of customers by non-urgent order count, zeros included. The
+    agg-of-agg-over-outer-join shape — and the scale-correct plan for
+    it: the fact table pre-aggregates to per-customer counts FIRST
+    (one shuffle, output bounded by |customer|), and the left outer
+    join runs against that aggregated-small side as a BROADCAST, never
+    an outer shuffle join of customer against raw orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    counts = (
+        orders.where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_cust = customer.join(
+        F.broadcast(counts), F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("c_count"),
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_CUSTOMER_DISTRIBUTION_ORACLE = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold, with customer and order detail —
+    the HAVING-threshold semi-join shape: the fact aggregates once on
+    its own key (sum quantity per order), the surviving key set is
+    tiny and BROADCASTS back into orders and then customer, so the
+    heavy table is read once and never re-shuffled. Quantities ride
+    an exact integer carrier; top-100 by total price is a
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")
+        )
+        .where(F.col("sum_qty") > 210)
+    )
+    j = orders.join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+    ).join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("tp_cents"),
+        "sum_qty",
+    ).orderBy(F.col("tp_cents").desc(), "o_orderkey").limit(100)
+
+
+_LARGE_VOLUME_CUSTOMERS_ORACLE = """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS tp_cents,
+           sum_qty
+    FROM orders
+    JOIN (SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 210) big
+      ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY tp_cents DESC, o_orderkey
+    LIMIT 100
+"""
+
+
 QUERIES = {
     "era_report": q_era_report,
     "autocorrelation": q_autocorrelation,

@@ -529,6 +529,25 @@ def main():
         and "CartesianProduct" not in p
         and p.count("Exchange hashpartitioning") <= 3,
     )
+    p = plan_of(st["customer_distribution"](spark, sf_dir))
+    ok &= audit(
+        "customer_distribution (Q13): orders pre-aggregate to bounded"
+        " per-customer counts BEFORE the outer join, which then runs"
+        " broadcast (never an outer shuffle join against raw orders)",
+        "BroadcastHashJoin" in p
+        and "LeftOuter" in p
+        and "SortMergeJoin" not in p,
+    )
+    p = plan_of(st["large_volume_customers"](spark, sf_dir))
+    ok &= audit(
+        "large_volume_customers (Q18): HAVING-filtered key set"
+        " broadcasts back into orders + customer; top-100 is"
+        " TakeOrderedAndProject, lineitem shuffles only for its own"
+        " aggregation",
+        p.count("BroadcastHashJoin") >= 2
+        and "TakeOrderedAndProject" in p
+        and "SortMergeJoin" not in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1

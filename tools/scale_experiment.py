@@ -104,6 +104,13 @@ QS = [
     "gini_segments", "cheapest_supplier", "active_time",
     "weighted_median", "rake_keywords", "isotonic_contract",
     "approx_distinct_contract", "linreg_fast_contract",
+    # round-7 additions (verdict item 8): the promoted round-7 set —
+    # triangle counting and gains are exactly the shapes where skew
+    # bites; span_dedup/bm25 scale with documents, drawdown/KS with
+    # lineitem
+    "max_drawdown", "ks_statistic", "bm25_search", "gains_table",
+    "triangle_count", "span_dedup", "quality_classifier",
+    "dspymator_contract",
 ]
 
 
