@@ -3063,6 +3063,98 @@ DSPYMATOR_CONTRACT_ORACLE = """
 """
 
 
+RRF_TOPN = 20  # depth of each retriever's list feeding the fusion
+
+
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 and exact-cosine vector
+    top-20 (query = embedding 0) fused by reciprocal rank (K=60,
+    integer ppb carriers), top-10 out. The RAG-corpus hybrid-search
+    shape: both retrievers are the engine's existing scale paths; the
+    fusion itself is a union of two ≤20-row lists — its windows are
+    bounded by the list depth, never by the corpus."""
+    from centimators_spark.similarity.ann import brute_force_topk
+    from centimators_spark.similarity.fusion import rrf_fuse
+    from centimators_spark.text.features import bm25_topk
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_TERMS, k=RRF_TOPN).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        ),
+    )
+    q0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = brute_force_topk(emb, q0, k=RRF_TOPN).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, vec], k=10)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from centimators_spark.plans.datapipe_queries import _cos
+    from centimators_spark.text.features import bm25_topk_oracle_sql
+
+    bm25 = bm25_topk_oracle_sql(BM25_TERMS, k=RRF_TOPN)
+    return f"""
+        WITH lex AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+          FROM ({bm25}) b
+        ), e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        vec AS (
+          SELECT vec_id AS doc_id,
+                 row_number() OVER (
+                   ORDER BY {_cos('q.qv', 'e.v')} DESC, vec_id) AS rank
+          FROM e CROSS JOIN q WHERE e.vec_id <> 0
+          ORDER BY rank LIMIT {RRF_TOPN}
+        ), contrib AS (
+          SELECT doc_id,
+                 CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+          FROM lex
+          UNION ALL
+          SELECT doc_id,
+                 CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+          FROM vec
+        )
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_ppb,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM contrib GROUP BY doc_id
+        ORDER BY rrf_ppb DESC, doc_id LIMIT 10
+    """
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: greedy prefix of the global
+    quality ordering (linear classifier score desc, doc_id tiebreak)
+    until 40% of the corpus's tokens are spent — the two-phase
+    cell-cumsum template, so no task ever sorts the whole corpus."""
+    from centimators_spark.text.classifier import linear_text_score
+    from centimators_spark.text.selection import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = linear_text_score(docs, QUALITY_WEIGHTS, QUALITY_BIAS)
+    return token_budget_select(scored, budget_frac=0.4)
+
+
+def _budget_select_oracle() -> str:
+    from centimators_spark.text.classifier import linear_text_score_oracle_sql
+    from centimators_spark.text.selection import (
+        token_budget_select_oracle_sql,
+    )
+
+    scored = linear_text_score_oracle_sql(QUALITY_WEIGHTS, QUALITY_BIAS)
+    return token_budget_select_oracle_sql(f"({scored})", budget_frac=0.4)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
     the round-8 candidate set, gate-checked by
@@ -3080,6 +3172,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": (
             relational_queries.q_large_volume_customers
         ),
+        "hybrid_rrf_search": q_hybrid_rrf_search,
+        "budget_select": q_budget_select,
     }
 
 
@@ -3096,6 +3190,8 @@ def staged_oracle_sql() -> dict[str, str]:
         "large_volume_customers": (
             relational_queries._LARGE_VOLUME_CUSTOMERS_ORACLE
         ),
+        "hybrid_rrf_search": _hybrid_rrf_oracle(),
+        "budget_select": _budget_select_oracle(),
     }
 
 

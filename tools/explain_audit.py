@@ -548,6 +548,20 @@ def main():
         and "TakeOrderedAndProject" in p
         and "SortMergeJoin" not in p,
     )
+    p = plan_of(st["budget_select"](spark, sf_dir))
+    ok &= audit(
+        "budget_select: global greedy prefix runs as the two-phase"
+        " cell cumsum (cell-partitioned window; only the ≤n_cells"
+        " offsets window is unpartitioned), zero Python",
+        "__cell" in p and "EvalPython" not in p,
+    )
+    p = plan_of(st["hybrid_rrf_search"](spark, sf_dir))
+    ok &= audit(
+        "hybrid_rrf_search: both retrievers keep their scale shapes"
+        " (bm25 stats broadcast, query vector broadcast into the"
+        " scan); fusion windows are bounded by list depth; no Python",
+        "EvalPython" not in p and "CartesianProduct" not in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
