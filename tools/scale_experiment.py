@@ -155,11 +155,17 @@ def main() -> int:
 
     import __spark_entry__ as m
 
+    # positional args select a query subset (default: the full QS list)
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or QS
     tgt = build()
-    spark = get_spark("scale10", cpus=32)
+    spark = get_spark(
+        "scale10",
+        cpus=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     for sf_dir, label in [(BASE, "x1"), (tgt, "x10")]:
-        for name in QS:
+        for name in names:
             fn = m.queries()[name]
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
