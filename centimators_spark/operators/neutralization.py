@@ -94,6 +94,36 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     return max(1, math.ceil(total_cost / split))
 
 
+def _local_input_bytes(df: DataFrame) -> int | None:
+    """Total bytes of ``df``'s locally stat-able file sources; None for
+    non-file / remote inputs (same scope rule as the partition
+    estimator above)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        try:
+            total += os.path.getsize(unquote(urlparse(f).path))
+        except OSError:
+            return None
+    return total
+
+
+# Below this input size, re-executing the residual lineage per consumer
+# is cheaper than materializing it (round-7 measurement: the sf0.1
+# 11 MB scan pays ~1.7 s for an unneeded localCheckpoint — the r5→r6
+# neutralizer_kernel_contract regression — while the 10x 108 MB build
+# needs the cut: 24 s → 7.8 s). The gate's shuffle is already deduped
+# by ReusedExchange via the deterministic repartition key either way.
+_MATERIALIZE_BYTES = 32 * 1024 * 1024
+
+
 def gaussianize_stage(
     df: DataFrame,
     pred_name: str,
@@ -306,8 +336,14 @@ def era_ols_neutralize(
         # scan (gate off) the lineage is a pruned scan + broadcast
         # join, and re-scanning into map-side-partial aggs beats
         # materializing the residual table — the original "none"
-        # rationale, now scoped to where it measured true.
-        materialize = "localCheckpoint" if gated else "none"
+        # rationale, now scoped to where it measured true. Round-7
+        # refinement: even when the gate fires, a SMALL input
+        # (< _MATERIALIZE_BYTES) re-executes cheaper than it
+        # checkpoints — the deterministic key already collapses the
+        # consumers onto one reused exchange.
+        nbytes = _local_input_bytes(df)
+        big = nbytes is None or nbytes >= _MATERIALIZE_BYTES
+        materialize = "localCheckpoint" if (gated and big) else "none"
     if gated:
         # hash on a DETERMINISTIC synthetic key (xxhash64 of the whole
         # projected row): round-robin repartition(n) local-sorts every
