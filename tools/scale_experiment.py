@@ -53,6 +53,35 @@ Round-6 additions (measured 2026-08-14, same protocol):
     approx_distinct     0.50    0.46   ~1x    HLL sketch agg
     linreg_fast         0.93    1.33    1.4x  float Gram + grad check
 
+Round-7 additions (measured 2026-08-15, same protocol; the promoted
+round-7 query set after its two perf fixes — capped strong-tie
+triangle subgraph, 1%-slice dspymator input):
+
+    max_drawdown        1.57    1.47   ~1x    fused equity+peak windows
+    ks_statistic        0.40    0.46   ~1x    distinct-value stream
+    bm25_search         1.35    1.83    1.4x  query-term filtered scan
+    gains_table         0.83    0.99    1.2x  two-phase cell cumsum
+    triangle_count      2.93    2.52   ~1x    capped subgraph saturates
+    span_dedup          2.58   17.42    6.8x  gram agg scales w/ corpus
+    quality_classifier  0.43    1.12    2.6x  one codegen scan
+    dspymator_contract  1.22    2.90    2.4x  mapInPandas asyncio path
+    psi_drift           3.30   11.75    3.6x  (re-run; matches r4 3.1x)
+    pagerank            1.75    1.04   ~1x    fixed-size edge set
+
+Round-7 FIXES found by this sweep: (a) triangle_count on the raw
+co-supply projection measured 25.3s at x1 — the synthetic fixture's
+co-supply graph is COMPLETE over all 1000 suppliers, so triangles are
+TH(|V|^3) for any algorithm (a result-size property, not skew); the
+query now counts a 300-supplier strong-tie subgraph (25.3 -> 3.5s).
+(b) dspymator_contract over the full lineitem measured 109s at x1 —
+600k per-row asyncio program calls buy no extra path coverage; the
+contract input is now the deterministic 1%-of-orders slice (-> 1.5s).
+(c) the round-6 materialize="auto" localCheckpoint in era OLS
+neutralization cost ~1.7s at sf0.1 where lineage re-execution is
+cheaper; "auto" is now additionally size-gated (>= 32 MB input), which
+keeps the x10 win (neutralize_ols_era 9.0s at x10, 2.3x) and recovers
+the small-scale readings (neutralizer_full_expr 3.3 -> 2.9s).
+
 Round-6 FIX: neutralize_ols_era measured 12.7x (3.6s -> 45.5s) on the
 first round-6 run — SUPER-linear. Two causes, both fixed: (a) the
 under-partitioned repartition gate used monotonically_increasing_id,
