@@ -950,123 +950,6 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape (shipping priority): top-10 unshipped BUILDING
-    orders by revenue as of a cutoff date. The shape the suite lacked:
-    ORDER BY … LIMIT over a join-aggregate — Spark must plan it as
-    TakeOrderedAndProject (per-partition heaps + driver merge of 10
-    rows), never a global sort. Customer broadcasts into orders, the
-    surviving orders shuffle once on l_orderkey; revenue is the exact
-    integer cent×cent carrier. Deterministic total tiebreak
-    (rev, o_orderdate, l_orderkey) so the top-10 is hash-stable."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    cutoff = "1998-03-15"
-    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        100 - F.round(F.col("l_discount") * 100).cast("long")
-    )
-    j = (
-        orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
-        .join(
-            F.broadcast(
-                customer.where(F.col("c_mktsegment") == "BUILDING")
-            ),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .join(
-            li.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-    )
-    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.sum(vol.cast("decimal(38,0)")).cast("long").alias("rev_cc")
-    )
-    return agg.orderBy(
-        F.col("rev_cc").desc(), "o_orderdate", "l_orderkey"
-    ).limit(10)
-
-
-_SHIPPING_PRIORITY_ORACLE = """
-    SELECT l_orderkey,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                AS BIGINT) AS rev_cc,
-           o_orderdate, o_orderpriority
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-03-15'
-      AND l_shipdate > TIMESTAMP '1998-03-15'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY rev_cc DESC, o_orderdate, l_orderkey
-    LIMIT 10
-"""
-
-
-def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape (local supplier volume): revenue from ASIA
-    customers served by suppliers in their OWN nation, per nation, two
-    order years. The cycle-join shape: lineitem→orders→customer and
-    lineitem→supplier meet again on c_nationkey = s_nationkey — the
-    fact table shuffles once on l_orderkey for the orders join; every
-    dimension (customer, supplier, nation, region) broadcasts, and the
-    nation-equality cycle closes as a broadcast-side filter, not
-    another shuffle. Exact integer cent×cent revenue carrier."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        100 - F.round(F.col("l_discount") * 100).cast("long")
-    )
-    j = (
-        li.join(
-            orders.where(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(supplier),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .where(F.col("r_name") == "ASIA")
-    )
-    return (
-        j.groupBy("n_name")
-        .agg(F.sum(vol.cast("decimal(38,0)")).cast("long").alias("rev_cc"))
-        .orderBy(F.col("rev_cc").desc(), "n_name")
-    )
-
-
-_LOCAL_SUPPLIER_VOLUME_ORACLE = """
-    SELECT n_name,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                AS BIGINT) AS rev_cc
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate < TIMESTAMP '1998-01-01'
-    GROUP BY n_name
-    ORDER BY rev_cc DESC, n_name
-"""
-
-
 def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): histogram
     of customers by non-urgent order count, zeros included. The
