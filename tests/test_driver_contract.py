@@ -20,14 +20,24 @@ def test_queries_tz_independent(spark):
         )
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for t in ("orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT *"
+                f" FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        allq = {**entrymod.queries(), **entrymod.staged_queries()}
+        allo = {**entrymod.oracle_sql(), **entrymod.staged_oracle_sql()}
         for q in (
             "events_windowed_counts",
             "spearman_by_month",
             "scd2_intervals",
             "session_window",
+            # staged round-8: raw-timestamp output + timestamp-literal
+            # predicates (the driver session may not be UTC)
+            "large_volume_customers",
         ):
-            sdf = entrymod.queries()[q](spark, SF).toPandas()
-            odf = con.execute(entrymod.oracle_sql()[q]).fetchdf()
+            sdf = allq[q](spark, SF).toPandas()
+            odf = con.execute(allo[q]).fetchdf()
             cols = sorted(sdf.columns)
             s = sdf[cols].sort_values(cols).reset_index(drop=True)
             o = odf[cols].sort_values(cols).reset_index(drop=True)
