@@ -3152,6 +3152,73 @@ def _hybrid_rrf_oracle() -> str:
     """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment near-dups (doc-inside-doc):
+    |grams(src) ∩ grams(dst)| / |grams(src)| ≥ 0.8 over the documents
+    table — same inverted-index blocking as dedup_ngram_jaccard, one
+    shared-gram count feeding both directions."""
+    from centimators_spark.dedup.jaccard import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, n=3, threshold=0.8, df_cap=None
+    )
+
+
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini decision-stump search over three lineitem features
+    vs the returned-flag label — distinct-value-stream cumulative
+    counts, IEEE-division-only scoring (no transcendentals), argmin
+    via min-struct."""
+    from centimators_spark.ml.splits import best_split
+
+    li = _lineitem(spark, sf_dir)
+    return best_split(
+        li,
+        {
+            "quantity": F.col("l_quantity"),
+            "discount_pct": F.round(F.col("l_discount") * 100),
+            "tax_pct": F.round(F.col("l_tax") * 100),
+        },
+        F.col("l_returnflag") == "R",
+    )
+
+
+def _containment_pairs_oracle() -> str:
+    from centimators_spark.plans.datapipe_queries import _GRAMS_CTE
+
+    return f"""
+        WITH {_GRAMS_CTE},
+        sized AS (
+          SELECT x.doc_id AS d1, y.doc_id AS d2,
+                 len(list_intersect(x.gs, y.gs)) AS c,
+                 len(x.gs) AS n1, len(y.gs) AS n2
+          FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+          WHERE len(list_intersect(x.gs, y.gs)) > 0
+        ), dirs AS (
+          SELECT d1 AS src, d2 AS dst,
+                 CAST(c AS DOUBLE) / n1 AS containment FROM sized
+          UNION ALL
+          SELECT d2, d1, CAST(c AS DOUBLE) / n2 FROM sized
+        )
+        SELECT src, dst, containment FROM dirs WHERE containment >= 0.8
+    """
+
+
+def _best_split_oracle() -> str:
+    from centimators_spark.ml.splits import best_split_oracle_sql
+
+    return best_split_oracle_sql(
+        "lineitem",
+        {
+            "quantity": "l_quantity",
+            "discount_pct": "round(l_discount * 100)",
+            "tax_pct": "round(l_tax * 100)",
+        },
+        "l_returnflag = 'R'",
+    )
+
+
 def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection: greedy prefix of the global
     quality ordering (linear classifier score desc, doc_id tiebreak)
@@ -3196,6 +3263,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "hybrid_rrf_search": q_hybrid_rrf_search,
         "budget_select": q_budget_select,
+        "containment_pairs": q_containment_pairs,
+        "best_split": q_best_split,
     }
 
 
@@ -3210,6 +3279,8 @@ def staged_oracle_sql() -> dict[str, str]:
         ),
         "hybrid_rrf_search": _hybrid_rrf_oracle(),
         "budget_select": _budget_select_oracle(),
+        "containment_pairs": _containment_pairs_oracle(),
+        "best_split": _best_split_oracle(),
     }
 
 

@@ -79,3 +79,54 @@ def ngram_jaccard_pairs(
         .select("d1", "d2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    df_cap: int | None = DEFAULT_DF_CAP,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: (src, dst, containment) where
+    containment(src→dst) = |grams(src) ∩ grams(dst)| / |grams(src)| ≥
+    threshold — the doc-inside-doc detector (quotes, boilerplate
+    wrappers, extended re-posts) that symmetric Jaccard misses: a
+    200-gram doc fully embedded in a 10,000-gram doc scores Jaccard
+    0.02 but containment 1.0. Same inverted-index blocking and df_cap
+    stop-gram guard as :func:`ngram_jaccard_pairs`; one shared-gram
+    count per unordered pair feeds BOTH directions. Integer ratio →
+    bit-exact."""
+    grams = _gram_sets(df, content_col, id_col, n)
+    inv = grams.select("doc_id", F.explode("grams").alias("g"))
+    inv = inv.localCheckpoint(eager=True)
+    if df_cap is not None:
+        freq = inv.groupBy("g").count().where(F.col("count") <= df_cap)
+        inv = inv.join(F.broadcast(freq.select("g")), "g")
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        inv.alias("a")
+        .join(inv.alias("b"), "g")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sized = shared.join(
+        sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")),
+        "d1",
+    ).join(
+        sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")),
+        "d2",
+    )
+    fwd = sized.select(
+        F.col("d1").alias("src"),
+        F.col("d2").alias("dst"),
+        (F.col("c").cast("double") / F.col("n1")).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("d2").alias("src"),
+        F.col("d1").alias("dst"),
+        (F.col("c").cast("double") / F.col("n2")).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)

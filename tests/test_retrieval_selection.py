@@ -1,8 +1,11 @@
-"""Hand-computed semantics for the round-8 staged retrieval/selection
-operators: reciprocal-rank fusion and token-budget corpus selection."""
+"""Hand-computed semantics for the round-8 staged operators:
+reciprocal-rank fusion, token-budget corpus selection, asymmetric
+containment dedup, and the Gini decision stump."""
 
-import pyspark.sql.functions as F  # noqa: F401
+import pyspark.sql.functions as F
 
+from centimators_spark.dedup.jaccard import ngram_containment_pairs
+from centimators_spark.ml.splits import best_split
 from centimators_spark.similarity.fusion import rrf_fuse
 from centimators_spark.text.selection import token_budget_select
 
@@ -79,3 +82,45 @@ def test_token_budget_select_two_phase_matches_small_cells(spark):
         .toString()
     )
     assert "__cell" in plan
+
+
+def test_containment_asymmetric_embedding(spark):
+    # doc 2 is fully contained in doc 1 (its grams are a subset);
+    # symmetric Jaccard is low but containment(2 -> 1) = 1.0
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small = "gamma delta epsilon"
+    other = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        (r.src, r.dst): r.containment
+        for r in ngram_containment_pairs(
+            df, n=3, threshold=0.5, df_cap=None
+        ).collect()
+    }
+    # small has 1 trigram, fully inside big's 8 trigrams
+    assert out[(2, 1)] == 1.0
+    assert (1, 2) not in out  # 1/8 = 0.125 < 0.5
+    assert not any(3 in k for k in out)
+
+
+def test_best_split_hand_gini(spark):
+    # feature x: values 1,2,3,4; labels positive iff x >= 3.
+    # perfect split at threshold 2: left (x<=2) all neg, right all pos
+    rows = [(v, v >= 3) for v in (1, 1, 2, 2, 3, 3, 4, 4)]
+    df = spark.createDataFrame(rows, "x long, y boolean")
+    out = best_split(df, {"x": F.col("x")}, F.col("y")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.feature, r.threshold, r.n_left, r.pos_left) == ("x", 2, 4, 0)
+    assert r.score == 0.0  # both sides pure
+
+
+def test_best_split_prefers_lower_threshold_on_ties(spark):
+    # all labels identical: every split scores the same (0 impurity
+    # everywhere) -> the min-struct tiebreak keeps the LOWEST threshold
+    rows = [(v, True) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "x long, y boolean")
+    r = best_split(df, {"x": F.col("x")}, F.col("y")).collect()[0]
+    assert r.threshold == 1 and r.score == 0.0

@@ -561,6 +561,22 @@ def main():
         " scan); fusion windows are bounded by list depth; no Python",
         "EvalPython" not in p and "CartesianProduct" not in p,
     )
+    p = plan_of(st["best_split"](spark, sf_dir))
+    ok &= audit(
+        "best_split: heavy input collapses to (feature, value) counts"
+        " before the feature-PARTITIONED cumulative window; argmin is"
+        " one min-struct aggregation — no global sort, no Python",
+        "EvalPython" not in p
+        and "Sort [feature" in p  # window partitioned by feature
+        and "CartesianProduct" not in p,
+    )
+    p = plan_of(st["containment_pairs"](spark, sf_dir))
+    ok &= audit(
+        "containment_pairs: inverted-index gram equi-join (bucketed,"
+        " never all-pairs); one shared-gram count feeds both"
+        " directions",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
