@@ -416,11 +416,19 @@ def gains_table(
         "n_pos",
         "cum_rows",
         "cum_pos",
-        F.round(F.col("cum_pos") / F.col("__np"), 6).alias("gain"),
-        F.round(
-            (F.col("cum_pos") / F.col("cum_rows"))
-            / (F.col("__np") / F.col("__n")),
-            6,
+        # no positives at all → gain/lift undefined (NULL), never a
+        # division error (ANSI mode; found by the hypothesis sweep)
+        F.when(
+            F.col("__np") > 0,
+            F.round(F.col("cum_pos") / F.col("__np"), 6),
+        ).alias("gain"),
+        F.when(
+            F.col("__np") > 0,
+            F.round(
+                (F.col("cum_pos") / F.col("cum_rows"))
+                / (F.col("__np") / F.col("__n")),
+                6,
+            ),
         ).alias("lift"),
     )
 
@@ -468,10 +476,14 @@ def gains_table_oracle_sql(
         SELECT CAST(bucket AS INTEGER) AS bucket, n_rows, n_pos,
                CAST(sum(n_rows) OVER wb AS BIGINT) AS cum_rows,
                CAST(sum(n_pos) OVER wb AS BIGINT) AS cum_pos,
-               round(CAST(sum(n_pos) OVER wb AS DOUBLE) / np, 6) AS gain,
-               round((CAST(sum(n_pos) OVER wb AS DOUBLE)
-                      / sum(n_rows) OVER wb)
-                     / (CAST(np AS DOUBLE) / n), 6) AS lift
+               CASE WHEN np > 0 THEN
+                 round(CAST(sum(n_pos) OVER wb AS DOUBLE) / np, 6)
+               END AS gain,
+               CASE WHEN np > 0 THEN
+                 round((CAST(sum(n_pos) OVER wb AS DOUBLE)
+                        / sum(n_rows) OVER wb)
+                       / (CAST(np AS DOUBLE) / n), 6)
+               END AS lift
         FROM per_bucket
         WINDOW wb AS (ORDER BY bucket
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

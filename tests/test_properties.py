@@ -410,3 +410,80 @@ def test_core_transformers_match_pandas_reference(spark, data):
     )
     for g, e in zip(got[f"v_ma{w}"], exp_ma):
         assert (pd.isna(g) and pd.isna(e)) or g == pytest.approx(e), (g, e)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    n_cells=st.sampled_from([1, 2, 3, 7, 64]),
+)
+def test_gains_table_two_phase_equals_reference(spark, rows, n_cells):
+    """The two-phase cell cumsum is bit-identical to the single-window
+    reference path for ARBITRARY score distributions and any cell
+    count — the exact-integer-arithmetic invariant behind the round-7
+    continuous-score fix."""
+    from centimators_spark.ml.classification_metrics import gains_table
+
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    fast = sorted(gains_table(df, "score", "label", n_cells=n_cells).collect())
+    ref = sorted(gains_table(df, "score", "label", n_cells=None).collect())
+    assert fast == ref
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # score
+            st.integers(min_value=0, max_value=50),        # tokens
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r,  # doc ids assigned by enumeration below
+    ),
+    n_cells=st.sampled_from([1, 2, 5, 64]),
+    frac=st.sampled_from([0.0, 0.3, 0.5, 1.0]),
+)
+def test_budget_select_matches_local_greedy(spark, rows, n_cells, frac):
+    """token_budget_select == the local greedy prefix of the
+    (score desc, doc_id asc) ordering for arbitrary scores/tokens,
+    any cell count, any budget fraction."""
+    from centimators_spark.text.selection import token_budget_select
+
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, score_micro long, n_tokens long"
+    )
+    got = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_select(
+            df, budget_frac=frac, n_cells=n_cells
+        ).collect()
+    )
+    order = sorted(data, key=lambda r: (-r[1], r[0]))
+    budget = math.floor(sum(r[2] for r in data) * frac)
+    cum, expected = 0, []
+    for doc_id, _, tok in order:
+        cum += tok
+        if cum > budget:
+            break
+        expected.append((doc_id, cum))
+    assert got == sorted(expected)
