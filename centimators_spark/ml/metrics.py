@@ -405,8 +405,13 @@ def ks_two_sample(
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
             F.col("ks_num").cast("long").alias("ks_num"),
-            F.round(
-                F.col("ks_num") / (F.col("n_a") * F.col("n_b")), 6
+            # one sample empty → KS undefined (NULL), never a division
+            # error (ANSI mode)
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.round(
+                    F.col("ks_num") / (F.col("n_a") * F.col("n_b")), 6
+                ),
             ).alias("ks"),
         )
     )
@@ -441,7 +446,9 @@ def ks_two_sample_oracle_sql(
                CAST(n_a AS BIGINT) AS n_a,
                CAST(n_b AS BIGINT) AS n_b,
                CAST(max(abs(n_b * ca - n_a * cb)) AS BIGINT) AS ks_num,
-               round(CAST(max(abs(n_b * ca - n_a * cb)) AS DOUBLE)
-                     / (n_a * n_b), 6) AS ks
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 round(CAST(max(abs(n_b * ca - n_a * cb)) AS DOUBLE)
+                       / (n_a * n_b), 6)
+               END AS ks
         FROM cum GROUP BY g, n_a, n_b
     """

@@ -213,3 +213,22 @@ def test_linear_text_score_hand_weights(spark):
     assert out[1] == (100_000 + 2 * 500_000 - 400_000, True)
     assert out[2] == (100_000 - 400_000, False)
     assert out[3] == (100_000, True)  # bias only
+
+
+def test_ks_two_sample_one_class_group_null_not_crash(spark):
+    # a group with one empty sample yields NULL ks (ANSI-safe), the
+    # mixed group the exact separation statistic
+    rows = [(1, "g", False)] * 5 + [(2, "h", True)] * 3 + [(3, "h", False)] * 2
+    df = spark.createDataFrame(rows, "x long, g string, flag boolean")
+    out = {r.g: r for r in ks_two_sample(df, "x", "flag", "g").collect()}
+    assert out["g"].ks is None and out["g"].n_b == 0
+    assert out["h"].ks == 1.0  # disjoint supports
+
+
+def test_gains_table_no_positives_null_not_crash(spark):
+    df = spark.createDataFrame(
+        [(float(i), False) for i in range(20)], "score double, label boolean"
+    )
+    out = gains_table(df, "score", "label").collect()
+    assert sum(r.n_rows for r in out) == 20
+    assert all(r.gain is None and r.lift is None for r in out)
