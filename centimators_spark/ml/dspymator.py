@@ -76,6 +76,8 @@ class FunctionProgram:
 
 
 def _arith_fn(qty: str, cents: str) -> dict:
+    if qty is None or cents is None:  # degenerate rows -> null answer
+        return {"answer": None, "workings": None}
     q, c = int(qty), int(cents)
     return {"answer": str(q * 7 + c % 97), "workings": f"7*{q}+{c}%97"}
 
