@@ -3152,6 +3152,37 @@ def _hybrid_rrf_oracle() -> str:
     """
 
 
+def q_topk_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month turnover of the top-25 suppliers by revenue —
+    the portfolio-churn diagnostic over era-ranked selections (rank
+    window per era + tiny self-join of the top-k table against its
+    era-shifted image)."""
+    from centimators_spark.analytics import topk_turnover
+
+    li = _lineitem(spark, sf_dir).withColumn(
+        "month", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    return topk_turnover(
+        li,
+        "month",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        k=25,
+    )
+
+
+def _topk_turnover_oracle() -> str:
+    from centimators_spark.analytics import topk_turnover_oracle_sql
+
+    return topk_turnover_oracle_sql(
+        "lineitem",
+        "date_trunc('month', l_shipdate)",
+        "l_suppkey",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        k=25,
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment near-dups (doc-inside-doc):
     |grams(src) ∩ grams(dst)| / |grams(src)| ≥ 0.8 over the documents
@@ -3265,6 +3296,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "containment_pairs": q_containment_pairs,
         "best_split": q_best_split,
+        "topk_turnover": q_topk_turnover,
     }
 
 
@@ -3281,6 +3313,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "budget_select": _budget_select_oracle(),
         "containment_pairs": _containment_pairs_oracle(),
         "best_split": _best_split_oracle(),
+        "topk_turnover": _topk_turnover_oracle(),
     }
 
 

@@ -633,3 +633,127 @@ def interval_union_length_oracle_sql(
                CAST(sum(i_e - i_s) AS BIGINT) AS {out_name}
         FROM islands GROUP BY {g}
     """
+
+
+def topk_turnover(
+    df: DataFrame,
+    era_col: str,
+    item_col: str,
+    metric,
+    k: int = 25,
+    era_step=None,
+) -> DataFrame:
+    """Top-k membership turnover between consecutive eras — the
+    portfolio-churn diagnostic for era-ranked selections: per era,
+    rank items by the (exact-integer) metric, keep the top ``k``
+    (deterministic tiebreak: metric desc, item asc), then for each era
+    with a predecessor report how much of the current top-k is new:
+
+        turnover = (|top_k(t)| − |top_k(t) ∩ top_k(t−1)|) / |top_k(t)|
+
+    ``era_step`` maps an era value to its SUCCESSOR era value
+    (default: ``F.add_months(era, 1)`` for month eras — calendar
+    holes simply produce no pair, documented behavior).
+
+    Plan: one (era, item) aggregation, one era-partitioned rank
+    window, an equi-join of the tiny top-k table against its own
+    era-shifted image, one count per era — no windows over more than
+    one era, no driver collection. Counts are BIGINT; the single
+    ratio divides two small integers (IEEE-exact both engines).
+    """
+    from pyspark.sql import Window
+
+    if era_step is None:
+        era_step = F.add_months(F.col("__era"), 1)
+    per = df.groupBy(
+        F.col(era_col).alias("__era"), F.col(item_col).alias("__item")
+    ).agg(F.sum(metric).alias("__m"))
+    w = Window.partitionBy("__era").orderBy(
+        F.col("__m").desc(), F.col("__item").asc()
+    )
+    top = (
+        per.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= int(k))
+        .select("__era", "__item")
+    )
+    prev = top.select(
+        era_step.alias("__era"), F.col("__item").alias("__pitem")
+    )
+    curr_counts = top.groupBy("__era").agg(
+        F.count(F.lit(1)).cast("long").alias("n_curr")
+    )
+    prev_counts = prev.groupBy("__era").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prev")
+    )
+    common = (
+        top.join(
+            prev,
+            (top["__era"] == prev["__era"])
+            & (top["__item"] == prev["__pitem"]),
+        )
+        .groupBy(top["__era"].alias("__era"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        curr_counts.join(prev_counts, "__era")  # eras WITH a predecessor
+        .join(common, "__era", "left")
+        .select(
+            F.col("__era").alias("era"),
+            "n_prev",
+            "n_curr",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            F.round(
+                (
+                    F.col("n_curr")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ).cast("double")
+                / F.col("n_curr"),
+                6,
+            ).alias("turnover"),
+        )
+    )
+
+
+def topk_turnover_oracle_sql(
+    table_sql: str,
+    era_sql: str,
+    item_sql: str,
+    metric_sql: str,
+    k: int = 25,
+    step_sql: str = "__era + INTERVAL 1 MONTH",
+) -> str:
+    """DuckDB twin of :func:`topk_turnover` (identical rank tiebreak
+    and count arithmetic)."""
+    return f"""
+        WITH per AS (
+          SELECT {era_sql} AS __era, {item_sql} AS __item,
+                 sum({metric_sql}) AS __m
+          FROM {table_sql} GROUP BY 1, 2
+        ), ranked AS (
+          SELECT __era, __item,
+                 row_number() OVER (PARTITION BY __era
+                   ORDER BY __m DESC, __item ASC) AS __r
+          FROM per
+        ), top AS (
+          SELECT __era, __item FROM ranked WHERE __r <= {int(k)}
+        ), prev AS (
+          SELECT {step_sql} AS __era, __item AS __pitem FROM top
+        ), cc AS (
+          SELECT __era, CAST(count(*) AS BIGINT) AS n_curr
+          FROM top GROUP BY __era
+        ), pc AS (
+          SELECT __era, CAST(count(*) AS BIGINT) AS n_prev
+          FROM prev GROUP BY __era
+        ), com AS (
+          SELECT t.__era AS __era, CAST(count(*) AS BIGINT) AS n_common
+          FROM top t JOIN prev p
+            ON t.__era = p.__era AND t.__item = p.__pitem
+          GROUP BY t.__era
+        )
+        SELECT cc.__era AS era, n_prev, n_curr,
+               coalesce(n_common, 0) AS n_common,
+               round(CAST(n_curr - coalesce(n_common, 0) AS DOUBLE)
+                     / n_curr, 6) AS turnover
+        FROM cc JOIN pc ON cc.__era = pc.__era
+        LEFT JOIN com ON cc.__era = com.__era
+    """

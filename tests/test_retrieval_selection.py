@@ -124,3 +124,43 @@ def test_best_split_prefers_lower_threshold_on_ties(spark):
     df = spark.createDataFrame(rows, "x long, y boolean")
     r = best_split(df, {"x": F.col("x")}, F.col("y")).collect()[0]
     assert r.threshold == 1 and r.score == 0.0
+
+
+def test_topk_turnover_hand_membership(spark):
+    # era 1 top-2: {a, b}; era 2 top-2: {b, c} -> 1 new of 2 = 0.5;
+    # era 3 top-2: {b, c} -> turnover 0
+    import datetime
+
+    def d(m):
+        return datetime.date(2020, m, 1)
+
+    rows = [
+        (d(1), "a", 10), (d(1), "b", 9), (d(1), "c", 1),
+        (d(2), "b", 10), (d(2), "c", 9), (d(2), "a", 1),
+        (d(3), "b", 10), (d(3), "c", 9),
+    ]
+    from centimators_spark.analytics import topk_turnover
+
+    df = spark.createDataFrame(rows, "era date, item string, m long")
+    out = {
+        str(r.era): (r.n_prev, r.n_curr, r.n_common, r.turnover)
+        for r in topk_turnover(df, "era", "item", F.col("m"), k=2).collect()
+    }
+    assert len(out) == 2  # era 1 has no predecessor
+    assert list(out.values()) == [(2, 2, 1, 0.5), (2, 2, 2, 0.0)] or (
+        out[sorted(out)[0]] == (2, 2, 1, 0.5)
+        and out[sorted(out)[1]] == (2, 2, 2, 0.0)
+    )
+
+
+def test_topk_turnover_calendar_hole_no_pair(spark):
+    import datetime
+
+    rows = [
+        (datetime.date(2020, 1, 1), "a", 5),
+        (datetime.date(2020, 3, 1), "a", 5),  # feb missing
+    ]
+    from centimators_spark.analytics import topk_turnover
+
+    df = spark.createDataFrame(rows, "era date, item string, m long")
+    assert topk_turnover(df, "era", "item", F.col("m"), k=5).count() == 0

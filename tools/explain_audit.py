@@ -577,6 +577,13 @@ def main():
         " directions",
         "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     )
+    p = plan_of(st["topk_turnover"](spark, sf_dir))
+    ok &= audit(
+        "topk_turnover: rank window era-PARTITIONED; the membership"
+        " join runs over the tiny top-k table only — no Python, no"
+        " cartesian",
+        "EvalPython" not in p and "CartesianProduct" not in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
