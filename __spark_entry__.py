@@ -3183,6 +3183,37 @@ def _topk_turnover_oracle() -> str:
     )
 
 
+def q_ic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC decay curve: Spearman rank-persistence of monthly supplier
+    revenue at horizons 1–3 months, averaged per horizon over months —
+    exact ranks, 6dp per-month ICs riding BIGINT micro-units into the
+    mean."""
+    from centimators_spark.ml.metrics import ic_decay
+
+    li = _lineitem(spark, sf_dir).withColumn(
+        "month", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    return ic_decay(
+        li,
+        "month",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        horizons=(1, 2, 3),
+    )
+
+
+def _ic_decay_oracle() -> str:
+    from centimators_spark.ml.metrics import ic_decay_oracle_sql
+
+    return ic_decay_oracle_sql(
+        "lineitem",
+        "date_trunc('month', l_shipdate)",
+        "l_suppkey",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        horizons=(1, 2, 3),
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment near-dups (doc-inside-doc):
     |grams(src) ∩ grams(dst)| / |grams(src)| ≥ 0.8 over the documents
@@ -3297,6 +3328,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "best_split": q_best_split,
         "topk_turnover": q_topk_turnover,
+        "ic_decay": q_ic_decay,
     }
 
 
@@ -3314,6 +3346,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "containment_pairs": _containment_pairs_oracle(),
         "best_split": _best_split_oracle(),
         "topk_turnover": _topk_turnover_oracle(),
+        "ic_decay": _ic_decay_oracle(),
     }
 
 

@@ -452,3 +452,127 @@ def ks_two_sample_oracle_sql(
                END AS ks
         FROM cum GROUP BY g, n_a, n_b
     """
+
+
+def ic_decay(
+    df: DataFrame,
+    era_col: str,
+    item_col: str,
+    metric,
+    horizons=(1, 2, 3),
+    round_dp: int = 6,
+):
+    """Information-coefficient decay curve — how fast a cross-sectional
+    signal's predictive rank correlation dies with horizon: for each
+    month t and horizon h, the exact Spearman correlation between the
+    per-item metric at t and at t+h (over items present in BOTH
+    months), then the mean IC per horizon. The Numerai/quant staple
+    behind "how long is my alpha good for".
+
+    Exactness: per-(h, era) ICs use average-tie ranks + corr rounded
+    to ``round_dp`` (the spearman_by_month discipline), then ride
+    BIGINT micro-units into the per-horizon mean so the cross-month
+    sum is order-independent. Returns (horizon, n_months, mean_ic).
+
+    Plan: one (era, item) aggregation; per horizon an equi-join of
+    that table against its era-shifted image (the monthly table is
+    aggregated-small — broadcast); rank windows partitioned by
+    (horizon, era); two small aggregations. Calendar holes produce no
+    pair (same rule as topk_turnover).
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(
+        F.col(era_col).alias("__era"), F.col(item_col).alias("__item")
+    ).agg(F.sum(metric).alias("__m"))
+    pairs = None
+    for h in horizons:
+        nxt = per.select(
+            F.add_months(F.col("__era"), -int(h)).alias("__era"),
+            F.col("__item"),
+            F.col("__m").alias("__mf"),
+        )
+        p = (
+            per.join(nxt, ["__era", "__item"])
+            .select(
+                F.lit(int(h)).alias("horizon"), "__era", "__m", "__mf"
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+
+    def _avg_rank(c):
+        w = Window.partitionBy("horizon", "__era").orderBy(c)
+        wt = Window.partitionBy("horizon", "__era", c)
+        return (
+            F.rank().over(w).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1) / 2
+        )
+
+    ranked = pairs.select(
+        "horizon",
+        "__era",
+        _avg_rank(F.col("__m")).alias("__rx"),
+        _avg_rank(F.col("__mf")).alias("__ry"),
+    )
+    per_era = ranked.groupBy("horizon", "__era").agg(
+        F.round(F.corr("__rx", "__ry"), round_dp).alias("__ic")
+    )
+    return (
+        per_era.where(F.col("__ic").isNotNull())
+        .groupBy("horizon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_months"),
+            F.sum(F.round(F.col("__ic") * 1e6).cast("long")).alias("__s"),
+        )
+        .select(
+            "horizon",
+            "n_months",
+            F.round(
+                F.col("__s").cast("double") / F.col("n_months") / 1e6,
+                round_dp,
+            ).alias("mean_ic"),
+        )
+    )
+
+
+def ic_decay_oracle_sql(
+    table_sql: str,
+    era_sql: str,
+    item_sql: str,
+    metric_sql: str,
+    horizons=(1, 2, 3),
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`ic_decay` (identical rank/corr/micro-unit
+    arithmetic)."""
+    arms = " UNION ALL ".join(
+        f"SELECT {int(h)} AS horizon, a.__era, a.__m, b.__m AS __mf"
+        f" FROM per a JOIN per b"
+        f" ON b.__era = a.__era + INTERVAL {int(h)} MONTH"
+        f" AND b.__item = a.__item"
+        for h in horizons
+    )
+    return f"""
+        WITH per AS (
+          SELECT {era_sql} AS __era, {item_sql} AS __item,
+                 sum({metric_sql}) AS __m
+          FROM {table_sql} GROUP BY 1, 2
+        ), pairs AS ({arms}),
+        ranked AS (
+          SELECT horizon, __era,
+                 (rank() OVER (PARTITION BY horizon, __era ORDER BY __m)
+                  + (count(*) OVER (PARTITION BY horizon, __era, __m) - 1)
+                    / 2.0) AS rx,
+                 (rank() OVER (PARTITION BY horizon, __era ORDER BY __mf)
+                  + (count(*) OVER (PARTITION BY horizon, __era, __mf) - 1)
+                    / 2.0) AS ry
+          FROM pairs
+        ), per_era AS (
+          SELECT horizon, __era, round(corr(rx, ry), {round_dp}) AS ic
+          FROM ranked GROUP BY horizon, __era
+        )
+        SELECT horizon, CAST(count(*) AS BIGINT) AS n_months,
+               round(CAST(sum(CAST(round(ic * 1e6) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1e6, {round_dp}) AS mean_ic
+        FROM per_era WHERE ic IS NOT NULL GROUP BY horizon
+    """

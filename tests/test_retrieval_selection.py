@@ -164,3 +164,30 @@ def test_topk_turnover_calendar_hole_no_pair(spark):
 
     df = spark.createDataFrame(rows, "era date, item string, m long")
     assert topk_turnover(df, "era", "item", F.col("m"), k=5).count() == 0
+
+
+def test_ic_decay_perfect_persistence_and_reversal(spark):
+    # metric ordering persists exactly at h=1 between months 1->2
+    # (IC=1) and fully reverses between 2->3 (IC=-1); horizon 2 pairs
+    # 1->3, also reversed
+    import datetime
+
+    def d(m):
+        return datetime.date(2020, m, 1)
+
+    m1 = [(d(1), i, i * 10) for i in range(1, 6)]
+    m2 = [(d(2), i, i * 20) for i in range(1, 6)]          # same order
+    m3 = [(d(3), i, (6 - i) * 10) for i in range(1, 6)]    # reversed
+    from centimators_spark.ml.metrics import ic_decay
+
+    df = spark.createDataFrame(
+        m1 + m2 + m3, "era date, item int, m long"
+    )
+    out = {
+        r.horizon: (r.n_months, r.mean_ic)
+        for r in ic_decay(df, "era", "item", F.col("m"), horizons=(1, 2)).collect()
+    }
+    # h=1: months (1->2 IC=1), (2->3 IC=-1) -> mean 0
+    assert out[1] == (2, 0.0)
+    # h=2: month (1->3 IC=-1)
+    assert out[2] == (1, -1.0)

@@ -584,6 +584,13 @@ def main():
         " cartesian",
         "EvalPython" not in p and "CartesianProduct" not in p,
     )
+    p = plan_of(st["ic_decay"](spark, sf_dir))
+    ok &= audit(
+        "ic_decay: horizon joins run on the aggregated-small monthly"
+        " table; rank windows partitioned by (horizon, era) — no"
+        " Python, no cartesian",
+        "EvalPython" not in p and "CartesianProduct" not in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
