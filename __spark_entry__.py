@@ -3218,12 +3218,16 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment near-dups (doc-inside-doc):
     |grams(src) ∩ grams(dst)| / |grams(src)| ≥ 0.8 over the documents
     table — same inverted-index blocking as dedup_ngram_jaccard, one
-    shared-gram count feeding both directions."""
+    shared-gram count feeding both directions. df_cap=100 is the
+    load-bearing stop-gram guard: the x10 scale build (each doc ~10
+    near-copies) showed the uncapped gram self-join going quadratic
+    in duplicate-cluster size — exactly the boilerplate pathology the
+    cap exists for; the oracle mirrors the capped index."""
     from centimators_spark.dedup.jaccard import ngram_containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_containment_pairs(
-        docs, n=3, threshold=0.8, df_cap=None
+        docs, n=3, threshold=0.8, df_cap=100
     )
 
 
@@ -3251,12 +3255,22 @@ def _containment_pairs_oracle() -> str:
 
     return f"""
         WITH {_GRAMS_CTE},
-        sized AS (
-          SELECT x.doc_id AS d1, y.doc_id AS d2,
-                 len(list_intersect(x.gs, y.gs)) AS c,
-                 len(x.gs) AS n1, len(y.gs) AS n2
-          FROM grams x JOIN grams y ON x.doc_id < y.doc_id
-          WHERE len(list_intersect(x.gs, y.gs)) > 0
+        inv AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 100),
+        cinv AS (SELECT doc_id, g FROM inv JOIN keep USING (g)),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM cinv GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM cinv a JOIN cinv b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sized AS (
+          SELECT d1, d2, c, s1.n AS n1, s2.n AS n2
+          FROM shared
+          JOIN sizes s1 ON s1.doc_id = d1
+          JOIN sizes s2 ON s2.doc_id = d2
         ), dirs AS (
           SELECT d1 AS src, d2 AS dst,
                  CAST(c AS DOUBLE) / n1 AS containment FROM sized

@@ -675,6 +675,10 @@ def topk_turnover(
         per.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= int(k))
         .select("__era", "__item")
+        # k rows per era, but the lineage is the full-table aggregation
+        # + rank window and it feeds FOUR consumers (prev, curr counts,
+        # both join sides) — cut it once
+        .localCheckpoint(eager=True)
     )
     prev = top.select(
         era_step.alias("__era"), F.col("__item").alias("__pitem")

@@ -485,6 +485,11 @@ def ic_decay(
     per = df.groupBy(
         F.col(era_col).alias("__era"), F.col(item_col).alias("__item")
     ).agg(F.sum(metric).alias("__m"))
+    # the monthly table is aggregated-small (eras × items) but its
+    # lineage is the full-table scan+shuffle, and it feeds 2·|horizons|
+    # join sides — cut it once (measured 12.3x at 10x data without the
+    # cut, 2.9x with it; the triangle_count edge-list discipline)
+    per = per.localCheckpoint(eager=True)
     pairs = None
     for h in horizons:
         nxt = per.select(

@@ -68,6 +68,33 @@ triangle subgraph, 1%-slice dspymator input):
     psi_drift           3.30   11.75    3.6x  (re-run; matches r4 3.1x)
     pagerank            1.75    1.04   ~1x    fixed-size edge set
 
+Round-8 staged set (measured 2026-08-15 pre-promotion; positional-arg
+subset runs):
+
+    customer_distribution   1.46    0.62   <1x   pre-agg + broadcast outer
+    large_volume_customers  1.27    1.93    1.5x  HAVING key broadcast
+    hybrid_rrf_search       2.61    2.65   ~1x   list-depth bounded fusion
+    budget_select           1.41    3.18    2.3x  two-phase prefix
+    containment_pairs       4.68  113.4    24x    SEE NOTE below
+    best_split              1.15    2.50    2.2x  distinct-value stream
+    topk_turnover           1.76    2.06    1.2x  after top-k lineage cut
+    ic_decay                3.81    3.46   ~1x    after monthly-table cut
+
+Round-8 staging FIXES found by this sweep: (a) ic_decay measured
+12.3x at 10x (34s) — the aggregated-small monthly table's lineage
+(full scan+shuffle) re-executed for all six join sides; one eager
+localCheckpoint cut -> 3.5s, ~1x. topk_turnover got the same cut
+(2.1x -> 1.2x). (b) containment_pairs' uncapped gram self-join HUNG
+at x10 — the x10 corpus makes every doc a member of a 10-near-copy
+family, the boilerplate pathology df_cap exists for; the query now
+uses df_cap=100 with a capped-index oracle. NOTE on its 24x: the x10
+build multiplies DUPLICATION, not just rows — planted containment
+pairs grow from ~50 to ~450k (9000x), so exact pair enumeration is
+output-bound; 24x wall-clock against 9000x output is sub-linear in
+the result size. At corpus scale, generate candidates with
+MinHash-LSH buckets and exact-verify (dedup/minhash.py), as the
+jaccard module documents.
+
 Round-7 FIXES found by this sweep: (a) triangle_count on the raw
 co-supply projection measured 25.3s at x1 — the synthetic fixture's
 co-supply graph is COMPLETE over all 1000 suppliers, so triangles are
@@ -193,9 +220,10 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    registry = {**m.queries(), **m.staged_queries()}
     for sf_dir, label in [(BASE, "x1"), (tgt, "x10")]:
         for name in names:
-            fn = m.queries()[name]
+            fn = registry[name]
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
