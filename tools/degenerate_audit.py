@@ -6,8 +6,8 @@ never fail a job (ANSI division, None.lower(), empty-list folds are
 the historical offenders; see 'Degenerate-input hardening' commit).
 
 Usage: python tools/degenerate_audit.py    # prints per-query OK/FAIL
-Exit code 1 on any failure. Last full run (round 7, 169 declared + 4
-staged): 173/173 OK, 0 failures.
+Exit code 1 on any failure. Last full run (round 7, 169 declared + 8
+staged): 177/177 OK, 0 failures.
 """
 
 from __future__ import annotations
