@@ -18,6 +18,12 @@ runs under a cell-partitioned window, and per-cell token subtotals —
 broadcast back as offsets. Exact integer arithmetic throughout, so
 the selection is bit-identical to a single global window.
 
+Skew note: rows TIED on the score must share a cell (correctness), so
+a score column with very few distinct values concentrates the
+within-cell window onto few tasks. Use a high-resolution carrier
+(micro-unit scores, as text/classifier emits) — with realistic score
+spread the cells are balanced by construction.
+
 Reference scope: the reference has no corpus surface; this is a §2.3
 LLM-data-pipeline extension beside text/classifier (which supplies the
 quality score) and sampling.py's mixture/temperature samplers.

@@ -487,3 +487,47 @@ def test_budget_select_matches_local_greedy(spark, rows, n_cells, frac):
             break
         expected.append((doc_id, cum))
     assert got == sorted(expected)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_best_split_matches_bruteforce_gini(spark, rows):
+    """best_split == numpy brute-force weighted-Gini argmin (same
+    (score, threshold) tiebreak) for arbitrary small label patterns."""
+    from centimators_spark.ml.splits import best_split
+
+    df = spark.createDataFrame(rows, "x long, y boolean")
+    got = best_split(df, {"x": F.col("x")}, F.col("y")).collect()
+    xs = np.array([r[0] for r in rows])
+    ys = np.array([r[1] for r in rows], dtype=int)
+    n, pos = len(xs), int(ys.sum())
+    cands = []
+    for v in sorted(set(xs.tolist()))[:-1]:  # right side must be non-empty
+        left = xs <= v
+        nl, pl = int(left.sum()), int(ys[left].sum())
+        nr, pr = n - nl, pos - pl
+        score = (
+            n
+            - (pl * pl + (nl - pl) * (nl - pl)) / nl
+            - (pr * pr + (nr - pr) * (nr - pr)) / nr
+        )
+        cands.append((round(score, 9), v, nl, pl))
+    if not cands:  # single distinct value: no valid split
+        assert got == []
+        return
+    exp = min(cands)
+    r = got[0]
+    assert (r.score, r.threshold, r.n_left, r.pos_left) == exp
