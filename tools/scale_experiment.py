@@ -95,6 +95,37 @@ the result size. At corpus scale, generate candidates with
 MinHash-LSH buckets and exact-verify (dedup/minhash.py), as the
 jaccard module documents.
 
+Round-7 extension probe (measured 2026-08-15; 16 previously-unswept
+declared text/doc/event queries):
+
+    line_dedup          1.00    2.86    2.9x
+    text_repetition     2.01   11.64    5.8x
+    tfidf_topk          1.27    4.36    3.4x
+    doc_fingerprint     0.92    4.24    4.6x
+    pmi_cooccur         1.64    8.36    5.1x
+    semantic_dedup      2.20    9.28    4.2x
+    dedup_embedding_cos 1.96    2.24    1.1x
+    attribution         0.86    3.95    4.6x
+    event_debounce      0.44    1.09    2.5x
+    heavy_hitters       0.45    0.46   ~1x
+    mutual_information  1.96    2.15    1.1x
+    record_linkage      0.80    0.74   ~1x
+    url_dedup           0.36    0.62    1.7x
+    doc_chunks          0.35    1.27    3.6x
+    dedup_ngram_jaccard 4.16  289.3    70x    output-bound, see NOTE
+    simhash_pairs       1.81   64.5    36x    output-bound, see NOTE
+
+NOTE on the two exact-pair surfaces: the x10 corpus build gives EVERY
+document ~9 near-copies, so the planted near-dup PAIR COUNT grows
+~9000x (45 pairs per 10-doc family x 5k families vs ~25 pairs at x1)
+— exact pair enumeration is Omega(output), and 36-70x wall-clock
+against ~9000x output is strongly sub-linear in the result size.
+Neither query's df_cap fires (family grams have df~10-30): this is
+result growth, not stop-gram blow-up. The corpus-scale path for both
+is candidate generation via banded MinHash-LSH (dedup_minhash_lsh,
+8.5s / 3.6x at x10 on the same fixture) or simhash block keys with a
+bounded verify, exactly as the dedup modules document.
+
 Round-7 FIXES found by this sweep: (a) triangle_count on the raw
 co-supply projection measured 25.3s at x1 — the synthetic fixture's
 co-supply graph is COMPLETE over all 1000 suppliers, so triangles are
