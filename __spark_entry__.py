@@ -3214,6 +3214,22 @@ def _ic_decay_oracle() -> str:
     )
 
 
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (4 negatives per
+    doc) — pure keyed-md5 bucket/probe/pair hashing, reproducible and
+    partition-invariant, one bucket equi-join + one min-struct argmin."""
+    from centimators_spark.sampling import negative_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_sample(docs, "doc_id", k=4, n_buckets=64)
+
+
+def _negative_sample_oracle() -> str:
+    from centimators_spark.sampling import negative_sample_oracle_sql
+
+    return negative_sample_oracle_sql("documents", "doc_id", k=4, n_buckets=64)
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment near-dups (doc-inside-doc):
     |grams(src) ∩ grams(dst)| / |grams(src)| ≥ 0.8 over the documents
@@ -3343,6 +3359,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_split": q_best_split,
         "topk_turnover": q_topk_turnover,
         "ic_decay": q_ic_decay,
+        "negative_sample": q_negative_sample,
     }
 
 
@@ -3361,6 +3378,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "best_split": _best_split_oracle(),
         "topk_turnover": _topk_turnover_oracle(),
         "ic_decay": _ic_decay_oracle(),
+        "negative_sample": _negative_sample_oracle(),
     }
 
 

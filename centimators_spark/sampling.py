@@ -554,3 +554,128 @@ def sql_group_kfold(group_sql: str, k: int, salt: str = "") -> str:
     """DuckDB expression mirroring :func:`group_kfold`."""
     keyed = f"'{salt}' || CAST({group_sql} AS VARCHAR)"
     return f"CAST({sql_md5_long(keyed)} % {k} AS INTEGER)"
+
+
+def negative_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    n_buckets: int = 64,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor id, ``k`` pseudo-random partner ids drawn WITHOUT any
+    RNG state — pure keyed-md5 functions of the ids, so the sample is
+    reproducible, partition-invariant, and bit-identical cross-engine
+    (the md5 discipline of every sampler in this module).
+
+    Construction: every id hashes to a home bucket
+    ``H(salt|id) % n_buckets``; the anchor's i-th probe bucket is
+    ``H(salt|id|i) % n_buckets``; within the probe bucket the chosen
+    negative is the member minimizing the pair hash
+    ``H(salt2|anchor|member)`` (member ≠ anchor — a probe landing on a
+    bucket whose only member is the anchor yields no row for that i,
+    the documented corner). Returns (anchor, neg_rank, negative).
+
+    Scale: the probe→bucket equi-join fans out by the bucket size
+    (≈N/n_buckets members per probe) and the per-(anchor, i) argmin is
+    one min-struct aggregation — size ``n_buckets`` ∝ N to keep the
+    fan-out constant; no all-pairs scan anywhere.
+    """
+    from centimators_spark.text.portable import md5_long
+
+    nb = int(n_buckets)
+    anchors = df.select(F.col(id_col).cast("long").alias("anchor"))
+    members = df.select(F.col(id_col).cast("long").alias("member")).select(
+        "member",
+        (
+            md5_long(F.concat(F.lit(salt), F.col("member").cast("string")))
+            % nb
+        ).alias("bucket"),
+    )
+    probes = anchors.select(
+        "anchor",
+        F.explode(F.array(*[F.lit(i) for i in range(int(k))])).alias(
+            "neg_rank"
+        ),
+    ).select(
+        "anchor",
+        "neg_rank",
+        (
+            md5_long(
+                F.concat(
+                    F.lit(salt),
+                    F.col("anchor").cast("string"),
+                    F.lit("|"),
+                    F.col("neg_rank").cast("string"),
+                )
+            )
+            % nb
+        ).alias("bucket"),
+    )
+    pair_h = md5_long(
+        F.concat(
+            F.lit(salt + "2"),
+            F.col("anchor").cast("string"),
+            F.lit("|"),
+            F.col("member").cast("string"),
+        )
+    )
+    cand = (
+        probes.join(members, "bucket")
+        .where(F.col("member") != F.col("anchor"))
+        .select(
+            "anchor",
+            "neg_rank",
+            F.struct(pair_h.alias("h"), F.col("member").alias("m")).alias(
+                "s"
+            ),
+        )
+    )
+    return (
+        cand.groupBy("anchor", "neg_rank")
+        .agg(F.min("s").alias("s"))
+        .select("anchor", "neg_rank", F.col("s.m").alias("negative"))
+    )
+
+
+def negative_sample_oracle_sql(
+    table_sql: str,
+    id_sql: str = "doc_id",
+    k: int = 4,
+    n_buckets: int = 64,
+    salt: str = "neg",
+) -> str:
+    """DuckDB twin of :func:`negative_sample` — identical md5 bucket,
+    probe, and pair-hash expressions."""
+    from centimators_spark.text.portable import sql_md5_long
+
+    nb = int(n_buckets)
+    home = sql_md5_long(f"'{salt}' || CAST(member AS VARCHAR)")
+    probe = sql_md5_long(
+        f"'{salt}' || CAST(anchor AS VARCHAR) || '|'"
+        f" || CAST(neg_rank AS VARCHAR)"
+    )
+    pair = sql_md5_long(
+        f"'{salt}2' || CAST(anchor AS VARCHAR) || '|'"
+        f" || CAST(member AS VARCHAR)"
+    )
+    return f"""
+        WITH members AS (
+          SELECT CAST({id_sql} AS BIGINT) AS member FROM {table_sql}
+        ), buckets AS (
+          SELECT member, {home} % {nb} AS bucket FROM members
+        ), probes AS (
+          SELECT CAST({id_sql} AS BIGINT) AS anchor, i AS neg_rank
+          FROM {table_sql}, unnest(generate_series(0, {int(k) - 1})) t(i)
+        ), probed AS (
+          SELECT anchor, neg_rank, {probe} % {nb} AS bucket FROM probes
+        ), cand AS (
+          SELECT anchor, neg_rank,
+                 {{'h': {pair}, 'm': member}} AS s
+          FROM probed JOIN buckets USING (bucket)
+          WHERE member <> anchor
+        )
+        SELECT anchor, neg_rank, min(s).m AS negative
+        FROM cand GROUP BY anchor, neg_rank
+    """

@@ -191,3 +191,31 @@ def test_ic_decay_perfect_persistence_and_reversal(spark):
     assert out[1] == (2, 0.0)
     # h=2: month (1->3 IC=-1)
     assert out[2] == (1, -1.0)
+
+
+def test_negative_sample_deterministic_and_self_free(spark):
+    from centimators_spark.sampling import negative_sample
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = sorted(
+        (r.anchor, r.neg_rank, r.negative)
+        for r in negative_sample(df.repartition(7), k=3, n_buckets=8).collect()
+    )
+    b = sorted(
+        (r.anchor, r.neg_rank, r.negative)
+        for r in negative_sample(df.repartition(2), k=3, n_buckets=8).collect()
+    )
+    assert a == b  # partition-invariant
+    assert all(anc != neg for anc, _, neg in a)  # never self
+    # with 50 ids over 8 buckets every probe bucket has other members
+    assert len(a) == 50 * 3
+    # negatives vary across anchors (not one global choice)
+    assert len({neg for _, _, neg in a}) > 5
+
+
+def test_negative_sample_singleton_bucket_corner(spark):
+    from centimators_spark.sampling import negative_sample
+
+    # one doc: every probe bucket contains only the anchor -> no rows
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    assert negative_sample(df, k=4, n_buckets=4).count() == 0

@@ -591,6 +591,15 @@ def main():
         " Python, no cartesian",
         "EvalPython" not in p and "CartesianProduct" not in p,
     )
+    p = plan_of(st["negative_sample"](spark, sf_dir))
+    ok &= audit(
+        "negative_sample: bucket equi-join (fan-out = bucket size,"
+        " never all-pairs) + one min-struct argmin; pure JVM md5"
+        " expressions",
+        "EvalPython" not in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
