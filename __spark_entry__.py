@@ -3230,6 +3230,168 @@ def _negative_sample_oracle() -> str:
     return negative_sample_oracle_sql("documents", "doc_id", k=4, n_buckets=64)
 
 
+def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel gap filling by LINEAR interpolation (the ffill sibling,
+    `q_resample_ffill`): daily per-supplier quantity densified onto each
+    supplier's own spine, gaps time-weighted between their bracketing
+    observations; leading/trailing gaps stay null. Both bracket lookups
+    share one (supplier, date) sort — a single WindowExec. The only
+    inexact op is the final division (one IEEE rounding), 6dp-rounded
+    in both engines."""
+    from centimators_spark.operators.resample import resample_panel
+
+    daily = (
+        _lineitem(spark, sf_dir)
+        .groupBy("l_suppkey", F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    out = resample_panel(
+        daily,
+        ticker_col="l_suppkey",
+        date_col="d",
+        value_cols=["qty"],
+        fill="linear",
+    )
+    return out.select(
+        "l_suppkey",
+        F.unix_timestamp(F.col("d").cast("timestamp")).alias("d_epoch"),
+        F.round("qty", 6).alias("qty_lin"),
+        "is_observed",
+    )
+
+
+_LINEAR_INTERP_ORACLE = """
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), b AS (
+      SELECT l_suppkey, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT l_suppkey,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    ), joined AS (
+      SELECT s.l_suppkey, s.d, daily.qty,
+             CASE WHEN daily.l_suppkey IS NULL THEN 0 ELSE 1 END
+               AS is_observed
+      FROM spine s LEFT JOIN daily
+        ON s.l_suppkey = daily.l_suppkey AND s.d = daily.d
+    ), br AS (
+      SELECT l_suppkey, d, is_observed,
+             last_value(qty IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN qty IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wb AS pd,
+             first_value(qty IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN qty IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wf AS nd
+      FROM joined
+      WINDOW wb AS (PARTITION BY l_suppkey ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY l_suppkey ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT l_suppkey,
+           CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) AS d_epoch,
+           round(CASE WHEN nd - pd = 0 THEN pv
+                      ELSE pv + ((nv - pv) * (d - pd)) / (nd - pd)
+                 END, 6) AS qty_lin,
+           is_observed
+    FROM br
+"""
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline: parts Pareto-minimal in (p_size,
+    cheapest-observed line price) — no other part of the brand is both
+    as small and as cheap with one strict. Per-part min price from one
+    fact aggregation, brand/size broadcast from the part dim, then the
+    two skyline window minima (strict-predecessor RANGE frame on the
+    integer size carrier) — no pairwise comparison, no global
+    single-partition window."""
+    from centimators_spark.operators.skyline import skyline_2d
+
+    min_price = (
+        _lineitem(spark, sf_dir)
+        .groupBy("l_partkey")
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "min_price_cents"
+            )
+        )
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.col("p_size").cast("long").alias("p_size")
+    )
+    pts = min_price.join(
+        F.broadcast(part),
+        min_price["l_partkey"] == part["p_partkey"],
+    ).select("p_brand", "p_partkey", "p_size", "min_price_cents")
+    return skyline_2d(pts, "p_brand", "p_size", "min_price_cents")
+
+
+def _pareto_front_oracle() -> str:
+    from centimators_spark.operators.skyline import skyline_2d_oracle_sql
+
+    base = (
+        "(SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS p_size,"
+        " m.min_price_cents"
+        " FROM part JOIN (SELECT l_partkey,"
+        "   CAST(min(round(l_extendedprice * 100)) AS BIGINT)"
+        "     AS min_price_cents"
+        "   FROM lineitem GROUP BY 1) m ON p_partkey = l_partkey) t"
+    )
+    return skyline_2d_oracle_sql(
+        base,
+        group_sql="p_brand",
+        x_sql="p_size",
+        y_sql="min_price_cents",
+        select_sql="p_brand, p_partkey, p_size, min_price_cents",
+    )
+
+
+def q_feature_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation of the four lineitem features in
+    ONE map-side-combinable grand aggregate on exact DECIMAL(38,0)
+    moments, unpivoted to (feat_a, feat_b, n, corr) — the collinearity
+    screen before neutralization. The shuffle moves 15 decimals per
+    upstream partition, never rows."""
+    from centimators_spark.operators.stats import corr_matrix
+
+    li = _lineitem(spark, sf_dir)
+    out = corr_matrix(
+        li,
+        {
+            "qty": F.col("l_quantity"),
+            "price_c": F.round(F.col("l_extendedprice") * 100),
+            "disc_c": F.round(F.col("l_discount") * 100),
+            "tax_c": F.round(F.col("l_tax") * 100),
+        },
+    )
+    return out.select(
+        "feat_a", "feat_b", "n", F.round("corr", 6).alias("corr")
+    )
+
+
+def _feature_corr_matrix_oracle() -> str:
+    from centimators_spark.operators.stats import corr_matrix_oracle_sql
+
+    inner = corr_matrix_oracle_sql(
+        "lineitem",
+        {
+            "qty": "l_quantity",
+            "price_c": "round(l_extendedprice * 100)",
+            "disc_c": "round(l_discount * 100)",
+            "tax_c": "round(l_tax * 100)",
+        },
+    )
+    return (
+        f"SELECT feat_a, feat_b, n, round(corr, 6) AS corr FROM ({inner})"
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment near-dups (doc-inside-doc):
     |grams(src) ∩ grams(dst)| / |grams(src)| ≥ 0.8 over the documents
@@ -3360,6 +3522,9 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_turnover": q_topk_turnover,
         "ic_decay": q_ic_decay,
         "negative_sample": q_negative_sample,
+        "linear_interpolate": q_linear_interpolate,
+        "pareto_front": q_pareto_front,
+        "feature_corr_matrix": q_feature_corr_matrix,
     }
 
 
@@ -3379,6 +3544,9 @@ def staged_oracle_sql() -> dict[str, str]:
         "topk_turnover": _topk_turnover_oracle(),
         "ic_decay": _ic_decay_oracle(),
         "negative_sample": _negative_sample_oracle(),
+        "linear_interpolate": _LINEAR_INTERP_ORACLE,
+        "pareto_front": _pareto_front_oracle(),
+        "feature_corr_matrix": _feature_corr_matrix_oracle(),
     }
 
 

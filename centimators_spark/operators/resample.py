@@ -45,9 +45,21 @@ def resample_panel(
     lie ON each ticker's grid (lo, lo+step, …) — off-grid observations
     would miss the equi-join and silently vanish into filled gaps; keep
     step_days=1 (and aggregate upstream) unless the data is known
-    grid-aligned."""
-    if fill not in (None, "ffill"):
-        raise ValueError(f"fill must be None|'ffill', got {fill!r}")
+    grid-aligned.
+
+    ``fill='linear'`` interpolates gap rows between their bracketing
+    observations, time-weighted by day distance:
+    ``prev + ((next - prev) * (d - d_prev)) / (d_next - d_prev)``.
+    Leading/trailing gaps (no bracket on one side) stay null — linear
+    interpolation has no lookback/lookahead-free answer there; chain a
+    ffill/bfill explicitly if you want one. The bracket lookups are the
+    same ignore-nulls window as ffill plus its forward mirror — both
+    share one (ticker, date) sort, so the whole fill is ONE WindowExec
+    (one shuffle) regardless of how many value columns ride it. On
+    integer-valued doubles the only inexact op is the final division,
+    a single IEEE rounding, identical cross-engine."""
+    if fill not in (None, "ffill", "linear"):
+        raise ValueError(f"fill must be None|'ffill'|'linear', got {fill!r}")
     vals = list(value_cols)
     t, d = ticker_col, date_col
     bounds = df.groupBy(t).agg(
@@ -75,4 +87,32 @@ def resample_panel(
         )
         for c in vals:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    elif fill == "linear":
+        wb = (
+            Window.partitionBy(t)
+            .orderBy(d)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = (
+            Window.partitionBy(t)
+            .orderBy(d)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        for c in vals:
+            obs_d = F.when(F.col(c).isNotNull(), F.col(d))
+            prev_v = F.last(c, ignorenulls=True).over(wb)
+            prev_d = F.last(obs_d, ignorenulls=True).over(wb)
+            next_v = F.first(c, ignorenulls=True).over(wf)
+            next_d = F.first(obs_d, ignorenulls=True).over(wf)
+            span = F.datediff(next_d, prev_d)
+            # span == 0 ⟺ the row itself is observed (prev == next ==
+            # current); guard keeps 0/0 out of the division
+            out = out.withColumn(
+                c,
+                F.when(span == 0, prev_v).otherwise(
+                    prev_v
+                    + ((next_v - prev_v) * F.datediff(F.col(d), prev_d))
+                    / span
+                ),
+            )
     return out

@@ -626,3 +626,118 @@ def weighted_median_oracle_sql(
         SELECT {g}, n, total_weight, {out_name}
         FROM med JOIN stats USING ({g})
     """
+
+
+def corr_matrix(
+    df: DataFrame,
+    features: "dict[str, Column]",
+) -> DataFrame:
+    """All-pairs Pearson correlation of k features in ONE aggregation
+    pass — the collinearity screen run before feature neutralization
+    (the reference computes exposures feature-by-feature against a
+    target, `feature_transformers/neutralization.py`; the k×k matrix
+    among the features themselves is its natural companion).
+
+    ``features`` maps output names to *integral-valued* Columns (cents
+    / whole-unit carriers). The k raw sums, k squared sums, and
+    k(k-1)/2 cross sums all accumulate as DECIMAL(38,0) — exact, so
+    ``r = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²))`` has an
+    exact integer numerator and denominator factors; the only IEEE
+    roundings are the two casts, one multiply, one sqrt, one divide —
+    all correctly-rounded ops, bit-identical cross-engine.
+
+    Scale shape: one map-side-combinable grand aggregate (partials
+    combine associatively; the shuffle moves k(k+3)/2 decimals per
+    upstream partition, not rows), then a 1-row → k(k-1)/2-row unpivot.
+    No window, no join, no second pass over the data. Carrier headroom:
+    DECIMAL(38) holds n·Σxy up to ~1e38 — for cents-scale features
+    (|x| ≤ 1e7) that is ~1e12 rows per aggregate; beyond that, coarsen
+    the carriers a decimal digit per 100× rows.
+
+    Returns (feat_a, feat_b, n, corr) for the k(k-1)/2 pairs a < b by
+    the given order; ``corr`` is null for a zero-variance side.
+    """
+    from pyspark.sql import functions as F
+
+    names = list(features)
+    d18 = "decimal(18,0)"
+    exprs = {n: features[n].cast(d18) for n in names}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for n in names:
+        aggs.append(F.sum(exprs[n]).alias(f"s_{n}"))
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    for a, b in pairs:
+        aggs.append(F.sum(exprs[a] * exprs[b]).alias(f"s_{a}_{b}"))
+    row = df.agg(*aggs)
+
+    def _r(a: str, b: str) -> Column:
+        n = F.col("n")
+        num = (n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        da = (n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        db = (n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        den = F.sqrt(da * db)
+        return F.when(den > 0, num / den)
+
+    structs = [
+        F.struct(
+            F.lit(a).alias("feat_a"),
+            F.lit(b).alias("feat_b"),
+            _r(a, b).alias("corr"),
+        )
+        for a, b in pairs
+        if a != b
+    ]
+    return row.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.explode(F.array(*structs)).alias("p"),
+    ).select(
+        F.col("p.feat_a").alias("feat_a"),
+        F.col("p.feat_b").alias("feat_b"),
+        "n",
+        F.col("p.corr").alias("corr"),
+    )
+
+
+def corr_matrix_oracle_sql(
+    table_sql: str,
+    feature_sqls: "dict[str, str]",
+) -> str:
+    """DuckDB twin of :func:`corr_matrix` — identical exact moments
+    (HUGEINT carries what Spark carries as DECIMAL(38,0); DuckDB cannot
+    multiply two DECIMAL(38,0)s, INT128 can and is overflow-checked),
+    identical IEEE order (cast → multiply → sqrt → divide), UNION ALL
+    unpivot."""
+    names = list(feature_sqls)
+    cast = {n: f"CAST({feature_sqls[n]} AS DECIMAL(18,0))" for n in names}
+    sums = ["CAST(count(*) AS HUGEINT) AS n"]
+    for n in names:
+        sums.append(f"CAST(sum({cast[n]}) AS HUGEINT) AS s_{n}")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    for a, b in pairs:
+        sums.append(
+            f"CAST(sum({cast[a]} * {cast[b]}) AS HUGEINT) AS s_{a}_{b}"
+        )
+    moments = f"SELECT {', '.join(sums)} FROM {table_sql}"
+
+    def _r(a: str, b: str) -> str:
+        num = f"CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        da = f"CAST(n * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)"
+        db = f"CAST(n * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE)"
+        return (
+            f"CASE WHEN sqrt({da} * {db}) > 0 "
+            f"THEN {num} / sqrt({da} * {db}) END"
+        )
+
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, "
+        f"CAST(n AS BIGINT) AS n, {_r(a, b)} AS corr FROM m"
+        for a, b in pairs
+        if a != b
+    )
+    return f"WITH m AS ({moments}) {rows}"

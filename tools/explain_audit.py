@@ -600,6 +600,35 @@ def main():
         and "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p,
     )
+    p = plan_of(st["linear_interpolate"](spark, sf_dir))
+    ok &= audit(
+        "linear_interpolate: both bracket lookups (back + fwd frames)"
+        " fused into ONE WindowExec — one sort per supplier spine, no"
+        " Python",
+        p.count("Window") == 1 and "EvalPython" not in p,
+    )
+    p = plan_of(st["pareto_front"](spark, sf_dir))
+    ok &= audit(
+        "pareto_front: part dim broadcast onto the per-part agg; the"
+        " two skyline windows share one brand exchange (subset-key"
+        " clustering) — no pairwise self-join, no cartesian",
+        "BroadcastHashJoin" in p
+        and p.count("Window") == 2
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "EvalPython" not in p,
+    )
+    p = plan_of(st["feature_corr_matrix"](spark, sf_dir))
+    ok &= audit(
+        "feature_corr_matrix: ONE map-side-combinable grand aggregate"
+        " (partial_sum before the single exchange; the shuffle moves"
+        " decimal moments, not rows), no join/window/Python",
+        "partial_sum" in p
+        and p.count("Exchange") == 1
+        and "Join" not in p
+        and "Window" not in p
+        and "EvalPython" not in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
