@@ -3217,17 +3217,24 @@ def _ic_decay_oracle() -> str:
 def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (4 negatives per
     doc) — pure keyed-md5 bucket/probe/pair hashing, reproducible and
-    partition-invariant, one bucket equi-join + one min-struct argmin."""
+    partition-invariant, one bucket equi-join + one min-struct argmin.
+    n_buckets sizes the probe fan-out (≈N/n_buckets members per
+    probe): 256 keeps the equi-join bounded through the 10x sweep; at
+    corpus scale size it ∝ N as the library docstring prescribes. A
+    probe landing on an empty/anchor-only bucket yields no row for
+    that rank — deterministic, oracle-mirrored."""
     from centimators_spark.sampling import negative_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    return negative_sample(docs, "doc_id", k=4, n_buckets=64)
+    return negative_sample(docs, "doc_id", k=4, n_buckets=256)
 
 
 def _negative_sample_oracle() -> str:
     from centimators_spark.sampling import negative_sample_oracle_sql
 
-    return negative_sample_oracle_sql("documents", "doc_id", k=4, n_buckets=64)
+    return negative_sample_oracle_sql(
+        "documents", "doc_id", k=4, n_buckets=256
+    )
 
 
 def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3392,6 +3399,102 @@ def _feature_corr_matrix_oracle() -> str:
     )
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the monthly
+    per-supplier quantity panel (centered 13-month MA trend,
+    month-of-year seasonal, residual) — one WindowExec on the
+    (supplier, month) sort plus a broadcast-back seasonal table. The
+    detrended stream rides the integer numerator w·v − S, so each
+    output is a single fixed-order division — bit-exact cross-engine
+    before the 6dp rounding."""
+    from centimators_spark.operators.decompose import seasonal_decompose
+
+    monthly = (
+        _lineitem(spark, sf_dir)
+        .groupBy(
+            "l_suppkey", F.date_trunc("month", F.col("l_shipdate")).alias("m")
+        )
+        .agg(F.sum("l_quantity").alias("v"))
+    )
+    out = seasonal_decompose(
+        monthly,
+        group_col="l_suppkey",
+        order_col="m",
+        value_col="v",
+        period=F.month("m"),
+        window=13,
+    )
+    return out.select(
+        "l_suppkey",
+        F.unix_timestamp("m").alias("m_epoch"),
+        "v",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("residual", 6).alias("residual"),
+    )
+
+
+def _seasonal_decompose_oracle() -> str:
+    from centimators_spark.operators.decompose import (
+        seasonal_decompose_oracle_sql,
+    )
+
+    inner = seasonal_decompose_oracle_sql(
+        "(SELECT l_suppkey, date_trunc('month', l_shipdate) AS m,"
+        " sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2) t",
+        group_sql="l_suppkey",
+        order_sql="m",
+        value_sql="v",
+        period_sql="month(m)",
+        window=13,
+    )
+    return f"""
+        SELECT grp AS l_suppkey,
+               CAST(epoch(CAST(ord AS TIMESTAMP)) AS BIGINT) AS m_epoch,
+               v, round(trend, 6) AS trend,
+               round(seasonal, 6) AS seasonal,
+               round(residual, 6) AS residual
+        FROM ({inner})
+    """
+
+
+def q_xicor_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's ξ rank correlation (tie-aware) of extendedprice
+    against quantity per month — the modern nonlinear-dependence
+    screen Pearson/Spearman miss (detects y = f(x) for ANY measurable
+    f). Integer rank counts via value-RANGE windows, DECIMAL(38,0)
+    sums, one division; all three windows partition by the month key.
+    Tied x order pinned by (orderkey, linenumber)."""
+    from centimators_spark.ml.metrics import xicor
+
+    li = _lineitem(spark, sf_dir).withColumn(
+        "era", F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate")))
+    )
+    out = xicor(
+        li,
+        "era",
+        F.col("l_quantity"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        ["l_orderkey", "l_linenumber"],
+    )
+    return out.select("era", "n", F.round("xi", 6).alias("xi"))
+
+
+def _xicor_oracle() -> str:
+    from centimators_spark.ml.metrics import xicor_oracle_sql
+
+    inner = xicor_oracle_sql(
+        "lineitem",
+        "CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT)",
+        "l_quantity",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        ["l_orderkey", "l_linenumber"],
+    )
+    return (
+        f"SELECT grp AS era, n, round(xi, 6) AS xi FROM ({inner})"
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment near-dups (doc-inside-doc):
     |grams(src) ∩ grams(dst)| / |grams(src)| ≥ 0.8 over the documents
@@ -3525,6 +3628,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_interpolate": q_linear_interpolate,
         "pareto_front": q_pareto_front,
         "feature_corr_matrix": q_feature_corr_matrix,
+        "seasonal_decompose": q_seasonal_decompose,
+        "xicor_by_month": q_xicor_by_month,
     }
 
 
@@ -3547,6 +3652,8 @@ def staged_oracle_sql() -> dict[str, str]:
         "linear_interpolate": _LINEAR_INTERP_ORACLE,
         "pareto_front": _pareto_front_oracle(),
         "feature_corr_matrix": _feature_corr_matrix_oracle(),
+        "seasonal_decompose": _seasonal_decompose_oracle(),
+        "xicor_by_month": _xicor_oracle(),
     }
 
 

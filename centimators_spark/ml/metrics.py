@@ -581,3 +581,119 @@ def ic_decay_oracle_sql(
                      / count(*) / 1e6, {round_dp}) AS mean_ic
         FROM per_era WHERE ic IS NOT NULL GROUP BY horizon
     """
+
+
+def xicor(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+    order_tiebreaks: Sequence[str],
+) -> DataFrame:
+    """Chatterjee's ξ rank correlation per group (Chatterjee, JASA
+    2021) — the modern dependence screen: ≈0 when y ⟂ x, →1 when y is
+    any measurable FUNCTION of x (monotone or not), which Pearson/
+    Spearman both miss. Tie-aware form:
+
+        ξ = 1 − n·Σᵢ|r_{i+1} − r_i|  /  2·Σᵢ lᵢ(n − lᵢ)
+
+    with rows ordered by x, r_i = #{j: y_j ≤ y_i}, l_i = #{j: y_j ≥
+    y_i}. Every quantity is an integer: the two rank counts are
+    value-based RANGE-frame counts (peers share a rank — exact under
+    ties), the Δr stream is one lag over the x ordering, and both sums
+    accumulate as DECIMAL(38,0) (n·Σ|Δr| reaches n³ ≈ 2e29 at 6e9-row
+    groups — past BIGINT, inside DECIMAL38). The single division is the
+    only IEEE op. ξ depends on the x-order among TIED x values;
+    ``order_tiebreaks`` pins that order deterministically (pass stable
+    key columns) so the statistic is reproducible cross-engine.
+
+    Scale shape: three windows + one aggregation, ALL partitioned by
+    the group key — two value-RANGE sorts on y (asc/desc) and one row
+    sort on x, no global window at any scale. Returns (group, n, xi);
+    xi is null for constant-y groups (denominator 0).
+    """
+    g = group_col
+    b = df.select(
+        F.col(g), x.alias("__x"), y.alias("__y"), *order_tiebreaks
+    )
+    w_le = (
+        Window.partitionBy(g)
+        .orderBy("__y")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ge = (
+        Window.partitionBy(g)
+        .orderBy(F.col("__y").desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_x = Window.partitionBy(g).orderBy("__x", *order_tiebreaks)
+    d38 = "decimal(38,0)"
+    b = (
+        b.withColumn("__r", F.count(F.lit(1)).over(w_le))
+        .withColumn("__l", F.count(F.lit(1)).over(w_ge))
+        .withColumn("__dr", F.abs(F.col("__r") - F.lag("__r").over(w_x)))
+    )
+    # Σ l(n−l) decomposes to n·Σl − Σl², so the denominator needs no
+    # per-row knowledge of n — the group size stays a plain aggregate
+    d19 = "decimal(19,0)"  # cast BEFORE the square: long·long clips at ~3e9-row groups
+    l19 = F.col("__l").cast(d19)
+    agg = b.groupBy(g).agg(
+        F.count(F.lit(1)).cast(d38).alias("__n"),
+        F.sum(F.col("__dr").cast(d38)).alias("__sdr"),
+        F.sum(F.col("__l").cast(d38)).alias("__sl"),
+        F.sum(l19 * l19).alias("__sl2"),
+    )
+    sl = F.col("__n") * F.col("__sl") - F.col("__sl2")
+    num = (F.col("__n") * F.col("__sdr")).cast("double")
+    den = (F.lit(2).cast(d38) * sl).cast("double")
+    return agg.select(
+        F.col(g),
+        F.col("__n").cast("bigint").alias("n"),
+        F.when(sl > 0, F.lit(1.0) - num / den).alias("xi"),
+    )
+
+
+def xicor_oracle_sql(
+    table_sql: str,
+    group_sql: str,
+    x_sql: str,
+    y_sql: str,
+    tiebreak_sqls: Sequence[str],
+) -> str:
+    """DuckDB twin of :func:`xicor` — identical RANGE-frame rank
+    counts, lag stream, HUGEINT-exact sums (mirror of the Spark
+    DECIMAL(38,0) carriers), single division."""
+    tb = ", ".join(tiebreak_sqls)
+    return f"""
+        WITH b AS (
+          SELECT {group_sql} AS grp, {x_sql} AS xv, {y_sql} AS yv, {tb}
+          FROM {table_sql}
+        ), ranked AS (
+          SELECT grp, xv, yv, {tb},
+                 count(*) OVER (PARTITION BY grp ORDER BY yv
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS r,
+                 count(*) OVER (PARTITION BY grp ORDER BY yv DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS l
+          FROM b
+        ), lagged AS (
+          SELECT grp, l,
+                 abs(r - lag(r) OVER (PARTITION BY grp
+                                      ORDER BY xv, {tb})) AS dr
+          FROM ranked
+        ), agg AS (
+          SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(CAST(dr AS HUGEINT)) AS HUGEINT) AS sdr,
+                 CAST(sum(CAST(l AS HUGEINT)) AS HUGEINT) AS sl1,
+                 CAST(sum(CAST(l AS HUGEINT) * CAST(l AS HUGEINT))
+                      AS HUGEINT) AS sl2
+          FROM lagged GROUP BY grp
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n,
+               CASE WHEN n * sl1 - sl2 > 0
+                    THEN 1.0 - CAST(n * sdr AS DOUBLE)
+                             / CAST(2 * (n * sl1 - sl2) AS DOUBLE)
+               END AS xi
+        FROM agg
+    """

@@ -148,3 +148,125 @@ def test_corr_matrix_matches_numpy(spark):
     assert abs(got[("a", "b")] - ref[0, 1]) < 1e-12
     assert abs(got[("a", "c")] - ref[0, 2]) < 1e-12
     assert abs(got[("b", "c")] - ref[1, 2]) < 1e-12
+
+
+def test_seasonal_decompose_hand_values(spark):
+    from centimators_spark.operators.decompose import seasonal_decompose
+
+    # window 3, two periods alternating; v = base + bump on odd t:
+    # series t=1..6 -> v = [14, 10, 14, 10, 14, 10], period = t % 2
+    rows = [("g", t, 10.0 + 4.0 * (t % 2)) for t in range(1, 7)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = seasonal_decompose(
+        df,
+        group_col="g",
+        order_col="t",
+        value_col="v",
+        period=(F.col("t") % 2),
+        window=3,
+    ).collect()
+    got = {r.t: (r.trend, r.seasonal, r.residual) for r in out}
+    # full frames at t=2..5: t2:(14,10,14)=38, t3:(10,14,10)=34,
+    # t4:(14,10,14)=38, t5:(10,14,10)=34
+    # num = 3v - S: t2: 30-38=-8; t3: 42-34=8; t4: 30-38=-8; t5: 42-34=8
+    # period 0 (t even): nums -8,-8 -> seasonal = -16/6; period 1: 8,8 -> 16/6
+    assert got[1][0] is None and got[1][2] is None
+    assert got[6][0] is None
+    assert got[2][0] == 38 / 3 and got[3][0] == 34 / 3
+    assert abs(got[2][1] - (-16 / 6)) < 1e-12
+    assert abs(got[3][1] - (16 / 6)) < 1e-12
+    # residual = num/3 - seasonal: t2: -8/3 + 16/6 = 0
+    assert abs(got[2][2]) < 1e-12 and abs(got[3][2]) < 1e-12
+
+
+def test_seasonal_decompose_matches_statsmodels_shape(spark):
+    # no statsmodels in container: check the invariant instead —
+    # v == trend + seasonal + residual on full-frame rows (additive
+    # identity holds only when the period means absorb the detrended
+    # value exactly; with one row per (g, period) it must)
+    from centimators_spark.operators.decompose import seasonal_decompose
+
+    rows = [("g", t, float((t * 13) % 29)) for t in range(1, 30)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = seasonal_decompose(
+        df,
+        group_col="g",
+        order_col="t",
+        value_col="v",
+        period=F.col("t"),  # one row per period -> residual 0
+        window=5,
+    ).collect()
+    for r in out:
+        if r.trend is not None:
+            assert abs(r.v - (r.trend + r.seasonal + r.residual)) < 1e-9
+            assert abs(r.residual) < 1e-12
+
+
+def test_seasonal_decompose_rejects_even_window(spark):
+    import pytest as _pytest
+
+    from centimators_spark.operators.decompose import seasonal_decompose
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, v double")
+    with _pytest.raises(ValueError):
+        seasonal_decompose(
+            df, group_col="g", order_col="t", value_col="v",
+            period=F.col("t"), window=12,
+        )
+
+
+def test_xicor_identity_closed_form(spark):
+    from centimators_spark.ml.metrics import xicor
+
+    # y = x, no ties: xi = 1 - 3/(n+1) exactly (Chatterjee 2021 eq. 1)
+    rows = [("g", i, i, i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, k int, x long, y long")
+    out = xicor(df, "g", F.col("x"), F.col("y"), ["k"]).collect()[0]
+    assert out.n == 5 and out.xi == 1 - 3 / 6
+
+
+def test_xicor_nonmonotone_function_detected(spark):
+    from centimators_spark.ml.metrics import xicor
+
+    # y = (x - 10)^2 — Pearson/Spearman ~0, xi must be high
+    rows = [("g", i, i, (i - 10) ** 2) for i in range(21)]
+    df = spark.createDataFrame(rows, "g string, k int, x long, y long")
+    out = xicor(df, "g", F.col("x"), F.col("y"), ["k"]).collect()[0]
+    assert out.xi > 0.5
+
+
+def test_xicor_constant_y_null(spark):
+    from centimators_spark.ml.metrics import xicor
+
+    rows = [("g", i, i, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, k int, x long, y long")
+    assert xicor(df, "g", F.col("x"), F.col("y"), ["k"]).collect()[0].xi is None
+
+
+def test_xicor_matches_direct_counting_with_ties(spark):
+    from centimators_spark.ml.metrics import xicor
+
+    # deterministic pseudo-random with heavy x AND y ties
+    rows = [("g", i, (i * 7) % 5, (i * 11) % 4) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, k int, x long, y long")
+    got = xicor(df, "g", F.col("x"), F.col("y"), ["k"]).collect()[0]
+    # O(n^2) reference: sort by (x, k); r_i = #{y_j <= y_i}, l_i = #{y_j >= y_i}
+    pts = sorted(((x, k, y) for _, k, x, y in rows))
+    ys = [y for _, _, y in pts]
+    n = len(ys)
+    r = [sum(1 for yj in ys if yj <= yi) for yi in ys]
+    l = [sum(1 for yj in ys if yj >= yi) for yi in ys]
+    num = n * sum(abs(r[i + 1] - r[i]) for i in range(n - 1))
+    den = 2 * sum(li * (n - li) for li in l)
+    assert abs(got.xi - (1 - num / den)) < 1e-12
+    assert got.n == n
+
+
+def test_xicor_partition_invariant(spark):
+    from centimators_spark.ml.metrics import xicor
+
+    rows = [("g", i, (i * 13) % 17, (i * 5) % 23) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, k int, x long, y long")
+    a = xicor(df.repartition(7), "g", F.col("x"), F.col("y"), ["k"]).collect()[0]
+    b = xicor(df.repartition(2), "g", F.col("x"), F.col("y"), ["k"]).collect()[0]
+    assert a.xi == b.xi

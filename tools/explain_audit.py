@@ -618,6 +618,24 @@ def main():
         and "BroadcastNestedLoopJoin" not in p
         and "EvalPython" not in p,
     )
+    p = plan_of(st["xicor_by_month"](spark, sf_dir))
+    ok &= audit(
+        "xicor_by_month: three rank/lag windows + final agg all share"
+        " ONE era exchange (subset-key clustering); no global window,"
+        " no Python",
+        p.count("Window") == 3
+        and p.count("Exchange") == 1
+        and "EvalPython" not in p,
+    )
+    p = plan_of(st["seasonal_decompose"](spark, sf_dir))
+    ok &= audit(
+        "seasonal_decompose: windowed panel lineage cut once (both the"
+        " seasonal agg and the output join read checkpoint blocks — no"
+        " parquet re-scan in the final plan); seasonal table broadcast",
+        "Scan parquet" not in p
+        and "BroadcastHashJoin" in p
+        and "EvalPython" not in p,
+    )
     p = plan_of(st["feature_corr_matrix"](spark, sf_dir))
     ok &= audit(
         "feature_corr_matrix: ONE map-side-combinable grand aggregate"
