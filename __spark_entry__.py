@@ -3218,22 +3218,23 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (4 negatives per
     doc) — pure keyed-md5 bucket/probe/pair hashing, reproducible and
     partition-invariant, one bucket equi-join + one min-struct argmin.
-    n_buckets sizes the probe fan-out (≈N/n_buckets members per
-    probe): 256 keeps the equi-join bounded through the 10x sweep; at
-    corpus scale size it ∝ N as the library docstring prescribes. A
-    probe landing on an empty/anchor-only bucket yields no row for
-    that rank — deterministic, oracle-mirrored."""
+    n_buckets="auto" sizes the bucket count ∝ N (one count job; the
+    oracle mirrors it with a scalar subquery), holding the per-probe
+    fan-out at ~16 members at ANY corpus size — the 10x sweep measured
+    52x wall-clock on a fixed bucket count before this. A probe
+    landing on an empty/anchor-only bucket yields no row for that rank
+    — deterministic, oracle-mirrored."""
     from centimators_spark.sampling import negative_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    return negative_sample(docs, "doc_id", k=4, n_buckets=256)
+    return negative_sample(docs, "doc_id", k=4, n_buckets="auto")
 
 
 def _negative_sample_oracle() -> str:
     from centimators_spark.sampling import negative_sample_oracle_sql
 
     return negative_sample_oracle_sql(
-        "documents", "doc_id", k=4, n_buckets=256
+        "documents", "doc_id", k=4, n_buckets="auto"
     )
 
 
@@ -3241,8 +3242,9 @@ def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Panel gap filling by LINEAR interpolation (the ffill sibling,
     `q_resample_ffill`): daily per-supplier quantity densified onto each
     supplier's own spine, gaps time-weighted between their bracketing
-    observations; leading/trailing gaps stay null. Both bracket lookups
-    share one (supplier, date) sort — a single WindowExec. The only
+    observations; leading/trailing gaps stay null. Two O(n) window
+    passes (asc + desc running last-non-null) share the supplier
+    shuffle — never an O(n²) unbounded-FOLLOWING frame. The only
     inexact op is the final division (one IEEE rounding), 6dp-rounded
     in both engines."""
     from centimators_spark.operators.resample import resample_panel

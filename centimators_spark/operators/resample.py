@@ -53,11 +53,12 @@ def resample_panel(
     Leading/trailing gaps (no bracket on one side) stay null — linear
     interpolation has no lookback/lookahead-free answer there; chain a
     ffill/bfill explicitly if you want one. The bracket lookups are the
-    same ignore-nulls window as ffill plus its forward mirror — both
-    share one (ticker, date) sort, so the whole fill is ONE WindowExec
-    (one shuffle) regardless of how many value columns ride it. On
-    integer-valued doubles the only inexact op is the final division,
-    a single IEEE rounding, identical cross-engine."""
+    same running last-non-null as ffill plus its mirror over the
+    REVERSED ordering — two O(n) window passes sharing one shuffle on
+    the ticker key (never an unbounded-FOLLOWING frame, which Spark
+    evaluates O(n²) per partition). On integer-valued doubles the only
+    inexact op is the final division, a single IEEE rounding,
+    identical cross-engine."""
     if fill not in (None, "ffill", "linear"):
         raise ValueError(f"fill must be None|'ffill'|'linear', got {fill!r}")
     vals = list(value_cols)
@@ -93,17 +94,23 @@ def resample_panel(
             .orderBy(d)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+        # the forward bracket is the same running last-non-null, taken
+        # over the REVERSED ordering — never a [current, unbounded
+        # following] frame: Spark evaluates unbounded-FOLLOWING frames
+        # by rescanning to the partition end for EVERY row (O(n²) per
+        # partition; measured 225 s on the sf0.1 supplier spine vs ~2 s
+        # this way), while unbounded-preceding frames stream in O(n)
         wf = (
             Window.partitionBy(t)
-            .orderBy(d)
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col(d).desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
         for c in vals:
             obs_d = F.when(F.col(c).isNotNull(), F.col(d))
             prev_v = F.last(c, ignorenulls=True).over(wb)
             prev_d = F.last(obs_d, ignorenulls=True).over(wb)
-            next_v = F.first(c, ignorenulls=True).over(wf)
-            next_d = F.first(obs_d, ignorenulls=True).over(wf)
+            next_v = F.last(c, ignorenulls=True).over(wf)
+            next_d = F.last(obs_d, ignorenulls=True).over(wf)
             span = F.datediff(next_d, prev_d)
             # span == 0 ⟺ the row itself is observed (prev == next ==
             # current); guard keeps 0/0 out of the division

@@ -560,8 +560,9 @@ def negative_sample(
     df: DataFrame,
     id_col: str = "doc_id",
     k: int = 4,
-    n_buckets: int = 64,
+    n_buckets: "int | str" = "auto",
     salt: str = "neg",
+    target_bucket_size: int = 16,
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive training: for
     each anchor id, ``k`` pseudo-random partner ids drawn WITHOUT any
@@ -579,12 +580,20 @@ def negative_sample(
 
     Scale: the probe→bucket equi-join fans out by the bucket size
     (≈N/n_buckets members per probe) and the per-(anchor, i) argmin is
-    one min-struct aggregation — size ``n_buckets`` ∝ N to keep the
-    fan-out constant; no all-pairs scan anywhere.
+    one min-struct aggregation — the fan-out must stay constant, so
+    ``n_buckets`` MUST scale ∝ N (a fixed bucket count makes candidate
+    rows grow as k·N²/B; the 10x sweep measured 52x wall-clock on
+    exactly that). The default ``"auto"`` sizes it from one count job:
+    ``max(64, ceil(N / target_bucket_size))`` — deterministic, so the
+    SQL twin reproduces it with a scalar subquery.
     """
     from centimators_spark.text.portable import md5_long
 
-    nb = int(n_buckets)
+    if n_buckets == "auto":
+        t = int(target_bucket_size)
+        nb = max(64, (df.count() + t - 1) // t)  # integer ceil
+    else:
+        nb = int(n_buckets)
     anchors = df.select(F.col(id_col).cast("long").alias("anchor"))
     members = df.select(F.col(id_col).cast("long").alias("member")).select(
         "member",
@@ -643,14 +652,24 @@ def negative_sample_oracle_sql(
     table_sql: str,
     id_sql: str = "doc_id",
     k: int = 4,
-    n_buckets: int = 64,
+    n_buckets: "int | str" = "auto",
     salt: str = "neg",
+    target_bucket_size: int = 16,
 ) -> str:
     """DuckDB twin of :func:`negative_sample` — identical md5 bucket,
-    probe, and pair-hash expressions."""
+    probe, and pair-hash expressions. With ``n_buckets="auto"`` the
+    modulus is the scalar subquery ``greatest(64, ceil(N / target))``,
+    the same value the Spark side derives from its count job."""
     from centimators_spark.text.portable import sql_md5_long
 
-    nb = int(n_buckets)
+    if n_buckets == "auto":
+        t = int(target_bucket_size)
+        nb = (
+            f"(SELECT greatest(64, (count(*) + {t - 1}) // {t})"
+            f" FROM {table_sql})"
+        )
+    else:
+        nb = int(n_buckets)
     home = sql_md5_long(f"'{salt}' || CAST(member AS VARCHAR)")
     probe = sql_md5_long(
         f"'{salt}' || CAST(anchor AS VARCHAR) || '|'"

@@ -602,10 +602,12 @@ def main():
     )
     p = plan_of(st["linear_interpolate"](spark, sf_dir))
     ok &= audit(
-        "linear_interpolate: both bracket lookups (back + fwd frames)"
-        " fused into ONE WindowExec — one sort per supplier spine, no"
-        " Python",
-        p.count("Window") == 1 and "EvalPython" not in p,
+        "linear_interpolate: two O(n) unbounded-PRECEDING window"
+        " passes (asc + desc) sharing the supplier shuffle — no"
+        " O(n²) unbounded-FOLLOWING frame, no Python",
+        p.count("Window") == 2
+        and "unboundedfollowing" not in p.lower()
+        and "EvalPython" not in p,
     )
     p = plan_of(st["pareto_front"](spark, sf_dir))
     ok &= audit(

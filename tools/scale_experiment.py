@@ -79,6 +79,24 @@ subset runs):
     best_split              1.15    2.50    2.2x  distinct-value stream
     topk_turnover           1.76    2.06    1.2x  after top-k lineage cut
     ic_decay                3.81    3.46   ~1x    after monthly-table cut
+    negative_sample         2.46    8.89    3.6x  after n_buckets="auto"
+    linear_interpolate      6.59    3.32   <1x    after O(n) fwd bracket
+    pareto_front            1.14    1.00   ~1x    agg + 2 brand windows
+    feature_corr_matrix     3.13    2.24   <1x    one grand aggregate
+    seasonal_decompose      1.93    1.78   ~1x    checkpoint-cut panel
+    xicor_by_month          1.71    3.65    2.1x  3 windows, 1 exchange
+
+Round-8 staging FIXES found by this sweep (second batch): (c) the
+first-draft linear_interpolate took a [current row, unbounded
+FOLLOWING] ignore-nulls frame for the forward bracket — Spark
+evaluates unbounded-following frames by RESCANNING to the partition
+end for every row, O(n²) per partition: 224.9s at x1 on the sf0.1
+supplier spine. The forward bracket is the same running last-non-null
+over the REVERSED ordering (two O(n) passes, one shuffle): 6.6s.
+(d) negative_sample with a FIXED bucket count grows candidate rows as
+k*N^2/B (measured 52x wall-clock at 10x docs); n_buckets="auto" sizes
+B from one count job (oracle twin: scalar subquery), holding fan-out
+at ~16 members per probe -> 3.6x at 10x.
 
 Round-8 staging FIXES found by this sweep: (a) ic_decay measured
 12.3x at 10x (34s) — the aggregated-small monthly table's lineage
