@@ -86,6 +86,47 @@ subset runs):
     seasonal_decompose      1.93    1.78   ~1x    checkpoint-cut panel
     xicor_by_month          1.71    3.65    2.1x  3 windows, 1 exchange
 
+Round-7 extension probe, second batch (measured 2026-08-15; 18 more
+never-swept declared queries — clean-session x10 confirmations in
+parentheses where the long sweep session inflated):
+
+    gaussianize_probit  2.44    5.70    2.3x
+    quantile_normalize  2.03    2.69    1.3x
+    target_encode_loo   2.75   42.64 (2.67 clean)  ~1x  see NOTE
+    rolling_corr_ewma   1.66   28.03 (7.23 clean)  4.4x see NOTE
+    events_percentiles  1.28   12.06 (16.31 clean) ~10x exact-mode
+                                              group-size bound: the
+                                              contract pins exact=True
+                                              for oracle parity (sorts
+                                              each event_type's values
+                                              in one buffer); the
+                                              operator's scale default
+                                              is the mergeable GK
+                                              sketch (exact=False),
+                                              which is the 100 TB path
+    fuzzy_name_pairs    0.72    0.61   <1x   dims not scaled
+    dedup_clusters      3.40   13.69    4.0x  fixpoint, bounded
+    asof_join           0.74    0.86   ~1x
+    interval_band_join  1.46    1.02   <1x
+    salted_join         0.62    0.47   <1x
+    events_sessionize   0.50    0.97    1.9x
+    text_pii_mask       0.51    2.42    4.7x  regex scan, linear rows
+    ngram_contamination 1.28    3.67    2.9x
+    pack_sequences      0.57    0.89    1.6x
+    table_diff          1.02    0.86   <1x
+    quantile_bin        1.08    1.92    1.8x
+    trimmed_stats       1.01    1.81    1.8x
+    window_navigation   0.71    1.83    2.6x
+
+NOTE on long-session inflation: the 18-query sweep runs both scales
+in ONE Spark session; by the x10 pass the JVM carries every prior
+query's broadcasts/checkpoint blocks, and two readings came back
+10-16x their clean-session truth (target_encode_loo 42.6s vs 2.67s
+clean; rolling_corr_ewma 28.0s vs 7.2s clean — re-measured in a fresh
+session against the kept x10 build, twice). Treat any surprising
+single reading from a long batch as unconfirmed until re-run clean —
+the same discipline SURVEY §8 applies to bench drift.
+
 Round-8 staging FIXES found by this sweep (second batch): (c) the
 first-draft linear_interpolate took a [current row, unbounded
 FOLLOWING] ignore-nulls frame for the forward bracket — Spark
