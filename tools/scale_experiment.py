@@ -118,6 +118,25 @@ parentheses where the long sweep session inflated):
     trimmed_stats       1.01    1.81    1.8x
     window_navigation   0.71    1.83    2.6x
 
+Round-7 extension probe, third batch (measured 2026-08-15; the
+ordered-transformer and text families — every reading sub-linear):
+
+    anomaly_flags       2.21    2.51   ~1x
+    expanding_aggregates 0.95   1.17    1.2x
+    forward_returns     0.74    1.32    1.8x
+    moving_average      0.74    1.51    2.0x
+    rolling_aggregates  0.76    1.53    2.0x
+    rolling_rank        0.85    1.69    2.0x
+    robust_zscore       2.03    2.86    1.4x
+    transition_counts   0.55    0.80    1.5x
+    retention_cohorts   0.66    0.82    1.2x
+    char_entropy        1.16    3.92    3.4x
+    doc_sentences       0.21    0.37    1.8x
+    text_language_id    0.50    1.05    2.1x
+    text_quality_score  0.74    3.91    5.3x  per-char feature scan,
+                                              linear in corpus bytes
+    melt_lineitem       0.30    0.77    2.6x
+
 NOTE on long-session inflation: the 18-query sweep runs both scales
 in ONE Spark session; by the x10 pass the JVM carries every prior
 query's broadcasts/checkpoint blocks, and two readings came back
