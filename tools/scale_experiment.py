@@ -137,6 +137,27 @@ ordered-transformer and text families — every reading sub-linear):
                                               linear in corpus bytes
     melt_lineitem       0.30    0.77    2.6x
 
+Round-7 extension probe, fourth batch (measured 2026-08-15; lineitem
+aggregate shapes + the remaining document scans — all sub-linear,
+most ~1x because partial aggregation collapses before the shuffle):
+
+    pricing_summary     0.79    0.58   <1x
+    promo_revenue       1.51    2.09    1.4x
+    large_orders        1.13    1.79    1.6x
+    log_return          1.31    1.52    1.2x
+    diff_transformer    1.07    1.74    1.6x
+    group_stats         0.92    0.84   <1x
+    benford_digits      1.70    1.61   <1x
+    calendar_features   0.31    0.24   <1x
+    distinct_counts     0.73    0.64   <1x
+    psi_categorical     0.63    0.48   <1x
+    text_c4_filters     0.42    0.91    2.2x
+    text_normalize      0.36    1.02    2.8x
+    text_token_counts   0.32    1.13    3.5x
+    token_positions     0.32    0.82    2.6x
+    simhash_fingerprint 0.53    1.77    3.3x
+    z_order_key         0.79    0.81   ~1x
+
 NOTE on long-session inflation: the 18-query sweep runs both scales
 in ONE Spark session; by the x10 pass the JVM carries every prior
 query's broadcasts/checkpoint blocks, and two readings came back
