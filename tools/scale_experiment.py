@@ -158,6 +158,28 @@ most ~1x because partial aggregation collapses before the shuffle):
     simhash_fingerprint 0.53    1.77    3.3x
     z_order_key         0.79    0.81   ~1x
 
+Round-7 extension probe, fifth batch (measured 2026-08-15; the events
+and sampling families — all sub-linear; several <1x because the x10
+build's shifted user/order keys SPREAD the per-key windows across
+more, smaller partitions):
+
+    events_interval_join 2.14   0.97   <1x
+    events_json_extract 1.73    1.44   <1x
+    events_windowed_counts 2.03 0.36   <1x
+    stratified_sample   1.10    0.37   <1x
+    hash_split_sample   0.71    0.29   <1x
+    mixture_sample      1.15    0.66   <1x
+    temperature_mixture 1.20    0.58   <1x
+    conformal_quantiles 1.57    1.82    1.2x
+    cv_folds            1.56    1.07   <1x
+    era_weights         1.02    1.22    1.2x
+    logloss_calibration 0.98    0.81   <1x
+    one_hot_segments    0.22    0.21   ~1x
+    string_agg_segment  0.24    0.22   ~1x
+    window_distribution 0.82    0.78   ~1x
+    doc_string_funcs    0.27    0.64    2.4x
+    feature_hash        0.23    0.28    1.2x
+
 NOTE on long-session inflation: the 18-query sweep runs both scales
 in ONE Spark session; by the x10 pass the JVM carries every prior
 query's broadcasts/checkpoint blocks, and two readings came back
