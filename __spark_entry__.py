@@ -3601,6 +3601,23 @@ def _budget_select_oracle() -> str:
     return token_budget_select_oracle_sql(f"({scored})", budget_frac=0.4)
 
 
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND served
+    on the document corpus in one lazy plan — one (label, token) count
+    aggregation, broadcast V×K log-prob table, per-doc argmax on exact
+    micro-unit integer scores with label-asc tie-break."""
+    from centimators_spark.ml.naive_bayes import naive_bayes_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    return naive_bayes_classify(docs, "lang")
+
+
+def _naive_bayes_oracle() -> str:
+    from centimators_spark.ml.naive_bayes import naive_bayes_oracle_sql
+
+    return naive_bayes_oracle_sql("documents", "lang")
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
     the round-8 candidate set, gate-checked by
@@ -3632,6 +3649,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_corr_matrix": q_feature_corr_matrix,
         "seasonal_decompose": q_seasonal_decompose,
         "xicor_by_month": q_xicor_by_month,
+        "naive_bayes": q_naive_bayes,
+        "disjunctive_revenue": relational_queries.q_disjunctive_revenue,
     }
 
 
@@ -3656,6 +3675,10 @@ def staged_oracle_sql() -> dict[str, str]:
         "feature_corr_matrix": _feature_corr_matrix_oracle(),
         "seasonal_decompose": _seasonal_decompose_oracle(),
         "xicor_by_month": _xicor_oracle(),
+        "naive_bayes": _naive_bayes_oracle(),
+        "disjunctive_revenue": (
+            relational_queries._DISJUNCTIVE_REVENUE_ORACLE
+        ),
     }
 
 

@@ -1037,6 +1037,59 @@ _LARGE_VOLUME_CUSTOMERS_ORACLE = """
 """
 
 
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
+    predicate): three disjoint (brand, size-range, quantity-range)
+    conjunctions OR-ed together across the part⋈lineitem join. The
+    shape the suite lacked: a DISJUNCTION that references BOTH join
+    sides, so no single conjunct can be pushed whole — but the
+    part-only envelope (brand ∈ {...} AND size ≤ 30) and the
+    lineitem-only envelope (quantity ≤ 32) are each implied by the
+    disjunction and DO push into their scans (audited), so the
+    broadcast join probes a pre-filtered fact, and the residual OR
+    evaluates post-join inside codegen. Revenue rides exact cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    cond = arm("Brand#1", 10, 1, 12) | arm("Brand#2", 20, 10, 22) | arm(
+        "Brand#3", 30, 20, 32
+    )
+    return (
+        j.where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_DISJUNCTIVE_REVENUE_ORACLE = """
+    SELECT p_brand,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 12)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 22)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 32)
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "era_report": q_era_report,
     "autocorrelation": q_autocorrelation,

@@ -180,6 +180,39 @@ more, smaller partitions):
     doc_string_funcs    0.27    0.64    2.4x
     feature_hash        0.23    0.28    1.2x
 
+Round-7 extension probe, sixth batch (measured 2026-08-15; the
+relational families — FIRST batch on the EXTENDED x10 build that
+also scales orders (+i*10M orderkey, consistent with lineitem) and
+embeddings (perturbed copies); earlier orders-joining readings
+carried a "dims not scaled" caveat this build removes):
+
+    shipping_priority   3.59   11.49    3.2x  order-limit over join
+    regional_revenue    3.22   12.82    4.0x  cycle join
+    volume_shipping     1.94    5.31    2.7x
+    grouping_sets_revenue 0.99  0.35   <1x    partial-agg collapse
+    rollup_revenue      0.50    0.31   <1x
+    cube_revenue        0.72    0.33   <1x
+    pivot_revenue       4.38    0.32   <1x    multi-row-group scan
+                                              parallelism dominates
+    range_frame_sums    2.26    5.03    2.2x
+    top_orders_per_segment 0.85 3.76    4.4x
+    sql_returned_revenue 1.46   4.63    3.2x
+    above_avg_orders    0.61    0.42   <1x
+    set_ops_customers   0.84    0.77   <1x
+    exists_customers    0.60    0.57   <1x
+    full_outer_activity 0.68    0.80    1.2x
+    prospect_customers  0.67    1.03    1.5x
+    part_share          0.57    1.62    2.8x
+    supplier_return_blame 4.98 23.92    4.8x  clean re-run (the batch
+                                              read 58.9s — the
+                                              long-session JVM effect
+                                              again; confirmed clean
+                                              twice)
+    supplier_counts     1.33    3.91    2.9x
+    validate_orders     1.05    1.32    1.3x  clean re-run (batch
+                                              read 18.6s, same cause)
+    table_profile       0.58    2.18    3.8x
+
 NOTE on long-session inflation: the 18-query sweep runs both scales
 in ONE Spark session; by the x10 pass the JVM carries every prior
 query's broadcasts/checkpoint blocks, and two readings came back
@@ -352,8 +385,34 @@ def build() -> str:
         FROM read_parquet('{BASE}/events.parquet'), range(10) r(i)
       ) TO '{TGT}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 400000)
     """)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "embeddings"):
+    # Batch 6+ extension: scale orders CONSISTENTLY with lineitem's
+    # orderkey shift (earlier batches copied orders unscaled, so any
+    # lineitem JOIN orders probe silently dropped the 9/10 of lineitem
+    # whose shifted keys had no order row — readings before this change
+    # carry a "dims not scaled" note). o_custkey stays, so per-customer
+    # order fan-out grows 10x (the realistic shape for Q13/Q18/Q22).
+    con.execute(f"""
+      COPY (
+        SELECT o_orderkey + i * 10000000 AS o_orderkey, o_custkey,
+               o_orderstatus, o_totalprice,
+               o_orderdate + to_days(CAST(i AS INTEGER)) AS o_orderdate,
+               o_orderpriority
+        FROM read_parquet('{BASE}/orders.parquet'), range(10) r(i)
+      ) TO '{TGT}/orders.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 400000)
+    """)
+    # Embeddings scale with PERTURBED copies (i=0 exact): near but not
+    # identical vectors, so ANN/centroid probes measure scan+bucket
+    # growth rather than an exact-duplicate pair explosion.
+    con.execute(f"""
+      COPY (
+        SELECT vec_id + i * 10000000 AS vec_id,
+               list_transform(embedding,
+                              x -> x + CAST(i AS FLOAT) * 0.003) AS embedding,
+               label
+        FROM read_parquet('{BASE}/embeddings.parquet'), range(10) r(i)
+      ) TO '{TGT}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part"):
         shutil.copy(f"{BASE}/{t}.parquet", f"{TGT}/{t}.parquet")
     return TGT
 
@@ -365,7 +424,12 @@ def main() -> int:
 
     # positional args select a query subset (default: the full QS list)
     names = [a for a in sys.argv[1:] if not a.startswith("--")] or QS
-    tgt = build()
+    # --reuse: skip the rebuild when a prior --keep run left the x10
+    # data in place (batch runs in fresh sessions share one build).
+    if "--reuse" in sys.argv and os.path.exists(f"{TGT}/lineitem.parquet"):
+        tgt = TGT
+    else:
+        tgt = build()
     spark = get_spark(
         "scale10",
         cpus=32,
