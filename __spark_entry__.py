@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from centimators_spark.io import load_table
@@ -3618,6 +3618,91 @@ def _naive_bayes_oracle() -> str:
     return naive_bayes_oracle_sql("documents", "lang")
 
 
+def q_kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-duplicate graph (MinHash-LSH pairs at the
+    dedup threshold): iterative peeling strips singly-linked docs so
+    only DENSE boilerplate families remain — the "which dup families
+    are cliques, not chains" triage a dedup report needs. Fixed
+    8-round peel (converges well before that here; asserted in unit
+    tests), each round one degree aggregation + two semi-joins on the
+    monotonically shrinking edge set."""
+    from centimators_spark.dedup.minhash import minhash_lsh_pairs
+    from centimators_spark.graphs import kcore
+    from centimators_spark.plans.datapipe_queries import MINHASH_T
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(docs, threshold=MINHASH_T).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    return kcore(edges, k=2, rounds=8)
+
+
+def _kcore_oracle() -> str:
+    from centimators_spark.graphs import kcore_oracle_sql
+    from centimators_spark.plans.datapipe_queries import (
+        _JACCARD_PAIRS,
+        MINHASH_T,
+    )
+
+    edges = (
+        f"(SELECT d1 AS src, d2 AS dst FROM ({_JACCARD_PAIRS})"
+        f" WHERE jaccard >= {MINHASH_T})"
+    )
+    return kcore_oracle_sql(edges, k=2, rounds=8)
+
+
+def q_signal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-short QUINTILE backtest of a revenue-momentum signal on the
+    monthly supplier panel: per-era integer rank cuts pick the top and
+    bottom quintiles (eras smaller than n_bins rows are dropped), forward 1-month returns ride micro-unit integers,
+    and the per-era spread plus its cumulative sum come out bit-exact
+    (one era rank window + one map-side (era,bin) aggregation + one
+    window over one-row-per-era)."""
+    from centimators_spark.ml.backtest import long_short_backtest
+
+    li = _lineitem(spark, sf_dir)
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+        "l_suppkey",
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("m")
+    panel = monthly.select(
+        F.unix_timestamp("m").alias("era"),
+        F.col("l_suppkey").alias("tkr"),
+        F.col("rev_c").alias("sig"),
+        F.round(
+            (F.lead("rev_c", 1).over(w) - F.col("rev_c")).cast("double")
+            * 1e6
+            / F.col("rev_c").cast("double")
+        ).cast("long").alias("ret_u"),
+    )
+    return long_short_backtest(panel, "era", "tkr", "sig", "ret_u", n_bins=5)
+
+
+def _signal_backtest_oracle() -> str:
+    from centimators_spark.ml.backtest import long_short_backtest_oracle_sql
+
+    panel = """(
+      WITH monthly AS (
+        SELECT date_trunc('month', l_shipdate) AS m, l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY 1, 2
+      )
+      SELECT CAST(epoch(m) AS BIGINT) AS era, l_suppkey AS tkr,
+             rev_c AS sig,
+             CAST(round(CAST(lead(rev_c) OVER (PARTITION BY l_suppkey
+                    ORDER BY m) - rev_c AS DOUBLE) * 1e6
+                  / CAST(rev_c AS DOUBLE)) AS BIGINT) AS ret_u
+      FROM monthly
+    )"""
+    return long_short_backtest_oracle_sql(panel, n_bins=5)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
     the round-8 candidate set, gate-checked by
@@ -3651,6 +3736,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xicor_by_month": q_xicor_by_month,
         "naive_bayes": q_naive_bayes,
         "disjunctive_revenue": relational_queries.q_disjunctive_revenue,
+        "kcore_dupgraph": q_kcore_dupgraph,
+        "signal_backtest": q_signal_backtest,
     }
 
 
@@ -3679,6 +3766,8 @@ def staged_oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": (
             relational_queries._DISJUNCTIVE_REVENUE_ORACLE
         ),
+        "kcore_dupgraph": _kcore_oracle(),
+        "signal_backtest": _signal_backtest_oracle(),
     }
 
 

@@ -273,3 +273,110 @@ def triangle_count_oracle_sql(edges_sql: str, src: str = "src", dst: str = "dst"
                CAST(n_triangles AS BIGINT) AS n_triangles
         FROM tri
     """
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by ITERATIVE PEELING — ``rounds`` rounds of
+    "drop every node with degree < k, induce the subgraph on the
+    survivors" over the canonical undirected edge set. A fixed round
+    count makes the operator a deterministic function of the input
+    (the pagerank_int convention for iterative algorithms), so the
+    DuckDB twin (:func:`kcore_oracle_sql`) unrolls the identical
+    rounds as chained CTEs; when peeling converges within the budget —
+    asserted in the unit tests and true for any graph whose peel
+    cascade is shorter than ``rounds`` — the result IS the exact
+    k-core. Production fixpoint variant: loop until a one-row count
+    job reports no change (the dedup/cluster.py discipline).
+
+    Distributed shape: per round, ONE degree aggregation (map-side
+    partial; two projections unioned) + TWO semi-joins back onto the
+    edge set (AQE broadcast-converts the surviving-node side when it
+    fits). The edge set SHRINKS monotonically; each round's result is
+    pinned with an eager localCheckpoint so no round re-executes its
+    predecessors (anti-exponential-plan, as dedup/cluster.py).
+
+    Returns (v, core_deg): every node of the ``rounds``-peeled
+    subgraph with its degree inside it, both BIGINT.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = und
+    for _ in range(rounds):
+        deg = (
+            active.select(F.col("a").alias("v"))
+            .unionAll(active.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("v")
+        active = (
+            active.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        active.select(F.col("a").alias("v"))
+        .unionAll(active.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .select(F.col("v").cast("long").alias("v"), "core_deg")
+    )
+
+
+def kcore_oracle_sql(
+    edges_sql: str,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """DuckDB twin of :func:`kcore` — the same ``rounds`` peel rounds
+    unrolled as chained CTEs."""
+    # every CTE is MATERIALIZED: each round references its predecessor
+    # several times, and DuckDB's default CTE INLINING would otherwise
+    # expand the unrolled plan ~5^rounds-fold (observed as
+    # "Too many open files" from hundreds of thousands of inlined
+    # parquet scans) — materialization is also exactly what the Spark
+    # side's per-round localCheckpoint does
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+          SELECT DISTINCT least({src}, {dst}) AS a,
+                          greatest({src}, {dst}) AS b
+          FROM {edges_sql} WHERE {src} <> {dst}
+        )"""
+    ]
+    for i in range(rounds):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+          SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM e{i} UNION ALL SELECT b FROM e{i}
+          ) GROUP BY v
+        )""")
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d >= {k})"""
+        )
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{i} e
+          JOIN k{i} x ON e.a = x.v
+          JOIN k{i} y ON e.b = y.v
+        )""")
+    final = f"e{rounds}"
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS core_deg
+        FROM (
+          SELECT a AS v FROM {final} UNION ALL SELECT b FROM {final}
+        ) GROUP BY v
+    """

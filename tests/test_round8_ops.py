@@ -270,3 +270,185 @@ def test_xicor_partition_invariant(spark):
     a = xicor(df.repartition(7), "g", F.col("x"), F.col("y"), ["k"]).collect()[0]
     b = xicor(df.repartition(2), "g", F.col("x"), F.col("y"), ["k"]).collect()[0]
     assert a.xi == b.xi
+
+
+# ---------------------------------------------------------------- kcore
+
+
+def _kcore_map(spark, edges, k, rounds=8):
+    from centimators_spark.graphs import kcore
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.v: r.core_deg for r in kcore(df, k, rounds=rounds).collect()}
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle {1,2,3} + tail 3-4-5: k=2 peels 5 then 4 (cascade),
+    # keeping the triangle with degree 2 each
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _kcore_map(spark, edges, k=2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_chain_peels_to_empty(spark):
+    # a path needs MULTIPLE rounds to vanish at k=2: ends peel first,
+    # exposing new ends each round
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert _kcore_map(spark, edges, k=2) == {}
+
+
+def test_kcore_complete_graph_thresholds(spark):
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert _kcore_map(spark, k4, k=3) == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert _kcore_map(spark, k4, k=4) == {}
+
+
+def test_kcore_converged_rounds_invariant(spark):
+    # once the peel converges, extra rounds change nothing
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 4)]
+    assert _kcore_map(spark, edges, k=2, rounds=3) == _kcore_map(
+        spark, edges, k=2, rounds=8
+    )
+
+
+def test_kcore_dedupes_and_canonicalizes(spark):
+    # duplicate, reversed, and self-loop edges collapse to one simple
+    # undirected edge set before peeling
+    edges = [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (1, 3)]
+    assert _kcore_map(spark, edges, k=2) == {1: 2, 2: 2, 3: 2}
+
+
+# ----------------------------------------------------------- naive bayes
+
+
+def test_naive_bayes_hand_model(spark):
+    import math
+
+    from centimators_spark.ml.naive_bayes import naive_bayes_classify
+
+    rows = [
+        (0, "spam spam ham", "s"),
+        (1, "spam spam", "s"),
+        (2, "ham ham eggs", "h"),
+        (3, "ham eggs", "h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: (r.pred_label, r.n_tokens, r.score)
+        for r in naive_bayes_classify(df, "lang").collect()
+    }
+
+    # hand model: vocab {spam, ham, eggs}; V=3, alpha=1
+    # class s: n_tok=5, counts spam=4 ham=1; class h: n_tok=5,
+    # counts ham=3 eggs=2; priors 2/4 each
+    def lp(c, n):
+        return round(math.log((c + 1.0) / (n + 1.0 * (3 + 1.0))), 6)
+
+    def score(tokens, counts, n):
+        u = round(math.log(2 / 4) * 1e6)
+        for t in tokens:
+            u += round(lp(counts.get(t, 0), n) * 1e6)
+        return round(u / 1e6, 6)
+
+    cs = {"spam": 4, "ham": 1}
+    ch = {"ham": 3, "eggs": 2}
+    for doc_id, toks in [
+        (0, ["spam", "spam", "ham"]),
+        (1, ["spam", "spam"]),
+        (2, ["ham", "ham", "eggs"]),
+        (3, ["ham", "eggs"]),
+    ]:
+        s_s, s_h = score(toks, cs, 5), score(toks, ch, 5)
+        want = ("h", s_h) if s_h > s_s else ("s", s_s)
+        if s_h == s_s:  # tie -> label asc
+            want = ("h", s_h)
+        assert out[doc_id] == (want[0], len(toks), want[1]), doc_id
+
+
+def test_naive_bayes_empty_doc_gets_prior_argmax(spark):
+    from centimators_spark.ml.naive_bayes import naive_bayes_classify
+
+    rows = [
+        (0, "x x", "a"),
+        (1, "y", "b"),
+        (2, "y z", "b"),
+        (3, "", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: (r.pred_label, r.n_tokens) for r in
+           naive_bayes_classify(df, "lang").collect()}
+    # doc 3 has no tokens: argmax prior = 'b' (3 of 4 docs)
+    assert out[3] == ("b", 0)
+    assert len(out) == 4
+
+
+# ------------------------------------------------------------- backtest
+
+
+def _bt(spark, rows, **kw):
+    from centimators_spark.ml.backtest import long_short_backtest
+
+    df = spark.createDataFrame(
+        rows, "era long, tkr long, sig double, ret_u long"
+    )
+    out = long_short_backtest(df, "era", "tkr", "sig", "ret_u", **kw)
+    return {r.era: r.asDict() for r in out.collect()}
+
+
+def test_backtest_hand_quintiles(spark):
+    # 10 tickers, signal = -ticker so ticker 0 ranks first; returns =
+    # ticker micro-units. n_bins=5 -> top bin {0,1}, bottom bin {8,9}
+    rows = [(1, t, float(-t), t * 1_000_000) for t in range(10)]
+    got = _bt(spark, rows, n_bins=5)
+    e = got[1]
+    assert e["n"] == 10
+    assert e["long_ret"] == 0.5       # mean(0,1)
+    assert e["short_ret"] == 8.5      # mean(8,9)
+    assert e["spread"] == -8.0
+    assert e["cum_spread"] == -8.0
+
+
+def test_backtest_cumulative_and_tie_break(spark):
+    # two eras; era 2 has tied signals -> ticker asc breaks ties, so
+    # top bin = lowest tickers
+    rows = [(1, t, float(-t), t * 1_000_000) for t in range(5)] + [
+        (2, t, 0.0, (5 - t) * 1_000_000) for t in range(5)
+    ]
+    got = _bt(spark, rows, n_bins=5)
+    assert got[1]["spread"] == 0.0 - 4.0
+    # era 2: top bin = ticker 0 (ret 5.0), bottom = ticker 4 (ret 1.0)
+    assert got[2]["long_ret"] == 5.0
+    assert got[2]["short_ret"] == 1.0
+    assert got[2]["spread"] == 4.0
+    assert got[2]["cum_spread"] == -4.0 + 4.0
+
+
+def test_backtest_small_era_dropped_and_nulls_excluded(spark):
+    from centimators_spark.ml.backtest import long_short_backtest
+
+    df = spark.createDataFrame(
+        [(1, t, float(-t), t * 1_000_000) for t in range(5)]
+        + [(2, 0, -0.0, 0), (2, 1, -1.0, 1_000_000)]  # era 2: only 2 rows
+        + [(1, 99, None, 0), (1, 98, 0.0, None)],     # excluded rows
+        "era long, tkr long, sig double, ret_u long",
+    )
+    got = {
+        r.era: r.asDict()
+        for r in long_short_backtest(
+            df, "era", "tkr", "sig", "ret_u", n_bins=5
+        ).collect()
+    }
+    assert set(got) == {1}          # era 2 dropped (n=2 < 5)
+    assert got[1]["n"] == 5          # null rows not counted
+
+
+def test_backtest_half_up_integer_mean(spark):
+    # n=4, n_bins=2: top half = tickers {0,1} with rets (1u, 2u) ->
+    # mean 1.5u -> HALF-UP -> 2u = 2e-6 (a pure-integer rounding the
+    # float round() would hit boundary-divergence on)
+    rows = [(1, 0, 5.0, 1), (1, 1, 4.0, 2),
+            (1, 2, 2.0, 7), (1, 3, 1.0, 8)]
+    got = _bt(spark, rows, n_bins=2)
+    e = got[1]
+    assert e["long_ret"] == 2e-06
+    assert e["short_ret"] == 8e-06   # mean(7,8)=7.5u -> half-up 8u
+    assert e["spread"] == -6e-06
