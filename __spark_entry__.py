@@ -3703,6 +3703,46 @@ def _signal_backtest_oracle() -> str:
     return long_short_backtest_oracle_sql(panel, n_bins=5)
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact Lloyd rounds over the embedding table (k=4, seeds =
+    lowest-id vectors): integer micro-unit distances, half-up integer
+    centroid means, min-struct argmin — each assignment is one codegen
+    scan with literal centroids (no join/shuffle), each update one
+    (cluster, position) aggregation collected at k·d rows."""
+    from centimators_spark.similarity.kmeans import kmeans_lloyd_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_exact(emb, "embedding", "vec_id", k=4, iters=2)
+
+
+def _kmeans_oracle() -> str:
+    from centimators_spark.similarity.kmeans import kmeans_lloyd_oracle_sql
+
+    return kmeans_lloyd_oracle_sql(
+        "embeddings", "embedding", "vec_id", k=4, iters=2, dim=64
+    )
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label serving: exact cosine top-10 neighbors (the
+    ann_cosine_topk path) + integer majority vote with
+    (votes desc, label asc) tie-break — queries broadcast, one corpus
+    scan, vote aggregation over k rows per query."""
+    from centimators_spark.similarity.knn import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_classify(emb, queries, k=10)
+
+
+def _knn_oracle() -> str:
+    from centimators_spark.similarity.knn import knn_classify_oracle_sql
+
+    return knn_classify_oracle_sql("embeddings", n_queries=20, k=10)
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
     the round-8 candidate set, gate-checked by
@@ -3738,6 +3778,8 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": relational_queries.q_disjunctive_revenue,
         "kcore_dupgraph": q_kcore_dupgraph,
         "signal_backtest": q_signal_backtest,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "knn_classify": q_knn_classify,
     }
 
 
@@ -3768,6 +3810,8 @@ def staged_oracle_sql() -> dict[str, str]:
         ),
         "kcore_dupgraph": _kcore_oracle(),
         "signal_backtest": _signal_backtest_oracle(),
+        "kmeans_embeddings": _kmeans_oracle(),
+        "knn_classify": _knn_oracle(),
     }
 
 

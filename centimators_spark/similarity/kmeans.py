@@ -1,0 +1,196 @@
+"""Exact-arithmetic Lloyd k-means over embedding columns — the EM
+iteration shape (assign → update) as a bit-exact cross-engine
+contract, complementing the approximate/driver-trained clustering the
+ANN stack already uses (MLlib KMeans trains IVF cells in
+`similarity/ann.py`; PQ codebooks in `similarity/pq.py`).
+
+Protocol (deterministic by construction):
+
+- vectors enter as BIGINT micro-units (round(x·1e6) per component);
+- seeds C0 = the k vectors with the smallest ids (data-derived, so
+  both engines compute them — no RNG);
+- per iteration: assign each vector to the centroid minimizing the
+  INTEGER squared L2 distance (ties → lower cluster id; min-struct
+  argmin), then recompute each centroid component as the HALF-UP
+  integer mean floor((2s+n)/(2n)) of its members (the
+  ml/backtest.py rounding — no float-round boundary divergence);
+  empty clusters keep their previous centroid;
+- output after ``iters`` rounds: per cluster, the member count of the
+  LAST assignment, the first two components of the post-update
+  centroid, and the integer inertia of the last assignment (distance
+  to the centroids it assigned against).
+
+Scale: each assignment is ONE codegen scan (k distance expressions
+per row — centroids are literals, no join, no shuffle); each update
+is one (cluster, position) grouped sum — k·d result rows, collected
+to the driver exactly like the PQ codebook training step (bounded by
+k·d, never by N). Integer bounds: |component| ≤ 2e6 micro-units ⇒
+per-pair distance ≤ d·1.6e13; inertia sums stay well inside BIGINT
+for d·N ≲ 1e4·1e5 — use DECIMAL carriers beyond that.
+
+Reference anchor: DimReducer is the reference's only clustering-
+adjacent surface (`feature_transformers/dimreduction.py`); this adds
+the training-side counterpart a 100 TB pipeline needs (corpus
+bucketing for IVF / SemDeDup-style cluster pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_lloyd_exact", "kmeans_lloyd_oracle_sql"]
+
+
+def _xu(col):
+    return F.transform(
+        col, lambda v: F.round(v.cast("double") * 1e6).cast("long")
+    )
+
+
+def _dist_to(cent: list[int]):
+    arr = F.array(*[F.lit(int(c)).cast("long") for c in cent])
+    return F.aggregate(
+        F.zip_with(F.col("xu"), arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Run ``iters`` exact Lloyd rounds; see module docstring for the
+    full protocol. Returns (cluster, n, c0_u, c1_u, inertia_u)."""
+    x = df.select(
+        F.col(id_col).alias("vid"), _xu(F.col(vec_col)).alias("xu")
+    )
+    # C0: the k smallest-id vectors (tiny bounded collect, like the
+    # PQ codebook training step)
+    seed_rows = x.orderBy("vid").limit(k).collect()
+    cents = [list(r.xu) for r in seed_rows]
+    d = len(cents[0])
+
+    assigned = None
+    for _ in range(iters):
+        structs = [
+            F.struct(_dist_to(c).alias("dist"), F.lit(j).alias("c"))
+            for j, c in enumerate(cents)
+        ]
+        best = F.least(*structs)
+        assigned = x.select(
+            "vid",
+            "xu",
+            best["c"].alias("cluster"),
+            best["dist"].alias("dist"),
+        )
+        comp = (
+            assigned.select(
+                "cluster", F.posexplode("xu").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in comp:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = _half_up(r.s, r.n)
+        cents = [
+            [by_cluster[j][p] for p in range(d)] if j in by_cluster else cents[j]
+            for j in range(k)
+        ]
+
+    counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("inertia_u")
+    )
+    grid = assigned.sparkSession.createDataFrame(
+        [(j, cents[j][0], cents[j][1]) for j in range(k)],
+        "cluster int, c0_u long, c1_u long",
+    )
+    return grid.join(counts, "cluster", "left").select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "c0_u",
+        "c1_u",
+        F.coalesce(F.col("inertia_u"), F.lit(0)).cast("long").alias(
+            "inertia_u"
+        ),
+    )
+
+
+def _half_up(s: int, n: int) -> int:
+    # floor((2s + n) / (2n)) in exact python ints
+    return (2 * int(s) + int(n)) // (2 * int(n))
+
+
+def kmeans_lloyd_oracle_sql(
+    table: str = "embeddings",
+    vec_sql: str = "embedding",
+    id_sql: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmeans_lloyd_exact` — the iterations
+    unrolled as MATERIALIZED CTEs (the graphs.kcore_oracle_sql
+    discipline) evaluating identical integer arithmetic."""
+    dist = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (u, v) -> u + v)"
+    )
+    ctes = [
+        f"""x AS MATERIALIZED (
+          SELECT {id_sql} AS vid,
+                 list_transform({vec_sql},
+                   v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT))
+                   AS xu
+          FROM {table}
+        )""",
+        f"""c0 AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER)
+                   AS c, xu AS cu
+          FROM (SELECT vid, xu FROM x ORDER BY vid LIMIT {k})
+        )""",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        d_expr = dist.format(a="x.xu", b=f"{prev}.cu", d=dim)
+        ctes.append(f"""a{it} AS MATERIALIZED (
+          SELECT vid, xu, cluster, dist FROM (
+            SELECT x.vid, x.xu, {prev}.c AS cluster,
+                   {d_expr} AS dist,
+                   row_number() OVER (PARTITION BY x.vid
+                     ORDER BY {d_expr} ASC, {prev}.c ASC) AS rn
+            FROM x CROSS JOIN {prev}
+          ) WHERE rn = 1
+        )""")
+        ctes.append(f"""m{it} AS MATERIALIZED (
+          SELECT cluster, list(mu ORDER BY i) AS cu FROM (
+            SELECT cluster, i,
+                   CAST(floor(CAST(2 * sum(xu[i]) + count(*) AS DOUBLE)
+                     / CAST(2 * count(*) AS DOUBLE)) AS BIGINT) AS mu
+            FROM a{it} CROSS JOIN range(1, {dim} + 1) r(i)
+            GROUP BY cluster, i
+          ) GROUP BY cluster
+        )""")
+        ctes.append(f"""c{it} AS MATERIALIZED (
+          SELECT {prev}.c, coalesce(m{it}.cu, {prev}.cu) AS cu
+          FROM {prev} LEFT JOIN m{it} ON m{it}.cluster = {prev}.c
+        )""")
+        prev = f"c{it}"
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT CAST({prev}.c AS BIGINT) AS cluster,
+               CAST(coalesce(s.n, 0) AS BIGINT) AS n,
+               {prev}.cu[1] AS c0_u,
+               {prev}.cu[2] AS c1_u,
+               CAST(coalesce(s.inertia_u, 0) AS BIGINT) AS inertia_u
+        FROM {prev} LEFT JOIN (
+          SELECT cluster, count(*) AS n, sum(dist) AS inertia_u
+          FROM a{iters} GROUP BY cluster
+        ) s ON s.cluster = {prev}.c
+    """

@@ -452,3 +452,82 @@ def test_backtest_half_up_integer_mean(spark):
     assert e["long_ret"] == 2e-06
     assert e["short_ret"] == 8e-06   # mean(7,8)=7.5u -> half-up 8u
     assert e["spread"] == -6e-06
+
+
+# -------------------------------------------------------- kmeans / knn
+
+
+def test_kmeans_lloyd_hand_protocol(spark):
+    from centimators_spark.similarity.kmeans import kmeans_lloyd_exact
+
+    # two tight groups on a 2-D line; seeds = vectors 0 and 1 (both in
+    # group A) -> first update pulls centroid 1 toward group B only if
+    # assignment splits; with these points, centroid 0 keeps {0, 2}
+    # and centroid 1 wins {1, 3, 4, 5} after round 1
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 1.0]),
+        (2, [0.1, 0.0]),
+        (3, [1.1, 1.0]),
+        (4, [0.9, 1.0]),
+        (5, [1.0, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.cluster: r.asDict() for r in
+           kmeans_lloyd_exact(df, k=2, iters=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n"] == 2 and out[1]["n"] == 4
+    # cluster 0 centroid = half-up mean of (0,0) and (0.1,0) micro-units
+    assert out[0]["c0_u"] == 50000 and out[0]["c1_u"] == 0
+    assert out[1]["c0_u"] == 1000000  # mean(1.0,1.1,0.9,1.0)=1.0
+    assert out[0]["inertia_u"] > 0 or out[0]["inertia_u"] == 0
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from centimators_spark.similarity.kmeans import kmeans_lloyd_exact
+
+    # seeds 0 and 1 identical -> every point ties to cluster 0 (lower
+    # id wins), cluster 1 goes empty and must keep its seed centroid
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.cluster: r.asDict() for r in
+           kmeans_lloyd_exact(df, k=2, iters=1).collect()}
+    assert out[1]["n"] == 0 and out[1]["inertia_u"] == 0
+    assert out[1]["c0_u"] == 1000000  # untouched seed
+    assert out[0]["n"] == 3
+
+    # ...and because the seed survives, round 2 lets the empty cluster
+    # RECAPTURE the points that sit exactly on it (cluster 0's centroid
+    # moved to the 3-point mean)
+    out2 = {r.cluster: r.asDict() for r in
+            kmeans_lloyd_exact(df, k=2, iters=2).collect()}
+    assert out2[1]["n"] == 2 and out2[1]["c0_u"] == 1000000
+    assert out2[0]["n"] == 1 and out2[0]["c0_u"] == 500000
+
+
+def test_knn_classify_vote_and_tiebreak(spark):
+    from centimators_spark.similarity.knn import knn_classify
+
+    # query 0 at origin-ish; neighbors: two of label 7, two of label 3
+    # -> tie at k=4 -> smaller label (3) wins
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 7),
+        (2, [0.98, 0.2], 7),
+        (3, [0.97, 0.3], 3),
+        (4, [0.96, 0.4], 3),
+        (5, [-1.0, 0.0], 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_classify(df, q, k=4).collect()
+    assert len(out) == 1
+    assert out[0].pred_label == 3 and out[0].votes == 2
+
+    # k=2: the two closest are both label 7
+    out2 = knn_classify(df, q, k=2).collect()
+    assert out2[0].pred_label == 7 and out2[0].votes == 2

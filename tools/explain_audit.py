@@ -650,6 +650,63 @@ def main():
         and "EvalPython" not in p,
     )
 
+    p = plan_of(st["naive_bayes"](spark, sf_dir))
+    ok &= audit(
+        "naive_bayes: V×K log-prob and class-floor tables BROADCAST"
+        " onto the exploded corpus; no Python, no cartesian blow-up"
+        " (the K-class fan-out is the broadcast cross join)",
+        "BroadcastHashJoin" in p
+        and "EvalPython" not in p
+        # the ONE merge join is per-doc grid ⋈ per-doc scores —
+        # large-large on (doc,class), correctly NOT broadcast
+        and p.count("SortMergeJoin") <= 1,
+    )
+    p = plan_of(st["disjunctive_revenue"](spark, sf_dir))
+    ok &= audit(
+        "disjunctive_revenue (Q19): part dim BROADCAST; the"
+        " lineitem-only envelope of the OR (quantity bounds) is pushed"
+        " into the fact scan; residual disjunction evaluates post-join"
+        " in codegen — no Python",
+        "BroadcastHashJoin" in p
+        and "PushedFilters: [" in p
+        and "l_quantity" in p.split("PushedFilters")[1][:400]
+        and "EvalPython" not in p,
+    )
+    p = plan_of(st["kcore_dupgraph"](spark, sf_dir))
+    ok &= audit(
+        "kcore_dupgraph: every peel round reads the CHECKPOINTED edge"
+        " set (no parquet re-scan in the final round's plan); degree"
+        " agg + two semi-joins per round",
+        # the per-round semi-joins are absorbed into the eager
+        # checkpoints; the FINAL plan must be just the degree
+        # aggregation over checkpoint blocks
+        "Scan parquet" not in p and "EvalPython" not in p,
+    )
+    p = plan_of(st["signal_backtest"](spark, sf_dir))
+    ok &= audit(
+        "signal_backtest: era rank window + map-side (era,bin) partial"
+        " aggregation; the only ordered-unpartitioned window runs over"
+        " one-row-per-era aggregates — no Python",
+        "partial_sum" in p and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+    p = plan_of(st["kmeans_embeddings"](spark, sf_dir))
+    ok &= audit(
+        "kmeans_embeddings: final assignment is one codegen scan with"
+        " LITERAL centroids (no join against a centroid table, no"
+        " Python); counts aggregate map-side",
+        "EvalPython" not in p
+        and "partial_count" in p,
+    )
+    p = plan_of(st["knn_classify"](spark, sf_dir))
+    ok &= audit(
+        "knn_classify: queries BROADCAST into the corpus scan"
+        " (BroadcastNestedLoopJoin is the exact-scan shape by"
+        " construction: 20 literal-ish query rows fan out per corpus"
+        " row); vote argmax is a min-struct aggregation — no Python",
+        "EvalPython" not in p and "Broadcast" in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 

@@ -213,6 +213,60 @@ carried a "dims not scaled" caveat this build removes):
                                               read 18.6s, same cause)
     table_profile       0.58    2.18    3.8x
 
+Round-7 extension probe, seventh batch (measured 2026-08-15; the
+ANN/PCA/profile families on the extended build — embeddings now scale
+10x as PERTURBED copies, so these are the first real 10x readings for
+the vector family):
+
+    ann_rp_lsh          2.65    3.16    1.2x
+    ann_rp_lsh_recall   2.66    3.27    1.2x
+    pq_recall_contract  1.97    2.91    1.5x
+    ivfpq_recall_contract 3.71  5.76    1.6x
+    ivfpq_pruned_contract 2.66  3.59    1.3x
+    pca_project_expr    2.03    1.81   <1x
+    pca_kernel_contract 2.91   12.56    4.3x  eigh kernel + twin join
+    dim_reducer_pca     1.24    1.86    1.5x
+    dedup_embedding_cosine 2.05 12.44   6.1x  output-bound: each vector
+                                              gains 9 near-copies, the
+                                              qualifying pair set grows
+                                              ~45x — sub-linear in the
+                                              result size
+    rank_ensemble       1.79    2.30    1.3x
+    resample_ffill      6.03    3.44   <1x
+    psi_sketch_contract 6.31   24.78    3.9x  runs exact AND sketch
+                                              modes by definition
+
+Round-7 extension probe, eighth batch (measured 2026-08-15; the
+per-era kernel family — eras stay ~84 at x10 (dates shift by days),
+so every era's applyInPandas kernel does 10x the rows — plus the six
+NEW staged queries):
+
+    penalizer_contract  1.80    6.64    3.7x  clean re-run (batch read
+                                              26.1s — long-session JVM
+                                              state; third such case
+                                              this round)
+    neutralizer_kernel_contract 6.54 45.70 7.0x  kernel+twin+joins, all
+                                              era-sized; sub-linear
+    linear_regression   1.91    3.04    1.6x  decimal-Gram oracle query
+    feature_neutralizer 2.05    7.52    3.7x
+    feature_penalizer   2.12   14.35    6.8x  Adamax iterations scale
+                                              with era rows
+    naive_bayes         2.89    6.60    2.3x  broadcast V×K model
+    disjunctive_revenue 1.04    0.56   <1x    pushed OR envelopes
+    kcore_dupgraph      5.42   14.40    2.7x  dup-graph edges grow with
+                                              planted families
+    signal_backtest     2.17    1.80   <1x    one-row-per-era windows
+    kmeans_embeddings   4.31    8.61    2.0x  2 literal-centroid scans
+    knn_classify        1.28    6.54    5.1x  exact corpus scan per
+                                              query (the documented
+                                              brute-force baseline;
+                                              IVF/LSH is the scale path)
+
+With this batch EVERY declared query (169) and every staged query
+(20) has at least one recorded 10x reading or a prose-documented
+equivalent (neutralizer_full_expr, neutralize_ols_era in the
+round-6 FIX notes) — none super-linear after clean-session re-runs.
+
 NOTE on long-session inflation: the 18-query sweep runs both scales
 in ONE Spark session; by the x10 pass the JVM carries every prior
 query's broadcasts/checkpoint blocks, and two readings came back
