@@ -3743,6 +3743,23 @@ def _knn_oracle() -> str:
     return knn_classify_oracle_sql("embeddings", n_queries=20, k=10)
 
 
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence of (lang x source) on the
+    document corpus — one (r,c) count aggregation collapses the data,
+    the full r x c grid (zero cells included) is built from the cell
+    table, and the statistic is an exact 6dp micro-unit integer sum."""
+    from centimators_spark.profile import chi2_independence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_independence(docs, "lang", "source")
+
+
+def _chi2_oracle() -> str:
+    from centimators_spark.profile import chi2_independence_oracle_sql
+
+    return chi2_independence_oracle_sql("documents", "lang", "source")
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
     the round-8 candidate set, gate-checked by
@@ -3780,6 +3797,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signal_backtest": q_signal_backtest,
         "kmeans_embeddings": q_kmeans_embeddings,
         "knn_classify": q_knn_classify,
+        "chi2_independence": q_chi2_independence,
     }
 
 
@@ -3812,6 +3830,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "signal_backtest": _signal_backtest_oracle(),
         "kmeans_embeddings": _kmeans_oracle(),
         "knn_classify": _knn_oracle(),
+        "chi2_independence": _chi2_oracle(),
     }
 
 

@@ -277,3 +277,121 @@ def benford_check_oracle_sql(
                      {round_dp}) AS chi2_term
         FROM counts CROSS JOIN tot
     """
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the "are these two labelings related" audit (language ×
+    source drift, segment × priority mix, …). Null categories are
+    first-class levels (kept as their own row/column).
+
+    Distributed shape: ONE (row, col) count aggregation (map-side
+    partial) collapses the data to r·c cells; margins and the full
+    r×c grid (zero cells included — a chi-square over observed cells
+    only would be wrong) are computed FROM the cell table, so nothing
+    after the first aggregation is data-sized.
+
+    Exactness: O, margins, N are exact BIGINTs; each cell's
+    (O−E)²/E evaluates in one fixed IEEE order and rounds to 6dp
+    micro-units, so the statistic is an exact integer sum
+    (order-independent). Returns one row:
+    (n, r_levels, c_levels, dof, chi2).
+    """
+    cells = (
+        df.select(
+            # null levels become an explicit sentinel so the grid join
+            # (an equality join) keeps them as first-class cells
+            F.coalesce(F.col(row_col).cast("string"), F.lit("<NULL>")).alias(
+                "r"
+            ),
+            F.coalesce(F.col(col_col).cast("string"), F.lit("<NULL>")).alias(
+                "c"
+            ),
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rm = cells.groupBy("r").agg(F.sum("o").alias("rn"))
+    cm = cells.groupBy("c").agg(F.sum("o").alias("cn"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rm.crossJoin(cm)
+        .join(cells, ["r", "c"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "c",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (
+                F.col("rn").cast("double")
+                * F.col("cn").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    terms = grid.select(
+        "n",
+        F.round(
+            (F.col("o").cast("double") - F.col("e"))
+            * (F.col("o").cast("double") - F.col("e"))
+            / F.col("e")
+            * 1e6
+        ).cast("long").alias("t_u"),
+    )
+    out = terms.groupBy("n").agg(F.sum("t_u").alias("chi_u"))
+    shape = rm.agg(F.count(F.lit(1)).alias("rl")).crossJoin(
+        cm.agg(F.count(F.lit(1)).alias("cl"))
+    )
+    return out.crossJoin(F.broadcast(shape)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("rl").cast("long").alias("r_levels"),
+        F.col("cl").cast("long").alias("c_levels"),
+        ((F.col("rl") - 1) * (F.col("cl") - 1)).cast("long").alias("dof"),
+        (F.col("chi_u").cast("double") / 1e6).alias("chi2"),
+    )
+
+
+def chi2_independence_oracle_sql(
+    table_sql: str,
+    row_sql: str,
+    col_sql: str,
+) -> str:
+    """DuckDB mirror of :func:`chi2_independence` — identical grid
+    construction (zero cells included), IEEE evaluation order, and
+    6dp micro-unit term carriers."""
+    return f"""
+        WITH cells AS (
+          SELECT coalesce(CAST({row_sql} AS VARCHAR), '<NULL>') AS r,
+                 coalesce(CAST({col_sql} AS VARCHAR), '<NULL>') AS c,
+                 count(*) AS o
+          FROM {table_sql} GROUP BY 1, 2
+        ), rm AS (SELECT r, sum(o) AS rn FROM cells GROUP BY r),
+        cm AS (SELECT c, sum(o) AS cn FROM cells GROUP BY c),
+        tot AS (SELECT sum(o) AS n FROM cells),
+        grid AS (
+          SELECT rm.r, cm.c, tot.n,
+                 coalesce(cells.o, 0) AS o,
+                 CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+                   / CAST(tot.n AS DOUBLE) AS e
+          FROM rm CROSS JOIN cm
+          LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+          CROSS JOIN tot
+        ), terms AS (
+          SELECT n,
+                 CAST(round((CAST(o AS DOUBLE) - e)
+                   * (CAST(o AS DOUBLE) - e) / e * 1e6) AS BIGINT) AS t_u
+          FROM grid
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               (SELECT CAST(count(*) AS BIGINT) FROM rm) AS r_levels,
+               (SELECT CAST(count(*) AS BIGINT) FROM cm) AS c_levels,
+               (SELECT CAST((count(*) - 1) AS BIGINT) FROM rm)
+                 * (SELECT CAST((count(*) - 1) AS BIGINT) FROM cm) AS dof,
+               CAST(sum(t_u) AS DOUBLE) / 1e6 AS chi2
+        FROM terms GROUP BY n
+    """

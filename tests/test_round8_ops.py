@@ -531,3 +531,41 @@ def test_knn_classify_vote_and_tiebreak(spark):
     # k=2: the two closest are both label 7
     out2 = knn_classify(df, q, k=2).collect()
     assert out2[0].pred_label == 7 and out2[0].votes == 2
+
+
+# ------------------------------------------------------------------ chi2
+
+
+def test_chi2_independence_hand_table(spark):
+    import numpy as np
+
+    from centimators_spark.profile import chi2_independence
+
+    # 2x2 with a known chi2: O = [[10, 20], [20, 10]]
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, "r", "c").collect()
+    assert len(out) == 1
+    o = out[0]
+    assert (o.n, o.r_levels, o.c_levels, o.dof) == (60, 2, 2, 1)
+    obs = np.array([[10.0, 20.0], [20.0, 10.0]])
+    e = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    want = round(sum(round(v * 1e6) for v in
+                     ((obs - e) ** 2 / e).ravel()) / 1e6, 6)
+    assert abs(o.chi2 - want) < 1e-9
+
+
+def test_chi2_zero_cells_and_null_level(spark):
+    from centimators_spark.profile import chi2_independence
+
+    # level ('b','y') never observed -> grid must still include it;
+    # null r is its own level
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), (None, "y"), (None, "y")]
+    df = spark.createDataFrame(rows, "r string, c string")
+    o = chi2_independence(df, "r", "c").collect()[0]
+    assert (o.n, o.r_levels, o.c_levels, o.dof) == (5, 3, 2, 2)
+    # independence would need fractional cells; statistic is positive
+    assert o.chi2 > 0

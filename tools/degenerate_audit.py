@@ -73,7 +73,11 @@ def main() -> int:
     spark = get_spark("degen-audit", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     fails = []
-    for name, fn in {**m.queries(), **m.staged_queries()}.items():
+    registry = {**m.queries(), **m.staged_queries()}
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if names:  # positional subset, like scale_experiment.py
+        registry = {n: registry[n] for n in names}
+    for name, fn in registry.items():
         try:
             n = fn(spark, tgt).count()
             print(f"OK   {name} rows={n}", flush=True)
