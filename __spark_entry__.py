@@ -3760,6 +3760,61 @@ def _chi2_oracle() -> str:
     return chi2_independence_oracle_sql("documents", "lang", "source")
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record construction over the event stream:
+    one row per user with last-non-null + first-non-null picks (ONE
+    struct max/min each — no window, no sort), exact micro-unit
+    extremes, and null-audit flags; the whole operator is a single
+    map-side-combinable aggregation on the cluster key."""
+    from centimators_spark.dedup.survivorship import golden_record
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_u"),
+        F.round(F.col("value") * 1e6).cast("long").alias("value_u"),
+    )
+    return golden_record(
+        ev,
+        "user_id",
+        {
+            "last_type": ("last_non_null", "event_type"),
+            "first_value_u": ("first_non_null", "value_u"),
+            "max_value_u": ("max", "value_u"),
+            "n_events": ("count", "event_id"),
+            "n_values": ("count", "value_u"),
+            "had_null_value": ("any_null", "value_u"),
+        },
+        order_col="ts_u",
+        tie_col="event_id",
+    )
+
+
+def _golden_record_oracle() -> str:
+    from centimators_spark.dedup.survivorship import golden_record_oracle_sql
+
+    base = (
+        "(SELECT user_id, event_id, event_type,"
+        " CAST(epoch_us(ts) AS BIGINT) AS ts_u,"
+        " CAST(round(value * 1e6) AS BIGINT) AS value_u FROM events) t"
+    )
+    return golden_record_oracle_sql(
+        base,
+        "user_id",
+        {
+            "last_type": ("last_non_null", "event_type"),
+            "first_value_u": ("first_non_null", "value_u"),
+            "max_value_u": ("max", "value_u"),
+            "n_events": ("count", "event_id"),
+            "n_values": ("count", "value_u"),
+            "had_null_value": ("any_null", "value_u"),
+        },
+        order_sql="ts_u",
+        tie_sql="event_id",
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
     the round-8 candidate set, gate-checked by
@@ -3798,6 +3853,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "knn_classify": q_knn_classify,
         "chi2_independence": q_chi2_independence,
+        "golden_record": q_golden_record,
     }
 
 
@@ -3831,6 +3887,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_oracle(),
         "knn_classify": _knn_oracle(),
         "chi2_independence": _chi2_oracle(),
+        "golden_record": _golden_record_oracle(),
     }
 
 

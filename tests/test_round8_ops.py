@@ -569,3 +569,58 @@ def test_chi2_zero_cells_and_null_level(spark):
     assert (o.n, o.r_levels, o.c_levels, o.dof) == (5, 3, 2, 2)
     # independence would need fractional cells; statistic is positive
     assert o.chi2 > 0
+
+
+# --------------------------------------------------------- golden record
+
+
+def test_golden_record_hand_rules(spark):
+    from centimators_spark.dedup.survivorship import golden_record
+
+    rows = [
+        # key, id, name, ts, v
+        (1, 10, "a", 100, 5),
+        (1, 11, None, 200, None),
+        (1, 12, "c", 300, 2),
+        (2, 20, None, 50, None),
+        (2, 21, None, 60, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, id long, name string, ts long, v long"
+    )
+    out = {
+        r.k: r.asDict()
+        for r in golden_record(
+            df,
+            "k",
+            {
+                "last_name": ("last_non_null", "name"),
+                "first_v": ("first_non_null", "v"),
+                "max_v": ("max", "v"),
+                "n": ("count", "id"),
+                "null_v": ("any_null", "v"),
+            },
+            order_col="ts",
+            tie_col="id",
+        ).collect()
+    }
+    assert out[1] == {
+        "k": 1, "last_name": "c", "first_v": 5, "max_v": 5, "n": 3,
+        "null_v": 1,
+    }
+    # key 2: name never observed -> NULL survives; first v at ts=60
+    assert out[2]["last_name"] is None
+    assert out[2]["first_v"] == 9 and out[2]["null_v"] == 1
+
+
+def test_golden_record_tie_column_decides(spark):
+    from centimators_spark.dedup.survivorship import golden_record
+
+    # same ts: higher id wins the last_non_null pick
+    rows = [(1, 5, "x", 100), (1, 9, "y", 100), (1, 1, "z", 100)]
+    df = spark.createDataFrame(rows, "k long, id long, s string, ts long")
+    out = golden_record(
+        df, "k", {"last_s": ("last_non_null", "s")},
+        order_col="ts", tie_col="id",
+    ).collect()
+    assert out[0].last_s == "y"

@@ -707,6 +707,25 @@ def main():
         "EvalPython" not in p and "Broadcast" in p,
     )
 
+    p = plan_of(st["chi2_independence"](spark, sf_dir))
+    ok &= audit(
+        "chi2_independence: one partially-aggregated (r,c) cell count"
+        " collapses the data; everything after is cell-sized (grid"
+        " joins over the tiny margin tables) — no Python, no window",
+        "partial_count" in p and "Window" not in p
+        and "EvalPython" not in p,
+    )
+    p = plan_of(st["golden_record"](spark, sf_dir))
+    ok &= audit(
+        "golden_record: the WHOLE operator is ONE aggregation with"
+        " map-side partials and a single exchange (struct-typed"
+        " min/max forces SortAggregate — partition-local sorts, still"
+        " combine-before-shuffle); no window, no join, no Python",
+        "partial_" in p and "Window" not in p and "Join" not in p
+        and p.count("Exchange") == 1
+        and "EvalPython" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
