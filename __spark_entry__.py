@@ -3815,6 +3815,55 @@ def _golden_record_oracle() -> str:
     )
 
 
+def q_vector_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD composed flagship — the vector-corpus pipeline: SemDeDup
+    sign-LSH semantic dedup (keep min-id representatives) feeding two
+    exact Lloyd k-means rounds over the surviving vectors, with
+    per-cluster majority-label purity. One lazy plan end-to-end; the
+    oracle composes the semantic_dedup twin INSIDE the unrolled kmeans
+    twin. Cluster assignment scans carry literal centroids (no join);
+    the dedup join is LSH-bucketed, never all-pairs."""
+    from centimators_spark.dedup.semantic import semantic_dedup
+    from centimators_spark.plans.datapipe_queries import (
+        EMB_DIM,
+        SEMDEDUP_PLANES,
+        SEMDEDUP_T,
+    )
+    from centimators_spark.similarity.kmeans import kmeans_lloyd_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(
+        emb, dim=EMB_DIM, threshold=SEMDEDUP_T, n_planes=SEMDEDUP_PLANES
+    ).select("vec_id")
+    deduped = emb.join(kept, "vec_id")
+    return kmeans_lloyd_exact(deduped, k=4, iters=2, label_col="label")
+
+
+def _vector_pipeline_oracle() -> str:
+    from centimators_spark.dedup.semantic import semantic_dedup_oracle_sql
+    from centimators_spark.plans.datapipe_queries import (
+        EMB_DIM,
+        SEMDEDUP_PLANES,
+        SEMDEDUP_T,
+    )
+    from centimators_spark.similarity.kmeans import kmeans_lloyd_oracle_sql
+
+    dedup = semantic_dedup_oracle_sql(
+        "embeddings",
+        dim=EMB_DIM,
+        threshold=SEMDEDUP_T,
+        n_planes=SEMDEDUP_PLANES,
+    )
+    table = (
+        "(SELECT e.vec_id, e.embedding, e.label FROM embeddings e"
+        f" JOIN ({dedup}) kd ON kd.vec_id = e.vec_id)"
+    )
+    return kmeans_lloyd_oracle_sql(
+        table, "embedding", "vec_id", k=4, iters=2, dim=EMB_DIM,
+        label_sql="label",
+    )
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
     the round-8 candidate set, gate-checked by
@@ -3854,6 +3903,7 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "chi2_independence": q_chi2_independence,
         "golden_record": q_golden_record,
+        "vector_pipeline": q_vector_pipeline,
     }
 
 
@@ -3888,6 +3938,7 @@ def staged_oracle_sql() -> dict[str, str]:
         "knn_classify": _knn_oracle(),
         "chi2_independence": _chi2_oracle(),
         "golden_record": _golden_record_oracle(),
+        "vector_pipeline": _vector_pipeline_oracle(),
     }
 
 

@@ -63,12 +63,17 @@ def kmeans_lloyd_exact(
     id_col: str = "vec_id",
     k: int = 4,
     iters: int = 2,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Run ``iters`` exact Lloyd rounds; see module docstring for the
-    full protocol. Returns (cluster, n, c0_u, c1_u, inertia_u)."""
-    x = df.select(
-        F.col(id_col).alias("vid"), _xu(F.col(vec_col)).alias("xu")
-    )
+    full protocol. Returns (cluster, n, c0_u, c1_u, inertia_u) — plus
+    (top_label, label_n), the cluster's majority label with
+    (count desc, label asc) min-struct ties, when ``label_col`` is
+    given (the cluster-purity readout a labeling pipeline wants)."""
+    cols = [F.col(id_col).alias("vid"), _xu(F.col(vec_col)).alias("xu")]
+    if label_col is not None:
+        cols.append(F.col(label_col).cast("long").alias("lbl"))
+    x = df.select(*cols)
     # C0: the k smallest-id vectors (tiny bounded collect, like the
     # PQ codebook training step)
     seed_rows = x.orderBy("vid").limit(k).collect()
@@ -111,7 +116,7 @@ def kmeans_lloyd_exact(
         [(j, cents[j][0], cents[j][1]) for j in range(k)],
         "cluster int, c0_u long, c1_u long",
     )
-    return grid.join(counts, "cluster", "left").select(
+    out = grid.join(counts, "cluster", "left").select(
         F.col("cluster").cast("long").alias("cluster"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         "c0_u",
@@ -119,6 +124,31 @@ def kmeans_lloyd_exact(
         F.coalesce(F.col("inertia_u"), F.lit(0)).cast("long").alias(
             "inertia_u"
         ),
+    )
+    if label_col is None:
+        return out
+    # per-cluster majority label over the LAST assignment (the vote
+    # aggregation of similarity/knn.py)
+    lab = (
+        assigned.join(x.select("vid", "lbl"), "vid")
+        .groupBy("cluster", "lbl")
+        .agg(F.count(F.lit(1)).alias("ln"))
+        .groupBy("cluster")
+        .agg(
+            F.min(
+                F.struct((-F.col("ln")).alias("nv"), F.col("lbl").alias("l"))
+            ).alias("b")
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("b.l").alias("top_label"),
+            (-F.col("b.nv")).cast("long").alias("label_n"),
+        )
+    )
+    return out.join(lab, "cluster", "left").select(
+        "cluster", "n", "c0_u", "c1_u", "inertia_u",
+        "top_label",
+        F.coalesce(F.col("label_n"), F.lit(0)).cast("long").alias("label_n"),
     )
 
 
@@ -134,6 +164,7 @@ def kmeans_lloyd_oracle_sql(
     k: int = 4,
     iters: int = 2,
     dim: int = 64,
+    label_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`kmeans_lloyd_exact` — the iterations
     unrolled as MATERIALIZED CTEs (the graphs.kcore_oracle_sql
@@ -142,12 +173,15 @@ def kmeans_lloyd_oracle_sql(
         "list_reduce(list_transform(range(1, {d} + 1), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (u, v) -> u + v)"
     )
+    lbl_col = (
+        f", CAST({label_sql} AS BIGINT) AS lbl" if label_sql else ""
+    )
     ctes = [
         f"""x AS MATERIALIZED (
           SELECT {id_sql} AS vid,
                  list_transform({vec_sql},
                    v -> CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT))
-                   AS xu
+                   AS xu{lbl_col}
           FROM {table}
         )""",
         f"""c0 AS MATERIALIZED (
@@ -182,6 +216,23 @@ def kmeans_lloyd_oracle_sql(
           FROM {prev} LEFT JOIN m{it} ON m{it}.cluster = {prev}.c
         )""")
         prev = f"c{it}"
+    lab_select = ""
+    lab_join = ""
+    if label_sql:
+        lab_select = (
+            ", lab.top_label AS top_label,"
+            " CAST(coalesce(lab.label_n, 0) AS BIGINT) AS label_n"
+        )
+        lab_join = f"""
+          LEFT JOIN (
+            SELECT cluster, lbl AS top_label, ln AS label_n FROM (
+              SELECT a.cluster, x.lbl, count(*) AS ln,
+                     row_number() OVER (PARTITION BY a.cluster
+                       ORDER BY count(*) DESC, x.lbl ASC) AS rn
+              FROM a{iters} a JOIN x ON x.vid = a.vid
+              GROUP BY a.cluster, x.lbl
+            ) WHERE rn = 1
+          ) lab ON lab.cluster = {prev}.c"""
     return f"""
         WITH {', '.join(ctes)}
         SELECT CAST({prev}.c AS BIGINT) AS cluster,
@@ -189,8 +240,9 @@ def kmeans_lloyd_oracle_sql(
                {prev}.cu[1] AS c0_u,
                {prev}.cu[2] AS c1_u,
                CAST(coalesce(s.inertia_u, 0) AS BIGINT) AS inertia_u
+               {lab_select}
         FROM {prev} LEFT JOIN (
           SELECT cluster, count(*) AS n, sum(dist) AS inertia_u
           FROM a{iters} GROUP BY cluster
-        ) s ON s.cluster = {prev}.c
+        ) s ON s.cluster = {prev}.c{lab_join}
     """

@@ -624,3 +624,25 @@ def test_golden_record_tie_column_decides(spark):
         order_col="ts", tie_col="id",
     ).collect()
     assert out[0].last_s == "y"
+
+
+def test_kmeans_label_purity_output(spark):
+    from centimators_spark.similarity.kmeans import kmeans_lloyd_exact
+
+    rows = [
+        (0, [0.0, 0.0], 5),
+        (1, [1.0, 1.0], 6),
+        (2, [0.1, 0.0], 5),
+        (3, [1.1, 1.0], 6),
+        (4, [0.9, 1.0], 6),
+        (5, [1.0, 0.9], 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.cluster: r.asDict() for r in
+           kmeans_lloyd_exact(df, k=2, iters=2, label_col="label").collect()}
+    # cluster 0 = {0, 2} both label 5; cluster 1 = {1, 3, 4, 5}:
+    # labels 6,6,5 -> majority 6 with 3... (1,3,4 are 6; 5 is 5)
+    assert out[0]["top_label"] == 5 and out[0]["label_n"] == 2
+    assert out[1]["top_label"] == 6 and out[1]["label_n"] == 3

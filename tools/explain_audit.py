@@ -726,6 +726,16 @@ def main():
         and "EvalPython" not in p,
     )
 
+    p = plan_of(st["vector_pipeline"](spark, sf_dir))
+    ok &= audit(
+        "vector_pipeline (flagship 3): semantic-dedup anti-join is"
+        " LSH-bucket-keyed (no cartesian/BNLJ anywhere); final"
+        " assignment scan carries LITERAL centroids; no Python",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "EvalPython" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
