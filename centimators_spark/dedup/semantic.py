@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from centimators_spark.similarity.ann import _as_double, cosine
+from centimators_spark.similarity.ann import _as_double
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
@@ -70,6 +70,16 @@ def derive_n_planes(n_rows: int, target_bucket_rows: int = 10_000) -> int:
     return max(1, math.ceil(math.log2(n_rows / target_bucket_rows)))
 
 
+def _flat_dot(a: Column, b: Column, dim: int) -> Column:
+    """Σ a[i]·b[i] as a flat left-associated add chain (whole-stage
+    codegen-able, unlike the HOF fold) — the same evaluation order as
+    the DuckDB oracle's list_reduce, so identical bits."""
+    out = a.getItem(0) * b.getItem(0)
+    for i in range(1, dim):
+        out = out + a.getItem(i) * b.getItem(i)
+    return out
+
+
 def semantic_dedup(
     df: DataFrame,
     *,
@@ -81,6 +91,7 @@ def semantic_dedup(
     seed: int = 7,
     target_bucket_rows: int = 10_000,
     max_bucket_rows: int | None = None,
+    verify: str = "kernel",
 ) -> DataFrame:
     """Kept rows after semantic pruning: ``(id, bucket)`` for every
     vector with NO same-bucket neighbor of smaller id and cosine ≥
@@ -106,6 +117,15 @@ def semantic_dedup(
       IDENTICAL to the unchunked plan (property-tested); cost is an
       m× replication of fat-bucket rows through the shuffle, the
       standard block-pair trade (similarity/ann.py block kernel).
+    - ``verify`` selects the within-bucket domination check:
+      ``"kernel"`` (default) runs an Arrow-batched numpy kernel per
+      (bucket, chunk) group — dimension-ordered accumulation
+      (`_seq_dots`/`_seq_norms`), bit-identical to the oracle's fold
+      and ~100× cheaper per pair than expression evaluation inside a
+      join residual (the 10x sweep measured 71s for 3.8M interpreted
+      pair-cosines vs seconds in numpy); ``"expr"`` keeps the pure
+      Column-expression join as the semantic reference, exactly the
+      embedding_cosine_pairs blocked/expr split.
     """
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
@@ -131,33 +151,89 @@ def semantic_dedup(
             F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(seed)), F.col("__m"))
             .cast("int"),
         )
-        a = chunked.select("id", "v", "bucket", "__chunk").alias("a")
-        # b-side: every row visits every chunk of its bucket
-        b = (
-            chunked.select(
-                "id", "v", "bucket",
-                F.explode(F.sequence(F.lit(0), F.col("__m") - 1)).alias("__chunk"),
-            )
-        ).alias("b")
+        probe = chunked.select("id", "v", "bucket", "__chunk")
+        # pool side: every row visits every chunk of its bucket
+        pool = chunked.select(
+            "id", "v", "bucket",
+            F.explode(F.sequence(F.lit(0), F.col("__m") - 1)).alias("__chunk"),
+        )
+    else:
+        probe = bucketed.select(
+            "id", "v", "bucket", F.lit(0).alias("__chunk")
+        )
+        pool = probe
+
+    if verify == "kernel":
+        dominated = _dominated_kernel(probe, pool, float(threshold))
+    elif verify == "expr":
+        # norms are per-row columns; the flat left-to-right add chain
+        # matches the oracle's list_reduce fold bit-for-bit (the HOF
+        # cosine is CodegenFallback — interpreted per PAIR, ruinous)
+        nrm = F.sqrt(_flat_dot(F.col("v"), F.col("v"), dim))
+        a = probe.withColumn("nrm", nrm).alias("a")
+        b = pool.withColumn("nrm", nrm).alias("b")
         pair_cond = (
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.__chunk") == F.col("b.__chunk"))
             & (F.col("b.id") < F.col("a.id"))
         )
-    else:
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        pair_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
-            F.col("b.id") < F.col("a.id")
+        dominated = (
+            a.join(b, pair_cond)
+            .where(
+                F.try_divide(
+                    _flat_dot(F.col("a.v"), F.col("b.v"), dim),
+                    F.col("a.nrm") * F.col("b.nrm"),
+                )
+                >= threshold
+            )
+            .select(F.col("a.id").alias("id"))
+            .distinct()
         )
-    dominated = (
-        a.join(b, pair_cond)
-        .where(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
-        .select(F.col("a.id").alias("id"))
-        .distinct()
-    )
+    else:
+        raise ValueError(f"verify must be 'kernel' or 'expr', got {verify!r}")
     return (
         bucketed.join(dominated, "id", "left_anti")
         .select(F.col("id").alias(id_col), "bucket")
+    )
+
+
+def _dominated_kernel(
+    probe: DataFrame, pool: DataFrame, threshold: float
+) -> DataFrame:
+    """Dominated probe ids via an Arrow-batched numpy kernel per
+    (bucket, chunk) group: dots and norms accumulate dimension-by-
+    dimension (`similarity/ann.py:_seq_dots` — bit-identical to the
+    scalar left-to-right oracle fold); each pair's cosine is ONE
+    division of those exact values; zero-norm pairs become NaN
+    (never ≥ threshold), mirroring try_divide's NULL."""
+    import pandas as pd
+
+    from centimators_spark.similarity.ann import _seq_dots, _seq_norms
+
+    id_type = probe.schema["id"].dataType.simpleString()
+    tagged = probe.withColumn("__p", F.lit(1)).unionByName(
+        pool.withColumn("__p", F.lit(0))
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        probes = pdf[pdf["__p"] == 1]
+        rest = pdf[pdf["__p"] == 0]
+        if probes.empty or rest.empty:
+            return pd.DataFrame({"id": probes["id"].iloc[:0]})
+        am = np.array(probes["v"].tolist(), dtype=np.float64)
+        bm = np.array(rest["v"].tolist(), dtype=np.float64)
+        na, nb = _seq_norms(am), _seq_norms(bm)
+        denom = na[:, None] * nb[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom != 0.0, _seq_dots(am, bm) / denom, np.nan)
+            hit = cos >= threshold  # NaN compares False, like NULL
+        ids_a = probes["id"].to_numpy()
+        ids_b = rest["id"].to_numpy()
+        dom = (hit & (ids_b[None, :] < ids_a[:, None])).any(axis=1)
+        return pd.DataFrame({"id": ids_a[dom]})
+
+    return tagged.groupBy("bucket", "__chunk").applyInPandas(
+        kern, f"id {id_type}"
     )
 
 

@@ -73,7 +73,12 @@ def kmeans_lloyd_exact(
     cols = [F.col(id_col).alias("vid"), _xu(F.col(vec_col)).alias("xu")]
     if label_col is not None:
         cols.append(F.col(label_col).cast("long").alias("lbl"))
-    x = df.select(*cols)
+    # x is consumed by iters+2 ACTIONS (seed collect, per-round update
+    # collects, final output) — pin it once or every collect re-runs
+    # the full upstream lineage (the composed vector_pipeline measured
+    # 11s with a re-executed dedup join vs ~5s pinned; at cluster
+    # scale write x as a table instead)
+    x = df.select(*cols).localCheckpoint(eager=True)
     # C0: the k smallest-id vectors (tiny bounded collect, like the
     # PQ codebook training step)
     seed_rows = x.orderBy("vid").limit(k).collect()

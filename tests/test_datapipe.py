@@ -628,6 +628,17 @@ def test_semantic_dedup_chunked_matches_unchunked(spark):
             for r in semantic_dedup(df, max_bucket_rows=cap, **kw).collect()
         }
         assert chunked == plain, cap
+    # the numpy kernel (default) and the pure-expression join are two
+    # implementations of one contract — identical kept sets, chunked
+    # or not
+    for cap in (None, 7):
+        expr = {
+            (r.vec_id, r.bucket)
+            for r in semantic_dedup(
+                df, max_bucket_rows=cap, verify="expr", **kw
+            ).collect()
+        }
+        assert expr == plain, cap
 
 
 def test_semantic_dedup_auto_planes():

@@ -267,6 +267,32 @@ With this batch EVERY declared query (169) and every staged query
 equivalent (neutralizer_full_expr, neutralize_ols_era in the
 round-6 FIX notes) — none super-linear after clean-session re-runs.
 
+Round-7 extension probe, ninth batch (measured 2026-08-15): the
+scaled-embeddings build EXPOSED A REAL SUPER-LINEAR PATH in
+semantic_dedup — 2.84s -> 95.5s (33.6x) on a 109x same-bucket pair
+count (fixed 64 buckets at 20k vectors). Root cause was NOT the pair
+count: the per-pair cosine (an F.aggregate HOF, CodegenFallback)
+evaluated INTERPRETED inside the join residual at ~500us core-time
+per pair; a flat 64-term expression chain only reached 71s. Fix:
+verify="kernel" (now the default) routes the within-bucket
+domination check through an Arrow-batched numpy kernel per
+(bucket, chunk) group using the bit-exact dimension-ordered
+_seq_dots/_seq_norms accumulators (similarity/ann.py) — same kept
+set (property-tested against the expression path, chunked and not;
+oracle unchanged and still hash-green at both gate SFs):
+
+    semantic_dedup      2.19    2.23   ~1x   (was 95.5s at x10)
+    vector_pipeline     6.29    6.21   ~1x   (was 437.9s pre-fix:
+                                              108.8 after pinning
+                                              kmeans' input x, 6.2
+                                              after the kernel)
+    corpus_clean        8.48   35.59    4.2x  (re-run; matches its
+                                              documented 5.7x band)
+
+The kmeans_lloyd_exact input is now pinned with ONE eager
+localCheckpoint — it feeds iters+2 actions, and in the composed
+vector_pipeline each action re-ran the dedup join (11s -> 5s at x1).
+
 NOTE on long-session inflation: the 18-query sweep runs both scales
 in ONE Spark session; by the x10 pass the JVM carries every prior
 query's broadcasts/checkpoint blocks, and two readings came back
