@@ -664,7 +664,14 @@ def topk_turnover(
     from pyspark.sql import Window
 
     if era_step is None:
-        era_step = F.add_months(F.col("__era"), 1)
+        # add_months returns DateType; month eras built with date_trunc
+        # are TimestampType, and the implicit date->timestamp coercion in
+        # the prev/curr join only matches midnight values.  Cast the
+        # stepped era back to the input era column's own type so any
+        # era representation joins exactly.
+        era_step = F.add_months(F.col("__era"), 1).cast(
+            df.schema[era_col].dataType
+        )
     per = df.groupBy(
         F.col(era_col).alias("__era"), F.col(item_col).alias("__item")
     ).agg(F.sum(metric).alias("__m"))

@@ -94,8 +94,12 @@ def golden_record_oracle_sql(
                 f"CAST(max(CASE WHEN {src} IS NULL THEN 1 ELSE 0 END)"
                 f" AS BIGINT) AS {out}"
             )
-        else:
+        elif rule in _PLAIN:
             cols.append(f"{rule}({src}) AS {out}")
+        else:
+            # mirror the Spark side's validation: a typo'd rule must
+            # raise, never be interpolated into generated SQL
+            raise ValueError(f"unknown survivorship rule: {rule}")
     return (
         f"SELECT {key_sql} AS {key_sql.split('.')[-1]}, "
         + ", ".join(cols)

@@ -14,9 +14,15 @@ n ≥ n_bins the bottom bin is provably non-empty: (n−1)·B//n ≥ B−1
 iff n ≥ B — so no leg can be degenerate).
 
 Exactness: forward returns enter as BIGINT micro-units; each bin
-mean is rounded to integer micro-units IN PURE INTEGER ARITHMETIC —
-half-up via floor((2·s + n) / (2·n)) — so long/short/spread/cum are
-all exact integers scaled by 1e-6, immune to the
+mean is rounded to integer micro-units via the half-up formula
+floor((2·s + n) / (2·n)).  The quotient itself is evaluated as an
+IEEE double division (mirrored operation-for-operation in the DuckDB
+oracle), so the result is EXACT as long as the carrier 2·s + n stays
+within the 2^53 double-integer bound — i.e. per-era per-bin micro-unit
+sums below ~4.5e15 (~4.5 billion return-units per leg), far above any
+real per-era leg.  Beyond that bound the floor could differ from the
+true integer quotient; cross-engine parity still holds because both
+engines evaluate the identical double op.  This avoids the
 double-round-at-representable-boundary divergence (Spark BigDecimal
 HALF_UP vs C round) that a round(sum/1e6/n, 6) formulation hits.
 

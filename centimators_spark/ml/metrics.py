@@ -492,8 +492,13 @@ def ic_decay(
     per = per.localCheckpoint(eager=True)
     pairs = None
     for h in horizons:
+        # cast back to the era column's own type: add_months yields
+        # DateType, and a TimestampType era with any time component
+        # would silently miss the join under date->timestamp coercion
         nxt = per.select(
-            F.add_months(F.col("__era"), -int(h)).alias("__era"),
+            F.add_months(F.col("__era"), -int(h))
+            .cast(df.schema[era_col].dataType)
+            .alias("__era"),
             F.col("__item"),
             F.col("__m").alias("__mf"),
         )

@@ -82,6 +82,11 @@ def kmeans_lloyd_exact(
     # C0: the k smallest-id vectors (tiny bounded collect, like the
     # PQ codebook training step)
     seed_rows = x.orderBy("vid").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_lloyd_exact: need at least k={k} input rows to seed "
+            f"centroids, got {len(seed_rows)}"
+        )
     cents = [list(r.xu) for r in seed_rows]
     d = len(cents[0])
 

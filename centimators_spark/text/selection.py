@@ -61,7 +61,12 @@ def token_budget_select(
     )
     g = base.crossJoin(F.broadcast(totals))
     s = F.col("__s").cast("double")
-    cell = F.when(
+    # Null scores must sort below every real score (the oracle's ORDER BY
+    # score DESC NULLS LAST): without this guard, F.floor(null)=null and
+    # F.least(null, nc-1)=nc-1 would drop a null-score doc in the TOP
+    # cell, inflating every lower cell's offset.  Cell -1 is processed
+    # after all real cells under the DESC cell ordering.
+    cell = F.when(s.isNull(), F.lit(-1)).when(
         F.col("__smax") > F.col("__smin"),
         F.least(
             F.floor(

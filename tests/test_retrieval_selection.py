@@ -55,6 +55,29 @@ def test_token_budget_select_greedy_prefix(spark):
     assert [(r.doc_id, r.cum_tokens) for r in out] == [(3, 10), (1, 30)]
 
 
+def test_token_budget_select_null_score_sorts_last(spark):
+    # a null-score doc must sort BELOW every real score (oracle: ORDER
+    # BY score DESC NULLS LAST) — before the cell guard, floor(null)
+    # landed it in the TOP cell, inflating every lower cell's offset
+    rows = [(1, 7, 20), (2, None, 5), (3, 9, 10), (4, 7, 30)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score_micro long, n_tokens long"
+    )
+    # total = 65, budget_frac=0.95 -> budget = 61: order is
+    # d3(10) d1(30) d4(60) then null-score d2 (65 > 61 -> dropped)
+    got = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_select(df, budget_frac=0.95).collect()
+    )
+    assert got == [(1, 30), (3, 10), (4, 60)]
+    # with full budget the null-score doc is selected LAST
+    got_all = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_select(df, budget_frac=1.0).collect()
+    )
+    assert got_all == [(1, 30), (2, 65), (3, 10), (4, 60)]
+
+
 def test_token_budget_select_two_phase_matches_small_cells(spark):
     # many ties + few cells: the cell decomposition must reproduce the
     # single-window greedy prefix exactly

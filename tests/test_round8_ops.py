@@ -505,6 +505,20 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     assert out2[0]["n"] == 1 and out2[0]["c0_u"] == 500000
 
 
+def test_kmeans_too_few_rows_raises(spark):
+    from centimators_spark.similarity.kmeans import kmeans_lloyd_exact
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="at least k=2"):
+        kmeans_lloyd_exact(df, k=2, iters=1)
+    empty = df.where("vec_id < 0")
+    with _pytest.raises(ValueError, match="got 0"):
+        kmeans_lloyd_exact(empty, k=2, iters=1)
+
+
 def test_knn_classify_vote_and_tiebreak(spark):
     from centimators_spark.similarity.knn import knn_classify
 
