@@ -1457,13 +1457,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the window is previously hash-green, and the overflow tail is
     entirely previously-driver-green (guard:
     tests/test_driver_contract.py::test_correctness_window_covers_unverified_queries).
-    Round-7 playbook: stage new queries in staged_queries(), gate them
+    Round-8 playbook: stage new queries in staged_queries(), gate them
     with `check_oracle --staged`, then promote into this head and
     rotate long-stable greens to the tail."""
     out = {
-        # --- promoted round-7 staged queries (locally gate-green at
-        # sf0.001 + sf0.01; never driver-checked) + the new
-        # dspymator_contract (round-6 verdict item 5) ---
+        # --- promoted round-8 staged queries (the full round-7 staged
+        # set: gate-green at sf0.001 + sf0.01, plan-audited, 10x-probed;
+        # never driver-checked — verdict r7 item 1) ---
+        "customer_distribution": relational_queries.q_customer_distribution,
+        "large_volume_customers": (
+            relational_queries.q_large_volume_customers
+        ),
+        "disjunctive_revenue": relational_queries.q_disjunctive_revenue,
+        "hybrid_rrf_search": q_hybrid_rrf_search,
+        "budget_select": q_budget_select,
+        "containment_pairs": q_containment_pairs,
+        "best_split": q_best_split,
+        "topk_turnover": q_topk_turnover,
+        "ic_decay": q_ic_decay,
+        "negative_sample": q_negative_sample,
+        "linear_interpolate": q_linear_interpolate,
+        "pareto_front": q_pareto_front,
+        "feature_corr_matrix": q_feature_corr_matrix,
+        "seasonal_decompose": q_seasonal_decompose,
+        "xicor_by_month": q_xicor_by_month,
+        "naive_bayes": q_naive_bayes,
+        "kcore_dupgraph": q_kcore_dupgraph,
+        "signal_backtest": q_signal_backtest,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "knn_classify": q_knn_classify,
+        "chi2_independence": q_chi2_independence,
+        "golden_record": q_golden_record,
+        "vector_pipeline": q_vector_pipeline,
+        # --- promoted round-7 staged queries (driver-green r7) ---
         "dspymator_contract": q_dspymator_contract,
         "max_drawdown": q_max_drawdown,
         "ks_statistic": q_ks_statistic,
@@ -1643,19 +1669,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
-    # round-7 drift re-verification (verdict item 7): pull 8 r2-era
-    # greens — hash-green in round 2, never re-checked since — up into
-    # the window, right behind the never-verified head, so the driver
-    # re-verifies them against drift this round
-    head = list(out)[:11] + [
-        "log_return",
-        "embedding_transformer",
-        "feature_exposures",
-        "winsorize_by_era",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "ann_cosine_topk",
-        "multimodal_metadata",
+    # round-8 drift re-verification (r7 verdict item 5): pull the
+    # r3/r4-era greens never re-checked since — up into the window,
+    # right behind the 23 never-verified promoted queries, so the
+    # driver re-verifies them against drift this round
+    head = list(out)[:23] + [
+        "melt_lineitem",
+        "weighted_sample",
+        "conformal_quantiles",
+        "asof_join_forward",
+        "mutual_information",
+        "heavy_hitters",
+        "corpus_divergence",
+        "rank_ensemble",
+        "table_profile",
+        "validate_orders",
     ]
     pulled = {k: out.pop(k) for k in head if k in out}
     return {**pulled, **out}
@@ -2304,6 +2332,7 @@ def oracle_sql() -> dict[str, str]:
         **_promoted_r5_oracle_sql(),
         **_promoted_r6_oracle_sql(),
         **_promoted_r7_oracle_sql(),
+        **_promoted_r8_oracle_sql(),
         "dspymator_contract": DSPYMATOR_CONTRACT_ORACLE,
         "penalizer_contract": _penalizer_contract_oracle(),
         # kernel-contract claims: every key-unique row agrees within the
@@ -3866,49 +3895,29 @@ def _vector_pipeline_oracle() -> str:
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
-    the round-8 candidate set, gate-checked by
+    the round-9 candidate set, gate-checked by
     tests/test_staged_queries.py and `check_oracle --staged`. (The
-    round-7 set — drawdown, KS, BM25, gains deciles, triangle count,
-    Q22/Q11/Q21, span dedup, quality classifier — was promoted into
-    queries() this round.) Round-8 candidates: TPC-H Q13
-    (agg-of-agg over an outer join, fact pre-aggregated so the outer
-    join broadcasts) and Q18 (HAVING-threshold key set broadcast back
-    into the fact) — round-6 verdict item 9 asked for Q3/Q5, but
-    those shapes have been declared since round 1 as
-    shipping_priority / regional_revenue; Q13/Q18 are the join shapes
-    the suite actually lacked — plus hybrid RRF retrieval and
-    token-budget corpus selection."""
-    return {
-        "customer_distribution": relational_queries.q_customer_distribution,
-        "large_volume_customers": (
-            relational_queries.q_large_volume_customers
-        ),
-        "hybrid_rrf_search": q_hybrid_rrf_search,
-        "budget_select": q_budget_select,
-        "containment_pairs": q_containment_pairs,
-        "best_split": q_best_split,
-        "topk_turnover": q_topk_turnover,
-        "ic_decay": q_ic_decay,
-        "negative_sample": q_negative_sample,
-        "linear_interpolate": q_linear_interpolate,
-        "pareto_front": q_pareto_front,
-        "feature_corr_matrix": q_feature_corr_matrix,
-        "seasonal_decompose": q_seasonal_decompose,
-        "xicor_by_month": q_xicor_by_month,
-        "naive_bayes": q_naive_bayes,
-        "disjunctive_revenue": relational_queries.q_disjunctive_revenue,
-        "kcore_dupgraph": q_kcore_dupgraph,
-        "signal_backtest": q_signal_backtest,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "knn_classify": q_knn_classify,
-        "chi2_independence": q_chi2_independence,
-        "golden_record": q_golden_record,
-        "vector_pipeline": q_vector_pipeline,
-    }
+    round-8 set — Q13/Q18/Q19, hybrid RRF, token-budget selection,
+    containment pairs, turnover/ic-decay, interpolation, pareto,
+    corr matrix, STL, xicor, naive bayes, k-core, backtest, k-means,
+    kNN, chi2, golden record, vector_pipeline — was promoted into
+    queries() this round.)"""
+    return dict(_R9_STAGED)
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
+    return dict(_R9_STAGED_ORACLES)
+
+
+# populated as round-8 work stages new round-9 candidates
+_R9_STAGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_R9_STAGED_ORACLES: dict[str, str] = {}
+
+
+def _promoted_r8_oracle_sql() -> dict[str, str]:
+    """Oracle texts for the round-8 promoted set (the former round-7
+    staged set, promoted per the r7 verdict item 1)."""
     return {
         "customer_distribution": (
             relational_queries._CUSTOMER_DISTRIBUTION_ORACLE

@@ -64,10 +64,10 @@ def test_contract_shape():
 
 def test_unverified_queries_inside_driver_window():
     """The driver's correctness pass checks the first 50 queries()
-    entries. Everything never driver-verified (this round: the six
-    promoted round-5 staged queries) must sit inside that window, plus
-    the round-6 regression-guard rotation of round-1/2 core operators;
-    only long-stable green queries may overflow.
+    entries. Everything never driver-verified (this round: the 23
+    promoted round-8 staged queries) must sit inside that window, plus
+    the round-8 regression-guard rotation of r3/r4-era greens never
+    re-checked since; only long-stable green queries may overflow.
     test_correctness_window_covers_unverified_queries enforces the
     same invariant dynamically from the CORRECTNESS_r*.json history;
     this static set documents the current round's intent."""
@@ -75,18 +75,40 @@ def test_unverified_queries_inside_driver_window():
     window = set(names[:50])
     must_check = {
         # never driver-verified (promoted this round)
-        "isotonic_contract",
-        "cheapest_supplier",
-        "approx_distinct_contract",
-        "rake_keywords",
-        "active_time",
-        "weighted_median",
-        # regression re-verification of r1/r2 greens whose files evolved
-        "rank_transformer",
-        "lag_transformer",
-        "moving_average",
-        "group_stats",
-        "gaussianize_probit",
+        "customer_distribution",
+        "large_volume_customers",
+        "disjunctive_revenue",
+        "hybrid_rrf_search",
+        "budget_select",
+        "containment_pairs",
+        "best_split",
+        "topk_turnover",
+        "ic_decay",
+        "negative_sample",
+        "linear_interpolate",
+        "pareto_front",
+        "feature_corr_matrix",
+        "seasonal_decompose",
+        "xicor_by_month",
+        "naive_bayes",
+        "kcore_dupgraph",
+        "signal_backtest",
+        "kmeans_embeddings",
+        "knn_classify",
+        "chi2_independence",
+        "golden_record",
+        "vector_pipeline",
+        # regression re-verification of r3/r4 greens never re-checked
+        "melt_lineitem",
+        "weighted_sample",
+        "conformal_quantiles",
+        "asof_join_forward",
+        "mutual_information",
+        "heavy_hitters",
+        "corpus_divergence",
+        "rank_ensemble",
+        "table_profile",
+        "validate_orders",
     }
     assert must_check <= window, must_check - window
 
