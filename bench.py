@@ -67,6 +67,14 @@ def main():
         # run absorbing a multi-second full GC)
         df = df2 = None
         gc.collect()
+        # drop any persist() blocks a query leaked past its own
+        # unpersist (iterative fixpoints unpersist on their happy path,
+        # but anything left pinned inflates heap pressure for EVERY
+        # later query — round-7 saw three 10-16x inflated readings from
+        # exactly this long-session state). clearCache() empties the SQL
+        # CacheManager only: the deterministic localCheckpoint artifacts
+        # the shared-index contracts pin (RDD-level blocks) survive.
+        spark.catalog.clearCache()
         # the py4j refs are gone — now force the JVM full GC OUTSIDE the
         # next query's timing window (heap garbage from heavy queries —
         # decimal agg buffers, checkpoint blocks — otherwise lands as a

@@ -264,6 +264,34 @@ def _shared_emb_count(emb: DataFrame, sf_dir: str) -> int:
     return _ANN_INDEX_CACHE[key]
 
 
+def _shared_df_artifact(spark: SparkSession, key_tail: tuple, build):
+    """Materialize a deterministic DataFrame artifact ONCE per
+    (session, key) via eager localCheckpoint and serve it to every
+    caller — the faiss ``index.add()`` / model-registry discipline
+    extended from codebooks to the BUILT index tables and exact-top-k
+    baselines (round-7 verdict item 2: the three IVF-PQ contracts were
+    re-encoding/re-scoring the corpus lineage on every execution).
+    Keyed by applicationId so a new session always rebuilds; builders
+    are deterministic, so the pinned values are reproducible."""
+    key = ("df", spark.sparkContext.applicationId) + key_tail
+    if key not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[key] = build().localCheckpoint(eager=True)
+    return _ANN_INDEX_CACHE[key]
+
+
+def _shared_exact_topk(
+    spark: SparkSession, sf_dir: str, tag: str, corpus: DataFrame,
+    queries: DataFrame,
+) -> DataFrame:
+    """The brute-force exact top-k baseline each recall contract
+    compares against, built once per (session, corpus)."""
+    return _shared_df_artifact(
+        spark,
+        (sf_dir, tag, "exact_topk"),
+        lambda: brute_force_topk(corpus, queries, k=ANN_K),
+    )
+
+
 def q_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-verifiable recall@k contract for the PQ path (the
     compressed-index sibling of ann_rp_lsh_recall): ADC shortlist over
@@ -276,20 +304,42 @@ def q_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate SF (worst true-top-10 ADC rank: 81/250 at sf0.01). The
     half-corpus shortlist is a VERIFICATION setting: the production
     path is a constant O(k) shortlist on real (clustered) embeddings;
-    this query's job is to hash-prove encode→ADC→re-rank end-to-end."""
-    from centimators_spark.similarity.pq import pq_encode, pq_topk
+    this query's job is to hash-prove encode→ADC→re-rank end-to-end.
+
+    The coded table is the SHARED built index (one
+    :func:`~centimators_spark.similarity.pq.ivfpq_build` artifact per
+    session, cell column dropped here) — the same table the IVF-PQ
+    contract probes, built once and served to both."""
+    from centimators_spark.similarity.pq import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     books = _shared_pq_codebooks(emb, sf_dir)
-    coded = pq_encode(emb, books)
+    coded = _shared_ivfpq_index(spark, emb, sf_dir).drop("cell")
     shortlist_k = max(25 * ANN_K, _shared_emb_count(emb, sf_dir) // 2)
     short = pq_topk(coded, queries, books, k=shortlist_k)
     rerank = _exact_rerank(short, emb, queries, k=ANN_K)
-    exact = brute_force_topk(emb, queries, k=ANN_K)
+    exact = _shared_exact_topk(spark, sf_dir, "emb", emb, queries)
     return _recall_hits(exact, rerank)
+
+
+def _shared_ivfpq_index(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> DataFrame:
+    """The (vec_id, pq_code, cell) IVF-PQ index over the raw testdata
+    embeddings — built once per session, served to the PQ and IVF-PQ
+    recall contracts."""
+    from centimators_spark.similarity.pq import ivfpq_build
+
+    books = _shared_pq_codebooks(emb, sf_dir)
+    cents = _shared_ivf_centroids(emb, sf_dir, n_lists=8)
+    return _shared_df_artifact(
+        spark,
+        (sf_dir, "emb", "ivfpq_index"),
+        lambda: ivfpq_build(emb, books, centroids=cents),
+    )
 
 
 def q_ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,9 +374,10 @@ def q_ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=8,
         n_probe=8,
         centroids=_shared_ivf_centroids(emb, sf_dir, n_lists=8),
+        coded=_shared_ivfpq_index(spark, emb, sf_dir),
     )
     rerank = _exact_rerank(short, emb, queries, k=ANN_K)
-    exact = brute_force_topk(emb, queries, k=ANN_K)
+    exact = _shared_exact_topk(spark, sf_dir, "emb", emb, queries)
     return _recall_hits(exact, rerank)
 
 
@@ -408,7 +459,7 @@ def q_ivfpq_pruned_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     result — ADC ordering cannot drop a probed vector."""
     import numpy as np
 
-    from centimators_spark.similarity.pq import ivfpq_topk
+    from centimators_spark.similarity.pq import ivfpq_build, ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     demb = _shared_clustered_fixture(spark, emb, sf_dir)
@@ -418,6 +469,12 @@ def q_ivfpq_pruned_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _shared_pq_codebooks(
         demb, sf_dir + "::clustered", m=8, k=64, iters=5
     )
+    cents = np.eye(CLUST_C, EMB_DIM)
+    coded = _shared_df_artifact(
+        spark,
+        (sf_dir, "clustered", "ivfpq_index"),
+        lambda: ivfpq_build(demb, books, centroids=cents),
+    )
     short = ivfpq_topk(
         demb,
         queries,
@@ -425,10 +482,11 @@ def q_ivfpq_pruned_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_shared_emb_count(emb, sf_dir),
         n_lists=CLUST_C,
         n_probe=1,
-        centroids=np.eye(CLUST_C, EMB_DIM),
+        centroids=cents,
+        coded=coded,
     )
     rerank = _exact_rerank(short, demb, queries, k=ANN_K)
-    exact = brute_force_topk(demb, queries, k=ANN_K)
+    exact = _shared_exact_topk(spark, sf_dir, "clustered", demb, queries)
     return _recall_hits(exact, rerank)
 
 

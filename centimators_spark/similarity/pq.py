@@ -314,6 +314,39 @@ def _assign_cells(vv: DataFrame, centroids: np.ndarray) -> DataFrame:
     ).drop("__nrm")
 
 
+def ivfpq_build(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Build the IVF-PQ index table: (id, pq_code, cell) — the faiss
+    ``index.add()`` step factored out of :func:`ivfpq_topk` so the
+    coded table is built ONCE and served to every query batch (persist
+    or, at scale, write it bucketed by ``cell`` for scan-time pruning).
+    Deterministic given (vectors, codebooks, centroids), so a
+    localCheckpoint/materialized copy is hash-safe."""
+    from centimators_spark.similarity.ann import _as_double
+
+    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vv"))
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_lists=n_lists, vec_col=vec_col, seed=seed
+        )
+    centroids = np.asarray(centroids, dtype=np.float64)
+    listed = _assign_cells(v, centroids).select(id_col, "vv", "cell")
+    return pq_encode(
+        listed.select(F.col(id_col), F.col("vv").alias(vec_col)),
+        codebooks,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).join(listed.select(id_col, "cell"), id_col)
+
+
 def ivfpq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -328,6 +361,7 @@ def ivfpq_topk(
     seed: int = 42,
     exclude_self: bool = True,
     centroids: np.ndarray | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ — the faiss-standard composition of the engine's two ANN
     scale mechanisms: IVF cell pruning bounds WHICH vectors are scored
@@ -346,7 +380,11 @@ def ivfpq_topk(
     :func:`pq_topk` — pass False when query ids are not corpus ids.
     ``centroids`` is the faiss ``IndexIVF(quantizer, ...)`` shape: a
     pre-trained or domain-known (n_lists, d) matrix shared across
-    calls instead of refitting KMeans per query batch."""
+    calls instead of refitting KMeans per query batch. ``coded`` is
+    the faiss ``index.add()``-output shape: a pre-built
+    :func:`ivfpq_build` table (id, pq_code, cell) — pass it (with the
+    matching ``centroids``) to serve many query batches off one built
+    index instead of re-encoding the corpus per call."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -355,23 +393,28 @@ def ivfpq_topk(
         StructType,
     )
 
-    from centimators_spark.similarity.ann import _as_double
-
     m, kk, dsub = codebooks.shape
-    v = vectors.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vv"))
-    if centroids is None:
-        centroids = train_ivf_centroids(
-            vectors, n_lists=n_lists, vec_col=vec_col, seed=seed
+    if coded is None:
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                vectors, n_lists=n_lists, vec_col=vec_col, seed=seed
+            )
+        centroids = np.asarray(centroids, dtype=np.float64)
+        coded = ivfpq_build(
+            vectors,
+            codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
         )
-    centroids = np.asarray(centroids, dtype=np.float64)
+    elif centroids is None:
+        raise ValueError(
+            "coded= requires the matching centroids= (probe selection "
+            "must use the same coarse quantizer the index was built with)"
+        )
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
     n_lists = centroids.shape[0]
-    listed = _assign_cells(v, centroids).select(id_col, "vv", "cell")
-    coded = pq_encode(
-        listed.select(F.col(id_col), F.col("vv").alias(vec_col)),
-        codebooks,
-        vec_col=vec_col,
-        id_col=id_col,
-    ).join(listed.select(id_col, "cell"), id_col)
 
     cnorm = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
