@@ -4,8 +4,9 @@ check that a served feature's distribution still looks like training.
 
 Spark shape (holds at 100 TB): ONE filtered exact/approx percentile
 aggregation over the reference slice plans the bin boundaries per
-feature (tiny row, broadcast back), one melt (Expand, map-side) turns
-the wide feature columns into (feature, side, bin) rows, and one
+feature (ONE tiny collected row, inlined as literal comparisons so the
+bin math stays in whole-stage codegen), one melt (Expand, map-side)
+turns the wide feature columns into (feature, side, bin) rows, and one
 grouped aggregation counts them — two small shuffles total, no per-row
 Python, no driver loop over features.
 
@@ -68,7 +69,13 @@ def psi_drift(
     probs_sql = ", ".join(repr(p) for p in probs)
     fn = "percentile" if exact else "approx_percentile"
     sided = df.withColumn("__ref", ref_cond)
-    bounds = sided.select("__ref", *feats).agg(
+    # boundaries collected as ONE tiny row and inlined as literals: the
+    # bin count is then plain when/+ arithmetic in whole-stage codegen.
+    # Keeping the bounds as an array COLUMN forces F.aggregate — a
+    # higher-order function, CodegenFallback/interpreted per row —
+    # which profiling showed costing ~10x the rest of the query
+    # combined (see psi_drift_dual).
+    brow = sided.select("__ref", *feats).agg(
         *[
             F.expr(
                 f"{fn}(CASE WHEN __ref THEN CAST(`{c}` AS DOUBLE) END,"
@@ -76,24 +83,22 @@ def psi_drift(
             ).alias(f"__b_{i}")
             for i, c in enumerate(feats)
         ]
-    )
+    ).collect()[0]
+
     def _bin_expr(i: int, c: str):
-        # closure factory: a default-arg lambda would confuse pyspark's
-        # higher-order-function arity detection (it must see exactly 2)
         v = F.col(f"`{c}`").cast("double")
+        blist = brow[f"__b_{i}"]
+        if blist is None:  # empty reference slice: no boundaries
+            return F.lit(None).cast("int")
+        bins = F.lit(0)
+        for b in blist:
+            bins = bins + F.when(v > F.lit(float(b)), 1).otherwise(0)
         # NULL value -> NULL bin (filtered below): without the guard a
         # NULL falls into bin 0 (every v > b is NULL -> otherwise(0))
         # and silently inflates the lowest bin of sparse features
-        return F.when(
-            v.isNotNull(),
-            F.aggregate(
-                F.col(f"__b_{i}"),
-                F.lit(0),
-                lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
-            ),
-        )
+        return F.when(v.isNotNull(), bins)
 
-    melted = sided.crossJoin(F.broadcast(bounds)).select(
+    melted = sided.select(
         "__ref",
         F.explode(
             F.array(
@@ -138,6 +143,111 @@ def psi_drift(
             F.max("n_cur").alias("n_cur"),
             F.round(F.sum("__t"), digits).alias("psi"),
         )
+    )
+
+
+def psi_drift_dual(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    ref_cond: Column,
+    *,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Exact-mode AND sketch-mode PSI in ONE pass — the shape the
+    sketch contract wants: running :func:`psi_drift` twice costs two
+    boundary aggregations plus two melt scans of the fact table (4 full
+    scans); here both boundary sets come out of a single aggregation
+    (``percentile`` and ``approx_percentile`` side by side) and a
+    single melt emits (feature, mode, bin) rows for both modes, so the
+    fact table is scanned twice total and shuffled once. Returns one
+    row per feature: (feature, n_ref, n_cur, psi_exact, psi_sketch) —
+    bin rule, NULL exclusion, smoothing, and rounding identical to
+    :func:`psi_drift` in each mode.
+
+    The n_bins−1 boundaries per (feature, mode) are collected to the
+    driver (a single tiny row — the literal-centroid discipline the
+    k-means scans use) and inlined as LITERAL comparisons, so the bin
+    expression is plain when/+ arithmetic inside whole-stage codegen.
+    The array-column alternative (F.aggregate over a broadcast bounds
+    row) is a higher-order function — CodegenFallback, interpreted
+    per row — which profiling showed dominating the whole query
+    (~5.1 s of 5.4 s at sf0.1)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from pyspark.sql import Window
+
+    feats = list(feature_cols)
+    probs = [i / n_bins for i in range(1, n_bins)]
+    probs_sql = ", ".join(repr(p) for p in probs)
+    sided = df.withColumn("__ref", ref_cond)
+    aggs = []
+    for i, c in enumerate(feats):
+        case = (
+            f"CASE WHEN __ref THEN CAST(`{c}` AS DOUBLE) END,"
+            f" array({probs_sql})"
+        )
+        aggs.append(F.expr(f"percentile({case})").alias(f"__be_{i}"))
+        aggs.append(F.expr(f"approx_percentile({case})").alias(f"__bs_{i}"))
+    brow = sided.select("__ref", *feats).agg(*aggs).collect()[0]
+
+    def _bin_expr(blist, c: str):
+        v = F.col(f"`{c}`").cast("double")
+        if blist is None:
+            return F.lit(None).cast("int")
+        bins = F.lit(0)
+        for b in blist:
+            bins = bins + F.when(v > F.lit(float(b)), 1).otherwise(0)
+        return F.when(v.isNotNull(), bins)
+
+    structs = []
+    for i, c in enumerate(feats):
+        for mode, prefix in (("exact", "__be_"), ("sketch", "__bs_")):
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    F.lit(mode).alias("mode"),
+                    _bin_expr(brow[f"{prefix}{i}"], c).alias("bin"),
+                )
+            )
+    melted = (
+        sided.select("__ref", F.explode(F.array(*structs)).alias("fb"))
+        .where(F.col("fb.bin").isNotNull())
+    )
+    counts = melted.groupBy(
+        F.col("fb.feature").alias("feature"),
+        F.col("fb.mode").alias("mode"),
+        F.col("fb.bin").alias("bin"),
+    ).agg(
+        F.sum(F.when(F.col("__ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("__ref"), 0).otherwise(1)).alias("c_cur"),
+    )
+    wtot = Window.partitionBy("feature", "mode")
+    smooth = 0.5
+    j = counts.withColumn("n_ref", F.sum("c_ref").over(wtot)).withColumn(
+        "n_cur", F.sum("c_cur").over(wtot)
+    )
+    p_ref = (F.col("c_ref") + smooth) / (
+        F.col("n_ref") + F.lit(smooth * n_bins)
+    )
+    p_cur = (F.col("c_cur") + smooth) / (
+        F.col("n_cur") + F.lit(smooth * n_bins)
+    )
+    per_mode = (
+        j.withColumn("__t", _psi_expr(p_ref, p_cur))
+        .groupBy("feature", "mode")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(F.sum("__t"), digits).alias("psi"),
+        )
+    )
+    exact_is = F.col("mode") == "exact"
+    return per_mode.groupBy("feature").agg(
+        F.max(F.when(exact_is, F.col("n_ref"))).alias("n_ref"),
+        F.max(F.when(exact_is, F.col("n_cur"))).alias("n_cur"),
+        F.max(F.when(exact_is, F.col("psi"))).alias("psi_exact"),
+        F.max(F.when(~exact_is, F.col("psi"))).alias("psi_sketch"),
     )
 
 
