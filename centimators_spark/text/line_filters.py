@@ -110,12 +110,17 @@ def corpus_line_dedup(
     (ORDER-PRESERVING; repeated occurrences inside one doc count once
     per position).
 
-    Plan: explode distinct-per-doc lines → one (line → distinct-doc
-    count) aggregation — map-side partial, uniform md5-keyed —
-    broadcast of only the DUPLICATED line hashes back onto a second
-    per-line pass. At corpus scale the duplicated-line set is the
-    boilerplate vocabulary (small); if it ever isn't, swap the
-    broadcast join for a plain hash join — semantics identical."""
+    Plan (stats mode): ONE explode+hash scan of the corpus →
+    (doc, line-hash) occurrence counts (map-side partial) → per-hash
+    distinct-doc count as a window over that already-collapsed frame →
+    per-doc rollup. The earlier two-branch shape (dup-hash set
+    broadcast back onto a second per-line pass) re-executed the
+    explode+md5 scan — the expensive step — twice; the window shape
+    scans once and shuffles only the collapsed (doc, lh) frame. The
+    rewrite mode below still uses the broadcast-dup-set shape (it must
+    revisit the raw line positions anyway)."""
+    from pyspark.sql import Window
+
     from centimators_spark.text.portable import md5_long
 
     content = F.coalesce(F.col(content_col), F.lit(""))
@@ -123,20 +128,22 @@ def corpus_line_dedup(
     per_line = base.select(
         "doc_id", F.explode(nonempty_lines(F.col("__text"))).alias("line")
     ).withColumn("lh", md5_long(F.col("line")))
-    dup_lines = (
-        per_line.select("doc_id", "lh")
-        .distinct()
-        .groupBy("lh")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= min_dup_docs)
-        .select("lh")
+    occ = per_line.groupBy("doc_id", "lh").agg(
+        F.count(F.lit(1)).alias("__c")
     )
-    flagged = per_line.join(
-        F.broadcast(dup_lines.withColumn("__dup", F.lit(1))), "lh", "left"
-    )
-    per_doc = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup_lines"),
+    # each (doc_id, lh) row is one distinct doc for that hash
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("lh"))
+    per_doc = (
+        occ.withColumn("__nd", n_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("n_lines"),
+            F.sum(
+                F.when(F.col("__nd") >= min_dup_docs, F.col("__c")).otherwise(
+                    0
+                )
+            ).alias("n_dup_lines"),
+        )
     )
     out = base.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
@@ -153,6 +160,12 @@ def corpus_line_dedup(
     # re-assembly — a JOIN, not a literal array in the plan (a pathological
     # corpus could have a huge duplicated-line set; a thousands-element
     # literal would bloat every task's plan and scan O(|dup|) per line)
+    dup_lines = (
+        occ.groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_dup_docs)
+        .select("lh")
+    )
     pos_lines = base.select(
         "doc_id",
         F.posexplode(nonempty_lines(F.col("__text"))).alias("pos", "line"),
