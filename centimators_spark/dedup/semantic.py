@@ -40,19 +40,17 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
 
 
 def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bucket id: bit i set iff vec · plane_i >= 0 (dimension-
-    ordered left-to-right sum — the same fold the oracle evaluates)."""
+    """Sign-bucket id: bit i set iff vec · plane_i >= 0. Each dot is a
+    flat left-associated add chain of getItem·literal terms — plain
+    whole-stage-codegen arithmetic, bit-identical to the oracle's
+    seedless ``list_reduce`` fold (the zip_with+aggregate HOF form is
+    CodegenFallback: interpreted per row, the same hazard class the
+    within-bucket verify kernel fixed)."""
     b = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(w) for w in p]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        dot = vec.getItem(0) * F.lit(float(p[0]))
+        for k in range(1, len(p)):
+            dot = dot + vec.getItem(k) * F.lit(float(p[k]))
         b = b + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return b
 

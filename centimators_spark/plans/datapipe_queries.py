@@ -172,7 +172,7 @@ def q_ann_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = brute_force_topk(emb, queries, k=ANN_K).select("query_id", "vec_id")
+    exact = brute_force_topk(emb, queries, k=ANN_K, dim=EMB_DIM).select("query_id", "vec_id")
     lsh = rp_lsh_topk(
         emb, queries, k=ANN_K, n_planes=2, n_tables=32
     ).select("query_id", "vec_id")
@@ -200,24 +200,34 @@ def _exact_rerank(shortlist: DataFrame, emb: DataFrame, queries: DataFrame,
                   k: int) -> DataFrame:
     """Standard ANN re-rank step: exact cosine of the shortlist
     survivors against the raw vectors, top-k per query. Same ordering
-    (cos DESC, vec_id ASC) as brute_force_topk and the SQL oracle."""
+    (cos DESC, vec_id ASC) as brute_force_topk and the SQL oracle.
+    Explicit double cast + statically-unrolled cosine (dim=EMB_DIM)
+    keeps the per-pair math in whole-stage codegen — float→double is
+    value-exact, so the bits match the oracle's CAST-then-multiply."""
     from pyspark.sql import Window as W
 
-    from centimators_spark.similarity.ann import cosine
+    from centimators_spark.similarity.ann import _as_double, cosine
 
     rer = (
         shortlist.select("query_id", "vec_id")
         .join(emb, "vec_id")
         .join(
             F.broadcast(
-                queries.select("query_id", F.col("embedding").alias("__qv"))
+                queries.select(
+                    "query_id",
+                    _as_double(F.col("embedding")).alias("__qv"),
+                )
             ),
             "query_id",
         )
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("__qv"), F.col("embedding")).alias("cos"),
+            cosine(
+                F.col("__qv"),
+                _as_double(F.col("embedding")),
+                EMB_DIM,
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -288,7 +298,7 @@ def _shared_exact_topk(
     return _shared_df_artifact(
         spark,
         (sf_dir, tag, "exact_topk"),
-        lambda: brute_force_topk(corpus, queries, k=ANN_K),
+        lambda: brute_force_topk(corpus, queries, k=ANN_K, dim=EMB_DIM),
     )
 
 
@@ -501,7 +511,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(emb, queries, k=ANN_K)
+    return brute_force_topk(emb, queries, k=ANN_K, dim=EMB_DIM)
 
 
 MIXTURE_PARTS = {"en": 3, "de": 1, "fr": 1}

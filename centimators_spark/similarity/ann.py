@@ -22,22 +22,41 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Σ a[i]·b[i]. With ``dim`` known, a flat left-associated add
+    chain — plain arithmetic inside whole-stage codegen, and exactly
+    the oracle's seedless ``list_reduce`` association. Without it, the
+    zip_with+aggregate HOF fold: same bits (a leading ``0.0 +`` can
+    only flip the sign of an exact zero, which compares and divides
+    identically), but CodegenFallback — interpreted per ROW, ~10x
+    slower in per-pair hot paths. Pass ``dim`` wherever the width is
+    statically known."""
+    if dim is not None:
+        out = a.getItem(0) * b.getItem(0)
+        for i in range(1, dim):
+            out = out + a.getItem(i) * b.getItem(i)
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        out = a.getItem(0) * a.getItem(0)
+        for i in range(1, dim):
+            out = out + a.getItem(i) * a.getItem(i)
+        return F.sqrt(out)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity of two double arrays. Zero-norm vectors yield
     NULL (try_divide) instead of an ANSI DIVIDE_BY_ZERO error — NULLs
     sort last under the desc top-k windows, so degenerate vectors are
-    naturally excluded; bit-identical to plain division otherwise."""
-    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    naturally excluded; bit-identical to plain division otherwise.
+    ``dim`` as in :func:`_dot` — pass it on per-pair hot paths."""
+    return F.try_divide(_dot(a, b, dim), _norm(a, dim) * _norm(b, dim))
 
 
 def _as_double(col: Column) -> Column:
@@ -51,9 +70,12 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, cos, rank). Excludes
-    self-matches when ids coincide. Ties broken by vec_id ascending."""
+    self-matches when ids coincide. Ties broken by vec_id ascending.
+    ``dim`` (when statically known) keeps the per-pair cosine in
+    whole-stage codegen — see :func:`_dot`."""
     q = queries.select(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -63,7 +85,7 @@ def brute_force_topk(
     ).select(
         query_id_col,
         id_col,
-        cosine(F.col("qv"), F.col("vv")).alias("cos"),
+        cosine(F.col("qv"), F.col("vv"), dim).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()

@@ -147,6 +147,22 @@ def pq_encode(
     return vectors.select(id_col, vec_col).mapInPandas(encode, schema)
 
 
+def _adc_dist2(lut_col, code_col, m: int, kk: int):
+    """ADC distance: Σ_s lut[s·k + code_s] as a STATICALLY UNROLLED
+    add chain of m element_at lookups — plain whole-stage-codegen
+    arithmetic. The transform+aggregate HOF form computed the same
+    fold but as CodegenFallback, interpreted once per (corpus row ×
+    probed query) pair — the scoring hot path. LUT entries are
+    squared distances ≥ 0, so dropping the fold's 0.0 seed cannot even
+    flip a zero sign."""
+    out = F.element_at(lut_col, (code_col.getItem(0) + 1).cast("int"))
+    for s in range(1, m):
+        out = out + F.element_at(
+            lut_col, (code_col.getItem(s) + F.lit(s * kk + 1)).cast("int")
+        )
+    return out
+
+
 def pq_topk(
     encoded: DataFrame,
     queries: DataFrame,
@@ -215,15 +231,7 @@ def pq_topk(
             ]
         ),
     )
-    lut_col = F.col("__lut")
-    dist2 = F.aggregate(
-        F.transform(
-            F.col(code_col),
-            lambda c, i: F.element_at(lut_col, (i * kk + c + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dist2 = _adc_dist2(F.col("__lut"), F.col(code_col), m, kk)
     scored = encoded.crossJoin(F.broadcast(qdf))
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(query_id_col))
@@ -292,19 +300,20 @@ def _assign_cells(vv: DataFrame, centroids: np.ndarray) -> DataFrame:
     (array<double>); adds ``cell`` (int)."""
     from centimators_spark.similarity.ann import _norm
 
-    # stage the norm as a real column: referenced inside a lambda the
-    # O(d) aggregate would re-evaluate per element (O(d²) per row)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    d = centroids.shape[1]
+    # stage the norm as a real column (evaluated once per row); both
+    # the norm and the per-centroid dots are statically unrolled
+    # literal add chains — whole-stage codegen, no interpreted HOF on
+    # the assignment scan (same hazard class as _adc_dist2)
     staged = vv.withColumn(
-        "__nrm", F.greatest(_norm(F.col("vv")), F.lit(1e-12))
+        "__nrm", F.greatest(_norm(F.col("vv"), d), F.lit(1e-12))
     )
     dists = []
-    for c in np.asarray(centroids, dtype=np.float64):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        dot = F.aggregate(
-            F.zip_with(F.col("vv"), lit_c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    for c in centroids:
+        dot = F.col("vv").getItem(0) * F.lit(float(c[0]))
+        for i in range(1, d):
+            dot = dot + F.col("vv").getItem(i) * F.lit(float(c[i]))
         dists.append(
             F.lit(float((c * c).sum())) - 2.0 * dot / F.col("__nrm")
         )
@@ -450,15 +459,7 @@ def ivfpq_topk(
             ]
         ),
     )
-    lut_col = F.col("__lut")
-    dist2 = F.aggregate(
-        F.transform(
-            F.col("pq_code"),
-            lambda c, i: F.element_at(lut_col, (i * kk + c + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dist2 = _adc_dist2(F.col("__lut"), F.col("pq_code"), m, kk)
     scored = coded.join(F.broadcast(probe_df), "cell")
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(query_id_col))
