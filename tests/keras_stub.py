@@ -125,6 +125,27 @@ _ACTIVATIONS = {
     "swish": lambda x: x * _sigmoid(x),
 }
 
+# d(act)/dz given pre-activation z and post-activation a — the tier-4
+# training loop's backprop table (relu' at exactly 0 follows the keras
+# convention: 0)
+_ACT_GRADS = {
+    None: lambda z, a: np.ones_like(a),
+    "linear": lambda z, a: np.ones_like(a),
+    "relu": lambda z, a: (z > 0).astype(np.float64),
+    "tanh": lambda z, a: 1.0 - a * a,
+    "sigmoid": lambda z, a: a * (1.0 - a),
+    "swish": lambda z, a: _sigmoid(z) + a * (1.0 - _sigmoid(z)),
+}
+
+# layers the tier-4 loop treats as identity at train time (they are
+# already inference-identity in the stub)
+_TRAIN_IDENTITY = {
+    "Dropout",
+    "GaussianNoise",
+    "BatchNormalization",
+    "LayerNormalization",
+}
+
 
 class Layer:
     def __init__(self, *args, **kwargs):
@@ -230,6 +251,10 @@ Concatenate = _layer_type("Concatenate")
 
 class Activation(Layer):
     """Numerically real: applies the named activation elementwise."""
+
+    @property
+    def name_arg(self):
+        return self.args[0] if self.args else self.kwargs.get("activation")
 
     def forward(self, vals):
         name = self.args[0] if self.args else self.kwargs.get("activation")
@@ -454,14 +479,156 @@ class Model(Layer):
 
     def fit(self, X=None, y=None, **kwargs):
         self.fit_calls.append(kwargs)
+        history: dict = {}
         # build kernels from real input widths so get_weights()
         # works right after fit, like keras
         try:
             if X is not None:
                 self.predict(np.asarray(X)[:1])
+            # tier 4: real MSE+SGD training over single-output Dense
+            # chains — exercises the estimator fit plumbing (epochs,
+            # batching, sample_weight, validation_data) numerically.
+            # Multi-head targets (list/tuple/dict y) and non-chain DAGs
+            # stay structure-only, exactly as before.
+            if (
+                X is not None
+                and y is not None
+                and not isinstance(y, (list, tuple, dict))
+            ):
+                history = self._train_mse_sgd(
+                    np.asarray(X, dtype=np.float64),
+                    np.asarray(y, dtype=np.float64),
+                    **kwargs,
+                )
         except NotImplementedError:
             pass
-        return types.SimpleNamespace(history={})
+        return types.SimpleNamespace(history=history)
+
+    def _chain_stages(self) -> list:
+        """The model as a strict single-input chain of trainable /
+        identity layers, output-to-input. NotImplementedError for
+        anything else (op nodes, multi-input layers, multi-output
+        models) — those models keep the structural fit."""
+        outs = self._out_nodes()
+        if len(outs) != 1:
+            raise NotImplementedError("tier-4 fit: single output only")
+        stages: list = []
+        node = outs[0]
+        while not isinstance(node, _InputTensor):
+            if (
+                not isinstance(node, Sym)
+                or node.op is not None
+                or not isinstance(node.producer, Layer)
+                or len(node.call_inputs or ()) != 1
+            ):
+                raise NotImplementedError("tier-4 fit: Dense chains only")
+            stages.append(node.producer)
+            node = node.call_inputs[0]
+        stages.reverse()
+        for layer in stages:
+            if isinstance(layer, Dense) or type(layer) is Activation:
+                if (layer.activation if isinstance(layer, Dense)
+                        else layer.name_arg) not in _ACT_GRADS:
+                    raise NotImplementedError(
+                        "tier-4 fit: activation lacks a gradient"
+                    )
+            elif type(layer).__name__ in _TRAIN_IDENTITY:
+                continue
+            else:
+                raise NotImplementedError(
+                    f"tier-4 fit: unsupported layer {type(layer).__name__}"
+                )
+        return stages
+
+    def _train_mse_sgd(
+        self,
+        X,
+        y,
+        *,
+        epochs=1,
+        batch_size=32,
+        sample_weight=None,
+        validation_data=None,
+        shuffle=False,
+        verbose=0,
+        **_unsupported,
+    ) -> dict:
+        """Minimal numpy training loop: MSE loss, plain SGD steps at
+        the compiled optimizer's learning_rate (the stub treats every
+        optimizer as SGD — no moment state — so two-step traces are
+        hand-computable). Deterministic: batches run in input order
+        (``shuffle`` is ignored), identity layers (Dropout & co) stay
+        identity at train time. Weighted loss follows keras:
+        batch loss = meanᵢ(wᵢ · meanⱼ errᵢⱼ²); the epoch 'loss' entry
+        is the row-weighted mean of batch losses, 'val_loss' the
+        unweighted MSE of ``validation_data`` at epoch end."""
+        stages = self._chain_stages()
+        lr = 1e-3
+        if self.compile_kwargs:
+            opt = self.compile_kwargs.get("optimizer")
+            lr = float(getattr(opt, "learning_rate", lr) or lr)
+        y2 = y.reshape(len(y), -1)
+        n_all = len(X)
+        bs = int(batch_size or n_all) or n_all
+        sw = None
+        if sample_weight is not None:
+            sw = np.asarray(sample_weight, dtype=np.float64).reshape(-1, 1)
+
+        def forward_caches(xb):
+            caches, a = [], xb
+            for layer in stages:
+                if isinstance(layer, Dense):
+                    layer._ensure_built(a.shape[-1])
+                    z = a @ layer.kernel + layer.bias
+                    out = _ACTIVATIONS[layer.activation](z)
+                    caches.append(("dense", layer, a, z, out))
+                elif type(layer) is Activation:
+                    z = a
+                    out = _ACTIVATIONS[layer.name_arg](z)
+                    caches.append(("act", layer, a, z, out))
+                else:
+                    caches.append(("id", layer, a, a, a))
+                    out = a
+                a = out
+            return caches, a
+
+        history: dict = {"loss": []}
+        for _ in range(int(epochs)):
+            tot_loss, tot_rows = 0.0, 0
+            for s in range(0, n_all, bs):
+                xb, yb = X[s : s + bs], y2[s : s + bs]
+                wb = sw[s : s + bs] if sw is not None else None
+                caches, pred = forward_caches(xb)
+                err = pred - yb
+                nb, dout = err.shape
+                per_row = (err * err).mean(axis=1, keepdims=True)
+                loss = float(
+                    (per_row * wb).mean() if wb is not None else per_row.mean()
+                )
+                tot_loss += loss * nb
+                tot_rows += nb
+                delta = 2.0 * err / (nb * dout)
+                if wb is not None:
+                    delta = delta * wb
+                for kind, layer, a_in, z, a_out in reversed(caches):
+                    if kind == "dense":
+                        dz = delta * _ACT_GRADS[layer.activation](z, a_out)
+                        g_w = a_in.T @ dz
+                        g_b = dz.sum(axis=0)
+                        delta = dz @ layer.kernel.T
+                        layer.kernel = layer.kernel - lr * g_w
+                        layer.bias = layer.bias - lr * g_b
+                    elif kind == "act":
+                        delta = delta * _ACT_GRADS[layer.name_arg](z, a_out)
+            history["loss"].append(tot_loss / max(tot_rows, 1))
+            if validation_data is not None:
+                xv, yv = validation_data[:2]
+                _, pv = forward_caches(np.asarray(xv, dtype=np.float64))
+                ev = pv - np.asarray(yv, dtype=np.float64).reshape(len(pv), -1)
+                history.setdefault("val_loss", []).append(
+                    float((ev * ev).mean())
+                )
+        return history
 
     def _eval(self, node, env: dict):
         if not isinstance(node, Sym):  # python scalar in an op
