@@ -15,16 +15,14 @@ iff n ≥ B — so no leg can be degenerate).
 
 Exactness: forward returns enter as BIGINT micro-units; each bin
 mean is rounded to integer micro-units via the half-up formula
-floor((2·s + n) / (2·n)).  The quotient itself is evaluated as an
-IEEE double division (mirrored operation-for-operation in the DuckDB
-oracle), so the result is EXACT as long as the carrier 2·s + n stays
-within the 2^53 double-integer bound — i.e. per-era per-bin micro-unit
-sums below ~4.5e15 (~4.5 billion return-units per leg), far above any
-real per-era leg.  Beyond that bound the floor could differ from the
-true integer quotient; cross-engine parity still holds because both
-engines evaluate the identical double op.  This avoids the
+floor((2·s + n) / (2·n)), computed as a TRUE integer floor division
+(pmod-adjusted numerator, quotient through an exact decimal carrier;
+DuckDB mirror uses ``//`` on the same adjusted numerator) — no double
+carrier anywhere, so the result is exact for ANY representable BIGINT
+sums, with no 2^53 bound.  This avoids both the
 double-round-at-representable-boundary divergence (Spark BigDecimal
-HALF_UP vs C round) that a round(sum/1e6/n, 6) formulation hits.
+HALF_UP vs C round) that a round(sum/1e6/n, 6) formulation hits and
+the large-carrier drift a floor-of-double-division formulation has.
 
 Scale: one rank window per era (the era exchange), one map-side
 partially-aggregated (era, bin) sum, and a final ordered window over
@@ -91,11 +89,17 @@ def long_short_backtest(
     )
     n_tot = binned.groupBy("era").agg(F.count(F.lit(1)).alias("n"))
 
-    def mean_u(s, n):  # half-up integer rounding of s/n, micro-units
-        return F.floor(
-            (2 * F.col(s) + F.col(n)).cast("double")
-            / (2 * F.col(n)).cast("double")
-        ).cast("long")
+    def mean_u(s, n):
+        # half-up integer rounding of s/n in micro-units: the TRUE
+        # integer floor of (2s+n)/(2n), computed without a double
+        # carrier — subtract the non-negative pmod remainder, then the
+        # now-exactly-divisible quotient through DECIMAL(38,0) (exact
+        # for any BIGINT operands; a double division would drift past
+        # 2^53). DuckDB mirror: ((a - ((a%b)+b)%b) // b).
+        a = 2 * F.col(s) + F.col(n)
+        b = 2 * F.col(n)
+        adj = (a - F.pmod(a, b)).cast("decimal(38,0)")
+        return (adj / b.cast("decimal(38,0)")).cast("long")
 
     eras = (
         n_tot.where(F.col("n") >= n_bins).join(per_bin, "era")
@@ -164,10 +168,12 @@ def long_short_backtest_oracle_sql(
           HAVING count(*) >= {n_bins}
         ), eras AS (
           SELECT n_tot.era, CAST(n AS BIGINT) AS n,
-                 CAST(floor(CAST(2 * l_u + l_n AS DOUBLE)
-                      / CAST(2 * l_n AS DOUBLE)) AS BIGINT) AS l_mu,
-                 CAST(floor(CAST(2 * s_u + s_n AS DOUBLE)
-                      / CAST(2 * s_n AS DOUBLE)) AS BIGINT) AS s_mu
+                 CAST(((2 * l_u + l_n)
+                       - (((2 * l_u + l_n) % (2 * l_n)) + 2 * l_n)
+                         % (2 * l_n)) // (2 * l_n) AS BIGINT) AS l_mu,
+                 CAST(((2 * s_u + s_n)
+                       - (((2 * s_u + s_n) % (2 * s_n)) + 2 * s_n)
+                         % (2 * s_n)) // (2 * s_n) AS BIGINT) AS s_mu
           FROM n_tot JOIN per_bin ON n_tot.era = per_bin.era
         )
         SELECT era, n,
