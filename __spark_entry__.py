@@ -3896,17 +3896,85 @@ def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corr matrix, STL, xicor, naive bayes, k-core, backtest, k-means,
     kNN, chi2, golden record, vector_pipeline — was promoted into
     queries() this round.)"""
-    return dict(_R9_STAGED)
+    return _r9_staged()
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
-    return dict(_R9_STAGED_ORACLES)
+    return _r9_staged_oracles()
 
 
-# populated as round-8 work stages new round-9 candidates
-_R9_STAGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-_R9_STAGED_ORACLES: dict[str, str] = {}
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-1 weighted quantiles (q25/q50/q75) of order value per
+    priority, weighted by the order's lineitem count — integer
+    cross-multiplication thresholds, one sort window + one aggregation
+    (operators/stats.weighted_quantiles)."""
+    from centimators_spark.operators.stats import weighted_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wts = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__w")
+    )
+    base = orders.join(
+        wts, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("o_orderpriority", "o_totalprice", "__w")
+    return weighted_quantiles(
+        base, "o_totalprice", "__w", "o_orderpriority"
+    )
+
+
+def _weighted_quantiles_oracle() -> str:
+    from centimators_spark.operators.stats import weighted_quantiles_oracle_sql
+
+    return weighted_quantiles_oracle_sql(
+        "(SELECT o_orderpriority, o_totalprice, w FROM orders JOIN "
+        "(SELECT l_orderkey, CAST(count(*) AS BIGINT) AS w "
+        " FROM lineitem GROUP BY l_orderkey) lw "
+        "ON o_orderkey = l_orderkey)",
+        "o_totalprice",
+        "w",
+        "o_orderpriority",
+    )
+
+
+def _r9_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from centimators_spark.plans.datapipe_queries import (
+        q_association_rules,
+        q_blocking_quality,
+        q_sq8_recall_contract,
+    )
+
+    return {
+        "top_supplier": relational_queries.q_top_supplier,
+        "small_lot_revenue": relational_queries.q_small_lot_revenue,
+        "volume_dominant_supplier": (
+            relational_queries.q_volume_dominant_supplier
+        ),
+        "association_rules": q_association_rules,
+        "sq8_recall_contract": q_sq8_recall_contract,
+        "blocking_quality": q_blocking_quality,
+        "weighted_quantiles": q_weighted_quantiles,
+    }
+
+
+def _r9_staged_oracles() -> dict[str, str]:
+    from centimators_spark.plans import datapipe_queries as dq
+
+    return {
+        "top_supplier": relational_queries._TOP_SUPPLIER_ORACLE,
+        "small_lot_revenue": relational_queries._SMALL_LOT_REVENUE_ORACLE,
+        "volume_dominant_supplier": (
+            relational_queries._VOLUME_DOMINANT_ORACLE
+        ),
+        "association_rules": dq._association_rules_oracle(),
+        "sq8_recall_contract": dq.oracle_sql()["pq_recall_contract"],
+        "blocking_quality": dq._blocking_quality_oracle(),
+        "weighted_quantiles": _weighted_quantiles_oracle(),
+    }
+
+
+
 
 
 def _promoted_r8_oracle_sql() -> dict[str, str]:

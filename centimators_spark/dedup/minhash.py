@@ -40,6 +40,29 @@ def minhash_lsh_pairs(
     # signatures; materialize once instead of running the shingle+hash
     # UDF twice (at scale: persist/write the signature table)
     sigs = minhash_signatures(df, content_col, id_col, n).localCheckpoint(eager=True)
+    cand = minhash_band_candidates(sigs)
+    # exact verification of the (small) candidate set: same
+    # count-based Jaccard as dedup/jaccard.py — bit-exact integer ratio
+    g = sigs.select("doc_id", "grams")
+    jac = (
+        F.size(F.array_intersect("g1", "g2")).cast("double")
+        / F.size(F.array_union("g1", "g2"))
+    )
+    return (
+        cand.join(g.select(F.col("doc_id").alias("d1"), F.col("grams").alias("g1")), "d1")
+        .join(g.select(F.col("doc_id").alias("d2"), F.col("grams").alias("g2")), "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_band_candidates(sigs: DataFrame) -> DataFrame:
+    """The pre-verification LSH candidate pair set (d1 < d2) from a
+    signature table (doc_id, sig) — docs sharing ANY of the
+    LSH_BANDS band signatures. Factored out of
+    :func:`minhash_lsh_pairs` so blocking-quality metrics can measure
+    the candidate set itself (reduction ratio / pairs completeness)
+    against exact ground truth."""
     band_cols = [
         F.concat_ws(
             "-", *[F.get(F.col("sig"), b * LSH_ROWS + r) for r in range(LSH_ROWS)]
@@ -61,23 +84,10 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_sig")
 
-    cand = (
+    return (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_sig"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
-    )
-    # exact verification of the (small) candidate set: same
-    # count-based Jaccard as dedup/jaccard.py — bit-exact integer ratio
-    g = sigs.select("doc_id", "grams")
-    jac = (
-        F.size(F.array_intersect("g1", "g2")).cast("double")
-        / F.size(F.array_union("g1", "g2"))
-    )
-    return (
-        cand.join(g.select(F.col("doc_id").alias("d1"), F.col("grams").alias("g1")), "d1")
-        .join(g.select(F.col("doc_id").alias("d2"), F.col("grams").alias("g2")), "d2")
-        .select("d1", "d2", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
     )

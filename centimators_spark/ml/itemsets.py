@@ -101,3 +101,144 @@ def frequent_itemsets_oracle_sql(
           SELECT * FROM singles UNION ALL SELECT * FROM pairs
         ) CROSS JOIN n WHERE freq >= min_count
     """
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Size-1 → size-1 association rules over (basket, item) rows —
+    the standard support/confidence/lift readout downstream of
+    :func:`frequent_itemsets` (mllib exposes the same shape as
+    ``FPGrowthModel.associationRules``; this is the exact-count,
+    oracle-twinned form).
+
+    For every ordered pair (antecedent → consequent) co-occurring in
+    ≥ ``min_pair_count`` baskets:
+    confidence = pair_n / ant_n, lift = pair_n · n_baskets /
+    (ant_n · cons_n) — each a SINGLE IEEE division (or one multiply
+    then one divide) of exact integer counts rounded to ``digits``,
+    so the doubles are bit-identical across engines.
+
+    Plan: one distinct (basket, item) projection, one grouped count
+    per item (tiny, broadcast back), one basket self-join on the
+    basket key (the only data-sized shuffle — same shape the
+    size-2 itemset oracle uses), one grouped pair count. Both rule
+    directions come from the one unordered pair count."""
+    bi = (
+        df.where(F.col(item_col).isNotNull())
+        .select(
+            F.col(basket_col).alias("b"),
+            F.col(item_col).cast("string").alias("i"),
+        )
+        .distinct()
+    )
+    n_baskets = bi.agg(
+        F.countDistinct("b").cast("long").alias("__nb")
+    )
+    singles = bi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        bi.alias("a")
+        .join(bi.alias("c"), "b")
+        .where(F.col("a.i") < F.col("c.i"))
+        .groupBy(F.col("a.i").alias("i1"), F.col("c.i").alias("i2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .where(F.col("pair_n") >= min_pair_count)
+    )
+    sized = (
+        pairs.join(
+            F.broadcast(singles.select(F.col("i").alias("i1"),
+                                       F.col("n").alias("n1"))), "i1"
+        )
+        .join(
+            F.broadcast(singles.select(F.col("i").alias("i2"),
+                                       F.col("n").alias("n2"))), "i2"
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    both = sized.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i1").alias("antecedent"),
+                    F.col("i2").alias("consequent"),
+                    F.col("pair_n"),
+                    F.col("n1").alias("ant_n"),
+                    F.col("n2").alias("cons_n"),
+                    F.col("__nb"),
+                ),
+                F.struct(
+                    F.col("i2").alias("antecedent"),
+                    F.col("i1").alias("consequent"),
+                    F.col("pair_n"),
+                    F.col("n2").alias("ant_n"),
+                    F.col("n1").alias("cons_n"),
+                    F.col("__nb"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    conf = F.round(
+        F.col("pair_n").cast("double") / F.col("ant_n").cast("double"),
+        digits,
+    )
+    lift = F.round(
+        (F.col("pair_n") * F.col("__nb")).cast("double")
+        / (F.col("ant_n") * F.col("cons_n")).cast("double"),
+        digits,
+    )
+    return both.select(
+        "antecedent",
+        "consequent",
+        "pair_n",
+        F.col("ant_n"),
+        F.col("cons_n"),
+        conf.alias("confidence"),
+        lift.alias("lift"),
+    )
+
+
+def association_rules_oracle_sql(
+    basket_table_sql: str,
+    *,
+    basket_sql: str = "basket",
+    item_sql: str = "item",
+    min_pair_count: int = 2,
+    digits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`association_rules`: identical distinct
+    projection, pair counts, and single-division roundings."""
+    return f"""
+        WITH bi AS (
+          SELECT DISTINCT {basket_sql} AS b, CAST({item_sql} AS VARCHAR) AS i
+          FROM {basket_table_sql}
+          WHERE {item_sql} IS NOT NULL
+        ), nb AS (
+          SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi
+        ), singles AS (
+          SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i
+        ), pairs AS (
+          SELECT a.i AS i1, c.i AS i2, CAST(count(*) AS BIGINT) AS pair_n
+          FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+          GROUP BY a.i, c.i
+          HAVING count(*) >= {min_pair_count}
+        ), both_dirs AS (
+          SELECT i1 AS antecedent, i2 AS consequent, pair_n FROM pairs
+          UNION ALL
+          SELECT i2 AS antecedent, i1 AS consequent, pair_n FROM pairs
+        )
+        SELECT r.antecedent, r.consequent, r.pair_n,
+               sa.n AS ant_n, sc.n AS cons_n,
+               round(CAST(r.pair_n AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                     {digits}) AS confidence,
+               round(CAST(r.pair_n * nb.n_baskets AS DOUBLE)
+                     / CAST(sa.n * sc.n AS DOUBLE), {digits}) AS lift
+        FROM both_dirs r
+        JOIN singles sa ON r.antecedent = sa.i
+        JOIN singles sc ON r.consequent = sc.i
+        CROSS JOIN nb
+    """

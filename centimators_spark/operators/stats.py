@@ -741,3 +741,81 @@ def corr_matrix_oracle_sql(
         if a != b
     )
     return f"WITH m AS ({moments}) {rows}"
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    *,
+    quantiles: "tuple[tuple[int, int], ...]" = ((1, 4), (1, 2), (3, 4)),
+    names: "tuple[str, ...]" = ("wq25", "wq50", "wq75"),
+) -> DataFrame:
+    """Exact type-1 (lower) weighted quantiles per group, the
+    multi-quantile generalization of :func:`weighted_median`: for each
+    q = num/den, the smallest value v whose cumulative weight reaches
+    q of the total — decided by the INTEGER cross-multiplication
+    cum·den ≥ num·tot, so there is no float tie ambiguity at any
+    scale. ONE (group, value) sort window + ONE grouped aggregation
+    computes every requested quantile (rows within an equal-value tie
+    may permute in the window, but min(v) over qualifying rows is
+    invariant to that). Returns (group, n, total_weight, *names)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = F.sum(F.col(weight_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum(F.col(weight_col)).over(Window.partitionBy(group_col))
+    flagged = df.select(
+        F.col(group_col),
+        F.col(value_col).alias("__v"),
+        cum.alias("__cum"),
+        tot.alias("__tot"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum") * F.lit(den) >= F.lit(num) * F.col("__tot"),
+                F.col("__v"),
+            )
+        ).alias(nm)
+        for (num, den), nm in zip(quantiles, names)
+    ]
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__tot").cast("long").alias("total_weight"),
+        *aggs,
+    )
+
+
+def weighted_quantiles_oracle_sql(
+    table_sql: str,
+    value_sql: str,
+    weight_sql: str,
+    group_sql: str,
+    *,
+    quantiles: "tuple[tuple[int, int], ...]" = ((1, 4), (1, 2), (3, 4)),
+    names: "tuple[str, ...]" = ("wq25", "wq50", "wq75"),
+) -> str:
+    """DuckDB mirror of :func:`weighted_quantiles`."""
+    g = group_sql
+    qcols = ", ".join(
+        f"min(CASE WHEN cum * {den} >= {num} * tot THEN v END) AS {nm}"
+        for (num, den), nm in zip(quantiles, names)
+    )
+    return f"""
+        WITH flagged AS (
+          SELECT {group_sql} AS {g}, {value_sql} AS v,
+                 sum({weight_sql}) OVER (PARTITION BY {group_sql}
+                   ORDER BY {value_sql}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum({weight_sql}) OVER (PARTITION BY {group_sql}) AS tot
+          FROM {table_sql}
+        )
+        SELECT {g}, CAST(count(*) AS BIGINT) AS n,
+               CAST(max(tot) AS BIGINT) AS total_weight, {qcols}
+        FROM flagged GROUP BY {g}
+    """

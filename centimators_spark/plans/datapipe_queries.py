@@ -1323,3 +1323,167 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, n_grams, hs[1] AS fp_min1, hs[2] AS fp_min2 FROM h
         """,
     }
+
+
+# ------------------------------------------------- round-9 staged queries
+
+def q_sq8_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k contract for the SQ8 (int8 scalar quantization) path —
+    the third compressed-index family next to PQ (subspace codebooks)
+    and IVF-PQ (cells + codebooks): 4× compression, NO trained
+    codebook, pure integer scoring. Shortlist = half the corpus by
+    integer code dot (exact long arithmetic — no float accumulation,
+    so no bit concerns anywhere in the approximate path), then the
+    standard exact re-rank, counted against the brute-force top-k
+    (the shared exact-top-k artifact). Codes are built once per
+    session (the shared-index discipline) by a statically unrolled
+    whole-stage-codegen expression."""
+    from centimators_spark.similarity.pq import sq8_encode, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    coded = _shared_df_artifact(
+        spark,
+        (sf_dir, "emb", "sq8_index"),
+        lambda: sq8_encode(emb, dim=EMB_DIM),
+    )
+    shortlist_k = max(25 * ANN_K, _shared_emb_count(emb, sf_dir) // 2)
+    short = sq8_topk(coded, queries, dim=EMB_DIM, k=shortlist_k)
+    rerank = _exact_rerank(short, emb, queries, k=ANN_K)
+    exact = _shared_exact_topk(spark, sf_dir, "emb", emb, queries)
+    return _recall_hits(exact, rerank)
+
+
+ASSOC_MIN_PAIR = 5
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order→brand baskets (support/confidence/
+    lift) — the rule readout downstream of frequent_itemsets, exact
+    integer counts with single-division 6dp-rounded ratios (see
+    ml/itemsets.association_rules for the plan shape)."""
+    from centimators_spark.ml.itemsets import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bi = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select("l_orderkey", "p_brand")
+    return association_rules(
+        bi, "l_orderkey", "p_brand", min_pair_count=ASSOC_MIN_PAIR
+    )
+
+
+def _association_rules_oracle() -> str:
+    from centimators_spark.ml.itemsets import association_rules_oracle_sql
+
+    return association_rules_oracle_sql(
+        "(SELECT l_orderkey AS basket, p_brand AS item "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey)",
+        min_pair_count=ASSOC_MIN_PAIR,
+    )
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality metrics for the MinHash LSH candidate
+    generator — the standard entity-resolution evaluation (pairs
+    completeness / reduction ratio): how many TRUE near-dup pairs
+    (exact n-gram Jaccard ≥ MINHASH_T, uncapped inverted index) does
+    the band-bucket candidate set cover, and how many candidate pairs
+    does it spend. The oracle recomputes the ENTIRE pipeline in SQL —
+    portable 64-perm MinHash signatures, 32-band candidates, exact
+    Jaccard truth — so the hash proves the banding itself, not just
+    the verified output (dedup_minhash_lsh's oracle proves the latter).
+    Counts are integers; completeness/reduction are single divisions
+    rounded to 6dp."""
+    from centimators_spark.dedup.jaccard import ngram_jaccard_pairs
+    from centimators_spark.dedup.minhash import minhash_band_candidates
+    from centimators_spark.text.hashing_udf import minhash_signatures_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_udf(docs).localCheckpoint(eager=True)
+    cand = minhash_band_candidates(sigs).localCheckpoint(eager=True)
+    truth = (
+        ngram_jaccard_pairs(docs, threshold=MINHASH_T, df_cap=None)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    n_docs = sigs.agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_hit = cand.join(truth, ["d1", "d2"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    total_pairs = (F.col("__nd") * (F.col("__nd") - 1) / 2).cast("long")
+    return (
+        n_cand.crossJoin(n_true)
+        .crossJoin(n_hit)
+        .crossJoin(n_docs)
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+                6,
+            ).alias("pairs_completeness"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double")
+                / total_pairs.cast("double"),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+def _blocking_quality_oracle() -> str:
+    from centimators_spark.text.portable import (
+        LSH_BANDS,
+        LSH_ROWS,
+        sql_gram_hashes,
+        sql_minhash_signature,
+    )
+
+    sig_exprs = sql_minhash_signature("hs")
+    sig_cols = ", ".join(f"{e} AS s{i}" for i, e in enumerate(sig_exprs))
+    band_branches = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '-' || ".join(
+            f"CAST(s{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        + " AS band_sig FROM sigs"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH {_GRAMS_CTE},
+        hashed AS (
+          SELECT doc_id, {sql_gram_hashes('gs')} AS hs FROM grams
+        ), sigs AS (
+          SELECT doc_id, {sig_cols} FROM hashed
+        ), bands AS ({band_branches}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+        ), truth AS (
+          SELECT d1, d2 FROM ({_JACCARD_PAIRS}) WHERE jaccard >= {MINHASH_T}
+        ), m AS (
+          SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+            (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM cand JOIN truth USING (d1, d2)) AS n_hit,
+            (SELECT CAST(count(*) AS BIGINT) FROM sigs) AS n_docs
+        )
+        SELECT n_candidates, n_true, n_hit,
+               round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+                 AS pairs_completeness,
+               round(1.0 - CAST(n_candidates AS DOUBLE)
+                     / CAST(CAST(n_docs * (n_docs - 1) / 2 AS BIGINT)
+                            AS DOUBLE), 6) AS reduction_ratio
+        FROM m
+    """

@@ -1514,3 +1514,165 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_totalprice ASC, o_orderkey ASC)
         """,
     }
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    return the supplier(s) achieving the MAX — the view + scalar-max
+    decorrelation, planned the scale-correct way: the fact aggregates
+    once on its own supplier key (output bounded by |supplier|), the
+    scalar max of that tiny frame broadcasts back, and the supplier
+    dimension joins broadcast. No window over the fact, no
+    re-aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("total_revenue"),
+        )
+    )
+
+
+_TOP_SUPPLIER_ORACLE = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if small-lot orders of one brand's parts were not
+    filled — the correlated-average-subquery shape, decorrelated
+    the scale-correct way: per-part avg quantity is ONE grouped
+    aggregation over the (brand-filtered, broadcast-pruned) fact
+    slice, broadcast back as the per-part threshold. l_quantity is
+    integer-valued, so the per-part sum (and hence avg = sum/count,
+    one IEEE division) is exact and the 0.2·avg threshold compare is
+    engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sel = part.where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    fact = li.join(
+        F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thr = fact.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__thr")
+    )
+    small = fact.join(F.broadcast(thr), "l_partkey").where(
+        F.col("l_quantity") < F.col("__thr")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias("n_small_lots"),
+    )
+
+
+_SMALL_LOT_REVENUE_ORACLE = """
+    WITH fact AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#13'
+    ), thr AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS t
+      FROM fact GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small_lots
+    FROM fact JOIN thr USING (l_partkey)
+    WHERE l_quantity < t
+"""
+
+
+def q_volume_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join chain) re-expressed over the
+    available tables (the testdata has no partsupp): suppliers who
+    DOMINATE some part — shipped more than 10/3 of their fair share
+    of that part's total quantity (share > (10/3)/n_suppliers; an
+    absolute share cut degenerates as supplier counts grow with data
+    volume, a fair-share multiple does not) —
+    listed with their nation. Plan: two grouped aggregations over the
+    fact (per (supplier, part), then per part — both map-side partial,
+    both bounded by key cardinality), one broadcast join between the
+    two tiny aggregates, a distinct supplier key set, and a broadcast
+    semi-join into the supplier dimension. Quantity is integer-valued
+    → sums exact → the 3·sq·n_sup > 10·tot dominance compare is
+    engine-identical integer arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sup_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("__sq")
+    )
+    part_tot = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("__tot"),
+        F.countDistinct("l_suppkey").alias("__ns"),
+    )
+    dom = (
+        sup_part.join(F.broadcast(part_tot), "l_partkey")
+        .where(F.col("__sq") * F.col("__ns") * 3 > 10 * F.col("__tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(dom),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "leftsemi",
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_VOLUME_DOMINANT_ORACLE = """
+    WITH sup_part AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS sq
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), part_tot AS (
+      SELECT l_partkey, sum(l_quantity) AS tot,
+             count(DISTINCT l_suppkey) AS ns
+      FROM lineitem GROUP BY l_partkey
+    ), dom AS (
+      SELECT DISTINCT l_suppkey
+      FROM sup_part JOIN part_tot USING (l_partkey)
+      WHERE sq * ns * 3 > 10 * tot
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+"""

@@ -477,3 +477,102 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """Int8 scalar quantization (faiss ``SQ8`` shape) of
+    unit-normalized vectors: q_i = round(x̂_i · 127) ∈ [−127, 127] —
+    4× compression with NO trained codebook (the unit norm bounds
+    every component, so the scale is the constant 127). The encode is
+    a statically unrolled pure-JVM expression (one norm chain + dim
+    rounded divisions — whole-stage codegen), so at 100 TB encoding
+    runs at scan speed with zero Python and zero driver state; the
+    mirrored DuckDB text makes the codes bit-identical (F.round and
+    DuckDB round are both HALF_UP away from zero on doubles).
+
+    Complements the PQ path: SQ8 keeps per-dimension resolution
+    (better recall, 4× not 32× compression); PQ compresses harder.
+    Scoring: integer dot of codes, monotone in cosine up to
+    quantization error — see :func:`sq8_topk`."""
+    from centimators_spark.similarity.ann import _as_double, _norm
+
+    v = vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vv")
+    ).withColumn("__nrm", F.greatest(_norm(F.col("vv"), dim), F.lit(1e-12)))
+    code = F.array(
+        *[
+            F.round(F.col("vv").getItem(i) / F.col("__nrm") * 127.0)
+            .cast("int")
+            for i in range(dim)
+        ]
+    )
+    return v.select(id_col, code.alias(out_col))
+
+
+def sq8_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k by INTEGER dot product of SQ8 codes — exact
+    long arithmetic (no float accumulation at all), one broadcast of
+    the quantized queries, one statically unrolled multiply-add chain
+    per pair in whole-stage codegen, one per-query top-k window.
+    Returns (query_id, vec_id, dot_q, rank); re-rank survivors against
+    raw vectors for exact cosine (the standard ANN re-rank)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    qpd = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
+    spark = encoded.sparkSession
+    Q = _unitize(
+        np.vstack([np.asarray(x, dtype=np.float64) for x in qpd[vec_col]])
+    ) if len(qpd) else np.empty((0, dim))
+    # same HALF_UP rounding as the JVM encode (floor(x+0.5) == HALF_UP
+    # for positives; for negatives use sign-symmetric away-from-zero)
+    Qq = (np.sign(Q) * np.floor(np.abs(Q) * 127.0 + 0.5)).astype(np.int64)
+    qdf = spark.createDataFrame(
+        [
+            (qid, [int(x) for x in row])
+            for qid, row in zip(qpd[query_id_col].tolist(), Qq)
+        ],
+        StructType(
+            [
+                queries.schema[query_id_col],
+                StructField("__qq", ArrayType(IntegerType())),
+            ]
+        ),
+    )
+    code = F.col(code_col)
+    qq = F.col("__qq")
+    dot = (code.getItem(0).cast("long") * qq.getItem(0).cast("long"))
+    for i in range(1, dim):
+        dot = dot + code.getItem(i).cast("long") * qq.getItem(i).cast("long")
+    scored = encoded.crossJoin(F.broadcast(qdf))
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(query_id_col, id_col, dot.alias("dot_q"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dot_q").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
