@@ -3938,6 +3938,39 @@ def _weighted_quantiles_oracle() -> str:
     )
 
 
+def q_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step Newton logistic fit of P(priority = URGENT | price
+    bucket, order month) — the fixed-step declarative IRLS contract
+    (ml/logistic.py): per step ONE map-side-partial aggregation of
+    exact integer Hessian/gradient carriers, shared-SQL Cramer solve,
+    broadcast beta back. No driver loop, no Python on rows."""
+    from centimators_spark.ml.logistic import logistic_irls
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.floor(F.col("o_totalprice") / F.lit(1000.0))
+        .cast("long")
+        .alias("price_k"),
+        F.month("o_orderdate").cast("long").alias("omonth"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+    )
+    return logistic_irls(base, ["price_k", "omonth"], "is_urgent", steps=2)
+
+
+def _logistic_irls_oracle() -> str:
+    from centimators_spark.ml.logistic import logistic_irls_oracle_sql
+
+    return logistic_irls_oracle_sql(
+        "orders",
+        [
+            "floor(o_totalprice / 1000.0)",
+            "EXTRACT(month FROM o_orderdate)",
+        ],
+        "o_orderpriority = '1-URGENT'",
+        steps=2,
+    )
+
+
 def _r9_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from centimators_spark.plans.datapipe_queries import (
         q_association_rules,
@@ -3953,6 +3986,7 @@ def _r9_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "association_rules": q_association_rules,
         "sq8_recall_contract": q_sq8_recall_contract,
+        "logistic_irls": q_logistic_irls,
         "blocking_quality": q_blocking_quality,
         "weighted_quantiles": q_weighted_quantiles,
     }
@@ -3969,6 +4003,7 @@ def _r9_staged_oracles() -> dict[str, str]:
         ),
         "association_rules": dq._association_rules_oracle(),
         "sq8_recall_contract": dq.oracle_sql()["pq_recall_contract"],
+        "logistic_irls": _logistic_irls_oracle(),
         "blocking_quality": dq._blocking_quality_oracle(),
         "weighted_quantiles": _weighted_quantiles_oracle(),
     }

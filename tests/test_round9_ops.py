@@ -1,0 +1,193 @@
+"""Unit tests for the round-9 staged operators: association rules,
+weighted quantiles, SQ8 scalar quantization, LSH blocking quality."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_association_rules_hand_case(spark):
+    """Counts/confidence/lift against a hand-enumerated basket set."""
+    from centimators_spark.ml.itemsets import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "b"),  # duplicate item in one basket counts once
+        (5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            df, "basket", "item", min_pair_count=2
+        ).collect()
+    }
+    # supports: a=4, b=3, c=2, ab=2, ac=2, bc=1 (dropped), n=5
+    assert set(got) == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")}
+    ab = got[("a", "b")]
+    assert ab.pair_n == 2 and ab.ant_n == 4 and ab.cons_n == 3
+    assert ab.confidence == pytest.approx(round(2 / 4, 6))
+    assert ab.lift == pytest.approx(round(2 * 5 / (4 * 3), 6))
+    ba = got[("b", "a")]
+    assert ba.confidence == pytest.approx(round(2 / 3, 6))
+    assert ba.lift == ab.lift  # lift is symmetric
+    ca = got[("c", "a")]
+    assert ca.confidence == pytest.approx(1.0)
+
+
+def test_weighted_quantiles_hand_case(spark):
+    """Type-1 weighted quantiles against a hand-walked cumulative."""
+    from centimators_spark.operators.stats import weighted_quantiles
+
+    # group g: values 1..4 with weights 1,1,1,7 (total 10)
+    rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 1), ("g", 4.0, 7)]
+    df = spark.createDataFrame(rows, "grp string, v double, w long")
+    r = weighted_quantiles(df, "v", "w", "grp").collect()[0]
+    # cum: 1->1, 2->2, 3->3, 4->10; thresholds: q25=2.5 -> v=3 (cum 3),
+    # q50=5 -> v=4, q75=7.5 -> v=4
+    assert r.n == 4 and r.total_weight == 10
+    assert r.wq25 == 3.0 and r.wq50 == 4.0 and r.wq75 == 4.0
+
+
+def test_weighted_quantiles_matches_numpy_type1(spark):
+    """Against the numpy definition: smallest v with cumw >= q * W."""
+    from centimators_spark.operators.stats import weighted_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 100, 200).astype(float)
+    wts = rng.integers(1, 9, 200)
+    rows = [("g", float(v), int(w)) for v, w in zip(vals, wts)]
+    df = spark.createDataFrame(rows, "grp string, v double, w long")
+    r = weighted_quantiles(df, "v", "w", "grp").collect()[0]
+    order = np.argsort(vals, kind="stable")
+    sv, sw = vals[order], wts[order]
+    cum = np.cumsum(sw)
+    W = cum[-1]
+    for q, name in [(0.25, "wq25"), (0.5, "wq50"), (0.75, "wq75")]:
+        expected = sv[np.searchsorted(cum, q * W, side="left")]
+        assert getattr(r, name) == expected, (q, name)
+
+
+def test_sq8_encode_codes_and_recall(spark):
+    """Codes match a numpy HALF_UP quantization of the unit vectors;
+    SQ8 shortlist + exact re-rank achieves full recall on clearly
+    clustered vectors."""
+    from centimators_spark.similarity.pq import sq8_encode, sq8_topk
+
+    rng = np.random.default_rng(5)
+    # two tight clusters around orthogonal axes
+    base = np.zeros((40, 8))
+    base[:20, 0] = 1.0
+    base[20:, 4] = 1.0
+    X = base + 0.05 * rng.standard_normal((40, 8))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coded = {r.vec_id: r.sq_code for r in sq8_encode(df, dim=8).collect()}
+    Xu = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for i in range(40):
+        expected = np.sign(Xu[i]) * np.floor(np.abs(Xu[i]) * 127.0 + 0.5)
+        assert list(coded[i]) == [int(x) for x in expected], i
+
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    enc = sq8_encode(df, dim=8)
+    short = sq8_topk(enc, queries, dim=8, k=20)
+    # every same-cluster neighbor (ids 0..19) should be in the top 20
+    got = {
+        (r.query_id, r.vec_id) for r in short.collect()
+    }
+    for q in range(3):
+        mates = {(q, j) for j in range(20) if j != q}
+        assert mates <= got, q
+
+
+def test_minhash_band_candidates_superset_of_pairs(spark):
+    """Band candidates must contain every verified near-dup pair (the
+    LSH candidate set is what minhash_lsh_pairs verifies), and the
+    blocking metrics reflect that containment."""
+    from centimators_spark.dedup.minhash import (
+        minhash_band_candidates,
+        minhash_lsh_pairs,
+    )
+    from centimators_spark.text.hashing_udf import minhash_signatures_udf
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "an entirely different document about spark window functions"),
+        (4, "an entirely different document about spark window functions"),
+        (5, "completely unrelated text mentioning association rule mining"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures_udf(df)
+    cand = {
+        (r.d1, r.d2) for r in minhash_band_candidates(sigs).collect()
+    }
+    verified = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(df, threshold=0.6).collect()
+    }
+    assert verified <= cand
+    assert (1, 2) in verified and (3, 4) in verified
+
+
+def test_logistic_irls_matches_python_replication(spark):
+    """The distributed two-step Newton fit replicated in plain Python
+    ints/floats (exact carriers + same Cramer term order) — coefficients
+    agree to float tolerance (exp() may differ by 1 ULP between JVM and
+    libm, absorbed by the micro-unit quantization almost surely)."""
+    import math
+
+    from centimators_spark.ml.cramer import solve_floats
+    from centimators_spark.ml.logistic import MICRO, logistic_irls
+
+    rng = np.random.default_rng(3)
+    n = 400
+    x1 = rng.integers(0, 50, n)
+    x2 = rng.integers(1, 13, n)
+    logit = -1.0 + 0.08 * x1 - 0.1 * x2
+    y = (rng.random(n) < 1 / (1 + np.exp(-logit))).astype(int)
+    rows = [(int(a), int(b), bool(c)) for a, b, c in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y boolean")
+    got = logistic_irls(df, ["x1", "x2"], "y", steps=2).collect()[0]
+    assert got.n == n and got.n_pos == int(y.sum())
+
+    # python replication with exact integer carriers
+    X = np.column_stack([np.ones(n, dtype=object), x1.astype(object),
+                         x2.astype(object)])
+    yu = y.astype(object) * MICRO
+
+    def newton_step(beta):
+        if beta is None:
+            pu = np.full(n, MICRO // 2, dtype=object)
+        else:
+            z = beta[0] + beta[1] * X[:, 1].astype(float) \
+                + beta[2] * X[:, 2].astype(float)
+            pu = np.array(
+                [int(_round_half(MICRO / (1 + math.exp(-zz)))) for zz in z],
+                dtype=object,
+            )
+        w = pu * (MICRO - pu)
+        G = [[float(sum(w * X[:, i] * X[:, j])) for j in range(3)]
+             for i in range(3)]
+        g = [float(sum((yu - pu) * X[:, i])) for i in range(3)]
+        delta = [1e6 * d for d in solve_floats(G, g)]
+        return delta if beta is None else [b + d for b, d in
+                                           zip(beta, delta)]
+
+    def _round_half(v):  # HALF_UP like both engines' round-to-integer
+        import math as _m
+
+        return _m.floor(v + 0.5) if v >= 0 else _m.ceil(v - 0.5)
+
+    beta = newton_step(newton_step(None))
+    for i in range(3):
+        assert getattr(got, f"b{i}") == pytest.approx(
+            round(beta[i], 6), abs=1e-6
+        ), i
+    # two steps from a balanced-ish start should already have the
+    # planted signs
+    assert got.b1 > 0 and got.b2 < 0
