@@ -435,10 +435,38 @@ QS = [
 ]
 
 
-def build() -> str:
+def build(flat: bool = False) -> str:
+    """x10 build. ``flat=True`` writes the DUPLICATION-FLAT variant of
+    documents/embeddings (r7 verdict item 9): rows scale 10x but
+    near-dup FAMILIES do not — each copy interleaves a copy-specific
+    marker token between words (3-gram Jaccard across copies ≈ 0) and
+    shifts embedding components by a large alternating-sign offset
+    (cross-copy cosine far below every dedup threshold). Output-bound
+    queries (containment_pairs, dedup_embedding_cosine,
+    blocking_quality truth) probe COMPUTE growth on this build instead
+    of the 9000x output growth the dup-family build plants."""
     shutil.rmtree(TGT, ignore_errors=True)
     os.makedirs(TGT)
     con = duckdb.connect()
+    doc_text = (
+        "CASE WHEN i = 0 THEN text ELSE text || ' v' || CAST(i AS VARCHAR) END"
+    )
+    emb_expr = (
+        "list_transform(embedding, x -> x + CAST(i AS FLOAT) * 0.003)"
+    )
+    if flat:
+        doc_text = (
+            "CASE WHEN i = 0 THEN text ELSE array_to_string("
+            "list_transform(string_split(text, ' '), "
+            "(w, k) -> CASE WHEN k % 2 = 0 THEN "
+            "w || ' m' || CAST(i AS VARCHAR) || 'q' || CAST(k AS VARCHAR) "
+            "ELSE w END), ' ') END"
+        )
+        emb_expr = (
+            "list_transform(embedding, (x, k) -> x + CAST(i AS FLOAT) * 0.4 "
+            "* (CASE WHEN k % 2 = 0 THEN 1.0 ELSE -1.0 END) "
+            "* (1.0 + CAST(k AS FLOAT) / 64.0))"
+        )
     con.execute(f"""
       COPY (
         SELECT l_orderkey + i * 10000000 AS l_orderkey, l_partkey, l_suppkey,
@@ -451,8 +479,7 @@ def build() -> str:
     con.execute(f"""
       COPY (
         SELECT doc_id + i * 1000000 AS doc_id,
-               CASE WHEN i = 0 THEN text
-                    ELSE text || ' v' || CAST(i AS VARCHAR) END AS text,
+               {doc_text} AS text,
                lang, source, n_chars
         FROM read_parquet('{BASE}/documents.parquet'), range(10) r(i)
       ) TO '{TGT}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)
@@ -486,8 +513,7 @@ def build() -> str:
     con.execute(f"""
       COPY (
         SELECT vec_id + i * 10000000 AS vec_id,
-               list_transform(embedding,
-                              x -> x + CAST(i AS FLOAT) * 0.003) AS embedding,
+               {emb_expr} AS embedding,
                label
         FROM read_parquet('{BASE}/embeddings.parquet'), range(10) r(i)
       ) TO '{TGT}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)
@@ -509,7 +535,7 @@ def main() -> int:
     if "--reuse" in sys.argv and os.path.exists(f"{TGT}/lineitem.parquet"):
         tgt = TGT
     else:
-        tgt = build()
+        tgt = build(flat="--flat" in sys.argv)
     spark = get_spark(
         "scale10",
         cpus=32,
