@@ -768,7 +768,12 @@ def weighted_quantiles(
     cum = F.sum(F.col(weight_col)).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
-    tot = F.sum(F.col(weight_col)).over(Window.partitionBy(group_col))
+    # same (partition, order) spec with a full frame: Spark fuses both
+    # sums into ONE Window operator (a bare partitionBy total would be
+    # a second Window node over the same exchange)
+    tot = F.sum(F.col(weight_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     flagged = df.select(
         F.col(group_col),
         F.col(value_col).alias("__v"),

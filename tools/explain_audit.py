@@ -338,8 +338,12 @@ def main():
     # PMI vocab prune is a broadcast join
     p = plan_of(sq["psi_drift"](spark, sf_dir))
     ok &= audit(
-        "psi_drift: map-side melt (Generate explode, no per-feature scan)",
-        "Generate explode" in p and p.count("Scan parquet") == 2,  # data + bounds
+        "psi_drift: map-side melt (Generate explode, no per-feature scan; "
+        "bin boundaries are collected literals since r8, so the melt plan "
+        "has exactly ONE data scan and zero interpreted HOFs)",
+        "Generate explode" in p
+        and p.count("Scan parquet") == 1
+        and "aggregate(" not in p,
     )
     ok &= audit("psi_drift: no Python eval", "EvalPython" not in p)
     p = plan_of(sq["woe_encode"](spark, sf_dir))
@@ -734,6 +738,73 @@ def main():
         "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p
         and "EvalPython" not in p,
+    )
+
+    # ---- round-9 staged set ------------------------------------------
+    p = plan_of(st["top_supplier"](spark, sf_dir))
+    ok &= audit(
+        "top_supplier (Q15): revenue aggregates ONCE on the supplier key,"
+        " the scalar max and the supplier dim both BROADCAST — no window"
+        " over the fact, no re-aggregation, no Python",
+        p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin")
+        >= 2
+        and "Window" not in p
+        and "EvalPython" not in p,
+    )
+    p = plan_of(st["small_lot_revenue"](spark, sf_dir))
+    ok &= audit(
+        "small_lot_revenue (Q17): the correlated avg decorrelates into a"
+        " per-part aggregate broadcast back into the brand-pruned fact —"
+        " broadcast joins only, no shuffle join, no Python",
+        "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p
+        and "EvalPython" not in p,
+    )
+    p = plan_of(st["volume_dominant_supplier"](spark, sf_dir))
+    ok &= audit(
+        "volume_dominant_supplier (Q20 shape): two map-side-partial fact"
+        " aggregations, broadcast join between the tiny aggregates, and a"
+        " broadcast LEFT SEMI into the supplier dim — no Python",
+        "partial_" in p
+        and ("LeftSemi" in p or "left_semi" in p)
+        and "EvalPython" not in p,
+    )
+    p = plan_of(st["association_rules"](spark, sf_dir))
+    ok &= audit(
+        "association_rules: singles and n_baskets BROADCAST back onto the"
+        " pair counts; the only data-sized shuffle is the basket-key"
+        " self-join; no Python",
+        "BroadcastHashJoin" in p and "EvalPython" not in p,
+    )
+    p = plan_of(st["sq8_recall_contract"](spark, sf_dir))
+    ok &= audit(
+        "sq8_recall_contract: integer-dot scoring is pure JVM (quantized"
+        " queries broadcast; the ONLY Arrow/Python anywhere would be an"
+        " encode UDF — SQ8 has none)",
+        "EvalPython" not in p and "ArrowEvalPython" not in p,
+    )
+    p = plan_of(st["weighted_quantiles"](spark, sf_dir))
+    ok &= audit(
+        "weighted_quantiles: one sort window + one grouped aggregation"
+        " (every quantile from the same pass); no Python",
+        p.count("Window") == 1 and "EvalPython" not in p,
+    )
+    p = plan_of(st["logistic_irls"](spark, sf_dir))
+    ok &= audit(
+        "logistic_irls: every Newton step is a map-side-partial"
+        " aggregation (partial_sum of decimal carriers) with beta"
+        " BROADCAST back; no Python on rows, no window, no shuffle join",
+        "partial_" in p
+        and "Window" not in p
+        and "SortMergeJoin" not in p
+        and "EvalPython" not in p,
+    )
+    p = plan_of(st["blocking_quality"](spark, sf_dir))
+    ok &= audit(
+        "blocking_quality: candidate/truth sides are checkpointed scans"
+        " (no re-execution of the signature UDF per metric); the metric"
+        " joins are count-sized",
+        "CartesianProduct" not in p or p.count("CartesianProduct") <= 3,
     )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
