@@ -3971,6 +3971,25 @@ def _logistic_irls_oracle() -> str:
     )
 
 
+def q_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round's merge statistic over the corpus: top
+    adjacent whitespace-token pairs by count (text/cooccur.py —
+    order+multiplicity aware, unlike pmi_cooccur's per-doc-distinct
+    presence)."""
+    from centimators_spark.text.cooccur import bpe_pair_merges
+
+    return bpe_pair_merges(load_table(spark, sf_dir, "documents"))
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of customers from orders (analytics.py):
+    value-based quantile scores from collected literal boundaries —
+    no global rank window."""
+    from centimators_spark.analytics import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
 def _r9_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from centimators_spark.plans.datapipe_queries import (
         q_association_rules,
@@ -3987,6 +4006,8 @@ def _r9_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         "sq8_recall_contract": q_sq8_recall_contract,
         "logistic_irls": q_logistic_irls,
+        "bpe_pair_merges": q_bpe_pair_merges,
+        "rfm_segments": q_rfm_segments,
         "blocking_quality": q_blocking_quality,
         "weighted_quantiles": q_weighted_quantiles,
     }
@@ -4004,6 +4025,12 @@ def _r9_staged_oracles() -> dict[str, str]:
         "association_rules": dq._association_rules_oracle(),
         "sq8_recall_contract": dq.oracle_sql()["pq_recall_contract"],
         "logistic_irls": _logistic_irls_oracle(),
+        "bpe_pair_merges": __import__(
+            "centimators_spark.text.cooccur", fromlist=["x"]
+        ).bpe_pair_merges_oracle_sql("documents"),
+        "rfm_segments": __import__(
+            "centimators_spark.analytics", fromlist=["x"]
+        ).rfm_segments_oracle_sql("orders"),
         "blocking_quality": dq._blocking_quality_oracle(),
         "weighted_quantiles": _weighted_quantiles_oracle(),
     }

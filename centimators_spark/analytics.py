@@ -768,3 +768,133 @@ def topk_turnover_oracle_sql(
         FROM cc JOIN pc ON cc.__era = pc.__era
         LEFT JOIN com ON cc.__era = com.__era
     """
+
+
+def rfm_segments(
+    orders: DataFrame,
+    *,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation — the standard CRM readout: per
+    customer Recency (days since their last order, measured against
+    the corpus max date), Frequency (order count), Monetary (total
+    spend), each scored 1..n_bins by VALUE-based quantile bins: the
+    n_bins−1 interpolated percentile boundaries of the per-customer
+    metric are collected as ONE tiny row and inlined as literal
+    comparisons (the PSI/quantile_bin discipline — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, parity pinned by
+    quantile_bin), score = 1 + #boundaries strictly below the value,
+    recency inverted so fresher = higher. No global rank window
+    anywhere — at 100 TB the per-customer frame never funnels into a
+    single ordered partition.
+
+    Plan: one grouped aggregation per customer (map-side partial,
+    output bounded by |customers|), the corpus max date and the nine
+    boundaries as collected literals, then a single codegen projection.
+    Returns (customer, recency_days, frequency, monetary, r_score,
+    f_score, m_score, segment)."""
+    per_cust = orders.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(F.col(date_col)).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum(F.col(amount_col)), 2).alias("monetary"),
+    )
+    maxd = orders.agg(F.max(F.col(date_col)).alias("__maxd"))
+    base = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "customer",
+        F.datediff(F.col("__maxd"), F.col("__last"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    probs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    brow = base.agg(
+        *[
+            F.expr(
+                f"percentile(CAST(`{c}` AS DOUBLE), array({probs}))"
+            ).alias(f"__b_{c}")
+            for c in ("recency_days", "frequency", "monetary")
+        ]
+    ).collect()[0]
+
+    def _score(c: str, invert: bool):
+        v = F.col(c).cast("double")
+        blist = brow[f"__b_{c}"] or []
+        bins = F.lit(0)
+        for b in blist:
+            bins = bins + F.when(v > F.lit(float(b)), 1).otherwise(0)
+        raw = F.lit(1) + bins  # 1..n_bins ascending with the value
+        return (
+            (F.lit(n_bins + 1) - raw) if invert else raw
+        ).cast("int")
+
+    scored = base.select(
+        "customer",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _score("recency_days", invert=True).alias("r_score"),
+        _score("frequency", invert=False).alias("f_score"),
+        _score("monetary", invert=False).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+
+
+def rfm_segments_oracle_sql(
+    table: str = "orders",
+    *,
+    customer_sql: str = "o_custkey",
+    date_sql: str = "o_orderdate",
+    amount_sql: str = "o_totalprice",
+    n_bins: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`rfm_segments` (quantile_cont boundaries,
+    same strict-> bin rule, same inversion)."""
+    probs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+
+    def score(col: str, invert: bool) -> str:
+        below = (
+            f"len(list_filter((SELECT quantile_cont(CAST({col} AS DOUBLE),"
+            f" [{probs}]) FROM base), b -> CAST({col} AS DOUBLE) > b))"
+        )
+        raw = f"(1 + {below})"
+        return f"CAST({n_bins + 1} - {raw} AS INTEGER)" if invert else (
+            f"CAST({raw} AS INTEGER)"
+        )
+
+    r = score("recency_days", True)
+    f_ = score("frequency", False)
+    m = score("monetary", False)
+    return f"""
+        WITH per_cust AS (
+          SELECT {customer_sql} AS customer,
+                 max({date_sql}) AS last_d,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 round(sum({amount_sql}), 2) AS monetary
+          FROM {table} GROUP BY {customer_sql}
+        ), maxd AS (
+          SELECT max({date_sql}) AS maxd FROM {table}
+        ), base AS (
+          SELECT customer,
+                 CAST(date_diff('day', last_d, maxd) AS BIGINT)
+                   AS recency_days,
+                 frequency, monetary
+          FROM per_cust CROSS JOIN maxd
+        )
+        SELECT customer, recency_days, frequency, monetary,
+               {r} AS r_score, {f_} AS f_score, {m} AS m_score,
+               CAST({r} AS VARCHAR) || CAST({f_} AS VARCHAR)
+                 || CAST({m} AS VARCHAR) AS segment
+        FROM base
+    """

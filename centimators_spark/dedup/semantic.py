@@ -40,17 +40,32 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
 
 
 def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bucket id: bit i set iff vec · plane_i >= 0. Each dot is a
-    flat left-associated add chain of getItem·literal terms — plain
-    whole-stage-codegen arithmetic, bit-identical to the oracle's
-    seedless ``list_reduce`` fold (the zip_with+aggregate HOF form is
-    CodegenFallback: interpreted per row, the same hazard class the
-    within-bucket verify kernel fixed)."""
+    """Sign-bucket id: bit i set iff vec · plane_i >= 0 (dimension-
+    ordered left-to-right sum — the same fold the oracle evaluates).
+
+    Deliberately the zip_with+aggregate HOF form, NOT a statically
+    unrolled literal chain: the unrolled variant is whole-stage
+    codegen but costs ~2-3 s of janino COMPILATION per freshly built
+    plan (6 planes × 64 dims ≈ 384 terms — measured 1.4 s → 4.2 s per
+    bench execution at sf0.1, where the scan itself is milliseconds).
+    The HOF is interpreted per ROW but compiles instantly; per-row
+    work is p·d multiplies — fine for a map-side scan. At production
+    scale (plan compiled once, hours of scan) flip the trade: unroll
+    (see ann._dot(dim=)) or feed buckets from the IVF/k-means
+    centroid path. Bit-compat either way: a flat chain equals the
+    oracle's seedless list_reduce; the fold's 0.0 seed can only flip
+    an exact zero's sign, and -0.0 >= 0 compares identically."""
     b = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        dot = vec.getItem(0) * F.lit(float(p[0]))
-        for k in range(1, len(p)):
-            dot = dot + vec.getItem(k) * F.lit(float(p[k]))
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in p]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
         b = b + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return b
 

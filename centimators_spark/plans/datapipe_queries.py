@@ -172,7 +172,7 @@ def q_ann_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = brute_force_topk(emb, queries, k=ANN_K, dim=EMB_DIM).select("query_id", "vec_id")
+    exact = brute_force_topk(emb, queries, k=ANN_K).select("query_id", "vec_id")
     lsh = rp_lsh_topk(
         emb, queries, k=ANN_K, n_planes=2, n_tables=32
     ).select("query_id", "vec_id")
@@ -201,9 +201,10 @@ def _exact_rerank(shortlist: DataFrame, emb: DataFrame, queries: DataFrame,
     """Standard ANN re-rank step: exact cosine of the shortlist
     survivors against the raw vectors, top-k per query. Same ordering
     (cos DESC, vec_id ASC) as brute_force_topk and the SQL oracle.
-    Explicit double cast + statically-unrolled cosine (dim=EMB_DIM)
-    keeps the per-pair math in whole-stage codegen — float→double is
-    value-exact, so the bits match the oracle's CAST-then-multiply."""
+    Explicit double cast (value-exact) + the HOF cosine: the re-rank
+    runs on a k-bounded shortlist per freshly built plan, where the
+    unrolled chain's ~2 s janino compile dwarfs the interpreted
+    per-pair work (dim= remains the compile-once-scan-long knob)."""
     from pyspark.sql import Window as W
 
     from centimators_spark.similarity.ann import _as_double, cosine
@@ -226,7 +227,6 @@ def _exact_rerank(shortlist: DataFrame, emb: DataFrame, queries: DataFrame,
             cosine(
                 F.col("__qv"),
                 _as_double(F.col("embedding")),
-                EMB_DIM,
             ).alias("cos"),
         )
     )
@@ -511,7 +511,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(emb, queries, k=ANN_K, dim=EMB_DIM)
+    return brute_force_topk(emb, queries, k=ANN_K)
 
 
 MIXTURE_PARTS = {"en": 3, "de": 1, "fr": 1}

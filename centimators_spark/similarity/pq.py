@@ -561,11 +561,19 @@ def sq8_topk(
             ]
         ),
     )
-    code = F.col(code_col)
-    qq = F.col("__qq")
-    dot = (code.getItem(0).cast("long") * qq.getItem(0).cast("long"))
-    for i in range(1, dim):
-        dot = dot + code.getItem(i).cast("long") * qq.getItem(i).cast("long")
+    # integer zip_with fold: interpreted per pair but compiles
+    # instantly — a 64-term unrolled chain costs ~2 s of janino
+    # compilation per freshly built plan (see _bucket_expr note);
+    # integer addition is associative, so bits are identical either way
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            F.col("__qq"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     scored = encoded.crossJoin(F.broadcast(qdf))
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(query_id_col))

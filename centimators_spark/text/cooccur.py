@@ -143,3 +143,82 @@ def pmi_pairs_oracle_sql(
         ORDER BY pmi DESC, token_a, token_b
         LIMIT {top_k}
     """
+
+
+def bpe_pair_merges(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Top adjacent-token pair merges — the merge-frequency statistic
+    of ONE BPE training round computed over whitespace tokens (count
+    every ADJACENT symbol pair corpus-wide, merge the argmax; Sennrich
+    et al. 2016 run this to convergence over character sequences — the
+    per-iteration statistic is identical). Order and multiplicity
+    matter, unlike :func:`pmi_pairs`' per-doc-distinct presence.
+
+    Plan: per-doc adjacent pairs from ONE sliced transform (HOF over
+    the per-doc token array — data-dependent width, the right tool),
+    one explode, one map-side-combined grouped count, and a
+    TakeOrderedAndProject top-k — per BPE iteration at 100 TB that is
+    exactly one aggregation over the corpus. Returns
+    (w1, w2, pair_n) sorted (pair_n desc, w1, w2), ties cut
+    deterministically by the full ordering."""
+    from centimators_spark.text.portable import tokens
+
+    tk = tokens(F.col(content_col))
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.slice(tk, 1, F.size(tk) - 1),
+            lambda t, i: F.struct(
+                t.alias("w1"), F.element_at(tk, i + 2).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    exploded = df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    counts = (
+        exploded.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .where(F.col("pair_n") >= min_count)
+    )
+    return counts.orderBy(
+        F.col("pair_n").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
+
+
+def bpe_pair_merges_oracle_sql(
+    table: str = "documents",
+    *,
+    content_sql: str = "text",
+    top_k: int = 50,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`bpe_pair_merges` (1-based list lambdas)."""
+    from centimators_spark.text.portable import sql_tokens
+
+    tk = sql_tokens(content_sql)
+    return f"""
+        WITH toks AS (
+          SELECT {tk} AS tk FROM {table}
+        ), pairs AS (
+          SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+                   list_transform(list_slice(tk, 1, len(tk) - 1),
+                                  (t, i) -> {{'w1': t, 'w2': tk[i + 1]}})
+                 ELSE [] END) AS p
+          FROM toks
+        ), counts AS (
+          SELECT p.w1 AS w1, p.w2 AS w2,
+                 CAST(count(*) AS BIGINT) AS pair_n
+          FROM pairs GROUP BY p.w1, p.w2
+          HAVING count(*) >= {min_count}
+        )
+        SELECT w1, w2, pair_n FROM counts
+        ORDER BY pair_n DESC, w1, w2
+        LIMIT {top_k}
+    """

@@ -191,3 +191,63 @@ def test_logistic_irls_matches_python_replication(spark):
     # two steps from a balanced-ish start should already have the
     # planted signs
     assert got.b1 > 0 and got.b2 < 0
+
+
+def test_bpe_pair_merges_hand_case(spark):
+    """Adjacent-pair counts with multiplicity, ordered ties."""
+    from centimators_spark.text.cooccur import bpe_pair_merges
+
+    docs = [
+        (1, "a b a b a"),   # (a,b)x2, (b,a)x2
+        (2, "a b c"),       # (a,b), (b,c)
+        (3, "x"),           # no pairs
+        (4, ""),            # no tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bpe_pair_merges(
+        df, top_k=10, min_count=1
+    ).collect()
+    got = [(r.w1, r.w2, r.pair_n) for r in rows]
+    assert got[0] == ("a", "b", 3)
+    assert ("b", "a", 2) in got and ("b", "c", 1) in got
+    # descending counts, then lexicographic
+    counts = [c for _, _, c in got]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_rfm_segments_quintiles(spark):
+    """Value-based quantile scores: best customer gets 555, scores in
+    range, recency inverted."""
+    import datetime
+
+    from centimators_spark.analytics import rfm_segments
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    oid = 0
+    for cust in range(10):
+        # customer c: (c+1) orders, latest at day c (cust 0 = most
+        # recent), each order worth 100*(c+1)
+        for j in range(cust + 1):
+            oid += 1
+            rows.append(
+                (
+                    oid,
+                    cust,
+                    base - datetime.timedelta(days=cust + j * 30),
+                    float(100 * (cust + 1)),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double"
+    )
+    got = {r.customer: r for r in rfm_segments(df).collect()}
+    assert len(got) == 10
+    for c, r in got.items():
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+    # cust 9: most orders + highest value -> top f/m scores
+    assert got[9].f_score == 5 and got[9].m_score == 5
+    # cust 0: single most-recent order -> top recency, bottom f/m
+    assert got[0].r_score == 5 and got[0].f_score == 1
