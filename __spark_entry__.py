@@ -3990,6 +3990,36 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(load_table(spark, sf_dir, "orders"))
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    MinHash near-duplicate graph (graphs.py) — which dup families form
+    one community vs several loosely-bridged ones; the mode-aggregation
+    sibling of kcore/pagerank in the fixed-rounds iterative family."""
+    from centimators_spark.dedup.minhash import minhash_lsh_pairs
+    from centimators_spark.graphs import label_propagation
+    from centimators_spark.plans.datapipe_queries import MINHASH_T
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(docs, threshold=MINHASH_T).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    return label_propagation(edges, rounds=3)
+
+
+def _label_propagation_oracle() -> str:
+    from centimators_spark.graphs import label_propagation_oracle_sql
+    from centimators_spark.plans.datapipe_queries import (
+        MINHASH_T,
+        _JACCARD_PAIRS,
+    )
+
+    return label_propagation_oracle_sql(
+        f"(SELECT d1 AS src, d2 AS dst FROM ({_JACCARD_PAIRS}) "
+        f"WHERE jaccard >= {MINHASH_T})",
+        rounds=3,
+    )
+
+
 def _r9_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from centimators_spark.plans.datapipe_queries import (
         q_association_rules,
@@ -4008,6 +4038,7 @@ def _r9_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logistic_irls": q_logistic_irls,
         "bpe_pair_merges": q_bpe_pair_merges,
         "rfm_segments": q_rfm_segments,
+        "label_propagation": q_label_propagation,
         "blocking_quality": q_blocking_quality,
         "weighted_quantiles": q_weighted_quantiles,
     }
@@ -4031,6 +4062,7 @@ def _r9_staged_oracles() -> dict[str, str]:
         "rfm_segments": __import__(
             "centimators_spark.analytics", fromlist=["x"]
         ).rfm_segments_oracle_sql("orders"),
+        "label_propagation": _label_propagation_oracle(),
         "blocking_quality": dq._blocking_quality_oracle(),
         "weighted_quantiles": _weighted_quantiles_oracle(),
     }

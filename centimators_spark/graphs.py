@@ -380,3 +380,119 @@ def kcore_oracle_sql(
           SELECT a AS v FROM {final} UNION ALL SELECT b FROM {final}
         ) GROUP BY v
     """
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007), determinized: labels start as the node's own id;
+    each round every node adopts the most frequent label among its
+    NEIGHBORS, ties broken by the smallest label (the min-struct
+    argmax, no RNG, no visit order — the classic LPA nondeterminism is
+    removed so the DuckDB twin can unroll the identical rounds).
+    Fixed ``rounds`` makes the operator a deterministic function of
+    the input (the pagerank_int/kcore convention).
+
+    Distributed shape per round: one symmetric neighbor join of the
+    (shrunk, checkpointed) label table against the canonical edge set,
+    one (node, label) count aggregation (map-side partial), one
+    min-struct argmax per node — label tables are node-sized, the join
+    is edge-sized, nothing is ever quadratic. Returns
+    (v, community, community_size), both BIGINT."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbr = und.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
+    ).unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    labels = (
+        nbr.select("v")
+        .distinct()
+        .select(F.col("v"), F.col("v").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        counts = (
+            nbr.join(
+                labels.select(F.col("v").alias("u"), "lab"), "u"
+            )
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+                ).alias("m")
+            )
+            .select("v", F.col("m.lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lab").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "lab").select(
+        F.col("v").cast("long").alias("v"),
+        F.col("lab").cast("long").alias("community"),
+        "community_size",
+    )
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """DuckDB twin of :func:`label_propagation` — identical unrolled
+    rounds (MATERIALIZED CTEs, the kcore discipline)."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+          SELECT DISTINCT least({src}, {dst}) AS a,
+                          greatest({src}, {dst}) AS b
+          FROM {edges_sql} WHERE {src} <> {dst}
+        )""",
+        """nbr AS MATERIALIZED (
+          SELECT a AS v, b AS u FROM e0
+          UNION ALL SELECT b, a FROM e0
+        )""",
+        """l0 AS MATERIALIZED (
+          SELECT DISTINCT v, v AS lab FROM nbr
+        )""",
+    ]
+    for i in range(rounds):
+        ctes.append(f"""c{i} AS MATERIALIZED (
+          SELECT nbr.v, l.lab, count(*) AS c
+          FROM nbr JOIN l{i} l ON nbr.u = l.v
+          GROUP BY nbr.v, l.lab
+        )""")
+        ctes.append(f"""l{i + 1} AS MATERIALIZED (
+          SELECT v, lab FROM (
+            SELECT v, lab,
+                   row_number() OVER (PARTITION BY v
+                     ORDER BY c DESC, lab ASC) AS rn
+            FROM c{i}
+          ) WHERE rn = 1
+        )""")
+    final = f"l{rounds}"
+    return f"""
+        WITH {', '.join(ctes)},
+        sizes AS (
+          SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+          FROM {final} GROUP BY lab
+        )
+        SELECT CAST(v AS BIGINT) AS v, CAST(f.lab AS BIGINT) AS community,
+               community_size
+        FROM {final} f JOIN sizes s ON f.lab = s.lab
+    """

@@ -251,3 +251,24 @@ def test_rfm_segments_quintiles(spark):
     assert got[9].f_score == 5 and got[9].m_score == 5
     # cust 0: single most-recent order -> top recency, bottom f/m
     assert got[0].r_score == 5 and got[0].f_score == 1
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two cliques bridged by one edge resolve to two communities with
+    min-label tie-breaks; community sizes correct."""
+    from centimators_spark.graphs import label_propagation
+
+    edges = []
+    for grp, nodes in [(0, [1, 2, 3, 4]), (1, [10, 11, 12, 13])]:
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                edges.append((a, b))
+    edges.append((4, 10))  # weak bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r for r in label_propagation(df, rounds=3).collect()}
+    assert len(got) == 8
+    left = {got[v].community for v in (1, 2, 3)}
+    right = {got[v].community for v in (11, 12, 13)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    # clique interiors dominate their bridge endpoints
+    assert got[1].community_size >= 3 and got[11].community_size >= 3
