@@ -806,6 +806,30 @@ def main():
         " joins are count-sized",
         "CartesianProduct" not in p or p.count("CartesianProduct") <= 3,
     )
+    p = plan_of(st["bpe_pair_merges"](spark, sf_dir))
+    ok &= audit(
+        "bpe_pair_merges: ONE map-side-combined pair count"
+        " (partial_count) + TakeOrderedAndProject top-k — no window,"
+        " no join, no Python",
+        "partial_count" in p and "TakeOrderedAndProject" in p
+        and "Window" not in p and "EvalPython" not in p,
+    )
+    p = plan_of(st["rfm_segments"](spark, sf_dir))
+    ok &= audit(
+        "rfm_segments: quantile scores from collected literal"
+        " boundaries — NO global rank window (a single-partition"
+        " ordered window over the customer frame is the scale hazard"
+        " this formulation avoids); one per-customer aggregation",
+        "Window" not in p and "EvalPython" not in p,
+    )
+    p = plan_of(st["label_propagation"](spark, sf_dir))
+    ok &= audit(
+        "label_propagation: per-round neighbor join + map-side-partial"
+        " (node, label) count + min-struct argmax on checkpointed"
+        " label tables — no cartesian, no Python, no window",
+        "CartesianProduct" not in p and "EvalPython" not in p
+        and "Window" not in p,
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
