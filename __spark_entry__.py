@@ -1455,9 +1455,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with `check_oracle --staged`, then promote into this head and
     rotate long-stable greens to the tail."""
     out = {
-        # --- promoted round-8 staged queries (the full round-7 staged
-        # set: gate-green at sf0.001 + sf0.01, plan-audited, 10x-probed;
-        # never driver-checked — verdict r7 item 1) ---
+        # --- promoted round-9 staged queries (gate-green at sf0.001 +
+        # sf0.01, plan-audited [133 assertions], 10x-probed, degenerate-
+        # clean; never driver-checked — verdict r8 item 1) ---
+        "top_supplier": relational_queries.q_top_supplier,
+        "small_lot_revenue": relational_queries.q_small_lot_revenue,
+        "volume_dominant_supplier": (
+            relational_queries.q_volume_dominant_supplier
+        ),
+        "association_rules": datapipe_queries.q_association_rules,
+        "sq8_recall_contract": datapipe_queries.q_sq8_recall_contract,
+        "logistic_irls": q_logistic_irls,
+        "bpe_pair_merges": q_bpe_pair_merges,
+        "rfm_segments": q_rfm_segments,
+        "label_propagation": q_label_propagation,
+        "blocking_quality": datapipe_queries.q_blocking_quality,
+        "weighted_quantiles": q_weighted_quantiles,
+        # --- promoted round-8 staged queries (driver-green r8) ---
         "customer_distribution": relational_queries.q_customer_distribution,
         "large_volume_customers": (
             relational_queries.q_large_volume_customers
@@ -1663,21 +1677,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
-    # round-8 drift re-verification (r7 verdict item 5): pull the
-    # r3/r4-era greens never re-checked since — up into the window,
-    # right behind the 23 never-verified promoted queries, so the
-    # driver re-verifies them against drift this round
-    head = list(out)[:23] + [
-        "melt_lineitem",
-        "weighted_sample",
-        "conformal_quantiles",
-        "asof_join_forward",
-        "mutual_information",
-        "heavy_hitters",
-        "corpus_divergence",
-        "rank_ensemble",
-        "table_profile",
-        "validate_orders",
+    # round-9 drift re-verification (r8 verdict item 1): behind the 11
+    # never-verified promoted queries, rotate the OLDEST-verified greens
+    # — the full r2-era set (last driver-checked in CORRECTNESS_r02,
+    # including the two bench-drift-weak queries linear_regression and
+    # dedup_ngram_jaccard, r8 verdict item 2, and the drift-rotation
+    # dedup_clusters) plus the six oldest r3-era greens (incl.
+    # corpus_clean, r8 verdict item 6) — 11 + 33 + 6 = exactly the
+    # driver's 50-query window
+    head = list(out)[:11] + [
+        # r2-era greens, never re-checked since CORRECTNESS_r02
+        "ann_rp_lsh",
+        "asof_join",
+        "dedup_clusters",
+        "dedup_embedding_cosine",
+        "dedup_ngram_jaccard",
+        "diff_transformer",
+        "dim_reducer_pca",
+        "doc_fingerprint",
+        "doc_string_funcs",
+        "events_percentiles",
+        "events_windowed_counts",
+        "exists_customers",
+        "expanding_aggregates",
+        "feature_neutralizer",
+        "feature_penalizer",
+        "full_outer_activity",
+        "hash_split_sample",
+        "linear_regression",
+        "neutralize_ols_era",
+        "pack_sequences",
+        "pricing_summary",
+        "rolling_aggregates",
+        "rollup_revenue",
+        "set_ops_customers",
+        "simhash_fingerprint",
+        "simhash_pairs",
+        "spearman_by_month",
+        "sql_returned_revenue",
+        "text_language_id",
+        "text_quality_score",
+        "text_token_counts",
+        "tfidf_topk",
+        "window_distribution",
+        # oldest r3-era greens (last checked CORRECTNESS_r03)
+        "corpus_clean",
+        "semantic_dedup",
+        "ngram_contamination",
+        "text_repetition",
+        "url_dedup",
+        "anomaly_flags",
     ]
     pulled = {k: out.pop(k) for k in head if k in out}
     return {**pulled, **out}
@@ -2327,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         **_promoted_r6_oracle_sql(),
         **_promoted_r7_oracle_sql(),
         **_promoted_r8_oracle_sql(),
+        **_promoted_r9_oracle_sql(),
         "dspymator_contract": DSPYMATOR_CONTRACT_ORACLE,
         "penalizer_contract": _penalizer_contract_oracle(),
         # kernel-contract claims: every key-unique row agrees within the
@@ -3889,19 +3939,26 @@ def _vector_pipeline_oracle() -> str:
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
-    the round-9 candidate set, gate-checked by
+    the round-10 candidate set, gate-checked by
     tests/test_staged_queries.py and `check_oracle --staged`. (The
-    round-8 set — Q13/Q18/Q19, hybrid RRF, token-budget selection,
-    containment pairs, turnover/ic-decay, interpolation, pareto,
-    corr matrix, STL, xicor, naive bayes, k-core, backtest, k-means,
-    kNN, chi2, golden record, vector_pipeline — was promoted into
+    round-9 set — Q15/Q17/Q20 shapes, association rules, SQ8 recall,
+    logistic IRLS, BPE pair merges, RFM segments, label propagation,
+    LSH blocking quality, weighted quantiles — was promoted into
     queries() this round.)"""
-    return _r9_staged()
+    return _r10_staged()
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
-    return _r9_staged_oracles()
+    return _r10_staged_oracles()
+
+
+def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {}
+
+
+def _r10_staged_oracles() -> dict[str, str]:
+    return {}
 
 
 def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4020,31 +4077,9 @@ def _label_propagation_oracle() -> str:
     )
 
 
-def _r9_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from centimators_spark.plans.datapipe_queries import (
-        q_association_rules,
-        q_blocking_quality,
-        q_sq8_recall_contract,
-    )
-
-    return {
-        "top_supplier": relational_queries.q_top_supplier,
-        "small_lot_revenue": relational_queries.q_small_lot_revenue,
-        "volume_dominant_supplier": (
-            relational_queries.q_volume_dominant_supplier
-        ),
-        "association_rules": q_association_rules,
-        "sq8_recall_contract": q_sq8_recall_contract,
-        "logistic_irls": q_logistic_irls,
-        "bpe_pair_merges": q_bpe_pair_merges,
-        "rfm_segments": q_rfm_segments,
-        "label_propagation": q_label_propagation,
-        "blocking_quality": q_blocking_quality,
-        "weighted_quantiles": q_weighted_quantiles,
-    }
-
-
-def _r9_staged_oracles() -> dict[str, str]:
+def _promoted_r9_oracle_sql() -> dict[str, str]:
+    """Oracle texts for the round-9 promoted set (the former round-8
+    staged set, promoted per the r8 verdict item 1)."""
     from centimators_spark.plans import datapipe_queries as dq
 
     return {

@@ -75,42 +75,29 @@ def test_unverified_queries_inside_driver_window():
     window = set(names[:50])
     must_check = {
         # never driver-verified (promoted this round)
-        "customer_distribution",
-        "large_volume_customers",
-        "disjunctive_revenue",
-        "hybrid_rrf_search",
-        "budget_select",
-        "containment_pairs",
-        "best_split",
-        "topk_turnover",
-        "ic_decay",
-        "negative_sample",
-        "linear_interpolate",
-        "pareto_front",
-        "feature_corr_matrix",
-        "seasonal_decompose",
-        "xicor_by_month",
-        "naive_bayes",
-        "kcore_dupgraph",
-        "signal_backtest",
-        "kmeans_embeddings",
-        "knn_classify",
-        "chi2_independence",
-        "golden_record",
-        "vector_pipeline",
-        # regression re-verification of r3/r4 greens never re-checked
-        "melt_lineitem",
-        "weighted_sample",
-        "conformal_quantiles",
-        "asof_join_forward",
-        "mutual_information",
-        "heavy_hitters",
-        "corpus_divergence",
-        "rank_ensemble",
-        "table_profile",
-        "validate_orders",
+        "top_supplier",
+        "small_lot_revenue",
+        "volume_dominant_supplier",
+        "association_rules",
+        "sq8_recall_contract",
+        "logistic_irls",
+        "bpe_pair_merges",
+        "rfm_segments",
+        "label_propagation",
+        "blocking_quality",
+        "weighted_quantiles",
+        # drift re-verification: the two bench-drift-weak queries (r8
+        # verdict item 2) and the two long-session drift-rotation
+        # queries (item 6) must be in this round's window
+        "linear_regression",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "corpus_clean",
     }
     assert must_check <= window, must_check - window
+    # everything in the rotation window behind the promoted head must
+    # be r2/r3-era greens — the oldest-verified pool
+    assert "ann_rp_lsh" in window and "semantic_dedup" in window
 
 
 def test_compare_flags_int_float_dtype_mismatch():
