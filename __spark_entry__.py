@@ -3580,10 +3580,15 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in duplicate-cluster size — exactly the boilerplate pathology the
     cap exists for; the oracle mirrors the capped index."""
     from centimators_spark.dedup.jaccard import ngram_containment_pairs
+    from centimators_spark.plans.datapipe_queries import _shared_gram_inv
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_containment_pairs(
-        docs, n=3, threshold=0.8, df_cap=100
+        docs,
+        n=3,
+        threshold=0.8,
+        df_cap=100,
+        inv=_shared_gram_inv(spark, sf_dir),
     )
 
 

@@ -28,6 +28,25 @@ def _gram_sets(df: DataFrame, content_col: str, id_col: str, n: int) -> DataFram
 DEFAULT_DF_CAP = 1000
 
 
+def gram_inverted_index(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The uncapped (doc_id, g) inverted index — the Arrow shingling
+    pass both pair detectors consume. Build it ONCE per session (eager
+    localCheckpoint; at cluster scale: a bucketed table) and pass it to
+    :func:`ngram_jaccard_pairs` / :func:`ngram_containment_pairs` via
+    ``inv=`` so the Python boundary runs once, not once per query.
+    checkpoint=False when the caller materializes it itself (e.g. the
+    session artifact registry)."""
+    grams = _gram_sets(df, content_col, id_col, n)
+    inv = grams.select("doc_id", F.explode("grams").alias("g"))
+    return inv.localCheckpoint(eager=True) if checkpoint else inv
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -35,6 +54,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     df_cap: int | None = DEFAULT_DF_CAP,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs: (d1, d2, jaccard) with jaccard ≥ threshold.
 
@@ -46,39 +66,71 @@ def ngram_jaccard_pairs(
     score is unchanged iff it shares no capped gram, and every capped
     gram is excluded from both intersection and union (never deflating
     one side only). df_cap=None gives exact all-grams Jaccard (only
-    sensible when the corpus is known boilerplate-free)."""
-    grams = _gram_sets(df, content_col, id_col, n)
-    inv = grams.select("doc_id", F.explode("grams").alias("g"))
-    # the inverted index feeds the df-cap aggregation, the set sizes, and
-    # BOTH sides of the gram self-join — materialize the shingling UDF's
-    # output once instead of re-running it per consumer (at scale: write
-    # the index to a table)
-    inv = inv.localCheckpoint(eager=True)
-    if df_cap is not None:
-        freq = inv.groupBy("g").count().where(F.col("count") <= df_cap)
-        inv = inv.join(F.broadcast(freq.select("g")), "g")
+    sensible when the corpus is known boilerplate-free).
+
+    inv: optionally, a prebuilt :func:`gram_inverted_index` — pass the
+    session-shared artifact when several detectors run over the same
+    corpus so the Arrow shingling pass executes once."""
+    inv = _capped_index(df, content_col, id_col, n, df_cap, inv)
     # grams are distinct per doc → set size == exploded row count; deriving
     # sizes from the (capped) inv reuses the single shingling pass and keeps
-    # |A|,|B| consistent with the capped intersection counts
+    # |A|,|B| consistent with the capped intersection counts. The per-doc
+    # size is attached to the postings BEFORE the self-join (broadcast — one
+    # row per doc) so the length filter below can drop rows pre-shuffle.
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    invn = inv.join(F.broadcast(sizes), "doc_id")
     # |A ∩ B| directly from the inverted index (count of shared grams);
     # |A ∪ B| = |A| + |B| − |A ∩ B|. Avoids materializing distinct
     # candidate pairs AND the per-pair array intersect — one gram-join,
-    # one aggregation, two id-joins. Integer ratio → bit-exact.
+    # one aggregation. Integer ratio → bit-exact.
+    #
+    # Length filter (AllPairs/PPJoin): J(A,B) ≥ t forces
+    # min(|A|,|B|) ≥ t·max(|A|,|B|) (since c ≤ min and union ≥ max), so
+    # size-incompatible postings pairs are dropped BEFORE the pair-count
+    # shuffle — exact-preserving for the thresholded output, and at 100 TB
+    # it is the difference between shuffling every co-gram pair and only
+    # the plausible ones.
     shared = (
-        inv.alias("a")
-        .join(inv.alias("b"), "g")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        invn.alias("a")
+        .join(invn.alias("b"), "g")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n"))
+            )
+        )
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(F.col("a.n")).alias("n1"),
+            F.max(F.col("b.n")).alias("n2"),
+        )
     )
     jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
     return (
-        shared.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
-        .select("d1", "d2", jac.alias("jaccard"))
+        shared.select("d1", "d2", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _capped_index(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int,
+    df_cap: int | None,
+    inv: DataFrame | None,
+) -> DataFrame:
+    """(doc_id, g) postings with the stop-gram cap applied; builds (and
+    checkpoint-materializes) the inverted index unless a session-shared
+    one is passed in."""
+    if inv is None:
+        inv = gram_inverted_index(df, content_col, id_col, n)
+    if df_cap is not None:
+        freq = inv.groupBy("g").count().where(F.col("count") <= df_cap)
+        inv = inv.join(F.broadcast(freq.select("g")), "g")
+    return inv
 
 
 def ngram_containment_pairs(
@@ -88,6 +140,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.9,
     df_cap: int | None = DEFAULT_DF_CAP,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs: (src, dst, containment) where
     containment(src→dst) = |grams(src) ∩ grams(dst)| / |grams(src)| ≥
@@ -97,27 +150,25 @@ def ngram_containment_pairs(
     0.02 but containment 1.0. Same inverted-index blocking and df_cap
     stop-gram guard as :func:`ngram_jaccard_pairs`; one shared-gram
     count per unordered pair feeds BOTH directions. Integer ratio →
-    bit-exact."""
-    grams = _gram_sets(df, content_col, id_col, n)
-    inv = grams.select("doc_id", F.explode("grams").alias("g"))
-    inv = inv.localCheckpoint(eager=True)
-    if df_cap is not None:
-        freq = inv.groupBy("g").count().where(F.col("count") <= df_cap)
-        inv = inv.join(F.broadcast(freq.select("g")), "g")
+    bit-exact. No length filter is possible here — containment of a
+    tiny doc in a huge one is exactly the signal — so the df_cap is
+    the only (and the load-bearing) blow-up guard.
+
+    inv: optionally, a prebuilt :func:`gram_inverted_index` (see
+    :func:`ngram_jaccard_pairs`)."""
+    inv = _capped_index(df, content_col, id_col, n, df_cap, inv)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    shared = (
-        inv.alias("a")
-        .join(inv.alias("b"), "g")
+    invn = inv.join(F.broadcast(sizes), "doc_id")
+    sized = (
+        invn.alias("a")
+        .join(invn.alias("b"), "g")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sized = shared.join(
-        sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")),
-        "d1",
-    ).join(
-        sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")),
-        "d2",
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max(F.col("a.n")).alias("n1"),
+            F.max(F.col("b.n")).alias("n2"),
+        )
     )
     fwd = sized.select(
         F.col("d1").alias("src"),

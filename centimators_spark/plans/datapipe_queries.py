@@ -107,9 +107,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _shared_gram_inv(spark: SparkSession, sf_dir: str, n: int = 3):
+    """Session-shared uncapped n-gram inverted index over documents —
+    the Arrow shingling pass behind dedup_ngram_jaccard,
+    containment_pairs, and blocking_quality runs ONCE per session (r8
+    verdict item 2: the family was paying the shingle+explode per
+    query in one bench window)."""
+    from centimators_spark.dedup.jaccard import gram_inverted_index
+
+    return _shared_df_artifact(
+        spark,
+        (sf_dir, "gram_inv", n),
+        lambda: gram_inverted_index(
+            load_table(spark, sf_dir, "documents"), n=n, checkpoint=False
+        ),
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+        docs, threshold=JACCARD_T, inv=_shared_gram_inv(spark, sf_dir)
     )
 
 
@@ -1406,7 +1424,12 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures_udf(docs).localCheckpoint(eager=True)
     cand = minhash_band_candidates(sigs).localCheckpoint(eager=True)
     truth = (
-        ngram_jaccard_pairs(docs, threshold=MINHASH_T, df_cap=None)
+        ngram_jaccard_pairs(
+            docs,
+            threshold=MINHASH_T,
+            df_cap=None,
+            inv=_shared_gram_inv(spark, sf_dir),
+        )
         .select("d1", "d2")
         .localCheckpoint(eager=True)
     )
