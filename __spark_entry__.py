@@ -3958,12 +3958,30 @@ def staged_oracle_sql() -> dict[str, str]:
     return _r10_staged_oracles()
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train→encode end-to-end (r8 verdict item 4): learn the top-8
+    pair merges over the corpus (bpe_pair_merges — the training
+    statistic) and APPLY them to every document as a static chain of
+    literal string replaces (text/cooccur.bpe_apply — the serving
+    half). Returns (doc_id, pos, token); merge order is deterministic
+    so the DuckDB twin is exact."""
+    from centimators_spark.text.cooccur import bpe_train_apply
+
+    return bpe_train_apply(load_table(spark, sf_dir, "documents"))
+
+
 def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return {
+        "bpe_encode": q_bpe_encode,
+    }
 
 
 def _r10_staged_oracles() -> dict[str, str]:
-    return {}
+    from centimators_spark.text.cooccur import bpe_train_apply_oracle_sql
+
+    return {
+        "bpe_encode": bpe_train_apply_oracle_sql("documents"),
+    }
 
 
 def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

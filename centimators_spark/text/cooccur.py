@@ -222,3 +222,128 @@ def bpe_pair_merges_oracle_sql(
         ORDER BY pair_n DESC, w1, w2
         LIMIT {top_k}
     """
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ordered BPE merge table to every document — the
+    serving/encode half of the tokenizer pipeline whose training
+    statistic :func:`bpe_pair_merges` computes (reference scope: the
+    engine's text family; Sennrich et al. 2016 §3 "apply the learned
+    operations in the order they were learned").
+
+    Each rule (w1, w2) merges left-to-right non-overlapping adjacent
+    occurrences into the single token ``w1_w2``; rules apply in list
+    order. For a merge table produced by BPE training this sequential
+    single-pass-per-rule application is EXACTLY the encode semantics:
+    a rule's operands can only be produced by earlier rules, so no
+    earlier rule ever becomes newly applicable after a later one.
+
+    Plan: the token array is joined into a DOUBLE-space-separated
+    string ("  a  b  c  ") and each rule becomes one literal
+    ``replace(s, ' w1  w2 ', ' w1_w2 ')`` — left-to-right
+    non-overlapping literal replacement IS the merge-pass semantics,
+    and adjacent matches work because neighbouring occurrences share
+    no characters under the doubled separator. The whole encode is a
+    static chain of len(merges) built-in string replaces: pure
+    whole-stage codegen, no lambda/HOF, no Python, shuffle-free per
+    row; DuckDB's ``replace`` is character-identical. Returns
+    (doc_id, pos, token) with 0-based pos."""
+    from centimators_spark.text.portable import tokens
+
+    tk = tokens(F.col(content_col))
+    s = F.concat(F.lit("  "), F.array_join(tk, "  "), F.lit("  "))
+    for w1, w2 in merges:
+        s = F.replace(
+            s, F.lit(f" {w1}  {w2} "), F.lit(f" {w1}_{w2} ")
+        )
+    out = F.filter(F.split(F.trim(s), "  "), lambda t: t != "")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(out).alias("pos", "token")
+    )
+    return exploded.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token"
+    )
+
+
+def bpe_train_apply(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """One-round BPE train→encode: learn the top ``n_merges`` pair
+    merges from the corpus (:func:`bpe_pair_merges` — deterministic
+    (pair_n DESC, w1, w2) order) and apply them with
+    :func:`bpe_apply`. The merge table is a bounded collect
+    (n_merges×2 strings — the literal-centroid discipline): it becomes
+    LITERALS in the encode plan, exactly how a trained tokenizer ships
+    its merges file to serving."""
+    rules = [
+        (r.w1, r.w2)
+        for r in bpe_pair_merges(
+            df, content_col=content_col, top_k=n_merges, min_count=min_count
+        ).collect()
+    ]
+    return bpe_apply(df, rules, content_col=content_col, id_col=id_col)
+
+
+def bpe_train_apply_oracle_sql(
+    table: str = "documents",
+    *,
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+    n_merges: int = 8,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`bpe_train_apply`: the merge table is a
+    CTE (same SQL as bpe_pair_merges' oracle), collected into an
+    ordered list of ' w1  w2 ' pattern strings, and applied as a
+    list_reduce fold of literal replaces over the same double-space
+    document string."""
+    from centimators_spark.text.portable import sql_tokens
+
+    tk = sql_tokens(content_sql)
+    return f"""
+        WITH toks AS (
+          SELECT {id_sql} AS doc_id, {tk} AS tk FROM {table}
+        ), pairs AS (
+          SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+                   list_transform(list_slice(tk, 1, len(tk) - 1),
+                                  (t, i) -> {{'w1': t, 'w2': tk[i + 1]}})
+                 ELSE [] END) AS p
+          FROM toks
+        ), counts AS (
+          SELECT p.w1 AS w1, p.w2 AS w2,
+                 CAST(count(*) AS BIGINT) AS pair_n
+          FROM pairs GROUP BY p.w1, p.w2
+          HAVING count(*) >= {min_count}
+        ), merges AS (
+          SELECT w1, w2, pair_n FROM counts
+          ORDER BY pair_n DESC, w1, w2
+          LIMIT {n_merges}
+        ), rules AS (
+          SELECT list(' ' || w1 || '  ' || w2 || ' '
+                      ORDER BY pair_n DESC, w1, w2) AS rl
+          FROM merges
+        ), encoded AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(list_reduce(
+                   list_prepend(
+                     '  ' || array_to_string(tk, '  ') || '  ',
+                     (SELECT rl FROM rules)),
+                   (acc, r) -> replace(acc, r,
+                       ' ' || replace(trim(r), '  ', '_') || ' ')
+                 )), '  '), t -> t <> '') AS out
+          FROM toks
+        )
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, out[i] AS token
+        FROM encoded, unnest(range(1, len(out) + 1)) AS u(i)
+    """

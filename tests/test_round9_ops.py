@@ -272,3 +272,61 @@ def test_label_propagation_two_cliques(spark):
     assert len(left) == 1 and len(right) == 1 and left != right
     # clique interiors dominate their bridge endpoints
     assert got[1].community_size >= 3 and got[11].community_size >= 3
+
+
+def test_bpe_apply_hand_trace(spark):
+    """Hand-computed merge trace: rules apply in order, left-to-right
+    non-overlapping within a rule, merged tokens feed later rules."""
+    from centimators_spark.text.cooccur import bpe_apply
+
+    docs = [
+        (1, "a b a b a"),  # rule (a,b): [a_b, a_b, a]
+        (2, "x x x"),      # rule (x,x): overlap -> [x_x, x] not [x, x_x]
+        (3, "a b c"),      # (a,b) then (a_b,c) cascades -> [a_b_c]
+        (4, "q"),          # untouched single token
+        (5, ""),           # no rows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bpe_apply(
+        df, [("a", "b"), ("x", "x"), ("a_b", "c")]
+    ).collect()
+    enc = {}
+    for r in out:
+        enc.setdefault(r.doc_id, []).append((r.pos, r.token))
+    seqs = {d: [t for _, t in sorted(v)] for d, v in enc.items()}
+    assert seqs[1] == ["a_b", "a_b", "a"]
+    assert seqs[2] == ["x_x", "x"]
+    assert seqs[3] == ["a_b_c"]
+    assert seqs[4] == ["q"]
+    assert 5 not in seqs
+
+
+def test_bpe_train_apply_matches_duckdb(spark):
+    """train->encode end to end vs the DuckDB oracle on a tiny corpus
+    (repeated bigrams so merges actually fire)."""
+    import duckdb
+    import pandas as pd
+
+    from centimators_spark.text.cooccur import (
+        bpe_train_apply,
+        bpe_train_apply_oracle_sql,
+    )
+
+    docs = [
+        (i, "new york is in new york state and new york is big")
+        for i in range(5)
+    ] + [(99, "one token pair one token"), (100, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf = bpe_train_apply(df, n_merges=4).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    odf = con.execute(
+        bpe_train_apply_oracle_sql("documents", n_merges=4)
+    ).fetchdf()
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True).astype(
+        s.dtypes.to_dict()
+    )
+    assert s.equals(o)
+    assert (s.token == "new_york").any()
