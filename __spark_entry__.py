@@ -3973,6 +3973,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bpe_encode": q_bpe_encode,
+        "nation_profit": relational_queries.q_nation_profit,
+        "shipmode_priority": relational_queries.q_shipmode_priority,
+        "filtered_supplier_counts": (
+            relational_queries.q_filtered_supplier_counts
+        ),
     }
 
 
@@ -3981,6 +3986,11 @@ def _r10_staged_oracles() -> dict[str, str]:
 
     return {
         "bpe_encode": bpe_train_apply_oracle_sql("documents"),
+        "nation_profit": relational_queries._NATION_PROFIT_ORACLE,
+        "shipmode_priority": relational_queries._SHIPMODE_PRIORITY_ORACLE,
+        "filtered_supplier_counts": (
+            relational_queries._FILTERED_SUPPLIER_COUNTS_ORACLE
+        ),
     }
 
 

@@ -1676,3 +1676,175 @@ _VOLUME_DOMINANT_ORACLE = """
     JOIN nation ON s_nationkey = n_nationkey
     WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
 """
+
+
+# ------------------------------------------- round-10 staged TPC-H shapes
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): every
+    lineitem whose part name contains a color word, profit =
+    discounted revenue minus a part-cost charge, grouped by the
+    supplier's nation and the order year. (The testdata has no
+    partsupp table, so ps_supplycost*l_quantity becomes
+    p_retailprice*l_quantity — same join graph, same carriers.)
+
+    Plan (the scale-correct Q9): the LIKE-pruned part dim BROADCASTS
+    onto lineitem FIRST (semi-reduces the fact before any shuffle),
+    supplier and nation broadcast, and the only data-sized exchange is
+    the orderkey shuffle join against orders for the year column.
+    Profit sums exact integer carriers (cents x discount-complement
+    cents, retail cents x quantity x 100 in the same 1e-4 unit) as
+    DECIMAL(38,0); one division at the end, rounded 2dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    d = "decimal(38,0)"
+    amount = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+        - F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+        * F.lit(100).cast("long")
+    )
+    pruned = li.join(
+        F.broadcast(
+            part.where(F.col("p_name").like("%red%")).select(
+                "p_partkey", "p_retailprice"
+            )
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        pruned.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.round(
+                F.sum(amount.cast(d)).cast(d) / 10000, 2
+            ).cast("double").alias("sum_profit")
+        )
+    )
+
+
+_NATION_PROFIT_ORACLE = """
+    SELECT n_name AS nation,
+           EXTRACT(year FROM o_orderdate) AS o_year,
+           round(sum(CAST(
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)
+             - CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT) * 100
+           AS DECIMAL(38,0))) / 10000, 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (ship-mode conditional aggregation): for
+    lineitems shipped in one year, per line status count the orders at
+    critical priority (1-URGENT / 2-HIGH) vs the rest — the
+    filter→join→tiny-key conditional-count plan. (The testdata has no
+    l_shipmode/l_commitdate/l_receiptdate; l_linestatus stands in for
+    the mode key and the shipdate year for the receipt window — same
+    plan shape: pushed fact filter, orderkey shuffle join, conditional
+    integer sums on a 2-value group key.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_orderkey", "l_linestatus")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_linestatus").alias("line_status"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+_SHIPMODE_PRIORITY_ORACLE = """
+    SELECT l_linestatus AS line_status,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+"""
+
+
+def q_filtered_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship with a NOT-IN
+    anti-join): distinct suppliers per (p_brand, p_size) over non-small
+    parts outside one brand, EXCLUDING suppliers from a computed
+    deny-list (negative account balance — TPC-H's complaints
+    predicate). The deny-list is a self-contained subquery → LEFT ANTI
+    broadcast join against the fact (never a shuffle: the list is
+    bounded by |supplier|); count-distinct is the Expand-based exact
+    path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_brand") != "Brand#1")
+                    & (F.col("p_type") != "SMALL")
+                ).select("p_partkey", "p_brand", "p_size")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+_FILTERED_SUPPLIER_COUNTS_ORACLE = """
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+"""

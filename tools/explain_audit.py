@@ -830,6 +830,42 @@ def main():
         "CartesianProduct" not in p and "EvalPython" not in p
         and "Window" not in p,
     )
+    p = plan_of(st["bpe_encode"](spark, sf_dir))
+    ok &= audit(
+        "bpe_encode: the merge chain is literal string replaces over"
+        " the doubled-separator token string — pure codegen scan"
+        " (posexplode generate, no HOF fold on the hot path beyond"
+        " tokenize, no window, no join, no Python)",
+        "Window" not in p and "EvalPython" not in p
+        and "Join" not in p and "Generate" in p,
+    )
+    p = plan_of(st["nation_profit"](spark, sf_dir))
+    ok &= audit(
+        "nation_profit (Q9 shape): LIKE-pruned part dim broadcasts and"
+        " the p_name filter reaches the scan (StringContains pushed);"
+        " supplier/nation broadcast; no cartesian, no Python; orders"
+        " join is NOT broadcast-hinted (degrades to shuffle at scale)",
+        "StringContains(p_name,red)" in p
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p and "EvalPython" not in p,
+    )
+    p = plan_of(st["shipmode_priority"](spark, sf_dir))
+    ok &= audit(
+        "shipmode_priority (Q12 shape): shipdate window filter pushed"
+        " to the lineitem scan, conditional sums are one partial_sum"
+        " aggregation on the 2-value key — no window, no Python",
+        "partial_sum" in p and "PushedFilters: [IsNotNull(l_shipdate)" in p
+        and "Window" not in p and "EvalPython" not in p,
+    )
+    p = plan_of(st["filtered_supplier_counts"](spark, sf_dir))
+    ok &= audit(
+        "filtered_supplier_counts (Q16 shape): deny-list NOT-IN is a"
+        " broadcast LEFT ANTI join (never a shuffle), part dim"
+        " broadcasts with brand/type filters pushed, count-distinct is"
+        " the Expand-based exact path — no Python",
+        "BroadcastHashJoin LeftAnti" in p.replace("\n", " ")
+        or ("LeftAnti" in p and "BroadcastHashJoin" in p),
+    )
 
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
