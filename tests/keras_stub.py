@@ -500,6 +500,21 @@ class Model(Layer):
                     np.asarray(y, dtype=np.float64),
                     **kwargs,
                 )
+            # tier 5: dict-target multi-head training for TAPPED-CHAIN
+            # graphs (every output sits on one backbone chain — the
+            # bottleneck autoencoder's reconstruction+target shape,
+            # reference autoencoder.py:25-117). Per-head MSE with
+            # compile loss_weights; gradients from each head are
+            # injected at its tap point on the shared backward pass.
+            elif X is not None and isinstance(y, dict):
+                history = self._train_mse_sgd_multi(
+                    np.asarray(X, dtype=np.float64),
+                    {
+                        k: np.asarray(v, dtype=np.float64)
+                        for k, v in y.items()
+                    },
+                    **kwargs,
+                )
         except NotImplementedError:
             pass
         return types.SimpleNamespace(history=history)
@@ -628,6 +643,186 @@ class Model(Layer):
                 history.setdefault("val_loss", []).append(
                     float((ev * ev).mean())
                 )
+        return history
+
+    def _chain_from(self, node) -> list:
+        """Strict single-input chain from `node` back to the input
+        (input-first). NotImplementedError for anything off-chain."""
+        stages: list = []
+        while not isinstance(node, _InputTensor):
+            if (
+                not isinstance(node, Sym)
+                or node.op is not None
+                or not isinstance(node.producer, Layer)
+                or len(node.call_inputs or ()) != 1
+            ):
+                raise NotImplementedError("tier-5 fit: chains only")
+            stages.append(node.producer)
+            node = node.call_inputs[0]
+        stages.reverse()
+        return stages
+
+    def _validate_trainable_chain(self, stages: list) -> None:
+        for layer in stages:
+            if isinstance(layer, Dense) or type(layer) is Activation:
+                if (layer.activation if isinstance(layer, Dense)
+                        else layer.name_arg) not in _ACT_GRADS:
+                    raise NotImplementedError(
+                        "tier-5 fit: activation lacks a gradient"
+                    )
+            elif type(layer).__name__ in _TRAIN_IDENTITY:
+                continue
+            else:
+                raise NotImplementedError(
+                    f"tier-5 fit: unsupported layer {type(layer).__name__}"
+                )
+
+    def _tapped_chain_stages(self):
+        """Multi-output graphs where every output sits on ONE backbone
+        chain (each shallower output node is a stage of the deepest
+        output's chain — the bottleneck-autoencoder shape). Returns
+        (backbone_stages, {head_name: tap_index}) where tap_index k
+        means the head reads the output of backbone_stages[k-1]."""
+        outs = self._out_nodes()
+        if len(outs) < 2:
+            raise NotImplementedError("tier-5 fit: multi-output only")
+        chains = [(node, self._chain_from(node)) for node in outs]
+        _, backbone = max(chains, key=lambda c: len(c[1]))
+        self._validate_trainable_chain(backbone)
+        taps: dict = {}
+        for node, chain in chains:
+            k = len(chain)
+            if k == 0 or any(
+                a is not b for a, b in zip(backbone[:k], chain)
+            ):
+                raise NotImplementedError(
+                    "tier-5 fit: outputs must share one chain"
+                )
+            name = getattr(node.producer, "name", None)
+            if not name:
+                raise NotImplementedError(
+                    "tier-5 fit: dict targets need named output layers"
+                )
+            taps[name] = k
+        return backbone, taps
+
+    def _forward_caches(self, stages: list, xb):
+        caches, a = [], xb
+        for layer in stages:
+            if isinstance(layer, Dense):
+                layer._ensure_built(a.shape[-1])
+                z = a @ layer.kernel + layer.bias
+                out = _ACTIVATIONS[layer.activation](z)
+                caches.append(("dense", layer, a, z, out))
+            elif type(layer) is Activation:
+                z = a
+                out = _ACTIVATIONS[layer.name_arg](z)
+                caches.append(("act", layer, a, z, out))
+            else:
+                caches.append(("id", layer, a, a, a))
+                out = a
+            a = out
+        return caches, a
+
+    def _train_mse_sgd_multi(
+        self,
+        X,
+        ydict: dict,
+        *,
+        epochs=1,
+        batch_size=32,
+        sample_weight=None,
+        validation_data=None,
+        shuffle=False,
+        verbose=0,
+        **_unsupported,
+    ) -> dict:
+        """Tier 5: dict-target training for tapped-chain graphs. Per
+        head h: loss_h = mean_rows(mean_cols(err²)); total =
+        Σ_h w_h·loss_h with w from compile loss_weights (default 1).
+        One shared backward pass: each head's gradient
+        (w_h·2·err_h/(nb·d_h)) is ADDED to the running delta at its
+        tap stage — so the reconstruction head trains the encoder both
+        directly and through the target head, exactly the dual-loss
+        coupling the reference autoencoder exercises. Deterministic:
+        input-order batches, identity layers stay identity;
+        sample_weight is out of scope (structure-only fallback)."""
+        if sample_weight is not None:
+            raise NotImplementedError("tier-5 fit: sample_weight")
+        backbone, taps = self._tapped_chain_stages()
+        if set(ydict) != set(taps):
+            raise NotImplementedError(
+                "tier-5 fit: target dict keys must match output names"
+            )
+        lr = 1e-3
+        lw = {}
+        if self.compile_kwargs:
+            opt = self.compile_kwargs.get("optimizer")
+            lr = float(getattr(opt, "learning_rate", lr) or lr)
+            lw = dict(self.compile_kwargs.get("loss_weights") or {})
+        w = {h: float(lw.get(h, 1.0)) for h in taps}
+        y2 = {h: v.reshape(len(v), -1) for h, v in ydict.items()}
+        n_all = len(X)
+        bs = int(batch_size or n_all) or n_all
+
+        def losses(caches, yb):
+            out = {}
+            for h, k in taps.items():
+                err = caches[k - 1][4] - yb[h]
+                out[h] = (err, float((err * err).mean()))
+            return out
+
+        history: dict = {"loss": []}
+        for _ in range(int(epochs)):
+            tot = {h: 0.0 for h in taps}
+            tot_loss, tot_rows = 0.0, 0
+            for s in range(0, n_all, bs):
+                xb = X[s : s + bs]
+                yb = {h: v[s : s + bs] for h, v in y2.items()}
+                caches, _ = self._forward_caches(backbone, xb)
+                errs = losses(caches, yb)
+                nb = len(xb)
+                batch_total = sum(w[h] * l for h, (_, l) in errs.items())
+                tot_loss += batch_total * nb
+                for h, (_, l) in errs.items():
+                    tot[h] += l * nb
+                tot_rows += nb
+                delta = None
+                for i in range(len(backbone) - 1, -1, -1):
+                    kind, layer, a_in, z, a_out = caches[i]
+                    for h, k in taps.items():
+                        if k == i + 1:
+                            err, _l = errs[h]
+                            g = w[h] * 2.0 * err / (nb * err.shape[1])
+                            delta = g if delta is None else delta + g
+                    if delta is None:
+                        continue
+                    if kind == "dense":
+                        dz = delta * _ACT_GRADS[layer.activation](z, a_out)
+                        g_w = a_in.T @ dz
+                        g_b = dz.sum(axis=0)
+                        delta = dz @ layer.kernel.T
+                        layer.kernel = layer.kernel - lr * g_w
+                        layer.bias = layer.bias - lr * g_b
+                    elif kind == "act":
+                        delta = delta * _ACT_GRADS[layer.name_arg](z, a_out)
+            history["loss"].append(tot_loss / max(tot_rows, 1))
+            for h in taps:
+                history.setdefault(f"{h}_loss", []).append(
+                    tot[h] / max(tot_rows, 1)
+                )
+            if validation_data is not None:
+                xv, yv = validation_data[:2]
+                caches, _ = self._forward_caches(
+                    backbone, np.asarray(xv, dtype=np.float64)
+                )
+                vtot = 0.0
+                for h, k in taps.items():
+                    ev = caches[k - 1][4] - np.asarray(
+                        yv[h], dtype=np.float64
+                    ).reshape(-1, y2[h].shape[1])
+                    vtot += w[h] * float((ev * ev).mean())
+                history.setdefault("val_loss", []).append(vtot)
         return history
 
     def _eval(self, node, env: dict):
