@@ -3970,9 +3970,22 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_apply(load_table(spark, sf_dir, "documents"))
 
 
+def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE multi-round BPE training (the iterative trainer, not one
+    round's statistic): per round count adjacent pairs over the
+    CURRENT encoding, merge the argmax, re-encode — 3 chained
+    full-corpus aggregations whose round-r counts depend on rounds
+    1..r-1 (text/cooccur.bpe_train). Oracle unrolls the identical
+    rounds as chained CTEs (the kcore discipline)."""
+    from centimators_spark.text.cooccur import bpe_train_rounds
+
+    return bpe_train_rounds(load_table(spark, sf_dir, "documents"))
+
+
 def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bpe_encode": q_bpe_encode,
+        "bpe_train_rounds": q_bpe_train_rounds,
         "nation_profit": relational_queries.q_nation_profit,
         "shipmode_priority": relational_queries.q_shipmode_priority,
         "filtered_supplier_counts": (
@@ -3984,8 +3997,11 @@ def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _r10_staged_oracles() -> dict[str, str]:
     from centimators_spark.text.cooccur import bpe_train_apply_oracle_sql
 
+    from centimators_spark.text.cooccur import bpe_train_rounds_oracle_sql
+
     return {
         "bpe_encode": bpe_train_apply_oracle_sql("documents"),
+        "bpe_train_rounds": bpe_train_rounds_oracle_sql("documents"),
         "nation_profit": relational_queries._NATION_PROFIT_ORACLE,
         "shipmode_priority": relational_queries._SHIPMODE_PRIORITY_ORACLE,
         "filtered_supplier_counts": (

@@ -266,21 +266,175 @@ def bpe_apply(
     whole-stage codegen, no lambda/HOF, no Python, shuffle-free per
     row; DuckDB's ``replace`` is character-identical. Returns
     (doc_id, pos, token) with 0-based pos."""
-    from centimators_spark.text.portable import tokens
-
-    tk = tokens(F.col(content_col))
-    s = F.concat(F.lit("  "), F.array_join(tk, "  "), F.lit("  "))
-    for w1, w2 in merges:
-        s = F.replace(
-            s, F.lit(f" {w1}  {w2} "), F.lit(f" {w1}_{w2} ")
-        )
-    out = F.filter(F.split(F.trim(s), "  "), lambda t: t != "")
+    out = _encoded_tokens(content_col, merges)
     exploded = df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(out).alias("pos", "token")
     )
     return exploded.select(
         "doc_id", F.col("pos").cast("long").alias("pos"), "token"
     )
+
+
+def _encoded_tokens(content_col: str, merges: list[tuple[str, str]]):
+    """Token-array Column after applying the merge chain (see
+    :func:`bpe_apply` for why literal replaces over the double-space
+    string are exact merge-pass semantics)."""
+    from centimators_spark.text.portable import tokens
+
+    tk = tokens(F.col(content_col))
+    s = F.concat(F.lit("  "), F.array_join(tk, "  "), F.lit("  "))
+    for w1, w2 in merges:
+        s = F.replace(s, F.lit(f" {w1}  {w2} "), F.lit(f" {w1}_{w2} "))
+    return F.filter(F.split(F.trim(s), "  "), lambda t: t != "")
+
+
+def _adjacent_pair_counts(
+    df: DataFrame, tok_col, min_count: int
+) -> DataFrame:
+    """(w1, w2, pair_n) adjacent-pair counts over an arbitrary
+    token-array Column — the per-round statistic of the BPE trainer
+    (one sliced transform + explode + map-side-combined count)."""
+    pairs = F.when(
+        F.size(tok_col) >= 2,
+        F.transform(
+            F.slice(tok_col, 1, F.size(tok_col) - 1),
+            lambda t, i: F.struct(
+                t.alias("w1"), F.element_at(tok_col, i + 2).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    exploded = df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    return (
+        exploded.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .where(F.col("pair_n") >= min_count)
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    rounds: int = 3,
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """TRUE multi-round BPE training (Sennrich et al. 2016 alg. 1 at
+    word granularity): per round, count adjacent pairs over the
+    CURRENT encoding, merge the argmax, re-encode. Unlike
+    :func:`bpe_pair_merges` (one round's statistic) the round-r counts
+    depend on the previous merges — the iterative fixed-rounds family
+    (kcore/label_propagation discipline: a bounded driver loop whose
+    per-round collect is ONE row, the argmax pair).
+
+    Per round at 100 TB: one corpus scan (the merge chain is r-1
+    literal replaces — codegen) + one map-side-combined pair count +
+    a TakeOrdered(1). Returns [(w1, w2, pair_n), …] in merge order;
+    stops early when no pair reaches min_count."""
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(rounds)):
+        tok = _encoded_tokens(content_col, [(a, b) for a, b, _ in merges])
+        top = (
+            _adjacent_pair_counts(df, tok, min_count)
+            .orderBy(F.col("pair_n").desc(), F.col("w1"), F.col("w2"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        merges.append((top[0].w1, top[0].w2, int(top[0].pair_n)))
+    return merges
+
+
+def bpe_train_rounds(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    rounds: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """The learned merge table of :func:`bpe_train` as a DataFrame
+    (merge_round, w1, w2, pair_n) — the driver-verifiable contract of
+    the iterative trainer. The result is tiny (``rounds`` rows) but
+    every value is the argmax of a full-corpus aggregation, so the
+    hash proves all ``rounds`` chained scans."""
+    merges = bpe_train(
+        df, content_col=content_col, rounds=rounds, min_count=min_count
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (i + 1, w1, w2, n)
+            for i, (w1, w2, n) in enumerate(merges)
+        ],
+        "merge_round long, w1 string, w2 string, pair_n long",
+    )
+
+
+def bpe_train_rounds_oracle_sql(
+    table: str = "documents",
+    *,
+    content_sql: str = "text",
+    rounds: int = 3,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`bpe_train_rounds`: the rounds unroll as
+    chained CTEs — each round re-tokenizes the re-encoded string
+    (scalar-subquery replace of the previous round's argmax pair) and
+    recounts, exactly the engine's loop."""
+    from centimators_spark.text.portable import sql_tokens
+
+    tk = sql_tokens(content_sql)
+
+    def pair_cte(src: str) -> str:
+        return f"""(
+          SELECT p.w1 AS w1, p.w2 AS w2,
+                 CAST(count(*) AS BIGINT) AS pair_n
+          FROM (
+            SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+                     list_transform(list_slice(tk, 1, len(tk) - 1),
+                                    (t, i) -> {{'w1': t, 'w2': tk[i + 1]}})
+                   ELSE [] END) AS p
+            FROM {src}
+          ) GROUP BY p.w1, p.w2 HAVING count(*) >= {min_count}
+        )"""
+
+    def top_cte(counts: str) -> str:
+        return f"""(
+          SELECT w1, w2, pair_n,
+                 ' ' || w1 || '  ' || w2 || ' ' AS pat,
+                 ' ' || w1 || '_' || w2 || ' ' AS rep
+          FROM {counts} ORDER BY pair_n DESC, w1, w2 LIMIT 1
+        )"""
+
+    ctes = [
+        f"enc0 AS (SELECT '  ' || array_to_string({tk}, '  ') || '  '"
+        f" AS s FROM {table})",
+        f"tok0 AS (SELECT list_filter(string_split_regex(trim(s), '  '),"
+        f" t -> t <> '') AS tk FROM enc0)",
+        f"cnt0 AS {pair_cte('tok0')}",
+        f"top0 AS {top_cte('cnt0')}",
+    ]
+    for r in range(1, int(rounds)):
+        p = r - 1
+        ctes.append(
+            f"enc{r} AS (SELECT replace(s, (SELECT pat FROM top{p}),"
+            f" (SELECT rep FROM top{p})) AS s FROM enc{p})"
+        )
+        ctes.append(
+            f"tok{r} AS (SELECT list_filter("
+            f"string_split_regex(trim(s), '  '), t -> t <> '') AS tk"
+            f" FROM enc{r})"
+        )
+        ctes.append(f"cnt{r} AS {pair_cte(f'tok{r}')}")
+        ctes.append(f"top{r} AS {top_cte(f'cnt{r}')}")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_round, w1, w2, pair_n"
+        f" FROM top{r}"
+        for r in range(int(rounds))
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
 
 
 def bpe_train_apply(

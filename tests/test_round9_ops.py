@@ -330,3 +330,36 @@ def test_bpe_train_apply_matches_duckdb(spark):
     )
     assert s.equals(o)
     assert (s.token == "new_york").any()
+
+
+def test_bpe_train_multi_round_cascade(spark):
+    """The iterative trainer's round-2 argmax must be computed over
+    the ROUND-1 ENCODING (not the raw corpus): after merging (a,b),
+    pair (a_b, c) — which does not exist in the raw token stream —
+    must win round 2."""
+    from centimators_spark.text.cooccur import bpe_train
+
+    docs = [(i, "a b c x y") for i in range(5)] + [
+        (10, "x y"), (11, "x y"), (12, "b c")
+    ]
+    # raw pair counts: (a,b)=5, (b,c)=6, (c,x)=5, (x,y)=7
+    # round 1: (x,y,7). round 2: (b,c,6). round 3: on the encoding
+    # "a b_c ..." the pair (a, b_c)=5 ties (c? gone) with (b_c, x)=5
+    # -> lexicographic: ("a","b_c") wins
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe_train(df, rounds=3, min_count=1)
+    assert merges[0] == ("x", "y", 7)
+    assert merges[1] == ("b", "c", 6)
+    assert merges[2] == ("a", "b_c", 5)
+
+
+def test_bpe_train_rounds_early_stop(spark):
+    """No pair at min_count -> the trainer stops and the table is
+    short, not crashed."""
+    from centimators_spark.text.cooccur import bpe_train_rounds
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d"), (3, "")], "doc_id long, text string"
+    )
+    out = bpe_train_rounds(df, rounds=3, min_count=2).collect()
+    assert out == []

@@ -839,6 +839,14 @@ def main():
         "Window" not in p and "EvalPython" not in p
         and "Join" not in p and "Generate" in p,
     )
+    p = plan_of(st["bpe_train_rounds"](spark, sf_dir))
+    ok &= audit(
+        "bpe_train_rounds: the contract output is the collected"
+        " literal merge table (rounds x 1-row argmax collects — the"
+        " literal-centroid discipline); the result plan is a local"
+        " scan, all corpus work happened in the per-round aggregations",
+        "Scan ExistingRDD" in p or "LocalTableScan" in p,
+    )
     p = plan_of(st["nation_profit"](spark, sf_dir))
     ok &= audit(
         "nation_profit (Q9 shape): LIKE-pruned part dim broadcasts and"
