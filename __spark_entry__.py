@@ -3982,10 +3982,48 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_rounds(load_table(spark, sf_dir, "documents"))
 
 
+def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted regression stumps (2 rounds, lr=1/2, exact
+    integer arithmetic — ml/splits.boosted_stumps): round 2 fits the
+    integer residual of round 1's half-mean leaves; variance-reduction
+    argmax over division-cleared DECIMAL(38,0) carriers. Oracle
+    unrolls the rounds as chained CTEs with scalar-subquery leaf
+    dispatch."""
+    from centimators_spark.ml.splits import boosted_stumps
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return boosted_stumps(
+        li,
+        {
+            "quantity": F.round(F.col("l_quantity")),
+            "discount_pct": F.round(F.col("l_discount") * 100),
+            "tax_pct": F.round(F.col("l_tax") * 100),
+        },
+        F.round(F.col("l_extendedprice") * 100),
+        rounds=2,
+    )
+
+
+def _boosted_stumps_oracle() -> str:
+    from centimators_spark.ml.splits import boosted_stumps_oracle_sql
+
+    return boosted_stumps_oracle_sql(
+        "lineitem",
+        {
+            "quantity": "round(l_quantity)",
+            "discount_pct": "round(l_discount * 100)",
+            "tax_pct": "round(l_tax * 100)",
+        },
+        "round(l_extendedprice * 100)",
+        rounds=2,
+    )
+
+
 def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bpe_encode": q_bpe_encode,
         "bpe_train_rounds": q_bpe_train_rounds,
+        "boosted_stumps": q_boosted_stumps,
         "nation_profit": relational_queries.q_nation_profit,
         "shipmode_priority": relational_queries.q_shipmode_priority,
         "filtered_supplier_counts": (
@@ -4002,6 +4040,7 @@ def _r10_staged_oracles() -> dict[str, str]:
     return {
         "bpe_encode": bpe_train_apply_oracle_sql("documents"),
         "bpe_train_rounds": bpe_train_rounds_oracle_sql("documents"),
+        "boosted_stumps": _boosted_stumps_oracle(),
         "nation_profit": relational_queries._NATION_PROFIT_ORACLE,
         "shipmode_priority": relational_queries._SHIPMODE_PRIORITY_ORACLE,
         "filtered_supplier_counts": (

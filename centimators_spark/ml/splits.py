@@ -168,3 +168,222 @@ def best_split_oracle_sql(
                     'n_left': n_l, 'pos_left': pos_l}}).score AS score
         FROM scored GROUP BY feature
     """
+
+
+# ------------------------------------------------------- boosted stumps
+
+
+def _floor_div(a: Column, b: Column) -> Column:
+    """TRUE floor division of integer expressions (negative-safe): the
+    pmod-adjusted numerator through an exact DECIMAL(38,0) carrier
+    (the ml/backtest.py discipline — a double quotient would drift
+    past 2^53). DuckDB mirror: ``(a - ((a%b)+b)%b) // b``."""
+    adj = (a - F.pmod(a, b)).cast("decimal(38,0)")
+    return (adj / b.cast("decimal(38,0)")).cast("decimal(38,0)")
+
+
+def boosted_stumps(
+    df: DataFrame,
+    features: Mapping[str, Column],
+    target: Column,
+    rounds: int = 2,
+) -> DataFrame:
+    """Gradient-boosted regression stumps with EXACT integer
+    arithmetic — the iterative-ML sibling of :func:`best_split`
+    (boosting: Friedman 2001, squared loss, learning rate ½, depth-1
+    trees). Round r fits a variance-reduction stump to the CURRENT
+    residual, contributes half the leaf mean, and the next round fits
+    what is left.
+
+    Everything is integers so the oracle is bit-exact: ``target``
+    must be integer-valued (fixed-decimal scaled); residuals live in
+    DOUBLED target units (y₂ = 2·y) so the ½-learning-rate leaf
+    contribution floor(Σy₂ / 2n) is itself an exact integer; the
+    split score max_v (S_L²·n_R + S_R²·n_L) DIV (n_L·n_R·10⁶) —
+    the variance-reduction argmax cleared of divisions, floored into
+    a BIGINT-sized carrier — uses only DECIMAL(38,0) products (never
+    overflows for |Σy₂| < 10¹⁶). All divisions are negative-safe
+    floor divisions (pmod-adjusted decimal carriers).
+
+    Per round at scale: one melt scan + one per-(feature, value)
+    count aggregation + one feature-partitioned cumulative window +
+    a TakeOrdered(1) argmax collect (the literal-centroid
+    discipline: ONE row per round drives the next residual
+    expression as literals). Returns one row per round:
+    (round, feature, threshold, left_value, right_value, score) with
+    leaf values in doubled target units."""
+    names = list(features)
+    base = df.select(
+        *[col.cast("long").alias(n) for n, col in features.items()],
+        (target.cast("long") * 2).alias("__y2"),
+    )
+    resid = F.col("__y2")
+    model: list[tuple] = []
+    for r in range(int(rounds)):
+        melted = base.select(
+            F.explode(
+                F.create_map(
+                    *[x for n in names for x in (F.lit(n), F.col(n))]
+                )
+            ).alias("feature", "v"),
+            resid.alias("y"),
+        ).where(F.col("v").isNotNull() & F.col("y").isNotNull())
+        counts = melted.groupBy("feature", "v").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("s"),
+        )
+        w = (
+            Window.partitionBy("feature")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = counts.select(
+            "feature",
+            "v",
+            F.sum("n").over(w).cast("long").alias("n_l"),
+            F.sum("s").over(w).cast("long").alias("s_l"),
+        )
+        totals = counts.groupBy("feature").agg(
+            F.sum("n").cast("long").alias("__n"),
+            F.sum("s").cast("long").alias("__s"),
+        )
+        d = "decimal(38,0)"
+        cand = cum.join(F.broadcast(totals), "feature").where(
+            F.col("n_l") < F.col("__n")
+        )
+        s_l = F.col("s_l").cast(d)
+        n_l = F.col("n_l").cast(d)
+        s_r = (F.col("__s") - F.col("s_l")).cast(d)
+        n_r = (F.col("__n") - F.col("n_l")).cast(d)
+        num = s_l * s_l * n_r + s_r * s_r * n_l
+        den = n_l * n_r * F.lit(1_000_000).cast(d)
+        scored = cand.select(
+            "feature",
+            "v",
+            "n_l",
+            "s_l",
+            "__n",
+            "__s",
+            _floor_div(num, den).cast("long").alias("score"),
+        )
+        top = (
+            scored.orderBy(
+                F.col("score").desc(), F.col("feature"), F.col("v")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        c_left = _int_floor(t.s_l, 2 * t.n_l)
+        c_right = _int_floor(t["__s"] - t.s_l, 2 * (t["__n"] - t.n_l))
+        model.append(
+            (r + 1, t.feature, int(t.v), c_left, c_right, int(t.score))
+        )
+        resid = resid - F.when(
+            F.col(t.feature) <= F.lit(int(t.v)), F.lit(c_left)
+        ).otherwise(F.lit(c_right))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        model,
+        "round long, feature string, threshold long,"
+        " left_value long, right_value long, score long",
+    )
+
+
+def _int_floor(a: int, b: int) -> int:
+    """Python floor division matches the engines' pmod-adjusted floor
+    (Python // already floors toward -inf)."""
+    return int(a // b)
+
+
+def boosted_stumps_oracle_sql(
+    table: str,
+    feature_sqls: Mapping[str, str],
+    target_sql: str,
+    rounds: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`boosted_stumps`: rounds unroll as
+    chained CTEs; each round's residual dispatches on the previous
+    round's argmax row via scalar subqueries. Integer arithmetic is
+    identical (HUGEINT products, floor divisions)."""
+    names = list(feature_sqls)
+    cols = ", ".join(
+        f"CAST({sql} AS BIGINT) AS {n}" for n, sql in feature_sqls.items()
+    )
+    fd = "((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
+
+    def melt(src: str, ycol: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT '{n}' AS feature, {n} AS v, {ycol} AS y FROM {src}"
+            f" WHERE {n} IS NOT NULL AND {ycol} IS NOT NULL"
+            for n in names
+        )
+
+    def round_ctes(r: int, src: str) -> str:
+        num = (
+            f"CAST(s_l AS HUGEINT) * s_l * (__n - n_l)"
+            f" + CAST(__s - s_l AS HUGEINT) * (__s - s_l) * n_l"
+        )
+        den = "CAST(n_l AS HUGEINT) * (__n - n_l) * 1000000"
+        return f"""
+        m{r} AS ({melt(src, "__y2")}),
+        c{r} AS (
+          SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS s
+          FROM m{r} GROUP BY feature, v
+        ),
+        cum{r} AS (
+          SELECT feature, v,
+                 CAST(sum(n) OVER win AS BIGINT) AS n_l,
+                 CAST(sum(s) OVER win AS BIGINT) AS s_l,
+                 CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS __n,
+                 CAST(sum(s) OVER (PARTITION BY feature) AS BIGINT) AS __s
+          FROM c{r}
+          WINDOW win AS (PARTITION BY feature ORDER BY v
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        top{r} AS (
+          SELECT feature, v, n_l, s_l, __n, __s,
+                 CAST({fd.format(a=num, b=den)} AS BIGINT) AS score,
+                 CAST({fd.format(a="CAST(s_l AS HUGEINT)",
+                                 b="2 * CAST(n_l AS HUGEINT)")}
+                      AS BIGINT) AS c_left,
+                 CAST({fd.format(a="CAST(__s - s_l AS HUGEINT)",
+                                 b="2 * CAST(__n - n_l AS HUGEINT)")}
+                      AS BIGINT) AS c_right
+          FROM cum{r} WHERE n_l < __n
+          ORDER BY score DESC, feature, v LIMIT 1
+        )"""
+
+    ctes = [
+        f"""base0 AS (
+          SELECT {cols}, CAST(({target_sql}) AS BIGINT) * 2 AS __y2
+          FROM {table}
+        )""",
+        round_ctes(0, "base0"),
+    ]
+    for r in range(1, int(rounds)):
+        p = r - 1
+        dispatch = " ".join(
+            f"WHEN (SELECT feature FROM top{p}) = '{n}' THEN"
+            f" CASE WHEN {n} <= (SELECT v FROM top{p})"
+            f" THEN (SELECT c_left FROM top{p})"
+            f" ELSE (SELECT c_right FROM top{p}) END"
+            for n in names
+        )
+        ctes.append(
+            f"""base{r} AS (
+          SELECT * REPLACE (__y2 - (CASE {dispatch} END) AS __y2)
+          FROM base{p}
+        )"""
+        )
+        ctes.append(round_ctes(r, f"base{r}"))
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS round, feature,"
+        f" CAST(v AS BIGINT) AS threshold, c_left AS left_value,"
+        f" c_right AS right_value, score FROM top{r}"
+        for r in range(int(rounds))
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects

@@ -282,7 +282,16 @@ def _encoded_tokens(content_col: str, merges: list[tuple[str, str]]):
     from centimators_spark.text.portable import tokens
 
     tk = tokens(F.col(content_col))
-    s = F.concat(F.lit("  "), F.array_join(tk, "  "), F.lit("  "))
+    if not merges:
+        return tk  # no merge -> skip the string round-trip entirely
+    return _apply_merges_to_arrays(tk, merges)
+
+
+def _apply_merges_to_arrays(tok_col, merges: list[tuple[str, str]]):
+    """Apply a merge chain to an existing token-ARRAY column (the
+    incremental form the multi-round trainer uses: one new replace per
+    round over last round's materialized arrays)."""
+    s = F.concat(F.lit("  "), F.array_join(tok_col, "  "), F.lit("  "))
     for w1, w2 in merges:
         s = F.replace(s, F.lit(f" {w1}  {w2} "), F.lit(f" {w1}_{w2} "))
     return F.filter(F.split(F.trim(s), "  "), lambda t: t != "")
@@ -328,22 +337,36 @@ def bpe_train(
     (kcore/label_propagation discipline: a bounded driver loop whose
     per-round collect is ONE row, the argmax pair).
 
-    Per round at 100 TB: one corpus scan (the merge chain is r-1
-    literal replaces — codegen) + one map-side-combined pair count +
-    a TakeOrdered(1). Returns [(w1, w2, pair_n), …] in merge order;
+    Per round at 100 TB: one scan of LAST round's materialized token
+    arrays (eager localCheckpoint — round r applies only its ONE new
+    merge, never replays the chain on raw text; at cluster scale:
+    write the encoded table per round, exactly what sentencepiece's
+    corpus re-encode does) + one map-side-combined pair count + a
+    TakeOrdered(1). Returns [(w1, w2, pair_n), …] in merge order;
     stops early when no pair reaches min_count."""
+    from centimators_spark.text.portable import tokens
+
     merges: list[tuple[str, str, int]] = []
+    cur = df.select(
+        tokens(F.col(content_col)).alias("__tk")
+    ).localCheckpoint(eager=True)
     for _ in range(int(rounds)):
-        tok = _encoded_tokens(content_col, [(a, b) for a, b, _ in merges])
         top = (
-            _adjacent_pair_counts(df, tok, min_count)
+            _adjacent_pair_counts(cur, F.col("__tk"), min_count)
             .orderBy(F.col("pair_n").desc(), F.col("w1"), F.col("w2"))
             .limit(1)
             .collect()
         )
         if not top:
             break
-        merges.append((top[0].w1, top[0].w2, int(top[0].pair_n)))
+        w1, w2 = top[0].w1, top[0].w2
+        merges.append((w1, w2, int(top[0].pair_n)))
+        if len(merges) < int(rounds):  # last round never re-encodes
+            cur = cur.select(
+                _apply_merges_to_arrays(F.col("__tk"), [(w1, w2)]).alias(
+                    "__tk"
+                )
+            ).localCheckpoint(eager=True)
     return merges
 
 

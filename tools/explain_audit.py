@@ -839,6 +839,14 @@ def main():
         "Window" not in p and "EvalPython" not in p
         and "Join" not in p and "Generate" in p,
     )
+    p = plan_of(st["boosted_stumps"](spark, sf_dir))
+    ok &= audit(
+        "boosted_stumps: the contract output is the collected literal"
+        " model table (rounds x 1-row argmax collects); per-round"
+        " corpus work is one melt + count agg + cumulative window,"
+        " none of it in the result plan",
+        "Scan ExistingRDD" in p or "LocalTableScan" in p,
+    )
     p = plan_of(st["bpe_train_rounds"](spark, sf_dir))
     ok &= audit(
         "bpe_train_rounds: the contract output is the collected"
