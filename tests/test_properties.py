@@ -531,3 +531,63 @@ def test_best_split_matches_bruteforce_gini(spark, rows):
     exp = min(cands)
     r = got[0]
     assert (r.score, r.threshold, r.n_left, r.pos_left) == exp
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab", "x"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    rules=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "x", "a_b"]),
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_bpe_apply_matches_python_merge_pass(spark, docs, rules):
+    """bpe_apply's literal replace chain == a pure-Python left-to-right
+    non-overlapping single-pass-per-rule merge on random token
+    sequences and random (possibly pathological) rule lists."""
+    from centimators_spark.text.cooccur import bpe_apply
+
+    def merge_pass(toks, w1, w2):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == w1 and toks[i + 1] == w2:
+                out.append(f"{w1}_{w2}")
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    expected = {}
+    for d, toks in enumerate(docs):
+        cur = list(toks)
+        for w1, w2 in rules:
+            cur = merge_pass(cur, w1, w2)
+        expected[d] = cur
+
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in bpe_apply(df, rules).collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.token))
+    got = {d: [t for _, t in sorted(v)] for d, v in got.items()}
+    for d, toks in expected.items():
+        assert got.get(d, []) == toks, (d, docs[d], rules)
