@@ -4019,11 +4019,63 @@ def _boosted_stumps_oracle() -> str:
     )
 
 
+MMR_POOL_K = 20
+MMR_K = 5
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank (similarity/mmr.py): exact cosine
+    top-20 shortlist per query, then 5 greedy picks maximizing
+    7/10·rel − 3/10·max-sim-to-selected (rational λ — no float-derived
+    weights), ties by ascending id. The oracle unrolls the greedy
+    steps as chained CTEs over the same rounded cosines."""
+    from centimators_spark.plans.datapipe_queries import (
+        ANN_N_QUERIES,
+        EMB_DIM,
+        load_table,
+    )
+    from centimators_spark.similarity.ann import (
+        _as_double,
+        brute_force_topk,
+    )
+    from centimators_spark.similarity.mmr import mmr_diversify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("vv")
+    )
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(
+        emb, queries, k=MMR_POOL_K, dim=EMB_DIM
+    )
+    pool = topk.join(vecs, "vec_id").select(
+        "query_id", "vec_id", F.round(F.col("cos"), 6).alias("rel"), "vv"
+    )
+    # dim=None on the greedy steps: the pool is ~n_queries*pool_k rows,
+    # so the interpreted HOF fold costs microseconds while an unrolled
+    # 64-term chain pays ~2s of janino compile PER STEP plan (the
+    # round-8 compile trade, measured both ways); the corpus-sized
+    # brute-force stage above keeps dim=EMB_DIM codegen.
+    return mmr_diversify(pool, k=MMR_K, dim=None)
+
+
+def _mmr_rerank_oracle() -> str:
+    from centimators_spark.plans.datapipe_queries import ANN_N_QUERIES
+    from centimators_spark.similarity.mmr import mmr_oracle_sql
+
+    return mmr_oracle_sql(
+        n_queries=ANN_N_QUERIES, pool_k=MMR_POOL_K, k=MMR_K
+    )
+
+
 def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bpe_encode": q_bpe_encode,
         "bpe_train_rounds": q_bpe_train_rounds,
         "boosted_stumps": q_boosted_stumps,
+        "mmr_rerank": q_mmr_rerank,
         "nation_profit": relational_queries.q_nation_profit,
         "shipmode_priority": relational_queries.q_shipmode_priority,
         "filtered_supplier_counts": (
@@ -4041,6 +4093,7 @@ def _r10_staged_oracles() -> dict[str, str]:
         "bpe_encode": bpe_train_apply_oracle_sql("documents"),
         "bpe_train_rounds": bpe_train_rounds_oracle_sql("documents"),
         "boosted_stumps": _boosted_stumps_oracle(),
+        "mmr_rerank": _mmr_rerank_oracle(),
         "nation_profit": relational_queries._NATION_PROFIT_ORACLE,
         "shipmode_priority": relational_queries._SHIPMODE_PRIORITY_ORACLE,
         "filtered_supplier_counts": (

@@ -90,3 +90,68 @@ def test_boosted_stumps_degenerate(spark):
     assert boosted_stumps(
         const, {"x": F.col("x")}, F.col("y"), rounds=2
     ).collect() == []
+
+
+def test_mmr_diversify_hand_case(spark):
+    """Diversity visibly flips pure-relevance order: two near-identical
+    top candidates — MMR picks the slightly-less-relevant but novel
+    doc second."""
+    from centimators_spark.similarity.mmr import mmr_diversify
+
+    # query direction = x-axis. d1,d2 almost parallel to x and to each
+    # other; d3 45-degrees off (lower rel, high novelty)
+    import math
+
+    s2 = 1 / math.sqrt(2)
+    pool_rows = [
+        # (query_id, vec_id, vv, rel): rel = round(cos(q, d), 6)
+        (0, 1, [1.0, 0.0], 1.0),
+        (0, 2, [0.999, 0.0447], 0.999001),
+        (0, 3, [s2, s2], round(s2, 6)),
+    ]
+    df = spark.createDataFrame(
+        pool_rows, "query_id long, vec_id long, vv array<double>, rel double"
+    )
+    out = mmr_diversify(df, k=3).collect()
+    order = [r.vec_id for r in sorted(out, key=lambda r: r.pick)]
+    # pick1 = most relevant (d1). pick2: d2's mmr = (7*0.999001 -
+    # 3*~0.999)/10 ~ 0.3996; d3's = (7*0.707107 - 3*0.707107)/10
+    # ~ 0.282843 -> d2 still wins here, then d3.
+    assert order[0] == 1
+    # the scores, not just the order, must match the formula
+    got = {r.vec_id: r.mmr for r in out}
+    assert got[1] == 1.0
+    import numpy as np
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    v = {1: [1.0, 0.0], 2: [0.999, 0.0447], 3: [s2, s2]}
+    exp2 = round((7 * 0.999001 - 3 * cos(v[2], v[1])) / 10, 6)
+    assert got[2] == pytest.approx(exp2, abs=2e-6)
+
+
+def test_mmr_diversity_beats_redundancy(spark):
+    """A clone of pick-1 must rank BELOW a novel direction at pick 2
+    (the whole point of MMR)."""
+    from centimators_spark.similarity.mmr import mmr_diversify
+
+    pool_rows = [
+        (0, 1, [1.0, 0.0], 1.0),
+        (0, 2, [1.0, 0.0], 1.0),      # exact clone of d1
+        (0, 3, [0.8, 0.6], 0.8),      # novel direction, rel 0.8
+    ]
+    df = spark.createDataFrame(
+        pool_rows, "query_id long, vec_id long, vv array<double>, rel double"
+    )
+    out = {r.pick: r.vec_id for r in mmr_diversify(df, k=2).collect()}
+    assert out[1] == 1
+    # clone: (7*1.0 - 3*1.0)/10 = 0.4 ; novel: (7*0.8 - 3*0.8)/10 = 0.32
+    # -> clone still wins with lambda=0.7; use stronger diversity
+    out2 = {
+        r.pick: r.vec_id
+        for r in mmr_diversify(df, k=2, lam_num=3, lam_den=10).collect()
+    }
+    # clone: (3*1 - 7*1)/10 = -0.4 ; novel: (3*0.8 - 7*0.6)/10 = -0.18
+    assert out2[2] == 3

@@ -839,6 +839,14 @@ def main():
         "Window" not in p and "EvalPython" not in p
         and "Join" not in p and "Generate" in p,
     )
+    p = plan_of(st["mmr_rerank"](spark, sf_dir))
+    ok &= audit(
+        "mmr_rerank: greedy picks are per-step one-row-per-query"
+        " argmax collects over a checkpointed bounded pool (the"
+        " literal-centroid discipline); the result plan is a local"
+        " table, corpus-sized work happened in the shortlist stage",
+        "Scan ExistingRDD" in p or "LocalTableScan" in p,
+    )
     p = plan_of(st["boosted_stumps"](spark, sf_dir))
     ok &= audit(
         "boosted_stumps: the contract output is the collected literal"
