@@ -4070,12 +4070,33 @@ def _mmr_rerank_oracle() -> str:
     )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via ALTERNATING big-star/small-star edge
+    contraction (Kiveris et al. 2014) — the O(log n)-round CC
+    algorithm for diameter-unbounded graphs at 100 TB, vs
+    dedup_clusters' O(diameter) min-label fixpoint. Same contract and
+    the SAME recursive-CTE oracle (identical output by construction);
+    differential-tested against exact union-find on path/clique/star/
+    random graphs."""
+    from centimators_spark.dedup.cluster import connected_components_star
+    from centimators_spark.dedup.minhash import minhash_lsh_pairs
+    from centimators_spark.plans.datapipe_queries import MINHASH_T
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=MINHASH_T
+    )
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+
+
 def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bpe_encode": q_bpe_encode,
         "bpe_train_rounds": q_bpe_train_rounds,
         "boosted_stumps": q_boosted_stumps,
         "mmr_rerank": q_mmr_rerank,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "nation_profit": relational_queries.q_nation_profit,
         "shipmode_priority": relational_queries.q_shipmode_priority,
         "filtered_supplier_counts": (
@@ -4094,6 +4115,9 @@ def _r10_staged_oracles() -> dict[str, str]:
         "bpe_train_rounds": bpe_train_rounds_oracle_sql("documents"),
         "boosted_stumps": _boosted_stumps_oracle(),
         "mmr_rerank": _mmr_rerank_oracle(),
+        "dedup_clusters_star": datapipe_queries.oracle_sql()[
+            "dedup_clusters"
+        ],
         "nation_profit": relational_queries._NATION_PROFIT_ORACLE,
         "shipmode_priority": relational_queries._SHIPMODE_PRIORITY_ORACLE,
         "filtered_supplier_counts": (

@@ -172,3 +172,93 @@ def deduplicate(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    max_iter: int = 30,
+    a: str = "d1",
+    b: str = "d2",
+) -> DataFrame:
+    """Connected components by ALTERNATING big-star/small-star edge
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — O(log n) rounds regardless of component
+    DIAMETER, where :func:`connected_components`' min-label fixpoint
+    pays O(diameter) rounds (a 10⁶-node path costs it 10⁶ rounds; this
+    algorithm ~20). Same contract: (node, cluster = min member id),
+    deterministic (min-based, no randomness).
+
+    Per round: one symmetrize + one per-node min aggregation + one
+    re-attach projection for each star step, all hash-partitioned on
+    node id, edge set eagerly checkpointed (each round reads it twice
+    — an unpinned loop doubles the plan per round). Edges only ever
+    move toward smaller parents, so the edge count never grows past
+    the input and the set converges to per-component stars."""
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("hi"),
+            F.least("u", "v").alias("lo"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not edges.take(1):
+        spark = pairs.sparkSession
+        return spark.createDataFrame([], "node long, cluster long")
+    converged = False
+    for _ in range(int(max_iter)):
+        # -- large-star: every node u attaches its STRICTLY GREATER
+        # neighbors to m(u) = min(N(u) ∪ {u})
+        sym = edges.select(
+            F.col("hi").alias("n"), F.col("lo").alias("nb")
+        ).unionAll(
+            edges.select(F.col("lo").alias("n"), F.col("hi").alias("nb"))
+        )
+        m = sym.groupBy("n").agg(
+            F.least(F.min("nb"), F.first("n")).alias("m")
+        )
+        attl = sym.join(m, "n").where(F.col("nb") > F.col("n"))
+        # a large-star round changed something iff any greater neighbor
+        # gets a parent other than its current one — a limit(1) count
+        # on the already-built frame, far cheaper than set-difference
+        lchg = (
+            attl.where(F.col("m") != F.col("n")).limit(1).count()
+        )
+        large = (
+            attl.select(F.col("nb").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # -- small-star: every node u (over its ≤ neighbors, i.e. its
+        # parents in the (hi, lo) orientation) re-attaches them AND
+        # itself to the minimum
+        m2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        att = large.join(m2, "hi").localCheckpoint(eager=True)
+        schg = att.where(F.col("lo") != F.col("m")).limit(1).count()
+        small = (
+            att.where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionAll(att.select("hi", F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        if lchg == 0 and schg == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} rounds; labels may not be a fixpoint",
+            RuntimeWarning,
+        )
+    return (
+        edges.select(F.col("hi").alias("node"), F.col("lo").alias("cluster"))
+        .unionAll(
+            edges.select(
+                F.col("lo").alias("node"), F.col("lo").alias("cluster")
+            )
+        )
+        .distinct()
+    )

@@ -155,3 +155,60 @@ def test_mmr_diversity_beats_redundancy(spark):
     }
     # clone: (3*1 - 7*1)/10 = -0.4 ; novel: (3*0.8 - 7*0.6)/10 = -0.18
     assert out2[2] == 3
+
+
+def _cc_pairs(spark, edges):
+    return spark.createDataFrame(edges, "d1 long, d2 long")
+
+
+def test_cc_star_matches_union_find_on_adversarial_graphs(spark):
+    """Big-star/small-star CC == exact union-find on a long path (the
+    diameter case the algorithm exists for), disjoint cliques, a star,
+    and a seeded random graph."""
+    import random
+
+    from centimators_spark.dedup.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = {
+        # 60-node path: label propagation needs 60 rounds; star ~log
+        "path": [(i, i + 1) for i in range(60)],
+        "two_cliques": [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        + [(i, j) for i in range(10, 14) for j in range(i + 1, 14)],
+        "star": [(50, i) for i in range(40)],
+        "self_and_dup": [(1, 2), (2, 1), (3, 3), (2, 3)],
+    }
+    rng = random.Random(13)
+    cases["random"] = [
+        (rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(60)
+    ]
+    for name, edges in cases.items():
+        df = _cc_pairs(spark, edges)
+        exact = {
+            (r.node, r.cluster)
+            for r in connected_components(df).collect()
+        }
+        star = {
+            (r.node, r.cluster)
+            for r in connected_components_star(df).collect()
+        }
+        # union-find includes isolated self-loop nodes (3,3) only if
+        # they appear; both paths drop u==v edges identically
+        assert star == exact, name
+
+
+def test_cc_star_converges_fast_on_path(spark):
+    """The whole point: a 60-node path must converge in far fewer than
+    60 rounds (O(log n))."""
+    import warnings as w
+
+    from centimators_spark.dedup.cluster import connected_components_star
+
+    df = _cc_pairs(spark, [(i, i + 1) for i in range(60)])
+    with w.catch_warnings():
+        w.simplefilter("error")  # non-convergence warning -> failure
+        out = connected_components_star(df, max_iter=12).collect()
+    assert all(r.cluster == 0 for r in out)
+    assert len(out) == 61

@@ -839,6 +839,15 @@ def main():
         "Window" not in p and "EvalPython" not in p
         and "Join" not in p and "Generate" in p,
     )
+    p = plan_of(st["dedup_clusters_star"](spark, sf_dir))
+    ok &= audit(
+        "dedup_clusters_star: per-round star contraction on eagerly"
+        " checkpointed edge sets — no cartesian, no Python, no window;"
+        " the result derives from the converged checkpointed star"
+        " edges",
+        "CartesianProduct" not in p and "EvalPython" not in p
+        and "Window" not in p,
+    )
     p = plan_of(st["mmr_rerank"](spark, sf_dir))
     ok &= audit(
         "mmr_rerank: greedy picks are per-step one-row-per-query"
