@@ -4090,8 +4090,28 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_CONTRACT_W = 64
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency contract (sketches.py): the
+    d=4 × w=64 CMS over the corpus token stream, estimates for the 30
+    exact heavy hitters, and the per-token overcount. Portable md5
+    row-hashes make the WHOLE sketch hash-provable (every cell, every
+    min-estimate); w=64 forces real collisions so the ≥0 overcount
+    rows demonstrate the bound, not an empty case. Third sketch
+    family beside HLL (approx_distinct_contract) and the percentile
+    sketch (psi_sketch_contract)."""
+    from centimators_spark.sketches import cms_heavy_hitter_contract
+
+    return cms_heavy_hitter_contract(
+        load_table(spark, sf_dir, "documents"), w=CMS_CONTRACT_W
+    )
+
+
 def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "bpe_encode": q_bpe_encode,
         "bpe_train_rounds": q_bpe_train_rounds,
         "boosted_stumps": q_boosted_stumps,
@@ -4110,7 +4130,12 @@ def _r10_staged_oracles() -> dict[str, str]:
 
     from centimators_spark.text.cooccur import bpe_train_rounds_oracle_sql
 
+    from centimators_spark.sketches import cms_heavy_hitter_oracle_sql
+
     return {
+        "cms_heavy_hitters": cms_heavy_hitter_oracle_sql(
+            "documents", w=CMS_CONTRACT_W
+        ),
         "bpe_encode": bpe_train_apply_oracle_sql("documents"),
         "bpe_train_rounds": bpe_train_rounds_oracle_sql("documents"),
         "boosted_stumps": _boosted_stumps_oracle(),

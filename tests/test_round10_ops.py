@@ -212,3 +212,51 @@ def test_cc_star_converges_fast_on_path(spark):
         out = connected_components_star(df, max_iter=12).collect()
     assert all(r.cluster == 0 for r in out)
     assert len(out) == 61
+
+
+def test_cms_overcount_never_negative_and_exact_when_isolated(spark):
+    """CMS guarantee: est >= true always; equality when a token's d
+    cells collide with nothing."""
+    from centimators_spark.sketches import cms_heavy_hitter_contract
+
+    docs = [(1, "alpha alpha alpha beta beta gamma")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # w large: no collisions -> every estimate exact
+    rows = cms_heavy_hitter_contract(df, k=10, w=4096).collect()
+    assert {r.token: r.true_n for r in rows} == {
+        "alpha": 3, "beta": 2, "gamma": 1
+    }
+    assert all(r.overcount == 0 for r in rows)
+    # w=1: every token shares the single cell per row -> est = total
+    rows1 = cms_heavy_hitter_contract(df, k=10, w=1).collect()
+    assert all(r.cms_est == 6 for r in rows1)
+    assert all(r.overcount == 6 - r.true_n >= 0 for r in rows1)
+
+
+def test_cms_matches_duckdb_on_tiny_corpus(spark):
+    """Cross-engine identity of cells and estimates on a forced-
+    collision sketch."""
+    import duckdb
+    import pandas as pd
+
+    from centimators_spark.sketches import (
+        cms_heavy_hitter_contract,
+        cms_heavy_hitter_oracle_sql,
+    )
+
+    docs = [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf = cms_heavy_hitter_contract(df, k=20, w=4).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    odf = con.execute(
+        cms_heavy_hitter_oracle_sql("documents", k=20, w=4)
+    ).fetchdf()
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True).astype(
+        s.dtypes.to_dict()
+    )
+    assert s.equals(o)
+    assert (s.overcount >= 0).all()
+    assert (s.overcount > 0).any()  # w=4 must collide

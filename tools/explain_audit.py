@@ -839,6 +839,16 @@ def main():
         "Window" not in p and "EvalPython" not in p
         and "Join" not in p and "Generate" in p,
     )
+    p = plan_of(st["cms_heavy_hitters"](spark, sf_dir))
+    ok &= audit(
+        "cms_heavy_hitters: cell counts are map-side-combined"
+        " (partial_count) and the d*w cell table joins BROADCAST"
+        " against the key fan-out — no Python, no window, no"
+        " shuffle join",
+        "partial_count" in p and "BroadcastHashJoin" in p
+        and "EvalPython" not in p and "Window" not in p
+        and "SortMergeJoin" not in p,
+    )
     p = plan_of(st["dedup_clusters_star"](spark, sf_dir))
     ok &= audit(
         "dedup_clusters_star: per-round star contraction on eagerly"
