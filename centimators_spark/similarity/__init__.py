@@ -5,6 +5,7 @@ from centimators_spark.similarity.ann import (
     ivf_topk,
     rp_lsh_topk,
 )
+from centimators_spark.similarity.mmr import mmr_diversify
 from centimators_spark.similarity.pq import (
     ivfpq_topk,
     pq_encode,
@@ -17,6 +18,7 @@ __all__ = [
     "cosine",
     "embedding_cosine_pairs",
     "ivf_topk",
+    "mmr_diversify",
     "ivfpq_topk",
     "pq_encode",
     "pq_topk",
