@@ -4109,9 +4109,28 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_VOCAB_CAP = 200
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score (text/analysis.py): the
+    model-based filter above unigram_lm — λ=8/10 bigram ratio +
+    unigram floor over a capped vocabulary with '<unk>' mapping
+    (vocab_cap=200 at the gate SF so the OOV path is genuinely
+    exercised). 6dp micro-unit carriers; only corpus-sized shuffle is
+    the pairs⇄bigram-count join."""
+    from centimators_spark.text.analysis import bigram_lm_score
+
+    return bigram_lm_score(
+        load_table(spark, sf_dir, "documents"),
+        vocab_cap=BIGRAM_VOCAB_CAP,
+    )
+
+
 def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bigram_lm": q_bigram_lm,
         "bpe_encode": q_bpe_encode,
         "bpe_train_rounds": q_bpe_train_rounds,
         "boosted_stumps": q_boosted_stumps,
@@ -4136,6 +4155,9 @@ def _r10_staged_oracles() -> dict[str, str]:
         "cms_heavy_hitters": cms_heavy_hitter_oracle_sql(
             "documents", w=CMS_CONTRACT_W
         ),
+        "bigram_lm": __import__(
+            "centimators_spark.text.analysis", fromlist=["x"]
+        ).bigram_lm_oracle_sql("documents", vocab_cap=BIGRAM_VOCAB_CAP),
         "bpe_encode": bpe_train_apply_oracle_sql("documents"),
         "bpe_train_rounds": bpe_train_rounds_oracle_sql("documents"),
         "boosted_stumps": _boosted_stumps_oracle(),

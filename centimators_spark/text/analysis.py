@@ -441,3 +441,198 @@ def document_fingerprint(
     from centimators_spark.text.hashing_udf import gram_hash_extrema_udf
 
     return gram_hash_extrema_udf(df, content_col, id_col, n)
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_cap: int = 65_536,
+    alpha: float = 1.0,
+    lam_num: int = 8,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Interpolated bigram-LM quality score — the model-based filter
+    one rung above :func:`unigram_lm_score`: mean adjacent-pair
+    log-probability under λ·P(w₂|w₁) + (1−λ)·P_uni(w₂), trained on
+    the corpus itself. OOV tokens map to the '<unk>' class BEFORE any
+    counting, so every model table is over the closed (capped)
+    vocabulary and no separate OOV branch exists; λ is a RATIONAL
+    (integer literals — never 1 − float).
+
+    Exactness: P_bigram is the exact integer ratio B(w₁,w₂)/U(w₁)
+    (unseen pair → 0; the unigram term keeps the log finite);
+    P_uni = (U(w₂)+α)/(N+α·V). Per-pair log-probs round to 6dp and
+    ride integer micro-unit carriers through the per-doc sum
+    (partition-order independent — the unigram_lm discipline).
+
+    Plan at 100 TB: one posexplode scan; OOV mapping and the unigram
+    probability table are BROADCAST joins (vocab_cap-bounded); pair
+    construction is one lead() window partitioned BY DOC (never
+    global); the only corpus-sized shuffle is the pairs ⇄ bigram-count
+    join on (w₁, w₂) — the irreducible LM-training shuffle, the
+    bpe_pair_merges class.
+
+    Output: (doc_id, n_pairs, bigram_logprob); docs with < 2 tokens →
+    n_pairs 0, null score."""
+    from pyspark.sql import Window as _W
+
+    tok = tokens(F.col(content_col))
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tok).alias("pos", "t"),
+    )
+    counts = ex.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("t").asc()).limit(vocab_cap)
+    mapped = (
+        ex.join(
+            F.broadcast(top.select(F.col("t").alias("__kept"))),
+            F.col("t") == F.col("__kept"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.when(F.col("__kept").isNull(), F.lit("<unk>"))
+            .otherwise(F.col("t"))
+            .alias("t"),
+        )
+    )
+    uni = mapped.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("u")
+    )
+    totals = uni.agg(
+        F.sum("u").cast("long").alias("n_corpus"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    w = _W.partitionBy("doc_id").orderBy("pos")
+    pairs = mapped.select(
+        "doc_id",
+        F.col("t").alias("w1"),
+        F.lead("t", 1).over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("b")
+    )
+    denom = F.col("n_corpus").cast("double") + F.lit(alpha) * F.col(
+        "v"
+    ).cast("double")
+    pu = uni.crossJoin(F.broadcast(totals)).select(
+        F.col("t").alias("w2"),
+        ((F.col("u").cast("double") + F.lit(alpha)) / denom).alias("p_u"),
+    )
+    u1 = uni.select(F.col("t").alias("w1"), F.col("u").alias("u1"))
+    lp = (
+        pairs.join(big, ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(pu), "w2")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        F.lit(lam_num)
+                        * (F.col("b").cast("double") / F.col("u1").cast("double"))
+                        + F.lit(lam_den - lam_num) * F.col("p_u")
+                    )
+                    / F.lit(lam_den)
+                ),
+                6,
+            ).alias("lp"),
+        )
+        .withColumn("lp_u", F.expr("CAST(round(lp * 1e6) AS BIGINT)"))
+    )
+    per_doc = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("lp_u").alias("s"),
+    )
+    out = per_doc.select(
+        "doc_id",
+        "n_pairs",
+        F.round(
+            F.col("s").cast("double") / 1e6 / F.col("n_pairs").cast("double"),
+            6,
+        ).alias("bigram_logprob"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+                "n_pairs"
+            ),
+            "bigram_logprob",
+        )
+    )
+
+
+def bigram_lm_oracle_sql(
+    table: str = "documents",
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+    vocab_cap: int = 65_536,
+    alpha: float = 1.0,
+    lam_num: int = 8,
+    lam_den: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`bigram_lm_score` — identical capped
+    vocab, '<unk>' mapping, integer bigram ratios, rational λ, 6dp
+    micro-unit carriers."""
+    from centimators_spark.text.portable import sql_tokens
+
+    tk = sql_tokens(content_sql)
+    a = repr(float(alpha))
+    mu = lam_den - lam_num
+    return f"""
+        WITH toks AS (
+          SELECT {id_sql} AS doc_id, {tk} AS tk FROM {table}
+        ), ex AS (
+          SELECT doc_id, i AS pos, tk[i] AS t
+          FROM toks, unnest(range(1, len(tk) + 1)) AS r(i)
+        ), counts AS (
+          SELECT t, count(*) AS c FROM ex GROUP BY t
+        ), top AS (
+          SELECT t FROM counts ORDER BY c DESC, t ASC LIMIT {vocab_cap}
+        ), mapped AS (
+          SELECT ex.doc_id, ex.pos,
+                 CASE WHEN top.t IS NULL THEN '<unk>' ELSE ex.t END AS t
+          FROM ex LEFT JOIN top ON ex.t = top.t
+        ), uni AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS u FROM mapped GROUP BY t
+        ), totals AS (
+          SELECT CAST(sum(u) AS BIGINT) AS n_corpus,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM uni
+        ), pairs AS (
+          SELECT doc_id, t AS w1,
+                 lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM mapped QUALIFY w2 IS NOT NULL
+        ), big AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS b
+          FROM pairs GROUP BY w1, w2
+        ), lp AS (
+          SELECT p.doc_id,
+            CAST(round(round(ln((
+              {lam_num} * (CAST(big.b AS DOUBLE) / CAST(u1.u AS DOUBLE))
+              + {mu} * ((CAST(u2.u AS DOUBLE) + {a})
+                        / (CAST(t2.n_corpus AS DOUBLE)
+                           + {a} * CAST(t2.v AS DOUBLE)))
+            ) / {lam_den}), 6) * 1e6) AS BIGINT) AS lp_u
+          FROM pairs p
+          JOIN big ON p.w1 = big.w1 AND p.w2 = big.w2
+          JOIN uni u1 ON p.w1 = u1.t
+          JOIN uni u2 ON p.w2 = u2.t
+          CROSS JOIN totals t2
+        ), per_doc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                 round(CAST(sum(lp_u) AS DOUBLE) / 1e6 / count(*), 6)
+                   AS bigram_logprob
+          FROM lp GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_pairs, 0) AS n_pairs,
+               p.bigram_logprob
+        FROM (SELECT {id_sql} AS doc_id FROM {table}) d
+        LEFT JOIN per_doc p USING (doc_id)
+    """

@@ -260,3 +260,38 @@ def test_cms_matches_duckdb_on_tiny_corpus(spark):
     assert s.equals(o)
     assert (s.overcount >= 0).all()
     assert (s.overcount > 0).any()  # w=4 must collide
+
+
+def test_bigram_lm_hand_replication(spark):
+    """Tiny corpus replicated in pure Python: capped vocab with <unk>
+    mapping, exact bigram ratios, rational lambda, 6dp micro-unit
+    mean."""
+    import math
+
+    from centimators_spark.text.analysis import bigram_lm_score
+
+    docs = [(1, "a b a b c"), (2, "a a"), (3, "x"), (4, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_pairs, r.bigram_logprob)
+        for r in bigram_lm_score(df, vocab_cap=3).collect()
+    }
+    # top-3 vocab: a(4), b(2), c(1) [ties c<x]; x -> <unk>
+    uni = {"a": 4, "b": 2, "c": 1, "<unk>": 1}
+    N, V = 8, 4
+    big = {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1, ("a", "a"): 1}
+
+    def lp(w1, w2):
+        pb = big.get((w1, w2), 0) / uni[w1]
+        pu = (uni[w2] + 1.0) / (N + 1.0 * V)
+        return round(math.log((8 * pb + 2 * pu) / 10), 6)
+
+    def doc_score(pairs):
+        us = [int(round(lp(a, b) * 1e6)) for a, b in pairs]
+        return round(sum(us) / 1e6 / len(us), 6)
+
+    assert got[1] == (4, doc_score([("a", "b"), ("b", "a"), ("a", "b"),
+                                    ("b", "c")]))
+    assert got[2] == (1, doc_score([("a", "a")]))
+    assert got[3] == (0, None)
+    assert got[4] == (0, None)

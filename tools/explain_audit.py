@@ -839,6 +839,14 @@ def main():
         "Window" not in p and "EvalPython" not in p
         and "Join" not in p and "Generate" in p,
     )
+    p = plan_of(st["bigram_lm"](spark, sf_dir))
+    ok &= audit(
+        "bigram_lm: OOV mapping and unigram tables are BROADCAST"
+        " joins; pair construction is a lead() window partitioned BY"
+        " DOC (never a global sort); no Python",
+        "BroadcastHashJoin" in p and "EvalPython" not in p
+        and "windowspecdefinition(doc_id" in p,
+    )
     p = plan_of(st["cms_heavy_hitters"](spark, sf_dir))
     ok &= audit(
         "cms_heavy_hitters: cell counts are map-side-combined"
