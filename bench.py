@@ -117,6 +117,15 @@ def main():
     import __spark_entry__ as entrymod
 
     all_names = list(entrymod.queries())
+    # family-aware chunking (bench-only reorder; the driver window is
+    # queries()' order, untouched): queries sharing a session artifact
+    # must land in the SAME fresh-JVM chunk or the artifact rebuilds —
+    # containment_pairs shares the gram inverted index with
+    # dedup_ngram_jaccard/blocking_quality (chunk 0 in window order)
+    for follower, leader in [("containment_pairs", "dedup_ngram_jaccard")]:
+        if follower in all_names and leader in all_names:
+            all_names.remove(follower)
+            all_names.insert(all_names.index(leader) + 1, follower)
     if "--single-session" in sys.argv:
         timings = run_queries(all_names)
     else:
