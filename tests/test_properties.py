@@ -591,3 +591,45 @@ def test_bpe_apply_matches_python_merge_pass(spark, docs, rules):
     got = {d: [t for _, t in sorted(v)] for d, v in got.items()}
     for d, toks in expected.items():
         assert got.get(d, []) == toks, (d, docs[d], rules)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cc_star_matches_fixpoint_on_random_graphs(spark, edges):
+    """Star-contraction CC == the min-label/union-find CC on arbitrary
+    random edge lists (self-loops and duplicates included)."""
+    from centimators_spark.dedup.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    exact = {(r.node, r.cluster) for r in connected_components(df).collect()}
+    star = {
+        (r.node, r.cluster)
+        for r in connected_components_star(df).collect()
+    }
+    # the fixpoint path keeps self-loop-only nodes (u,u) as singleton
+    # clusters; the star path drops u==v edges up front — compare on
+    # the shared node set and require the star set to be the exact set
+    # minus (possibly) pure-self-loop singletons
+    only_exact = exact - star
+    assert star <= exact
+    assert all(n == c for n, c in only_exact)  # singletons only
+    star_nodes = {n for n, _ in star}
+    assert all(
+        n in star_nodes or n == c for n, c in exact
+    )
