@@ -4127,10 +4127,39 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit (analytics.k_anonymity): equivalence-class
+    size profile of customers under the quasi-identifiers (nation,
+    market segment, account-balance hundreds bucket) — the privacy
+    sibling of text_pii_mask; plain integer chained aggregations."""
+    from centimators_spark.analytics import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_h"),
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment", "bal_h"], k=5
+    )
+
+
+def _k_anonymity_oracle() -> str:
+    from centimators_spark.analytics import k_anonymity_oracle_sql
+
+    return k_anonymity_oracle_sql(
+        "(SELECT c_nationkey, c_mktsegment,"
+        " CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_h FROM customer)",
+        ["c_nationkey", "c_mktsegment", "bal_h"],
+        k=5,
+    )
+
+
 def _r10_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bigram_lm": q_bigram_lm,
+        "k_anonymity": q_k_anonymity,
         "bpe_encode": q_bpe_encode,
         "bpe_train_rounds": q_bpe_train_rounds,
         "boosted_stumps": q_boosted_stumps,
@@ -4158,6 +4187,7 @@ def _r10_staged_oracles() -> dict[str, str]:
         "bigram_lm": __import__(
             "centimators_spark.text.analysis", fromlist=["x"]
         ).bigram_lm_oracle_sql("documents", vocab_cap=BIGRAM_VOCAB_CAP),
+        "k_anonymity": _k_anonymity_oracle(),
         "bpe_encode": bpe_train_apply_oracle_sql("documents"),
         "bpe_train_rounds": bpe_train_rounds_oracle_sql("documents"),
         "boosted_stumps": _boosted_stumps_oracle(),

@@ -898,3 +898,59 @@ def rfm_segments_oracle_sql(
                  || CAST({m} AS VARCHAR) AS segment
         FROM base
     """
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """K-anonymity audit (Sweeney 2002) — the privacy-pipeline
+    sibling of the PII masker: group rows into equivalence classes by
+    the quasi-identifier columns and profile the class-size
+    distribution. A release is k-anonymous iff no class is smaller
+    than k; the violating share tells you how much suppression or
+    generalization is still needed.
+
+    Output: one row per distinct class size — (class_size, n_classes,
+    n_rows, violates_k) — plain integers sorted by class_size. Plan:
+    two chained aggregations (rows→classes, classes→size profile),
+    both map-side combined; the first groupBy is the only data-sized
+    shuffle, exactly a distinct-count's cost."""
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).cast("long").alias("__sz")
+    )
+    return (
+        classes.groupBy(F.col("__sz").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("__sz").cast("long").alias("n_rows"),
+        )
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < F.lit(int(k))).alias("violates_k"),
+        )
+        .orderBy("class_size")
+    )
+
+
+def k_anonymity_oracle_sql(
+    table: str,
+    quasi_identifier_sqls: list[str],
+    k: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`k_anonymity`."""
+    qi = ", ".join(quasi_identifier_sqls)
+    return f"""
+        WITH classes AS (
+          SELECT {qi}, CAST(count(*) AS BIGINT) AS sz
+          FROM {table} GROUP BY {qi}
+        )
+        SELECT sz AS class_size,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(sz) AS BIGINT) AS n_rows,
+               sz < {int(k)} AS violates_k
+        FROM classes GROUP BY sz ORDER BY sz
+    """

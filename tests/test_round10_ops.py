@@ -295,3 +295,21 @@ def test_bigram_lm_hand_replication(spark):
     assert got[2] == (1, doc_score([("a", "a")]))
     assert got[3] == (0, None)
     assert got[4] == (0, None)
+
+
+def test_k_anonymity_hand_case(spark):
+    """Class-size profile and violation flags on a hand-built table."""
+    from centimators_spark.analytics import k_anonymity
+
+    rows = (
+        [("us", "a")] * 5      # one class of 5 (safe at k=5)
+        + [("us", "b")] * 2    # class of 2 (violates)
+        + [("de", "a")]        # class of 1 (violates)
+        + [("de", "b")] * 2    # class of 2
+    )
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    got = {
+        r.class_size: (r.n_classes, r.n_rows, r.violates_k)
+        for r in k_anonymity(df, ["nation", "seg"], k=5).collect()
+    }
+    assert got == {1: (1, 1, True), 2: (2, 4, True), 5: (1, 5, False)}

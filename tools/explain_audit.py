@@ -839,6 +839,13 @@ def main():
         "Window" not in p and "EvalPython" not in p
         and "Join" not in p and "Generate" in p,
     )
+    p = plan_of(st["k_anonymity"](spark, sf_dir))
+    ok &= audit(
+        "k_anonymity: two chained map-side-combined aggregations"
+        " (partial_count) — no window, no join, no Python",
+        "partial_count" in p and "Window" not in p
+        and "Join" not in p and "EvalPython" not in p,
+    )
     p = plan_of(st["bigram_lm"](spark, sf_dir))
     ok &= audit(
         "bigram_lm: OOV mapping and unigram tables are BROADCAST"
