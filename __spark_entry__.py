@@ -1455,9 +1455,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with `check_oracle --staged`, then promote into this head and
     rotate long-stable greens to the tail."""
     out = {
-        # --- promoted round-9 staged queries (gate-green at sf0.001 +
-        # sf0.01, plan-audited [133 assertions], 10x-probed, degenerate-
-        # clean; never driver-checked — verdict r8 item 1) ---
+        # --- promoted round-10 staged queries (gate-green at sf0.001 +
+        # sf0.01, plan-audited [138 assertions], 10x-probed, degenerate-
+        # clean, judge-re-verified 11/11; never driver-checked — verdict
+        # r9 item 1) ---
+        **_r10_staged(),
+        # --- promoted round-9 staged queries (driver-green r9) ---
         "top_supplier": relational_queries.q_top_supplier,
         "small_lot_revenue": relational_queries.q_small_lot_revenue,
         "volume_dominant_supplier": (
@@ -1677,56 +1680,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
-    # round-9 drift re-verification (r8 verdict item 1): behind the 11
-    # never-verified promoted queries, rotate the OLDEST-verified greens
-    # — the full r2-era set (last driver-checked in CORRECTNESS_r02,
-    # including the two bench-drift-weak queries linear_regression and
-    # dedup_ngram_jaccard, r8 verdict item 2, and the drift-rotation
-    # dedup_clusters) plus the six oldest r3-era greens (incl.
-    # corpus_clean, r8 verdict item 6) — 11 + 33 + 6 = exactly the
-    # driver's 50-query window
+    # round-10 drift re-verification (r9 verdict items 1+6): behind the
+    # 11 never-verified promoted queries, rotate the OLDEST-verified
+    # greens — the 18 r3-era greens never re-checked since
+    # CORRECTNESS_r03 plus the 21-query alphabetical head of the 30
+    # r4-era greens (last checked CORRECTNESS_r04) — 11 + 18 + 21 =
+    # exactly the driver's 50-query window. ROTATION DEBT (r9 verdict
+    # item 6): the remaining 9 r4-era greens scheduled for the round-11
+    # window head are robust_zscore, rolling_corr_ewma, salted_join,
+    # session_ids, shipping_priority, string_agg_segment,
+    # top_orders_per_segment, volume_shipping, window_navigation.
     head = list(out)[:11] + [
-        # r2-era greens, never re-checked since CORRECTNESS_r02
-        "ann_rp_lsh",
-        "asof_join",
-        "dedup_clusters",
-        "dedup_embedding_cosine",
-        "dedup_ngram_jaccard",
-        "diff_transformer",
-        "dim_reducer_pca",
-        "doc_fingerprint",
-        "doc_string_funcs",
-        "events_percentiles",
-        "events_windowed_counts",
-        "exists_customers",
-        "expanding_aggregates",
-        "feature_neutralizer",
-        "feature_penalizer",
-        "full_outer_activity",
-        "hash_split_sample",
-        "linear_regression",
-        "neutralize_ols_era",
-        "pack_sequences",
-        "pricing_summary",
-        "rolling_aggregates",
-        "rollup_revenue",
-        "set_ops_customers",
-        "simhash_fingerprint",
-        "simhash_pairs",
-        "spearman_by_month",
-        "sql_returned_revenue",
-        "text_language_id",
-        "text_quality_score",
-        "text_token_counts",
-        "tfidf_topk",
-        "window_distribution",
-        # oldest r3-era greens (last checked CORRECTNESS_r03)
-        "corpus_clean",
-        "semantic_dedup",
-        "ngram_contamination",
-        "text_repetition",
-        "url_dedup",
-        "anomaly_flags",
+        # r3-era greens, never re-checked since CORRECTNESS_r03
+        "ann_rp_lsh_recall",
+        "char_entropy",
+        "doc_chunks",
+        "feature_hash",
+        "mixture_sample",
+        "neutralizer_full_expr",
+        "panel_features",
+        "pca_project_expr",
+        "quantile_bin",
+        "resample_ffill",
+        "stratified_sample",
+        "target_encode_loo",
+        "temperature_mixture",
+        "text_c4_filters",
+        "text_normalize",
+        "text_pii_mask",
+        "token_positions",
+        "unigram_lm",
+        # r4-era greens, alphabetical head (last checked CORRECTNESS_r04)
+        "above_avg_orders",
+        "autocorrelation",
+        "calendar_features",
+        "cube_revenue",
+        "distinct_counts",
+        "era_report",
+        "era_weights",
+        "event_funnel",
+        "events_interval_join",
+        "events_json_extract",
+        "events_sessionize",
+        "forward_returns",
+        "grouping_sets_revenue",
+        "interval_band_join",
+        "large_orders",
+        "one_hot_segments",
+        "page_hinkley",
+        "pivot_revenue",
+        "range_frame_sums",
+        "regional_revenue",
+        "retention_cohorts",
     ]
     pulled = {k: out.pop(k) for k in head if k in out}
     return {**pulled, **out}
@@ -2377,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         **_promoted_r7_oracle_sql(),
         **_promoted_r8_oracle_sql(),
         **_promoted_r9_oracle_sql(),
+        **_r10_staged_oracles(),
         "dspymator_contract": DSPYMATOR_CONTRACT_ORACLE,
         "penalizer_contract": _penalizer_contract_oracle(),
         # kernel-contract claims: every key-unique row agrees within the
@@ -3944,18 +3950,27 @@ def _vector_pipeline_oracle() -> str:
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
-    the round-10 candidate set, gate-checked by
+    the round-11 candidate set, gate-checked by
     tests/test_staged_queries.py and `check_oracle --staged`. (The
-    round-9 set — Q15/Q17/Q20 shapes, association rules, SQ8 recall,
-    logistic IRLS, BPE pair merges, RFM segments, label propagation,
-    LSH blocking quality, weighted quantiles — was promoted into
-    queries() this round.)"""
-    return _r10_staged()
+    round-10 set — cms_heavy_hitters, bigram_lm, k_anonymity,
+    bpe_encode, bpe_train_rounds, boosted_stumps, mmr_rerank,
+    dedup_clusters_star, nation_profit, shipmode_priority,
+    filtered_supplier_counts — was promoted into queries() this
+    round.)"""
+    return _r11_staged()
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
-    return _r10_staged_oracles()
+    return _r11_staged_oracles()
+
+
+def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {}
+
+
+def _r11_staged_oracles() -> dict[str, str]:
+    return {}
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -193,10 +193,14 @@ def connected_components_star(
     node id, edge set eagerly checkpointed (each round reads it twice
     — an unpinned loop doubles the plan per round). Edges only ever
     move toward smaller parents, so the edge count never grows past
-    the input and the set converges to per-component stars."""
+    the input and the set converges to per-component stars.
+
+    Nodes whose only edges are self-loops are kept as singleton
+    clusters (same contract as :func:`connected_components`): they are
+    unioned back in as (node, node) after the contraction."""
+    raw = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     edges = (
-        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .where(F.col("u") != F.col("v"))
+        raw.where(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("hi"),
             F.least("u", "v").alias("lo"),
@@ -204,9 +208,24 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # self-loop-only nodes: present in the input but filtered out of the
+    # non-self edge set — they must surface as singleton clusters, not
+    # silently vanish (connected_components keeps them)
+    selfloop_only = (
+        raw.where(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .join(
+            edges.select(F.col("hi").alias("node"))
+            .unionAll(edges.select(F.col("lo").alias("node")))
+            .distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.col("node").alias("cluster"))
+    )
     if not edges.take(1):
-        spark = pairs.sparkSession
-        return spark.createDataFrame([], "node long, cluster long")
+        return selfloop_only
     converged = False
     for _ in range(int(max_iter)):
         # -- large-star: every node u attaches its STRICTLY GREATER
@@ -261,4 +280,5 @@ def connected_components_star(
             )
         )
         .distinct()
+        .unionAll(selfloop_only)
     )

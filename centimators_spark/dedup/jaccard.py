@@ -15,6 +15,8 @@ bit-identical across engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,15 +91,20 @@ def ngram_jaccard_pairs(
     # size-incompatible postings pairs are dropped BEFORE the pair-count
     # shuffle — exact-preserving for the thresholded output, and at 100 TB
     # it is the difference between shuffling every co-gram pair and only
-    # the plausible ones.
+    # the plausible ones. The bound is evaluated in INTEGER arithmetic
+    # (min·10⁶ ≥ floor(t·10⁶)·max) with the rational rounded DOWN, so an
+    # exact-boundary pair (jaccard == t) can never be dropped by one ulp
+    # of double rounding — the final `jaccard >= t` filter stays the
+    # authoritative test.
+    t_num = int(math.floor(threshold * 10**6))
     shared = (
         invn.alias("a")
         .join(invn.alias("b"), "g")
         .where(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
-                F.least(F.col("a.n"), F.col("b.n"))
-                >= F.lit(threshold) * F.greatest(F.col("a.n"), F.col("b.n"))
+                F.least(F.col("a.n"), F.col("b.n")) * F.lit(10**6)
+                >= F.lit(t_num) * F.greatest(F.col("a.n"), F.col("b.n"))
             )
         )
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))

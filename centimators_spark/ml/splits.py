@@ -266,9 +266,15 @@ def boosted_stumps(
             "__s",
             _floor_div(num, den).cast("long").alias("score"),
         )
+        # nulls FIRST in the argmax sort: a decimal(38,0) overflow past
+        # the documented |sum y²·n| bound yields NULL under non-ANSI
+        # Spark — sorting it first makes the overflow surface as a loud
+        # error below instead of silently excluding that candidate
         top = (
             scored.orderBy(
-                F.col("score").desc(), F.col("feature"), F.col("v")
+                F.col("score").desc_nulls_first(),
+                F.col("feature"),
+                F.col("v"),
             )
             .limit(1)
             .collect()
@@ -276,6 +282,12 @@ def boosted_stumps(
         if not top:
             break
         t = top[0]
+        if t.score is None:
+            raise ValueError(
+                "boosted_stumps: split-score overflow (decimal(38,0) "
+                "carrier) — |residual sums| exceed the documented "
+                "~1e16 bound; rescale the target"
+            )
         c_left = _int_floor(t.s_l, 2 * t.n_l)
         c_right = _int_floor(t["__s"] - t.s_l, 2 * (t["__n"] - t.n_l))
         model.append(

@@ -49,22 +49,27 @@ def mmr_diversify(
     with max_sim = max over selected of round(cos, 6)."""
     q, i, v, r = query_id_col, id_col, vec_col, rel_col
     pool = pool.select(q, i, v, r).localCheckpoint(eager=True)
+    spark = pool.sparkSession
+    key_schema = pool.select(q, i).schema
     picked: list[tuple] = []  # (query_id, pick, vec_id, mmr)
 
-    def _is_picked(col_q, col_i):
-        cond = F.lit(False)
-        for pq, _, pi, _ in picked:
-            cond = cond | ((col_q == F.lit(pq)) & (col_i == F.lit(pi)))
-        return cond
+    def _picked_keys() -> DataFrame:
+        # broadcast (query_id, vec_id) key frame instead of an O(n·k)
+        # literal OR-chain re-planned (and applied twice) every step —
+        # predicate size stays constant however many queries fan out
+        return spark.createDataFrame(
+            [(pq, pi) for pq, _, pi, _ in picked], key_schema
+        )
 
     for t in range(1, int(k) + 1):
         if not picked:
             scored = pool.select(q, i, F.col(r).alias("mmr"))
         else:
-            sel = pool.where(_is_picked(F.col(q), F.col(i))).select(
+            keys = F.broadcast(_picked_keys())
+            sel = pool.join(keys, [q, i]).select(
                 F.col(q).alias("__sq"), F.col(v).alias("__sv")
             )
-            cand = pool.where(~_is_picked(F.col(q), F.col(i)))
+            cand = pool.join(keys, [q, i], "left_anti")
             sims = cand.join(
                 F.broadcast(sel), cand[q] == F.col("__sq")
             ).select(
@@ -103,7 +108,6 @@ def mmr_diversify(
             break
         for row in top:
             picked.append((row[q], t, row[i], float(row["mmr"])))
-    spark = pool.sparkSession
     return spark.createDataFrame(
         sorted(picked),
         f"{q} long, pick long, {i} long, mmr double",

@@ -74,30 +74,28 @@ def test_unverified_queries_inside_driver_window():
     names = list(entrymod.queries())
     window = set(names[:50])
     must_check = {
-        # never driver-verified (promoted this round)
-        "top_supplier",
-        "small_lot_revenue",
-        "volume_dominant_supplier",
-        "association_rules",
-        "sq8_recall_contract",
-        "logistic_irls",
-        "bpe_pair_merges",
-        "rfm_segments",
-        "label_propagation",
-        "blocking_quality",
-        "weighted_quantiles",
-        # drift re-verification: the two bench-drift-weak queries (r8
-        # verdict item 2) and the two long-session drift-rotation
-        # queries (item 6) must be in this round's window
-        "linear_regression",
-        "dedup_ngram_jaccard",
-        "dedup_clusters",
-        "corpus_clean",
+        # never driver-verified (promoted this round — r9 verdict item 1)
+        "cms_heavy_hitters",
+        "bigram_lm",
+        "k_anonymity",
+        "bpe_encode",
+        "bpe_train_rounds",
+        "boosted_stumps",
+        "mmr_rerank",
+        "dedup_clusters_star",
+        "nation_profit",
+        "shipmode_priority",
+        "filtered_supplier_counts",
+        # drift re-verification: the r9 drift watch-list members that
+        # sit in the r3-era rotation pool must be in this round's window
+        "panel_features",
+        "pca_project_expr",
+        "neutralizer_full_expr",
     }
     assert must_check <= window, must_check - window
     # everything in the rotation window behind the promoted head must
-    # be r2/r3-era greens — the oldest-verified pool
-    assert "ann_rp_lsh" in window and "semantic_dedup" in window
+    # be r3/r4-era greens — the oldest-verified pool
+    assert "ann_rp_lsh_recall" in window and "retention_cohorts" in window
 
 
 def test_compare_flags_int_float_dtype_mismatch():

@@ -1091,10 +1091,8 @@ def test_bottleneck_encoder_dual_loss_training_end_to_end(spark):
             learning_rate=0.05, epochs=2, batch_size=8,
         )
         est.fit(df)
-        hist = est.model.fit_calls and est.model
         h = est.model
-        # the stub records history on the return of fit(); re-fit one
-        # epoch to capture it directly
+        # re-fit one epoch directly to assert the dual-head loss path
         import keras  # stub
 
         X = np.array([[r[0], r[1]] for r in rows])

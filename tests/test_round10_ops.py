@@ -179,6 +179,10 @@ def test_cc_star_matches_union_find_on_adversarial_graphs(spark):
         + [(i, j) for i in range(10, 14) for j in range(i + 1, 14)],
         "star": [(50, i) for i in range(40)],
         "self_and_dup": [(1, 2), (2, 1), (3, 3), (2, 3)],
+        # node 9's ONLY edge is a self-loop: both variants must keep it
+        # as a singleton cluster (advice r9: star used to drop it)
+        "selfloop_only": [(1, 2), (9, 9)],
+        "all_selfloops": [(4, 4), (7, 7)],
     }
     rng = random.Random(13)
     cases["random"] = [
@@ -194,8 +198,7 @@ def test_cc_star_matches_union_find_on_adversarial_graphs(spark):
             (r.node, r.cluster)
             for r in connected_components_star(df).collect()
         }
-        # union-find includes isolated self-loop nodes (3,3) only if
-        # they appear; both paths drop u==v edges identically
+        # both variants keep self-loop-only nodes as singleton clusters
         assert star == exact, name
 
 
