@@ -196,7 +196,27 @@ def q_neutralizer_full_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     standardize → global min-max — as ONE pure-expression plan with a
     bit-exact composed oracle. The 6dp-rounded gaussian values scale by
     1e6 into exact integers, so the decimal-Gram/Cramer machinery of
-    era_ols_neutralize applies unchanged."""
+    era_ols_neutralize applies unchanged.
+
+    The RESULT is a session-shared artifact (r9 verdict item 2):
+    neutralizer_kernel_contract consumes the identical twin frame, so
+    within one session/bench-chunk the windowed gaussianize + OLS plan
+    — the most expensive lineage in the suite — executes once, not
+    three times (twin query + contract's twin side)."""
+    from centimators_spark.plans.datapipe_queries import (
+        _shared_df_artifact,
+    )
+
+    return _shared_df_artifact(
+        spark,
+        (sf_dir, "neutralizer_twin"),
+        lambda: _neutralizer_full_expr_plan(spark, sf_dir),
+    )
+
+
+def _neutralizer_full_expr_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     from centimators_spark.operators.neutralization import (
         era_ols_neutralize,
         gaussianize_expr,
@@ -651,13 +671,22 @@ def q_penalizer_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _unique_key_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The key-unique subset of lineitem — (l_orderkey, l_linenumber)
     pairs appearing exactly once; a well-defined join domain both
-    engines agree on."""
-    return (
-        _lineitem(spark, sf_dir)
-        .groupBy(*KEYS)
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") == 1)
-        .select(*KEYS)
+    engines agree on. Session-shared: both kernel contracts
+    (neutralizer, PCA) join against the same set."""
+    from centimators_spark.plans.datapipe_queries import (
+        _shared_df_artifact,
+    )
+
+    return _shared_df_artifact(
+        spark,
+        (sf_dir, "unique_key_rows"),
+        lambda: (
+            _lineitem(spark, sf_dir)
+            .groupBy(*KEYS)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") == 1)
+            .select(*KEYS)
+        ),
     )
 
 
@@ -3982,7 +4011,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the DuckDB twin is exact."""
     from centimators_spark.text.cooccur import bpe_train_apply
 
-    return bpe_train_apply(load_table(spark, sf_dir, "documents"))
+    # output="exploded" is the CONTRACT adapter (every token a hashable
+    # row); the library default is the per-doc token ARRAY column —
+    # ~1× at any scale instead of the output-bound 7× (r9 item 3)
+    return bpe_train_apply(
+        load_table(spark, sf_dir, "documents"), output="exploded"
+    )
 
 
 def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -121,8 +121,14 @@ def main():
     # queries()' order, untouched): queries sharing a session artifact
     # must land in the SAME fresh-JVM chunk or the artifact rebuilds —
     # containment_pairs shares the gram inverted index with
-    # dedup_ngram_jaccard/blocking_quality (chunk 0 in window order)
-    for follower, leader in [("containment_pairs", "dedup_ngram_jaccard")]:
+    # dedup_ngram_jaccard/blocking_quality; neutralizer_kernel_contract
+    # consumes neutralizer_full_expr's shared twin frame (r9 verdict
+    # item 2) and both kernel contracts share the unique-key-rows set
+    for follower, leader in [
+        ("containment_pairs", "dedup_ngram_jaccard"),
+        ("neutralizer_kernel_contract", "neutralizer_full_expr"),
+        ("pca_kernel_contract", "neutralizer_kernel_contract"),
+    ]:
         if follower in all_names and leader in all_names:
             all_names.remove(follower)
             all_names.insert(all_names.index(leader) + 1, follower)

@@ -242,6 +242,7 @@ def bpe_apply(
     *,
     content_col: str = "text",
     id_col: str = "doc_id",
+    output: str = "array",
 ) -> DataFrame:
     """Apply an ordered BPE merge table to every document — the
     serving/encode half of the tokenizer pipeline whose training
@@ -264,9 +265,21 @@ def bpe_apply(
     no characters under the doubled separator. The whole encode is a
     static chain of len(merges) built-in string replaces: pure
     whole-stage codegen, no lambda/HOF, no Python, shuffle-free per
-    row; DuckDB's ``replace`` is character-identical. Returns
-    (doc_id, pos, token) with 0-based pos."""
+    row; DuckDB's ``replace`` is character-identical.
+
+    ``output="array"`` (default, the production/100 TB mode) returns
+    (doc_id, tokens array<string>) — one output row per document, so
+    the encode stays ~1× at any scale. ``output="exploded"`` returns
+    (doc_id, pos, token) with 0-based pos — the hash-verification
+    contract shape (every token a row; output-bound, 7× at 10× —
+    r9 verdict item 3 made it opt-in rather than the default)."""
     out = _encoded_tokens(content_col, merges)
+    if output == "array":
+        return df.select(
+            F.col(id_col).alias("doc_id"), out.alias("tokens")
+        )
+    if output != "exploded":
+        raise ValueError(f"output must be 'array' or 'exploded': {output}")
     exploded = df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(out).alias("pos", "token")
     )
@@ -467,6 +480,7 @@ def bpe_train_apply(
     id_col: str = "doc_id",
     n_merges: int = 8,
     min_count: int = 2,
+    output: str = "array",
 ) -> DataFrame:
     """One-round BPE train→encode: learn the top ``n_merges`` pair
     merges from the corpus (:func:`bpe_pair_merges` — deterministic
@@ -474,14 +488,18 @@ def bpe_train_apply(
     :func:`bpe_apply`. The merge table is a bounded collect
     (n_merges×2 strings — the literal-centroid discipline): it becomes
     LITERALS in the encode plan, exactly how a trained tokenizer ships
-    its merges file to serving."""
+    its merges file to serving. ``output`` as in :func:`bpe_apply`:
+    "array" (default, per-doc token arrays) or "exploded" (the
+    per-token contract shape)."""
     rules = [
         (r.w1, r.w2)
         for r in bpe_pair_merges(
             df, content_col=content_col, top_k=n_merges, min_count=min_count
         ).collect()
     ]
-    return bpe_apply(df, rules, content_col=content_col, id_col=id_col)
+    return bpe_apply(
+        df, rules, content_col=content_col, id_col=id_col, output=output
+    )
 
 
 def bpe_train_apply_oracle_sql(

@@ -586,7 +586,7 @@ def test_bpe_apply_matches_python_merge_pass(spark, docs, rules):
         "doc_id long, text string",
     )
     got = {}
-    for r in bpe_apply(df, rules).collect():
+    for r in bpe_apply(df, rules, output="exploded").collect():
         got.setdefault(r.doc_id, []).append((r.pos, r.token))
     got = {d: [t for _, t in sorted(v)] for d, v in got.items()}
     for d, toks in expected.items():

@@ -287,9 +287,8 @@ def test_bpe_apply_hand_trace(spark):
         (5, ""),           # no rows
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    out = bpe_apply(
-        df, [("a", "b"), ("x", "x"), ("a_b", "c")]
-    ).collect()
+    rules = [("a", "b"), ("x", "x"), ("a_b", "c")]
+    out = bpe_apply(df, rules, output="exploded").collect()
     enc = {}
     for r in out:
         enc.setdefault(r.doc_id, []).append((r.pos, r.token))
@@ -299,6 +298,10 @@ def test_bpe_apply_hand_trace(spark):
     assert seqs[3] == ["a_b_c"]
     assert seqs[4] == ["q"]
     assert 5 not in seqs
+    # default output="array" (the production/100 TB mode, r9 verdict
+    # item 3): one row per doc, tokens identical to the exploded shape
+    arr = {r.doc_id: list(r.tokens) for r in bpe_apply(df, rules).collect()}
+    assert arr == {**seqs, 5: []}
 
 
 def test_bpe_train_apply_matches_duckdb(spark):
@@ -317,7 +320,7 @@ def test_bpe_train_apply_matches_duckdb(spark):
         for i in range(5)
     ] + [(99, "one token pair one token"), (100, "")]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    sdf = bpe_train_apply(df, n_merges=4).toPandas()
+    sdf = bpe_train_apply(df, n_merges=4, output="exploded").toPandas()
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
     odf = con.execute(
