@@ -3994,12 +3994,50 @@ def staged_oracle_sql() -> dict[str, str]:
     return _r11_staged_oracles()
 
 
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup (r9 verdict item 4): deterministic grayscale
+    BMP corpus synthesized from doc ids (groups of 4 share a base
+    image; one member carries a single-pixel perturbation) → REAL BMP
+    decode (multimodal/columns._parse_bmp) → fixed-point integer DCT
+    pHash → Hamming-band blocked pairs (multimodal/phash.py). Every
+    step integer → the pair set is hash-proven; the band join is
+    recall-exact by pigeonhole, so the oracle's all-pairs Hamming at
+    gate SF is the same set."""
+    from centimators_spark.multimodal.phash import image_phash_dedup
+
+    return image_phash_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_theta_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch distinct-intersection audit (r9 verdict item
+    8): per source pair, how many distinct 3-gram shingles both
+    sources contain — k-minimum-values sketches (portable md5, k=128),
+    exact-integer theta/count/floor-div estimator, with the exact
+    intersection riding along as the accuracy witness
+    (sketches.theta_sketch_intersections). Fourth sketch family beside
+    HLL, the percentile sketch, and count-min."""
+    from centimators_spark.sketches import theta_sketch_intersections
+
+    return theta_sketch_intersections(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return {
+        "image_phash_dedup": q_image_phash_dedup,
+        "theta_intersections": q_theta_intersections,
+    }
 
 
 def _r11_staged_oracles() -> dict[str, str]:
-    return {}
+    from centimators_spark.multimodal.phash import image_phash_oracle_sql
+    from centimators_spark.sketches import theta_sketch_oracle_sql
+
+    return {
+        "image_phash_dedup": image_phash_oracle_sql("documents"),
+        "theta_intersections": theta_sketch_oracle_sql("documents"),
+    }
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

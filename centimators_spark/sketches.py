@@ -140,3 +140,198 @@ def cms_heavy_hitter_oracle_sql(
         FROM kb JOIN cells c ON c.i = kb.i AND c.bucket = kb.bucket
         GROUP BY kb.tok, kb.true_n
     """
+
+
+# ------------------------------------------------------------ theta/KMV
+
+THETA_K = 128
+THETA_SPACE = 1 << 60  # md5_long is 60 bits: hashes are uniform in [0, 2^60)
+_THETA_SALTS = 16
+
+
+def theta_sketch_intersections(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    by: str = "source",
+    k: int = THETA_K,
+    n: int = 3,
+) -> DataFrame:
+    """Theta/KMV sketch set-intersection audit (Dasgupta et al. 2016,
+    the DataSketches theta family) — "how many distinct items appear
+    in BOTH partitions", the question a 100 TB dedup audit asks per
+    source pair. Items are the distinct n-gram shingles per ``by``
+    group; the sketch is the k smallest portable-md5 hash values.
+
+    Per group: theta = the k-th smallest distinct hash (or 2^60 when
+    the group has fewer than k), retained set = hashes < theta. Per
+    group pair: theta = min(theta_a, theta_b), n_common = retained
+    hashes present in BOTH sides below theta, and the estimator
+    est_common = floor(n_common · 2^60 / theta) — EXACT integer
+    arithmetic end to end (decimal(38,0) carrier), so the whole
+    sketch, not a tolerance band, is hash-proven against the oracle
+    (the cms_heavy_hitters discipline). true_common (exact distinct
+    intersection) rides along so the contract also witnesses the
+    estimator's accuracy.
+
+    Scale: the k-smallest selection is TWO-PHASE — per (group, salt)
+    rank then per group rank over the ≤ k·S survivors — so no single
+    task sorts a whole group's distinct hashes (groups are few; a
+    one-phase per-group window is the skew hazard). The pair stage
+    joins SKETCHES (k rows per group — KBs), never corpora; the only
+    corpus-sized shuffles are the distinct and the exact-truth gram
+    join (drop true_common in production and the sketch join is the
+    ONLY pair cost — the point of theta sketches)."""
+    from centimators_spark.text.portable import token_ngrams
+
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(by).alias("g"),
+        F.explode(
+            token_ngrams(tokens(F.col(content_col)), n)
+        ).alias("gram"),
+    ).distinct()
+    hashes = grams.select(
+        "g", md5_long(F.col("gram")).alias("h")
+    ).distinct()
+    salted = hashes.withColumn("salt", F.pmod("h", F.lit(_THETA_SALTS)))
+    w1 = Window.partitionBy("g", "salt").orderBy("h")
+    w2 = Window.partitionBy("g").orderBy("h")
+    survivors = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("g", "h", "rn")
+        .localCheckpoint(eager=True)
+    )
+    thetas = survivors.groupBy("g").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("h"))),
+            F.lit(THETA_SPACE).cast("long"),
+        ).alias("theta")
+    )
+    retained = survivors.join(F.broadcast(thetas), "g").where(
+        F.col("h") < F.col("theta")
+    )
+    pairs = (
+        thetas.select(
+            F.col("g").alias("src_a"), F.col("theta").alias("ta")
+        )
+        .crossJoin(
+            F.broadcast(
+                thetas.select(
+                    F.col("g").alias("src_b"), F.col("theta").alias("tb")
+                )
+            )
+        )
+        .where(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a", "src_b", F.least("ta", "tb").alias("theta")
+        )
+    )
+    common = (
+        retained.select(F.col("g").alias("src_a"), "h")
+        .join(retained.select(F.col("g").alias("src_b"), "h"), "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(pairs), ["src_a", "src_b"])
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    truth = (
+        grams.select(F.col("g").alias("src_a"), "gram")
+        .join(grams.select(F.col("g").alias("src_b"), "gram"), "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_common"))
+    )
+    num = (
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("decimal(38,0)")
+        * F.lit(THETA_SPACE).cast("decimal(38,0)")
+    )
+    th = F.col("theta").cast("decimal(38,0)")
+    est = ((num - F.pmod(num, th)) / th).cast("decimal(38,0)")
+    return (
+        pairs.join(common, ["src_a", "src_b"], "left")
+        .join(truth, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "theta",
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("long")
+            .alias("n_common"),
+            est.cast("long").alias("est_common"),
+            F.coalesce(F.col("true_common"), F.lit(0))
+            .cast("long")
+            .alias("true_common"),
+        )
+    )
+
+
+def theta_sketch_oracle_sql(
+    table: str = "documents",
+    *,
+    content_sql: str = "text",
+    by_sql: str = "source",
+    k: int = THETA_K,
+    n: int = 3,
+) -> str:
+    """DuckDB mirror: identical md5 hashes, identical k-th-smallest
+    theta, identical HUGEINT floor-division estimator."""
+    from centimators_spark.text.portable import (
+        sql_token_ngrams,
+        sql_tokens,
+    )
+
+    tk = sql_tokens(content_sql)
+    return f"""
+        WITH grams AS (
+          SELECT DISTINCT {by_sql} AS g, unnest({sql_token_ngrams('tk', n)}) AS gram
+          FROM (SELECT {by_sql}, {tk} AS tk FROM {table})
+        ), hashes AS (
+          SELECT DISTINCT g, {sql_md5_long('gram')} AS h FROM grams
+        ), ranked AS (
+          SELECT g, h, row_number() OVER (
+            PARTITION BY g ORDER BY h) AS rn
+          FROM hashes
+        ), survivors AS (
+          SELECT g, h, rn FROM ranked WHERE rn <= {k}
+        ), thetas AS (
+          SELECT g, coalesce(
+            max(CASE WHEN rn = {k} THEN h END),
+            CAST({THETA_SPACE} AS BIGINT)) AS theta
+          FROM survivors GROUP BY g
+        ), retained AS (
+          SELECT s.g, s.h FROM survivors s
+          JOIN thetas t ON s.g = t.g WHERE s.h < t.theta
+        ), pairs AS (
+          SELECT a.g AS src_a, b.g AS src_b,
+                 least(a.theta, b.theta) AS theta
+          FROM thetas a JOIN thetas b ON a.g < b.g
+        ), common AS (
+          SELECT a.g AS src_a, b.g AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM retained a
+          JOIN retained b ON a.h = b.h AND a.g < b.g
+          JOIN pairs p ON p.src_a = a.g AND p.src_b = b.g
+          WHERE a.h < p.theta
+          GROUP BY a.g, b.g
+        ), truth AS (
+          SELECT a.g AS src_a, b.g AS src_b,
+                 CAST(count(*) AS BIGINT) AS true_common
+          FROM grams a
+          JOIN grams b ON a.gram = b.gram AND a.g < b.g
+          GROUP BY a.g, b.g
+        )
+        SELECT p.src_a, p.src_b, p.theta,
+               CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+               CAST((CAST(coalesce(c.n_common, 0) AS HUGEINT)
+                     * {THETA_SPACE}) // p.theta AS BIGINT) AS est_common,
+               CAST(coalesce(t.true_common, 0) AS BIGINT) AS true_common
+        FROM pairs p
+        LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
+        LEFT JOIN truth t ON t.src_a = p.src_a AND t.src_b = p.src_b
+    """

@@ -1,0 +1,174 @@
+"""Round-11 operator tests: multimodal pHash near-dup."""
+
+import numpy as np
+import pytest
+
+
+def test_bmp_encode_decode_round_trip():
+    """encode_bmp_gray emits REAL BMP bytes the product parser decodes
+    back to the exact integer pixels (incl. row padding, bottom-up)."""
+    from centimators_spark.multimodal.columns import _parse_bmp
+    from centimators_spark.multimodal.phash import (
+        encode_bmp_gray,
+        synth_pixels,
+    )
+
+    for doc_id in (0, 1, 2, 3, 17, 101):
+        p = synth_pixels(doc_id)
+        arr = _parse_bmp(encode_bmp_gray(p))
+        assert arr is not None and arr.shape == (8, 8, 3)
+        rec = np.rint(arr[:, :, 0] * 255).astype(np.int64)
+        assert (rec == p).all(), doc_id
+        # grayscale: all three channels equal
+        assert (arr[:, :, 0] == arr[:, :, 1]).all()
+
+
+def test_synth_pixels_family_structure():
+    """Groups of 4 ids share a base; offset 1 differs by exactly one
+    bumped pixel; offsets 2-3 are unrelated."""
+    from centimators_spark.multimodal.phash import BUMP, synth_pixels
+
+    base = synth_pixels(8)  # g=2, o=0
+    near = synth_pixels(9)  # g=2, o=1
+    diff = near - base
+    assert (diff != 0).sum() == 1 and diff.max() == BUMP
+    assert (synth_pixels(10) != base).sum() > 16  # unrelated image
+
+
+def test_dct_matrix_orthogonal_fixed_point():
+    """Tq/128 is the orthonormal DCT-II to fixed-point precision, so
+    the integer two-stage transform preserves image information."""
+    from centimators_spark.multimodal.phash import DCT_SCALE, _dct8_int
+
+    t = _dct8_int().astype(np.float64) / DCT_SCALE
+    assert np.abs(t @ t.T - np.eye(8)).max() < 0.02
+
+
+def test_hamming_band_pairs_pigeonhole_exact(spark):
+    """Band blocking finds EXACTLY the thresholded pair set (recall 1
+    by pigeonhole, precision 1 by the popcount verify) vs brute
+    force, on adversarial codes with differing bits packed into one
+    block."""
+    import itertools
+
+    from centimators_spark.multimodal.phash import hamming_band_pairs
+
+    codes = [
+        (1, 0b0),
+        (2, 0b111111),            # d(1,2)=6 — all diffs in block 0
+        (3, 0b1111111),           # d(1,3)=7 — just over threshold
+        (4, (1 << 62) | 0b11),    # spread across first and last block
+        (5, (1 << 62)),
+    ]
+    df = spark.createDataFrame(codes, "doc_id long, phash long")
+    got = {
+        (r.d1, r.d2, r.hamming)
+        for r in hamming_band_pairs(df, max_hamming=6).collect()
+    }
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(codes, 2):
+        h = bin(a ^ b).count("1")
+        if h <= 6:
+            want.add((min(i, j), max(i, j), h))
+    assert got == want
+    assert (1, 2, 6) in got and not any(
+        d1 == 1 and d2 == 3 for d1, d2, _ in got
+    )
+
+
+def test_image_phash_dedup_matches_oracle_small(spark):
+    """End-to-end (synth→decode→DCT hash→band pairs) vs the DuckDB
+    oracle on a 40-doc corpus — the staged-gate compare in miniature."""
+    import duckdb
+    import pandas as pd
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.multimodal.phash import (
+        image_phash_dedup,
+        image_phash_oracle_sql,
+    )
+
+    docs = [(i, f"doc {i}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf = image_phash_dedup(df).toPandas()
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    odf = con.execute(image_phash_oracle_sql("documents")).fetchdf()
+    assert len(sdf) >= 10  # one near-dup pair per group of 4
+    assert compare("image_phash_dedup_small", sdf, odf)
+
+
+def test_image_phash_plan_uses_band_join(spark):
+    """The pair stage must be a band-key equi-join, never a cartesian
+    product over images."""
+    from centimators_spark.multimodal.phash import image_phash_dedup
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(8)], "doc_id long, text string"
+    )
+    plan = image_phash_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "block_id" in plan or "block_val" in plan
+
+
+def test_theta_sketch_exact_when_k_exceeds_cardinality(spark):
+    """With k larger than every group's distinct-gram count the sketch
+    degenerates to the exact set: theta = 2^60, n_common == the true
+    intersection, and est_common == n_common (floor(n·2^60/2^60))."""
+    from centimators_spark.sketches import (
+        THETA_SPACE,
+        theta_sketch_intersections,
+    )
+
+    docs = [
+        (1, "a b c d e f", "s1"),
+        (2, "c d e f g h", "s2"),
+        (3, "x y z w v u", "s3"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    rows = {
+        (r.src_a, r.src_b): r
+        for r in theta_sketch_intersections(df, k=1000).collect()
+    }
+    assert len(rows) == 3
+    r12 = rows[("s1", "s2")]
+    # shared 3-grams of "a b c d e f" vs "c d e f g h": 'c d e','d e f'
+    assert r12.theta == THETA_SPACE
+    assert r12.n_common == r12.true_common == r12.est_common == 2
+    r13 = rows[("s1", "s3")]
+    assert r13.n_common == r13.true_common == r13.est_common == 0
+
+
+def test_theta_sketch_two_phase_topk_equals_one_phase(spark):
+    """The salted two-phase k-smallest selection must pick EXACTLY the
+    global k smallest hashes per group (the union of per-salt top-k
+    contains the global top-k)."""
+    import duckdb
+    import pandas as pd
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.sketches import (
+        theta_sketch_intersections,
+        theta_sketch_oracle_sql,
+    )
+
+    # enough distinct grams that k=16 truly subsamples
+    docs = [
+        (i, " ".join(f"w{(i * 37 + j) % 211}" for j in range(40)), f"s{i % 3}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    sdf = theta_sketch_intersections(df, k=16).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text", "source"]))
+    odf = con.execute(theta_sketch_oracle_sql("documents", k=16)).fetchdf()
+    assert (sdf["theta"] < (1 << 60)).all()  # real subsampling
+    assert compare("theta_two_phase", sdf, odf)

@@ -925,6 +925,20 @@ def main():
         or ("LeftAnti" in p and "BroadcastHashJoin" in p),
     )
 
+    # ---- round-10 staged set -----------------------------------------
+    p = plan_of(st["image_phash_dedup"](spark, sf_dir))
+    ok &= audit(
+        "image_phash_dedup: pair stage is the Hamming-band equi-join"
+        " (block_id/block_val key) over the CHECKPOINTED code table,"
+        " NEVER an all-pairs product — the synth/decode/hash Arrow"
+        " kernel chain executes once, not once per join side; no"
+        " row-at-a-time UDF anywhere",
+        "CartesianProduct" not in p
+        and "block_val" in p
+        and "MapInPandas" not in p  # lineage cut before the self-join
+        and "BatchEvalPython" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
