@@ -110,3 +110,18 @@ def test_cli_diff_and_benford(spark, capsys, tmp_path):
         "benford", f"{SF}/orders.parquet", "--col", "o_totalprice",
         "--threshold", "-1",
     ]) == 1
+
+
+def test_tutorial_smoke(spark, capsys):
+    """docs/tutorial.py must stay runnable end to end (r9 verdict item
+    7): panel features -> neutralization -> corpus clean -> pHash, on
+    sf0.001, finishing inside the suite's normal budget."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "docs" / "tutorial.py"
+    spec = importlib.util.spec_from_file_location("tutorial", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main("/root/testdata/sf0.001")
+    assert "tutorial: OK" in capsys.readouterr().out
