@@ -4023,20 +4023,72 @@ def q_theta_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-dup — the second modality of the multimodal dedup
+    family (multimodal/audiofp.py): deterministic int16 WAV corpus
+    from doc ids → REAL RIFF/PCM decode → Haitsma-Kalker
+    sign-of-energy-difference fingerprint (63 integer bits) →
+    Hamming-band blocked pairs. Same hash-proven discipline and band
+    join as image_phash_dedup."""
+    from centimators_spark.multimodal.audiofp import (
+        audio_fingerprint_dedup,
+    )
+
+    return audio_fingerprint_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (analytics.l_diversity) — the
+    privacy step after k_anonymity: per equivalence class of
+    (nation, balance-hundreds bucket), how many distinct market
+    segments — homogeneous classes leak the sensitive attribute even
+    when k-anonymous. Two chained map-side-combined integer
+    aggregations (the Expand count-distinct path)."""
+    from centimators_spark.analytics import l_diversity
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_h"),
+    )
+    return l_diversity(
+        cust, ["c_nationkey", "bal_h"], "c_mktsegment", l=2
+    )
+
+
 def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_phash_dedup": q_image_phash_dedup,
         "theta_intersections": q_theta_intersections,
+        "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        "l_diversity": q_l_diversity,
     }
 
 
 def _r11_staged_oracles() -> dict[str, str]:
+    from centimators_spark.analytics import l_diversity_oracle_sql
+    from centimators_spark.multimodal.audiofp import (
+        audio_fingerprint_oracle_sql,
+    )
     from centimators_spark.multimodal.phash import image_phash_oracle_sql
     from centimators_spark.sketches import theta_sketch_oracle_sql
 
     return {
         "image_phash_dedup": image_phash_oracle_sql("documents"),
         "theta_intersections": theta_sketch_oracle_sql("documents"),
+        "audio_fingerprint_dedup": audio_fingerprint_oracle_sql(
+            "documents"
+        ),
+        "l_diversity": l_diversity_oracle_sql(
+            "(SELECT c_nationkey, c_mktsegment,"
+            " CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_h"
+            " FROM customer)",
+            ["c_nationkey", "bal_h"],
+            "c_mktsegment",
+            l=2,
+        ),
     }
 
 

@@ -954,3 +954,68 @@ def k_anonymity_oracle_sql(
                sz < {int(k)} AS violates_k
         FROM classes GROUP BY sz ORDER BY sz
     """
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    step after :func:`k_anonymity`: a k-anonymous release still leaks
+    when an equivalence class is homogeneous in the SENSITIVE
+    attribute, so profile classes by how many distinct sensitive
+    values they contain. A release is (distinct) l-diverse iff every
+    class has ≥ l distinct sensitive values.
+
+    Output: one row per (class_size, n_sensitive) — (class_size,
+    n_sensitive, n_classes, n_rows, violates_l), plain integers. Plan:
+    one exact distinct-count aggregation over the quasi-identifier key
+    (Expand-based count-distinct — map-side combined) then the tiny
+    profile aggregation; the class groupBy is the only data-sized
+    shuffle, same cost class as k_anonymity."""
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).cast("long").alias("__sz"),
+        F.countDistinct(sensitive_col).cast("long").alias("__nd"),
+    )
+    return (
+        classes.groupBy(
+            F.col("__sz").alias("class_size"),
+            F.col("__nd").alias("n_sensitive"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("__sz").cast("long").alias("n_rows"),
+        )
+        .select(
+            "class_size",
+            "n_sensitive",
+            "n_classes",
+            "n_rows",
+            (F.col("n_sensitive") < F.lit(int(l))).alias("violates_l"),
+        )
+        .orderBy("class_size", "n_sensitive")
+    )
+
+
+def l_diversity_oracle_sql(
+    table: str,
+    quasi_identifier_sqls: list[str],
+    sensitive_sql: str,
+    l: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`l_diversity`."""
+    qi = ", ".join(quasi_identifier_sqls)
+    return f"""
+        WITH classes AS (
+          SELECT {qi}, CAST(count(*) AS BIGINT) AS sz,
+                 CAST(count(DISTINCT {sensitive_sql}) AS BIGINT) AS nd
+          FROM {table} GROUP BY {qi}
+        )
+        SELECT sz AS class_size, nd AS n_sensitive,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(sz) AS BIGINT) AS n_rows,
+               nd < {int(l)} AS violates_l
+        FROM classes GROUP BY sz, nd ORDER BY sz, nd
+    """

@@ -172,3 +172,71 @@ def test_theta_sketch_two_phase_topk_equals_one_phase(spark):
     odf = con.execute(theta_sketch_oracle_sql("documents", k=16)).fetchdf()
     assert (sdf["theta"] < (1 << 60)).all()  # real subsampling
     assert compare("theta_two_phase", sdf, odf)
+
+
+def test_wav_encode_decode_round_trip():
+    """encode_wav_int16 emits REAL RIFF/PCM bytes the product parser
+    decodes back to the exact int16 samples; out-of-range samples
+    raise instead of wrapping (the int16-overflow class caught by the
+    spark-vs-python differential during development)."""
+    from centimators_spark.multimodal.audiofp import (
+        encode_wav_int16,
+        synth_samples,
+    )
+    from centimators_spark.multimodal.columns import _parse_wav
+
+    for doc_id in (0, 1, 2, 5, 9, 42):
+        x = synth_samples(doc_id)
+        sr, nch, s = _parse_wav(encode_wav_int16(x))
+        assert (sr, nch) == (8000, 1)
+        assert (np.rint(s * 32768).astype(np.int64) == x).all(), doc_id
+    with pytest.raises(ValueError):
+        encode_wav_int16(np.array([40000], dtype=np.int64))
+
+
+def test_audio_fingerprint_matches_python(spark):
+    """The Arrow kernel's fingerprint == a pure-python recomputation
+    from the synth formula (decode round-trip included)."""
+    from centimators_spark.multimodal.audiofp import (
+        WIN,
+        audio_fingerprint,
+        synth_samples,
+        synth_wav_clips,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    got = {
+        r.doc_id: r.afp
+        for r in audio_fingerprint(synth_wav_clips(df)).collect()
+    }
+    for d in range(16):
+        x = synth_samples(d)
+        e = (x * x).reshape(64, WIN).sum(axis=1)
+        bits = e[1:] > e[:-1]
+        want = int((bits * (np.int64(1) << np.arange(63))).sum())
+        assert got[d] == want, d
+
+
+def test_l_diversity_hand_trace(spark):
+    """Hand-computed class profile: sizes, distinct sensitive counts,
+    and the violates_l flag."""
+    from centimators_spark.analytics import l_diversity
+
+    rows = [
+        # class (1, 0): 3 rows, segments {A, B} -> diverse
+        (1, 0, "A"), (1, 0, "B"), (1, 0, "A"),
+        # class (1, 1): 2 rows, segment {A} only -> violates l=2
+        (1, 1, "A"), (1, 1, "A"),
+        # class (2, 0): 1 row -> violates
+        (2, 0, "C"),
+    ]
+    df = spark.createDataFrame(rows, "nat long, bal long, seg string")
+    got = {
+        (r.class_size, r.n_sensitive): (r.n_classes, r.n_rows, r.violates_l)
+        for r in l_diversity(df, ["nat", "bal"], "seg", l=2).collect()
+    }
+    assert got == {
+        (3, 2): (1, 3, False),
+        (2, 1): (1, 2, True),
+        (1, 1): (1, 1, True),
+    }

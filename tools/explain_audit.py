@@ -939,6 +939,34 @@ def main():
         and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(st["audio_fingerprint_dedup"](spark, sf_dir))
+    ok &= audit(
+        "audio_fingerprint_dedup: same shape as the image path — band"
+        " equi-join over the checkpointed fingerprint table, no"
+        " cartesian, kernel chain cut before the self-join",
+        "CartesianProduct" not in p
+        and "block_val" in p
+        and "MapInPandas" not in p
+        and "BatchEvalPython" not in p,
+    )
+    p = plan_of(st["theta_intersections"](spark, sf_dir))
+    ok &= audit(
+        "theta_intersections: the pair stage joins SKETCHES (thetas"
+        " broadcast; retained sets are checkpointed k-row tables) —"
+        " the only cartesian is the group-pair universe over the tiny"
+        " theta table; no Python anywhere",
+        "EvalPython" not in p
+        and "BroadcastHashJoin" in p
+        and p.count("MapInPandas") == 0,
+    )
+    p = plan_of(st["l_diversity"](spark, sf_dir))
+    ok &= audit(
+        "l_diversity: two chained aggregations, Expand-based exact"
+        " count-distinct, map-side partials, no window, no Python",
+        "Expand" in p and "partial_" in p
+        and "Window" not in p and "EvalPython" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
