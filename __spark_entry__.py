@@ -4058,11 +4058,23 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup — third modality (multimodal/videofp.py):
+    deterministic RAWV clips → REAL frame-sampling stage
+    (sample_video_frames, every 4th frame) → per-frame integer DCT
+    pHash → per-position banded candidate join → verify EVERY sampled
+    position within the threshold (hamming = max over positions)."""
+    from centimators_spark.multimodal.videofp import video_phash_dedup
+
+    return video_phash_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_phash_dedup": q_image_phash_dedup,
         "theta_intersections": q_theta_intersections,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
+        "video_phash_dedup": q_video_phash_dedup,
         "l_diversity": q_l_diversity,
     }
 
@@ -4081,6 +4093,9 @@ def _r11_staged_oracles() -> dict[str, str]:
         "audio_fingerprint_dedup": audio_fingerprint_oracle_sql(
             "documents"
         ),
+        "video_phash_dedup": __import__(
+            "centimators_spark.multimodal.videofp", fromlist=["x"]
+        ).video_phash_oracle_sql("documents"),
         "l_diversity": l_diversity_oracle_sql(
             "(SELECT c_nationkey, c_mktsegment,"
             " CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_h"

@@ -240,3 +240,53 @@ def test_l_diversity_hand_trace(spark):
         (2, 1): (1, 2, True),
         (1, 1): (1, 1, True),
     }
+
+
+def test_video_phash_dedup_matches_oracle_small(spark):
+    """End-to-end (synth RAWV -> real frame sampling -> per-frame DCT
+    hash -> per-position band join -> all-positions verify) vs the
+    DuckDB oracle on a 40-doc corpus."""
+    import duckdb
+    import pandas as pd
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.multimodal.videofp import (
+        video_phash_dedup,
+        video_phash_oracle_sql,
+    )
+
+    docs = [(i, f"doc {i}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf = video_phash_dedup(df).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    odf = con.execute(video_phash_oracle_sql("documents")).fetchdf()
+    assert len(sdf) >= 10
+    assert compare("video_phash_small", sdf, odf)
+
+
+def test_video_frame_sampling_positions(spark):
+    """The REAL sample_video_frames stage yields exactly positions
+    0, 4, 8 of the 9-frame synthetic clips, 8x8 each."""
+    from centimators_spark.multimodal.columns import sample_video_frames
+    from centimators_spark.multimodal.videofp import (
+        EVERY_N,
+        synth_rawv_clips,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    clips = synth_rawv_clips(df).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "content"
+    )
+    frames = sample_video_frames(
+        clips, content_col="content", path_col="doc_id", every_n=EVERY_N
+    ).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.path, []).append(r.frame_index)
+        assert (r.width, r.height) == (8, 8)
+    assert all(sorted(v) == [0, 4, 8] for v in by_doc.values())

@@ -959,6 +959,17 @@ def main():
         and "BroadcastHashJoin" in p
         and p.count("MapInPandas") == 0,
     )
+    p = plan_of(st["video_phash_dedup"](spark, sf_dir))
+    ok &= audit(
+        "video_phash_dedup: per-position band equi-join over the"
+        " checkpointed frame-code table (frame_index in the join key),"
+        " no cartesian, kernel chain cut before the self-joins",
+        "CartesianProduct" not in p
+        and "block_val" in p
+        and "frame_index" in p
+        and "MapInPandas" not in p
+        and "BatchEvalPython" not in p,
+    )
     p = plan_of(st["l_diversity"](spark, sf_dir))
     ok &= audit(
         "l_diversity: two chained aggregations, Expand-based exact"
