@@ -972,9 +972,11 @@ def main():
     )
     p = plan_of(st["l_diversity"](spark, sf_dir))
     ok &= audit(
-        "l_diversity: two chained aggregations, Expand-based exact"
-        " count-distinct, map-side partials, no window, no Python",
-        "Expand" in p and "partial_" in p
+        "l_diversity: chained aggregations with the two-level"
+        " count-distinct rewrite (map-side partial on the"
+        " (qi, sensitive) key, then merged distinct count — no Expand"
+        " blow-up needed for one distinct agg), no window, no Python",
+        "partial_count(distinct" in p and "partial_" in p
         and "Window" not in p and "EvalPython" not in p,
     )
 
