@@ -4076,6 +4076,10 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup,
         "video_phash_dedup": q_video_phash_dedup,
         "l_diversity": q_l_diversity,
+        "multimodal_corpus_clean": q_multimodal_corpus_clean,
+        "theta_a_not_b": q_theta_a_not_b,
+        "order_priority_counts": q_order_priority_counts,
+        "forecast_revenue": q_forecast_revenue,
     }
 
 
@@ -4104,6 +4108,16 @@ def _r11_staged_oracles() -> dict[str, str]:
             "c_mktsegment",
             l=2,
         ),
+        "multimodal_corpus_clean": _multimodal_corpus_clean_oracle(),
+        "theta_a_not_b": __import__(
+            "centimators_spark.sketches", fromlist=["x"]
+        ).theta_a_not_b_oracle_sql("documents"),
+        "order_priority_counts": __import__(
+            "centimators_spark.plans.relational_queries", fromlist=["x"]
+        )._ORDER_PRIORITY_ORACLE,
+        "forecast_revenue": __import__(
+            "centimators_spark.plans.relational_queries", fromlist=["x"]
+        )._FORECAST_REVENUE_ORACLE,
     }
 
 
@@ -4906,3 +4920,150 @@ def _promoted_oracle_sql() -> dict[str, str]:
             SELECT 'foreign_key', 'o_custkey', v_fk = 0, v_fk FROM fk
         """,
     }
+
+
+# ---------------------------------------------------------------- r11+
+# staged additions (post-promotion work of round 10): theta A-NOT-B,
+# explicit TPC-H Q4/Q6, and the cross-modal composed flagship.
+
+MMCLEAN_MIN_TOKENS = 20
+MMCLEAN_PREFIX_TOKENS = 4
+MMCLEAN_MAX_HAMMING = 6
+
+
+def q_multimodal_corpus_clean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal composed flagship — the multimodal sibling of
+    corpus_clean, chaining THREE families in one lazy plan: (1) text
+    gate: keep docs with >= 20 whitespace tokens (token_counts); (2)
+    leading-boilerplate dedup: keep the min doc_id per md5 of the
+    first 4 tokens (the prefix twin of exact_dedup — the fixture has
+    no full-text dups, prefix collisions genuinely drop docs); (3)
+    image near-dup: synth BMP -> REAL decode -> integer DCT pHash ->
+    Hamming-band pairs over the SURVIVING ids only, drop every doc
+    that appears as the larger id of a qualifying pair. Output is the
+    per-source funnel (n_in / n_tokens_ok / n_prefix_unique /
+    n_final) — the audit table a 100 TB ingestion run reports.
+
+    Scale: each stage is linear and blocked (the pHash stage is the
+    pigeonhole band join, never all-pairs, and sees only survivors);
+    the funnel is four map-side-combined counts joined on a
+    20-value key. All-integer output: hash-proven end to end."""
+    from centimators_spark.multimodal.phash import image_phash_dedup
+    from centimators_spark.text.portable import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    tok = tokens(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.size(tok).alias("n_tok"),
+        F.md5(
+            F.array_join(F.slice(tok, 1, MMCLEAN_PREFIX_TOKENS), " ")
+        ).alias("pfx_md5"),
+    )
+    s1 = staged.where(F.col("n_tok") >= MMCLEAN_MIN_TOKENS)
+    keep = s1.groupBy("pfx_md5").agg(F.min("doc_id").alias("doc_id"))
+    s2 = s1.join(keep, ["pfx_md5", "doc_id"], "left_semi")
+    pairs = image_phash_dedup(
+        s2, max_hamming=MMCLEAN_MAX_HAMMING
+    )
+    drop = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    s3 = s2.join(drop, "doc_id", "left_anti")
+
+    def funnel(d: DataFrame, name: str) -> DataFrame:
+        return d.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    z = F.lit(0).cast("long")
+    return (
+        funnel(staged, "n_in")
+        .join(funnel(s1, "n_tokens_ok"), "source", "left")
+        .join(funnel(s2, "n_prefix_unique"), "source", "left")
+        .join(funnel(s3, "n_final"), "source", "left")
+        .select(
+            "source",
+            F.col("n_in"),
+            F.coalesce("n_tokens_ok", z).alias("n_tokens_ok"),
+            F.coalesce("n_prefix_unique", z).alias("n_prefix_unique"),
+            F.coalesce("n_final", z).alias("n_final"),
+        )
+    )
+
+
+def _multimodal_corpus_clean_oracle() -> str:
+    from centimators_spark.multimodal.phash import image_phash_oracle_sql
+    from centimators_spark.text.portable import sql_tokens
+
+    tok = sql_tokens("text")
+    pairs = image_phash_oracle_sql(
+        "(SELECT doc_id FROM s2)", max_hamming=MMCLEAN_MAX_HAMMING
+    )
+    return f"""
+        WITH staged AS (
+          SELECT doc_id, source, len(tk) AS n_tok,
+                 md5(array_to_string(
+                   tk[1:{MMCLEAN_PREFIX_TOKENS}], ' ')) AS pfx_md5
+          FROM (SELECT doc_id, source, text, {tok} AS tk
+                FROM documents)
+        ), s1 AS (
+          SELECT * FROM staged WHERE n_tok >= {MMCLEAN_MIN_TOKENS}
+        ), keep AS (
+          SELECT pfx_md5, min(doc_id) AS doc_id FROM s1 GROUP BY pfx_md5
+        ), s2 AS (
+          SELECT s1.* FROM s1
+          JOIN keep ON s1.pfx_md5 = keep.pfx_md5
+                   AND s1.doc_id = keep.doc_id
+        ), pairs AS ({pairs}
+        ), s3 AS (
+          SELECT * FROM s2
+          WHERE doc_id NOT IN (SELECT d2 FROM pairs)
+        )
+        SELECT i.source,
+               CAST(i.n_in AS BIGINT) AS n_in,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens_ok,
+               CAST(coalesce(b.n, 0) AS BIGINT) AS n_prefix_unique,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n_final
+        FROM (SELECT source, count(*) AS n_in FROM staged
+              GROUP BY source) i
+        LEFT JOIN (SELECT source, count(*) AS n FROM s1
+                   GROUP BY source) a ON a.source = i.source
+        LEFT JOIN (SELECT source, count(*) AS n FROM s2
+                   GROUP BY source) b ON b.source = i.source
+        LEFT JOIN (SELECT source, count(*) AS n FROM s3
+                   GROUP BY source) c ON c.source = i.source
+    """
+
+
+def q_theta_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV A-NOT-B set difference (the DataSketches a_not_b op,
+    sketches.theta_sketch_a_not_b): per ORDERED source pair, distinct
+    3-grams unique to A — the 'what would removing this source lose'
+    audit, completing the theta family beside the intersection. Exact
+    integer theta/count/floor-div estimator; true_diff witness."""
+    from centimators_spark.sketches import theta_sketch_a_not_b
+
+    return theta_sketch_a_not_b(load_table(spark, sf_dir, "documents"))
+
+
+def q_order_priority_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 explicit (plans/relational_queries.py): quarter's
+    orders with a >90-days-late lineitem, counted per priority — the
+    correlated EXISTS as one LEFT SEMI join, filters at the scan."""
+    from centimators_spark.plans import relational_queries
+
+    return relational_queries.q_order_priority_counts(spark, sf_dir)
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 explicit (plans/relational_queries.py): single-scan
+    filtered aggregate with exact integer cent carriers."""
+    from centimators_spark.plans import relational_queries
+
+    return relational_queries.q_forecast_revenue(spark, sf_dir)

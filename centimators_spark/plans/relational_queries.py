@@ -1848,3 +1848,99 @@ _FILTERED_SUPPLIER_COUNTS_ORACLE = """
       )
     GROUP BY p_brand, p_size
 """
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), explicit — previously
+    documented as plan-subsumed by the EXISTS / semi-join family: count
+    the quarter's orders that have at least one LATE lineitem
+    (l_shipdate more than 90 days after o_orderdate; the testdata has
+    no commitdate/receiptdate, so lateness is measured against the
+    order date — same correlated-EXISTS shape, same carriers), grouped
+    by o_orderpriority.
+
+    Plan (the scale-correct Q4): the quarter filter prunes orders AT
+    THE SCAN (PushedFilters), and the EXISTS becomes one LEFT SEMI
+    shuffle join on orderkey — lineitem is never widened, duplicates
+    never materialize, and the count agg is map-side combined over
+    five priority values."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+_ORDER_PRIORITY_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o_orderdate < TIMESTAMP '1995-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change), explicit — previously
+    documented as plan-subsumed by the filtered-agg family: potential
+    revenue from 1995 shipments in the discount band [5%, 7%] with
+    quantity < 24. Revenue sums EXACT integer carriers (price cents x
+    discount cents, 1e-4 units) as DECIMAL(38,0) — one division at the
+    end; the discount band compares the integer cents too, so the
+    boundary is ulp-proof on both engines. n_items rides along as the
+    integer witness.
+
+    Plan: a single scan — every predicate pushes down, the agg is one
+    map-side-combined partial, no join, no wide shuffle (the canonical
+    'Q6 is a scan' plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = "decimal(38,0)"
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < 24)
+        )
+        .where(disc_c.between(5, 7))
+        .agg(
+            F.round(
+                F.sum((price_c * disc_c).cast(d)).cast(d) / 10000, 2
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+_FORECAST_REVENUE_ORACLE = """
+    SELECT round(sum(CAST(
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)
+           AS DECIMAL(38,0))) / 10000, 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_quantity < 24
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+"""

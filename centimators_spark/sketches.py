@@ -335,3 +335,215 @@ def theta_sketch_oracle_sql(
         LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
         LEFT JOIN truth t ON t.src_a = p.src_a AND t.src_b = p.src_b
     """
+
+
+def theta_sketch_a_not_b(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    by: str = "source",
+    k: int = THETA_K,
+    n: int = 3,
+) -> DataFrame:
+    """Theta/KMV A-NOT-B set-difference estimate (the DataSketches
+    ``a_not_b`` operation) — per ORDERED source pair, how many distinct
+    n-gram shingles appear in A but NOT in B: the question a dedup
+    audit asks after :func:`theta_sketch_intersections` ("what is
+    UNIQUE to this source / what would removing it lose").
+
+    Same discipline as the intersection: items are distinct n-gram
+    shingles hashed by portable md5; per group the sketch is the k
+    smallest distinct hashes with theta = the k-th (or 2^60 short
+    groups). Per ordered pair (a, b): theta = min(theta_a, theta_b),
+    n_diff = |{h in retained_a : h < theta, h not in retained_b}|
+    (sound because retained_b contains ALL of B's distinct hashes
+    below theta_b >= theta), est_diff = floor(n_diff * 2^60 / theta) —
+    exact integer arithmetic end to end, so the sketch is hash-proven
+    against the oracle, with true_diff (= |A| - |A intersect B| exact)
+    riding along as the accuracy witness.
+
+    Scale: the two-phase k-smallest selection is shared with the
+    intersection sketch; the pair stage joins SKETCHES (<= k rows per
+    group, KBs total) — the anti side is broadcast. Drop true_diff in
+    production and no pair-stage shuffle ever touches the corpus."""
+    from pyspark.sql import Window
+
+    from centimators_spark.text.portable import token_ngrams
+
+    grams = df.select(
+        F.col(by).alias("g"),
+        F.explode(
+            token_ngrams(tokens(F.col(content_col)), n)
+        ).alias("gram"),
+    ).distinct()
+    hashes = grams.select(
+        "g", md5_long(F.col("gram")).alias("h")
+    ).distinct()
+    salted = hashes.withColumn("salt", F.pmod("h", F.lit(_THETA_SALTS)))
+    w1 = Window.partitionBy("g", "salt").orderBy("h")
+    w2 = Window.partitionBy("g").orderBy("h")
+    survivors = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("g", "h", "rn")
+        .localCheckpoint(eager=True)
+    )
+    thetas = survivors.groupBy("g").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("h"))),
+            F.lit(THETA_SPACE).cast("long"),
+        ).alias("theta")
+    )
+    retained = survivors.join(F.broadcast(thetas), "g").where(
+        F.col("h") < F.col("theta")
+    )
+    pairs = (
+        thetas.select(
+            F.col("g").alias("src_a"), F.col("theta").alias("ta")
+        )
+        .crossJoin(
+            F.broadcast(
+                thetas.select(
+                    F.col("g").alias("src_b"), F.col("theta").alias("tb")
+                )
+            )
+        )
+        .where(F.col("src_a") != F.col("src_b"))
+        .select("src_a", "src_b", F.least("ta", "tb").alias("theta"))
+    )
+    diff = (
+        retained.select(F.col("g").alias("src_a"), "h")
+        .join(F.broadcast(pairs), "src_a")
+        .where(F.col("h") < F.col("theta"))
+        .join(
+            F.broadcast(
+                retained.select(F.col("g").alias("src_b"), "h")
+            ),
+            ["src_b", "h"],
+            "left_anti",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_diff"))
+    )
+    totals = grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot")
+    )
+    # truth witness: join the corpus-sized gram sets ONCE (unordered,
+    # a<b — half the pair fan-out) and derive both orientations by a
+    # rename union; the self-join's identical scan sides reuse one
+    # exchange
+    common_uo = (
+        grams.select(F.col("g").alias("src_a"), "gram")
+        .join(grams.select(F.col("g").alias("src_b"), "gram"), "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    common = common_uo.unionByName(
+        common_uo.select(
+            F.col("src_b").alias("src_a"),
+            F.col("src_a").alias("src_b"),
+            "n_common",
+        )
+    )
+    num = (
+        F.coalesce(F.col("n_diff"), F.lit(0)).cast("decimal(38,0)")
+        * F.lit(THETA_SPACE).cast("decimal(38,0)")
+    )
+    th = F.col("theta").cast("decimal(38,0)")
+    est = ((num - F.pmod(num, th)) / th).cast("decimal(38,0)")
+    return (
+        pairs.join(diff, ["src_a", "src_b"], "left")
+        .join(
+            F.broadcast(totals.withColumnRenamed("g", "src_a")),
+            "src_a",
+        )
+        .join(common, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "theta",
+            F.coalesce(F.col("n_diff"), F.lit(0))
+            .cast("long")
+            .alias("n_diff"),
+            est.cast("long").alias("est_diff"),
+            (
+                F.col("n_tot") - F.coalesce(F.col("n_common"), F.lit(0))
+            ).cast("long").alias("true_diff"),
+        )
+    )
+
+
+def theta_a_not_b_oracle_sql(
+    table: str = "documents",
+    *,
+    content_sql: str = "text",
+    by_sql: str = "source",
+    k: int = THETA_K,
+    n: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`theta_sketch_a_not_b`: identical md5
+    hashes, identical theta, NOT EXISTS membership against the full
+    retained set, identical HUGEINT floor-division estimator."""
+    from centimators_spark.text.portable import (
+        sql_token_ngrams,
+        sql_tokens,
+    )
+
+    tk = sql_tokens(content_sql)
+    return f"""
+        WITH grams AS (
+          SELECT DISTINCT {by_sql} AS g, unnest({sql_token_ngrams('tk', n)}) AS gram
+          FROM (SELECT {by_sql}, {tk} AS tk FROM {table})
+        ), hashes AS (
+          SELECT DISTINCT g, {sql_md5_long('gram')} AS h FROM grams
+        ), ranked AS (
+          SELECT g, h, row_number() OVER (
+            PARTITION BY g ORDER BY h) AS rn
+          FROM hashes
+        ), survivors AS (
+          SELECT g, h, rn FROM ranked WHERE rn <= {k}
+        ), thetas AS (
+          SELECT g, coalesce(
+            max(CASE WHEN rn = {k} THEN h END),
+            CAST({THETA_SPACE} AS BIGINT)) AS theta
+          FROM survivors GROUP BY g
+        ), retained AS (
+          SELECT s.g, s.h FROM survivors s
+          JOIN thetas t ON s.g = t.g WHERE s.h < t.theta
+        ), pairs AS (
+          SELECT a.g AS src_a, b.g AS src_b,
+                 least(a.theta, b.theta) AS theta
+          FROM thetas a JOIN thetas b ON a.g <> b.g
+        ), diff AS (
+          SELECT r.g AS src_a, p.src_b,
+                 CAST(count(*) AS BIGINT) AS n_diff
+          FROM retained r
+          JOIN pairs p ON p.src_a = r.g
+          WHERE r.h < p.theta
+            AND NOT EXISTS (SELECT 1 FROM retained r2
+                            WHERE r2.g = p.src_b AND r2.h = r.h)
+          GROUP BY r.g, p.src_b
+        ), totals AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n_tot
+          FROM grams GROUP BY g
+        ), common AS (
+          SELECT a.g AS src_a, b.g AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM grams a
+          JOIN grams b ON a.gram = b.gram AND a.g <> b.g
+          GROUP BY a.g, b.g
+        )
+        SELECT p.src_a, p.src_b, p.theta,
+               CAST(coalesce(d.n_diff, 0) AS BIGINT) AS n_diff,
+               CAST((CAST(coalesce(d.n_diff, 0) AS HUGEINT)
+                     * {THETA_SPACE}) // p.theta AS BIGINT) AS est_diff,
+               CAST(t.n_tot - coalesce(c.n_common, 0) AS BIGINT)
+                 AS true_diff
+        FROM pairs p
+        LEFT JOIN diff d ON d.src_a = p.src_a AND d.src_b = p.src_b
+        JOIN totals t ON t.g = p.src_a
+        LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
+    """

@@ -290,3 +290,136 @@ def test_video_frame_sampling_positions(spark):
         by_doc.setdefault(r.path, []).append(r.frame_index)
         assert (r.width, r.height) == (8, 8)
     assert all(sorted(v) == [0, 4, 8] for v in by_doc.values())
+
+
+def test_theta_a_not_b_exact_when_k_exceeds_cardinality(spark):
+    """With k above every group's cardinality the difference sketch is
+    the exact set difference: theta = 2^60, n_diff == true_diff ==
+    est_diff, and the ordered pair is ASYMMETRIC when sizes differ."""
+    from centimators_spark.sketches import (
+        THETA_SPACE,
+        theta_sketch_a_not_b,
+    )
+
+    docs = [
+        (1, "a b c d e f", "s1"),          # grams: abc bcd cde def (4)
+        (2, "c d e f g h i", "s2"),        # cde def efg fgh ghi (5)
+        (3, "x y z w v u", "s3"),          # 4 unrelated
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    rows = {
+        (r.src_a, r.src_b): r
+        for r in theta_sketch_a_not_b(df, k=1000).collect()
+    }
+    assert len(rows) == 6  # ordered pairs
+    r12, r21 = rows[("s1", "s2")], rows[("s2", "s1")]
+    # s1 ∩ s2 = {'c d e', 'd e f'}: |s1\s2| = 4-2, |s2\s1| = 5-2
+    assert r12.theta == THETA_SPACE
+    assert r12.n_diff == r12.true_diff == r12.est_diff == 2
+    assert r21.n_diff == r21.true_diff == r21.est_diff == 3
+    r13 = rows[("s1", "s3")]
+    assert r13.n_diff == r13.true_diff == 4
+
+
+def test_theta_a_not_b_subsampled_matches_oracle(spark):
+    """Real subsampling (k=16): the anti-join sketch path must equal
+    the DuckDB NOT EXISTS mirror bit for bit."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.sketches import (
+        theta_a_not_b_oracle_sql,
+        theta_sketch_a_not_b,
+    )
+
+    docs = [
+        (i, " ".join(f"w{(i * 37 + j) % 211}" for j in range(40)), f"s{i % 3}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    )
+    sdf = theta_sketch_a_not_b(df, k=16).toPandas()
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text", "source"]),
+    )
+    odf = con.execute(theta_a_not_b_oracle_sql("documents", k=16)).fetchdf()
+    assert (sdf["theta"] < (1 << 60)).all()
+    assert compare("theta_a_not_b_sub", sdf, odf)
+
+
+def test_multimodal_corpus_clean_funnel_monotone(spark):
+    """The composed flagship's funnel must be monotone per source
+    (each stage only removes docs) and must actually remove docs at
+    each stage on the sf0.001 fixture."""
+    import __spark_entry__ as entrymod
+
+    pdf = entrymod.q_multimodal_corpus_clean(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(pdf) == 20  # every source reported
+    assert (pdf["n_in"] >= pdf["n_tokens_ok"]).all()
+    assert (pdf["n_tokens_ok"] >= pdf["n_prefix_unique"]).all()
+    assert (pdf["n_prefix_unique"] >= pdf["n_final"]).all()
+    # every stage bites somewhere in the corpus
+    assert pdf["n_in"].sum() > pdf["n_tokens_ok"].sum()
+    assert pdf["n_tokens_ok"].sum() > pdf["n_prefix_unique"].sum()
+    assert pdf["n_prefix_unique"].sum() > pdf["n_final"].sum()
+    assert (pdf["n_final"] >= 0).all() and pdf["n_final"].sum() > 0
+
+
+def test_order_priority_counts_semi_join_semantics(spark):
+    """Q4's LEFT SEMI must count each order ONCE no matter how many
+    late lineitems it has — equal to the distinct-orderkey rewrite."""
+    from pyspark.sql import functions as F
+
+    from centimators_spark.plans.relational_queries import (
+        q_order_priority_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.o_orderpriority: r.order_count
+        for r in q_order_priority_counts(spark, sf).collect()
+    }
+    o = spark.read.parquet(f"{sf}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    naive = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    want = {r.o_orderpriority: r["count"] for r in naive.collect()}
+    assert got == want and sum(got.values()) > 0
+
+
+def test_forecast_revenue_pushdown_and_single_scan(spark):
+    """Q6 must be a single scan: no join/exchange-heavy plan, filters
+    pushed to the parquet source."""
+    from centimators_spark.plans.relational_queries import (
+        q_forecast_revenue,
+    )
+
+    df = q_forecast_revenue(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in explained and "l_shipdate" in explained

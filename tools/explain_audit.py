@@ -980,6 +980,54 @@ def main():
         and "Window" not in p and "EvalPython" not in p,
     )
 
+    # ---- round-10 late additions (theta a_not_b, Q4/Q6, multimodal
+    # composed flagship) ------------------------------------------------
+    p = plan_of(st["theta_a_not_b"](spark, sf_dir))
+    ok &= audit(
+        "theta_a_not_b: the difference stage anti-joins the BROADCAST"
+        " retained sketch (k rows per group) — the pair universe is"
+        " the tiny theta cross, corpora never meet in the pair stage;"
+        " no Python anywhere",
+        "EvalPython" not in p
+        and "BroadcastHashJoin" in p
+        and ("LeftAnti" in p)
+        and p.count("MapInPandas") == 0,
+    )
+    p = plan_of(st["order_priority_counts"](spark, sf_dir))
+    ok &= audit(
+        "order_priority_counts (Q4): correlated EXISTS executes as ONE"
+        " LeftSemi join (lineitem never widened) with the quarter"
+        " filter pushed to the orders scan; partial agg before the"
+        " 5-value priority exchange",
+        "LeftSemi" in p
+        and bool(re.search(r"PushedFilters: \[.*o_orderdate", p))
+        and "partial_count" in p,
+    )
+    p = plan_of(st["forecast_revenue"](spark, sf_dir))
+    ok &= audit(
+        "forecast_revenue (Q6): single scan — no join, predicates"
+        " pushed down (shipdate/quantity), map-side partial agg, no"
+        " Python",
+        "Join" not in p
+        and bool(re.search(r"PushedFilters: \[.*l_shipdate", p))
+        and "partial_" in p
+        and "EvalPython" not in p,
+    )
+    p = plan_of(st["multimodal_corpus_clean"](spark, sf_dir))
+    ok &= audit(
+        "multimodal_corpus_clean: composed funnel keeps the dedup"
+        " discipline — prefix keep-min is an agg + LeftSemi, the image"
+        " stage is the band equi-join over the CHECKPOINTED code table"
+        " (no cartesian, no MapInPandas left of the self-join), the"
+        " image drop is a LeftAnti, and no row-at-a-time Python exists",
+        "CartesianProduct" not in p
+        and "block_val" in p
+        and "LeftSemi" in p
+        and "LeftAnti" in p
+        and "MapInPandas" not in p
+        and "BatchEvalPython" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
