@@ -4080,6 +4080,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_a_not_b": q_theta_a_not_b,
         "order_priority_counts": q_order_priority_counts,
         "forecast_revenue": q_forecast_revenue,
+        "t_closeness": q_t_closeness,
     }
 
 
@@ -4118,6 +4119,15 @@ def _r11_staged_oracles() -> dict[str, str]:
         "forecast_revenue": __import__(
             "centimators_spark.plans.relational_queries", fromlist=["x"]
         )._FORECAST_REVENUE_ORACLE,
+    "t_closeness": __import__(
+            "centimators_spark.analytics", fromlist=["x"]
+        ).t_closeness_oracle_sql(
+            "(SELECT c_nationkey, c_mktsegment,"
+            " CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_h"
+            " FROM customer)",
+            ["c_nationkey", "bal_h"],
+            "c_mktsegment",
+        ),
     }
 
 
@@ -5067,3 +5077,20 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from centimators_spark.plans import relational_queries
 
     return relational_queries.q_forecast_revenue(spark, sf_dir)
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (analytics.t_closeness) — completes the
+    privacy triad after k_anonymity and l_diversity: per equivalence
+    class of (nation, balance-hundreds bucket), the total variation
+    distance between the class's market-segment distribution and the
+    global one, exact integer numerators, profiled into bounded
+    permille bins with the t=0.3 breach flag."""
+    from centimators_spark.analytics import t_closeness
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_h"),
+    )
+    return t_closeness(cust, ["c_nationkey", "bal_h"], "c_mktsegment")

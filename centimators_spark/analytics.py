@@ -1019,3 +1019,142 @@ def l_diversity_oracle_sql(
                nd < {int(l)} AS violates_l
         FROM classes GROUP BY sz, nd ORDER BY sz, nd
     """
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    t_num: int = 3,
+    t_den: int = 10,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third privacy check after :func:`k_anonymity` and
+    :func:`l_diversity`: an l-diverse class still leaks when its
+    SENSITIVE-value distribution diverges from the table's global
+    one (skewness attack), so measure, per equivalence class, the
+    total variation distance TVD = 1/2 * sum_v |p_class(v) -
+    p_global(v)| and flag classes with TVD > t (t = t_num/t_den,
+    default 0.3).
+
+    Exactness: with counts c_v (class), g_v (global), n (class size),
+    N (table size): TVD = sum_v |c_v*N - g_v*n| / (2*n*N) — the
+    numerator is pure INTEGER (decimal(38,0) carriers; values absent
+    from the class contribute g_v*n, folded in closed form as
+    (N - sum_present g_v) * n, so no class x value universe is ever
+    expanded). The breach test t_den*tvd_num > t_num*denom and the
+    permille bin floor(1000*tvd_num/denom) are integer too: the whole
+    audit is hash-proven.
+
+    Output is the BOUNDED profile (<= 1001 rows at any scale): one row
+    per (tvd_permille, breaches_t) with n_classes and n_rows. Plan:
+    one (qi, sensitive) count agg, a broadcast join against the tiny
+    global distribution, a window n-sum on the class key that the
+    following class groupBy reuses the partitioning of, then the tiny
+    profile agg — the only data-sized shuffle is the class key."""
+    from pyspark.sql import Window
+
+    d = "decimal(38,0)"
+    qi = list(quasi_identifiers)
+    cls_v = df.groupBy(*qi, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    glob = df.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__g")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__tot"))
+    joined = (
+        cls_v.join(F.broadcast(glob), sensitive_col)
+        .crossJoin(F.broadcast(total))
+        .withColumn("__n", F.sum("__c").over(Window.partitionBy(*qi)))
+    )
+    term = F.abs(
+        F.col("__c").cast(d) * F.col("__tot").cast(d)
+        - F.col("__g").cast(d) * F.col("__n").cast(d)
+    )
+    per_class = joined.groupBy(*qi).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__tot").cast("long").alias("n_total"),
+        F.sum(term).cast(d).alias("present_abs"),
+        F.sum(F.col("__g").cast(d)).cast(d).alias("present_g"),
+    )
+    tvd_num = (
+        F.col("present_abs")
+        + (F.col("n_total").cast(d) - F.col("present_g")) * F.col("n").cast(d)
+    ).cast(d)
+    denom = (
+        F.lit(2).cast(d) * F.col("n").cast(d) * F.col("n_total").cast(d)
+    ).cast(d)
+    scaled = (F.lit(1000).cast(d) * tvd_num).cast(d)
+    permille = (
+        (scaled - F.pmod(scaled, denom)) / denom
+    ).cast("long")
+    breach = (
+        F.lit(int(t_den)).cast(d) * tvd_num
+        > F.lit(int(t_num)).cast(d) * denom
+    )
+    return (
+        per_class.select(
+            permille.alias("tvd_permille"),
+            breach.alias("breaches_t"),
+            F.col("n"),
+        )
+        .groupBy("tvd_permille", "breaches_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("n").cast("long").alias("n_rows"),
+        )
+        .orderBy("tvd_permille", "breaches_t")
+    )
+
+
+def t_closeness_oracle_sql(
+    table: str,
+    quasi_identifier_sqls: list[str],
+    sensitive_sql: str,
+    t_num: int = 3,
+    t_den: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`t_closeness` (HUGEINT carriers)."""
+    qi = ", ".join(quasi_identifier_sqls)
+    return f"""
+        WITH cls_v AS (
+          SELECT {qi}, {sensitive_sql} AS s,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM {table} GROUP BY {qi}, {sensitive_sql}
+        ), gdist AS (
+          SELECT {sensitive_sql} AS s, CAST(count(*) AS BIGINT) AS g
+          FROM {table} GROUP BY {sensitive_sql}
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS N FROM {table}
+        ), per_class AS (
+          SELECT {qi},
+                 sum(c) AS n,
+                 any_value(N) AS n_total,
+                 sum(abs(CAST(c AS HUGEINT) * N
+                         - CAST(g AS HUGEINT) * nn)) AS present_abs,
+                 sum(CAST(g AS HUGEINT)) AS present_g
+          FROM (
+            SELECT cls_v.*, gdist.g, tot.N,
+                   sum(c) OVER (PARTITION BY {qi}) AS nn
+            FROM cls_v JOIN gdist USING (s) CROSS JOIN tot
+          )
+          GROUP BY {qi}
+        ), scored AS (
+          SELECT n,
+                 present_abs
+                   + (CAST(n_total AS HUGEINT) - present_g)
+                     * CAST(n AS HUGEINT) AS tvd_num,
+                 2 * CAST(n AS HUGEINT) * CAST(n_total AS HUGEINT)
+                   AS denom
+          FROM per_class
+        )
+        SELECT CAST((1000 * tvd_num) // denom AS BIGINT)
+                 AS tvd_permille,
+               {int(t_den)} * tvd_num > {int(t_num)} * denom
+                 AS breaches_t,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(n) AS BIGINT) AS n_rows
+        FROM scored
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -423,3 +423,37 @@ def test_forecast_revenue_pushdown_and_single_scan(spark):
     assert "Join" not in plan
     explained = df._jdf.queryExecution().toString()
     assert "PushedFilters" in explained and "l_shipdate" in explained
+
+
+def test_t_closeness_hand_trace(spark):
+    """Hand-computed TVD: class A = [x, x, y] (n=3), class B = [y]
+    (n=1); global x:2 y:2 N=4. A: |2*4-2*3| + |1*4-2*3| = 4, no
+    absent mass -> TVD 4/24 = 1/6 (permille 166, no breach at
+    t=0.3). B: |1*4-2*1| = 2 present + (4-2)*1 absent -> 4/8 = 0.5
+    (permille 500, breach)."""
+    from centimators_spark.analytics import t_closeness
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("A", "y"), ("B", "y")],
+        "cls string, s string",
+    )
+    rows = {
+        (r.tvd_permille, r.breaches_t): (r.n_classes, r.n_rows)
+        for r in t_closeness(df, ["cls"], "s").collect()
+    }
+    assert rows == {(166, False): (1, 3), (500, True): (1, 1)}
+
+
+def test_t_closeness_uniform_class_is_zero(spark):
+    """A class whose sensitive distribution equals the global one has
+    TVD exactly 0."""
+    from centimators_spark.analytics import t_closeness
+
+    rows = [("A", v) for v in ("x", "y")] + [("B", v) for v in ("x", "y")]
+    df = spark.createDataFrame(rows, "cls string, s string")
+    out = t_closeness(df, ["cls"], "s").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.tvd_permille, r.breaches_t, r.n_classes, r.n_rows) == (
+        0, False, 2, 4,
+    )

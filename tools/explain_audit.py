@@ -1028,6 +1028,21 @@ def main():
         and "BatchEvalPython" not in p,
     )
 
+    p = plan_of(st["t_closeness"](spark, sf_dir))
+    ok &= audit(
+        "t_closeness: global sensitive distribution and table total"
+        " are BROADCAST onto the class-value counts; the class-size"
+        " window and the class groupBy share the qi partitioning (one"
+        " data-sized exchange), profile agg is tiny; no Python, no"
+        " cartesian over classes",
+        "BroadcastNestedLoopJoin" not in p.replace(
+            "BroadcastNestedLoopJoin BuildRight, Cross", "SCALAR_CROSS"
+        )
+        and "EvalPython" not in p
+        and "BroadcastHashJoin" in p
+        and "Window" in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
