@@ -4081,6 +4081,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": q_order_priority_counts,
         "forecast_revenue": q_forecast_revenue,
         "t_closeness": q_t_closeness,
+        "isotonic_calibration": q_isotonic_calibration,
     }
 
 
@@ -4127,6 +4128,18 @@ def _r11_staged_oracles() -> dict[str, str]:
             " FROM customer)",
             ["c_nationkey", "bal_h"],
             "c_mktsegment",
+        ),
+        "isotonic_calibration": __import__(
+            "centimators_spark.ml.calibration", fromlist=["x"]
+        ).isotonic_calibration_oracle_sql(
+            "(SELECT o_orderpriority,"
+            " least(CAST(floor(o_totalprice / 10000) AS BIGINT), 49)"
+            " AS price_bucket,"
+            " CAST(o_orderstatus = 'F' AS INTEGER) AS is_f"
+            " FROM orders)",
+            "o_orderpriority",
+            "price_bucket",
+            "is_f",
         ),
     }
 
@@ -5094,3 +5107,23 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_h"),
     )
     return t_closeness(cust, ["c_nationkey", "bal_h"], "c_mktsegment")
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) probability calibration (ml/calibration.py):
+    per order priority, the monotone nondecreasing fit of the
+    finished-order rate over 50 total-price buckets — exact integer
+    minimax contract (lcm-scaled means, floor micro-units), the
+    calibration step every scored pipeline runs before thresholding."""
+    from centimators_spark.ml.calibration import isotonic_calibration
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.least(
+            F.floor(F.col("o_totalprice") / 10000), F.lit(49)
+        ).cast("long").alias("price_bucket"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_f"),
+    )
+    return isotonic_calibration(
+        o, "o_orderpriority", "price_bucket", "is_f"
+    )

@@ -457,3 +457,76 @@ def test_t_closeness_uniform_class_is_zero(spark):
     assert (r.tvd_permille, r.breaches_t, r.n_classes, r.n_rows) == (
         0, False, 2, 4,
     )
+
+
+def _pav_ref(vs):
+    """Stack-based pool-adjacent-violators on integer micro-rates:
+    returns floor-micro fits (exact Fractions via integer sums)."""
+    pools = []  # (sum, count)
+    for v in vs:
+        s, c = v, 1
+        while pools and pools[-1][0] * c > s * pools[-1][1]:
+            ps, pc = pools.pop()
+            s, c = s + ps, c + pc
+        pools.append((s, c))
+    out = []
+    for s, c in pools:
+        out.extend([s // c] * c)
+    return out
+
+
+def test_isotonic_calibration_equals_pav_reference(spark):
+    """The lcm-scaled minimax closed form must equal classic
+    stack-based PAV on every group — differential on hand-picked and
+    pseudo-random rate sequences (incl. ties, plateaus, reversals)."""
+    import hashlib
+
+    from centimators_spark.ml.calibration import isotonic_calibration
+
+    seqs = {
+        "down": [900, 700, 500, 300],          # full reversal -> one pool
+        "up": [100, 200, 300],                 # already monotone
+        "vee": [500, 100, 900],
+        "tie": [400, 400, 100, 400],
+        "rand": [
+            int(hashlib.md5(f"r{i}".encode()).hexdigest()[:4], 16) % 1000
+            for i in range(20)
+        ],
+    }
+    rows = []
+    for g, vs in seqs.items():
+        for b, v in enumerate(vs):
+            # encode rate v/1000 as v positives out of 1000 rows
+            rows.append((g, b, v, 1000))
+    # expand to unit rows: (grp, bucket, label)
+    unit = [
+        (g, b, 1 if i < pos else 0)
+        for (g, b, pos, n) in rows
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(unit, "g string, b long, y int")
+    got = {
+        (r.grp, r.bucket): r.fit_micro
+        for r in isotonic_calibration(df, "g", "b", "y").collect()
+    }
+    for g, vs in seqs.items():
+        want = _pav_ref([v * 1000 for v in vs])  # v/1000 -> micro
+        fits = [got[(g, b)] for b in range(len(vs))]
+        assert fits == want, (g, fits, want)
+        assert fits == sorted(fits)  # monotone
+
+
+def test_isotonic_calibration_guard_over_bucket_limit(spark):
+    """More than ISO_MAX_BUCKETS buckets in a group must fail loudly
+    (the lcm scale is only exact up to that bound)."""
+    from centimators_spark.ml.calibration import (
+        ISO_MAX_BUCKETS,
+        isotonic_calibration,
+    )
+
+    df = spark.createDataFrame(
+        [("g", b, b % 2) for b in range(ISO_MAX_BUCKETS + 1)],
+        "g string, b long, y int",
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|ArithmeticException"):
+        isotonic_calibration(df, "g", "b", "y").collect()

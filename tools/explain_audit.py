@@ -1043,6 +1043,19 @@ def main():
         and "Window" in p,
     )
 
+    p = plan_of(st["isotonic_calibration"](spark, sf_dir))
+    ok &= audit(
+        "isotonic_calibration: the ONLY data-sized stage is the"
+        " (group, bucket) partial-agg shuffle; the minimax pair"
+        " fan-out, suffix-min window, and prefix-max agg all run on"
+        " the <= B-rows-per-group bucket table; no Python, no"
+        " cartesian",
+        "partial_count" in p
+        and "CartesianProduct" not in p
+        and "EvalPython" not in p
+        and "Window" in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
