@@ -4082,6 +4082,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "t_closeness": q_t_closeness,
         "isotonic_calibration": q_isotonic_calibration,
+        "winnowing_overlap": q_winnowing_overlap,
     }
 
 
@@ -4141,6 +4142,9 @@ def _r11_staged_oracles() -> dict[str, str]:
             "price_bucket",
             "is_f",
         ),
+        "winnowing_overlap": __import__(
+            "centimators_spark.dedup.winnowing", fromlist=["x"]
+        ).winnowing_overlap_oracle_sql("documents"),
     }
 
 
@@ -5127,3 +5131,15 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibration(
         o, "o_orderpriority", "price_bucket", "is_f"
     )
+
+
+def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (dedup/winnowing.py — Schleimer
+    et al. 2003 / MOSS): position-robust partial-overlap pairs — any
+    shared run of >= w+k-1 = 6 tokens guarantees a shared selected
+    fingerprint, at ~2/(w+1) fingerprint density. Pure relational
+    (posexplode + window min + capped hash join); complements
+    set-based jaccard (whole-doc) and span_dedup (exact line spans)."""
+    from centimators_spark.dedup.winnowing import winnowing_overlap_pairs
+
+    return winnowing_overlap_pairs(load_table(spark, sf_dir, "documents"))

@@ -530,3 +530,63 @@ def test_isotonic_calibration_guard_over_bucket_limit(spark):
     )
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO|ArithmeticException"):
         isotonic_calibration(df, "g", "b", "y").collect()
+
+
+def test_winnowing_guarantee_and_oracle(spark):
+    """Winnowing MUST find any shared token run of >= w+k-1 tokens
+    (the MOSS guarantee), must NOT fingerprint docs shorter than a
+    full window, and must match the DuckDB mirror bit for bit."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.dedup.winnowing import (
+        winnowing_fingerprints,
+        winnowing_overlap_oracle_sql,
+        winnowing_overlap_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta uniq1 a b"),
+        (2, "prefix tokens here alpha beta gamma delta epsilon zeta eta"),
+        (3, "completely different words nothing shared at all here now"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf = winnowing_overlap_pairs(df, min_shared=1).toPandas()
+    assert set(zip(sdf.d1, sdf.d2)) == {(1, 2)}  # guarantee + no noise
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    odf = con.execute(
+        winnowing_overlap_oracle_sql("documents", min_shared=1)
+    ).fetchdf()
+    assert compare("winnowing", sdf, odf)
+    assert (
+        winnowing_fingerprints(df).where("doc_id = 4").count() == 0
+    )
+
+
+def test_winnowing_density(spark):
+    """Selected fingerprints are a small fraction of all grams (the
+    2/(w+1) expected density, loosely bounded) — the point of
+    winnowing over full-gram inverted indexes."""
+    from centimators_spark.dedup.winnowing import winnowing_fingerprints
+    from centimators_spark.text.portable import tokens
+    from pyspark.sql import functions as F
+
+    docs = [
+        (i, " ".join(f"t{(i * 31 + j) % 997}" for j in range(80)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n_fp = winnowing_fingerprints(df).count()
+    n_grams = df.select(
+        F.sum(F.size(tokens(F.col("text"))) - 2)
+    ).collect()[0][0]
+    assert 0 < n_fp < 0.65 * n_grams

@@ -1056,6 +1056,18 @@ def main():
         and "Window" in p,
     )
 
+    p = plan_of(st["winnowing_overlap"](spark, sf_dir))
+    ok &= audit(
+        "winnowing_overlap: positional gram explode + per-doc window"
+        " min (one shuffle on the doc key), df-capped fingerprint"
+        " equi-join on the hash key — no cartesian, no Python"
+        " anywhere",
+        "CartesianProduct" not in p
+        and "EvalPython" not in p
+        and "Window" in p
+        and "Generate" in p,  # posexplode
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
