@@ -48,8 +48,11 @@ from centimators_spark.analytics import (
     attribution,
     funnel,
     gini_by_group,
+    k_anonymity,
+    l_diversity,
     retention_cohorts,
     scd2_intervals,
+    t_closeness,
 )
 from centimators_spark.graphs import pagerank_int
 from centimators_spark.reconcile import table_diff

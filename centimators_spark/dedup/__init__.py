@@ -13,6 +13,10 @@ from centimators_spark.dedup.cluster import (
     connected_components,
     connected_components_star,
 )
+from centimators_spark.dedup.winnowing import (
+    winnowing_fingerprints,
+    winnowing_overlap_pairs,
+)
 
 __all__ = [
     "exact_dedup",
@@ -27,4 +31,6 @@ __all__ = [
     "embedding_cosine_pairs",
     "ngram_contamination",
     "semantic_dedup",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
 ]

@@ -527,3 +527,58 @@ def test_stream_session_window_matches_batch(spark, tmp_path):
     assert got[["user_id", "n_events"]].equals(batch[["user_id", "n_events"]])
     assert (got["s"].values == batch["s"].values).all()
     assert (got["e"].values == batch["e"].values).all()
+
+
+def test_stream_cms_cells_match_batch_multibatch(spark, tmp_path):
+    """Count-min cells maintained incrementally over TWO micro-batches
+    (maxFilesPerTrigger=1) must equal the one-shot batch sketch — the
+    partial-count merge is the sketch's additivity, pinned bit for
+    bit."""
+    from centimators_spark.sketches import cms_build
+    from centimators_spark.streaming.sketch import cms_cells_stream
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/a.parquet"
+    )
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        src + "/b.parquet"
+    )
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        cms_cells_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cms_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
+    got = (
+        spark.sql("SELECT * FROM cms_cells")
+        .toPandas()
+        .sort_values(["row", "bucket"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        cms_build(docs)
+        .toPandas()
+        .sort_values(["row", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp[got.columns])
+
+
+def test_stream_cms_rejects_batch_frame(spark):
+    from centimators_spark.streaming.sketch import cms_cells_stream
+
+    with pytest.raises(ValueError):
+        cms_cells_stream(load_table(spark, SF, "documents"))
