@@ -4083,6 +4083,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "isotonic_calibration": q_isotonic_calibration,
         "winnowing_overlap": q_winnowing_overlap,
+        "duplicated_spans": q_duplicated_spans,
     }
 
 
@@ -4145,6 +4146,9 @@ def _r11_staged_oracles() -> dict[str, str]:
         "winnowing_overlap": __import__(
             "centimators_spark.dedup.winnowing", fromlist=["x"]
         ).winnowing_overlap_oracle_sql("documents"),
+        "duplicated_spans": __import__(
+            "centimators_spark.dedup.substring", fromlist=["x"]
+        ).duplicated_spans_oracle_sql("documents"),
     }
 
 
@@ -5143,3 +5147,15 @@ def q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from centimators_spark.dedup.winnowing import winnowing_overlap_pairs
 
     return winnowing_overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring profile (dedup/substring.py — the
+    relational fixed-L form of Lee et al. suffix-array substring
+    dedup): per doc, maximal merged spans of tokens covered by a
+    corpus-duplicated 8-gram. No pair join — cost independent of how
+    duplicated the corpus is (the heavy-duplication-regime
+    counterpart of minhash/winnowing pair detectors)."""
+    from centimators_spark.dedup.substring import duplicated_spans
+
+    return duplicated_spans(load_table(spark, sf_dir, "documents"))

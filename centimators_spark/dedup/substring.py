@@ -1,0 +1,174 @@
+"""Exact duplicated-substring span detection — the token-run
+counterpart of line-level span dedup (text/span_dedup.py) and the
+relational form of suffix-array substring dedup (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better"; reference
+scope: the engine's dedup surface, e.g.
+/root/reference/src/centimators/).
+
+A token run of length >= L that appears anywhere else in the corpus
+(another doc, or again in the same doc) is a duplicated span. The
+suffix-array construction is replaced by the equivalent fixed-L
+relational form:
+
+1. positional L-grams per doc (the winnowing explode) -> portable
+   md5 hash;
+2. global occurrence count per hash — positions whose gram occurs
+   more than once in the corpus are DUPLICATED positions (exactly
+   the positions a suffix array would mark for run length L);
+3. per doc, merge overlapping duplicated positions into MAXIMAL
+   spans: two duplicated L-gram positions overlap iff their gap is
+   <= L - 1, so an islands-and-gaps pass (lag + cumulative new-island
+   flags) yields the maximal merged spans, each covering
+   (p_max - p_min + L) tokens.
+
+Output per doc: n_dup_spans, n_dup_tokens (union coverage, exact),
+n_tokens — the per-document duplication profile a corpus-cleaning
+pass thresholds on.
+
+Exactness: positions, counts, and coverage are plain integers; the
+hash is the portable md5 — the whole profile is hash-proven against
+the DuckDB twin.
+
+Scale: one explode (linear), one count agg on the gram hash, one
+hash-keyed join back, then per-doc windows (one shuffle on the doc
+key). No pair join at all — cost is independent of HOW duplicated
+the corpus is, unlike pair-output detectors (minhash/winnowing):
+this is the operator you run when duplication is heavy."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from centimators_spark.text.portable import (
+    md5_long,
+    sql_md5_long,
+    sql_tokens,
+    tokens,
+)
+
+SUBSTR_L = 8  # duplicated-run threshold, tokens
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = SUBSTR_L,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_spans, n_dup_tokens): maximal merged
+    spans of tokens covered by some corpus-duplicated L-gram."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(content_col)).alias("__tok"),
+    )
+    tok = F.col("__tok")
+    gram = F.transform(
+        F.slice(
+            tok, 1, F.greatest(F.size(tok) - (L - 1), F.lit(0))
+        ),
+        lambda _, i: F.concat_ws(
+            " ", *[F.element_at(tok, i + j + 1) for j in range(L)]
+        ),
+    )
+    lengths = staged.select(
+        "doc_id", F.size(tok).cast("long").alias("n_tokens")
+    )
+    grams = staged.select(
+        "doc_id",
+        F.posexplode(gram).alias("pos", "gram"),
+    ).select("doc_id", "pos", md5_long(F.col("gram")).alias("h"))
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("h")
+    )
+    dup_pos = grams.join(dup_h, "h").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("__prev", F.lag("pos").over(w_doc))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > L - 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__isl", F.sum("__new").over(w_doc))
+    )
+    spans = islands.groupBy("doc_id", "__isl").agg(
+        (F.max("pos") - F.min("pos") + F.lit(L))
+        .cast("long")
+        .alias("__cov")
+    )
+    profile = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("__cov").cast("long").alias("n_dup_tokens"),
+    )
+    z = F.lit(0).cast("long")
+    return lengths.join(profile, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_spans", z).alias("n_dup_spans"),
+        F.coalesce("n_dup_tokens", z).alias("n_dup_tokens"),
+    )
+
+
+def duplicated_spans_oracle_sql(
+    table: str = "documents",
+    *,
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+    L: int = SUBSTR_L,
+) -> str:
+    """DuckDB mirror: identical positional grams, identical md5,
+    identical gap rule and island merge."""
+    joined = " || ' ' || ".join(f"tk[i+{j}]" for j in range(L)).replace(
+        "[i+0]", "[i]"
+    )
+    return f"""
+        WITH docs AS (
+          SELECT {id_sql} AS doc_id, {sql_tokens(content_sql)} AS tk
+          FROM {table}
+        ), lengths AS (
+          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM docs
+        ), grams AS (
+          SELECT doc_id, i - 1 AS pos, {sql_md5_long(joined)} AS h
+          FROM docs
+          CROSS JOIN unnest(range(1, len(tk) - {L - 2})) AS t(i)
+        ), dup_h AS (
+          SELECT h FROM grams GROUP BY h HAVING count(*) > 1
+        ), dup_pos AS (
+          SELECT g.doc_id, g.pos FROM grams g JOIN dup_h USING (h)
+        ), islands AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev IS NULL
+                          OR pos - prev > {L - 1}
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS prev
+            FROM dup_pos
+          )
+        ), spans AS (
+          SELECT doc_id, isl,
+                 CAST(max(pos) - min(pos) + {L} AS BIGINT) AS cov
+          FROM islands GROUP BY doc_id, isl
+        ), profile AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_dup_spans,
+                 CAST(sum(cov) AS BIGINT) AS n_dup_tokens
+          FROM spans GROUP BY doc_id
+        )
+        SELECT l.doc_id, l.n_tokens,
+               CAST(coalesce(p.n_dup_spans, 0) AS BIGINT)
+                 AS n_dup_spans,
+               CAST(coalesce(p.n_dup_tokens, 0) AS BIGINT)
+                 AS n_dup_tokens
+        FROM lengths l LEFT JOIN profile p ON l.doc_id = p.doc_id
+    """

@@ -590,3 +590,51 @@ def test_winnowing_density(spark):
         F.sum(F.size(tokens(F.col("text"))) - 2)
     ).collect()[0][0]
     assert 0 < n_fp < 0.65 * n_grams
+
+
+def test_duplicated_spans_islands_and_oracle(spark):
+    """Maximal-span merge: a shared 10-token run marks exactly 10
+    tokens (3 overlapping 8-grams merged into ONE island); two
+    repeats inside one doc give two islands; clean and too-short docs
+    report zero — and the whole profile matches the DuckDB twin."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.dedup.substring import (
+        duplicated_spans,
+        duplicated_spans_oracle_sql,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = [
+        (1, shared + " tail a b c"),
+        (2, "head x y " + shared),
+        (3, "totally different words with no duplicated runs here now"),
+        (4, "short doc"),
+        (5, shared + " g1 g2 g3 g4 g5 g6 g7 g8 " + shared),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf = (
+        duplicated_spans(df)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = {
+        r.doc_id: (r.n_dup_spans, r.n_dup_tokens)
+        for r in sdf.itertuples()
+    }
+    assert got[1] == (1, 10) and got[2] == (1, 10)
+    assert got[3] == (0, 0) and got[4] == (0, 0)
+    assert got[5] == (2, 20)
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    odf = con.execute(duplicated_spans_oracle_sql("documents")).fetchdf()
+    assert compare("dup_spans", sdf, odf)

@@ -1068,6 +1068,18 @@ def main():
         and "Generate" in p,  # posexplode
     )
 
+    p = plan_of(st["duplicated_spans"](spark, sf_dir))
+    ok &= audit(
+        "duplicated_spans: NO pair join anywhere — one gram explode,"
+        " one count agg on the hash key, one hash-keyed semi-reduce"
+        " join back, per-doc lag/sum windows; no cartesian, no"
+        " Python (cost independent of corpus duplication)",
+        "CartesianProduct" not in p
+        and "EvalPython" not in p
+        and "Window" in p
+        and "partial_count" in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
