@@ -17,6 +17,7 @@ from centimators_spark.dedup.winnowing import (
     winnowing_fingerprints,
     winnowing_overlap_pairs,
 )
+from centimators_spark.dedup.substring import duplicated_spans
 
 __all__ = [
     "exact_dedup",
@@ -33,4 +34,5 @@ __all__ = [
     "semantic_dedup",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "duplicated_spans",
 ]
