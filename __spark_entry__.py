@@ -4084,6 +4084,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "winnowing_overlap": q_winnowing_overlap,
         "duplicated_spans": q_duplicated_spans,
+        "changepoint": q_changepoint,
     }
 
 
@@ -4149,6 +4150,11 @@ def _r11_staged_oracles() -> dict[str, str]:
         "duplicated_spans": __import__(
             "centimators_spark.dedup.substring", fromlist=["x"]
         ).duplicated_spans_oracle_sql("documents"),
+        "changepoint": __import__(
+            "centimators_spark.operators.drift", fromlist=["x"]
+        ).single_changepoint_oracle_sql(
+            "events", "event_type", ["ts", "event_id"], "value"
+        ),
     }
 
 
@@ -5159,3 +5165,20 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from centimators_spark.dedup.substring import duplicated_spans
 
     return duplicated_spans(load_table(spark, sf_dir, "documents"))
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single mean-shift changepoint per event type
+    (operators/drift.single_changepoint — binary segmentation's first
+    split, the drift-LOCALIZATION step after windowed_psi /
+    page_hinkley detect drift): argmax of the integer-floor
+    least-squares criterion over the value series ordered by
+    (ts, event_id), tie-broken on the earlier index."""
+    from centimators_spark.operators.drift import single_changepoint
+
+    return single_changepoint(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        ["ts", "event_id"],
+        "value",
+    )

@@ -422,3 +422,142 @@ def psi_drift_categorical_oracle_sql(
                round(sum(term), {digits}) AS psi
         FROM terms GROUP BY feature
     """
+
+
+# ------------------------------------------------------------ changepoint
+
+def single_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Exact single mean-shift changepoint per group (binary
+    segmentation's first split — the CUSUM/least-squares criterion of
+    Hinkley 1970 / the first step of PELT): over the series ordered by
+    ``order_cols``, find the split index t (1 <= t < n) that maximizes
+    the between-segment criterion
+
+        D(t) = S1^2/n1 + S2^2/n2   (equivalently minimizes total SSE)
+
+    — the drift-localization question ("WHEN did the level shift")
+    after windowed_psi / page_hinkley answer "did it drift".
+
+    Exactness (hash-proven contract): values are centi-unit integers
+    round(v*100); the criterion is evaluated as the exact integer
+    floor D_scaled(t) = floor(1e6 * (S1^2*n2 + S2^2*n1) / (n1*n2))
+    in decimal(38,0)/HUGEINT (bounded: |S| <= n*100*|v|max keeps the
+    numerator under 10^38 up to ~10^7-row groups at |v| <= 10^3), and
+    the argmax tie-breaks on the smaller t — deterministic on both
+    engines. Output per group: n, cp_index (1-based last index of the
+    left segment), d_max (the scaled criterion at the split), d_base
+    (the no-split criterion floor(1e6*T^2/n)); d_max >= d_base always.
+
+    Scale: one sort-window per group (the single data-sized shuffle),
+    a broadcast of the tiny per-group totals, then the argmax — no
+    pair join, no quadratic stage; every split candidate is evaluated
+    from the prefix sums alone."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    g = F.col(group_col)
+    vm = F.round(F.col(value_col) * 100).cast("long")
+    pts = df.select(
+        g.alias("grp"), vm.alias("__vm"), *[F.col(c) for c in order_cols]
+    ).select(
+        "grp",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(
+                *[F.col(c) for c in order_cols]
+            )
+        ).alias("rn"),
+        F.sum("__vm")
+        .over(
+            Window.partitionBy("grp")
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast(d38)
+        .alias("S"),
+    )
+    tot = pts.groupBy("grp").agg(
+        F.max("rn").cast("long").alias("n"),
+        F.max_by("S", "rn").cast(d38).alias("T"),
+    )
+    j = pts.join(F.broadcast(tot), "grp").where(F.col("rn") < F.col("n"))
+    n1 = F.col("rn").cast(d38)
+    n2 = (F.col("n") - F.col("rn")).cast(d38)
+    s1 = F.col("S")
+    s2 = (F.col("T") - F.col("S")).cast(d38)
+    num = (s1 * s1 * n2 + s2 * s2 * n1).cast(d38)
+    den = (n1 * n2).cast(d38)
+    scored = j.withColumn(
+        "D", ((num - F.pmod(num, den)) / den).cast(d38)
+    )
+    w_arg = Window.partitionBy("grp").orderBy(
+        F.col("D").desc(), F.col("rn").asc()
+    )
+    best = (
+        scored.withColumn("__r", F.row_number().over(w_arg))
+        .where(F.col("__r") == 1)
+        .select("grp", "n", F.col("rn").alias("cp_index"), "D")
+    )
+    base_num = (F.col("T") * F.col("T")).cast(d38)
+    base_den = F.col("n").cast(d38)
+    base = tot.select(
+        "grp",
+        ((base_num - F.pmod(base_num, base_den)) / base_den)
+        .cast(d38)
+        .alias("d_base"),
+    )
+    return best.join(F.broadcast(base), "grp").select(
+        "grp",
+        "n",
+        "cp_index",
+        F.col("D").cast("long").alias("d_max"),
+        F.col("d_base").cast("long").alias("d_base"),
+    )
+
+
+def single_changepoint_oracle_sql(
+    table: str,
+    group_sql: str,
+    order_sqls: Sequence[str],
+    value_sql: str,
+) -> str:
+    """DuckDB mirror of :func:`single_changepoint` (HUGEINT)."""
+    order = ", ".join(order_sqls)
+    return f"""
+        WITH pts AS (
+          SELECT {group_sql} AS grp,
+                 row_number() OVER w AS rn,
+                 sum(CAST(round({value_sql} * 100) AS BIGINT))
+                   OVER (PARTITION BY {group_sql} ORDER BY {order}
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS S
+          FROM {table}
+          WINDOW w AS (PARTITION BY {group_sql} ORDER BY {order})
+        ), tot AS (
+          SELECT grp, CAST(max(rn) AS BIGINT) AS n,
+                 max_by(S, rn) AS T
+          FROM pts GROUP BY grp
+        ), scored AS (
+          SELECT p.grp, t.n, p.rn,
+                 (CAST(p.S AS HUGEINT) * p.S * (t.n - p.rn)
+                  + CAST(t.T - p.S AS HUGEINT) * (t.T - p.S) * p.rn)
+                 // (CAST(p.rn AS HUGEINT) * (t.n - p.rn)) AS D
+          FROM pts p JOIN tot t ON p.grp = t.grp
+          WHERE p.rn < t.n
+        ), best AS (
+          SELECT grp, n, rn AS cp_index, D,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY D DESC, rn ASC) AS r
+          FROM scored
+        )
+        SELECT b.grp, b.n, b.cp_index,
+               CAST(b.D AS BIGINT) AS d_max,
+               CAST(CAST(t.T AS HUGEINT) * t.T // t.n AS BIGINT)
+                 AS d_base
+        FROM best b JOIN tot t ON b.grp = t.grp
+        WHERE b.r = 1
+    """

@@ -638,3 +638,43 @@ def test_duplicated_spans_islands_and_oracle(spark):
     )
     odf = con.execute(duplicated_spans_oracle_sql("documents")).fetchdf()
     assert compare("dup_spans", sdf, odf)
+
+
+def test_single_changepoint_hand_trace_and_oracle(spark):
+    """cp at the true mean shift; a constant series degenerates to
+    d_max == d_base with the tie-break at index 1; singleton groups
+    emit nothing; Spark == DuckDB."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.operators.drift import (
+        single_changepoint,
+        single_changepoint_oracle_sql,
+    )
+
+    rows = [("A", i, 1.0 if i <= 5 else 10.0) for i in range(1, 11)]
+    rows += [("B", i, 3.0) for i in range(1, 7)]
+    rows += [("C", 1, 5.0)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    sdf = (
+        single_changepoint(df, "g", ["t"], "v")
+        .toPandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    assert list(sdf.grp) == ["A", "B"]  # singleton C excluded
+    a = sdf[sdf.grp == "A"].iloc[0]
+    assert a.cp_index == 5 and a.d_max > a.d_base
+    b = sdf[sdf.grp == "B"].iloc[0]
+    assert b.cp_index == 1 and b.d_max == b.d_base
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(rows, columns=["g", "t", "v"]))
+    odf = con.execute(
+        single_changepoint_oracle_sql("tbl", "g", ["t"], "v")
+    ).fetchdf()
+    assert compare("changepoint", sdf, odf)

@@ -1080,6 +1080,18 @@ def main():
         and "partial_count" in p,
     )
 
+    p = plan_of(st["changepoint"](spark, sf_dir))
+    ok &= audit(
+        "changepoint: one sort-window per group is the only data-sized"
+        " shuffle; per-group totals BROADCAST back; every split"
+        " candidate evaluated from prefix sums (no pair join, no"
+        " quadratic stage, no Python)",
+        "CartesianProduct" not in p
+        and "EvalPython" not in p
+        and "BroadcastHashJoin" in p
+        and "Window" in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
