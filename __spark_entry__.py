@@ -4085,6 +4085,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_overlap": q_winnowing_overlap,
         "duplicated_spans": q_duplicated_spans,
         "changepoint": q_changepoint,
+        "benford_audit": q_benford_audit,
     }
 
 
@@ -4154,6 +4155,11 @@ def _r11_staged_oracles() -> dict[str, str]:
             "centimators_spark.operators.drift", fromlist=["x"]
         ).single_changepoint_oracle_sql(
             "events", "event_type", ["ts", "event_id"], "value"
+        ),
+    "benford_audit": __import__(
+            "centimators_spark.profile", fromlist=["x"]
+        ).benford_audit_oracle_sql(
+            "orders", "o_orderpriority", "o_totalprice"
         ),
     }
 
@@ -5181,4 +5187,18 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         ["ts", "event_id"],
         "value",
+    )
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance audit (profile.benford_audit):
+    per order priority, exact per-digit chi-square contributions of
+    o_totalprice's first significant digit against the shared
+    fixed-point Benford table — the forensic data-quality screen."""
+    from centimators_spark.profile import benford_audit
+
+    return benford_audit(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
     )

@@ -395,3 +395,143 @@ def chi2_independence_oracle_sql(
                CAST(sum(t_u) AS DOUBLE) / 1e6 AS chi2
         FROM terms GROUP BY n
     """
+
+
+# ------------------------------------------------------------- benford
+
+# floor(1e6 * log10(1 + 1/d)) for d = 1..9 — shared integer literals
+# (the AS241/DCT discipline: the irrational constants enter BOTH
+# engines as the same fixed-point table, so nothing transcendental is
+# ever evaluated at query time)
+BENFORD_MICRO = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Benford first-digit conformance audit per group — the classic
+    fabricated-data / data-quality screen (Benford 1938; Nigrini's
+    forensic use): compare each group's first-significant-digit
+    distribution of a positive amount column against Benford's law
+    and report the exact per-digit chi-square contributions.
+
+    Exactness: the amount becomes the proven centi-unit integer
+    round(v*100); its first digit is the first character of the
+    INTEGER's decimal string (both engines render integers
+    identically — no float log10, whose 1-ulp error at powers of ten
+    would flip digits). Expected counts use the shared
+    ``BENFORD_MICRO`` fixed-point table; the per-digit statistic
+    floor((c_d*1e6 - p_d*n)^2 / (p_d*n)) is a deterministic integer
+    (micro-units of the chi-square term). Rows with round(v*100) <= 0
+    are excluded (no first significant digit).
+
+    Output: one row per (grp, digit 1..9) — n (group total), c
+    (observed), e_micro (expected count, micro-units),
+    chi2_term_micro. Digits a group never produced still appear
+    (c = 0), so the statistic is complete.
+
+    Scale: one map-side-combined (group, digit) count, then a
+    broadcast fan-out of the 9-digit universe per group — the only
+    data-sized operation is the first aggregation."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"), cents.alias("__m")
+    ).where(F.col("__m") > 0)
+    digits = base.select(
+        "grp",
+        F.substring(F.col("__m").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit"),
+    )
+    counts = digits.groupBy("grp", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    universe = totals.select(
+        "grp",
+        "n",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, 10)])
+        ).alias("digit"),
+    )
+    p_micro = F.element_at(
+        F.array(*[F.lit(BENFORD_MICRO[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    ).cast("long")
+    d38 = "decimal(38,0)"
+    e = (p_micro.cast(d38) * F.col("n").cast(d38)).cast(d38)
+    joined = universe.join(counts, ["grp", "digit"], "left").select(
+        "grp",
+        "digit",
+        "n",
+        F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+        e.alias("__e"),
+    )
+    dev = (
+        F.col("c").cast(d38) * F.lit(1_000_000).cast(d38) - F.col("__e")
+    ).cast(d38)
+    num = (dev * dev).cast(d38)
+    term = ((num - F.pmod(num, F.col("__e"))) / F.col("__e")).cast(
+        "long"
+    )
+    return joined.select(
+        "grp",
+        "digit",
+        "n",
+        "c",
+        F.col("__e").cast("long").alias("e_micro"),
+        term.alias("chi2_term_micro"),
+    )
+
+
+def benford_audit_oracle_sql(
+    table: str,
+    group_sql: str,
+    value_sql: str,
+) -> str:
+    """DuckDB mirror of :func:`benford_audit` (HUGEINT; same
+    fixed-point Benford table, same string first digit)."""
+    vals = ", ".join(
+        f"({d}, {BENFORD_MICRO[d]})" for d in range(1, 10)
+    )
+    return f"""
+        WITH benford(digit, p_micro) AS (VALUES {vals}),
+        base AS (
+          SELECT {group_sql} AS grp,
+                 CAST(round({value_sql} * 100) AS BIGINT) AS m
+          FROM {table}
+          WHERE CAST(round({value_sql} * 100) AS BIGINT) > 0
+        ), counts AS (
+          SELECT grp,
+                 CAST(substring(CAST(m AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2
+        ), totals AS (
+          SELECT grp, CAST(sum(c) AS BIGINT) AS n
+          FROM counts GROUP BY grp
+        ), universe AS (
+          SELECT t.grp, t.n, b.digit, b.p_micro
+          FROM totals t CROSS JOIN benford b
+        )
+        SELECT u.grp, u.digit, u.n,
+               CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+               CAST(CAST(u.p_micro AS HUGEINT) * u.n AS BIGINT)
+                 AS e_micro,
+               CAST(
+                 (CAST(coalesce(c.c, 0) AS HUGEINT) * 1000000
+                  - CAST(u.p_micro AS HUGEINT) * u.n)
+                 * (CAST(coalesce(c.c, 0) AS HUGEINT) * 1000000
+                    - CAST(u.p_micro AS HUGEINT) * u.n)
+                 // (CAST(u.p_micro AS HUGEINT) * u.n)
+               AS BIGINT) AS chi2_term_micro
+        FROM universe u
+        LEFT JOIN counts c ON c.grp = u.grp AND c.digit = u.digit
+    """

@@ -678,3 +678,50 @@ def test_single_changepoint_hand_trace_and_oracle(spark):
         single_changepoint_oracle_sql("tbl", "g", ["t"], "v")
     ).fetchdf()
     assert compare("changepoint", sdf, odf)
+
+
+def test_benford_audit_hand_trace(spark):
+    """A perfectly Benford-ish tiny group and a pathological all-9s
+    group: complete 9-digit universe per group, zero-count digits
+    present, exact expected counts and chi-square terms."""
+    from centimators_spark.profile import BENFORD_MICRO, benford_audit
+
+    rows = [("good", float(d)) for d in (1, 1, 1, 2, 2, 3)]  # digits 1,1,1,2,2,3
+    rows += [("bad", 9.0)] * 4  # all first-digit 9
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r.grp, r.digit): r for r in benford_audit(df, "g", "v").collect()
+    }
+    assert len(out) == 18  # 2 groups x full digit universe
+    g1 = out[("good", 1)]
+    assert (g1.n, g1.c) == (6, 3)
+    assert g1.e_micro == BENFORD_MICRO[1] * 6
+    dev = 3 * 1_000_000 - g1.e_micro
+    assert g1.chi2_term_micro == dev * dev // g1.e_micro
+    b9 = out[("bad", 9)]
+    assert (b9.n, b9.c) == (4, 4)
+    assert out[("bad", 1)].c == 0  # zero-count digit still reported
+    # all-9s deviates far more from Benford than the good group
+    tot = lambda g: sum(
+        out[(g, d)].chi2_term_micro for d in range(1, 10)
+    )
+    assert tot("bad") > 10 * tot("good")
+
+
+def test_benford_first_digit_is_string_based(spark):
+    """First digit must come from the integer-cents string — values
+    at power-of-ten boundaries (where float log10 flips) and sub-cent
+    values must be handled exactly; nonpositive cents are excluded."""
+    from centimators_spark.profile import benford_audit
+
+    rows = [
+        ("g", 100.0),     # cents 10000 -> digit 1
+        ("g", 99.995),    # cents round(9999.5) -> 10000 -> digit 1
+        ("g", 0.001),     # cents 0 -> excluded
+        ("g", -5.0),      # negative -> excluded
+        ("g", 0.09),      # cents 9 -> digit 9
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.digit: r.c for r in benford_audit(df, "g", "v").collect()}
+    assert out[1] == 2 and out[9] == 1
+    assert sum(out.values()) == 3

@@ -1092,6 +1092,17 @@ def main():
         and "Window" in p,
     )
 
+    p = plan_of(st["benford_audit"](spark, sf_dir))
+    ok &= audit(
+        "benford_audit: one map-side-combined (group, digit) count is"
+        " the only data-sized stage; the 9-digit universe fan-out and"
+        " expected-count join run on group-cardinality rows; no"
+        " Python, no cartesian over data",
+        "partial_count" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
