@@ -4086,6 +4086,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "changepoint": q_changepoint,
         "benford_audit": q_benford_audit,
+        "hll_portable": q_hll_portable,
     }
 
 
@@ -4160,6 +4161,11 @@ def _r11_staged_oracles() -> dict[str, str]:
             "centimators_spark.profile", fromlist=["x"]
         ).benford_audit_oracle_sql(
             "orders", "o_orderpriority", "o_totalprice"
+        ),
+    "hll_portable": __import__(
+            "centimators_spark.sketches", fromlist=["x"]
+        ).hll_portable_oracle_sql(
+            "orders", "o_orderpriority", "o_custkey"
         ),
     }
 
@@ -5201,4 +5207,20 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         "o_orderpriority",
         "o_totalprice",
+    )
+
+
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully portable HyperLogLog (sketches.hll_portable): per order
+    priority, distinct customers — every register, the raw estimator,
+    and the linear-counting correction are shared-literal integers,
+    so the WHOLE sketch hash-matches the oracle (upgrades the
+    tolerance-banded approx_distinct_contract to the cms/theta
+    standard). n_exact rides along as the accuracy witness."""
+    from centimators_spark.sketches import hll_portable
+
+    return hll_portable(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_custkey",
     )

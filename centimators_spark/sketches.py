@@ -547,3 +547,173 @@ def theta_a_not_b_oracle_sql(
         JOIN totals t ON t.g = p.src_a
         LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
     """
+
+
+# ------------------------------------------------------------ portable HLL
+
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_WBITS = 60 - HLL_P  # 54-bit rank payload
+HLL_ALPHA_MICRO = 709340  # floor(1e6 * 0.7213 / (1 + 1.079/64))
+# linear-counting table: LC[V] = floor(m * ln(m / V)) for V empty
+# registers (fixed-point literals shared by both engines — the
+# AS241/DCT/Benford discipline: no transcendental at query time)
+
+
+def _hll_lc_table() -> list[int]:
+    import math
+
+    return [
+        int(math.floor(HLL_M * math.log(HLL_M / v)))
+        for v in range(1, HLL_M + 1)
+    ]
+
+
+def hll_portable(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Fully portable HyperLogLog (Flajolet et al. 2007) — the
+    hash-PROVEN upgrade of the tolerance-banded
+    approx_count_distinct contract: every register, the raw
+    estimator, and the small-range linear-counting correction are
+    deterministic integers both engines compute identically, so the
+    whole sketch hash-matches the oracle (the cms/theta discipline).
+
+    Construction: item hash h = portable 60-bit md5; register
+    j = h mod 64; payload w = h >> 6 (54 bits); rank = leading-zero
+    count of w in 54-bit width + 1 (computed by a shared 54-threshold
+    integer CASE chain, never float log2); register value = max rank.
+    Estimator: with S = sum over registers of 2^(60 - M_j) (empty
+    registers contribute 2^60), raw = floor(alpha_micro * m^2 * 2^60
+    / (1e6 * S)); if raw <= 2.5*m and V > 0 empty registers, the
+    estimate is linear counting floor(m * ln(m/V)) from the shared
+    fixed-point table. n_exact rides along as the accuracy witness.
+
+    Scale: one distinct on (group, item-hash) then a 64-cell
+    aggregate per group — the sketch (not the data) is the state,
+    which is why this is the 100 TB per-group distinct. Output per
+    group: n_exact, v_empty, est_raw, est."""
+    from decimal import Decimal
+
+    h = md5_long(F.col(item_col).cast("string"))
+    hashes = df.select(
+        F.col(group_col).alias("grp"), h.alias("h")
+    ).distinct()
+    rank = F.lit(HLL_WBITS + 1)
+    for r in range(HLL_WBITS, 0, -1):
+        # w >= 2^(WBITS - r) <=> bit_length(w) = WBITS - r + 1 =>
+        # rank r; the chain ends with the r = 1 test outermost
+        rank = F.when(
+            F.col("__w") >= F.lit(1 << (HLL_WBITS - r)), F.lit(r)
+        ).otherwise(rank)
+    regs = (
+        hashes.withColumn("__j", F.pmod("h", F.lit(HLL_M)))
+        # integer shift, never float division: h has 60 bits and a
+        # double mantissa would round the payload
+        .withColumn("__w", F.shiftrightunsigned("h", HLL_P))
+        .withColumn("__rank", rank)
+        .groupBy("grp", "__j")
+        .agg(F.max("__rank").alias("__m"))
+    )
+    d38 = "decimal(38,0)"
+    # 2^(60 - M) via a literal power table (M in 1..55): exact longs
+    pow_arr = F.array(
+        *[F.lit(1 << (60 - mm)) for mm in range(1, HLL_WBITS + 2)]
+    )
+    term = F.element_at(pow_arr, F.col("__m").cast("int"))
+    per_group = regs.groupBy("grp").agg(
+        # sum in decimal: 64 registers x up to 2^59 exceeds BIGINT
+        F.sum(term.cast(d38)).cast(d38).alias("S_used"),
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(item_col).cast("long").alias("n_exact")
+    )
+    v_empty = (F.lit(HLL_M) - F.col("n_used")).cast("long")
+    s_total = (
+        F.col("S_used")
+        + v_empty.cast(d38) * F.lit(Decimal(1 << 60)).cast(d38)
+    ).cast(d38)
+    num = (
+        F.lit(HLL_ALPHA_MICRO).cast(d38)
+        * F.lit(HLL_M * HLL_M).cast(d38)
+        * F.lit(Decimal(1 << 60)).cast(d38)
+    ).cast(d38)
+    den = (F.lit(1_000_000).cast(d38) * s_total).cast(d38)
+    raw = ((num - F.pmod(num, den)) / den).cast("long")
+    lc = _hll_lc_table()
+    lc_arr = F.array(*[F.lit(v) for v in lc])
+    est = F.when(
+        (raw <= int(2.5 * HLL_M)) & (v_empty > 0),
+        F.element_at(lc_arr, v_empty.cast("int")).cast("long"),
+    ).otherwise(raw)
+    return (
+        per_group.join(exact, "grp")
+        .select(
+            "grp",
+            "n_exact",
+            v_empty.alias("v_empty"),
+            raw.alias("est_raw"),
+            est.cast("long").alias("est"),
+        )
+    )
+
+
+def hll_portable_oracle_sql(
+    table: str,
+    group_sql: str,
+    item_sql: str,
+) -> str:
+    """DuckDB mirror of :func:`hll_portable` (HUGEINT; identical
+    threshold CASE chain, alpha, and LC table)."""
+    lc = _hll_lc_table()
+    lc_vals = ", ".join(
+        f"({v + 1}, {lc[v]})" for v in range(HLL_M)
+    )
+    thresholds = " ".join(
+        f"WHEN w >= {1 << (HLL_WBITS - r)} THEN {r}"
+        for r in range(1, HLL_WBITS + 1)
+    )
+    return f"""
+        WITH lc(v, est) AS (VALUES {lc_vals}),
+        hashes AS (
+          SELECT DISTINCT {group_sql} AS grp,
+                 {sql_md5_long(f"CAST({item_sql} AS VARCHAR)")} AS h
+          FROM {table}
+        ), ranked AS (
+          SELECT grp, h % {HLL_M} AS j,
+                 CASE {thresholds} ELSE {HLL_WBITS + 1} END AS rank
+          FROM (SELECT grp, h, h // {HLL_M} AS w FROM hashes)
+        ), regs AS (
+          SELECT grp, j, max(rank) AS m FROM ranked GROUP BY grp, j
+        ), per_group AS (
+          SELECT grp,
+                 sum(CAST(1 AS HUGEINT) << (60 - m)) AS s_used,
+                 CAST(count(*) AS BIGINT) AS n_used
+          FROM regs GROUP BY grp
+        ), exact AS (
+          SELECT {group_sql} AS grp,
+                 CAST(count(DISTINCT {item_sql}) AS BIGINT) AS n_exact
+          FROM {table} GROUP BY 1
+        ), scored AS (
+          SELECT p.grp, e.n_exact,
+                 CAST({HLL_M} - p.n_used AS BIGINT) AS v_empty,
+                 CAST(
+                   (CAST({HLL_ALPHA_MICRO} AS HUGEINT)
+                    * {HLL_M * HLL_M}
+                    * (CAST(1 AS HUGEINT) << 60))
+                   // (1000000 * (p.s_used
+                       + ({HLL_M} - p.n_used)
+                         * (CAST(1 AS HUGEINT) << 60)))
+                 AS BIGINT) AS est_raw
+          FROM per_group p JOIN exact e ON p.grp = e.grp
+        )
+        SELECT s.grp, s.n_exact, s.v_empty, s.est_raw,
+               CAST(CASE WHEN s.est_raw <= {int(2.5 * HLL_M)}
+                          AND s.v_empty > 0
+                    THEN (SELECT est FROM lc WHERE lc.v = s.v_empty)
+                    ELSE s.est_raw END AS BIGINT) AS est
+        FROM scored s
+    """

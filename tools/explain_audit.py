@@ -1103,6 +1103,18 @@ def main():
         and "CartesianProduct" not in p,
     )
 
+    p = plan_of(st["hll_portable"](spark, sf_dir))
+    ok &= audit(
+        "hll_portable: one distinct on (group, hash) then the 64-cell"
+        " register agg — sketch-sized state; the rank CASE chain and"
+        " power table stay in codegen (no Python, no cartesian, no"
+        " window)",
+        "EvalPython" not in p
+        and "CartesianProduct" not in p
+        and "Window" not in p
+        and "partial_max" in p,  # register max is map-side combined
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
