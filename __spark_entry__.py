@@ -4087,6 +4087,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "benford_audit": q_benford_audit,
         "hll_portable": q_hll_portable,
+        "hll_union": q_hll_union,
     }
 
 
@@ -4167,6 +4168,9 @@ def _r11_staged_oracles() -> dict[str, str]:
         ).hll_portable_oracle_sql(
             "orders", "o_orderpriority", "o_custkey"
         ),
+    "hll_union": __import__(
+            "centimators_spark.sketches", fromlist=["x"]
+        ).hll_union_oracle_sql("documents"),
     }
 
 
@@ -5224,3 +5228,14 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_custkey",
     )
+
+
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL union per source pair (sketches.hll_union_pairs): distinct
+    3-gram union estimated from the 64-register sketches alone by the
+    register-wise max MERGE — the operation that makes HLL the 100 TB
+    per-partition distinct. Completes the sketch set algebra with
+    theta intersection and A-NOT-B difference; true_union witness."""
+    from centimators_spark.sketches import hll_union_pairs
+
+    return hll_union_pairs(load_table(spark, sf_dir, "documents"))

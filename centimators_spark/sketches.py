@@ -717,3 +717,247 @@ def hll_portable_oracle_sql(
                     ELSE s.est_raw END AS BIGINT) AS est
         FROM scored s
     """
+
+
+def hll_union_pairs(
+    df: DataFrame,
+    *,
+    content_col: str = "text",
+    by: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """HLL union per group pair — the MERGE operation that is the
+    whole point of HLL (register-wise max): estimate the distinct
+    n-gram union |A ∪ B| for every source pair from the two groups'
+    64-register sketches alone, completing the sketch set-algebra
+    beside theta intersection (`theta_sketch_intersections`) and
+    difference (`theta_sketch_a_not_b`). Same portable discipline as
+    :func:`hll_portable`: every merged register, the raw estimator,
+    and the linear-counting correction are shared-literal integers —
+    hash-proven, with true_union riding along as the witness.
+
+    Scale: the corpus is touched ONCE (distinct (group, gram-hash) +
+    the exact-truth union count); the pair stage merges 64-row
+    register tables per group — KBs regardless of corpus size. Drop
+    true_union in production and pair cost is register-table-sized."""
+    from decimal import Decimal
+
+    from centimators_spark.text.portable import token_ngrams
+
+    grams = df.select(
+        F.col(by).alias("g"),
+        F.explode(
+            token_ngrams(tokens(F.col(content_col)), n)
+        ).alias("gram"),
+    ).distinct()
+    hashes = grams.select(
+        "g", md5_long(F.col("gram")).alias("h")
+    ).distinct()
+    rank = F.lit(HLL_WBITS + 1)
+    for r in range(HLL_WBITS, 0, -1):
+        rank = F.when(
+            F.col("__w") >= F.lit(1 << (HLL_WBITS - r)), F.lit(r)
+        ).otherwise(rank)
+    regs = (
+        hashes.withColumn("__j", F.pmod("h", F.lit(HLL_M)))
+        .withColumn("__w", F.shiftrightunsigned("h", HLL_P))
+        .withColumn("__rank", rank)
+        .groupBy("g", "__j")
+        .agg(F.max("__rank").alias("__m"))
+        .localCheckpoint(eager=True)
+    )
+    # pair-wise register merge over the FULL 64-register universe per
+    # pair (a one-sided left join would drop registers present only in
+    # the other sketch): merged rank = max of the two, absent = 0
+    a = regs.select(
+        F.col("g").alias("src_a"), "__j", F.col("__m").alias("ma")
+    )
+    b = regs.select(
+        F.col("g").alias("src_b"), "__j", F.col("__m").alias("mb")
+    )
+    pairs_univ = (
+        regs.select(F.col("g").alias("src_a"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                regs.select(F.col("g").alias("src_b")).distinct()
+            )
+        )
+        .where(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(HLL_M)])
+            ).alias("__j"),
+        )
+    )
+    merged = (
+        pairs_univ.join(F.broadcast(a), ["src_a", "__j"], "left")
+        .join(F.broadcast(b), ["src_b", "__j"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "__j",
+            F.greatest(
+                F.coalesce("ma", F.lit(0)), F.coalesce("mb", F.lit(0))
+            ).alias("__m"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    pow_arr = F.array(
+        *[F.lit(1 << (60 - mm)) for mm in range(1, HLL_WBITS + 2)]
+    )
+    term = F.element_at(pow_arr, F.col("__m").cast("int"))
+    per_pair = merged.where(F.col("__m") > 0).groupBy(
+        "src_a", "src_b"
+    ).agg(
+        F.sum(term.cast(d38)).cast(d38).alias("S_used"),
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+    )
+    truth = (
+        grams.select(F.col("g").alias("src_a"), "gram")
+        .join(
+            grams.select(F.col("g").alias("src_b"), "gram"), "gram"
+        )
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    totals = grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot")
+    )
+    v_empty = (F.lit(HLL_M) - F.col("n_used")).cast("long")
+    s_total = (
+        F.col("S_used")
+        + v_empty.cast(d38) * F.lit(Decimal(1 << 60)).cast(d38)
+    ).cast(d38)
+    num = (
+        F.lit(HLL_ALPHA_MICRO).cast(d38)
+        * F.lit(HLL_M * HLL_M).cast(d38)
+        * F.lit(Decimal(1 << 60)).cast(d38)
+    ).cast(d38)
+    den = (F.lit(1_000_000).cast(d38) * s_total).cast(d38)
+    raw = ((num - F.pmod(num, den)) / den).cast("long")
+    lc = _hll_lc_table()
+    lc_arr = F.array(*[F.lit(v) for v in lc])
+    est = F.when(
+        (raw <= int(2.5 * HLL_M)) & (v_empty > 0),
+        F.element_at(lc_arr, v_empty.cast("int")).cast("long"),
+    ).otherwise(raw)
+    return (
+        per_pair.join(
+            F.broadcast(
+                totals.select(
+                    F.col("g").alias("src_a"),
+                    F.col("n_tot").alias("na"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col("g").alias("src_b"),
+                    F.col("n_tot").alias("nb"),
+                )
+            ),
+            "src_b",
+        )
+        .join(truth, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            v_empty.alias("v_empty"),
+            est.cast("long").alias("est_union"),
+            (
+                F.col("na")
+                + F.col("nb")
+                - F.coalesce("n_common", F.lit(0))
+            ).cast("long").alias("true_union"),
+        )
+    )
+
+
+def hll_union_oracle_sql(
+    table: str = "documents",
+    *,
+    content_sql: str = "text",
+    by_sql: str = "source",
+    n: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`hll_union_pairs`."""
+    from centimators_spark.text.portable import (
+        sql_token_ngrams,
+        sql_tokens,
+    )
+
+    lc = _hll_lc_table()
+    lc_vals = ", ".join(f"({v + 1}, {lc[v]})" for v in range(HLL_M))
+    thresholds = " ".join(
+        f"WHEN w >= {1 << (HLL_WBITS - r)} THEN {r}"
+        for r in range(1, HLL_WBITS + 1)
+    )
+    tk = sql_tokens(content_sql)
+    return f"""
+        WITH lc(v, lcest) AS (VALUES {lc_vals}),
+        grams AS (
+          SELECT DISTINCT {by_sql} AS g, unnest({sql_token_ngrams('tk', n)}) AS gram
+          FROM (SELECT {by_sql}, {tk} AS tk FROM {table})
+        ), hashes AS (
+          SELECT DISTINCT g, {sql_md5_long('gram')} AS h FROM grams
+        ), ranked AS (
+          SELECT g, h % {HLL_M} AS j,
+                 CASE {thresholds} ELSE {HLL_WBITS + 1} END AS rank
+          FROM (SELECT g, h, h // {HLL_M} AS w FROM hashes)
+        ), regs AS (
+          SELECT g, j, max(rank) AS m FROM ranked GROUP BY g, j
+        ), pairs_univ AS (
+          SELECT a.g AS src_a, b.g AS src_b
+          FROM (SELECT DISTINCT g FROM regs) a
+          JOIN (SELECT DISTINCT g FROM regs) b ON a.g < b.g
+        ), merged AS (
+          SELECT p.src_a, p.src_b, u.j,
+                 greatest(coalesce(ra.m, 0), coalesce(rb.m, 0)) AS m
+          FROM pairs_univ p
+          CROSS JOIN (SELECT unnest(range(0, 64)) AS j) u
+          LEFT JOIN regs ra ON ra.g = p.src_a AND ra.j = u.j
+          LEFT JOIN regs rb ON rb.g = p.src_b AND rb.j = u.j
+        ), per_pair AS (
+          SELECT src_a, src_b,
+                 sum(CAST(1 AS HUGEINT) << (60 - m)) AS s_used,
+                 CAST(count(*) AS BIGINT) AS n_used
+          FROM merged WHERE m > 0 GROUP BY src_a, src_b
+        ), truth AS (
+          SELECT a.g AS src_a, b.g AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM grams a JOIN grams b ON a.gram = b.gram AND a.g < b.g
+          GROUP BY a.g, b.g
+        ), totals AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n_tot
+          FROM grams GROUP BY g
+        ), scored AS (
+          SELECT p.src_a, p.src_b,
+                 CAST({HLL_M} - p.n_used AS BIGINT) AS v_empty,
+                 CAST(
+                   (CAST({HLL_ALPHA_MICRO} AS HUGEINT)
+                    * {HLL_M * HLL_M}
+                    * (CAST(1 AS HUGEINT) << 60))
+                   // (1000000 * (p.s_used
+                       + ({HLL_M} - p.n_used)
+                         * (CAST(1 AS HUGEINT) << 60)))
+                 AS BIGINT) AS est_raw
+          FROM per_pair p
+        )
+        SELECT s.src_a, s.src_b, s.v_empty,
+               CAST(CASE WHEN s.est_raw <= {int(2.5 * HLL_M)}
+                          AND s.v_empty > 0
+                    THEN (SELECT lcest FROM lc WHERE lc.v = s.v_empty)
+                    ELSE s.est_raw END AS BIGINT) AS est_union,
+               CAST(ta.n_tot + tb.n_tot - coalesce(t.n_common, 0)
+                    AS BIGINT) AS true_union
+        FROM scored s
+        JOIN totals ta ON ta.g = s.src_a
+        JOIN totals tb ON tb.g = s.src_b
+        LEFT JOIN truth t ON t.src_a = s.src_a AND t.src_b = s.src_b
+    """

@@ -784,3 +784,44 @@ def test_hll_rank_chain_is_exact_bit_length(spark):
     )
     assert (out1.v_empty == HLL_M - 1).all()
     assert (out1.est == 1).all()
+
+
+def test_hll_union_merge_and_oracle(spark):
+    """Register-wise max merge: union estimate within the HLL error
+    bound of the exact union, inclusion-exclusion witness correct,
+    B-only registers NOT dropped (the one-sided-join hazard), and
+    Spark == DuckDB."""
+    import sys
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.sketches import (
+        hll_union_oracle_sql,
+        hll_union_pairs,
+    )
+
+    # s0/s1/s2 from rotating 40-token docs: heavy pairwise overlap
+    docs = [
+        (i, " ".join(f"w{(i * 37 + j) % 211}" for j in range(40)), f"s{i % 3}")
+        for i in range(30)
+    ]
+    # plus a DISJOINT tiny source: its union with others must exceed
+    # both sides (register merge must include registers only it sets)
+    docs += [(100, "zz yy xx ww vv uu tt ss", "tiny")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    sdf = hll_union_pairs(df).toPandas()
+    assert len(sdf) == 6  # C(4,2)
+    rel = np.abs(sdf.est_union - sdf.true_union) / sdf.true_union
+    assert rel.max() < 3 * 0.13  # 1.04/sqrt(64) x3
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text", "source"]),
+    )
+    odf = con.execute(hll_union_oracle_sql("documents")).fetchdf()
+    assert compare("hll_union", sdf, odf)

@@ -1115,6 +1115,17 @@ def main():
         and "partial_max" in p,  # register max is map-side combined
     )
 
+    p = plan_of(st["hll_union"](spark, sf_dir))
+    ok &= audit(
+        "hll_union: corpus touched once (distinct + truth join); the"
+        " pair stage merges BROADCAST checkpointed 64-row register"
+        " tables over the per-pair register universe — no Python,"
+        " register kernel never recomputed per pair",
+        "EvalPython" not in p
+        and "BroadcastHashJoin" in p
+        and p.count("MapInPandas") == 0,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
