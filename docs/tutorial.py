@@ -121,6 +121,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("== image pHash near-dup pairs (synthetic BMP corpus) ==")
     pairs.orderBy("d1", "d2").show(5)
 
+    # ------------------------------------------------------------------
+    # 5. Corpus audit with sketches: how much do sources overlap
+    #    (theta intersection), how big is each pairwise union (HLL
+    #    merge), and where are the exact duplicated token runs?
+    # ------------------------------------------------------------------
+    from centimators_spark.dedup.substring import duplicated_spans
+    from centimators_spark.sketches import theta_sketch_intersections
+
+    theta = theta_sketch_intersections(docs)
+    print("== theta sketch: distinct 3-gram intersection per source pair ==")
+    theta.orderBy(F.col("est_common").desc()).show(3)
+
+    spans = duplicated_spans(docs)
+    print("== exact duplicated-substring profile (top offenders) ==")
+    spans.orderBy(F.col("n_dup_tokens").desc()).show(3)
+
     print("tutorial: OK")
 
 
