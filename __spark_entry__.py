@@ -4088,6 +4088,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "hll_portable": q_hll_portable,
         "hll_union": q_hll_union,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 
@@ -4171,6 +4172,11 @@ def _r11_staged_oracles() -> dict[str, str]:
     "hll_union": __import__(
             "centimators_spark.sketches", fromlist=["x"]
         ).hll_union_oracle_sql("documents"),
+    "bootstrap_ci": __import__(
+            "centimators_spark.ml.bootstrap", fromlist=["x"]
+        ).bootstrap_mean_ci_oracle_sql(
+            "orders", "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
     }
 
 
@@ -5239,3 +5245,21 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from centimators_spark.sketches import hll_union_pairs
 
     return hll_union_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap CI (ml/bootstrap.bootstrap_mean_ci,
+    Chamandy et al. style): per order priority, the mean total price
+    with a 32-replicate percentile band — every replicate weight a
+    deterministic md5 inverse-CDF Poisson(1) draw, so the whole band
+    is hash-proven. The corpus is scanned ONCE for all replicates
+    (2B+2 map-side-combined sums), which is the 100 TB error-bar
+    recipe."""
+    from centimators_spark.ml.bootstrap import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+    )

@@ -12,6 +12,7 @@ from centimators_spark.ml.estimators import (
 )
 from centimators_spark.ml import architectures
 from centimators_spark.ml.architectures import TemperatureAnnealing
+from centimators_spark.ml.bootstrap import bootstrap_mean_ci
 from centimators_spark.ml.calibration import isotonic_calibration
 from centimators_spark.ml.dspymator import DSPyMator
 from centimators_spark.ml.keras_cortex import KerasCortex
@@ -22,6 +23,7 @@ from centimators_spark.ml.feature_selection import mutual_information
 from centimators_spark.ml.metrics import autocorr, era_corr, era_report
 
 __all__ = [
+    "bootstrap_mean_ci",
     "isotonic_calibration",
     "architectures",
     "BaseKerasEstimator",

@@ -1,0 +1,208 @@
+"""Distributed Poisson bootstrap confidence intervals — the online /
+one-pass bootstrap (Oza & Russell 2001; Chamandy et al., "Estimating
+Uncertainty for Massive Data Streams", Google 2012): each of B
+replicates reweights every row by an independent Poisson(1) draw, so
+a replicate's mean is computable in the SAME single aggregation pass
+as the point estimate — no resampling shuffle, no per-replicate scan.
+This is THE way to put error bars on a 100 TB aggregate (reference
+scope: the engine's evaluation/metrics surface, e.g.
+/root/reference/src/centimators/model_estimators/).
+
+Portability (hash-proven, the cms/theta discipline): the Poisson(1)
+draw for (row, replicate) is the deterministic inverse-CDF lookup of
+the 20-bit slice of md5(id || ':' || r//3) for slot r%3 against the
+shared fixed-point cumulative table ``POISSON1_CUM_P20`` (weights
+capped at 8 — mass beyond is < 1.1e-5); replicate means are floor
+micro-units of the weighted centi-value sums. Every number both
+engines compute is the same integer.
+
+Scale: ONE pass — the groupBy computes 2B+2 map-side-combined sums
+(B weighted-count + B weighted-value columns, plus n and the full
+sum); the replicate table that follows is B rows per group. The
+explode-free design means the corpus is scanned once regardless of
+B."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centimators_spark.text.portable import md5_long, sql_md5_long
+
+# floor(2^20 * P(Poisson(1) <= k)) for k = 0..7; weight = #thresholds
+# <= u, capped at 8. Draws live in [0, 2^20): ONE 60-bit md5 yields
+# THREE independent 20-bit draws (hash i serves replicates 3i..3i+2),
+# cutting the per-row hash count from B to ceil(B/3) — the md5 was
+# the dominant per-row cost in the one-pass aggregation.
+POISSON1_CUM_P20 = [
+    385749, 771499, 964373, 1028665, 1044738, 1047952, 1048488,
+    1048565,
+]
+BOOT_B = 32
+_D38 = "decimal(38,0)"
+
+
+def _weight(id_col: str, r: int):
+    i, slot = divmod(r, 3)
+    h = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{i}"))
+    )
+    u = F.shiftrightunsigned(h, 20 * slot).bitwiseAND(
+        F.lit((1 << 20) - 1)
+    )
+    w = F.lit(len(POISSON1_CUM_P20))
+    for k in range(len(POISSON1_CUM_P20) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CUM_P20[k]), F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    B: int = BOOT_B,
+) -> DataFrame:
+    """Per group: point mean plus a percentile-bootstrap band from B
+    deterministic Poisson-weighted replicates.
+
+    Returns (grp, n_rows, n_replicates, mean_micro, boot_lo_micro,
+    boot_hi_micro): means are floor micro-units of the centi-unit
+    value; the band is the 2nd-smallest / 2nd-largest replicate mean
+    (a deterministic ~6%/94% band at B=32 — the band SPEC, chosen
+    over interpolated quantiles so the contract stays integer).
+    Replicates whose total weight is 0 (only possible for tiny
+    groups) are dropped and reported via n_replicates."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents.cast(_D38)).cast(_D38).alias("vsum"),
+    ]
+    for r in range(B):
+        w = _weight(id_col, r)
+        aggs.append(F.sum(w).cast("long").alias(f"w{r}"))
+        aggs.append(
+            F.sum((w * cents).cast(_D38)).cast(_D38).alias(f"v{r}")
+        )
+    per_group = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+    # B rows per group: (r, wsum, vsum_r)
+    reps = per_group.select(
+        "grp",
+        "n_rows",
+        "vsum",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.col(f"w{r}").alias("wsum"),
+                        F.col(f"v{r}").alias("vs"),
+                    )
+                    for r in range(B)
+                ]
+            )
+        ).alias("rep"),
+    ).select(
+        "grp", "n_rows", "vsum", "rep.r", "rep.wsum", "rep.vs"
+    ).where(F.col("wsum") > 0)
+
+    def floor_mean(num, den):
+        scaled = (num * F.lit(1_000_000).cast(_D38)).cast(_D38)
+        return (
+            (scaled - F.pmod(scaled, den.cast(_D38))) / den.cast(_D38)
+        ).cast("long")
+
+    reps = reps.withColumn(
+        "rep_mean_micro", floor_mean(F.col("vs"), F.col("wsum"))
+    )
+    from pyspark.sql import Window
+
+    w_asc = Window.partitionBy("grp").orderBy(
+        F.col("rep_mean_micro").asc(), F.col("r").asc()
+    )
+    w_desc = Window.partitionBy("grp").orderBy(
+        F.col("rep_mean_micro").desc(), F.col("r").desc()
+    )
+    ranked = reps.withColumn(
+        "ra", F.row_number().over(w_asc)
+    ).withColumn("rd", F.row_number().over(w_desc))
+    bands = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.max(F.when(F.col("ra") == 2, F.col("rep_mean_micro")))
+        .alias("boot_lo_micro"),
+        F.max(F.when(F.col("rd") == 2, F.col("rep_mean_micro")))
+        .alias("boot_hi_micro"),
+        F.max("n_rows").alias("n_rows"),
+        F.max("vsum").alias("vsum"),
+    )
+    return bands.select(
+        "grp",
+        "n_rows",
+        "n_replicates",
+        floor_mean(F.col("vsum"), F.col("n_rows")).alias("mean_micro"),
+        "boot_lo_micro",
+        "boot_hi_micro",
+    )
+
+
+def bootstrap_mean_ci_oracle_sql(
+    table: str,
+    group_sql: str,
+    id_sql: str,
+    value_sql: str,
+    *,
+    B: int = BOOT_B,
+) -> str:
+    """DuckDB mirror of :func:`bootstrap_mean_ci` (HUGEINT; identical
+    Poisson table, identical order statistics)."""
+    th = POISSON1_CUM_P20
+    th_list = ", ".join(str(t) for t in th)
+    h = sql_md5_long(
+        "(CAST(id AS VARCHAR) || ':' || CAST(r // 3 AS VARCHAR))"
+    )
+    u = f"(({h}) >> (20 * (r % 3))) & 1048575"
+    return f"""
+        WITH rows_r AS (
+          SELECT {group_sql} AS grp, {id_sql} AS id,
+                 CAST(round({value_sql} * 100) AS BIGINT) AS cents, r
+          FROM {table} CROSS JOIN range({B}) t(r)
+        ), weighted AS (
+          SELECT grp, r, cents,
+                 CAST(len(list_filter([{th_list}],
+                      t -> t <= ({u}))) AS BIGINT) AS w
+          FROM rows_r
+        ), reps AS (
+          SELECT grp, r,
+                 sum(w) AS wsum,
+                 sum(CAST(w AS HUGEINT) * cents) AS vs
+          FROM weighted GROUP BY grp, r
+        ), totals AS (
+          SELECT {group_sql} AS grp,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 sum(CAST(round({value_sql} * 100) AS BIGINT)) AS vsum
+          FROM {table} GROUP BY 1
+        ), means AS (
+          SELECT grp, r,
+                 CAST((CAST(vs AS HUGEINT) * 1000000) // wsum
+                      AS BIGINT) AS rep_mean_micro
+          FROM reps WHERE wsum > 0
+        ), ranked AS (
+          SELECT grp, r, rep_mean_micro,
+                 row_number() OVER (PARTITION BY grp
+                   ORDER BY rep_mean_micro ASC, r ASC) AS ra,
+                 row_number() OVER (PARTITION BY grp
+                   ORDER BY rep_mean_micro DESC, r DESC) AS rd
+          FROM means
+        )
+        SELECT t.grp, t.n_rows,
+               CAST(count(*) AS BIGINT) AS n_replicates,
+               CAST((CAST(t.vsum AS HUGEINT) * 1000000) // t.n_rows
+                    AS BIGINT) AS mean_micro,
+               CAST(max(CASE WHEN ra = 2 THEN rep_mean_micro END)
+                    AS BIGINT) AS boot_lo_micro,
+               CAST(max(CASE WHEN rd = 2 THEN rep_mean_micro END)
+                    AS BIGINT) AS boot_hi_micro
+        FROM ranked k JOIN totals t ON k.grp = t.grp
+        GROUP BY t.grp, t.n_rows, t.vsum
+    """

@@ -825,3 +825,66 @@ def test_hll_union_merge_and_oracle(spark):
     )
     odf = con.execute(hll_union_oracle_sql("documents")).fetchdf()
     assert compare("hll_union", sdf, odf)
+
+
+def test_bootstrap_ci_deterministic_and_oracle(spark):
+    """Replicate weights are deterministic md5 Poisson(1) draws: the
+    band is identical across runs, contains the point mean, zero-
+    weight replicates are dropped for tiny groups — and the whole
+    contract matches the DuckDB twin."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.ml.bootstrap import (
+        bootstrap_mean_ci,
+        bootstrap_mean_ci_oracle_sql,
+    )
+
+    rows = [("a", i, 10.0 + (i % 7)) for i in range(200)]
+    rows += [("tiny", 9000, 5.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    s1 = (
+        bootstrap_mean_ci(df, "g", "id", "v")
+        .toPandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    s2 = (
+        bootstrap_mean_ci(df, "g", "id", "v")
+        .toPandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    assert s1.equals(s2)  # deterministic
+    a = s1[s1.grp == "a"].iloc[0]
+    assert a.boot_lo_micro <= a.mean_micro <= a.boot_hi_micro
+    assert a.boot_lo_micro < a.boot_hi_micro  # a real band
+    tiny = s1[s1.grp == "tiny"].iloc[0]
+    assert tiny.n_replicates < 32  # Poisson(1) zero-weight replicates
+    assert tiny.mean_micro == 500_000_000  # micro-units of CENTS
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(rows, columns=["g", "id", "v"]))
+    odf = con.execute(
+        bootstrap_mean_ci_oracle_sql("tbl", "g", "id", "v")
+    ).fetchdf()
+    assert compare("bootstrap_ci", s1, odf)
+
+
+def test_poisson_weight_distribution(spark):
+    """Across many (id, replicate) draws the weight distribution must
+    match Poisson(1): ~37% zeros, ~37% ones, mean ~1."""
+    from pyspark.sql import functions as F
+
+    from centimators_spark.ml.bootstrap import _weight
+
+    df = spark.range(2000).select(F.col("id"))
+    w = df.select(_weight("id", 0).alias("w")).toPandas()["w"]
+    assert abs(w.mean() - 1.0) < 0.1
+    z = (w == 0).mean()
+    assert 0.30 < z < 0.45  # e^-1 = 0.368
+    assert w.max() <= 8

@@ -1126,6 +1126,18 @@ def main():
         and p.count("MapInPandas") == 0,
     )
 
+    p = plan_of(st["bootstrap_ci"](spark, sf_dir))
+    ok &= audit(
+        "bootstrap_ci: the corpus is scanned ONCE for all 32"
+        " replicates (2B+2 sums in one map-side-combined agg — no"
+        " resample explode, no per-replicate scan); band order stats"
+        " run on B rows per group; no Python",
+        "partial_count" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p
+        and p.count("FileScan") <= 1,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
