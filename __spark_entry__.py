@@ -4089,6 +4089,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_portable": q_hll_portable,
         "hll_union": q_hll_union,
         "bootstrap_ci": q_bootstrap_ci,
+        "mann_whitney": q_mann_whitney,
     }
 
 
@@ -4176,6 +4177,16 @@ def _r11_staged_oracles() -> dict[str, str]:
             "centimators_spark.ml.bootstrap", fromlist=["x"]
         ).bootstrap_mean_ci_oracle_sql(
             "orders", "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
+    "mann_whitney": __import__(
+            "centimators_spark.operators.mwu", fromlist=["x"]
+        ).mann_whitney_u_oracle_sql(
+            "(SELECT event_type,"
+            " CAST(event_id % 2 = 0 AS INTEGER) AS side_a, value"
+            " FROM events)",
+            "event_type",
+            "side_a",
+            "value",
         ),
     }
 
@@ -5263,3 +5274,19 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U carriers (operators/mwu.mann_whitney_u):
+    per event type, the nonparametric two-sample test comparing the
+    value distribution of even vs odd event ids (an A/A null split —
+    U should sit near its mean, and the exact tie-corrected variance
+    carriers let callers form z without any float in the contract)."""
+    from centimators_spark.operators.mwu import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2 == 0).cast("int").alias("side_a"),
+        "value",
+    )
+    return mann_whitney_u(ev, "event_type", "side_a", "value")

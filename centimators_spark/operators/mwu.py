@@ -1,0 +1,159 @@
+"""Mann-Whitney U two-sample test with EXACT integer statistics —
+the classic nonparametric "did the distribution shift" test (Mann &
+Whitney 1947) beside the drift family's PSI / KS / Page-Hinkley
+(reference scope: the engine's evaluation surface, e.g.
+/root/reference/src/centimators/ — drift diagnostics).
+
+Exactness (hash-proven contract): with average-tie ranks, 2×rank is
+the integer 2·minrank + t − 1 (t = tie-block size), so twice the
+rank sum R2, the statistic U2 = R2_A − n_A(n_A+1) (= 2·U), the mean
+numerator mu2 = n_A·n_B (= 2·E[U]) and the tie-corrected variance
+carriers
+
+    var_num = n_A·n_B·((n+1)·n·(n−1) − Σ(t³−t)),  var_den = 12·n·(n−1)
+
+are all plain integers both engines compute identically (z and
+p-values need a sqrt — callers derive them; the CONTRACT carries the
+exact rationals). decimal(38,0)/HUGEINT keeps n up to ~10^9 safe.
+
+Scale: one rank window per group over the combined sample (the only
+data-sized shuffle — same key as the group-by that follows), one
+tie aggregation on (group, value), then group-cardinality outputs.
+No pair join, no cross product."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_D38 = "decimal(38,0)"
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per group: exact Mann-Whitney carriers comparing the two
+    sides of boolean/int ``side_col`` (side A = truthy). Values are
+    compared as centi-unit integers round(v*100) (the proven portable
+    carrier). Output: (grp, n_a, n_b, u2, mu2, var_num, var_den) —
+    groups missing a side are omitted (no test to run)."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(side_col).cast("int").alias("__a"),
+        cents.alias("__v"),
+    )
+    w_rank = Window.partitionBy("grp").orderBy("__v")
+    ranked = base.withColumn("__minr", F.rank().over(w_rank)).withColumn(
+        "__t",
+        F.count(F.lit(1)).over(Window.partitionBy("grp", "__v")),
+    )
+    # 2 x average tie rank = 2*minrank + t - 1 (integer)
+    r2 = (2 * F.col("__minr") + F.col("__t") - 1).cast("long")
+    stats = ranked.groupBy("grp").agg(
+        F.sum(F.col("__a").cast("long")).cast("long").alias("n_a"),
+        F.sum(1 - F.col("__a").cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__a") == 1, r2).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("r2_a"),
+    )
+    ties = (
+        base.groupBy("grp", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                (
+                    F.col("t").cast(_D38)
+                    * F.col("t").cast(_D38)
+                    * F.col("t").cast(_D38)
+                    - F.col("t").cast(_D38)
+                )
+            )
+            .cast(_D38)
+            .alias("tie_cube")
+        )
+    )
+    j = stats.join(ties, "grp").where(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    )
+    na = F.col("n_a").cast(_D38)
+    nb = F.col("n_b").cast(_D38)
+    n = (na + nb).cast(_D38)
+    u2 = (
+        F.col("r2_a").cast(_D38) - na * (na + F.lit(1).cast(_D38))
+    ).cast(_D38)
+    var_num = (
+        na
+        * nb
+        * (
+            (n + F.lit(1).cast(_D38)) * n * (n - F.lit(1).cast(_D38))
+            - F.col("tie_cube")
+        )
+    ).cast(_D38)
+    var_den = (
+        F.lit(12).cast(_D38) * n * (n - F.lit(1).cast(_D38))
+    ).cast(_D38)
+    return j.select(
+        "grp",
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2"),
+        (na * nb).cast("long").alias("mu2"),
+        var_num.cast("decimal(38,0)").cast("string").alias("var_num"),
+        var_den.cast("long").alias("var_den"),
+    )
+
+
+def mann_whitney_u_oracle_sql(
+    table: str,
+    group_sql: str,
+    side_sql: str,
+    value_sql: str,
+) -> str:
+    """DuckDB mirror of :func:`mann_whitney_u` (HUGEINT; var_num as
+    VARCHAR on both sides — it exceeds BIGINT at scale)."""
+    return f"""
+        WITH base AS (
+          SELECT {group_sql} AS grp,
+                 CAST({side_sql} AS INTEGER) AS a,
+                 CAST(round({value_sql} * 100) AS BIGINT) AS v
+          FROM {table}
+        ), ranked AS (
+          SELECT grp, a, v,
+                 rank() OVER (PARTITION BY grp ORDER BY v) AS minr,
+                 count(*) OVER (PARTITION BY grp, v) AS t
+          FROM base
+        ), stats AS (
+          SELECT grp,
+                 CAST(sum(a) AS BIGINT) AS n_a,
+                 CAST(sum(1 - a) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN a = 1
+                          THEN 2 * minr + t - 1 ELSE 0 END)
+                      AS BIGINT) AS r2_a
+          FROM ranked GROUP BY grp
+        ), ties AS (
+          SELECT grp,
+                 sum(CAST(t AS HUGEINT) * t * t - t) AS tie_cube
+          FROM (SELECT grp, v, CAST(count(*) AS BIGINT) AS t
+                FROM base GROUP BY grp, v)
+          GROUP BY grp
+        )
+        SELECT s.grp, s.n_a, s.n_b,
+               CAST(s.r2_a - s.n_a * (CAST(s.n_a AS HUGEINT) + 1)
+                    AS BIGINT) AS u2,
+               CAST(CAST(s.n_a AS HUGEINT) * s.n_b AS BIGINT) AS mu2,
+               CAST(CAST(s.n_a AS HUGEINT) * s.n_b
+                    * ((CAST(s.n_a + s.n_b AS HUGEINT) + 1)
+                       * (s.n_a + s.n_b)
+                       * (CAST(s.n_a + s.n_b AS HUGEINT) - 1)
+                       - t.tie_cube) AS VARCHAR) AS var_num,
+               CAST(12 * CAST(s.n_a + s.n_b AS HUGEINT)
+                    * (CAST(s.n_a + s.n_b AS HUGEINT) - 1)
+                    AS BIGINT) AS var_den
+        FROM stats s JOIN ties t ON s.grp = t.grp
+        WHERE s.n_a > 0 AND s.n_b > 0
+    """

@@ -888,3 +888,50 @@ def test_poisson_weight_distribution(spark):
     z = (w == 0).mean()
     assert 0.30 < z < 0.45  # e^-1 = 0.368
     assert w.max() <= 8
+
+
+def test_mann_whitney_hand_trace_and_oracle(spark):
+    """U2 equals the textbook average-tie computation (hand case with
+    a cross-side tie); one-sided groups are omitted; variance
+    carriers reduce to the classic n_a*n_b*(n+1)/12 when untied;
+    Spark == DuckDB."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.operators.mwu import (
+        mann_whitney_u,
+        mann_whitney_u_oracle_sql,
+    )
+
+    rows = [("g1", 1, v) for v in [1.0, 2.0, 3.0, 3.0, 9.0]]
+    rows += [("g1", 0, v) for v in [3.0, 5.0, 6.0, 7.0]]
+    rows += [("g2", 1, 1.0), ("g2", 0, 2.0)]
+    rows += [("only_a", 1, 1.0)]
+    df = spark.createDataFrame(rows, "g string, a int, v double")
+    sdf = (
+        mann_whitney_u(df, "g", "a", "v")
+        .toPandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    assert list(sdf.grp) == ["g1", "g2"]  # only_a omitted
+    g1 = sdf[sdf.grp == "g1"].iloc[0]
+    # ranks: 1,2, (3,3,3 avg 4), 6,7,8,9 -> R_A = 1+2+4+4+9 = wait:
+    # values A=[1,2,3,3,9] B=[3,5,6,7]; sorted 1,2,3,3,3,5,6,7,9 —
+    # the three 3s share avg rank 4; R_A = 1+2+4+4+9 = 20, U = 20-15
+    # = 5 -> u2 = 10
+    assert g1.u2 == 10 and g1.mu2 == 20  # mu2 = n_a * n_b = 5 * 4
+    g2 = sdf[sdf.grp == "g2"].iloc[0]
+    # untied pair: var = n_a*n_b*(n+1)/12 = 3/12
+    assert int(g2.var_num) * 4 == g2.var_den * 1  # 6/24 == 1/4
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(rows, columns=["g", "a", "v"]))
+    odf = con.execute(
+        mann_whitney_u_oracle_sql("tbl", "g", "a", "v")
+    ).fetchdf()
+    assert compare("mwu", sdf, odf)

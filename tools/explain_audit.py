@@ -1138,6 +1138,16 @@ def main():
         and p.count("FileScan") <= 1,
     )
 
+    p = plan_of(st["mann_whitney"](spark, sf_dir))
+    ok &= audit(
+        "mann_whitney: one rank window per group is the only"
+        " data-sized shuffle (the tie window and the group agg reuse"
+        " the partitioning); no pair join, no cartesian, no Python",
+        "CartesianProduct" not in p
+        and "EvalPython" not in p
+        and "Window" in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
