@@ -4090,6 +4090,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union": q_hll_union,
         "bootstrap_ci": q_bootstrap_ci,
         "mann_whitney": q_mann_whitney,
+        "sprt_audit": q_sprt,
     }
 
 
@@ -4187,6 +4188,15 @@ def _r11_staged_oracles() -> dict[str, str]:
             "event_type",
             "side_a",
             "value",
+        ),
+        "sprt_audit": __import__(
+            "centimators_spark.ml.abtest", fromlist=["x"]
+        ).sprt_bernoulli_oracle_sql(
+            "(SELECT o_orderpriority,"
+            " CAST(o_orderstatus = 'F' AS INTEGER) AS is_f"
+            " FROM orders)",
+            "o_orderpriority",
+            "is_f",
         ),
     }
 
@@ -5290,3 +5300,18 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return mann_whitney_u(ev, "event_type", "side_a", "value")
+
+
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT for the finished-order rate per priority
+    (ml/abtest.sprt_bernoulli, H0: p=0.30 vs H1: p=0.35, alpha=beta=
+    0.05): exact fixed-point LLR and the three-way sequential
+    decision — the sequential sibling of ab_test_report, additive and
+    therefore streaming-ready."""
+    from centimators_spark.ml.abtest import sprt_bernoulli
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_f"),
+    )
+    return sprt_bernoulli(o, "o_orderpriority", "is_f")

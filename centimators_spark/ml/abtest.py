@@ -262,3 +262,96 @@ def ab_test_report_oracle_sql(
                  / se_m, {round_dp}) END AS z_mean
         FROM ses
     """
+
+
+# --------------------------------------------------------------- SPRT
+
+def sprt_bernoulli(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    *,
+    p0_pct: int = 30,
+    p1_pct: int = 35,
+    llr_pos_micro: int | None = None,
+    llr_neg_micro: int | None = None,
+    ln_a_micro: int = 2_944_438,   # floor(1e6*ln((1-b)/a)), a=b=0.05
+    ln_b_micro: int = -2_944_439,  # floor(1e6*ln(b/(1-a)))
+) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) for a
+    Bernoulli rate, per group — the sequential sibling of the
+    fixed-horizon :func:`ab_test_report`: after n observations with k
+    successes the log-likelihood ratio for H1: p = p1 vs H0: p = p0
+    is LLR = k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0)); cross ln A and
+    accept H1, cross ln B and accept H0, otherwise keep sampling.
+
+    Exactness (hash-proven): the two per-observation increments and
+    both thresholds enter BOTH engines as fixed-point micro literals
+    (the Benford/HLL discipline — no transcendental at query time),
+    so llr_micro = k*l1 + (n-k)*l0 and the three-way decision are
+    deterministic integers. Defaults are computed from (p0_pct,
+    p1_pct) at import time via ``math.log`` and floored — pass
+    explicit ``llr_*_micro`` to pin custom designs.
+
+    Scale: one map-side-combined (group) count aggregation; output is
+    group-cardinality. The statistic is ADDITIVE, so the same plan
+    runs under Structured Streaming for a live sequential monitor
+    (the cms_cells_stream argument)."""
+    import math
+
+    if llr_pos_micro is None:
+        llr_pos_micro = math.floor(1e6 * math.log(p1_pct / p0_pct))
+    if llr_neg_micro is None:
+        llr_neg_micro = math.floor(
+            1e6 * math.log((100 - p1_pct) / (100 - p0_pct))
+        )
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("long")).cast("long").alias("k"),
+    )
+    llr = (
+        F.col("k") * F.lit(int(llr_pos_micro))
+        + (F.col("n") - F.col("k")) * F.lit(int(llr_neg_micro))
+    ).cast("long")
+    decision = (
+        F.when(llr >= F.lit(int(ln_a_micro)), F.lit("accept_h1"))
+        .when(llr <= F.lit(int(ln_b_micro)), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return agg.select(
+        "grp", "n", "k", llr.alias("llr_micro"), decision.alias("decision")
+    )
+
+
+def sprt_bernoulli_oracle_sql(
+    table: str,
+    group_sql: str,
+    success_sql: str,
+    *,
+    p0_pct: int = 30,
+    p1_pct: int = 35,
+    ln_a_micro: int = 2_944_438,
+    ln_b_micro: int = -2_944_439,
+) -> str:
+    """DuckDB mirror of :func:`sprt_bernoulli` (same micro literals)."""
+    import math
+
+    l1 = math.floor(1e6 * math.log(p1_pct / p0_pct))
+    l0 = math.floor(1e6 * math.log((100 - p1_pct) / (100 - p0_pct)))
+    return f"""
+        WITH agg AS (
+          SELECT {group_sql} AS grp,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST({success_sql} AS BIGINT)) AS BIGINT)
+                   AS k
+          FROM {table} GROUP BY 1
+        )
+        SELECT grp, n, k,
+               CAST(k * {l1} + (n - k) * {l0} AS BIGINT) AS llr_micro,
+               CASE WHEN k * {l1} + (n - k) * {l0} >= {ln_a_micro}
+                      THEN 'accept_h1'
+                    WHEN k * {l1} + (n - k) * {l0} <= {ln_b_micro}
+                      THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM agg
+    """

@@ -935,3 +935,45 @@ def test_mann_whitney_hand_trace_and_oracle(spark):
         mann_whitney_u_oracle_sql("tbl", "g", "a", "v")
     ).fetchdf()
     assert compare("mwu", sdf, odf)
+
+
+def test_sprt_decisions_hand_trace(spark):
+    """Three-way SPRT on crafted rates: a high-rate group crosses
+    ln A (accept H1), a low-rate group crosses ln B (accept H0), a
+    boundary group keeps sampling; LLR is the exact integer
+    k*l1 + (n-k)*l0; Spark == DuckDB."""
+    import math
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.ml.abtest import (
+        sprt_bernoulli,
+        sprt_bernoulli_oracle_sql,
+    )
+
+    def grp(name, n, k):
+        return [(name, 1)] * k + [(name, 0)] * (n - k)
+
+    rows = (
+        grp("hi", 300, 150)    # rate 0.5 >> p1 -> accept_h1
+        + grp("lo", 300, 30)   # rate 0.1 << p0 -> accept_h0
+        + grp("mid", 40, 13)   # ~0.325, tiny n -> continue
+    )
+    df = spark.createDataFrame(rows, "g string, s int")
+    out = {r.grp: r for r in sprt_bernoulli(df, "g", "s").collect()}
+    assert out["hi"].decision == "accept_h1"
+    assert out["lo"].decision == "accept_h0"
+    assert out["mid"].decision == "continue"
+    l1 = math.floor(1e6 * math.log(35 / 30))
+    l0 = math.floor(1e6 * math.log(65 / 70))
+    assert out["hi"].llr_micro == 150 * l1 + 150 * l0
+    sdf = sprt_bernoulli(df, "g", "s").toPandas()
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(rows, columns=["g", "s"]))
+    odf = con.execute(sprt_bernoulli_oracle_sql("tbl", "g", "s")).fetchdf()
+    assert compare("sprt", sdf, odf)

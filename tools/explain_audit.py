@@ -1148,6 +1148,17 @@ def main():
         and "Window" in p,
     )
 
+    p = plan_of(st["sprt_audit"](spark, sf_dir))
+    ok &= audit(
+        "sprt_audit: single map-side-combined group count; the LLR"
+        " and three-way decision are pure column arithmetic over"
+        " fixed-point literals — no window, no join, no Python",
+        "partial_count" in p
+        and "Join" not in p
+        and "Window" not in p
+        and "EvalPython" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
