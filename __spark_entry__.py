@@ -4091,6 +4091,7 @@ def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "mann_whitney": q_mann_whitney,
         "sprt_audit": q_sprt,
+        "brown_forsythe": q_brown_forsythe,
     }
 
 
@@ -4197,6 +4198,15 @@ def _r11_staged_oracles() -> dict[str, str]:
             " FROM orders)",
             "o_orderpriority",
             "is_f",
+        ),
+        "brown_forsythe": __import__(
+            "centimators_spark.operators.mwu", fromlist=["x"]
+        ).brown_forsythe_oracle_sql(
+            "(SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,"
+            " event_type, value FROM events)",
+            "day",
+            "event_type",
+            "value",
         ),
     }
 
@@ -5315,3 +5325,20 @@ def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("is_f"),
     )
     return sprt_bernoulli(o, "o_orderpriority", "is_f")
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test
+    (operators/mwu.brown_forsythe): per DAY, do the five event types
+    have equal VALUE spread — the robust (median-centered) Levene
+    test, catching dispersion drift that mean-based monitors miss.
+    Exact integer medians, floor-as-spec ANOVA carriers; 30 daily
+    groups at the gate SFs."""
+    from centimators_spark.operators.mwu import brown_forsythe
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "event_type",
+        "value",
+    )
+    return brown_forsythe(ev, "day", "event_type", "value")

@@ -1,3 +1,7 @@
+from centimators_spark.operators.mwu import (
+    brown_forsythe,
+    mann_whitney_u,
+)
 from centimators_spark.operators.ranking import RankTransformer
 from centimators_spark.operators.time_series import (
     DiffTransformer,
@@ -41,6 +45,8 @@ from centimators_spark.operators.encoding import (
 )
 
 __all__ = [
+    "mann_whitney_u",
+    "brown_forsythe",
     "interval_join",
     "band_label",
     "salted_join",

@@ -157,3 +157,159 @@ def mann_whitney_u_oracle_sql(
         FROM stats s JOIN ties t ON s.grp = t.grp
         WHERE s.n_a > 0 AND s.n_b > 0
     """
+
+
+# ----------------------------------------------------- Brown-Forsythe
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe
+    1974 — Levene's test with the MEDIAN center, the robust variant)
+    per ``group_col``: do the ``class_col`` populations have equal
+    spread in ``value_col``? The spread change that PSI/KS may miss
+    when means stay put.
+
+    Exactness (hash-proven, floor-as-spec): values are centi-unit
+    integers; per class the EXACT median enters as the integer
+    med2 = x_((n+1)//2) + x_((n+2)//2) (2x median — a sum of two
+    order statistics, no .5), deviations z = |2v - med2| are
+    integers, and the ANOVA sums over z use the computational
+    identities with per-class floor division:
+
+        ssw = sum_j floor((n_j*Q_j - S_j^2) / n_j)
+        ssb = sum_j floor(S_j^2 / n_j) - floor(G^2 / N)
+
+    (S_j = sum z, Q_j = sum z^2, G = sum S_j). ssb/ssw ship as
+    decimal-exact STRINGS (they exceed BIGINT at 10^9-row scale);
+    f_milli = floor(1000 * ssb * (N-k) / (ssw * (k-1))) is the
+    integer F-statistic carrier (null when ssw = 0 or k < 2).
+
+    Scale: one sort-window per (group, class) for the order
+    statistics — the only data-sized shuffle; everything after is
+    class-cardinality aggregation."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(class_col).alias("cls"),
+        cents.alias("__v"),
+    )
+    w_rank = Window.partitionBy("grp", "cls").orderBy("__v")
+    w_cnt = Window.partitionBy("grp", "cls")
+    ranked = base.withColumn(
+        "__rn", F.row_number().over(w_rank)
+    ).withColumn("__n", F.count(F.lit(1)).over(w_cnt))
+    lo = F.floor((F.col("__n") + 1) / 2)
+    hi = F.floor((F.col("__n") + 2) / 2)
+    # med2 via a second window over the SAME partition (reuses the
+    # sort — no join, no second scan of the fact): middle rows carry
+    # their value (the single middle row twice when n is odd)
+    mid = F.when(
+        (F.col("__rn") == lo) & (F.col("__rn") == hi),
+        2 * F.col("__v"),
+    ).when(
+        (F.col("__rn") == lo) | (F.col("__rn") == hi), F.col("__v")
+    ).otherwise(F.lit(0))
+    med2 = ranked.withColumn(
+        "__med2", F.sum(mid).over(w_cnt).cast("long")
+    )
+    z = F.abs(2 * F.col("__v") - F.col("__med2")).cast("long")
+    per_class = med2.groupBy("grp", "cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum(z.cast(d38)).cast(d38).alias("S_j"),
+        F.sum((z.cast(d38) * z.cast(d38)).cast(d38)).cast(d38).alias("Q_j"),
+    )
+
+    def fdiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast(d38)
+
+    nj = F.col("n_j").cast(d38)
+    ssw_j = fdiv((nj * F.col("Q_j") - F.col("S_j") * F.col("S_j")).cast(d38), nj)
+    ssb_j = fdiv((F.col("S_j") * F.col("S_j")).cast(d38), nj)
+    per_group = per_class.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_j").cast("long").alias("n"),
+        F.sum(F.col("S_j")).cast(d38).alias("G"),
+        F.sum(ssw_j).cast(d38).alias("ssw"),
+        F.sum(ssb_j).cast(d38).alias("ssb_part"),
+    )
+    gN = F.col("n").cast(d38)
+    ssb = (
+        F.col("ssb_part") - fdiv((F.col("G") * F.col("G")).cast(d38), gN)
+    ).cast(d38)
+    f_num = (ssb * (gN - F.col("k").cast(d38)) * F.lit(1000).cast(d38)).cast(
+        d38
+    )
+    f_den = (
+        F.col("ssw") * (F.col("k").cast(d38) - F.lit(1).cast(d38))
+    ).cast(d38)
+    f_milli = F.when(
+        (F.col("ssw") > 0) & (F.col("k") > 1), fdiv(f_num, f_den)
+    ).cast("long")
+    return per_group.select(
+        "grp",
+        "k",
+        "n",
+        ssb.cast("string").alias("ssb"),
+        F.col("ssw").cast("string").alias("ssw"),
+        f_milli.alias("f_milli"),
+    )
+
+
+def brown_forsythe_oracle_sql(
+    table: str,
+    group_sql: str,
+    class_sql: str,
+    value_sql: str,
+) -> str:
+    """DuckDB mirror of :func:`brown_forsythe` (HUGEINT)."""
+    return f"""
+        WITH base AS (
+          SELECT {group_sql} AS grp, {class_sql} AS cls,
+                 CAST(round({value_sql} * 100) AS BIGINT) AS v
+          FROM {table}
+        ), ranked AS (
+          SELECT grp, cls, v,
+                 row_number() OVER (PARTITION BY grp, cls
+                                    ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY grp, cls) AS n
+          FROM base
+        ), med AS (
+          SELECT grp, cls,
+                 CAST(sum(v * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                          THEN 2 ELSE 1 END) AS BIGINT) AS med2
+          FROM ranked
+          WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+          GROUP BY grp, cls
+        ), per_class AS (
+          SELECT b.grp, b.cls,
+                 CAST(count(*) AS BIGINT) AS n_j,
+                 sum(CAST(abs(2 * b.v - m.med2) AS HUGEINT)) AS S_j,
+                 sum(CAST(abs(2 * b.v - m.med2) AS HUGEINT)
+                     * abs(2 * b.v - m.med2)) AS Q_j
+          FROM base b JOIN med m ON b.grp = m.grp AND b.cls = m.cls
+          GROUP BY b.grp, b.cls
+        ), per_group AS (
+          SELECT grp,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n_j) AS BIGINT) AS n,
+                 sum(S_j) AS G,
+                 sum((n_j * Q_j - S_j * S_j) // n_j) AS ssw,
+                 sum((S_j * S_j) // n_j) AS ssb_part
+          FROM per_class GROUP BY grp
+        )
+        SELECT grp, k, n,
+               CAST(ssb_part - (G * G) // n AS VARCHAR) AS ssb,
+               CAST(ssw AS VARCHAR) AS ssw,
+               CASE WHEN ssw > 0 AND k > 1 THEN
+                 CAST(((ssb_part - (G * G) // n) * (n - k) * 1000)
+                      // (ssw * (k - 1)) AS BIGINT)
+               END AS f_milli
+        FROM per_group
+    """

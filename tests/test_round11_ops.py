@@ -977,3 +977,45 @@ def test_sprt_decisions_hand_trace(spark):
     con.register("tbl", pd.DataFrame(rows, columns=["g", "s"]))
     odf = con.execute(sprt_bernoulli_oracle_sql("tbl", "g", "s")).fetchdf()
     assert compare("sprt", sdf, odf)
+
+
+def test_brown_forsythe_hand_cases_and_oracle(spark):
+    """Wide-vs-tight spread yields a large F; identical spreads yield
+    F = 0 even with different means; a single class yields a null F;
+    Spark == DuckDB."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.operators.mwu import (
+        brown_forsythe,
+        brown_forsythe_oracle_sql,
+    )
+
+    rows = []
+    rows += [("g1", "A", 10.0 + 0.1 * i) for i in range(-2, 3)]
+    rows += [("g1", "B", 10.0 + 3.0 * i) for i in range(-3, 4)]
+    rows += [("g2", "A", float(v)) for v in (1, 2, 3, 4)]
+    rows += [("g2", "B", float(v)) for v in (11, 12, 13, 14)]
+    rows += [("g3", "A", float(v)) for v in (1, 5, 9)]
+    df = spark.createDataFrame(rows, "g string, c string, v double")
+    sdf = (
+        brown_forsythe(df, "g", "c", "v")
+        .toPandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    by = {r.grp: r for r in sdf.itertuples()}
+    assert by["g1"].f_milli > 5000  # wide vs tight
+    assert by["g2"].f_milli == 0  # equal spreads, shifted means
+    assert pd.isna(by["g3"].f_milli)  # k = 1: no test
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(rows, columns=["g", "c", "v"]))
+    odf = con.execute(
+        brown_forsythe_oracle_sql("tbl", "g", "c", "v")
+    ).fetchdf()
+    assert compare("brown_forsythe", sdf, odf)

@@ -1159,6 +1159,17 @@ def main():
         and "EvalPython" not in p,
     )
 
+    p = plan_of(st["brown_forsythe"](spark, sf_dir))
+    ok &= audit(
+        "brown_forsythe: the (group, class) sort-window for the exact"
+        " median order stats is the only data-sized shuffle; ANOVA"
+        " carriers are class-cardinality aggs — no cartesian, no"
+        " Python",
+        "CartesianProduct" not in p
+        and "EvalPython" not in p
+        and "Window" in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
