@@ -1056,6 +1056,11 @@ def t_closeness(
 
     d = "decimal(38,0)"
     qi = list(quasi_identifiers)
+    # rows with a NULL sensitive value are excluded from the audit
+    # ENTIRELY (class counts, global distribution, and N) — an inner
+    # join on the sensitive key would otherwise drop them from class
+    # sizes but not from N, silently inflating every TVD
+    df = df.where(F.col(sensitive_col).isNotNull())
     cls_v = df.groupBy(*qi, sensitive_col).agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
@@ -1118,15 +1123,17 @@ def t_closeness_oracle_sql(
     """DuckDB mirror of :func:`t_closeness` (HUGEINT carriers)."""
     qi = ", ".join(quasi_identifier_sqls)
     return f"""
-        WITH cls_v AS (
+        WITH src AS (
+          SELECT * FROM {table} WHERE {sensitive_sql} IS NOT NULL
+        ), cls_v AS (
           SELECT {qi}, {sensitive_sql} AS s,
                  CAST(count(*) AS BIGINT) AS c
-          FROM {table} GROUP BY {qi}, {sensitive_sql}
+          FROM src GROUP BY {qi}, {sensitive_sql}
         ), gdist AS (
           SELECT {sensitive_sql} AS s, CAST(count(*) AS BIGINT) AS g
-          FROM {table} GROUP BY {sensitive_sql}
+          FROM src GROUP BY {sensitive_sql}
         ), tot AS (
-          SELECT CAST(count(*) AS BIGINT) AS N FROM {table}
+          SELECT CAST(count(*) AS BIGINT) AS N FROM src
         ), per_class AS (
           SELECT {qi},
                  sum(c) AS n,

@@ -59,25 +59,21 @@ def duplicated_spans(
 ) -> DataFrame:
     """(doc_id, n_tokens, n_dup_spans, n_dup_tokens): maximal merged
     spans of tokens covered by some corpus-duplicated L-gram."""
+    from centimators_spark.text.portable import token_ngrams_all
+
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(content_col)).alias("__tok"),
     )
     tok = F.col("__tok")
-    gram = F.transform(
-        F.slice(
-            tok, 1, F.greatest(F.size(tok) - (L - 1), F.lit(0))
-        ),
-        lambda _, i: F.concat_ws(
-            " ", *[F.element_at(tok, i + j + 1) for j in range(L)]
-        ),
-    )
     lengths = staged.select(
         "doc_id", F.size(tok).cast("long").alias("n_tokens")
     )
+    # positional L-grams via the pushdown-robust zipped-slices form
+    # (portable.token_ngrams_all)
     grams = staged.select(
         "doc_id",
-        F.posexplode(gram).alias("pos", "gram"),
+        F.posexplode(token_ngrams_all(tok, L)).alias("pos", "gram"),
     ).select("doc_id", "pos", md5_long(F.col("gram")).alias("h"))
     dup_h = (
         grams.groupBy("h")

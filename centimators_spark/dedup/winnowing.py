@@ -61,24 +61,22 @@ def winnowing_fingerprints(
 ) -> DataFrame:
     """(doc_id, fp): the doc's DISTINCT winnowing-selected gram
     hashes — min of every full w-run of consecutive k-gram hashes."""
-    # stage the token array so the splitter runs once per row (inlined
-    # expression trees re-tokenize at every reference site)
+    # stage the token array so the splitter runs once per row, and
+    # build positional grams with the pushdown-robust zipped-slices
+    # form (portable.token_ngrams_all — the element_at-in-lambda form
+    # measured 60x slower when Catalyst re-inlines under a pushed
+    # filter)
+    from centimators_spark.text.portable import token_ngrams_all
+
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(content_col)).alias("__tok"),
     )
-    tok = F.col("__tok")
-    gram = F.transform(
-        F.slice(
-            tok, 1, F.greatest(F.size(tok) - (k - 1), F.lit(0))
-        ),
-        lambda _, i: F.concat_ws(
-            " ", *[F.element_at(tok, i + j + 1) for j in range(k)]
-        ),
-    )
     grams = staged.select(
         "doc_id",
-        F.posexplode(gram).alias("pos", "gram"),
+        F.posexplode(
+            token_ngrams_all(F.col("__tok"), k)
+        ).alias("pos", "gram"),
     ).select("doc_id", "pos", md5_long(F.col("gram")).alias("h"))
     w_cnt = Window.partitionBy("doc_id")
     w_min = (

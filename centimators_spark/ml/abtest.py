@@ -330,14 +330,26 @@ def sprt_bernoulli_oracle_sql(
     *,
     p0_pct: int = 30,
     p1_pct: int = 35,
+    llr_pos_micro: int | None = None,
+    llr_neg_micro: int | None = None,
     ln_a_micro: int = 2_944_438,
     ln_b_micro: int = -2_944_439,
 ) -> str:
-    """DuckDB mirror of :func:`sprt_bernoulli` (same micro literals)."""
+    """DuckDB mirror of :func:`sprt_bernoulli` (same micro literals;
+    accepts the same explicit llr overrides so pinned custom designs
+    stay mirrorable)."""
     import math
 
-    l1 = math.floor(1e6 * math.log(p1_pct / p0_pct))
-    l0 = math.floor(1e6 * math.log((100 - p1_pct) / (100 - p0_pct)))
+    l1 = (
+        llr_pos_micro
+        if llr_pos_micro is not None
+        else math.floor(1e6 * math.log(p1_pct / p0_pct))
+    )
+    l0 = (
+        llr_neg_micro
+        if llr_neg_micro is not None
+        else math.floor(1e6 * math.log((100 - p1_pct) / (100 - p0_pct)))
+    )
     return f"""
         WITH agg AS (
           SELECT {group_sql} AS grp,

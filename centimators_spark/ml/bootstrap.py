@@ -12,9 +12,10 @@ Portability (hash-proven, the cms/theta discipline): the Poisson(1)
 draw for (row, replicate) is the deterministic inverse-CDF lookup of
 the 20-bit slice of md5(id || ':' || r//3) for slot r%3 against the
 shared fixed-point cumulative table ``POISSON1_CUM_P20`` (weights
-capped at 8 — mass beyond is < 1.1e-5); replicate means are floor
-micro-units of the weighted centi-value sums. Every number both
-engines compute is the same integer.
+capped at 8 — mass beyond is < 1.1e-5); replicate means are
+TRUNCATED (toward zero, matching HUGEINT //) micro-units of the
+weighted centi-value sums, well-defined for negative-valued metrics
+too. Every number both engines compute is the same integer.
 
 Scale: ONE pass — the groupBy computes 2B+2 map-side-combined sums
 (B weighted-count + B weighted-value columns, plus n and the full
@@ -68,7 +69,7 @@ def bootstrap_mean_ci(
     deterministic Poisson-weighted replicates.
 
     Returns (grp, n_rows, n_replicates, mean_micro, boot_lo_micro,
-    boot_hi_micro): means are floor micro-units of the centi-unit
+    boot_hi_micro): means are truncated micro-units of the centi-unit
     value; the band is the 2nd-smallest / 2nd-largest replicate mean
     (a deterministic ~6%/94% band at B=32 — the band SPEC, chosen
     over interpolated quantiles so the contract stays integer).
@@ -107,14 +108,18 @@ def bootstrap_mean_ci(
         "grp", "n_rows", "vsum", "rep.r", "rep.wsum", "rep.vs"
     ).where(F.col("wsum") > 0)
 
-    def floor_mean(num, den):
+    def trunc_mean(num, den):
+        # TRUNCATING division toward zero — the spec shared with the
+        # oracle's HUGEINT // (which truncates); a pmod-based floor
+        # would diverge by one unit on negative-valued metrics
         scaled = (num * F.lit(1_000_000).cast(_D38)).cast(_D38)
-        return (
-            (scaled - F.pmod(scaled, den.cast(_D38))) / den.cast(_D38)
-        ).cast("long")
+        a = F.abs(scaled)
+        d = den.cast(_D38)
+        q = ((a - F.pmod(a, d)) / d).cast("long")
+        return F.when(scaled < 0, -q).otherwise(q)
 
     reps = reps.withColumn(
-        "rep_mean_micro", floor_mean(F.col("vs"), F.col("wsum"))
+        "rep_mean_micro", trunc_mean(F.col("vs"), F.col("wsum"))
     )
     from pyspark.sql import Window
 
@@ -140,7 +145,7 @@ def bootstrap_mean_ci(
         "grp",
         "n_rows",
         "n_replicates",
-        floor_mean(F.col("vsum"), F.col("n_rows")).alias("mean_micro"),
+        trunc_mean(F.col("vsum"), F.col("n_rows")).alias("mean_micro"),
         "boot_lo_micro",
         "boot_hi_micro",
     )

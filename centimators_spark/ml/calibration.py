@@ -64,8 +64,8 @@ def isotonic_calibration(
     The caller provides the integer bucket column (binning is
     operators/encoding.quantile_bin's job); at most
     ``ISO_MAX_BUCKETS`` distinct buckets per group are supported (the
-    lcm scaling bound) — more raises at plan build via a runtime
-    guard column.
+    lcm scaling bound) — more raises at execution via assert_true
+    (ANSI-independent).
 
     Returns one row per (grp, bucket): n_rows, n_pos, v_micro (raw
     rate, floor micro-units), fit_micro (isotonic fit, floor
@@ -91,13 +91,18 @@ def isotonic_calibration(
     pts = pts.withColumn("i", F.row_number().over(w_rank)).withColumn(
         "S", F.sum("v").over(w_rank).cast(_D38)
     )
-    # lcm bound guard: ANSI division by zero raises if a group exceeds
-    # the supported bucket count (loud failure, never a wrong fit)
-    n_b = F.max("i").over(Window.partitionBy("grp"))
+    # lcm bound guard: assert_true raises at execution in BOTH ANSI
+    # and non-ANSI sessions if a group exceeds the supported bucket
+    # count (loud failure, never a wrong fit; a division-based guard
+    # would yield Infinity, not an error, under non-ANSI)
     pts = pts.withColumn(
-        "__guard",
-        F.when(n_b <= ISO_MAX_BUCKETS, F.lit(1)).otherwise(F.lit(0)),
-    ).withColumn("i", (F.col("i") / F.col("__guard")).cast("int"))
+        "__nb", F.max("i").over(Window.partitionBy("grp"))
+    ).where(
+        F.assert_true(
+            F.col("__nb") <= ISO_MAX_BUCKETS,
+            F.lit("isotonic_calibration: group exceeds ISO_MAX_BUCKETS"),
+        ).isNull()
+    ).drop("__nb")
     # small-side pair fan-out: (j, k) with j <= k, at most B(B+1)/2
     # rows per group
     left = pts.select(

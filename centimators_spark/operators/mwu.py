@@ -14,7 +14,10 @@ carriers
 
 are all plain integers both engines compute identically (z and
 p-values need a sqrt — callers derive them; the CONTRACT carries the
-exact rationals). decimal(38,0)/HUGEINT keeps n up to ~10^9 safe.
+exact rationals). var_num ships as a decimal-exact STRING;
+var_den = 12n(n-1) is the BIGINT-limiting carrier, safe to
+n ~ 8.7e8 rows per group (it overflows loudly, not silently,
+beyond that).
 
 Scale: one rank window per group over the combined sample (the only
 data-sized shuffle — same key as the group-by that follows), one
@@ -45,7 +48,10 @@ def mann_whitney_u(
         F.col(group_col).alias("grp"),
         F.col(side_col).cast("int").alias("__a"),
         cents.alias("__v"),
-    )
+    ).where(F.col("__v").isNotNull() & F.col("__a").isNotNull())
+    # NULL values carry no rank information and the two engines order
+    # NULLs differently (Spark nulls-first, DuckDB nulls-last) — they
+    # are excluded from the test on BOTH engines
     w_rank = Window.partitionBy("grp").orderBy("__v")
     ranked = base.withColumn("__minr", F.rank().over(w_rank)).withColumn(
         "__t",
@@ -122,6 +128,7 @@ def mann_whitney_u_oracle_sql(
                  CAST({side_sql} AS INTEGER) AS a,
                  CAST(round({value_sql} * 100) AS BIGINT) AS v
           FROM {table}
+          WHERE {value_sql} IS NOT NULL AND {side_sql} IS NOT NULL
         ), ranked AS (
           SELECT grp, a, v,
                  rank() OVER (PARTITION BY grp ORDER BY v) AS minr,
@@ -199,7 +206,8 @@ def brown_forsythe(
         F.col(group_col).alias("grp"),
         F.col(class_col).alias("cls"),
         cents.alias("__v"),
-    )
+    ).where(F.col("__v").isNotNull())
+    # NULL values excluded on BOTH engines (engine null-order differs)
     w_rank = Window.partitionBy("grp", "cls").orderBy("__v")
     w_cnt = Window.partitionBy("grp", "cls")
     ranked = base.withColumn(
@@ -240,9 +248,17 @@ def brown_forsythe(
         F.sum(ssb_j).cast(d38).alias("ssb_part"),
     )
     gN = F.col("n").cast(d38)
-    ssb = (
-        F.col("ssb_part") - fdiv((F.col("G") * F.col("G")).cast(d38), gN)
-    ).cast(d38)
+    # true SSB >= 0; the floored composition can go NEGATIVE by < k
+    # units, and there Spark's floor and DuckDB's truncating // would
+    # diverge — clamping at 0 (both engines) removes that regime and
+    # keeps every later division nonnegative (floor == trunc)
+    ssb = F.greatest(
+        (
+            F.col("ssb_part")
+            - fdiv((F.col("G") * F.col("G")).cast(d38), gN)
+        ).cast(d38),
+        F.lit(0).cast(d38),
+    )
     f_num = (ssb * (gN - F.col("k").cast(d38)) * F.lit(1000).cast(d38)).cast(
         d38
     )
@@ -274,6 +290,7 @@ def brown_forsythe_oracle_sql(
           SELECT {group_sql} AS grp, {class_sql} AS cls,
                  CAST(round({value_sql} * 100) AS BIGINT) AS v
           FROM {table}
+          WHERE {value_sql} IS NOT NULL
         ), ranked AS (
           SELECT grp, cls, v,
                  row_number() OVER (PARTITION BY grp, cls
@@ -305,10 +322,12 @@ def brown_forsythe_oracle_sql(
           FROM per_class GROUP BY grp
         )
         SELECT grp, k, n,
-               CAST(ssb_part - (G * G) // n AS VARCHAR) AS ssb,
+               CAST(greatest(ssb_part - (G * G) // n,
+                             CAST(0 AS HUGEINT)) AS VARCHAR) AS ssb,
                CAST(ssw AS VARCHAR) AS ssw,
                CASE WHEN ssw > 0 AND k > 1 THEN
-                 CAST(((ssb_part - (G * G) // n) * (n - k) * 1000)
+                 CAST((greatest(ssb_part - (G * G) // n,
+                                CAST(0 AS HUGEINT)) * (n - k) * 1000)
                       // (ssw * (k - 1)) AS BIGINT)
                END AS f_milli
         FROM per_group

@@ -569,6 +569,76 @@ def _hll_lc_table() -> list[int]:
     ]
 
 
+def _hll_rank_expr():
+    """Leading-zero rank of the 54-bit payload column ``__w`` via the
+    shared threshold CASE chain (never float log2)."""
+    rank = F.lit(HLL_WBITS + 1)
+    for r in range(HLL_WBITS, 0, -1):
+        rank = F.when(
+            F.col("__w") >= F.lit(1 << (HLL_WBITS - r)), F.lit(r)
+        ).otherwise(rank)
+    return rank
+
+
+def _hll_pow_term():
+    """2^(60 - M) for register column ``__m`` via a literal power
+    table (M in 1..55) — exact longs, no float pow."""
+    pow_arr = F.array(
+        *[F.lit(1 << (60 - mm)) for mm in range(1, HLL_WBITS + 2)]
+    )
+    return F.element_at(pow_arr, F.col("__m").cast("int"))
+
+
+def _hll_registers(hashes: DataFrame, key_cols: list) -> DataFrame:
+    """(key..., __j, __m): max-rank registers from a distinct-hash
+    frame with column ``h`` (integer shift, never float division —
+    h has 60 bits and a double mantissa would round the payload)."""
+    return (
+        hashes.withColumn("__j", F.pmod("h", F.lit(HLL_M)))
+        .withColumn("__w", F.shiftrightunsigned("h", HLL_P))
+        .withColumn("__rank", _hll_rank_expr())
+        .groupBy(*key_cols, "__j")
+        .agg(F.max("__rank").alias("__m"))
+    )
+
+
+def _hll_estimate_exprs(v_empty):
+    """(raw, est) columns from S_used (decimal) + v_empty (long) —
+    the shared fixed-point estimator and LC correction."""
+    from decimal import Decimal
+
+    d38 = "decimal(38,0)"
+    s_total = (
+        F.col("S_used")
+        + v_empty.cast(d38) * F.lit(Decimal(1 << 60)).cast(d38)
+    ).cast(d38)
+    num = (
+        F.lit(HLL_ALPHA_MICRO).cast(d38)
+        * F.lit(HLL_M * HLL_M).cast(d38)
+        * F.lit(Decimal(1 << 60)).cast(d38)
+    ).cast(d38)
+    den = (F.lit(1_000_000).cast(d38) * s_total).cast(d38)
+    raw = ((num - F.pmod(num, den)) / den).cast("long")
+    lc_arr = F.array(*[F.lit(v) for v in _hll_lc_table()])
+    est = F.when(
+        (raw <= int(2.5 * HLL_M)) & (v_empty > 0),
+        F.element_at(lc_arr, v_empty.cast("int")).cast("long"),
+    ).otherwise(raw)
+    return raw, est
+
+
+def _hll_sql_parts() -> tuple:
+    """(lc VALUES list, rank threshold CASE body) shared by the
+    oracle builders."""
+    lc = _hll_lc_table()
+    lc_vals = ", ".join(f"({v + 1}, {lc[v]})" for v in range(HLL_M))
+    thresholds = " ".join(
+        f"WHEN w >= {1 << (HLL_WBITS - r)} THEN {r}"
+        for r in range(1, HLL_WBITS + 1)
+    )
+    return lc_vals, thresholds
+
+
 def hll_portable(
     df: DataFrame,
     group_col: str,
@@ -595,34 +665,13 @@ def hll_portable(
     aggregate per group — the sketch (not the data) is the state,
     which is why this is the 100 TB per-group distinct. Output per
     group: n_exact, v_empty, est_raw, est."""
-    from decimal import Decimal
-
     h = md5_long(F.col(item_col).cast("string"))
     hashes = df.select(
         F.col(group_col).alias("grp"), h.alias("h")
     ).distinct()
-    rank = F.lit(HLL_WBITS + 1)
-    for r in range(HLL_WBITS, 0, -1):
-        # w >= 2^(WBITS - r) <=> bit_length(w) = WBITS - r + 1 =>
-        # rank r; the chain ends with the r = 1 test outermost
-        rank = F.when(
-            F.col("__w") >= F.lit(1 << (HLL_WBITS - r)), F.lit(r)
-        ).otherwise(rank)
-    regs = (
-        hashes.withColumn("__j", F.pmod("h", F.lit(HLL_M)))
-        # integer shift, never float division: h has 60 bits and a
-        # double mantissa would round the payload
-        .withColumn("__w", F.shiftrightunsigned("h", HLL_P))
-        .withColumn("__rank", rank)
-        .groupBy("grp", "__j")
-        .agg(F.max("__rank").alias("__m"))
-    )
+    regs = _hll_registers(hashes, ["grp"])
     d38 = "decimal(38,0)"
-    # 2^(60 - M) via a literal power table (M in 1..55): exact longs
-    pow_arr = F.array(
-        *[F.lit(1 << (60 - mm)) for mm in range(1, HLL_WBITS + 2)]
-    )
-    term = F.element_at(pow_arr, F.col("__m").cast("int"))
+    term = _hll_pow_term()
     per_group = regs.groupBy("grp").agg(
         # sum in decimal: 64 registers x up to 2^59 exceeds BIGINT
         F.sum(term.cast(d38)).cast(d38).alias("S_used"),
@@ -632,23 +681,7 @@ def hll_portable(
         F.countDistinct(item_col).cast("long").alias("n_exact")
     )
     v_empty = (F.lit(HLL_M) - F.col("n_used")).cast("long")
-    s_total = (
-        F.col("S_used")
-        + v_empty.cast(d38) * F.lit(Decimal(1 << 60)).cast(d38)
-    ).cast(d38)
-    num = (
-        F.lit(HLL_ALPHA_MICRO).cast(d38)
-        * F.lit(HLL_M * HLL_M).cast(d38)
-        * F.lit(Decimal(1 << 60)).cast(d38)
-    ).cast(d38)
-    den = (F.lit(1_000_000).cast(d38) * s_total).cast(d38)
-    raw = ((num - F.pmod(num, den)) / den).cast("long")
-    lc = _hll_lc_table()
-    lc_arr = F.array(*[F.lit(v) for v in lc])
-    est = F.when(
-        (raw <= int(2.5 * HLL_M)) & (v_empty > 0),
-        F.element_at(lc_arr, v_empty.cast("int")).cast("long"),
-    ).otherwise(raw)
+    raw, est = _hll_estimate_exprs(v_empty)
     return (
         per_group.join(exact, "grp")
         .select(
@@ -668,14 +701,7 @@ def hll_portable_oracle_sql(
 ) -> str:
     """DuckDB mirror of :func:`hll_portable` (HUGEINT; identical
     threshold CASE chain, alpha, and LC table)."""
-    lc = _hll_lc_table()
-    lc_vals = ", ".join(
-        f"({v + 1}, {lc[v]})" for v in range(HLL_M)
-    )
-    thresholds = " ".join(
-        f"WHEN w >= {1 << (HLL_WBITS - r)} THEN {r}"
-        for r in range(1, HLL_WBITS + 1)
-    )
+    lc_vals, thresholds = _hll_sql_parts()
     return f"""
         WITH lc(v, est) AS (VALUES {lc_vals}),
         hashes AS (
@@ -740,8 +766,6 @@ def hll_union_pairs(
     the exact-truth union count); the pair stage merges 64-row
     register tables per group — KBs regardless of corpus size. Drop
     true_union in production and pair cost is register-table-sized."""
-    from decimal import Decimal
-
     from centimators_spark.text.portable import token_ngrams
 
     grams = df.select(
@@ -753,19 +777,7 @@ def hll_union_pairs(
     hashes = grams.select(
         "g", md5_long(F.col("gram")).alias("h")
     ).distinct()
-    rank = F.lit(HLL_WBITS + 1)
-    for r in range(HLL_WBITS, 0, -1):
-        rank = F.when(
-            F.col("__w") >= F.lit(1 << (HLL_WBITS - r)), F.lit(r)
-        ).otherwise(rank)
-    regs = (
-        hashes.withColumn("__j", F.pmod("h", F.lit(HLL_M)))
-        .withColumn("__w", F.shiftrightunsigned("h", HLL_P))
-        .withColumn("__rank", rank)
-        .groupBy("g", "__j")
-        .agg(F.max("__rank").alias("__m"))
-        .localCheckpoint(eager=True)
-    )
+    regs = _hll_registers(hashes, ["g"]).localCheckpoint(eager=True)
     # pair-wise register merge over the FULL 64-register universe per
     # pair (a one-sided left join would drop registers present only in
     # the other sketch): merged rank = max of the two, absent = 0
@@ -805,10 +817,7 @@ def hll_union_pairs(
         )
     )
     d38 = "decimal(38,0)"
-    pow_arr = F.array(
-        *[F.lit(1 << (60 - mm)) for mm in range(1, HLL_WBITS + 2)]
-    )
-    term = F.element_at(pow_arr, F.col("__m").cast("int"))
+    term = _hll_pow_term()
     per_pair = merged.where(F.col("__m") > 0).groupBy(
         "src_a", "src_b"
     ).agg(
@@ -828,23 +837,7 @@ def hll_union_pairs(
         F.count(F.lit(1)).cast("long").alias("n_tot")
     )
     v_empty = (F.lit(HLL_M) - F.col("n_used")).cast("long")
-    s_total = (
-        F.col("S_used")
-        + v_empty.cast(d38) * F.lit(Decimal(1 << 60)).cast(d38)
-    ).cast(d38)
-    num = (
-        F.lit(HLL_ALPHA_MICRO).cast(d38)
-        * F.lit(HLL_M * HLL_M).cast(d38)
-        * F.lit(Decimal(1 << 60)).cast(d38)
-    ).cast(d38)
-    den = (F.lit(1_000_000).cast(d38) * s_total).cast(d38)
-    raw = ((num - F.pmod(num, den)) / den).cast("long")
-    lc = _hll_lc_table()
-    lc_arr = F.array(*[F.lit(v) for v in lc])
-    est = F.when(
-        (raw <= int(2.5 * HLL_M)) & (v_empty > 0),
-        F.element_at(lc_arr, v_empty.cast("int")).cast("long"),
-    ).otherwise(raw)
+    raw, est = _hll_estimate_exprs(v_empty)
     return (
         per_pair.join(
             F.broadcast(
@@ -892,12 +885,7 @@ def hll_union_oracle_sql(
         sql_tokens,
     )
 
-    lc = _hll_lc_table()
-    lc_vals = ", ".join(f"({v + 1}, {lc[v]})" for v in range(HLL_M))
-    thresholds = " ".join(
-        f"WHEN w >= {1 << (HLL_WBITS - r)} THEN {r}"
-        for r in range(1, HLL_WBITS + 1)
-    )
+    lc_vals, thresholds = _hll_sql_parts()
     tk = sql_tokens(content_sql)
     return f"""
         WITH lc(v, lcest) AS (VALUES {lc_vals}),

@@ -518,7 +518,9 @@ def test_isotonic_calibration_equals_pav_reference(spark):
 
 def test_isotonic_calibration_guard_over_bucket_limit(spark):
     """More than ISO_MAX_BUCKETS buckets in a group must fail loudly
-    (the lcm scale is only exact up to that bound)."""
+    (the lcm scale is only exact up to that bound) — via assert_true,
+    which raises in BOTH ANSI and non-ANSI sessions (a division-based
+    guard yields Infinity, not an error, under non-ANSI)."""
     from centimators_spark.ml.calibration import (
         ISO_MAX_BUCKETS,
         isotonic_calibration,
@@ -528,7 +530,9 @@ def test_isotonic_calibration_guard_over_bucket_limit(spark):
         [("g", b, b % 2) for b in range(ISO_MAX_BUCKETS + 1)],
         "g string, b long, y int",
     )
-    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|ArithmeticException"):
+    with pytest.raises(
+        Exception, match="ISO_MAX_BUCKETS|USER_RAISED|assert"
+    ):
         isotonic_calibration(df, "g", "b", "y").collect()
 
 
@@ -1019,3 +1023,66 @@ def test_brown_forsythe_hand_cases_and_oracle(spark):
         brown_forsythe_oracle_sql("tbl", "g", "c", "v")
     ).fetchdf()
     assert compare("brown_forsythe", sdf, odf)
+
+
+def test_review_fixes_negative_and_null_parity(spark):
+    """Regression pack for the round-10 review findings: (1) bootstrap
+    means TRUNCATE like DuckDB // on negative-valued metrics; (2) MWU
+    excludes NULL values identically on both engines; (3) the exact
+    Brown-Forsythe near-homogeneous case whose floored ssb went
+    negative now agrees across engines (clamped at 0)."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    from centimators_spark.ml.bootstrap import (
+        bootstrap_mean_ci,
+        bootstrap_mean_ci_oracle_sql,
+    )
+    from centimators_spark.operators.mwu import (
+        brown_forsythe,
+        brown_forsythe_oracle_sql,
+        mann_whitney_u,
+        mann_whitney_u_oracle_sql,
+    )
+
+    con = duckdb.connect()
+
+    # (1) negative PnL-style values: mean -1/3 cent must truncate the
+    # same way on both engines
+    rows = [("a", 1, -0.01), ("a", 2, 0.0), ("a", 3, 0.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    sdf = bootstrap_mean_ci(df, "g", "id", "v").toPandas()
+    assert sdf.iloc[0].mean_micro == -333333  # trunc, not floor
+    con.register("t1", pd.DataFrame(rows, columns=["g", "id", "v"]))
+    odf = con.execute(
+        bootstrap_mean_ci_oracle_sql("t1", "g", "id", "v")
+    ).fetchdf()
+    assert compare("boot_neg", sdf, odf)
+
+    # (2) NULL values excluded from MWU on both engines
+    rows = [("g", 1, None), ("g", 1, 2.0), ("g", 0, 1.0), ("g", 0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, a int, v double")
+    sdf = mann_whitney_u(df, "g", "a", "v").toPandas()
+    assert (sdf.n_a == 1).all() and (sdf.n_b == 2).all()
+    con.register("t2", pd.DataFrame(rows, columns=["g", "a", "v"]))
+    odf = con.execute(mann_whitney_u_oracle_sql("t2", "g", "a", "v")).fetchdf()
+    assert compare("mwu_null", sdf, odf)
+
+    # (3) the found negative-floored-ssb case: z-sets {8,3,1,9,0} and
+    # {0,2,13,3,1,6} in centi-values (encode via medians at 0)
+    rows = []
+    for i, z in enumerate((8, 3, 1, 9, 0)):
+        rows += [("g", "A", z / 100), ("g", "A", -z / 100)]
+    for i, z in enumerate((0, 2, 13, 3, 1, 6)):
+        rows += [("g", "B", z / 100), ("g", "B", -z / 100)]
+    df = spark.createDataFrame(rows, "g string, c string, v double")
+    sdf = brown_forsythe(df, "g", "c", "v").toPandas()
+    con.register("t3", pd.DataFrame(rows, columns=["g", "c", "v"]))
+    odf = con.execute(brown_forsythe_oracle_sql("t3", "g", "c", "v")).fetchdf()
+    assert compare("bf_negssb", sdf, odf)
+    assert int(sdf.iloc[0].ssb) >= 0  # clamped spec
