@@ -74,7 +74,12 @@ def bootstrap_mean_ci(
     (a deterministic ~6%/94% band at B=32 — the band SPEC, chosen
     over interpolated quantiles so the contract stays integer).
     Replicates whose total weight is 0 (only possible for tiny
-    groups) are dropped and reported via n_replicates."""
+    groups) are dropped and reported via n_replicates. Rows with a
+    NULL ``value_col`` are excluded up front on BOTH engines (the
+    MWU / Brown-Forsythe discipline) — otherwise their Poisson
+    weights would dilute every replicate mean while contributing no
+    value mass."""
+    df = df.where(F.col(value_col).isNotNull())
     cents = F.round(F.col(value_col) * 100).cast("long")
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -172,6 +177,7 @@ def bootstrap_mean_ci_oracle_sql(
           SELECT {group_sql} AS grp, {id_sql} AS id,
                  CAST(round({value_sql} * 100) AS BIGINT) AS cents, r
           FROM {table} CROSS JOIN range({B}) t(r)
+          WHERE {value_sql} IS NOT NULL
         ), weighted AS (
           SELECT grp, r, cents,
                  CAST(len(list_filter([{th_list}],
@@ -186,7 +192,7 @@ def bootstrap_mean_ci_oracle_sql(
           SELECT {group_sql} AS grp,
                  CAST(count(*) AS BIGINT) AS n_rows,
                  sum(CAST(round({value_sql} * 100) AS BIGINT)) AS vsum
-          FROM {table} GROUP BY 1
+          FROM {table} WHERE {value_sql} IS NOT NULL GROUP BY 1
         ), means AS (
           SELECT grp, r,
                  CAST((CAST(vs AS HUGEINT) * 1000000) // wsum

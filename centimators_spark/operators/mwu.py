@@ -15,9 +15,11 @@ carriers
 are all plain integers both engines compute identically (z and
 p-values need a sqrt — callers derive them; the CONTRACT carries the
 exact rationals). var_num ships as a decimal-exact STRING;
-var_den = 12n(n-1) is the BIGINT-limiting carrier, safe to
-n ~ 8.7e8 rows per group (it overflows loudly, not silently,
-beyond that).
+var_den = 12n(n-1) is the BIGINT-limiting carrier, guarded by an
+ANSI-independent assert_true at n = 876e6 rows per group (the
+decimal→long cast alone errors only under ANSI; a non-ANSI session
+would NULL it silently while the DuckDB oracle raises — the same
+cross-engine divergence the isotonic lcm guard closes).
 
 Scale: one rank window per group over the combined sample (the only
 data-sized shuffle — same key as the group-by that follows), one
@@ -31,6 +33,9 @@ from pyspark.sql import functions as F
 
 _D38 = "decimal(38,0)"
 
+# largest per-group n with 12n(n-1) <= 2^63 - 1 (var_den BIGINT-safe)
+MWU_MAX_N = 876_000_000
+
 
 def mann_whitney_u(
     df: DataFrame,
@@ -39,14 +44,18 @@ def mann_whitney_u(
     value_col: str,
 ) -> DataFrame:
     """Per group: exact Mann-Whitney carriers comparing the two
-    sides of boolean/int ``side_col`` (side A = truthy). Values are
-    compared as centi-unit integers round(v*100) (the proven portable
-    carrier). Output: (grp, n_a, n_b, u2, mu2, var_num, var_den) —
-    groups missing a side are omitted (no test to run)."""
+    sides of boolean/int ``side_col`` (side A = truthy — any nonzero
+    value counts as side A, normalized to (side != 0) on BOTH engines
+    so n_a and r2_a stay internally consistent for non-0/1 ints).
+    Values are compared as centi-unit integers round(v*100) (the
+    proven portable carrier). Output: (grp, n_a, n_b, u2, mu2,
+    var_num, var_den) — groups missing a side are omitted (no test
+    to run)."""
     cents = F.round(F.col(value_col) * 100).cast("long")
+    truthy = (F.col(side_col).cast("int") != 0).cast("int")
     base = df.select(
         F.col(group_col).alias("grp"),
-        F.col(side_col).cast("int").alias("__a"),
+        truthy.alias("__a"),
         cents.alias("__v"),
     ).where(F.col("__v").isNotNull() & F.col("__a").isNotNull())
     # NULL values carry no rank information and the two engines order
@@ -85,6 +94,16 @@ def mann_whitney_u(
     )
     j = stats.join(ties, "grp").where(
         (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    )
+    # BIGINT-safe bound for var_den = 12n(n-1): raises at execution in
+    # BOTH ANSI and non-ANSI sessions (the decimal->long cast alone
+    # NULLs silently under non-ANSI while DuckDB raises on HUGEINT ->
+    # BIGINT overflow — a silent cross-engine divergence otherwise)
+    j = j.where(
+        F.assert_true(
+            (F.col("n_a") + F.col("n_b")) <= MWU_MAX_N,
+            F.lit("mann_whitney_u: group exceeds MWU_MAX_N rows"),
+        ).isNull()
     )
     na = F.col("n_a").cast(_D38)
     nb = F.col("n_b").cast(_D38)
@@ -125,7 +144,7 @@ def mann_whitney_u_oracle_sql(
     return f"""
         WITH base AS (
           SELECT {group_sql} AS grp,
-                 CAST({side_sql} AS INTEGER) AS a,
+                 CAST(CAST({side_sql} AS INTEGER) <> 0 AS INTEGER) AS a,
                  CAST(round({value_sql} * 100) AS BIGINT) AS v
           FROM {table}
           WHERE {value_sql} IS NOT NULL AND {side_sql} IS NOT NULL

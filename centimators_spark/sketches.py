@@ -908,7 +908,7 @@ def hll_union_oracle_sql(
           SELECT p.src_a, p.src_b, u.j,
                  greatest(coalesce(ra.m, 0), coalesce(rb.m, 0)) AS m
           FROM pairs_univ p
-          CROSS JOIN (SELECT unnest(range(0, 64)) AS j) u
+          CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS j) u
           LEFT JOIN regs ra ON ra.g = p.src_a AND ra.j = u.j
           LEFT JOIN regs rb ON rb.g = p.src_b AND rb.j = u.j
         ), per_pair AS (

@@ -1086,3 +1086,79 @@ def test_review_fixes_negative_and_null_parity(spark):
     odf = con.execute(brown_forsythe_oracle_sql("t3", "g", "c", "v")).fetchdf()
     assert compare("bf_negssb", sdf, odf)
     assert int(sdf.iloc[0].ssb) >= 0  # clamped spec
+
+
+def test_advice_fixes_r11(spark):
+    """Round-11 advice pack: (1) MWU normalizes side to (side != 0) so
+    non-0/1 int sides keep n_a and r2_a internally consistent on both
+    engines; (2) the MWU BIGINT-safety bound raises loudly in BOTH
+    ANSI and non-ANSI sessions (assert_true, the isotonic
+    discipline); (3) bootstrap excludes NULL-valued rows on both
+    engines (no silent weight dilution of the means); (4) the
+    hll_union oracle derives its register universe from HLL_M."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    import centimators_spark.operators.mwu as mwu_mod
+    import centimators_spark.sketches as sk
+    from centimators_spark.ml.bootstrap import (
+        bootstrap_mean_ci,
+        bootstrap_mean_ci_oracle_sql,
+    )
+    from centimators_spark.operators.mwu import (
+        mann_whitney_u,
+        mann_whitney_u_oracle_sql,
+    )
+
+    con = duckdb.connect()
+
+    # (1) side values 0 / 2 / 7 — every nonzero value is side A
+    rows = [("g", 2, 1.0), ("g", 7, 2.0), ("g", 0, 3.0), ("g", 0, 4.0)]
+    df = spark.createDataFrame(rows, "g string, a int, v double")
+    sdf = mann_whitney_u(df, "g", "a", "v").toPandas()
+    assert (sdf.n_a == 2).all() and (sdf.n_b == 2).all()
+    # A holds ranks 1,2 -> r2_a = 2+4, u2 = 6 - 2*3 = 0
+    assert (sdf.u2 == 0).all()
+    con.register("t1", pd.DataFrame(rows, columns=["g", "a", "v"]))
+    odf = con.execute(mann_whitney_u_oracle_sql("t1", "g", "a", "v")).fetchdf()
+    assert compare("mwu_truthy", sdf, odf)
+
+    # (2) the guard fires as an execution error, not a NULL carrier
+    orig = mwu_mod.MWU_MAX_N
+    try:
+        mwu_mod.MWU_MAX_N = 3
+        with pytest.raises(Exception, match="MWU_MAX_N"):
+            mann_whitney_u(df, "g", "a", "v").collect()
+    finally:
+        mwu_mod.MWU_MAX_N = orig
+
+    # (3) NULL values carry no Poisson weight: group means equal the
+    # non-null-only means, all-NULL groups vanish, engines agree
+    rows = [("a", i, 10.0 if i % 2 else None) for i in range(40)]
+    rows += [("allnull", 99, None)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    sdf = bootstrap_mean_ci(df, "g", "id", "v").toPandas()
+    assert list(sdf.grp) == ["a"]
+    a = sdf.iloc[0]
+    assert a.n_rows == 20  # non-null rows only
+    assert a.mean_micro == 1_000_000_000  # exactly 10.00 in micro-cents
+    assert a.boot_lo_micro == a.boot_hi_micro == 1_000_000_000
+    con.register("t3", pd.DataFrame(rows, columns=["g", "id", "v"]))
+    odf = con.execute(
+        bootstrap_mean_ci_oracle_sql("t3", "g", "id", "v")
+    ).fetchdf()
+    assert compare("boot_null", sdf, odf)
+
+    # (4) the oracle's register universe tracks HLL_M
+    orig_m = sk.HLL_M
+    try:
+        sk.HLL_M = 32
+        assert "range(0, 32)" in sk.hll_union_oracle_sql("documents")
+    finally:
+        sk.HLL_M = orig_m
