@@ -1484,10 +1484,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     with `check_oracle --staged`, then promote into this head and
     rotate long-stable greens to the tail."""
     out = {
-        # --- promoted round-10 staged queries (gate-green at sf0.001 +
-        # sf0.01, plan-audited [138 assertions], 10x-probed, degenerate-
-        # clean, judge-re-verified 11/11; never driver-checked — verdict
-        # r9 item 1) ---
+        # --- promoted round-11 staged queries (21; gate-green at
+        # sf0.001 + sf0.01 + sf0.1, plan-audited [158 assertions],
+        # 10x-probed, degenerate-clean, judge-re-verified 21/21; never
+        # driver-checked — verdict r10 item 1) ---
+        **_r11_staged(),
+        # --- new this round: negative-value / NULL gate contracts
+        # (verdict r10 item 3 — make the floor-vs-truncate and
+        # NULL-exclusion parity class DRIVER-gate-visible) ---
+        "bootstrap_signed": q_bootstrap_signed,
+        "mwu_signed": q_mwu_signed,
+        # --- promoted round-10 staged queries (driver-green r10) ---
         **_r10_staged(),
         # --- promoted round-9 staged queries (driver-green r9) ---
         "top_supplier": relational_queries.q_top_supplier,
@@ -1709,58 +1716,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
-    # round-10 drift re-verification (r9 verdict items 1+6): behind the
-    # 11 never-verified promoted queries, rotate the OLDEST-verified
-    # greens — the 18 r3-era greens never re-checked since
-    # CORRECTNESS_r03 plus the 21-query alphabetical head of the 30
-    # r4-era greens (last checked CORRECTNESS_r04) — 11 + 18 + 21 =
-    # exactly the driver's 50-query window. ROTATION DEBT (r9 verdict
-    # item 6): the remaining 9 r4-era greens scheduled for the round-11
-    # window head are robust_zscore, rolling_corr_ewma, salted_join,
-    # session_ids, shipping_priority, string_agg_segment,
-    # top_orders_per_segment, volume_shipping, window_navigation.
-    head = list(out)[:11] + [
-        # r3-era greens, never re-checked since CORRECTNESS_r03
-        "ann_rp_lsh_recall",
-        "char_entropy",
-        "doc_chunks",
-        "feature_hash",
-        "mixture_sample",
-        "neutralizer_full_expr",
-        "panel_features",
-        "pca_project_expr",
-        "quantile_bin",
-        "resample_ffill",
-        "stratified_sample",
-        "target_encode_loo",
-        "temperature_mixture",
-        "text_c4_filters",
-        "text_normalize",
-        "text_pii_mask",
-        "token_positions",
-        "unigram_lm",
-        # r4-era greens, alphabetical head (last checked CORRECTNESS_r04)
-        "above_avg_orders",
-        "autocorrelation",
-        "calendar_features",
-        "cube_revenue",
-        "distinct_counts",
-        "era_report",
-        "era_weights",
-        "event_funnel",
-        "events_interval_join",
-        "events_json_extract",
-        "events_sessionize",
-        "forward_returns",
-        "grouping_sets_revenue",
-        "interval_band_join",
-        "large_orders",
-        "one_hot_segments",
-        "page_hinkley",
-        "pivot_revenue",
-        "range_frame_sums",
-        "regional_revenue",
-        "retention_cohorts",
+    # round-11 drift re-verification (r10 verdict items 1+6): behind
+    # the 23 never-verified head entries (21 promoted staged queries +
+    # the 2 new signed/NULL gate contracts), rotate the OLDEST-verified
+    # greens — the 9 r4-era greens (rotation debt named in r10, last
+    # checked CORRECTNESS_r04), the 9 r5-era greens (last checked
+    # CORRECTNESS_r05), and the 9-query alphabetical head of the 13
+    # r6-era greens (last checked CORRECTNESS_r06) — 23 + 9 + 9 + 9 =
+    # exactly the driver's 50-query window. ROTATION DEBT (r10 verdict
+    # item 6): the remaining 4 r6-era greens scheduled for the
+    # round-12 window head are record_linkage, session_window,
+    # table_diff, z_order_key; after them the oldest pool is the 33
+    # r7-era greens (last checked CORRECTNESS_r07, e.g.
+    # ann_cosine_topk, bloom_semi_join, dedup_exact, ...).
+    head = list(out)[:23] + [
+        # r4-era greens (last checked CORRECTNESS_r04 — the rotation
+        # debt the r10 verdict scheduled for this round)
+        "robust_zscore",
+        "rolling_corr_ewma",
+        "salted_join",
+        "session_ids",
+        "shipping_priority",
+        "string_agg_segment",
+        "top_orders_per_segment",
+        "volume_shipping",
+        "window_navigation",
+        # r5-era greens (last checked CORRECTNESS_r05)
+        "cv_folds",
+        "market_share",
+        "neutralizer_kernel_contract",
+        "pca_kernel_contract",
+        "penalizer_contract",
+        "pmi_cooccur",
+        "psi_drift",
+        "trimmed_stats",
+        "woe_encode",
+        # r6-era greens, alphabetical head (last checked CORRECTNESS_r06)
+        "ab_cuped",
+        "ab_test",
+        "attribution",
+        "auc_by_era",
+        "benford_digits",
+        "gini_segments",
+        "kaplan_meier",
+        "line_dedup",
+        "logloss_calibration",
     ]
     pulled = {k: out.pop(k) for k in head if k in out}
     return {**pulled, **out}
@@ -2412,6 +2412,9 @@ def oracle_sql() -> dict[str, str]:
         **_promoted_r8_oracle_sql(),
         **_promoted_r9_oracle_sql(),
         **_r10_staged_oracles(),
+        **_r11_staged_oracles(),
+        "bootstrap_signed": _bootstrap_signed_oracle(),
+        "mwu_signed": _mwu_signed_oracle(),
         "dspymator_contract": DSPYMATOR_CONTRACT_ORACLE,
         "penalizer_contract": _penalizer_contract_oracle(),
         # kernel-contract claims: every key-unique row agrees within the
@@ -3979,19 +3982,120 @@ def _vector_pipeline_oracle() -> str:
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
-    the round-11 candidate set, gate-checked by
+    the round-12 candidate set, gate-checked by
     tests/test_staged_queries.py and `check_oracle --staged`. (The
-    round-10 set — cms_heavy_hitters, bigram_lm, k_anonymity,
-    bpe_encode, bpe_train_rounds, boosted_stumps, mmr_rerank,
-    dedup_clusters_star, nation_profit, shipmode_priority,
-    filtered_supplier_counts — was promoted into queries() this
-    round.)"""
-    return _r11_staged()
+    round-11 set — image/audio/video phash dedup, theta/HLL sketch
+    algebra, the privacy triad completions, bootstrap/MWU/SPRT/
+    Brown-Forsythe/isotonic/changepoint/Benford, winnowing,
+    duplicated_spans, Q4/Q6 explicit, multimodal_corpus_clean — was
+    promoted into queries() this round.)"""
+    return _r12_staged()
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
-    return _r11_staged_oracles()
+    return _r12_staged_oracles()
+
+
+def q_bootstrap_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-value / NULL gate contract (r10 verdict item 3): the
+    one-pass Poisson-bootstrap CI over SIGNED event values — even
+    event_ids are negated, every 7th value is NULL — so replicate
+    means land on BOTH sides of zero and the TRUNCATE-toward-zero
+    division spec (DuckDB HUGEINT ``//``) plus the both-engines NULL
+    exclusion are exercised by the driver gate every round, not only
+    by the review regression tests. A deliberate floor-for-truncate
+    swap flips this entry red locally
+    (tests/test_round11_ops.py::test_signed_gate_contracts)."""
+    from centimators_spark.ml.bootstrap import bootstrap_mean_ci
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.col("value")
+            * F.when(F.col("event_id") % 2 == 0, -1).otherwise(1),
+        ).alias("sv"),
+    )
+    return bootstrap_mean_ci(ev, "event_type", "event_id", "sv")
+
+
+_SIGNED_EVENTS_SQL = (
+    "(SELECT event_type, event_id, user_id,"
+    " CASE WHEN event_id % 7 <> 0 THEN value *"
+    " (CASE WHEN event_id % 2 = 0 THEN -1 ELSE 1 END) END AS sv"
+    " FROM events)"
+)
+
+
+def _bootstrap_signed_oracle() -> str:
+    from centimators_spark.ml.bootstrap import bootstrap_mean_ci_oracle_sql
+
+    return bootstrap_mean_ci_oracle_sql(
+        _SIGNED_EVENTS_SQL, "event_type", "event_id", "sv"
+    )
+
+
+def q_mwu_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second signed/NULL gate contract: Mann-Whitney over the same
+    signed derivation with a NON-0/1 integer side (user_id % 3 — the
+    truthy normalization is itself gate-visible): negative
+    centi-values flow through the rank window, and NULL values are
+    excluded identically on both engines (Spark ranks NULLs first,
+    DuckDB last — the parity class the round-10 self-review caught)."""
+    from centimators_spark.operators.mwu import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 3).cast("int").alias("side3"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.col("value")
+            * F.when(F.col("event_id") % 2 == 0, -1).otherwise(1),
+        ).alias("sv"),
+    )
+    return mann_whitney_u(ev, "event_type", "side3", "sv")
+
+
+def _mwu_signed_oracle() -> str:
+    from centimators_spark.operators.mwu import mann_whitney_u_oracle_sql
+
+    return mann_whitney_u_oracle_sql(
+        _SIGNED_EVENTS_SQL, "event_type", "CAST(user_id % 3 AS INTEGER)", "sv"
+    )
+
+
+def q_duplicated_spans_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-resolution duplicated-substring profile (r10 verdict item
+    4): duplicated_spans at L ∈ {8, 16, 32} from ONE tokenize + ONE
+    md5 pass — longer-run fingerprints are lead-combined from the
+    base positional grams, so span boundaries stop quantizing to a
+    single gram size (dedup/substring.duplicated_spans_multi). Still
+    NO pair join: cost independent of corpus duplication."""
+    from centimators_spark.dedup.substring import duplicated_spans_multi
+
+    return duplicated_spans_multi(load_table(spark, sf_dir, "documents"))
+
+
+def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "duplicated_spans_multi": q_duplicated_spans_multi,
+    }
+
+
+def _r12_staged_oracles() -> dict[str, str]:
+    from centimators_spark.dedup.substring import (
+        duplicated_spans_multi_oracle_sql,
+    )
+
+    return {
+        "duplicated_spans_multi": duplicated_spans_multi_oracle_sql(
+            "documents"
+        ),
+    }
 
 
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,28 +74,42 @@ def test_unverified_queries_inside_driver_window():
     names = list(entrymod.queries())
     window = set(names[:50])
     must_check = {
-        # never driver-verified (promoted this round — r9 verdict item 1)
-        "cms_heavy_hitters",
-        "bigram_lm",
-        "k_anonymity",
-        "bpe_encode",
-        "bpe_train_rounds",
-        "boosted_stumps",
-        "mmr_rerank",
-        "dedup_clusters_star",
-        "nation_profit",
-        "shipmode_priority",
-        "filtered_supplier_counts",
-        # drift re-verification: the r9 drift watch-list members that
-        # sit in the r3-era rotation pool must be in this round's window
-        "panel_features",
-        "pca_project_expr",
-        "neutralizer_full_expr",
+        # never driver-verified (promoted this round — r10 verdict item 1)
+        "image_phash_dedup",
+        "theta_intersections",
+        "audio_fingerprint_dedup",
+        "video_phash_dedup",
+        "l_diversity",
+        "multimodal_corpus_clean",
+        "theta_a_not_b",
+        "order_priority_counts",
+        "forecast_revenue",
+        "t_closeness",
+        "isotonic_calibration",
+        "winnowing_overlap",
+        "duplicated_spans",
+        "changepoint",
+        "benford_audit",
+        "hll_portable",
+        "hll_union",
+        "bootstrap_ci",
+        "mann_whitney",
+        "sprt_audit",
+        "brown_forsythe",
+        # new this round: the signed/NULL gate contracts (r10 item 3)
+        "bootstrap_signed",
+        "mwu_signed",
+        # drift re-verification: the r10 rotation debt (r4-era greens)
+        # plus the kernel-contract family (r5-era, incl. the
+        # neutralizer contract on its post-fix drift watch)
+        "robust_zscore",
+        "neutralizer_kernel_contract",
+        "pca_kernel_contract",
     }
     assert must_check <= window, must_check - window
     # everything in the rotation window behind the promoted head must
-    # be r3/r4-era greens — the oldest-verified pool
-    assert "ann_rp_lsh_recall" in window and "retention_cohorts" in window
+    # be r4/r5/r6-era greens — the oldest-verified pool
+    assert "window_navigation" in window and "logloss_calibration" in window
 
 
 def test_compare_flags_int_float_dtype_mismatch():

@@ -1162,3 +1162,59 @@ def test_advice_fixes_r11(spark):
         assert "range(0, 32)" in sk.hll_union_oracle_sql("documents")
     finally:
         sk.HLL_M = orig_m
+
+
+def test_signed_gate_contracts(spark):
+    """The two negative/NULL driver-gate contracts (r10 verdict item
+    3): both hash-green vs their oracles at sf0.001, the negative
+    regime genuinely exercised (some replicate means < 0), and a
+    deliberate floor-for-truncate swap produces DIFFERENT values —
+    i.e. the driver gate would turn red on exactly the parity class
+    the round-10 self-review caught."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    sdf = entrymod.q_bootstrap_signed(spark, sf).toPandas()
+    odf = con.execute(entrymod._bootstrap_signed_oracle()).fetchdf()
+    assert compare("bootstrap_signed", sdf, odf)
+    # the signed derivation produces genuinely negative means
+    assert (sdf.mean_micro < 0).any() or (sdf.boot_lo_micro < 0).any()
+
+    # floor-for-truncate swap: rebuild the oracle with FLOOR division
+    # (x//d - 1 on inexact negatives) — at least one band bound must
+    # move, proving the gate distinguishes the two division specs
+    floored = entrymod._bootstrap_signed_oracle().replace(
+        "CAST((CAST(vs AS HUGEINT) * 1000000) // wsum\n                      AS BIGINT)",
+        "CAST(CASE WHEN (CAST(vs AS HUGEINT) * 1000000) % wsum <> 0"
+        " AND vs < 0 THEN (CAST(vs AS HUGEINT) * 1000000) // wsum - 1"
+        " ELSE (CAST(vs AS HUGEINT) * 1000000) // wsum END AS BIGINT)",
+    )
+    assert floored != entrymod._bootstrap_signed_oracle()  # swap applied
+    fdf = con.execute(floored).fetchdf()
+    same_cols = ["boot_lo_micro", "boot_hi_micro", "mean_micro"]
+    merged = sdf.set_index("grp")[same_cols].sort_index()
+    fm = fdf.set_index("grp")[same_cols].sort_index()
+    assert not merged.equals(fm), "floor swap did not change any value"
+
+    sdf = entrymod.q_mwu_signed(spark, sf).toPandas()
+    odf = con.execute(entrymod._mwu_signed_oracle()).fetchdf()
+    assert compare("mwu_signed", sdf, odf)
+    # NULL sv rows exist and are excluded: per-group n < raw count
+    raw = con.execute(
+        "SELECT event_type, count(*) c FROM events GROUP BY 1"
+    ).fetchdf().set_index("event_type")["c"]
+    for _, r in sdf.iterrows():
+        assert r.n_a + r.n_b < raw[r.grp]

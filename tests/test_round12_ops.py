@@ -1,0 +1,102 @@
+"""Round-12 operator tests: multi-resolution duplicated-span profile."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+def test_duplicated_spans_multi_hand_trace_and_oracle(spark):
+    """A 20-token run shared across two docs is a dup span at L=8 and
+    L=16 but NOT L=32; a period-4 self-repetitive doc is fully
+    covered at every level; unique / short / NULL docs report zero.
+    The whole long-format profile matches the DuckDB twin, and the
+    base level reproduces the single-L operator exactly."""
+    from check_oracle import compare
+
+    from centimators_spark.dedup.substring import (
+        duplicated_spans,
+        duplicated_spans_multi,
+        duplicated_spans_multi_oracle_sql,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(30))),
+        (2, " ".join(f"b{i}" for i in range(15)) + " " + shared),
+        (3, " ".join(f"c{i}" for i in range(40))),  # unique
+        (4, " ".join(f"r{i % 4}" for i in range(40))),  # period-4
+        (5, "short text only"),  # < L0 tokens
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sdf = (
+        duplicated_spans_multi(df)
+        .toPandas()
+        .sort_values(["doc_id", "L"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    odf = con.execute(duplicated_spans_multi_oracle_sql("tbl")).fetchdf()
+    assert compare("multiL", sdf, odf)
+
+    r = sdf.set_index(["doc_id", "L"])
+    for d in (1, 2):
+        assert r.loc[(d, 8)].n_dup_tokens == 20
+        assert r.loc[(d, 16)].n_dup_tokens == 20  # no quantization loss
+        assert r.loc[(d, 32)].n_dup_spans == 0  # run is only 20 tokens
+    assert r.loc[(4, 32)].n_dup_tokens == 40  # fully self-duplicated
+    for L in (8, 16, 32):
+        assert r.loc[(3, L)].n_dup_spans == 0
+        assert r.loc[(5, L)].n_dup_spans == 0
+
+    # base level == the single-L operator (shared semantics)
+    s8 = (
+        sdf[sdf.L == 8]
+        .drop(columns=["L"])
+        .reset_index(drop=True)
+    )
+    s1 = (
+        duplicated_spans(df)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert s8.equals(s1)
+
+
+def test_duplicated_spans_multi_rejects_non_doubling_chain(spark):
+    from centimators_spark.dedup.substring import duplicated_spans_multi
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicated_spans_multi(df, Ls=(8, 24))
+
+
+def test_mix_combine_matches_duckdb_hugeint(spark):
+    """The 60-bit lead-combine is the same integer on both engines at
+    the domain extremes (0 and 2^60 - 1)."""
+    from pyspark.sql import functions as F
+
+    from centimators_spark.dedup.substring import _MIX_P, _MOD60, _mix
+
+    cases = [(0, 0), (0, _MOD60 - 1), (_MOD60 - 1, 0),
+             (_MOD60 - 1, _MOD60 - 1), (123456789, 987654321)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = [
+        r[0]
+        for r in df.select(_mix(F.col("a"), F.col("b"))).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT CAST((CAST({a} AS HUGEINT) * {_MIX_P} + {b})"
+            f" % {_MOD60} AS BIGINT)"
+        ).fetchone()[0]
+        for a, b in cases
+    ]
+    assert got == want

@@ -1170,6 +1170,41 @@ def main():
         and "Window" in p,
     )
 
+    # ---- round-11 additions ------------------------------------------
+    p = plan_of(st["duplicated_spans_multi"](spark, sf_dir))
+    ok &= audit(
+        "duplicated_spans_multi: ONE gram explode + ONE md5 pass"
+        " serves all three L levels (lead-combined fingerprints in"
+        " the shared per-doc window); one (L, h) count agg, one join"
+        " back, per-(doc, L) island windows — NO pair join, no"
+        " cartesian, no Python",
+        "CartesianProduct" not in p
+        and "EvalPython" not in p
+        and "Window" in p
+        and "partial_count" in p
+        and p.count("md5") <= 2,  # one md5 chain (struct hash = 2 refs)
+    )
+
+    p = plan_of(st["bootstrap_signed"](spark, sf_dir))
+    ok &= audit(
+        "bootstrap_signed: the signed/NULL derivation adds only a"
+        " projection — still ONE corpus scan for all replicates, no"
+        " Python, no cartesian",
+        "partial_count" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p
+        and p.count("FileScan") <= 1,
+    )
+
+    p = plan_of(st["mwu_signed"](spark, sf_dir))
+    ok &= audit(
+        "mwu_signed: same single rank-window shape as mann_whitney"
+        " under the signed/NULL projection — no pair join, no Python",
+        "CartesianProduct" not in p
+        and "EvalPython" not in p
+        and "Window" in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
