@@ -602,6 +602,30 @@ def _hll_registers(hashes: DataFrame, key_cols: list) -> DataFrame:
     )
 
 
+def hll_register_cells(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+) -> DataFrame:
+    """(grp, j, m): the mergeable HLL register state — the 100 TB
+    per-partition distinct primitive in its raw, KB-sized form.
+
+    Register-wise MAX is the natural merge (hll_union_pairs uses the
+    same rule across sketches), and max is duplicate-idempotent, so
+    NO distinct stage is needed: the identical declarative plan runs
+    on batch AND streaming frames (the cms_build discipline), with
+    Structured Streaming state bounded by m registers per group
+    rather than the stream size. The estimator half
+    (:func:`hll_portable`) consumes exactly these cells."""
+    h = md5_long(F.col(item_col).cast("string"))
+    hashes = df.select(F.col(group_col).alias("grp"), h.alias("h"))
+    return _hll_registers(hashes, ["grp"]).select(
+        "grp",
+        F.col("__j").cast("long").alias("j"),
+        F.col("__m").cast("long").alias("m"),
+    )
+
+
 def _hll_estimate_exprs(v_empty):
     """(raw, est) columns from S_used (decimal) + v_empty (long) —
     the shared fixed-point estimator and LC correction."""

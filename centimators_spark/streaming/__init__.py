@@ -2,7 +2,11 @@ from centimators_spark.streaming.dedup import stream_exact_dedup
 from centimators_spark.streaming.joins import enrich_stream_static, interval_join_events
 from centimators_spark.streaming.sink import continuous_aggregate, grouped_overwrite_sink
 from centimators_spark.streaming.anomaly import ewma_anomaly_stream
-from centimators_spark.streaming.sketch import cms_cells_stream, read_documents_stream
+from centimators_spark.streaming.sketch import (
+    cms_cells_stream,
+    hll_registers_stream,
+    read_documents_stream,
+)
 from centimators_spark.streaming.drift import reference_histogram, windowed_psi
 from centimators_spark.streaming.events import (
     windowed_event_counts,
@@ -30,6 +34,7 @@ __all__ = [
     "continuous_aggregate",
     "grouped_overwrite_sink",
     "cms_cells_stream",
+    "hll_registers_stream",
     "read_documents_stream",
     "ewma_anomaly_stream",
     "reference_histogram",

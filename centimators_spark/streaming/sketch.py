@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (re-export habit)
 
-from centimators_spark.sketches import CMS_D, CMS_W, cms_build
+from centimators_spark.sketches import (
+    CMS_D,
+    CMS_W,
+    cms_build,
+    hll_register_cells,
+)
 
 
 def read_documents_stream(
@@ -47,3 +52,24 @@ def cms_cells_stream(
     if not docs_stream.isStreaming:
         raise ValueError("cms_cells_stream expects a streaming DataFrame")
     return cms_build(docs_stream, content_col=content_col, d=d, w=w)
+
+
+def hll_registers_stream(
+    docs_stream: DataFrame,
+    *,
+    group_col: str = "source",
+    item_col: str = "text",
+) -> DataFrame:
+    """Running (grp, j, m) HLL registers over a document stream —
+    complete/update-mode stateful aggregation whose state is the
+    SKETCH (m registers per group), never the stream. Register-wise
+    max is the merge (the hll_union_pairs rule), and it is
+    duplicate-idempotent, so the plan is identical to the batch
+    :func:`sketches.hll_register_cells` build — the parity contract
+    (tests/test_streaming.py) pins incremental == batch bit for bit
+    across micro-batches."""
+    if not docs_stream.isStreaming:
+        raise ValueError(
+            "hll_registers_stream expects a streaming DataFrame"
+        )
+    return hll_register_cells(docs_stream, group_col, item_col)

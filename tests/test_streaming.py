@@ -582,3 +582,81 @@ def test_stream_cms_rejects_batch_frame(spark):
 
     with pytest.raises(ValueError):
         cms_cells_stream(load_table(spark, SF, "documents"))
+
+
+def test_stream_hll_registers_match_batch_multibatch(spark, tmp_path):
+    """HLL registers maintained incrementally over TWO micro-batches
+    (register-wise max merge) must equal the one-shot batch register
+    build bit for bit — and the distinct-free cell build must equal
+    the distinct-based build hll_portable uses (max is duplicate-
+    idempotent), so the streaming state IS the sketch."""
+    from centimators_spark.sketches import (
+        _hll_registers,
+        hll_register_cells,
+    )
+    from centimators_spark.streaming.sketch import hll_registers_stream
+    from centimators_spark.text.portable import md5_long
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/a.parquet"
+    )
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        src + "/b.parquet"
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        hll_registers_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
+    got = (
+        spark.sql("SELECT * FROM hll_regs")
+        .toPandas()
+        .sort_values(["grp", "j"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        hll_register_cells(docs, "source", "text")
+        .toPandas()
+        .sort_values(["grp", "j"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp[got.columns])
+    # duplicate-idempotence: distinct-free cells == the distinct-based
+    # register build that hll_portable's estimator consumes
+    hashes = docs.select(
+        F.col("source").alias("grp"),
+        md5_long(F.col("text").cast("string")).alias("h"),
+    ).distinct()
+    via_distinct = (
+        _hll_registers(hashes, ["grp"])
+        .select(
+            "grp",
+            F.col("__j").cast("long").alias("j"),
+            F.col("__m").cast("long").alias("m"),
+        )
+        .toPandas()
+        .sort_values(["grp", "j"])
+        .reset_index(drop=True)
+    )
+    assert exp.equals(via_distinct)
+
+
+def test_stream_hll_rejects_batch_frame(spark):
+    from centimators_spark.streaming.sketch import hll_registers_stream
+
+    with pytest.raises(ValueError):
+        hll_registers_stream(load_table(spark, SF, "documents"))
