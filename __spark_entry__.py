@@ -4083,6 +4083,9 @@ def q_duplicated_spans_multi(
 def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "duplicated_spans_multi": q_duplicated_spans_multi,
+        "sq8_clustered_contract": (
+            datapipe_queries.q_sq8_clustered_contract
+        ),
     }
 
 
@@ -4095,6 +4098,11 @@ def _r12_staged_oracles() -> dict[str, str]:
         "duplicated_spans_multi": duplicated_spans_multi_oracle_sql(
             "documents"
         ),
+        # exact top-k over the SAME derived clustered fixture the
+        # IVF-PQ pruning contract uses — hash-green iff recall is 100%
+        "sq8_clustered_contract": datapipe_queries.oracle_sql()[
+            "ivfpq_pruned_contract"
+        ],
     }
 
 

@@ -1374,6 +1374,39 @@ def q_sq8_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_hits(exact, rerank)
 
 
+def q_sq8_clustered_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 recall under the CLUSTERED fixture (r10 verdict item 7 —
+    the same discipline PQ/IVF-PQ already have): int8 scalar
+    quantization must preserve the cluster-separated neighborhood
+    structure with a shortlist of only ~one cluster's worth of
+    candidates (vs the isotropic contract's half-corpus shortlist).
+    Worst-case raw-dot separation on the fixture: within-cluster
+    ≥ 1 − 2B − B² ≈ 0.678 vs cross-cluster ≤ 2B + B² ≈ 0.323 at
+    B=0.15 — a gap the ≤1/255-per-component quantization error cannot
+    bridge, so every true top-k neighbor survives the shortlist and
+    recall is exactly 100%: any sign/scale/rounding bug in the int8
+    path surfaces as hits < k against the exact-top-k oracle."""
+    from centimators_spark.similarity.pq import sq8_encode, sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    demb = _shared_clustered_fixture(spark, emb, sf_dir)
+    queries = demb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    coded = _shared_df_artifact(
+        spark,
+        (sf_dir, "clustered", "sq8_index"),
+        lambda: sq8_encode(demb, dim=EMB_DIM),
+    )
+    shortlist_k = max(
+        25 * ANN_K, _shared_emb_count(emb, sf_dir) // CLUST_C + ANN_K
+    )
+    short = sq8_topk(coded, queries, dim=EMB_DIM, k=shortlist_k)
+    rerank = _exact_rerank(short, demb, queries, k=ANN_K)
+    exact = _shared_exact_topk(spark, sf_dir, "clustered", demb, queries)
+    return _recall_hits(exact, rerank)
+
+
 ASSOC_MIN_PAIR = 5
 
 

@@ -1205,6 +1205,15 @@ def main():
         and "Window" in p,
     )
 
+    p = plan_of(st["sq8_clustered_contract"](spark, sf_dir))
+    ok &= audit(
+        "sq8_clustered_contract: checkpointed fixture + sq8 index"
+        " artifacts (kernel executes once per session, not per"
+        " consumer); integer-dot shortlist + bounded exact re-rank —"
+        " pure JVM, no Python anywhere",
+        "EvalPython" not in p and "ArrowEvalPython" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
