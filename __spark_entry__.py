@@ -1474,15 +1474,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's correctness
-    pass (which checks a 50-entry window from the top): the 22 queries
-    never driver-verified — 10 promoted round-4 staged queries and 12
-    round-5 operators/contracts — sit first; everything after them in
-    the window is previously hash-green, and the overflow tail is
-    entirely previously-driver-green (guard:
+    pass (which checks a 50-entry window from the top): the 23 queries
+    never driver-verified — the 21 promoted round-11 staged queries
+    plus the 2 new signed/NULL gate contracts — sit first; the rest of
+    the window is the oldest-verified rotation (9 r4-era + 9 r5-era +
+    9 r6-era greens), and the overflow tail is entirely
+    previously-driver-green (guard:
     tests/test_driver_contract.py::test_correctness_window_covers_unverified_queries).
-    Round-8 playbook: stage new queries in staged_queries(), gate them
-    with `check_oracle --staged`, then promote into this head and
-    rotate long-stable greens to the tail."""
+
+    ROTATION LEDGER (r10 verdict item 6 — oldest never-re-checked
+    greens, by last-verified round; schedule from the top):
+      r6-era remainder (4, round-12 head): record_linkage,
+        session_window, table_diff, z_order_key;
+      r7-era pool (33, rounds 12-13): ann_cosine_topk, bloom_semi_join,
+        dedup_exact, dedup_minhash_lsh, doc_sentences,
+        embedding_centroids, embedding_transformer, event_debounce,
+        feature_exposures, frequent_itemsets, fuzzy_name_pairs,
+        gaussianize_probit, group_kfold, group_stats,
+        ivfpq_pruned_contract, ivfpq_recall_contract, lag_transformer,
+        linreg_fast_contract, log_return, moving_average,
+        multimodal_metadata, pagerank, pq_recall_contract,
+        promo_revenue, psi_categorical, psi_sketch_contract,
+        quantile_normalize, rank_transformer, rolling_rank,
+        scd2_intervals, supplier_counts, transition_counts,
+        winsorize_by_era.
+
+    Playbook: stage new queries in staged_queries(), gate them with
+    `check_oracle --staged` at sf0.001+0.01+0.1, then promote into
+    this head and fill the window from the ledger above."""
     out = {
         # --- promoted round-11 staged queries (21; gate-green at
         # sf0.001 + sf0.01 + sf0.1, plan-audited [158 assertions],
@@ -4080,12 +4099,31 @@ def q_duplicated_spans_multi(
     return duplicated_spans_multi(load_table(spark, sf_dir, "documents"))
 
 
+DSIR_TARGET = "source IN ('src0', 'src1', 'src2', 'src3')"
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): pick the 50
+    proposal documents most like the target sources by hashed-bigram
+    importance log-ratio + deterministic Gumbel top-k — the
+    model-free pretraining-data selection operator
+    (text/dsir.dsir_select). Bucket table built in ONE corpus pass
+    and broadcast; exact micro-unit weights; selection is
+    TakeOrdered."""
+    from centimators_spark.text.dsir import dsir_select
+
+    return dsir_select(
+        load_table(spark, sf_dir, "documents"), DSIR_TARGET
+    )
+
+
 def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "duplicated_spans_multi": q_duplicated_spans_multi,
         "sq8_clustered_contract": (
             datapipe_queries.q_sq8_clustered_contract
         ),
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -4103,6 +4141,9 @@ def _r12_staged_oracles() -> dict[str, str]:
         "sq8_clustered_contract": datapipe_queries.oracle_sql()[
             "ivfpq_pruned_contract"
         ],
+        "dsir_select": __import__(
+            "centimators_spark.text.dsir", fromlist=["x"]
+        ).dsir_select_oracle_sql("documents", DSIR_TARGET),
     }
 
 

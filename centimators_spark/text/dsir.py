@@ -1,0 +1,215 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS) — the model-free way to pick pretraining documents that LOOK
+like a target domain: estimate hashed-n-gram bag-of-words models for
+the target and the raw (proposal) pool, weight each raw document by
+its importance log-ratio, and resample via Gumbel top-k (reference
+scope: the engine's corpus-selection surface beside
+selection.token_budget_select and the quality filters, e.g.
+/root/reference/src/centimators/).
+
+Portability (the unigram_lm discipline): n-gram features hash into
+``n_buckets`` via the portable md5 (both engines build the identical
+bucket table); per-bucket add-α log-probs round to 6dp and ride EXACT
+integer micro-unit carriers through the per-doc sums, so document
+log-weights are plain integers. The Gumbel perturbation is
+deterministic too — u = (md5(id)+1)/2^60, g = round(−ln(−ln u), 6) —
+making the whole selection (weights, keys, chosen set) hash-provable.
+
+Scale: ONE corpus-sized shuffle builds the bucket table (map-side
+combined conditional sums — target and proposal counted in the same
+pass), which then BROADCASTS (n_buckets rows); the per-doc weight is
+a second map-side-combined aggregation; selection is a global top-k
+(TakeOrdered — never a full sort). No pair join, no Python. At 100 TB
+the bucket table is still KBs: the importance model is the sketch."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centimators_spark.text.portable import (
+    md5_long,
+    sql_md5_long,
+    sql_tokens,
+    token_ngrams_all,
+    tokens,
+)
+
+DSIR_BUCKETS = 1024
+DSIR_N = 2  # hashed bigrams (the paper's feature space)
+DSIR_K = 50
+DSIR_ALPHA = 1.0
+_P60 = 1 << 60
+
+
+def dsir_select(
+    df: DataFrame,
+    target_expr: str,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    n: int = DSIR_N,
+    alpha: float = DSIR_ALPHA,
+    k: int = DSIR_K,
+) -> DataFrame:
+    """Select the ``k`` raw documents most target-like by hashed
+    n-gram importance resampling.
+
+    ``target_expr`` is a shared ANSI boolean over the input columns
+    (the sql_frontend discipline — the oracle runs the identical
+    text). Target docs define the target distribution; NON-target
+    docs are the proposal pool being resampled. Output (one row per
+    selected doc): (doc_id, n_grams, logw_micro, key_micro), ordered
+    by key_micro desc / doc_id asc — logw_micro is the exact integer
+    micro-unit importance log-weight Σ[lp_target − lp_proposal],
+    key_micro adds the deterministic Gumbel perturbation. Docs with
+    no n-grams (short/empty/null text) cannot be scored and are
+    never selected, on both engines."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(target_expr).cast("int").alias("__it"),
+        tokens(F.col(content_col)).alias("__tok"),
+    )
+    grams = docs.select(
+        "doc_id",
+        "__it",
+        F.explode(token_ngrams_all(F.col("__tok"), n)).alias("g"),
+    ).select(
+        "doc_id",
+        "__it",
+        F.pmod(md5_long(F.col("g")), F.lit(n_buckets)).alias("b"),
+    )
+    # ONE pass counts both sides (map-side combined)
+    buckets = grams.groupBy("b").agg(
+        F.sum(F.col("__it")).cast("long").alias("c_t"),
+        F.sum(1 - F.col("__it")).cast("long").alias("c_q"),
+    )
+    totals = buckets.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_q").cast("long").alias("n_q"),
+    )
+    a = float(alpha)
+    lw = buckets.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.round(
+                F.log(
+                    (F.col("c_t").cast("double") + F.lit(a))
+                    / (
+                        F.col("n_t").cast("double")
+                        + F.lit(a * n_buckets)
+                    )
+                ),
+                6,
+            )
+            * 1e6
+        ).cast("long").alias("lp_t_u"),
+        F.round(
+            F.round(
+                F.log(
+                    (F.col("c_q").cast("double") + F.lit(a))
+                    / (
+                        F.col("n_q").cast("double")
+                        + F.lit(a * n_buckets)
+                    )
+                ),
+                6,
+            )
+            * 1e6
+        ).cast("long").alias("lp_q_u"),
+    )
+    scored = (
+        grams.where(F.col("__it") == 0)
+        .join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("lp_t_u") - F.col("lp_q_u"))
+            .cast("long")
+            .alias("logw_micro"),
+        )
+    )
+    u = (
+        md5_long(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
+        + 1
+    ).cast("double") / F.lit(float(_P60))
+    g_u = F.round(F.round(-F.log(-F.log(u)), 6) * 1e6).cast("long")
+    keyed = scored.withColumn(
+        "key_micro", (F.col("logw_micro") + g_u).cast("long")
+    )
+    return keyed.orderBy(
+        F.col("key_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def dsir_select_oracle_sql(
+    table: str = "documents",
+    target_sql: str = "source IN ('src0', 'src1', 'src2', 'src3')",
+    *,
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    n: int = DSIR_N,
+    alpha: float = DSIR_ALPHA,
+    k: int = DSIR_K,
+) -> str:
+    """DuckDB mirror of :func:`dsir_select` — identical bucket hash,
+    add-α log-probs rounded at the same points, identical Gumbel
+    keys."""
+    tk = sql_tokens(content_sql)
+    joined = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n)).replace(
+        "[i+0]", "[i]"
+    )
+    a = repr(float(alpha))
+    an = repr(float(alpha) * n_buckets)
+    uh = sql_md5_long(f"('dsir:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH docs AS (
+          SELECT {id_sql} AS doc_id,
+                 CASE WHEN {target_sql} THEN 1 ELSE 0 END AS it,
+                 {tk} AS tk
+          FROM {table}
+        ), grams AS (
+          SELECT doc_id, it,
+                 {sql_md5_long(joined)} % {n_buckets} AS b
+          FROM docs
+          CROSS JOIN unnest(range(1, len(tk) - {n - 2})) AS t(i)
+        ), buckets AS (
+          SELECT b,
+                 CAST(sum(it) AS BIGINT) AS c_t,
+                 CAST(sum(1 - it) AS BIGINT) AS c_q
+          FROM grams GROUP BY b
+        ), totals AS (
+          SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+                 CAST(sum(c_q) AS BIGINT) AS n_q
+          FROM buckets
+        ), lw AS (
+          SELECT b,
+                 CAST(round(round(ln((c_t + {a}) / (n_t + {an})), 6)
+                            * 1e6) AS BIGINT) AS lp_t_u,
+                 CAST(round(round(ln((c_q + {a}) / (n_q + {an})), 6)
+                            * 1e6) AS BIGINT) AS lp_q_u
+          FROM buckets CROSS JOIN totals
+        ), scored AS (
+          SELECT g.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(lp_t_u - lp_q_u) AS BIGINT) AS logw_micro
+          FROM grams g JOIN lw USING (b)
+          WHERE g.it = 0
+          GROUP BY g.doc_id
+        ), keyed AS (
+          SELECT doc_id, n_grams, logw_micro,
+                 CAST(logw_micro
+                      + CAST(round(round(-ln(-ln(({uh} + 1)
+                            / CAST({_P60} AS DOUBLE))), 6) * 1e6)
+                          AS BIGINT)
+                      AS BIGINT) AS key_micro
+          FROM scored
+        )
+        SELECT doc_id, n_grams, logw_micro, key_micro
+        FROM keyed
+        ORDER BY key_micro DESC, doc_id ASC
+        LIMIT {k}
+    """

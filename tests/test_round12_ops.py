@@ -100,3 +100,47 @@ def test_mix_combine_matches_duckdb_hugeint(spark):
         for a, b in cases
     ]
     assert got == want
+
+
+def test_dsir_selects_target_like_proposal_docs(spark):
+    """Semantics pin for DSIR: a proposal doc written in the target's
+    vocabulary outscores vocabulary-disjoint proposal docs (positive
+    importance log-weight), target docs are never selected, unscorable
+    docs (empty/null) never appear, and the whole selection matches
+    the DuckDB twin."""
+    from check_oracle import compare
+
+    from centimators_spark.text.dsir import (
+        dsir_select,
+        dsir_select_oracle_sql,
+    )
+
+    tvoc = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(10):  # target corpus
+        rows.append((i, "t", f"{tvoc} alpha beta tag{i}"))
+    for i in range(10, 15):  # target-like proposal docs
+        rows.append((i, "p", f"{tvoc} gamma delta like{i}"))
+    for i in range(15, 40):  # vocabulary-disjoint proposal docs
+        rows.append((i, "p", " ".join(f"w{i}_{j}" for j in range(12))))
+    rows += [(40, "p", ""), (41, "p", None)]  # unscorable
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sel = dsir_select(df, "source = 't'", k=5).toPandas()
+    assert set(sel.doc_id) == set(range(10, 15))  # the target-like five
+    assert (sel.logw_micro > 0).all()
+    full = dsir_select(df, "source = 't'", k=100).toPandas()
+    assert not (set(full.doc_id) & set(range(10)))  # no target docs
+    assert not (set(full.doc_id) & {40, 41})  # no unscorable docs
+    # disjoint proposal docs carry negative weights
+    assert (full[full.doc_id >= 15].logw_micro < 0).all()
+
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    odf = con.execute(
+        dsir_select_oracle_sql("tbl", "source = 't'", k=100)
+    ).fetchdf()
+    sdf = dsir_select(df, "source = 't'", k=100).toPandas()
+    assert compare("dsir_hand", sdf, odf)

@@ -1205,6 +1205,21 @@ def main():
         and "Window" in p,
     )
 
+    p = plan_of(st["dsir_select"](spark, sf_dir))
+    ok &= audit(
+        "dsir_select: one corpus-sized bucket-count shuffle (map-side"
+        " combined conditional sums — target and proposal in the same"
+        " pass); the n_buckets-row importance table BROADCASTS back;"
+        " per-doc weights are a second map-side-combined agg;"
+        " selection is TakeOrdered (never a full sort); no pair join,"
+        " no Python",
+        "BroadcastHashJoin" in p
+        and "TakeOrderedAndProject" in p
+        and "partial_count" in p
+        and "CartesianProduct" not in p
+        and "EvalPython" not in p,
+    )
+
     p = plan_of(st["sq8_clustered_contract"](spark, sf_dir))
     ok &= audit(
         "sq8_clustered_contract: checkpointed fixture + sq8 index"
