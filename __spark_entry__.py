@@ -4117,6 +4117,25 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sample sketch (sketches.py) — the mergeable
+    quantile primitive (fifth sketch family beside HLL / count-min /
+    percentile / theta): per order priority, q25/q50/q75 of the order
+    value from the k=64 rows with the smallest portable md5(orderkey)
+    — a partition-independent uniform sample that merges by union +
+    re-truncate — with the EXACT full-group quantiles riding along as
+    the accuracy witness. Fully deterministic: the whole sketch
+    hash-matches the oracle."""
+    from centimators_spark.sketches import bottomk_quantile_sketch
+
+    return bottomk_quantile_sketch(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
 def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "duplicated_spans_multi": q_duplicated_spans_multi,
@@ -4124,6 +4143,7 @@ def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             datapipe_queries.q_sq8_clustered_contract
         ),
         "dsir_select": q_dsir_select,
+        "bottomk_quantiles": q_bottomk_quantiles,
     }
 
 
@@ -4144,6 +4164,11 @@ def _r12_staged_oracles() -> dict[str, str]:
         "dsir_select": __import__(
             "centimators_spark.text.dsir", fromlist=["x"]
         ).dsir_select_oracle_sql("documents", DSIR_TARGET),
+        "bottomk_quantiles": __import__(
+            "centimators_spark.sketches", fromlist=["x"]
+        ).bottomk_quantile_oracle_sql(
+            "orders", "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
     }
 
 

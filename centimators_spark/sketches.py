@@ -17,7 +17,7 @@ size — the point of a sketch). Estimation joins the d·w cell table
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from centimators_spark.text.portable import md5_long, sql_md5_long, tokens
@@ -600,6 +600,157 @@ def _hll_registers(hashes: DataFrame, key_cols: list) -> DataFrame:
         .groupBy(*key_cols, "__j")
         .agg(F.max("__rank").alias("__m"))
     )
+
+
+BQ_K = 64
+BQ_QUANTILES = ((1, 4), (1, 2), (3, 4))
+BQ_NAMES = ("q25", "q50", "q75")
+
+
+def bottomk_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    k: int = BQ_K,
+    quantiles: tuple = BQ_QUANTILES,
+    names: tuple = BQ_NAMES,
+) -> DataFrame:
+    """Bottom-k quantile SAMPLE sketch — the mergeable quantile
+    primitive beside HLL (distinct), count-min (frequency), and theta
+    (set algebra): per group, the k rows with the smallest portable
+    md5(id) form a uniform sample independent of partitioning, so two
+    partial sketches merge by union + re-truncate-to-k — the 100 TB
+    path for per-group quantiles with KB state (the KMV idea applied
+    to row sampling; cf. Bar-Yossef et al. 2002).
+
+    Deterministic and hash-provable (the cms/theta discipline): the
+    hash IS the sample selector, values ride centi-unit integers, and
+    both sample and witness quantiles are exact type-1 order
+    statistics decided by integer cross-multiplication
+    (rank·den ≥ num·n — the weighted_quantiles rule). The EXACT
+    full-group quantiles ride along as the accuracy witness.
+
+    Scale: one sort window family per group (the hash ranking and the
+    value ranking share the group exchange), then the sample stage
+    runs on k rows per group. NULL values are excluded on both
+    engines (the MWU discipline). Output: (grp, n_rows, k_eff,
+    *sample_names, *exact_names)."""
+    h = md5_long(
+        F.concat(F.lit("bq:"), F.col(id_col).cast("string"))
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        h.alias("__h"),
+        cents.alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    w_h = Window.partitionBy("grp").orderBy("__h", "__v")
+    w_v = Window.partitionBy("grp").orderBy("__v", "__h")
+    w_n = Window.partitionBy("grp")
+    ranked = (
+        base.withColumn("__rh", F.row_number().over(w_h))
+        .withColumn("__rv", F.row_number().over(w_v))
+        .withColumn("__n", F.count(F.lit(1)).over(w_n))
+    )
+
+    def type1(rank_col, n_col, num, den):
+        return F.min(
+            F.when(
+                F.col(rank_col) * F.lit(den)
+                >= F.lit(num) * F.col(n_col),
+                F.col("__v"),
+            )
+        )
+
+    exact = ranked.groupBy("grp").agg(
+        F.max("__n").cast("long").alias("n_rows"),
+        *[
+            type1("__rv", "__n", num, den).alias(f"{nm}_exact")
+            for (num, den), nm in zip(quantiles, names)
+        ],
+    )
+    w_s = Window.partitionBy("grp").orderBy("__v", "__h")
+    w_sn = Window.partitionBy("grp")
+    samp = (
+        ranked.where(F.col("__rh") <= k)
+        .select("grp", "__v", "__h")
+        .withColumn("__rs", F.row_number().over(w_s))
+        .withColumn("__ks", F.count(F.lit(1)).over(w_sn))
+    )
+    sagg = samp.groupBy("grp").agg(
+        F.max("__ks").cast("long").alias("k_eff"),
+        *[
+            type1("__rs", "__ks", num, den).alias(f"{nm}_sample")
+            for (num, den), nm in zip(quantiles, names)
+        ],
+    )
+    cols = (
+        ["grp", "n_rows", "k_eff"]
+        + [f"{nm}_sample" for nm in names]
+        + [f"{nm}_exact" for nm in names]
+    )
+    return exact.join(sagg, "grp").select(*cols)
+
+
+def bottomk_quantile_oracle_sql(
+    table: str,
+    group_sql: str,
+    id_sql: str,
+    value_sql: str,
+    *,
+    k: int = BQ_K,
+    quantiles: tuple = BQ_QUANTILES,
+    names: tuple = BQ_NAMES,
+) -> str:
+    """DuckDB mirror of :func:`bottomk_quantile_sketch` — identical
+    hash selector, rankings, and integer cross-multiplication."""
+    h = sql_md5_long(f"('bq:' || CAST({id_sql} AS VARCHAR))")
+    ex = ", ".join(
+        f"min(CASE WHEN rv * {den} >= {num} * n THEN v END)"
+        f" AS {nm}_exact"
+        for (num, den), nm in zip(quantiles, names)
+    )
+    sa = ", ".join(
+        f"min(CASE WHEN rs * {den} >= {num} * ks THEN v END)"
+        f" AS {nm}_sample"
+        for (num, den), nm in zip(quantiles, names)
+    )
+    out = ", ".join(
+        [f"{nm}_sample" for nm in names]
+        + [f"{nm}_exact" for nm in names]
+    )
+    return f"""
+        WITH base AS (
+          SELECT {group_sql} AS grp, {h} AS h,
+                 CAST(round({value_sql} * 100) AS BIGINT) AS v
+          FROM {table}
+          WHERE {value_sql} IS NOT NULL
+        ), ranked AS (
+          SELECT grp, h, v,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY h, v) AS rh,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY v, h) AS rv,
+                 count(*) OVER (PARTITION BY grp) AS n
+          FROM base
+        ), exact AS (
+          SELECT grp, CAST(max(n) AS BIGINT) AS n_rows, {ex}
+          FROM ranked GROUP BY grp
+        ), samp AS (
+          SELECT grp, v,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY v, h) AS rs,
+                 count(*) OVER (PARTITION BY grp) AS ks
+          FROM ranked WHERE rh <= {k}
+        ), sagg AS (
+          SELECT grp, CAST(max(ks) AS BIGINT) AS k_eff, {sa}
+          FROM samp GROUP BY grp
+        )
+        SELECT e.grp, e.n_rows, s.k_eff, {out}
+        FROM exact e JOIN sagg s ON e.grp = s.grp
+    """
 
 
 def hll_register_cells(

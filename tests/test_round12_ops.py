@@ -144,3 +144,68 @@ def test_dsir_selects_target_like_proposal_docs(spark):
     ).fetchdf()
     sdf = dsir_select(df, "source = 't'", k=100).toPandas()
     assert compare("dsir_hand", sdf, odf)
+
+
+def test_bottomk_quantile_sketch_hand_trace_and_oracle(spark):
+    """Type-1 exact witness quantiles are the textbook order
+    statistics; the sample is the bottom-64 hash rows; NULL values are
+    excluded; tiny groups degrade to sample == exact; Spark == DuckDB."""
+    from check_oracle import compare
+
+    from centimators_spark.sketches import (
+        bottomk_quantile_oracle_sql,
+        bottomk_quantile_sketch,
+    )
+
+    rows = [("a", i, float(i)) for i in range(1, 201)]
+    rows += [("a", 999, None)]
+    rows += [("tiny", 1, 5.0), ("tiny", 2, 7.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    sdf = (
+        bottomk_quantile_sketch(df, "g", "id", "v")
+        .toPandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(rows, columns=["g", "id", "v"]))
+    odf = con.execute(
+        bottomk_quantile_oracle_sql("tbl", "g", "id", "v")
+    ).fetchdf()
+    assert compare("bq", sdf, odf)
+    a = sdf[sdf.grp == "a"].iloc[0]
+    assert a.n_rows == 200 and a.k_eff == 64  # NULL row excluded
+    assert (a.q25_exact, a.q50_exact, a.q75_exact) == (5000, 10000, 15000)
+    # sample rank error is O(1/sqrt(k)) of the group size
+    assert abs(a.q50_sample - a.q50_exact) < 5000
+    t = sdf[sdf.grp == "tiny"].iloc[0]
+    assert t.k_eff == 2 and t.q50_sample == t.q50_exact == 500
+
+
+def test_bottomk_sample_is_mergeable(spark):
+    """The sketch's scale story: bottom-k of the union of two partial
+    bottom-k sketches equals the whole-corpus bottom-k selection —
+    partition-independent, so partial sketches merge exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from centimators_spark.text.portable import md5_long
+
+    rows = [("g", i, float(i % 37)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+
+    def bottomk(frame, k=64):
+        h = md5_long(F.concat(F.lit("bq:"), F.col("id").cast("string")))
+        w = Window.partitionBy("g").orderBy("__h", "v")
+        return (
+            frame.withColumn("__h", h)
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .select("g", "id", "v", "__h")
+        )
+
+    full = {r.id for r in bottomk(df).collect()}
+    h1 = bottomk(df.where(F.col("id") % 2 == 0)).drop("__h")
+    h2 = bottomk(df.where(F.col("id") % 2 == 1)).drop("__h")
+    merged = {r.id for r in bottomk(h1.unionByName(h2)).collect()}
+    assert merged == full

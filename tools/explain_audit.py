@@ -1205,6 +1205,18 @@ def main():
         and "Window" in p,
     )
 
+    p = plan_of(st["bottomk_quantiles"](spark, sf_dir))
+    ok &= audit(
+        "bottomk_quantiles: the hash and value rankings share ONE"
+        " group exchange (window family over the same partition key);"
+        " the sample stage runs on k rows per group; no pair join, no"
+        " Python",
+        "CartesianProduct" not in p
+        and "EvalPython" not in p
+        and "Window" in p
+        and p.count("Exchange hashpartitioning") <= 3,
+    )
+
     p = plan_of(st["dsir_select"](spark, sf_dir))
     ok &= audit(
         "dsir_select: one corpus-sized bucket-count shuffle (map-side"
