@@ -17,7 +17,10 @@ from centimators_spark.dedup.winnowing import (
     winnowing_fingerprints,
     winnowing_overlap_pairs,
 )
-from centimators_spark.dedup.substring import duplicated_spans
+from centimators_spark.dedup.substring import (
+    duplicated_spans,
+    duplicated_spans_multi,
+)
 
 __all__ = [
     "exact_dedup",
@@ -35,4 +38,5 @@ __all__ = [
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "duplicated_spans",
+    "duplicated_spans_multi",
 ]

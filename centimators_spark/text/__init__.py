@@ -17,11 +17,13 @@ from centimators_spark.text.cooccur import (
     pmi_pairs,
 )
 from centimators_spark.text.divergence import corpus_divergence, token_shift_report
+from centimators_spark.text.dsir import dsir_select
 from centimators_spark.text.line_filters import c4_line_filters, corpus_line_dedup
 from centimators_spark.text.pii import mask_pii
 from centimators_spark.text.repetition import repetition_signals
 
 __all__ = [
+    "dsir_select",
     "c4_line_filters",
     "bigram_lm_score",
     "bpe_apply",
