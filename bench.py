@@ -128,6 +128,10 @@ def main():
         ("containment_pairs", "dedup_ngram_jaccard"),
         ("neutralizer_kernel_contract", "neutralizer_full_expr"),
         ("pca_kernel_contract", "neutralizer_kernel_contract"),
+        # sq8_clustered_contract shares the clustered fixture and the
+        # exact-top-k artifact with ivfpq_pruned_contract (no-op until
+        # its round-12 promotion lands it in queries())
+        ("sq8_clustered_contract", "ivfpq_pruned_contract"),
     ]:
         if follower in all_names and leader in all_names:
             all_names.remove(follower)

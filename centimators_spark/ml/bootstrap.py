@@ -80,6 +80,19 @@ def bootstrap_mean_ci(
     weights would dilute every replicate mean while contributing no
     value mass."""
     df = df.where(F.col(value_col).isNotNull())
+    # the 2B+2-buffer aggregation is the whole cost; a single-row-group
+    # local file scans as ONE task and serializes it (measured 3.6 s ->
+    # 2.2 s warm at sf0.1 with 32 cores). Gate exactly like era-OLS: a
+    # well-partitioned 100 TB scan must never eat an extra shuffle
+    # before a map-side-partial agg.
+    from centimators_spark.operators.neutralization import (
+        _estimated_scan_partitions,
+    )
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    est = _estimated_scan_partitions(df)
+    if est is not None and est < parallelism:
+        df = df.repartition(parallelism)
     cents = F.round(F.col(value_col) * 100).cast("long")
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_rows"),
