@@ -432,6 +432,11 @@ QS = [
     "max_drawdown", "ks_statistic", "bm25_search", "gains_table",
     "triangle_count", "span_dedup", "quality_classifier",
     "dspymator_contract",
+    # round-11 additions: the new staged set (document-scaling dedup/
+    # selection shapes plus the sketch quantile) and the two signed
+    # gate contracts (events-scaling)
+    "duplicated_spans_multi", "dsir_select", "bottomk_quantiles",
+    "bootstrap_signed", "mwu_signed",
 ]
 
 
