@@ -69,7 +69,13 @@ def dsir_select(
     never selected, on both engines."""
     docs = df.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(target_expr).cast("int").alias("__it"),
+        # coalesce matches the oracle's CASE WHEN semantics: a NULL
+        # predicate result (e.g. a NULL source column) counts as
+        # proposal on BOTH engines — a bare cast would silently drop
+        # the doc from both corpora only on the Spark side
+        F.coalesce(F.expr(target_expr).cast("int"), F.lit(0)).alias(
+            "__it"
+        ),
         tokens(F.col(content_col)).alias("__tok"),
     )
     grams = docs.select(
@@ -131,10 +137,17 @@ def dsir_select(
             .alias("logw_micro"),
         )
     )
+    # denominator 2^60 + 2^12: the largest ratio (2^60)/(2^60 + 2^12)
+    # = 1 - 2^-48 stays STRICTLY below 1.0 after double rounding (a
+    # bare /2^60 rounds to exactly 1.0 for hashes within ~2^9 of the
+    # top, where Spark's log(0) yields NULL but DuckDB's ln(0) RAISES
+    # — a silent cross-engine divergence); both 2^60 + 2^12 and the
+    # ratio are exactly representable doubles, so both engines divide
+    # identically. u > 0 always (h + 1 >= 1).
     u = (
         md5_long(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
         + 1
-    ).cast("double") / F.lit(float(_P60))
+    ).cast("double") / F.lit(float(_P60 + 4096))
     g_u = F.round(F.round(-F.log(-F.log(u)), 6) * 1e6).cast("long")
     keyed = scored.withColumn(
         "key_micro", (F.col("logw_micro") + g_u).cast("long")
@@ -203,7 +216,7 @@ def dsir_select_oracle_sql(
           SELECT doc_id, n_grams, logw_micro,
                  CAST(logw_micro
                       + CAST(round(round(-ln(-ln(({uh} + 1)
-                            / CAST({_P60} AS DOUBLE))), 6) * 1e6)
+                            / CAST({_P60 + 4096} AS DOUBLE))), 6) * 1e6)
                           AS BIGINT)
                       AS BIGINT) AS key_micro
           FROM scored

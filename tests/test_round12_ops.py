@@ -124,6 +124,8 @@ def test_dsir_selects_target_like_proposal_docs(spark):
     for i in range(15, 40):  # vocabulary-disjoint proposal docs
         rows.append((i, "p", " ".join(f"w{i}_{j}" for j in range(12))))
     rows += [(40, "p", ""), (41, "p", None)]  # unscorable
+    # NULL predicate result: counts as PROPOSAL on both engines
+    rows += [(42, None, " ".join(f"n{j} x{j}" for j in range(10)))]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     sel = dsir_select(df, "source = 't'", k=5).toPandas()
     assert set(sel.doc_id) == set(range(10, 15))  # the target-like five
@@ -209,3 +211,29 @@ def test_bottomk_sample_is_mergeable(spark):
     h2 = bottomk(df.where(F.col("id") % 2 == 1)).drop("__h")
     merged = {r.id for r in bottomk(h1.unionByName(h2)).collect()}
     assert merged == full
+
+
+def test_dsir_gumbel_key_finite_at_hash_extremes(spark):
+    """The Gumbel u stays strictly inside (0, 1) even at the 60-bit
+    hash domain extremes (a bare /2^60 rounds the top ~2^9 hashes to
+    u = 1.0, where Spark log(0) -> NULL but DuckDB ln(0) RAISES);
+    both engines produce the same finite integer key."""
+    from pyspark.sql import functions as F
+
+    from centimators_spark.text.dsir import _P60
+
+    hs = [0, 1, _P60 - 4097, _P60 - 1]
+    df = spark.createDataFrame([(h,) for h in hs], "h long")
+    u = (F.col("h") + 1).cast("double") / F.lit(float(_P60 + 4096))
+    g = F.round(F.round(-F.log(-F.log(u)), 6) * 1e6).cast("long")
+    got = [r[0] for r in df.select(g).collect()]
+    assert all(v is not None for v in got)
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT CAST(round(round(-ln(-ln((CAST({h} AS BIGINT) + 1)"
+            f" / CAST({_P60 + 4096} AS DOUBLE))), 6) * 1e6) AS BIGINT)"
+        ).fetchone()[0]
+        for h in hs
+    ]
+    assert got == want
