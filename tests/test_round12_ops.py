@@ -237,3 +237,44 @@ def test_dsir_gumbel_key_finite_at_hash_extremes(spark):
         for h in hs
     ]
     assert got == want
+
+
+def test_multi_l_combine_equals_direct_gram_hash(spark):
+    """Semantic pin for the lead-combine: the L=16 level of
+    duplicated_spans_multi must reproduce the SINGLE-L operator run
+    directly at L=16 (md5 of the raw 16-gram) on a randomized corpus —
+    equal combined fingerprints iff equal token runs, so the dup-span
+    profiles coincide exactly."""
+    import random
+
+    from centimators_spark.dedup.substring import (
+        duplicated_spans,
+        duplicated_spans_multi,
+    )
+
+    rng = random.Random(411)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = [rng.choice(vocab) for _ in range(24)]
+    docs = []
+    for d in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+        if d % 5 == 0 and len(toks) > 4:  # plant shared runs
+            at = rng.randint(0, len(toks) - 1)
+            toks[at:at] = shared
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    multi = (
+        duplicated_spans_multi(df, Ls=(8, 16))
+        .where("L = 16")
+        .drop("L")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    direct = (
+        duplicated_spans(df, L=16)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert multi.equals(direct)
