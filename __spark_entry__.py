@@ -4136,6 +4136,29 @@ def q_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sign_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass sign-flip permutation test (ml/bootstrap.
+    permutation_sign_test) over the SAME signed/NULL event derivation
+    the gate contracts use — per event type, is the signed mean
+    distinguishable from 0? One md5 bit per (row, replicate), exact
+    integer exceedance counts, corpus scanned once for all 32
+    replicates. The resampling-family sibling of bootstrap_ci (CI)
+    and sprt_audit (sequential): the permutation answer to 'is this
+    lift real'."""
+    from centimators_spark.ml.bootstrap import permutation_sign_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.col("value")
+            * F.when(F.col("event_id") % 2 == 0, -1).otherwise(1),
+        ).alias("sv"),
+    )
+    return permutation_sign_test(ev, "event_type", "event_id", "sv")
+
+
 def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "duplicated_spans_multi": q_duplicated_spans_multi,
@@ -4144,6 +4167,7 @@ def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dsir_select": q_dsir_select,
         "bottomk_quantiles": q_bottomk_quantiles,
+        "sign_permutation": q_sign_permutation,
     }
 
 
@@ -4168,6 +4192,11 @@ def _r12_staged_oracles() -> dict[str, str]:
             "centimators_spark.sketches", fromlist=["x"]
         ).bottomk_quantile_oracle_sql(
             "orders", "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
+        "sign_permutation": __import__(
+            "centimators_spark.ml.bootstrap", fromlist=["x"]
+        ).permutation_sign_test_oracle_sql(
+            _SIGNED_EVENTS_SQL, "event_type", "event_id", "sv"
         ),
     }
 

@@ -169,6 +169,138 @@ def bootstrap_mean_ci(
     )
 
 
+PERM_B = 32
+
+
+def permutation_sign_test(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    B: int = PERM_B,
+) -> DataFrame:
+    """One-pass paired sign-flip permutation test (Fisher 1935 via the
+    Rademacher trick): per group, is mean(value) distinguishable from
+    0? Each of B replicates flips every row's sign by one bit of the
+    SAME md5(id) (one hash per row serves up to 60 replicates — even
+    cheaper than the bootstrap's Poisson lookups), and the two-sided
+    exceedance count n_exceed = #{r : |S_r| >= |S_obs|} is exact
+    integer arithmetic end to end; p ~ (n_exceed + 1)/(B + 1) ships as
+    the floored p_milli carrier.
+
+    The natural input is a PAIRED DIFFERENCE (a - b per unit) — under
+    the exchangeability null its sign is symmetric, which is exactly
+    what the flip simulates. Same one-pass shape as
+    :func:`bootstrap_mean_ci`: the corpus is scanned ONCE for all
+    replicates (B+1 map-side-combined decimal sums), NULL values are
+    excluded on both engines, and the under-partitioned-scan gate
+    applies. Output: (grp, n_rows, n_replicates, obs_mean_micro,
+    n_exceed, p_milli)."""
+    df = df.where(F.col(value_col).isNotNull())
+    from centimators_spark.operators.neutralization import (
+        _estimated_scan_partitions,
+    )
+
+    if B > 60:
+        raise ValueError("permutation_sign_test supports B <= 60")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    est = _estimated_scan_partitions(df)
+    if est is not None and est < parallelism:
+        df = df.repartition(parallelism)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    h = md5_long(
+        F.concat(F.lit("perm:"), F.col(id_col).cast("string"))
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents.cast(_D38)).cast(_D38).alias("s_obs"),
+    ]
+    for r in range(B):
+        sign = (
+            2 * F.shiftrightunsigned(h, r).bitwiseAND(F.lit(1)) - 1
+        ).cast("long")
+        aggs.append(
+            F.sum((sign * cents).cast(_D38)).cast(_D38).alias(f"s{r}")
+        )
+    per_group = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+    exceed = sum(
+        F.when(
+            F.abs(F.col(f"s{r}")) >= F.abs(F.col("s_obs")), 1
+        ).otherwise(0)
+        for r in range(B)
+    ).cast("long")
+
+    def trunc_mean(num, den):
+        scaled = (num * F.lit(1_000_000).cast(_D38)).cast(_D38)
+        a = F.abs(scaled)
+        d = den.cast(_D38)
+        q = ((a - F.pmod(a, d)) / d).cast("long")
+        return F.when(scaled < 0, -q).otherwise(q)
+
+    p_num = (exceed + 1) * 1000
+    p_den = B + 1
+    return per_group.select(
+        "grp",
+        "n_rows",
+        F.lit(B).cast("long").alias("n_replicates"),
+        trunc_mean(F.col("s_obs"), F.col("n_rows")).alias(
+            "obs_mean_micro"
+        ),
+        exceed.alias("n_exceed"),
+        F.floor(p_num / p_den).cast("long").alias("p_milli"),
+    )
+
+
+def permutation_sign_test_oracle_sql(
+    table: str,
+    group_sql: str,
+    id_sql: str,
+    value_sql: str,
+    *,
+    B: int = PERM_B,
+) -> str:
+    """DuckDB mirror of :func:`permutation_sign_test` (HUGEINT sums,
+    identical md5 bit signs and exceedance rule)."""
+    h = sql_md5_long(f"('perm:' || CAST({id_sql} AS VARCHAR))")
+    return f"""
+        WITH base AS (
+          SELECT {group_sql} AS grp,
+                 CAST(round({value_sql} * 100) AS BIGINT) AS cents,
+                 {h} AS h
+          FROM {table}
+          WHERE {value_sql} IS NOT NULL
+        ), rep AS (
+          SELECT grp, r,
+                 sum(CAST((2 * ((h >> r) & 1) - 1) AS HUGEINT)
+                     * cents) AS s_r
+          FROM base CROSS JOIN range({B}) t(r)
+          GROUP BY grp, r
+        ), obs AS (
+          SELECT grp,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 sum(CAST(cents AS HUGEINT)) AS s_obs
+          FROM base GROUP BY grp
+        ), ex AS (
+          SELECT o.grp,
+                 CAST(sum(CASE WHEN abs(r.s_r) >= abs(o.s_obs)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+          FROM obs o JOIN rep r ON o.grp = r.grp
+          GROUP BY o.grp
+        )
+        SELECT o.grp, o.n_rows,
+               CAST({B} AS BIGINT) AS n_replicates,
+               CAST(CASE WHEN o.s_obs < 0
+                    THEN -((abs(o.s_obs) * 1000000) // o.n_rows)
+                    ELSE (o.s_obs * 1000000) // o.n_rows END
+                    AS BIGINT) AS obs_mean_micro,
+               e.n_exceed,
+               CAST(((e.n_exceed + 1) * 1000) // {B + 1} AS BIGINT)
+                 AS p_milli
+        FROM obs o JOIN ex e ON o.grp = e.grp
+    """
+
+
 def bootstrap_mean_ci_oracle_sql(
     table: str,
     group_sql: str,

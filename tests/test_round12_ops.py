@@ -278,3 +278,47 @@ def test_multi_l_combine_equals_direct_gram_hash(spark):
         .reset_index(drop=True)
     )
     assert multi.equals(direct)
+
+
+def test_permutation_sign_test_hand_cases_and_oracle(spark):
+    """A perfectly symmetric group has obs_sum 0 so EVERY replicate
+    exceeds (p = 1); a strongly one-sided group is exceeded only by
+    the all-same-sign flips (small p); NULLs are excluded; Spark ==
+    DuckDB on exact integer carriers."""
+    from check_oracle import compare
+
+    from centimators_spark.ml.bootstrap import (
+        permutation_sign_test,
+        permutation_sign_test_oracle_sql,
+    )
+
+    rows = [("sym", i, float(v)) for i, v in enumerate([3, -3, 8, -8])]
+    rows += [("pos", 100 + i, 5.0) for i in range(12)]
+    rows += [("pos", 900, None)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    sdf = (
+        permutation_sign_test(df, "g", "id", "v")
+        .toPandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    sym = sdf[sdf.grp == "sym"].iloc[0]
+    assert sym.obs_mean_micro == 0
+    assert sym.n_exceed == 32 and sym.p_milli == 1000
+    pos = sdf[sdf.grp == "pos"].iloc[0]
+    assert pos.n_rows == 12  # NULL excluded
+    assert pos.obs_mean_micro == 500_000_000
+    # |S_r| >= |S_obs| = 12*500 only when ALL 12 signs agree
+    assert pos.n_exceed < 8
+    assert pos.p_milli == (pos.n_exceed + 1) * 1000 // 33
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(rows, columns=["g", "id", "v"]))
+    odf = con.execute(
+        permutation_sign_test_oracle_sql("tbl", "g", "id", "v")
+    ).fetchdf()
+    assert compare("perm", sdf, odf)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        permutation_sign_test(df, "g", "id", "v", B=61)

@@ -1205,6 +1205,19 @@ def main():
         and "Window" in p,
     )
 
+    p = plan_of(st["sign_permutation"](spark, sf_dir))
+    ok &= audit(
+        "sign_permutation: the corpus is scanned ONCE for all 32"
+        " sign-flip replicates (B+2 map-side-combined sums, one md5"
+        " bit per replicate); exceedance is group-cardinality column"
+        " arithmetic — no explode, no Python, no cartesian",
+        "partial_count" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p
+        and "Generate" not in p  # no replicate explode
+        and p.count("FileScan") <= 1,
+    )
+
     p = plan_of(st["bottomk_quantiles"](spark, sf_dir))
     ok &= audit(
         "bottomk_quantiles: the hash and value rankings share ONE"
