@@ -137,6 +137,32 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("== exact duplicated-substring profile (top offenders) ==")
     spans.orderBy(F.col("n_dup_tokens").desc()).show(3)
 
+    # ------------------------------------------------------------------
+    # 6. Round-11 additions: pick target-like pretraining docs (DSIR),
+    #    profile duplication at three run lengths in one scan, and put
+    #    mergeable error bars on per-group quantiles.
+    # ------------------------------------------------------------------
+    from centimators_spark.dedup.substring import duplicated_spans_multi
+    from centimators_spark.sketches import bottomk_quantile_sketch
+    from centimators_spark.text.dsir import dsir_select
+
+    picked = dsir_select(
+        docs, "source IN ('src0', 'src1', 'src2', 'src3')", k=5
+    )
+    print("== DSIR: 5 most target-like proposal docs ==")
+    picked.show(5)
+
+    multi = duplicated_spans_multi(docs.limit(200))
+    print("== duplicated spans at L in {8, 16, 32} (one scan) ==")
+    multi.orderBy(F.col("n_dup_tokens").desc()).show(3)
+
+    bq = bottomk_quantile_sketch(
+        docs.withColumn("n_chars_d", F.col("n_chars").cast("double")),
+        "source", "doc_id", "n_chars_d",
+    )
+    print("== bottom-k quantile sketch vs exact witness (n_chars) ==")
+    bq.orderBy("grp").show(3)
+
     print("tutorial: OK")
 
 
