@@ -4159,6 +4159,57 @@ def q_sign_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return permutation_sign_test(ev, "event_type", "event_id", "sv")
 
 
+TSA_WEIGHTS = {"train": 0.9, "val": 0.1}
+TSA_SALT = "tsa1"
+TSA_N = 5
+
+
+def q_training_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth composed flagship — train/val split with a cross-split
+    LEAKAGE audit, the step every eval pipeline needs between
+    splitting and training: deterministic hash split (same key ⇒ same
+    split under any partitioning), then every TRAIN document's
+    distinct 5-grams are checked against the VAL side's broadcast
+    gram set (the decontamination kernel pointed at the pipeline's
+    own held-out split instead of an external benchmark). Output: one
+    row per train doc (doc_id, n_grams, n_hits, contamination,
+    leaked) — `leaked` docs share at least one 5-gram with val and
+    would inflate eval scores if trained on. The val side is the
+    broadcast side; the corpus side streams one scan."""
+    from centimators_spark.dedup.contamination import ngram_contamination
+    from centimators_spark.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = hash_split(docs, "doc_id", TSA_WEIGHTS, salt=TSA_SALT)
+    train = tagged.where(F.col("split") == "train")
+    val = tagged.where(F.col("split") == "val")
+    rep = ngram_contamination(train, val, n=TSA_N)
+    return rep.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        "contamination",
+        (F.col("n_hits") > 0).cast("int").alias("leaked"),
+    )
+
+
+def _training_split_audit_oracle() -> str:
+    from centimators_spark.dedup.contamination import (
+        contamination_oracle_sql,
+    )
+    from centimators_spark.sampling import sql_hash_split
+
+    split = sql_hash_split("doc_id", TSA_WEIGHTS, salt=TSA_SALT)
+    train = f"(SELECT * FROM documents WHERE ({split}) = 'train')"
+    val = f"(SELECT * FROM documents WHERE ({split}) = 'val')"
+    inner = contamination_oracle_sql(train, val, n=TSA_N)
+    return f"""
+        SELECT doc_id, n_grams, n_hits, contamination,
+               CAST(n_hits > 0 AS INT) AS leaked
+        FROM ({inner})
+    """
+
+
 def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "duplicated_spans_multi": q_duplicated_spans_multi,
@@ -4168,6 +4219,7 @@ def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "bottomk_quantiles": q_bottomk_quantiles,
         "sign_permutation": q_sign_permutation,
+        "training_split_audit": q_training_split_audit,
     }
 
 
@@ -4198,6 +4250,7 @@ def _r12_staged_oracles() -> dict[str, str]:
         ).permutation_sign_test_oracle_sql(
             _SIGNED_EVENTS_SQL, "event_type", "event_id", "sv"
         ),
+        "training_split_audit": _training_split_audit_oracle(),
     }
 
 

@@ -322,3 +322,61 @@ def test_permutation_sign_test_hand_cases_and_oracle(spark):
 
     with pytest.raises(ValueError):
         permutation_sign_test(df, "g", "id", "v", B=61)
+
+
+def test_training_split_audit_semantics(spark):
+    """A planted 5-gram shared across the hash-split boundary flags
+    the TRAIN doc as leaked; unique train docs stay clean; only train
+    docs appear; the whole report matches the DuckDB twin."""
+    from check_oracle import compare
+
+    import __spark_entry__ as entrymod
+    from centimators_spark.sampling import hash_split
+
+    ids = list(range(120))
+    base = spark.createDataFrame(
+        [(i, "") for i in ids], "doc_id long, text string"
+    )
+    tagged = {
+        r.doc_id: r.split
+        for r in hash_split(
+            base, "doc_id", entrymod.TSA_WEIGHTS, salt=entrymod.TSA_SALT
+        ).collect()
+    }
+    train_ids = [i for i in ids if tagged[i] == "train"]
+    val_ids = [i for i in ids if tagged[i] == "val"]
+    assert len(val_ids) >= 2 and len(train_ids) >= 2
+    leak = "alpha beta gamma delta epsilon"  # one shared 5-gram
+    rows = []
+    for i in ids:
+        if i == train_ids[0] or i == val_ids[0]:
+            rows.append((i, f"{leak} pad{i} " + " ".join(
+                f"x{i}_{j}" for j in range(6))))
+        else:
+            rows.append((i, " ".join(f"u{i}_{j}" for j in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # run the same composition directly on the synthetic frame
+    from centimators_spark.dedup.contamination import ngram_contamination
+    from pyspark.sql import functions as F
+
+    tag = hash_split(df, "doc_id", entrymod.TSA_WEIGHTS, salt=entrymod.TSA_SALT)
+    rep = ngram_contamination(
+        tag.where(F.col("split") == "train"),
+        tag.where(F.col("split") == "val"),
+        n=entrymod.TSA_N,
+    ).select(
+        "doc_id", "n_grams", "n_hits", "contamination",
+        (F.col("n_hits") > 0).cast("int").alias("leaked"),
+    )
+    pdf = rep.toPandas().set_index("doc_id")
+    assert set(pdf.index) == set(train_ids)  # train docs only
+    assert pdf.loc[train_ids[0]].leaked == 1  # the planted leak
+    clean = [i for i in train_ids if i != train_ids[0]]
+    assert (pdf.loc[clean].leaked == 0).all()
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    odf = con.execute(entrymod._training_split_audit_oracle()).fetchdf()
+    sdf = rep.toPandas()
+    assert compare("tsa", sdf, odf)

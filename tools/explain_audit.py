@@ -1205,6 +1205,17 @@ def main():
         and "Window" in p,
     )
 
+    p = plan_of(st["training_split_audit"](spark, sf_dir))
+    ok &= audit(
+        "training_split_audit: the val gram set BROADCASTS (never a"
+        " corpus x corpus shuffle); the train side streams one scan"
+        " through explode -> broadcast join -> per-doc combine; no"
+        " cartesian, no Python",
+        "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "EvalPython" not in p,
+    )
+
     p = plan_of(st["sign_permutation"](spark, sf_dir))
     ok &= audit(
         "sign_permutation: the corpus is scanned ONCE for all 32"
