@@ -4028,16 +4028,26 @@ def q_bootstrap_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_round11_ops.py::test_signed_gate_contracts)."""
     from centimators_spark.ml.bootstrap import bootstrap_mean_ci
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = _signed_events(spark, sf_dir)
+    return bootstrap_mean_ci(ev, "event_type", "event_id", "sv")
+
+
+def _signed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared signed/NULL derivation behind every signed gate
+    contract (bootstrap_signed / mwu_signed / sign_permutation): even
+    event_ids negated, every 7th value NULL — one Spark twin of
+    _SIGNED_EVENTS_SQL so the three contracts can never
+    desynchronize from each other."""
+    return load_table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
+        "user_id",
         F.when(
             F.col("event_id") % 7 != 0,
             F.col("value")
             * F.when(F.col("event_id") % 2 == 0, -1).otherwise(1),
         ).alias("sv"),
     )
-    return bootstrap_mean_ci(ev, "event_type", "event_id", "sv")
 
 
 _SIGNED_EVENTS_SQL = (
@@ -4065,14 +4075,8 @@ def q_mwu_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB last — the parity class the round-10 self-review caught)."""
     from centimators_spark.operators.mwu import mann_whitney_u
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        (F.col("user_id") % 3).cast("int").alias("side3"),
-        F.when(
-            F.col("event_id") % 7 != 0,
-            F.col("value")
-            * F.when(F.col("event_id") % 2 == 0, -1).otherwise(1),
-        ).alias("sv"),
+    ev = _signed_events(spark, sf_dir).withColumn(
+        "side3", (F.col("user_id") % 3).cast("int")
     )
     return mann_whitney_u(ev, "event_type", "side3", "sv")
 
@@ -4147,15 +4151,7 @@ def q_sign_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift real'."""
     from centimators_spark.ml.bootstrap import permutation_sign_test
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        F.when(
-            F.col("event_id") % 7 != 0,
-            F.col("value")
-            * F.when(F.col("event_id") % 2 == 0, -1).otherwise(1),
-        ).alias("sv"),
-    )
+    ev = _signed_events(spark, sf_dir)
     return permutation_sign_test(ev, "event_type", "event_id", "sv")
 
 

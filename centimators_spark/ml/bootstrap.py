@@ -57,6 +57,35 @@ def _weight(id_col: str, r: int):
     return w.cast("long")
 
 
+def _maybe_repartition(df: DataFrame) -> DataFrame:
+    """The one-pass replicate aggregations (2B+2 buffers) are the whole
+    cost of this module's operators; a single-row-group local file
+    scans as ONE task and serializes them (measured 3.6 s -> 2.2 s warm
+    at sf0.1 with 32 cores). Gate exactly like era-OLS: a
+    well-partitioned 100 TB scan must never eat an extra shuffle before
+    a map-side-partial agg."""
+    from centimators_spark.operators.neutralization import (
+        _estimated_scan_partitions,
+    )
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    est = _estimated_scan_partitions(df)
+    if est is not None and est < parallelism:
+        df = df.repartition(parallelism)
+    return df
+
+
+def _trunc_mean(num, den):
+    """TRUNCATING division toward zero in micro-units — the spec shared
+    with the oracle's HUGEINT // (which truncates); a pmod-based floor
+    would diverge by one unit on negative-valued metrics."""
+    scaled = (num * F.lit(1_000_000).cast(_D38)).cast(_D38)
+    a = F.abs(scaled)
+    d = den.cast(_D38)
+    q = ((a - F.pmod(a, d)) / d).cast("long")
+    return F.when(scaled < 0, -q).otherwise(q)
+
+
 def bootstrap_mean_ci(
     df: DataFrame,
     group_col: str,
@@ -75,24 +104,17 @@ def bootstrap_mean_ci(
     over interpolated quantiles so the contract stays integer).
     Replicates whose total weight is 0 (only possible for tiny
     groups) are dropped and reported via n_replicates. Rows with a
-    NULL ``value_col`` are excluded up front on BOTH engines (the
-    MWU / Brown-Forsythe discipline) — otherwise their Poisson
-    weights would dilute every replicate mean while contributing no
-    value mass."""
-    df = df.where(F.col(value_col).isNotNull())
-    # the 2B+2-buffer aggregation is the whole cost; a single-row-group
-    # local file scans as ONE task and serializes it (measured 3.6 s ->
-    # 2.2 s warm at sf0.1 with 32 cores). Gate exactly like era-OLS: a
-    # well-partitioned 100 TB scan must never eat an extra shuffle
-    # before a map-side-partial agg.
-    from centimators_spark.operators.neutralization import (
-        _estimated_scan_partitions,
+    NULL ``value_col`` OR a NULL ``id_col`` are excluded up front on
+    BOTH engines (the MWU / Brown-Forsythe discipline): NULL values
+    would dilute every replicate mean while contributing no value
+    mass, and a NULL resampling key has no deterministic draw — the
+    Spark when-chain would fall through to weight 8 while the
+    oracle's list_filter yields 0 (the round-11 review's
+    cross-engine divergence)."""
+    df = df.where(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     )
-
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    est = _estimated_scan_partitions(df)
-    if est is not None and est < parallelism:
-        df = df.repartition(parallelism)
+    df = _maybe_repartition(df)
     cents = F.round(F.col(value_col) * 100).cast("long")
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -126,18 +148,8 @@ def bootstrap_mean_ci(
         "grp", "n_rows", "vsum", "rep.r", "rep.wsum", "rep.vs"
     ).where(F.col("wsum") > 0)
 
-    def trunc_mean(num, den):
-        # TRUNCATING division toward zero — the spec shared with the
-        # oracle's HUGEINT // (which truncates); a pmod-based floor
-        # would diverge by one unit on negative-valued metrics
-        scaled = (num * F.lit(1_000_000).cast(_D38)).cast(_D38)
-        a = F.abs(scaled)
-        d = den.cast(_D38)
-        q = ((a - F.pmod(a, d)) / d).cast("long")
-        return F.when(scaled < 0, -q).otherwise(q)
-
     reps = reps.withColumn(
-        "rep_mean_micro", trunc_mean(F.col("vs"), F.col("wsum"))
+        "rep_mean_micro", _trunc_mean(F.col("vs"), F.col("wsum"))
     )
     from pyspark.sql import Window
 
@@ -163,7 +175,7 @@ def bootstrap_mean_ci(
         "grp",
         "n_rows",
         "n_replicates",
-        trunc_mean(F.col("vsum"), F.col("n_rows")).alias("mean_micro"),
+        _trunc_mean(F.col("vsum"), F.col("n_rows")).alias("mean_micro"),
         "boot_lo_micro",
         "boot_hi_micro",
     )
@@ -193,21 +205,19 @@ def permutation_sign_test(
     the exchangeability null its sign is symmetric, which is exactly
     what the flip simulates. Same one-pass shape as
     :func:`bootstrap_mean_ci`: the corpus is scanned ONCE for all
-    replicates (B+1 map-side-combined decimal sums), NULL values are
-    excluded on both engines, and the under-partitioned-scan gate
-    applies. Output: (grp, n_rows, n_replicates, obs_mean_micro,
-    n_exceed, p_milli)."""
-    df = df.where(F.col(value_col).isNotNull())
-    from centimators_spark.operators.neutralization import (
-        _estimated_scan_partitions,
-    )
-
+    replicates (B+1 map-side-combined decimal sums), NULL values AND
+    NULL ids are excluded on both engines (a NULL id has no sign
+    draw — keeping its mass in s_obs but no replicate would bias the
+    p-value toward significance identically on both engines, which
+    the hash gate could never see), and the under-partitioned-scan
+    gate applies. Output: (grp, n_rows, n_replicates,
+    obs_mean_micro, n_exceed, p_milli)."""
     if B > 60:
         raise ValueError("permutation_sign_test supports B <= 60")
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    est = _estimated_scan_partitions(df)
-    if est is not None and est < parallelism:
-        df = df.repartition(parallelism)
+    df = df.where(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    df = _maybe_repartition(df)
     cents = F.round(F.col(value_col) * 100).cast("long")
     h = md5_long(
         F.concat(F.lit("perm:"), F.col(id_col).cast("string"))
@@ -231,20 +241,13 @@ def permutation_sign_test(
         for r in range(B)
     ).cast("long")
 
-    def trunc_mean(num, den):
-        scaled = (num * F.lit(1_000_000).cast(_D38)).cast(_D38)
-        a = F.abs(scaled)
-        d = den.cast(_D38)
-        q = ((a - F.pmod(a, d)) / d).cast("long")
-        return F.when(scaled < 0, -q).otherwise(q)
-
     p_num = (exceed + 1) * 1000
     p_den = B + 1
     return per_group.select(
         "grp",
         "n_rows",
         F.lit(B).cast("long").alias("n_replicates"),
-        trunc_mean(F.col("s_obs"), F.col("n_rows")).alias(
+        _trunc_mean(F.col("s_obs"), F.col("n_rows")).alias(
             "obs_mean_micro"
         ),
         exceed.alias("n_exceed"),
@@ -269,7 +272,7 @@ def permutation_sign_test_oracle_sql(
                  CAST(round({value_sql} * 100) AS BIGINT) AS cents,
                  {h} AS h
           FROM {table}
-          WHERE {value_sql} IS NOT NULL
+          WHERE {value_sql} IS NOT NULL AND {id_sql} IS NOT NULL
         ), rep AS (
           SELECT grp, r,
                  sum(CAST((2 * ((h >> r) & 1) - 1) AS HUGEINT)
@@ -322,7 +325,7 @@ def bootstrap_mean_ci_oracle_sql(
           SELECT {group_sql} AS grp, {id_sql} AS id,
                  CAST(round({value_sql} * 100) AS BIGINT) AS cents, r
           FROM {table} CROSS JOIN range({B}) t(r)
-          WHERE {value_sql} IS NOT NULL
+          WHERE {value_sql} IS NOT NULL AND {id_sql} IS NOT NULL
         ), weighted AS (
           SELECT grp, r, cents,
                  CAST(len(list_filter([{th_list}],
@@ -337,7 +340,9 @@ def bootstrap_mean_ci_oracle_sql(
           SELECT {group_sql} AS grp,
                  CAST(count(*) AS BIGINT) AS n_rows,
                  sum(CAST(round({value_sql} * 100) AS BIGINT)) AS vsum
-          FROM {table} WHERE {value_sql} IS NOT NULL GROUP BY 1
+          FROM {table}
+          WHERE {value_sql} IS NOT NULL AND {id_sql} IS NOT NULL
+          GROUP BY 1
         ), means AS (
           SELECT grp, r,
                  CAST((CAST(vs AS HUGEINT) * 1000000) // wsum

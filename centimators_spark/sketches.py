@@ -592,9 +592,14 @@ def _hll_pow_term():
 def _hll_registers(hashes: DataFrame, key_cols: list) -> DataFrame:
     """(key..., __j, __m): max-rank registers from a distinct-hash
     frame with column ``h`` (integer shift, never float division —
-    h has 60 bits and a double mantissa would round the payload)."""
+    h has 60 bits and a double mantissa would round the payload).
+    NULL hashes (a NULL item has no md5) are dropped here — otherwise
+    j = pmod(NULL) = NULL and the rank chain falls through to its
+    max, emitting a phantom register outside the 0..m-1 universe with
+    rank 55 (round-11 review find; the oracle filters identically)."""
     return (
-        hashes.withColumn("__j", F.pmod("h", F.lit(HLL_M)))
+        hashes.where(F.col("h").isNotNull())
+        .withColumn("__j", F.pmod("h", F.lit(HLL_M)))
         .withColumn("__w", F.shiftrightunsigned("h", HLL_P))
         .withColumn("__rank", _hll_rank_expr())
         .groupBy(*key_cols, "__j")
@@ -634,9 +639,12 @@ def bottomk_quantile_sketch(
 
     Scale: one sort window family per group (the hash ranking and the
     value ranking share the group exchange), then the sample stage
-    runs on k rows per group. NULL values are excluded on both
-    engines (the MWU discipline). Output: (grp, n_rows, k_eff,
-    *sample_names, *exact_names)."""
+    runs on k rows per group. NULL values AND NULL ids are excluded
+    on both engines (the MWU discipline; a NULL id has no hash, and
+    Spark's ascending sort puts NULLs FIRST while DuckDB's default is
+    NULLS LAST — NULL-keyed rows would fill the Spark sample but not
+    the oracle's). Output: (grp, n_rows, k_eff, *sample_names,
+    *exact_names)."""
     h = md5_long(
         F.concat(F.lit("bq:"), F.col(id_col).cast("string"))
     )
@@ -645,7 +653,7 @@ def bottomk_quantile_sketch(
         F.col(group_col).alias("grp"),
         h.alias("__h"),
         cents.alias("__v"),
-    ).where(F.col("__v").isNotNull())
+    ).where(F.col("__v").isNotNull() & F.col("__h").isNotNull())
     w_h = Window.partitionBy("grp").orderBy("__h", "__v")
     w_v = Window.partitionBy("grp").orderBy("__v", "__h")
     w_n = Window.partitionBy("grp")
@@ -726,7 +734,7 @@ def bottomk_quantile_oracle_sql(
           SELECT {group_sql} AS grp, {h} AS h,
                  CAST(round({value_sql} * 100) AS BIGINT) AS v
           FROM {table}
-          WHERE {value_sql} IS NOT NULL
+          WHERE {value_sql} IS NOT NULL AND {id_sql} IS NOT NULL
         ), ranked AS (
           SELECT grp, h, v,
                  row_number() OVER (PARTITION BY grp
@@ -883,6 +891,7 @@ def hll_portable_oracle_sql(
           SELECT DISTINCT {group_sql} AS grp,
                  {sql_md5_long(f"CAST({item_sql} AS VARCHAR)")} AS h
           FROM {table}
+          WHERE {item_sql} IS NOT NULL
         ), ranked AS (
           SELECT grp, h % {HLL_M} AS j,
                  CASE {thresholds} ELSE {HLL_WBITS + 1} END AS rank

@@ -380,3 +380,84 @@ def test_training_split_audit_semantics(spark):
     odf = con.execute(entrymod._training_split_audit_oracle()).fetchdf()
     sdf = rep.toPandas()
     assert compare("tsa", sdf, odf)
+
+
+def test_review_fixes_null_key_parity(spark):
+    """Round-11 review pack: NULL resampling/sample keys are excluded
+    identically on BOTH engines (Spark's when-chain fell through to
+    Poisson weight 8 where the oracle's list_filter gave 0; Spark
+    sorts NULL hashes first where DuckDB sorts them last; a NULL sign
+    draw biased permutation p-values identically on both engines),
+    and NULL items no longer mint a phantom HLL register."""
+    from check_oracle import compare
+
+    from centimators_spark.ml.bootstrap import (
+        bootstrap_mean_ci,
+        bootstrap_mean_ci_oracle_sql,
+        permutation_sign_test,
+        permutation_sign_test_oracle_sql,
+    )
+    from centimators_spark.sketches import (
+        bottomk_quantile_oracle_sql,
+        bottomk_quantile_sketch,
+        hll_portable,
+        hll_portable_oracle_sql,
+    )
+
+    con = duckdb.connect()
+
+    # (1) bootstrap: NULL-id rows contribute nothing anywhere
+    rows = [("g", i, 10.0) for i in range(20)] + [("g", None, 99.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    sdf = bootstrap_mean_ci(df, "g", "id", "v").toPandas()
+    assert sdf.iloc[0].n_rows == 20
+    assert sdf.iloc[0].mean_micro == 1_000_000_000  # 99.0 excluded
+    con.register("t1", pd.DataFrame(rows, columns=["g", "id", "v"]).astype({"id": "Int64"}))
+    odf = con.execute(
+        bootstrap_mean_ci_oracle_sql("t1", "g", "id", "v")
+    ).fetchdf()
+    assert compare("boot_nullid", sdf, odf)
+
+    # (2) bottom-k: NULL-id rows can't enter the sample on either side
+    rows = [("g", i, float(i)) for i in range(1, 101)]
+    rows += [("g", None, 0.0)] * 70  # would dominate a NULLS-FIRST sample
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    sdf = bottomk_quantile_sketch(df, "g", "id", "v").toPandas()
+    assert sdf.iloc[0].n_rows == 100
+    assert sdf.iloc[0].q50_exact == 5000  # 0-valued NULL rows excluded
+    con.register("t2", pd.DataFrame(rows, columns=["g", "id", "v"]).astype({"id": "Int64"}))
+    odf = con.execute(
+        bottomk_quantile_oracle_sql("t2", "g", "id", "v")
+    ).fetchdf()
+    assert compare("bq_nullid", sdf, odf)
+
+    # (3) permutation: NULL-id mass no longer inflates |S_obs|
+    rows = [("g", i, float((-1) ** i)) for i in range(16)]
+    rows += [("g", None, 100.0)] * 5
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    sdf = permutation_sign_test(df, "g", "id", "v").toPandas()
+    assert sdf.iloc[0].n_rows == 16
+    assert sdf.iloc[0].obs_mean_micro == 0  # the 500.0 mass excluded
+    assert sdf.iloc[0].p_milli == 1000  # symmetric null, not spurious
+    con.register("t3", pd.DataFrame(rows, columns=["g", "id", "v"]).astype({"id": "Int64"}))
+    odf = con.execute(
+        permutation_sign_test_oracle_sql("t3", "g", "id", "v")
+    ).fetchdf()
+    assert compare("perm_nullid", sdf, odf)
+
+    # (4) HLL: NULL items mint no phantom register on either engine
+    rows = [("g", f"item{i}") for i in range(30)] + [("g", None)] * 4
+    rows += [("allnull", None)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    sdf = hll_portable(df, "g", "item").toPandas()
+    assert list(sdf.grp) == ["g"]  # all-NULL group vanishes
+    g = sdf.iloc[0]
+    assert g.n_exact == 30
+    con.register("t4", pd.DataFrame(rows, columns=["g", "item"]))
+    odf = con.execute(hll_portable_oracle_sql("t4", "g", "item")).fetchdf()
+    assert compare("hll_nullitem", sdf, odf)
+    # phantom register would have claimed one extra used register:
+    # recompute with NULLs dropped up front and demand identity
+    df2 = df.where(df.item.isNotNull())
+    sdf2 = hll_portable(df2, "g", "item").toPandas()
+    assert sdf2.equals(sdf)
