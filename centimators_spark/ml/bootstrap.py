@@ -64,12 +64,10 @@ def _maybe_repartition(df: DataFrame) -> DataFrame:
     at sf0.1 with 32 cores). Gate exactly like era-OLS: a
     well-partitioned 100 TB scan must never eat an extra shuffle before
     a map-side-partial agg."""
-    from centimators_spark.operators.neutralization import (
-        _estimated_scan_partitions,
-    )
+    from centimators_spark.scanstats import estimated_scan_partitions
 
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    est = _estimated_scan_partitions(df)
+    est = estimated_scan_partitions(df)
     if est is not None and est < parallelism:
         df = df.repartition(parallelism)
     return df
@@ -241,8 +239,13 @@ def permutation_sign_test(
         for r in range(B)
     ).cast("long")
 
-    p_num = (exceed + 1) * 1000
-    p_den = B + 1
+    # exact integer division (round-11 advice): the pmod form never
+    # routes through double rounding, so the oracle's integer //
+    # parity holds for ANY B, not just while (n_exceed+1)*1000 stays
+    # exactly double-representable
+    p_num = ((exceed + 1) * 1000).cast(_D38)
+    p_den = F.lit(B + 1).cast(_D38)
+    p_milli = ((p_num - F.pmod(p_num, p_den)) / p_den).cast("long")
     return per_group.select(
         "grp",
         "n_rows",
@@ -251,7 +254,7 @@ def permutation_sign_test(
             "obs_mean_micro"
         ),
         exceed.alias("n_exceed"),
-        F.floor(p_num / p_den).cast("long").alias("p_milli"),
+        p_milli.alias("p_milli"),
     )
 
 

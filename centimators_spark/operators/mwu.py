@@ -44,15 +44,18 @@ def mann_whitney_u(
     value_col: str,
 ) -> DataFrame:
     """Per group: exact Mann-Whitney carriers comparing the two
-    sides of boolean/int ``side_col`` (side A = truthy — any nonzero
-    value counts as side A, normalized to (side != 0) on BOTH engines
-    so n_a and r2_a stay internally consistent for non-0/1 ints).
+    sides of boolean/numeric ``side_col`` (side A = truthy — any
+    nonzero value counts as side A, normalized as (side <> 0) on the
+    UNTRUNCATED double-cast column on BOTH engines: an int-first cast
+    would truncate fractional sides on Spark but round them in
+    DuckDB, classifying e.g. 0.5 to opposite sides cross-engine —
+    round-11 advice).
     Values are compared as centi-unit integers round(v*100) (the
     proven portable carrier). Output: (grp, n_a, n_b, u2, mu2,
     var_num, var_den) — groups missing a side are omitted (no test
     to run)."""
     cents = F.round(F.col(value_col) * 100).cast("long")
-    truthy = (F.col(side_col).cast("int") != 0).cast("int")
+    truthy = (F.col(side_col).cast("double") != 0).cast("int")
     base = df.select(
         F.col(group_col).alias("grp"),
         truthy.alias("__a"),
@@ -144,7 +147,7 @@ def mann_whitney_u_oracle_sql(
     return f"""
         WITH base AS (
           SELECT {group_sql} AS grp,
-                 CAST(CAST({side_sql} AS INTEGER) <> 0 AS INTEGER) AS a,
+                 CAST(CAST({side_sql} AS DOUBLE) <> 0 AS INTEGER) AS a,
                  CAST(round({value_sql} * 100) AS BIGINT) AS v
           FROM {table}
           WHERE {value_sql} IS NOT NULL AND {side_sql} IS NOT NULL

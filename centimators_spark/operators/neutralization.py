@@ -39,80 +39,14 @@ from pyspark.sql.types import StructType
 from centimators_spark.functions.normal import gaussianize, ordinal_uniform
 
 
-def _estimated_scan_partitions(df: DataFrame) -> int | None:
-    """Estimate how many scan partitions Spark will plan for ``df``'s
-    file sources WITHOUT converting to an RDD: Spark splits each file
-    into chunks of ≤ spark.sql.files.maxPartitionBytes and bin-packs
-    (chunk + openCostInBytes) into maxPartitionBytes bins — the
-    estimate mirrors that arithmetic from locally stat-able file sizes.
-
-    Returns None (→ caller assumes well-partitioned, no repartition)
-    when the input has no file source or the files live on a remote
-    filesystem: a production object-store scan is governed by the same
-    settings and is never the single-row-group local-file pathology
-    this gate exists for."""
-    import math
-    import os
-    from urllib.parse import unquote, urlparse
-
-    files = df.inputFiles()
-    if not files:
-        return None
-    conf = df.sparkSession.conf
-
-    def _bytes(key: str, default: int) -> int:
-        # JVM byte-size strings: "134217728b", "128m", "1g", plain int
-        import re
-
-        raw = str(conf.get(key, str(default))).strip().lower()
-        m = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?", raw)
-        if not m:
-            return default
-        mult = {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40,
-                "p": 2**50}[m.group(2)]
-        return int(m.group(1)) * mult
-
-    mpb = _bytes("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
-    open_cost = _bytes("spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
-    sizes = []
-    for f in files:
-        if not f.startswith("file:"):
-            return None
-        try:
-            sizes.append(os.path.getsize(unquote(urlparse(f).path)))
-        except OSError:
-            return None
-    # mirror FilePartition.maxSplitBytes: cap the split size so the
-    # scan uses all cores when the data is small
-    total = sum(s + open_cost for s in sizes)
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    split = min(mpb, max(open_cost, total // max(1, cores)))
-    total_cost = 0
-    for size in sizes:
-        n_chunks = max(1, math.ceil(size / split))
-        total_cost += size + n_chunks * open_cost
-    return max(1, math.ceil(total_cost / split))
-
-
-def _local_input_bytes(df: DataFrame) -> int | None:
-    """Total bytes of ``df``'s locally stat-able file sources; None for
-    non-file / remote inputs (same scope rule as the partition
-    estimator above)."""
-    import os
-    from urllib.parse import unquote, urlparse
-
-    files = df.inputFiles()
-    if not files:
-        return None
-    total = 0
-    for f in files:
-        if not f.startswith("file:"):
-            return None
-        try:
-            total += os.path.getsize(unquote(urlparse(f).path))
-        except OSError:
-            return None
-    return total
+# promoted to the shared centimators_spark.scanstats module (round-11
+# advice: bootstrap/relational callers imported an underscore-private
+# helper across modules); the old private names stay importable here
+# so history-pinned callers keep working
+from centimators_spark.scanstats import (  # noqa: F401
+    estimated_scan_partitions as _estimated_scan_partitions,
+    local_input_bytes as _local_input_bytes,
+)
 
 
 # Below this input size, re-executing the residual lineage per consumer

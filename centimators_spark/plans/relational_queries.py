@@ -303,12 +303,10 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gate on under-partitioned input: a well-partitioned cluster-scale
     # scan must not eat an extra full shuffle before a partial agg.
     fit_input = scaled.select("q", "d100", "t100", "e100")
-    from centimators_spark.operators.neutralization import (
-        _estimated_scan_partitions,
-    )
+    from centimators_spark.scanstats import estimated_scan_partitions
 
     parallelism = spark.sparkContext.defaultParallelism
-    est = _estimated_scan_partitions(fit_input)
+    est = estimated_scan_partitions(fit_input)
     if est is not None and est < parallelism:
         # hash-partition on a DETERMINISTIC synthetic key, NOT
         # round-robin repartition(n) (whose retry-determinism local
