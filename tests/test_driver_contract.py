@@ -74,42 +74,35 @@ def test_unverified_queries_inside_driver_window():
     names = list(entrymod.queries())
     window = set(names[:50])
     must_check = {
-        # never driver-verified (promoted this round — r10 verdict item 1)
-        "image_phash_dedup",
-        "theta_intersections",
-        "audio_fingerprint_dedup",
-        "video_phash_dedup",
-        "l_diversity",
-        "multimodal_corpus_clean",
-        "theta_a_not_b",
-        "order_priority_counts",
-        "forecast_revenue",
-        "t_closeness",
-        "isotonic_calibration",
-        "winnowing_overlap",
-        "duplicated_spans",
-        "changepoint",
-        "benford_audit",
-        "hll_portable",
-        "hll_union",
-        "bootstrap_ci",
-        "mann_whitney",
-        "sprt_audit",
-        "brown_forsythe",
-        # new this round: the signed/NULL gate contracts (r10 item 3)
-        "bootstrap_signed",
-        "mwu_signed",
-        # drift re-verification: the r10 rotation debt (r4-era greens)
-        # plus the kernel-contract family (r5-era, incl. the
-        # neutralizer contract on its post-fix drift watch)
-        "robust_zscore",
-        "neutralizer_kernel_contract",
-        "pca_kernel_contract",
+        # never driver-verified (promoted this round — r11 verdict item 1)
+        "duplicated_spans_multi",
+        "sq8_clustered_contract",
+        "dsir_select",
+        "bottomk_quantiles",
+        "sign_permutation",
+        "training_split_audit",
+        # new this round: the NULL-resampling-key gate contract
+        # (r11 verdict item 2)
+        "bootstrap_nullkey",
+        # drift re-verification: the r11 rotation debt — the 4 r6-era
+        # remainder and the complete 33-query r7-era pool (ledger in
+        # queries()'s docstring)
+        "record_linkage",
+        "session_window",
+        "table_diff",
+        "z_order_key",
+        "ann_cosine_topk",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "ivfpq_pruned_contract",
+        "linreg_fast_contract",
+        "multimodal_metadata",
+        "winsorize_by_era",
     }
     assert must_check <= window, must_check - window
-    # everything in the rotation window behind the promoted head must
-    # be r4/r5/r6-era greens — the oldest-verified pool
-    assert "window_navigation" in window and "logloss_calibration" in window
+    # the window tail must reach the r8-era alphabetical head — the
+    # next-oldest pool after the r7-era greens above
+    assert "best_split" in window and "disjunctive_revenue" in window
 
 
 def test_compare_flags_int_float_dtype_mismatch():

@@ -461,3 +461,55 @@ def test_review_fixes_null_key_parity(spark):
     df2 = df.where(df.item.isNotNull())
     sdf2 = hll_portable(df2, "g", "item").toPandas()
     assert sdf2.equals(sdf)
+
+
+def test_bootstrap_nullkey_contract(spark):
+    """The NULL-resampling-KEY driver contract (r11 verdict item 2):
+    hash-green vs its oracle at sf0.001, the NULL-key regime genuinely
+    exercised (every 11th event_id nulled), and a deliberate
+    when-chain fall-through — NULL ids kept with Poisson weight 8,
+    the exact pre-307fcfd Spark behavior — produces DIFFERENT values,
+    i.e. the driver gate turns red on exactly the parity class the
+    round-11 self-review caught."""
+    from check_oracle import compare
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+
+    sdf = entrymod.q_bootstrap_nullkey(spark, sf).toPandas()
+    odf = con.execute(entrymod._bootstrap_nullkey_oracle()).fetchdf()
+    assert compare("bootstrap_nullkey", sdf, odf)
+    # the derivation genuinely NULLs resampling keys: per group,
+    # fewer rows enter than have a non-NULL signed value
+    raw = con.execute(
+        "SELECT event_type, count(*) c FROM events"
+        " WHERE event_id % 7 <> 0 GROUP BY 1"
+    ).fetchdf().set_index("event_type")["c"]
+    for _, r in sdf.iterrows():
+        assert r.n_rows < raw[r.grp]
+
+    # red path: emulate the pre-fix Spark when-chain on the ORACLE —
+    # NULL-id rows kept (value filter only) and falling through to
+    # Poisson weight 8 — at least one value must move
+    from centimators_spark.ml.bootstrap import bootstrap_mean_ci_oracle_sql
+
+    good = bootstrap_mean_ci_oracle_sql(
+        entrymod._NULLKEY_EVENTS_SQL, "event_type", "nid", "sv"
+    )
+    buggy = good.replace(
+        "WHERE sv IS NOT NULL AND nid IS NOT NULL", "WHERE sv IS NOT NULL"
+    ).replace(
+        "CAST(len(list_filter",
+        "CAST(CASE WHEN id IS NULL THEN 8 ELSE len(list_filter",
+    ).replace(") AS BIGINT) AS w", ") END AS BIGINT) AS w")
+    assert buggy != good  # all three replacements applied
+    bdf = con.execute(buggy).fetchdf()
+    cols = ["mean_micro", "boot_lo_micro", "boot_hi_micro", "n_rows"]
+    g = odf.set_index("grp")[cols].sort_index()
+    b = bdf.set_index("grp")[cols].sort_index()
+    assert not g.equals(b), "weight-8 fall-through did not change any value"
