@@ -4280,12 +4280,194 @@ def _training_split_audit_oracle() -> str:
     """
 
 
+DSIR_BUDGET_FRAC = 0.25
+
+
+def q_dsir_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR composed with token-budget selection (r11 verdict item 6
+    — the pipeline-shaped consumer): the DSIR importance log-weights
+    (text/dsir.dsir_scores — the scoring stage of the driver-verified
+    dsir_select) become the quality column of
+    selection.token_budget_select, so the corpus keeps the most
+    target-like documents until 25% of the proposal pool's tokens are
+    spent — importance-weighted budget selection instead of a fixed
+    top-k. Fifth composed flagship, corpus_clean-style: one lazy
+    plan, the bucket importance table broadcast, the budget cumsum on
+    the two-phase cell template (no global sort)."""
+    from centimators_spark.text.dsir import dsir_scores
+    from centimators_spark.text.portable import tokens
+    from centimators_spark.text.selection import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_scores(docs, DSIR_TARGET)
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    j = scored.select("doc_id", "logw_micro").join(toks, "doc_id")
+    return token_budget_select(
+        j,
+        budget_frac=DSIR_BUDGET_FRAC,
+        score_col="logw_micro",
+        token_col="n_tokens",
+    )
+
+
+def _dsir_budget_select_oracle() -> str:
+    from centimators_spark.text.dsir import dsir_scores_oracle_sql
+    from centimators_spark.text.portable import sql_tokens
+    from centimators_spark.text.selection import (
+        token_budget_select_oracle_sql,
+    )
+
+    scores = dsir_scores_oracle_sql("documents", DSIR_TARGET)
+    joined = (
+        f"(SELECT s.doc_id, s.logw_micro,"
+        f" CAST(len({sql_tokens('d.text')}) AS BIGINT) AS n_tokens"
+        f" FROM ({scores}) s JOIN documents d ON s.doc_id = d.doc_id)"
+    )
+    return token_budget_select_oracle_sql(
+        joined, budget_frac=DSIR_BUDGET_FRAC, score_sql="logw_micro"
+    )
+
+
+SKEW_AUDIT_KEYS = ["cust_nk", "o_orderstatus"]
+_SKEW_AUDIT_SQL = (
+    "(SELECT CASE WHEN o_orderkey % 13 <> 0 THEN o_custkey END"
+    " AS cust_nk, o_orderstatus FROM orders)"
+)
+
+
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit (profile.join_skew_audit) over the orders
+    fact: the high-cardinality customer key (every 13th NULLed — the
+    NULL-key branch is gate-visible) beside the 3-value status key
+    whose hottest value owns most of the table — exactly the two
+    regimes the salting/broadcast decision separates."""
+    from centimators_spark.profile import join_skew_audit
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 13 != 0, F.col("o_custkey")
+        ).alias("cust_nk"),
+        "o_orderstatus",
+    )
+    return join_skew_audit(orders, SKEW_AUDIT_KEYS)
+
+
+def _join_skew_audit_oracle() -> str:
+    from centimators_spark.profile import join_skew_audit_oracle_sql
+
+    return join_skew_audit_oracle_sql(_SKEW_AUDIT_SQL, SKEW_AUDIT_KEYS)
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of each event type's daily value total
+    (analytics.theil_sen_trend) — the drift family's trend member
+    (median of pairwise daily slopes; the pair join runs on the
+    calendar-bounded daily rollup, never the corpus)."""
+    from centimators_spark.analytics import theil_sen_trend
+
+    return theil_sen_trend(
+        load_table(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
+
+
+def _theil_sen_trend_oracle() -> str:
+    from centimators_spark.analytics import theil_sen_trend_oracle_sql
+
+    return theil_sen_trend_oracle_sql(
+        "events", "event_type", "ts", "value"
+    )
+
+
+_CDC_CHANGES_SQL = (
+    "(SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,"
+    " CASE WHEN o_orderstatus = 'F' AND o_orderpriority LIKE '1-%'"
+    " THEN 'D' ELSE 'U' END AS op,"
+    " o_totalprice AS c_acctbal FROM orders)"
+)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (reconcile.cdc_apply): the orders stream applied to
+    the customer snapshot as a change log — each customer's LATEST
+    order (by (o_orderdate, o_orderkey)) wins; a final urgent order
+    deletes the account, any other order upserts the balance to that
+    order's total. One window + one full-outer join, both on the
+    customer key."""
+    from centimators_spark.reconcile import cdc_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderstatus") == "F")
+            & F.col("o_orderpriority").startswith("1-"),
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    return cdc_apply(
+        cust,
+        changes,
+        keys=["c_custkey"],
+        seq_cols=["o_orderdate", "o_orderkey"],
+        value_cols=["c_acctbal"],
+    )
+
+
+def _cdc_apply_oracle() -> str:
+    from centimators_spark.reconcile import cdc_apply_oracle_sql
+
+    return cdc_apply_oracle_sql(
+        "customer",
+        _CDC_CHANGES_SQL,
+        keys=["c_custkey"],
+        seq_cols=["o_orderdate", "o_orderkey"],
+        value_cols=["c_acctbal"],
+    )
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step event-type paths (analytics.event_paths) — the
+    n-step generalization of the driver-green transition_counts: the
+    funnels users actually walk, counted from consecutive
+    (ts, event_id)-ordered windows, top-k via per-partition heaps."""
+    from centimators_spark.analytics import event_paths
+
+    return event_paths(load_table(spark, sf_dir, "events"))
+
+
+def _event_paths_oracle() -> str:
+    from centimators_spark.analytics import event_paths_oracle_sql
+
+    return event_paths_oracle_sql("events")
+
+
 def _r13_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return {
+        "dsir_budget_select": q_dsir_budget_select,
+        "join_skew_audit": q_join_skew_audit,
+        "theil_sen_trend": q_theil_sen_trend,
+        "cdc_apply": q_cdc_apply,
+        "event_paths": q_event_paths,
+    }
 
 
 def _r13_staged_oracles() -> dict[str, str]:
-    return {}
+    return {
+        "dsir_budget_select": _dsir_budget_select_oracle(),
+        "join_skew_audit": _join_skew_audit_oracle(),
+        "theil_sen_trend": _theil_sen_trend_oracle(),
+        "cdc_apply": _cdc_apply_oracle(),
+        "event_paths": _event_paths_oracle(),
+    }
 
 
 def _r12_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -223,6 +223,220 @@ def transition_counts_oracle_sql(
     """
 
 
+def event_paths(
+    events: DataFrame,
+    *,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k frequent ``n``-step event-type paths — the n-step
+    generalization of :func:`transition_counts` (sequential pattern
+    mining over clickstreams; the funnel-discovery primitive: the
+    paths users actually take, not the funnel you guessed). Per user,
+    every window of ``n`` CONSECUTIVE events (ordered by (ts, id))
+    contributes one '>'-joined path; paths that would run off the end
+    of a user's stream are excluded, as is any window containing a
+    NULL event type (Spark's concat_ws skips NULLs while SQL ``||``
+    nulls out — the filter makes both engines see the same windows).
+
+    One lead-window over the user shuffle + one grouped count; the
+    top-k is ORDER BY + LIMIT, which Spark plans as
+    TakeOrderedAndProject (per-partition heaps, never a full sort).
+    Ties break on path text ascending — deterministic on both
+    engines. Output: (path, n_occurrences), k rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    stepped = events.select(*[s.alias(f"__s{i}") for i, s in enumerate(steps)])
+    cond = F.lit(True)
+    for i in range(n):
+        cond = cond & F.col(f"__s{i}").isNotNull()
+    paths = stepped.where(cond).select(
+        F.concat_ws(">", *[F.col(f"__s{i}") for i in range(n)]).alias(
+            "path"
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("path").asc()
+    ).limit(k)
+
+
+def event_paths_oracle_sql(
+    table: str = "events",
+    *,
+    n: int = 3,
+    k: int = 20,
+    user_sql: str = "user_id",
+    type_sql: str = "event_type",
+    ts_sql: str = "ts",
+    id_sql: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`event_paths`."""
+    leads = [f"{type_sql} AS s0"] + [
+        f"lead({type_sql}, {i}) OVER (PARTITION BY {user_sql}"
+        f" ORDER BY {ts_sql}, {id_sql}) AS s{i}"
+        for i in range(1, n)
+    ]
+    not_null = " AND ".join(f"s{i} IS NOT NULL" for i in range(n))
+    path = " || '>' || ".join(f"s{i}" for i in range(n))
+    return f"""
+        WITH stepped AS (
+          SELECT {", ".join(leads)} FROM {table}
+        ), paths AS (
+          SELECT {path} AS path FROM stepped WHERE {not_null}
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM paths GROUP BY path
+        ORDER BY n_occurrences DESC, path ASC
+        LIMIT {k}
+    """
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend (Theil 1950 / Sen 1968 — the
+    median-of-pairwise-slopes estimator, up to 29% outlier breakdown
+    where OLS has zero) per group, over the group's DAILY TOTALS: is
+    the metric drifting, robustly? The drift-family member for trend
+    the way Page-Hinkley is for level shifts.
+
+    Exactness (hash-proven): values ride centi-unit integers; each
+    day's total y_d is an exact sum; each pair's slope is the
+    TRUNCATED (toward zero — the bootstrap spec, matching the
+    oracle's explicit abs-form) micro-unit quotient
+    trunc(1e6·(y_j−y_i)/(d_j−d_i)); the reported carrier is the
+    integer 2×median slope2_micro = s_((p+1)//2) + s_((p+2)//2) over
+    the p sorted pair slopes (the Brown-Forsythe order-statistic
+    idiom — no .5, value-deterministic under ties).
+
+    Scale: the only corpus-sized operation is ONE map-side-combined
+    daily rollup (groupBy (grp, day)); the pair join runs on the
+    rollup, whose size per group is bounded by the CALENDAR (distinct
+    days), independent of row count — C(D,2) pairs ≈ 66k for a full
+    year, constant whether the group holds 1e4 or 1e12 rows. NULL
+    values and NULL timestamps are excluded up front on both engines
+    (the MWU discipline). Output: (grp, n_days, n_pairs,
+    slope2_micro) for groups with ≥ 2 days."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    day = F.datediff(
+        F.to_date(F.col(ts_col)), F.lit("1970-01-01")
+    ).cast("long")
+    daily = (
+        df.where(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"), day.alias("__d")
+        )
+        .agg(F.sum(cents).cast("long").alias("__y"))
+    )
+    a = daily.select(
+        "grp",
+        F.col("__d").alias("__di"),
+        F.col("__y").alias("__yi"),
+    )
+    b = daily.select(
+        "grp",
+        F.col("__d").alias("__dj"),
+        F.col("__y").alias("__yj"),
+    )
+    pairs = a.join(b, "grp").where(F.col("__di") < F.col("__dj"))
+    num = (
+        (F.col("__yj") - F.col("__yi")).cast(d38)
+        * F.lit(1_000_000).cast(d38)
+    ).cast(d38)
+    den = (F.col("__dj") - F.col("__di")).cast(d38)
+    q = ((F.abs(num) - F.pmod(F.abs(num), den)) / den).cast("long")
+    slope = F.when(num < 0, -q).otherwise(q)
+    sl = pairs.select("grp", slope.alias("__s"))
+    w_rank = Window.partitionBy("grp").orderBy("__s")
+    w_all = Window.partitionBy("grp")
+    ranked = sl.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+        "__p", F.count(F.lit(1)).over(w_all)
+    )
+    lo = F.floor((F.col("__p") + 1) / 2)
+    hi = F.floor((F.col("__p") + 2) / 2)
+    mid = F.when(
+        (F.col("__rn") == lo) & (F.col("__rn") == hi), 2 * F.col("__s")
+    ).when(
+        (F.col("__rn") == lo) | (F.col("__rn") == hi), F.col("__s")
+    ).otherwise(F.lit(0))
+    med = ranked.groupBy("grp").agg(
+        F.max("__p").cast("long").alias("n_pairs"),
+        F.sum(mid).cast("long").alias("slope2_micro"),
+    )
+    ndays = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return ndays.join(med, "grp").select(
+        "grp", "n_days", "n_pairs", "slope2_micro"
+    )
+
+
+def theil_sen_trend_oracle_sql(
+    table: str,
+    group_sql: str,
+    ts_sql: str,
+    value_sql: str,
+) -> str:
+    """DuckDB mirror of :func:`theil_sen_trend` (HUGEINT; identical
+    truncation and order-statistic median)."""
+    return f"""
+        WITH daily AS (
+          SELECT {group_sql} AS grp,
+                 date_diff('day', DATE '1970-01-01',
+                           CAST({ts_sql} AS DATE)) AS d,
+                 CAST(sum(CAST(round({value_sql} * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM {table}
+          WHERE {value_sql} IS NOT NULL AND {ts_sql} IS NOT NULL
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a.grp,
+                 CASE WHEN b.y < a.y
+                   THEN -((CAST(a.y - b.y AS HUGEINT) * 1000000)
+                          // (b.d - a.d))
+                   ELSE (CAST(b.y - a.y AS HUGEINT) * 1000000)
+                        // (b.d - a.d) END AS s
+          FROM daily a JOIN daily b
+            ON a.grp = b.grp AND a.d < b.d
+        ), ranked AS (
+          SELECT grp, s,
+                 row_number() OVER (PARTITION BY grp ORDER BY s) AS rn,
+                 count(*) OVER (PARTITION BY grp) AS p
+          FROM pairs
+        ), med AS (
+          SELECT grp,
+                 CAST(max(p) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE
+                   WHEN rn = (p + 1) // 2 AND rn = (p + 2) // 2 THEN 2 * s
+                   WHEN rn = (p + 1) // 2 OR rn = (p + 2) // 2 THEN s
+                   ELSE 0 END) AS BIGINT) AS slope2_micro
+          FROM ranked GROUP BY grp
+        ), nd AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY grp
+        )
+        SELECT n.grp, n.n_days, m.n_pairs, m.slope2_micro
+        FROM nd n JOIN med m ON n.grp = m.grp
+    """
+
+
 def scd2_intervals(
     events: DataFrame,
     attr_col: str,

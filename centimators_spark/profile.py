@@ -182,6 +182,194 @@ def heavy_hitters_oracle_sql(
     """
 
 
+def join_skew_audit(
+    df: DataFrame,
+    key_cols: list,
+) -> DataFrame:
+    """Pre-join key-skew audit — the numbers that decide a 100 TB
+    join strategy BEFORE it runs: per candidate join key, exact row /
+    NULL / distinct-key counts, the hottest key and its share, the
+    max-to-average skew ratio, and the p50/p99 of the per-key count
+    distribution. top1_share_milli ≳ a few hundred means one key owns
+    the join (salt it or broadcast the other side); skew_milli is
+    max_cnt/avg_cnt in milli-units (1000 = perfectly uniform); NULL
+    keys never match a join and are reported separately, excluded
+    from the skew stats.
+
+    Exactness: every output is an integer decided by counts and
+    integer cross-multiplication (type-1 quantiles via the
+    weighted_quantiles rule; shares via nonnegative floor division —
+    floor == trunc here).
+
+    Scale: ONE scan of the fact table — the keys are exploded into
+    (key_name, value) pairs (|key_cols|× the rows, map-side) and
+    counted with one map-side-combined groupBy; everything after
+    runs on the per-key count table and its value-frequency rollup
+    (distinct count VALUES — tiny). The hottest-key lookup joins the
+    count table against the per-key max (broadcast, key_cols rows).
+    No window ever spans an unpartitioned data-scale frame. Output:
+    one row per audited key, (key_name, n_rows, n_null, n_keys,
+    max_cnt, p50_cnt, p99_cnt, top_key, top1_share_milli,
+    skew_milli)."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.col(k).cast("string").alias("v"),
+                    )
+                    for k in key_cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.k", "p.v")
+    # the count table feeds FIVE consumers (nulls / per-key aggs /
+    # hottest key / value-frequency rollup); without a lineage cut
+    # each one re-executes the corpus scan (measured: 6 FileScans in
+    # the plan). Checkpoint it: the table is key-cardinality, and the
+    # corpus is scanned exactly once to build it.
+    counts = (
+        pairs.groupBy("k", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    nulls = counts.where(F.col("v").isNull()).select(
+        "k", F.col("cnt").alias("n_null")
+    )
+    nonnull = counts.where(F.col("v").isNotNull())
+    per_key = nonnull.groupBy("k").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    # hottest key: deterministic max-value tiebreak among keys at
+    # max_cnt (the count table is per-key-cardinality, the join side
+    # `per_key` is |key_cols| rows — broadcast)
+    top = (
+        nonnull.join(
+            F.broadcast(per_key.select("k", "max_cnt")), "k"
+        )
+        .where(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("k")
+        .agg(F.max("v").alias("top_key"))
+    )
+    # count-distribution quantiles over the VALUE-FREQUENCY rollup:
+    # distinct per-key counts are few even when keys are data-scale
+    freq = nonnull.groupBy("k", "cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy("k").orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = freq.withColumn("c", F.sum("f").over(w_cum)).join(
+        F.broadcast(per_key.select("k", "n_keys")), "k"
+    )
+    quants = cum.groupBy("k").agg(
+        F.min(
+            F.when(F.col("c") * 2 >= F.col("n_keys"), F.col("cnt"))
+        ).cast("long").alias("p50_cnt"),
+        F.min(
+            F.when(F.col("c") * 100 >= 99 * F.col("n_keys"), F.col("cnt"))
+        ).cast("long").alias("p99_cnt"),
+    )
+    out = (
+        per_key.join(nulls, "k", "left")
+        .join(top, "k", "left")
+        .join(quants, "k", "left")
+    )
+    # exact nonnegative floor division (floor == trunc) in decimal —
+    # a double quotient would round above 2^53 at data-scale counts
+    d38 = "decimal(38,0)"
+
+    def _fdiv(num, den):
+        num = num.cast(d38)
+        den = den.cast(d38)
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    share = _fdiv(
+        F.lit(1000).cast(d38) * F.col("max_cnt").cast(d38), F.col("n_rows")
+    )
+    skew = _fdiv(
+        F.lit(1000).cast(d38)
+        * F.col("max_cnt").cast(d38)
+        * F.col("n_keys").cast(d38),
+        F.col("n_rows"),
+    )
+    return out.select(
+        F.col("k").alias("key_name"),
+        "n_rows",
+        F.coalesce(F.col("n_null"), F.lit(0)).cast("long").alias("n_null"),
+        "n_keys",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        "top_key",
+        share.alias("top1_share_milli"),
+        skew.alias("skew_milli"),
+    )
+
+
+def join_skew_audit_oracle_sql(table: str, key_cols: list) -> str:
+    """DuckDB mirror of :func:`join_skew_audit`."""
+    unions = " UNION ALL ".join(
+        f"SELECT '{k}' AS k, CAST({k} AS VARCHAR) AS v FROM {table}"
+        for k in key_cols
+    )
+    return f"""
+        WITH pairs AS ({unions}),
+        counts AS (
+          SELECT k, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM pairs GROUP BY k, v
+        ), nulls AS (
+          SELECT k, cnt AS n_null FROM counts WHERE v IS NULL
+        ), nonnull AS (
+          SELECT * FROM counts WHERE v IS NOT NULL
+        ), per_key AS (
+          SELECT k,
+                 CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(cnt) AS BIGINT) AS max_cnt
+          FROM nonnull GROUP BY k
+        ), top AS (
+          SELECT n.k, max(n.v) AS top_key
+          FROM nonnull n JOIN per_key p
+            ON n.k = p.k AND n.cnt = p.max_cnt
+          GROUP BY n.k
+        ), freq AS (
+          SELECT k, cnt, CAST(count(*) AS BIGINT) AS f
+          FROM nonnull GROUP BY k, cnt
+        ), cum AS (
+          SELECT f.k, f.cnt,
+                 sum(f.f) OVER (PARTITION BY f.k ORDER BY f.cnt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c,
+                 p.n_keys
+          FROM freq f JOIN per_key p ON f.k = p.k
+        ), quants AS (
+          SELECT k,
+                 CAST(min(CASE WHEN c * 2 >= n_keys THEN cnt END)
+                      AS BIGINT) AS p50_cnt,
+                 CAST(min(CASE WHEN c * 100 >= 99 * n_keys THEN cnt END)
+                      AS BIGINT) AS p99_cnt
+          FROM cum GROUP BY k
+        )
+        SELECT p.k AS key_name, p.n_rows,
+               CAST(coalesce(nu.n_null, 0) AS BIGINT) AS n_null,
+               p.n_keys, p.max_cnt, q.p50_cnt, q.p99_cnt, t.top_key,
+               CAST((1000 * CAST(p.max_cnt AS HUGEINT)) // p.n_rows
+                    AS BIGINT) AS top1_share_milli,
+               CAST((1000 * CAST(p.max_cnt AS HUGEINT) * p.n_keys)
+                    // p.n_rows AS BIGINT) AS skew_milli
+        FROM per_key p
+        LEFT JOIN nulls nu ON p.k = nu.k
+        LEFT JOIN top t ON p.k = t.k
+        LEFT JOIN quants q ON p.k = q.k
+    """
+
+
 def benford_check(
     df: DataFrame,
     value_col: str,

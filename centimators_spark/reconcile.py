@@ -142,3 +142,102 @@ def table_diff_oracle_sql(
         )
         {" UNION ALL ".join(branches)}
     """
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change stream to a base snapshot — the MERGE /
+    upsert step every incremental 100 TB pipeline ends with: per key,
+    the LATEST change (by ``seq_cols``, descending) wins — 'D' deletes
+    the key, 'U' upserts ``value_cols`` (insert if the key is new);
+    keys with no change pass through unchanged. ``seq_cols`` must be
+    unique per key (a change-log sequence/LSN; ties would make
+    "latest" undefined on any engine).
+
+    Spark shape: one window (row_number over the key shuffle) reduces
+    the change stream to its per-key head, then ONE full outer join
+    against the base — at 100 TB bucket both by the key and the join
+    is shuffle-free; the change stream is usually days-sized against
+    a years-sized base, so AQE will broadcast it. No collect, no
+    per-column pass. Output: keys + value_cols + ``changed``
+    (1 = written by the stream, 0 = carried from base), exact — the
+    oracle (:func:`cdc_apply_oracle_sql`) is bit-identical."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    seq_cols = list(seq_cols)
+    value_cols = list(value_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    latest = (
+        changes.select(*keys, *seq_cols, op_col, *value_cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    b = base.select(*keys, *value_cols)
+    joined = b.alias("b").join(
+        latest.alias("c"), on=keys, how="full_outer"
+    )
+    op = F.col(f"c.{op_col}")
+    kept = joined.where(op.isNull() | (op == F.lit("U")))
+    out_cols = [F.col(k).alias(k) for k in keys] + [
+        F.when(op == "U", F.col(f"c.{v}"))
+        .otherwise(F.col(f"b.{v}"))
+        .alias(v)
+        for v in value_cols
+    ]
+    return kept.select(
+        *out_cols,
+        F.when(op == "U", F.lit(1)).otherwise(F.lit(0))
+        .cast("int")
+        .alias("changed"),
+    )
+
+
+def cdc_apply_oracle_sql(
+    base_sql: str,
+    changes_sql: str,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    op_col: str = "op",
+) -> str:
+    """DuckDB mirror of :func:`cdc_apply`."""
+    keys = list(keys)
+    seq_cols = list(seq_cols)
+    value_cols = list(value_cols)
+    kl = ", ".join(keys)
+    seq_desc = ", ".join(f"{c} DESC" for c in seq_cols)
+    key_out = ", ".join(
+        f"coalesce(b.{k}, c.{k}) AS {k}" for k in keys
+    )
+    val_out = ", ".join(
+        f"CASE WHEN c.{op_col} = 'U' THEN c.{v} ELSE b.{v} END AS {v}"
+        for v in value_cols
+    )
+    on = " AND ".join(f"b.{k} = c.{k}" for k in keys)
+    return f"""
+        WITH latest AS (
+          SELECT * FROM (
+            SELECT {kl}, {", ".join(seq_cols)}, {op_col},
+                   {", ".join(value_cols)},
+                   row_number() OVER (PARTITION BY {kl}
+                                      ORDER BY {seq_desc}) AS rn
+            FROM {changes_sql}
+          ) WHERE rn = 1
+        )
+        SELECT {key_out}, {val_out},
+               CAST(CASE WHEN c.{op_col} = 'U' THEN 1 ELSE 0 END
+                    AS INTEGER) AS changed
+        FROM {base_sql} b FULL OUTER JOIN latest c ON {on}
+        WHERE c.{op_col} IS NULL OR c.{op_col} = 'U'
+    """

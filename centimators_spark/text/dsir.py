@@ -43,7 +43,7 @@ DSIR_ALPHA = 1.0
 _P60 = 1 << 60
 
 
-def dsir_select(
+def dsir_scores(
     df: DataFrame,
     target_expr: str,
     *,
@@ -52,21 +52,15 @@ def dsir_select(
     n_buckets: int = DSIR_BUCKETS,
     n: int = DSIR_N,
     alpha: float = DSIR_ALPHA,
-    k: int = DSIR_K,
 ) -> DataFrame:
-    """Select the ``k`` raw documents most target-like by hashed
-    n-gram importance resampling.
-
-    ``target_expr`` is a shared ANSI boolean over the input columns
-    (the sql_frontend discipline — the oracle runs the identical
-    text). Target docs define the target distribution; NON-target
-    docs are the proposal pool being resampled. Output (one row per
-    selected doc): (doc_id, n_grams, logw_micro, key_micro), ordered
-    by key_micro desc / doc_id asc — logw_micro is the exact integer
-    micro-unit importance log-weight Σ[lp_target − lp_proposal],
-    key_micro adds the deterministic Gumbel perturbation. Docs with
-    no n-grams (short/empty/null text) cannot be scored and are
-    never selected, on both engines."""
+    """The DSIR SCORING stage: every proposal (non-target) document's
+    exact integer micro-unit importance log-weight — (doc_id,
+    n_grams, logw_micro), unordered, no truncation. This is the
+    composable surface: :func:`dsir_select` adds the Gumbel top-k on
+    top, and the pipeline consumers (e.g. the token-budget composed
+    query) feed logw_micro straight into selection.token_budget_select
+    as the quality column. Docs with no n-grams (short/empty/null
+    text) cannot be scored and never appear, on both engines."""
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         # coalesce matches the oracle's CASE WHEN semantics: a NULL
@@ -126,7 +120,7 @@ def dsir_select(
             * 1e6
         ).cast("long").alias("lp_q_u"),
     )
-    scored = (
+    return (
         grams.where(F.col("__it") == 0)
         .join(F.broadcast(lw), "b")
         .groupBy("doc_id")
@@ -136,6 +130,39 @@ def dsir_select(
             .cast("long")
             .alias("logw_micro"),
         )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_expr: str,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    n: int = DSIR_N,
+    alpha: float = DSIR_ALPHA,
+    k: int = DSIR_K,
+) -> DataFrame:
+    """Select the ``k`` raw documents most target-like by hashed
+    n-gram importance resampling.
+
+    ``target_expr`` is a shared ANSI boolean over the input columns
+    (the sql_frontend discipline — the oracle runs the identical
+    text). Target docs define the target distribution; NON-target
+    docs are the proposal pool being resampled. Output (one row per
+    selected doc): (doc_id, n_grams, logw_micro, key_micro), ordered
+    by key_micro desc / doc_id asc — logw_micro is the exact integer
+    micro-unit importance log-weight Σ[lp_target − lp_proposal],
+    key_micro adds the deterministic Gumbel perturbation."""
+    scored = dsir_scores(
+        df,
+        target_expr,
+        content_col=content_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        n=n,
+        alpha=alpha,
     )
     # denominator 2^60 + 2^12: the largest ratio (2^60)/(2^60 + 2^12)
     # = 1 - 2^-48 stays STRICTLY below 1.0 after double rounding (a
@@ -157,7 +184,7 @@ def dsir_select(
     ).limit(k)
 
 
-def dsir_select_oracle_sql(
+def dsir_scores_oracle_sql(
     table: str = "documents",
     target_sql: str = "source IN ('src0', 'src1', 'src2', 'src3')",
     *,
@@ -166,18 +193,15 @@ def dsir_select_oracle_sql(
     n_buckets: int = DSIR_BUCKETS,
     n: int = DSIR_N,
     alpha: float = DSIR_ALPHA,
-    k: int = DSIR_K,
 ) -> str:
-    """DuckDB mirror of :func:`dsir_select` — identical bucket hash,
-    add-α log-probs rounded at the same points, identical Gumbel
-    keys."""
+    """DuckDB mirror of :func:`dsir_scores` — a self-contained SELECT
+    of (doc_id, n_grams, logw_micro) that callers may nest."""
     tk = sql_tokens(content_sql)
     joined = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n)).replace(
         "[i+0]", "[i]"
     )
     a = repr(float(alpha))
     an = repr(float(alpha) * n_buckets)
-    uh = sql_md5_long(f"('dsir:' || CAST(doc_id AS VARCHAR))")
     return f"""
         WITH docs AS (
           SELECT {id_sql} AS doc_id,
@@ -205,24 +229,49 @@ def dsir_select_oracle_sql(
                  CAST(round(round(ln((c_q + {a}) / (n_q + {an})), 6)
                             * 1e6) AS BIGINT) AS lp_q_u
           FROM buckets CROSS JOIN totals
-        ), scored AS (
-          SELECT g.doc_id,
-                 CAST(count(*) AS BIGINT) AS n_grams,
-                 CAST(sum(lp_t_u - lp_q_u) AS BIGINT) AS logw_micro
-          FROM grams g JOIN lw USING (b)
-          WHERE g.it = 0
-          GROUP BY g.doc_id
-        ), keyed AS (
-          SELECT doc_id, n_grams, logw_micro,
-                 CAST(logw_micro
-                      + CAST(round(round(-ln(-ln(({uh} + 1)
-                            / CAST({_P60 + 4096} AS DOUBLE))), 6) * 1e6)
-                          AS BIGINT)
-                      AS BIGINT) AS key_micro
-          FROM scored
         )
-        SELECT doc_id, n_grams, logw_micro, key_micro
-        FROM keyed
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(lp_t_u - lp_q_u) AS BIGINT) AS logw_micro
+        FROM grams g JOIN lw USING (b)
+        WHERE g.it = 0
+        GROUP BY g.doc_id
+    """
+
+
+def dsir_select_oracle_sql(
+    table: str = "documents",
+    target_sql: str = "source IN ('src0', 'src1', 'src2', 'src3')",
+    *,
+    content_sql: str = "text",
+    id_sql: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    n: int = DSIR_N,
+    alpha: float = DSIR_ALPHA,
+    k: int = DSIR_K,
+) -> str:
+    """DuckDB mirror of :func:`dsir_select` — identical bucket hash,
+    add-α log-probs rounded at the same points, identical Gumbel
+    keys."""
+    scores = dsir_scores_oracle_sql(
+        table,
+        target_sql,
+        content_sql=content_sql,
+        id_sql=id_sql,
+        n_buckets=n_buckets,
+        n=n,
+        alpha=alpha,
+    )
+    uh = sql_md5_long("('dsir:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH scored AS ({scores})
+        SELECT doc_id, n_grams, logw_micro,
+               CAST(logw_micro
+                    + CAST(round(round(-ln(-ln(({uh} + 1)
+                          / CAST({_P60 + 4096} AS DOUBLE))), 6) * 1e6)
+                        AS BIGINT)
+                    AS BIGINT) AS key_micro
+        FROM scored
         ORDER BY key_micro DESC, doc_id ASC
         LIMIT {k}
     """

@@ -1,0 +1,267 @@
+"""Round-13 staged operator tests: hand-computed traces + oracle
+parity on adversarial micro-fixtures (NULLs, ties, negatives — the
+regimes the positive-valued gate fixtures cannot see)."""
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+def _compare(name, sdf, odf):
+    from check_oracle import compare
+
+    return compare(name, sdf, odf)
+
+
+# ------------------------------------------------------------ event_paths
+
+def test_event_paths_hand_trace_and_oracle(spark):
+    from centimators_spark.analytics import (
+        event_paths,
+        event_paths_oracle_sql,
+    )
+
+    rows = [
+        # user 1: a b c d  -> paths a>b>c, b>c>d
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "c"),
+        (4, 1, "2024-01-01 00:03:00", "d"),
+        # user 2: a b c -> a>b>c (ties on ts broken by event_id)
+        (6, 2, "2024-01-02 00:00:00", "b"),
+        (5, 2, "2024-01-02 00:00:00", "a"),
+        (7, 2, "2024-01-02 00:05:00", "c"),
+        # user 3: too short for any 3-path
+        (8, 3, "2024-01-03 00:00:00", "a"),
+        (9, 3, "2024-01-03 00:01:00", "b"),
+        # user 4: NULL type mid-stream kills the windows crossing it
+        (10, 4, "2024-01-04 00:00:00", "a"),
+        (11, 4, "2024-01-04 00:01:00", None),
+        (12, 4, "2024-01-04 00:02:00", "b"),
+        (13, 4, "2024-01-04 00:03:00", "c"),
+        (14, 4, "2024-01-04 00:04:00", "d"),
+    ]
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(i, u, datetime.fromisoformat(t), e) for i, u, t, e in rows],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.path: r.n_occurrences
+        for r in event_paths(df).collect()
+    }
+    assert got == {"a>b>c": 2, "b>c>d": 2}
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            [(i, u, pd.Timestamp(t), e) for i, u, t, e in rows],
+            columns=["event_id", "user_id", "ts", "event_type"],
+        ),
+    )
+    odf = con.execute(event_paths_oracle_sql("events")).fetchdf()
+    sdf = event_paths(df).toPandas()
+    assert _compare("event_paths", sdf, odf)
+
+
+# -------------------------------------------------------- theil_sen_trend
+
+def test_theil_sen_hand_trace(spark):
+    from centimators_spark.analytics import theil_sen_trend
+
+    # group g: daily totals day0=1.00, day1=3.00, day3=2.00 (cents
+    # 100/300/200). slopes: (300-100)/1=200e6? in micro-units of
+    # cents/day: trunc(200*1e6/1)=200000000; (200-100)/3 ->
+    # trunc(100e6/3)=33333333; (200-300)/2 -> trunc(-100e6/2)=-50000000
+    # sorted: [-50000000, 33333333, 200000000] -> median 33333333,
+    # slope2 = 2*33333333 = 66666666
+    rows = [
+        ("g", "2024-01-01 10:00:00", 1.0),
+        ("g", "2024-01-02 09:00:00", 1.5),
+        ("g", "2024-01-02 12:00:00", 1.5),
+        ("g", "2024-01-04 00:00:00", 2.0),
+        ("g", "2024-01-04 23:59:59", None),  # NULL value excluded
+        ("g", None, 9.0),  # NULL ts excluded
+    ]
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (g, datetime.fromisoformat(t) if t else None, v)
+            for g, t, v in rows
+        ],
+        "grp string, ts timestamp, value double",
+    )
+    out = theil_sen_trend(df, "grp", "ts", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_days, r.n_pairs, r.slope2_micro) == (3, 3, 66666666)
+
+
+def test_theil_sen_negative_truncation_matches_oracle(spark):
+    from centimators_spark.analytics import (
+        theil_sen_trend,
+        theil_sen_trend_oracle_sql,
+    )
+
+    # inexact NEGATIVE slopes: trunc-toward-zero vs floor differ here
+    rows = [
+        ("g", "2024-01-01 00:00:00", 2.0),
+        ("g", "2024-01-04 00:00:00", 1.0),  # slope -100c/3d -> trunc
+        ("h", "2024-01-01 00:00:00", 5.0),
+        ("h", "2024-01-08 00:00:00", 2.0),  # -300c/7d -> trunc
+    ]
+    pdf = pd.DataFrame(
+        [(g, pd.Timestamp(t), v) for g, t, v in rows],
+        columns=["grp", "ts", "value"],
+    )
+    df = spark.createDataFrame(pdf)
+    sdf = theil_sen_trend(df, "grp", "ts", "value").toPandas()
+    got = sdf.set_index("grp").slope2_micro
+    # trunc(-100e6/3) = -33333333 (floor is -33333334); x2
+    assert got["g"] == -66666666
+    # trunc(-300e6/7) = -42857142 (floor is -42857143); x2
+    assert got["h"] == -85714284
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(
+        theil_sen_trend_oracle_sql("t", "grp", "ts", "value")
+    ).fetchdf()
+    assert _compare("theil_sen_neg", sdf, odf)
+
+
+# -------------------------------------------------------- join_skew_audit
+
+def test_join_skew_audit_hand_trace(spark):
+    from centimators_spark.profile import (
+        join_skew_audit,
+        join_skew_audit_oracle_sql,
+    )
+
+    # key k1: values a x3, b x1, NULL x2 -> n_rows=4, n_keys=2,
+    # max=3, top 'a', share=floor(3000/4)=750,
+    # skew=floor(3000*2/4)=1500; counts {3:1, 1:1} -> p50: min cnt
+    # with cum*2 >= 2 -> cnt=1; p99: min cnt with cum*100 >= 198 ->
+    # cnt=3
+    rows = [
+        ("a", "u"), ("a", "u"), ("a", "v"), ("b", "v"),
+        (None, "u"), (None, "w"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["k1", "k2"])
+    df = spark.createDataFrame(pdf)
+    sdf = join_skew_audit(df, ["k1", "k2"]).toPandas()
+    r = sdf.set_index("key_name").loc["k1"]
+    assert (
+        r.n_rows, r.n_null, r.n_keys, r.max_cnt, r.p50_cnt, r.p99_cnt
+    ) == (4, 2, 2, 3, 1, 3)
+    assert r.top_key == "a"
+    assert r.top1_share_milli == 750 and r.skew_milli == 1500
+    # k2: u x3 (incl. rows where k1 null), v x2, w x1 -> top 'u'
+    r2 = sdf.set_index("key_name").loc["k2"]
+    assert (r2.n_rows, r2.n_null, r2.n_keys, r2.max_cnt) == (6, 0, 3, 3)
+    assert r2.top_key == "u" and r2.top1_share_milli == 500
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(
+        join_skew_audit_oracle_sql("t", ["k1", "k2"])
+    ).fetchdf()
+    assert _compare("join_skew_audit", sdf, odf)
+
+
+def test_join_skew_audit_all_null_key(spark):
+    from centimators_spark.profile import (
+        join_skew_audit,
+        join_skew_audit_oracle_sql,
+    )
+
+    # a key column that is entirely NULL must not divide by zero —
+    # it simply has no non-null row to audit (no row for that key)
+    pdf = pd.DataFrame({"k1": [None, None], "k2": ["a", "b"]})
+    df = spark.createDataFrame(pdf, "k1 string, k2 string")
+    sdf = join_skew_audit(df, ["k1", "k2"]).toPandas()
+    assert set(sdf.key_name) == {"k2"}
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(
+        join_skew_audit_oracle_sql("t", ["k1", "k2"])
+    ).fetchdf()
+    assert _compare("join_skew_audit_allnull", sdf, odf)
+
+
+# -------------------------------------------------------------- cdc_apply
+
+def test_cdc_apply_hand_trace(spark):
+    from centimators_spark.reconcile import (
+        cdc_apply,
+        cdc_apply_oracle_sql,
+    )
+
+    base = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "bal": [10.0, 20.0, 30.0, 40.0]}
+    )
+    # id 1: U(seq2, 99) wins over D(seq1)  -> bal 99
+    # id 2: D(seq5) wins over U(seq4, 7)   -> dropped
+    # id 3: no change                      -> bal 30
+    # id 5: U insert (not in base)         -> bal 55
+    # id 4: D on a base row                -> dropped
+    changes = pd.DataFrame(
+        {
+            "id": [1, 1, 2, 2, 5, 4],
+            "seq": [1, 2, 4, 5, 1, 9],
+            "op": ["D", "U", "U", "D", "U", "D"],
+            "bal": [0.0, 99.0, 7.0, 0.0, 55.0, 0.0],
+        }
+    )
+    sdf = cdc_apply(
+        spark.createDataFrame(base),
+        spark.createDataFrame(changes),
+        keys=["id"],
+        seq_cols=["seq"],
+        value_cols=["bal"],
+    ).toPandas()
+    got = dict(zip(sdf.id, sdf.bal))
+    assert got == {1: 99.0, 3: 30.0, 5: 55.0}
+    chg = dict(zip(sdf.id, sdf.changed))
+    assert chg == {1: 1, 3: 0, 5: 1}
+    con = duckdb.connect()
+    con.register("b", base)
+    con.register("c", changes)
+    odf = con.execute(
+        cdc_apply_oracle_sql(
+            "b", "c", keys=["id"], seq_cols=["seq"], value_cols=["bal"]
+        )
+    ).fetchdf()
+    assert _compare("cdc_apply", sdf, odf)
+
+
+# ----------------------------------------------- dsir_budget_select
+
+def test_dsir_budget_uses_dsir_scores_as_quality(spark):
+    """The composed query's selected set must be exactly the greedy
+    logw-descending prefix within the token budget — verified against
+    an independently computed reference from dsir_scores + pandas."""
+    import __spark_entry__ as entrymod
+    from centimators_spark.text.dsir import dsir_scores
+    from centimators_spark.text.portable import tokens
+
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = entrymod.load_table(spark, sf, "documents")
+    scores = dsir_scores(docs, entrymod.DSIR_TARGET).toPandas()
+    ntok = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).toPandas()
+    ref = scores.merge(ntok, on="doc_id").sort_values(
+        ["logw_micro", "doc_id"], ascending=[False, True]
+    )
+    budget = int(ref.n_tokens.sum() * entrymod.DSIR_BUDGET_FRAC)
+    ref["cum"] = ref.n_tokens.cumsum()
+    want = set(ref[ref.cum <= budget].doc_id)
+    got = entrymod.q_dsir_budget_select(spark, sf).toPandas()
+    assert set(got.doc_id) == want
+    assert (got.score.values == got.score.values) .all()  # no NaN scores

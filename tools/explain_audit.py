@@ -1265,6 +1265,71 @@ def main():
         "EvalPython" not in p and "ArrowEvalPython" not in p,
     )
 
+    # ---- round-12 additions (the r13 staged set) ----------------------
+    p = plan_of(st["dsir_budget_select"](spark, sf_dir))
+    ok &= audit(
+        "dsir_budget_select: the DSIR importance table BROADCASTS"
+        " into the proposal scan and the budget prefix runs as the"
+        " two-phase cell cumsum (only the ≤n_cells offsets window is"
+        " unpartitioned) — composed flagship keeps both stages'"
+        " scale shapes; no cartesian, no Python",
+        "BroadcastHashJoin" in p
+        and "__cell" in p
+        and "CartesianProduct" not in p
+        and "EvalPython" not in p,
+    )
+
+    p = plan_of(st["join_skew_audit"](spark, sf_dir))
+    ok &= audit(
+        "join_skew_audit: ONE fact scan exploded to (key, value)"
+        " pairs feeding a map-side-combined count; quantiles run on"
+        " the value-frequency rollup and the hottest-key join"
+        " broadcasts the |key_cols|-row per-key table — no"
+        " unpartitioned data-scale window, no Python, no cartesian",
+        p.count("FileScan") <= 1
+        and "partial_count" in p
+        and "BroadcastHashJoin" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(st["theil_sen_trend"](spark, sf_dir))
+    ok &= audit(
+        "theil_sen_trend: the corpus-sized work is ONE map-side-"
+        "combined daily rollup; the pair join and median window run"
+        " on the calendar-bounded rollup (C(days,2) per group,"
+        " row-count independent) — no corpus self-join, no Python",
+        "partial_sum" in p
+        and "Window" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(st["cdc_apply"](spark, sf_dir))
+    ok &= audit(
+        "cdc_apply: the change stream reduces to its per-key head"
+        " via one row_number window, then ONE join against the base"
+        " on the same key (bucket both at 100 TB and it's"
+        " shuffle-free) — no per-column pass, no Python",
+        "Window" in p
+        and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+             or "BroadcastHashJoin" in p)
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(st["event_paths"](spark, sf_dir))
+    ok &= audit(
+        "event_paths: one lead-window over the user shuffle, one"
+        " map-side-combined path count, top-k as"
+        " TakeOrderedAndProject (per-partition heaps, never a full"
+        " sort); no Python",
+        "Window" in p
+        and "TakeOrderedAndProject" in p
+        and "partial_count" in p
+        and "EvalPython" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
