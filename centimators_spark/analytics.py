@@ -237,7 +237,10 @@ def event_paths(
     generalization of :func:`transition_counts` (sequential pattern
     mining over clickstreams; the funnel-discovery primitive: the
     paths users actually take, not the funnel you guessed). Per user,
-    every window of ``n`` CONSECUTIVE events (ordered by (ts, id))
+    every window of ``n`` CONSECUTIVE events (ordered by (ts, id),
+    NULLS LAST explicitly — Spark's ascending default is NULLS FIRST
+    where DuckDB's is NULLS LAST, and a NULL-ts event would shift
+    every window in its user's stream differently per engine)
     contributes one '>'-joined path; paths that would run off the end
     of a user's stream are excluded, as is any window containing a
     NULL event type (Spark's concat_ws skips NULLs while SQL ``||``
@@ -250,7 +253,9 @@ def event_paths(
     engines. Output: (path, n_occurrences), k rows."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     steps = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, n)
     ]
@@ -284,7 +289,7 @@ def event_paths_oracle_sql(
     """DuckDB mirror of :func:`event_paths`."""
     leads = [f"{type_sql} AS s0"] + [
         f"lead({type_sql}, {i}) OVER (PARTITION BY {user_sql}"
-        f" ORDER BY {ts_sql}, {id_sql}) AS s{i}"
+        f" ORDER BY {ts_sql} NULLS LAST, {id_sql} NULLS LAST) AS s{i}"
         for i in range(1, n)
     ]
     not_null = " AND ".join(f"s{i} IS NOT NULL" for i in range(n))

@@ -43,18 +43,29 @@ def test_event_paths_hand_trace_and_oracle(spark):
         (12, 4, "2024-01-04 00:02:00", "b"),
         (13, 4, "2024-01-04 00:03:00", "c"),
         (14, 4, "2024-01-04 00:04:00", "d"),
+        # user 5: a NULL-ts event must sort LAST on BOTH engines
+        # (Spark's asc default is NULLS FIRST — the explicit
+        # asc_nulls_last in event_paths is what keeps parity)
+        (15, 5, None, "x"),
+        (16, 5, "2024-01-05 00:00:00", "a"),
+        (17, 5, "2024-01-05 00:01:00", "b"),
+        (18, 5, "2024-01-05 00:02:00", "c"),
     ]
     from datetime import datetime
 
     df = spark.createDataFrame(
-        [(i, u, datetime.fromisoformat(t), e) for i, u, t, e in rows],
+        [
+            (i, u, datetime.fromisoformat(t) if t else None, e)
+            for i, u, t, e in rows
+        ],
         "event_id long, user_id long, ts timestamp, event_type string",
     )
     got = {
         r.path: r.n_occurrences
         for r in event_paths(df).collect()
     }
-    assert got == {"a>b>c": 2, "b>c>d": 2}
+    # user 5 contributes a>b>c and b>c>x (the NULL-ts 'x' sorts last)
+    assert got == {"a>b>c": 3, "b>c>d": 2, "b>c>x": 1}
     con = duckdb.connect()
     con.register(
         "events",
