@@ -24,6 +24,14 @@ def test_pick_outliers_selects_loaded_host_reading():
     assert out == {"panel_features", "session_ids"}
 
 
+def test_pick_outliers_catches_chunk_degradation_band():
+    # the r12 live run's class: whole-chunk JVM degradation putting
+    # queries at 2.4-2.8x trailing — must be re-run under factor 2.0
+    trailing = {"kcore_dupgraph": 3.53, "naive_bayes": 1.63}
+    timings = {"kcore_dupgraph": 9.79, "naive_bayes": 3.90}
+    assert set(bench.pick_outliers(timings, trailing)) == set(timings)
+
+
 def test_pick_outliers_ignores_subhalfsecond_flutter():
     # 4x trailing but the delta is 0.3 s — the documented noise band,
     # never worth a fresh JVM
