@@ -4450,6 +4450,79 @@ def _event_paths_oracle() -> str:
     return event_paths_oracle_sql("events")
 
 
+def q_fdr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth composed flagship — the multiple-comparisons step after a
+    fanned-out test: the one-pass sign-flip permutation test runs per
+    (event_type, month) over the signed/NULL derivation (60 parallel
+    hypotheses from ONE corpus scan), then Benjamini-Hochberg step-up
+    FDR control at q = 0.10 marks which segments' lifts survive
+    adjustment (ml/abtest.benjamini_hochberg — exact integer
+    cross-multiplication over the permutation p_milli carriers)."""
+    from centimators_spark.ml.abtest import benjamini_hochberg
+    from centimators_spark.ml.bootstrap import permutation_sign_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"),
+            F.lit("|"),
+            F.dayofmonth("ts").cast("string"),
+        ).alias("seg"),
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.col("value")
+            * F.when(F.col("event_id") % 2 == 0, -1).otherwise(1),
+        ).alias("sv"),
+    )
+    tests = permutation_sign_test(ev, "seg", "event_id", "sv")
+    return benjamini_hochberg(tests, "grp", "p_milli")
+
+
+def _fdr_audit_oracle() -> str:
+    from centimators_spark.ml.abtest import benjamini_hochberg_oracle_sql
+    from centimators_spark.ml.bootstrap import (
+        permutation_sign_test_oracle_sql,
+    )
+
+    signed_with_ts = (
+        "(SELECT event_type, event_id, user_id, ts,"
+        " CASE WHEN event_id % 7 <> 0 THEN value *"
+        " (CASE WHEN event_id % 2 = 0 THEN -1 ELSE 1 END) END AS sv"
+        " FROM events)"
+    )
+    tests = permutation_sign_test_oracle_sql(
+        signed_with_ts,
+        "(event_type || '|' || CAST(day(ts) AS VARCHAR))",
+        "event_id",
+        "sv",
+    )
+    return benjamini_hochberg_oracle_sql(f"({tests})")
+
+
+def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold era assignment (model_selection.purged_kfold_eras,
+    López de Prado PurgedKFold) over lineitem ship months: 5
+    contiguous era folds, 1-era embargo purged on each side of every
+    validation block — the CV geometry walk-forward splits can't
+    express (train on both sides, leak-free)."""
+    from centimators_spark.model_selection import purged_kfold_eras
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("era")
+    )
+    return purged_kfold_eras(li, "era")
+
+
+def _purged_kfold_oracle() -> str:
+    from centimators_spark.model_selection import (
+        purged_kfold_eras_oracle_sql,
+    )
+
+    return purged_kfold_eras_oracle_sql(
+        "lineitem", "date_trunc('month', l_shipdate)"
+    )
+
+
 def _r13_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dsir_budget_select": q_dsir_budget_select,
@@ -4457,6 +4530,8 @@ def _r13_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": q_theil_sen_trend,
         "cdc_apply": q_cdc_apply,
         "event_paths": q_event_paths,
+        "fdr_audit": q_fdr_audit,
+        "purged_kfold": q_purged_kfold,
     }
 
 
@@ -4467,6 +4542,8 @@ def _r13_staged_oracles() -> dict[str, str]:
         "theil_sen_trend": _theil_sen_trend_oracle(),
         "cdc_apply": _cdc_apply_oracle(),
         "event_paths": _event_paths_oracle(),
+        "fdr_audit": _fdr_audit_oracle(),
+        "purged_kfold": _purged_kfold_oracle(),
     }
 
 

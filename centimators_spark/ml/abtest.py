@@ -367,3 +367,107 @@ def sprt_bernoulli_oracle_sql(
                     ELSE 'continue' END AS decision
         FROM agg
     """
+
+
+def benjamini_hochberg(
+    tests: DataFrame,
+    group_col: str,
+    p_col: str,
+    *,
+    q_milli: int = 100,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg
+    1995) over a table of per-hypothesis p-values — the
+    multiple-comparisons step every experimentation platform needs
+    after fanning a test across segments: at FDR level q, find the
+    largest rank k with p_(k) ≤ (k/m)·q and reject every hypothesis
+    with p ≤ p_(k) (threshold form — tie-inclusive, the statsmodels
+    convention, identical on both engines).
+
+    Exactness: p-values arrive as integer milli-units (the
+    permutation/SPRT carrier), so the step-up condition is the exact
+    integer cross-multiplication p_milli·m ≤ rank·q_milli — no float
+    anywhere. Ranks order by (p, group) — deterministic under ties.
+    NULL p-values are excluded on both engines (no test to adjust).
+
+    Scale: the input is one row per HYPOTHESIS (group-cardinality —
+    the output of a grouped test kernel, inherently small); the one
+    unpartitioned rank window spans m hypothesis rows, never data
+    (same class as budget_select's ≤n_cells offsets window). The
+    hypothesis table is localCheckpointed: the step-up threshold is
+    an aggregate OVER the ranked rows joined back AGAINST them, and
+    without the lineage cut both consumers would re-execute the
+    upstream test kernel — a second corpus scan (caught by the plan
+    audit). Output: (grp, p_milli, p_rank, m_tests, rejected)."""
+    from pyspark.sql import Window
+
+    base = (
+        tests.select(
+            F.col(group_col).alias("grp"),
+            F.col(p_col).cast("long").alias("p_milli"),
+        )
+        .where(F.col(p_col).isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    w_rank = Window.orderBy("p_milli", "grp")
+    w_all = Window.partitionBy()
+    ranked = base.withColumn(
+        "p_rank", F.row_number().over(w_rank).cast("long")
+    ).withColumn("m_tests", F.count(F.lit(1)).over(w_all).cast("long"))
+    sel = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p_milli") * F.col("m_tests")
+                <= F.col("p_rank") * F.lit(int(q_milli)),
+                F.col("p_milli"),
+            )
+        ).alias("__p_star")
+    )
+    return ranked.crossJoin(F.broadcast(sel)).select(
+        "grp",
+        "p_milli",
+        "p_rank",
+        "m_tests",
+        F.when(
+            F.col("__p_star").isNotNull()
+            & (F.col("p_milli") <= F.col("__p_star")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("rejected"),
+    )
+
+
+def benjamini_hochberg_oracle_sql(
+    tests_sql: str,
+    group_sql: str = "grp",
+    p_sql: str = "p_milli",
+    *,
+    q_milli: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`benjamini_hochberg`."""
+    return f"""
+        WITH base AS (
+          SELECT {group_sql} AS grp,
+                 CAST({p_sql} AS BIGINT) AS p_milli
+          FROM {tests_sql}
+          WHERE {p_sql} IS NOT NULL
+        ), ranked AS (
+          SELECT grp, p_milli,
+                 CAST(row_number() OVER (ORDER BY p_milli, grp)
+                      AS BIGINT) AS p_rank,
+                 CAST(count(*) OVER () AS BIGINT) AS m_tests
+          FROM base
+        ), sel AS (
+          SELECT max(CASE WHEN p_milli * m_tests
+                            <= p_rank * {int(q_milli)}
+                     THEN p_milli END) AS p_star
+          FROM ranked
+        )
+        SELECT grp, p_milli, p_rank, m_tests,
+               CAST(CASE WHEN p_star IS NOT NULL
+                          AND p_milli <= p_star
+                    THEN 1 ELSE 0 END AS INTEGER) AS rejected
+        FROM ranked CROSS JOIN sel
+    """

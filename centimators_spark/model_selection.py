@@ -223,3 +223,99 @@ def grid_search(
         "best_estimator": best[2],
         "results": results,
     }
+
+
+def purged_kfold_eras(
+    df: DataFrame,
+    era_col: str,
+    *,
+    k: int = 5,
+    embargo_eras: int = 1,
+) -> DataFrame:
+    """Purged K-fold CV over ERAS (López de Prado 2018, "Advances in
+    Financial Machine Learning" ch. 7 — PurgedKFold): unlike the
+    walk-forward :func:`time_series_splits`, each fold validates on a
+    CONTIGUOUS middle block of eras and trains on BOTH sides, with the
+    ``embargo_eras`` eras adjacent to the validation block PURGED from
+    training (overlapping label horizons leak both directions). The
+    CV geometry behind backtest-overfitting checks (PBO/DSR).
+
+    Era → fold assignment is the exact integer rule
+    fold = ((rank−1)·k) // n over the era rank (1-based, era order),
+    so folds are contiguous and sizes differ by at most one — both
+    engines compute the identical map. Output: the (fold, era, role)
+    assignment table, role ∈ {'val', 'purged', 'train'}, k rows per
+    era; row-level application is one broadcast join on the era.
+
+    Scale: ONE map-side-combined distinct-era aggregation is the only
+    corpus-sized work; the rank window and the k-fold cross join run
+    on the era table (calendar-bounded). NULL eras are excluded on
+    both engines (they belong to no fold)."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if embargo_eras < 0:
+        raise ValueError(f"embargo_eras must be >= 0, got {embargo_eras}")
+    eras = (
+        df.where(F.col(era_col).isNotNull())
+        .select(F.col(era_col).alias("era"))
+        .distinct()
+    )
+    w = Window.orderBy("era")
+    ranked = eras.withColumn("__r", F.row_number().over(w).cast("long"))
+    folds = ranked.select(
+        "era",
+        "__r",
+        F.explode(
+            F.array(*[F.lit(f) for f in range(k)])
+        ).alias("fold"),
+    )
+    n = eras.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    g = folds.crossJoin(F.broadcast(n))
+    # fold f covers ranks [lo_f, hi_f]: lo = n*f//k + 1, hi = n*(f+1)//k
+    lo = (F.floor(F.col("__n") * F.col("fold") / k) + 1).cast("long")
+    hi = F.floor(F.col("__n") * (F.col("fold") + 1) / k).cast("long")
+    e = F.lit(int(embargo_eras))
+    role = (
+        F.when((F.col("__r") >= lo) & (F.col("__r") <= hi), "val")
+        .when(
+            (F.col("__r") >= lo - e) & (F.col("__r") <= hi + e), "purged"
+        )
+        .otherwise("train")
+    )
+    return g.select("fold", "era", role.alias("role"))
+
+
+def purged_kfold_eras_oracle_sql(
+    table: str,
+    era_sql: str,
+    *,
+    k: int = 5,
+    embargo_eras: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`purged_kfold_eras`."""
+    e = int(embargo_eras)
+    return f"""
+        WITH eras AS (
+          SELECT DISTINCT {era_sql} AS era FROM {table}
+          WHERE {era_sql} IS NOT NULL
+        ), ranked AS (
+          SELECT era,
+                 CAST(row_number() OVER (ORDER BY era) AS BIGINT) AS r,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM eras
+        ), g AS (
+          SELECT era, r, n, CAST(f AS INTEGER) AS fold
+          FROM ranked CROSS JOIN range({k}) t(f)
+        )
+        SELECT fold, era,
+               CASE
+                 WHEN r >= (n * fold) // {k} + 1
+                  AND r <= (n * (fold + 1)) // {k} THEN 'val'
+                 WHEN r >= (n * fold) // {k} + 1 - {e}
+                  AND r <= (n * (fold + 1)) // {k} + {e} THEN 'purged'
+                 ELSE 'train'
+               END AS role
+        FROM g
+    """

@@ -276,3 +276,96 @@ def test_dsir_budget_uses_dsir_scores_as_quality(spark):
     got = entrymod.q_dsir_budget_select(spark, sf).toPandas()
     assert set(got.doc_id) == want
     assert (got.score.values == got.score.values) .all()  # no NaN scores
+
+
+# ------------------------------------------------- benjamini_hochberg
+
+def test_benjamini_hochberg_step_up_semantics(spark):
+    from centimators_spark.ml.abtest import (
+        benjamini_hochberg,
+        benjamini_hochberg_oracle_sql,
+    )
+
+    # the STEP-UP property: rank 2 (p=50 > 20*2/1000) fails its own
+    # threshold but a LATER rank qualifies (rank 4: 60*5 <= 400), so
+    # every p <= 60 is rejected — including the individually-failing
+    # p=50. m=5, q=0.10: condition p_milli*5 <= rank*100.
+    rows = [("a", 15), ("b", 50), ("c", 55), ("d", 60), ("e", 1000),
+            ("f", None)]
+    pdf = pd.DataFrame(rows, columns=["grp", "p_milli"]).astype(
+        {"p_milli": "Int64"}
+    )
+    df = spark.createDataFrame(rows, "grp string, p_milli long")
+    sdf = benjamini_hochberg(df, "grp", "p_milli").toPandas()
+    got = dict(zip(sdf.grp, sdf.rejected))
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 1, "e": 0}
+    assert (sdf.m_tests == 5).all()  # NULL p excluded from m
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(benjamini_hochberg_oracle_sql("t")).fetchdf()
+    assert _compare("bh_stepup", sdf, odf)
+
+    # nothing qualifies -> p_star NULL -> zero rejections
+    rows2 = [("a", 900), ("b", 950)]
+    df2 = spark.createDataFrame(rows2, "grp string, p_milli long")
+    sdf2 = benjamini_hochberg(df2, "grp", "p_milli").toPandas()
+    assert (sdf2.rejected == 0).all()
+    con.register("t2", pd.DataFrame(rows2, columns=["grp", "p_milli"]))
+    odf2 = con.execute(benjamini_hochberg_oracle_sql("t2")).fetchdf()
+    assert _compare("bh_none", sdf2, odf2)
+
+
+# ----------------------------------------------------- purged_kfold
+
+def test_purged_kfold_hand_trace(spark):
+    from centimators_spark.model_selection import (
+        purged_kfold_eras,
+        purged_kfold_eras_oracle_sql,
+    )
+
+    # 10 eras, k=5 -> folds of 2, embargo 1: fold 2 validates ranks
+    # 5-6 (eras 50,60), purges ranks 4 and 7, trains the rest
+    rows = [(e,) for e in range(10, 101, 10)] + [(None,), (50,)]
+    pdf = pd.DataFrame(rows, columns=["era"]).astype({"era": "Int64"})
+    df = spark.createDataFrame(rows, "era long")
+    sdf = purged_kfold_eras(df, "era").toPandas()
+    assert len(sdf) == 50  # 5 folds x 10 eras; NULL era excluded
+    f2 = sdf[sdf.fold == 2].set_index("era").role
+    assert f2[50] == "val" and f2[60] == "val"
+    assert f2[40] == "purged" and f2[70] == "purged"
+    assert all(f2[e] == "train" for e in (10, 20, 30, 80, 90, 100))
+    # every fold validates exactly 2 eras and purges exactly 2 here
+    per = sdf.groupby(["fold", "role"]).size()
+    assert all(per[f, "val"] == 2 for f in range(5))
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(purged_kfold_eras_oracle_sql("t", "era")).fetchdf()
+    assert _compare("purged_kfold", sdf, odf)
+
+
+def test_purged_kfold_uneven_and_edges(spark):
+    from centimators_spark.model_selection import (
+        purged_kfold_eras,
+        purged_kfold_eras_oracle_sql,
+    )
+    import pytest
+
+    # n=10, k=3 -> fold sizes 3/3/4 by the integer rule; boundary
+    # folds only purge inward
+    rows = [(e,) for e in range(1, 11)]
+    df = spark.createDataFrame(rows, "era long")
+    sdf = purged_kfold_eras(df, "era", k=3).toPandas()
+    sizes = sdf[sdf.role == "val"].groupby("fold").size()
+    assert list(sizes) == [3, 3, 4]
+    f0 = sdf[sdf.fold == 0].set_index("era").role
+    assert f0[4] == "purged" and f0[5] == "train"  # only inward purge
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["era"]))
+    odf = con.execute(
+        purged_kfold_eras_oracle_sql("t", "era", k=3)
+    ).fetchdf()
+    assert _compare("purged_kfold_uneven", sdf, odf)
+    with pytest.raises(ValueError):
+        purged_kfold_eras(df, "era", k=1)
+    with pytest.raises(ValueError):
+        purged_kfold_eras(df, "era", embargo_eras=-1)

@@ -1330,6 +1330,32 @@ def main():
         and "EvalPython" not in p,
     )
 
+    p = plan_of(st["fdr_audit"](spark, sf_dir))
+    ok &= audit(
+        "fdr_audit: the 150 segment hypotheses are computed ONCE"
+        " (the permutation kernel runs at the BH checkpoint — zero"
+        " FileScans in the final plan proves the lineage cut; without"
+        " it the threshold aggregate re-executed the corpus scan);"
+        " the BH rank window spans hypothesis rows only and the"
+        " 1-row threshold broadcasts back; no Python",
+        p.count("FileScan") == 0
+        and "BroadcastNestedLoopJoin" in p  # the 1-row p_star scalar
+        and "Window" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
+    p = plan_of(st["purged_kfold"](spark, sf_dir))
+    ok &= audit(
+        "purged_kfold: ONE map-side-combined distinct-era agg is the"
+        " only corpus-sized work; the rank window and the k-fold"
+        " explode run on the era table (calendar-bounded); the era"
+        " count broadcasts — no Python, no data-scale window",
+        "partial_" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
