@@ -612,6 +612,47 @@ BQ_QUANTILES = ((1, 4), (1, 2), (3, 4))
 BQ_NAMES = ("q25", "q50", "q75")
 
 
+def _bq_base(
+    df: DataFrame, group_col: str, id_col: str, value_col: str
+) -> DataFrame:
+    """(grp, __h, __v): portable hash + centi-value projection shared
+    by the sketch builder, the sample-rows accessor, and the streaming
+    maintenance operator — one definition so they can never
+    desynchronize. NULL values and NULL ids excluded (the MWU
+    discipline; a NULL id has no hash)."""
+    h = md5_long(
+        F.concat(F.lit("bq:"), F.col(id_col).cast("string"))
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return df.select(
+        F.col(group_col).alias("grp"),
+        h.alias("__h"),
+        cents.alias("__v"),
+    ).where(F.col("__v").isNotNull() & F.col("__h").isNotNull())
+
+
+def bottomk_sample_rows(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    k: int = BQ_K,
+) -> DataFrame:
+    """The raw bottom-k sample — (grp, h, v), the k rows per group
+    with the lexicographically smallest (md5 hash, value) pair. This
+    IS the sketch's mergeable state (merge = union + re-truncate-to-k)
+    and the parity target for the streaming maintenance operator
+    (streaming/sketch.bottomk_sample_stream)."""
+    base = _bq_base(df, group_col, id_col, value_col)
+    w_h = Window.partitionBy("grp").orderBy("__h", "__v")
+    return (
+        base.withColumn("__rh", F.row_number().over(w_h))
+        .where(F.col("__rh") <= k)
+        .select("grp", F.col("__h").alias("h"), F.col("__v").alias("v"))
+    )
+
+
 def bottomk_quantile_sketch(
     df: DataFrame,
     group_col: str,
@@ -645,15 +686,7 @@ def bottomk_quantile_sketch(
     NULLS LAST — NULL-keyed rows would fill the Spark sample but not
     the oracle's). Output: (grp, n_rows, k_eff, *sample_names,
     *exact_names)."""
-    h = md5_long(
-        F.concat(F.lit("bq:"), F.col(id_col).cast("string"))
-    )
-    cents = F.round(F.col(value_col) * 100).cast("long")
-    base = df.select(
-        F.col(group_col).alias("grp"),
-        h.alias("__h"),
-        cents.alias("__v"),
-    ).where(F.col("__v").isNotNull() & F.col("__h").isNotNull())
+    base = _bq_base(df, group_col, id_col, value_col)
     w_h = Window.partitionBy("grp").orderBy("__h", "__v")
     w_v = Window.partitionBy("grp").orderBy("__v", "__h")
     w_n = Window.partitionBy("grp")

@@ -73,3 +73,104 @@ def hll_registers_stream(
             "hll_registers_stream expects a streaming DataFrame"
         )
     return hll_register_cells(docs_stream, group_col, item_col)
+
+
+def bottomk_sample_stream(
+    events_stream: DataFrame,
+    *,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = None,
+) -> DataFrame:
+    """Running bottom-k quantile SAMPLE over an event stream — the
+    incremental half of :func:`sketches.bottomk_quantile_sketch`,
+    completing the streaming story for the fifth mergeable sketch
+    family (count-min and HLL stream above; bottom-k's merge is
+    union + re-truncate-to-k, which no built-in streaming aggregate
+    expresses, so this is an ``applyInPandasWithState`` custom
+    stateful operator — the engine's documented extension point).
+
+    Per group the STATE is the k lexicographically smallest
+    (md5 hash, centi-value) pairs — KB-sized regardless of stream
+    length. The hash and centi-value are computed JVM-side in the
+    pre-projection (the shared :func:`sketches._bq_base` expressions,
+    so batch and stream can never desynchronize); Python only merges
+    two ≤(k + batch)-row integer lists per group per micro-batch.
+
+    Output (update mode): the group's full current sample each
+    micro-batch, tagged with a per-group generation counter ``gen``
+    (rows with the max gen per group ARE the sample after the last
+    batch — the incremental==batch parity contract,
+    tests/test_streaming.py)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from centimators_spark.sketches import BQ_K, _bq_base
+
+    kk = BQ_K if k is None else int(k)
+    if not events_stream.isStreaming:
+        raise ValueError(
+            "bottomk_sample_stream expects a streaming DataFrame"
+        )
+    narrow = _bq_base(events_stream, group_col, id_col, value_col)
+    out_schema = StructType(
+        [
+            StructField("grp", StringType()),
+            StructField("gen", LongType()),
+            StructField("h", LongType()),
+            StructField("v", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hs", ArrayType(LongType())),
+            StructField("vs", ArrayType(LongType())),
+            StructField("gen", LongType()),
+        ]
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, vs, gen = state.get
+            rows = list(zip(hs, vs))
+        else:
+            rows, gen = [], 0
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    (int(x) for x in pdf["__h"]),
+                    (int(x) for x in pdf["__v"]),
+                )
+            )
+        rows.sort()  # (h, v) lexicographic — the batch rh ordering
+        rows = rows[:kk]
+        gen += 1
+        state.update(([h for h, _ in rows], [v for _, v in rows], gen))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(rows),
+                "gen": [gen] * len(rows),
+                "h": [h for h, _ in rows],
+                "v": [v for _, v in rows],
+            }
+        )
+
+    return narrow.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -660,3 +660,64 @@ def test_stream_hll_rejects_batch_frame(spark):
 
     with pytest.raises(ValueError):
         hll_registers_stream(load_table(spark, SF, "documents"))
+
+
+def test_stream_bottomk_sample_matches_batch_multibatch(spark, tmp_path):
+    """Bottom-k sample maintained incrementally across TWO
+    micro-batches (applyInPandasWithState merge = union +
+    re-truncate-to-k) must equal the one-shot batch sample rows
+    exactly — the streaming state IS the sketch, k rows per group."""
+    from centimators_spark.sketches import bottomk_sample_rows
+    from centimators_spark.streaming.sketch import bottomk_sample_stream
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/a.parquet"
+    )
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src + "/b.parquet"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        bottomk_sample_stream(stream)
+        .writeStream.format("memory")
+        .queryName("bq_sample")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1  # really ran >1 micro-batch
+    all_rows = spark.sql("SELECT * FROM bq_sample").toPandas()
+    # rows at each group's max generation = the final running sample
+    last = all_rows[
+        all_rows.gen == all_rows.groupby("grp").gen.transform("max")
+    ]
+    got = (
+        last[["grp", "h", "v"]]
+        .sort_values(["grp", "h", "v"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        bottomk_sample_rows(ev, "event_type", "event_id", "value")
+        .toPandas()
+        .sort_values(["grp", "h", "v"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    # each group's final sample is exactly k rows (corpus >> k here)
+    assert (last.groupby("grp").size() == 64).all()
+
+
+def test_stream_bottomk_rejects_batch_frame(spark):
+    from centimators_spark.streaming.sketch import bottomk_sample_stream
+
+    with pytest.raises(ValueError):
+        bottomk_sample_stream(load_table(spark, SF, "events"))
