@@ -4523,6 +4523,34 @@ def _purged_kfold_oracle() -> str:
     )
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS/count-min join-size estimate (sketches.cms_join_size): how
+    many (event, order) pairs would the many-to-many
+    events.user_id ⋈ orders.o_custkey equi-join emit? Each side is
+    sketched independently in one scan (d×w KB cells — at 100 TB,
+    build at ingest and the estimate is free at plan time); the
+    sketch inner product min over d rows upper-bounds the true size
+    (overcount ≥ 0 always), and the exact size rides along as the
+    witness, computed on per-key counts, never the row-level join.
+    The planning companion of join_skew_audit."""
+    from centimators_spark.sketches import cms_join_size
+
+    return cms_join_size(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+    )
+
+
+def _join_size_estimate_oracle() -> str:
+    from centimators_spark.sketches import cms_join_size_oracle_sql
+
+    return cms_join_size_oracle_sql(
+        "events", "user_id", "orders", "o_custkey"
+    )
+
+
 def _r13_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dsir_budget_select": q_dsir_budget_select,
@@ -4532,6 +4560,7 @@ def _r13_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "fdr_audit": q_fdr_audit,
         "purged_kfold": q_purged_kfold,
+        "join_size_estimate": q_join_size_estimate,
     }
 
 
@@ -4544,6 +4573,7 @@ def _r13_staged_oracles() -> dict[str, str]:
         "event_paths": _event_paths_oracle(),
         "fdr_audit": _fdr_audit_oracle(),
         "purged_kfold": _purged_kfold_oracle(),
+        "join_size_estimate": _join_size_estimate_oracle(),
     }
 
 

@@ -142,6 +142,181 @@ def cms_heavy_hitter_oracle_sql(
     """
 
 
+def _key_counts(df: DataFrame, key_col: str) -> DataFrame:
+    """(k, n): per-key occurrence counts of a join-key column (cast
+    string; NULL keys excluded — they never match an equi-join). The
+    ONE corpus-sized aggregation each side of cms_join_size pays:
+    both the sketch cells and the exact witness derive from it, and
+    the identical subtree lets Spark reuse the shuffle
+    (ReusedExchange) instead of scanning the input twice."""
+    return (
+        df.select(F.col(key_col).cast("string").alias("k"))
+        # filter on the CAST key, not the source column: the witness
+        # join infers isnotnull(k) and only an identical filter set
+        # lets ReuseExchange dedupe the two consumers' scan subtrees
+        .where(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _cms_key_cells(key_counts: DataFrame, d: int, w: int) -> DataFrame:
+    """(row, bucket, c): count-min cells built from a (k, n) per-key
+    count table — summing counts per bucket is identical to hashing
+    every occurrence (the CMS cell is a sum either way)."""
+    cells = key_counts.select(
+        "n",
+        F.posexplode(
+            F.array(*[_bucket(F.col("k"), i, w) for i in range(d)])
+        ).alias("row", "bucket"),
+    )
+    return cells.groupBy("row", "bucket").agg(
+        F.sum("n").cast("long").alias("c")
+    )
+
+
+def cms_join_size(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    *,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Equi-join OUTPUT-SIZE estimate from two count-min sketches —
+    the AMS inner-product result (Alon, Matias & Szegedy 1996;
+    Cormode & Muthukrishnan 2005 §4.2): |A ⋈ B| = Σ_k cntA(k)·cntB(k)
+    is estimated by min over the d rows of Σ_b cmsA[r][b]·cmsB[r][b].
+    The join-PLANNING companion of profile.join_skew_audit: each side
+    is sketched independently in one scan (d·w cells, KBs — build
+    them at ingest and the estimate costs nothing at plan time), so a
+    100 TB join's output size is known BEFORE the shuffle is
+    committed. Collisions only ADD nonnegative cross terms, so
+    est ≥ exact ALWAYS — the integer overcount ≥ 0 is the contract,
+    and the EXACT join size rides along as the witness (computed on
+    the aggregated per-key counts, never the row-level cross join).
+
+    Exactness: portable md5 bucket hashes, products/sums on
+    decimal(38,0) (HUGEINT in the oracle) — every number is the same
+    integer on both engines. Output: one row
+    (est_pairs, exact_pairs, overcount).
+
+    Scan accounting: the ESTIMATE half costs one pruned key-column
+    scan per side; the exact witness costs a second (it is the
+    contract's verification side, the theta/bottom-k
+    witness-rides-along precedent — a production caller sizing a join
+    would materialize the (k, n) key-count table once at ingest and
+    derive both sketch and any exact audit from it)."""
+    d38 = "decimal(38,0)"
+    ka = _key_counts(a, a_key)
+    kb = _key_counts(b, b_key)
+    ca = _cms_key_cells(ka, d, w)
+    cb = _cms_key_cells(kb, d, w)
+    prod = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(
+            F.sum(
+                (F.col("a.c").cast(d38) * F.col("b.c").cast(d38)).cast(
+                    d38
+                )
+            )
+            .cast(d38)
+            .alias("ip")
+        )
+    )
+    # a row with ZERO matched buckets drops out of the inner cell
+    # join — its inner product is 0, so the min is 0 whenever fewer
+    # than d rows survive (the disjoint-keys regime; est == exact == 0)
+    est = prod.agg(
+        F.when(F.count(F.lit(1)) < d, F.lit(0).cast(d38))
+        .otherwise(F.min("ip").cast(d38))
+        .alias("est_pairs")
+    )
+    exact = (
+        ka.select("k", F.col("n").alias("na"))
+        .join(kb.select("k", F.col("n").alias("nb")), "k")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("na").cast(d38) * F.col("nb").cast(d38)).cast(
+                        d38
+                    )
+                ),
+                F.lit(0).cast(d38),
+            )
+            .cast(d38)
+            .alias("exact_pairs")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("est_pairs").cast("string").alias("est_pairs"),
+        F.col("exact_pairs").cast("string").alias("exact_pairs"),
+        (F.col("est_pairs") - F.col("exact_pairs"))
+        .cast(d38)
+        .cast("string")
+        .alias("overcount"),
+    )
+
+
+def cms_join_size_oracle_sql(
+    a_table: str,
+    a_key_sql: str,
+    b_table: str,
+    b_key_sql: str,
+    *,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> str:
+    """DuckDB mirror of :func:`cms_join_size` (HUGEINT; identical
+    bucket hashes). est/exact/overcount ship as VARCHAR — they exceed
+    BIGINT at data-scale counts."""
+    h = sql_md5_long("(CAST(i AS VARCHAR) || ':' || tok)")
+    return f"""
+        WITH ta AS (
+          SELECT CAST({a_key_sql} AS VARCHAR) AS tok FROM {a_table}
+          WHERE {a_key_sql} IS NOT NULL
+        ), tb AS (
+          SELECT CAST({b_key_sql} AS VARCHAR) AS tok FROM {b_table}
+          WHERE {b_key_sql} IS NOT NULL
+        ), ca AS (
+          SELECT i AS row, {h} % {w} AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM ta CROSS JOIN range({d}) t(i) GROUP BY 1, 2
+        ), cb AS (
+          SELECT i AS row, {h} % {w} AS bucket,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM tb CROSS JOIN range({d}) t(i) GROUP BY 1, 2
+        ), prod AS (
+          SELECT ca.row,
+                 sum(CAST(ca.c AS HUGEINT) * cb.c) AS ip
+          FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
+          GROUP BY ca.row
+        ), est AS (
+          SELECT CASE WHEN count(*) < {d} THEN CAST(0 AS HUGEINT)
+                 ELSE min(ip) END AS est_pairs
+          FROM prod
+        ),
+        ka AS (
+          SELECT tok AS k, CAST(count(*) AS BIGINT) AS na
+          FROM ta GROUP BY 1
+        ), kb AS (
+          SELECT tok AS k, CAST(count(*) AS BIGINT) AS nb
+          FROM tb GROUP BY 1
+        ), ex AS (
+          SELECT coalesce(sum(CAST(na AS HUGEINT) * nb),
+                          CAST(0 AS HUGEINT)) AS exact_pairs
+          FROM ka JOIN kb USING (k)
+        )
+        SELECT CAST(est_pairs AS VARCHAR) AS est_pairs,
+               CAST(exact_pairs AS VARCHAR) AS exact_pairs,
+               CAST(est_pairs - exact_pairs AS VARCHAR) AS overcount
+        FROM est CROSS JOIN ex
+    """
+
+
 # ------------------------------------------------------------ theta/KMV
 
 THETA_K = 128

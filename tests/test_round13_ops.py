@@ -369,3 +369,55 @@ def test_purged_kfold_uneven_and_edges(spark):
         purged_kfold_eras(df, "era", k=1)
     with pytest.raises(ValueError):
         purged_kfold_eras(df, "era", embargo_eras=-1)
+
+
+# --------------------------------------------------- cms_join_size
+
+def test_cms_join_size_hand_trace_and_bounds(spark):
+    from centimators_spark.sketches import (
+        cms_join_size,
+        cms_join_size_oracle_sql,
+    )
+
+    # exact = cntA(x)*cntB(x) + cntA(y)*cntB(y) = 2*1 + 1*2 = 4;
+    # NULL keys never match and never enter the sketch
+    a = spark.createDataFrame(
+        [("x",), ("x",), ("y",), (None,)], "k string"
+    )
+    b = spark.createDataFrame(
+        [("x",), ("y",), ("y",), ("z",)], "k string"
+    )
+    sdf = cms_join_size(a, "k", b, "k").toPandas()
+    est, exact, over = (
+        int(sdf.est_pairs[0]),
+        int(sdf.exact_pairs[0]),
+        int(sdf.overcount[0]),
+    )
+    assert exact == 4
+    assert est >= exact and over == est - exact >= 0  # CMS guarantee
+    con = duckdb.connect()
+    con.register("ta_", pd.DataFrame({"k": ["x", "x", "y", None]}))
+    con.register("tb_", pd.DataFrame({"k": ["x", "y", "y", "z"]}))
+    odf = con.execute(
+        cms_join_size_oracle_sql("ta_", "k", "tb_", "k")
+    ).fetchdf()
+    assert _compare("cms_join_size", sdf, odf)
+
+    # disjoint key sets: exact = 0 and the estimate collapses to 0
+    # whenever any sketch row has no matched bucket
+    c = spark.createDataFrame([("p",), ("q",)], "k string")
+    d = spark.createDataFrame([("r",), ("s",)], "k string")
+    sdf2 = cms_join_size(c, "k", d, "k").toPandas()
+    assert int(sdf2.exact_pairs[0]) == 0
+    assert int(sdf2.est_pairs[0]) >= 0
+    con.register("tc_", pd.DataFrame({"k": ["p", "q"]}))
+    con.register("td_", pd.DataFrame({"k": ["r", "s"]}))
+    odf2 = con.execute(
+        cms_join_size_oracle_sql("tc_", "k", "td_", "k")
+    ).fetchdf()
+    assert _compare("cms_join_size_disjoint", sdf2, odf2)
+
+    # empty side: exact 0, est 0, no NULLs anywhere
+    e = spark.createDataFrame([], "k string")
+    sdf3 = cms_join_size(e, "k", b, "k").toPandas()
+    assert (int(sdf3.est_pairs[0]), int(sdf3.exact_pairs[0])) == (0, 0)

@@ -1356,6 +1356,23 @@ def main():
         and "CartesianProduct" not in p,
     )
 
+    p = plan_of(st["join_size_estimate"](spark, sf_dir))
+    ok &= audit(
+        "join_size_estimate: the estimate half scans each side ONCE"
+        " (pruned to the key column) into its d x w cell sketch via a"
+        " map-side-combined per-key count; the inner-product join"
+        " runs on CELLS and the exact witness (verification side —"
+        " its 2 extra pruned scans are the witness-rides-along"
+        " precedent) joins per-key COUNT tables — the row-level A x B"
+        " join never happens; no Python, no cartesian of data",
+        p.count("FileScan") == 4  # 2 per side: estimate + witness
+        and "partial_count" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p
+        # every scan is pruned to the single key column
+        and len(re.findall(r"FileScan parquet \[\w+#\d+L?\]", p)) == 4,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 
