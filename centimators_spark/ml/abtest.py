@@ -409,7 +409,13 @@ def benjamini_hochberg(
         .where(F.col(p_col).isNotNull())
         .localCheckpoint(eager=True)
     )
-    w_rank = Window.orderBy("p_milli", "grp")
+    # explicit NULLS LAST on the grp tiebreak: a NULL hypothesis key
+    # (e.g. a NULL segment column flowing into a concat) with a TIED
+    # p_milli would otherwise rank NULLS FIRST on Spark but NULLS
+    # LAST in DuckDB (the event_paths ordering-parity class)
+    w_rank = Window.orderBy(
+        F.col("p_milli").asc_nulls_last(), F.col("grp").asc_nulls_last()
+    )
     w_all = Window.partitionBy()
     ranked = base.withColumn(
         "p_rank", F.row_number().over(w_rank).cast("long")
@@ -455,7 +461,8 @@ def benjamini_hochberg_oracle_sql(
           WHERE {p_sql} IS NOT NULL
         ), ranked AS (
           SELECT grp, p_milli,
-                 CAST(row_number() OVER (ORDER BY p_milli, grp)
+                 CAST(row_number() OVER (ORDER BY p_milli NULLS LAST,
+                                         grp NULLS LAST)
                       AS BIGINT) AS p_rank,
                  CAST(count(*) OVER () AS BIGINT) AS m_tests
           FROM base

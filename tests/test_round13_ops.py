@@ -314,6 +314,20 @@ def test_benjamini_hochberg_step_up_semantics(spark):
     odf2 = con.execute(benjamini_hochberg_oracle_sql("t2")).fetchdf()
     assert _compare("bh_none", sdf2, odf2)
 
+    # a NULL hypothesis key TIED on p_milli must rank identically on
+    # both engines (explicit NULLS LAST — Spark's asc default would
+    # put the NULL grp first, DuckDB's last)
+    rows3 = [("a", 50), (None, 50), ("b", 50), ("z", 900)]
+    df3 = spark.createDataFrame(rows3, "grp string, p_milli long")
+    sdf3 = benjamini_hochberg(df3, "grp", "p_milli").toPandas()
+    ranks = dict(
+        zip(sdf3.grp.where(sdf3.grp.notna(), None), sdf3.p_rank)
+    )
+    assert ranks[None] == 3  # after 'a' and 'b', before 'z'
+    con.register("t3", pd.DataFrame(rows3, columns=["grp", "p_milli"]))
+    odf3 = con.execute(benjamini_hochberg_oracle_sql("t3")).fetchdf()
+    assert _compare("bh_null_grp_tie", sdf3, odf3)
+
 
 # ----------------------------------------------------- purged_kfold
 
