@@ -163,6 +163,32 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("== bottom-k quantile sketch vs exact witness (n_chars) ==")
     bq.orderBy("grp").show(3)
 
+    # ------------------------------------------------------------------
+    # 7. Round-12 additions: size and de-skew a join BEFORE running it,
+    #    and control the false-discovery rate across a fanned-out test.
+    # ------------------------------------------------------------------
+    from centimators_spark.ml.abtest import benjamini_hochberg
+    from centimators_spark.profile import join_skew_audit
+    from centimators_spark.sketches import cms_join_size
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    audit = join_skew_audit(orders, ["o_custkey", "o_orderstatus"])
+    print("== join-key skew audit (salt? broadcast?) ==")
+    audit.orderBy("key_name").show(truncate=False)
+
+    size = cms_join_size(events, "user_id", orders, "o_custkey")
+    print("== CMS join-size estimate vs exact (est >= exact always) ==")
+    size.show()
+
+    tests = spark.createDataFrame(
+        [("seg_a", 5), ("seg_b", 40), ("seg_c", 300), ("seg_d", 900)],
+        "grp string, p_milli long",
+    )
+    print("== Benjamini-Hochberg at q=0.10 over per-segment p-values ==")
+    benjamini_hochberg(tests, "grp", "p_milli").orderBy("p_rank").show()
+
     print("tutorial: OK")
 
 
