@@ -324,6 +324,51 @@ THETA_SPACE = 1 << 60  # md5_long is 60 bits: hashes are uniform in [0, 2^60)
 _THETA_SALTS = 16
 
 
+def theta_retained_rows(
+    df: DataFrame,
+    *,
+    by: str = "source",
+    content_col: str = "text",
+    k: int = THETA_K,
+    n: int = 3,
+) -> DataFrame:
+    """(grp, h): the theta/KMV sketch's mergeable STATE — the k
+    smallest DISTINCT n-gram shingle hashes per group (merge =
+    distinct union + re-truncate-to-k). The batch parity target for
+    streaming/sketch.theta_retained_stream; theta and the retained
+    set that theta_sketch_intersections derives follow from these
+    rows directly. Same two-phase k-smallest selection as the
+    intersection operator (per-(group, salt) rank, then per-group
+    rank over the ≤ k·S survivors — no single task sorts a group's
+    whole distinct-hash set)."""
+    from pyspark.sql import Window
+
+    hashes = (
+        df.select(
+            F.col(by).alias("grp"),
+            F.explode(
+                __import__(
+                    "centimators_spark.text.portable", fromlist=["x"]
+                ).token_ngrams(tokens(F.col(content_col)), n)
+            ).alias("gram"),
+        )
+        .select("grp", md5_long(F.col("gram")).alias("h"))
+        .distinct()
+    )
+    salted = hashes.withColumn(
+        "salt", F.pmod("h", F.lit(_THETA_SALTS))
+    )
+    w1 = Window.partitionBy("grp", "salt").orderBy("h")
+    w2 = Window.partitionBy("grp").orderBy("h")
+    return (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+
+
 def theta_sketch_intersections(
     df: DataFrame,
     *,

@@ -174,3 +174,95 @@ def bottomk_sample_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def theta_retained_stream(
+    docs_stream: DataFrame,
+    *,
+    by: str = "source",
+    content_col: str = "text",
+    k: int = None,
+    n: int = 3,
+) -> DataFrame:
+    """Running theta/KMV retained set over a document stream — the
+    incremental half of the theta family
+    (sketches.theta_sketch_intersections): per group the STATE is the
+    k smallest DISTINCT shingle hashes, so set algebra (intersection /
+    a-not-b estimates) over live corpora costs KBs of state per
+    group. Merge = distinct union + re-truncate-to-k — distinctness
+    makes no built-in streaming aggregate fit, so like the bottom-k
+    sample this is an ``applyInPandasWithState`` operator; the
+    shingle explode + md5 run JVM-side, Python dedupes integer lists.
+
+    Output (update mode): the group's current retained hashes each
+    micro-batch tagged with a generation counter — rows at each
+    group's max gen ARE the sketch (parity vs
+    sketches.theta_retained_rows, tests/test_streaming.py)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from centimators_spark.sketches import THETA_K
+    from centimators_spark.text.portable import (
+        md5_long,
+        token_ngrams,
+        tokens,
+    )
+
+    kk = THETA_K if k is None else int(k)
+    if not docs_stream.isStreaming:
+        raise ValueError(
+            "theta_retained_stream expects a streaming DataFrame"
+        )
+    narrow = docs_stream.select(
+        F.col(by).alias("grp"),
+        F.explode(
+            token_ngrams(tokens(F.col(content_col)), n)
+        ).alias("gram"),
+    ).select("grp", md5_long(F.col("gram")).alias("h"))
+    out_schema = StructType(
+        [
+            StructField("grp", StringType()),
+            StructField("gen", LongType()),
+            StructField("h", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hs", ArrayType(LongType())),
+            StructField("gen", LongType()),
+        ]
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, gen = state.get
+            seen = set(hs)
+        else:
+            seen, gen = set(), 0
+        for pdf in pdfs:
+            seen.update(int(x) for x in pdf["h"])
+        hs = sorted(seen)[:kk]
+        gen += 1
+        state.update((hs, gen))
+        yield pd.DataFrame(
+            {"grp": [key[0]] * len(hs), "gen": [gen] * len(hs), "h": hs}
+        )
+
+    return narrow.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -721,3 +721,54 @@ def test_stream_bottomk_rejects_batch_frame(spark):
 
     with pytest.raises(ValueError):
         bottomk_sample_stream(load_table(spark, SF, "events"))
+
+
+def test_stream_theta_retained_matches_batch_multibatch(spark, tmp_path):
+    """Theta/KMV retained set maintained incrementally across TWO
+    micro-batches (distinct union + re-truncate-to-k) must equal the
+    batch k-smallest-distinct-hash selection exactly — duplicates
+    re-arriving and once-dropped hashes re-arriving are both
+    truncation-stable."""
+    from centimators_spark.sketches import theta_retained_rows
+    from centimators_spark.streaming.sketch import theta_retained_stream
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/a.parquet"
+    )
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        src + "/b.parquet"
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        theta_retained_stream(stream)
+        .writeStream.format("memory")
+        .queryName("theta_ret")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1
+    all_rows = spark.sql("SELECT * FROM theta_ret").toPandas()
+    last = all_rows[
+        all_rows.gen == all_rows.groupby("grp").gen.transform("max")
+    ]
+    got = (
+        last[["grp", "h"]].sort_values(["grp", "h"]).reset_index(drop=True)
+    )
+    exp = (
+        theta_retained_rows(docs)
+        .toPandas()
+        .sort_values(["grp", "h"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+    assert (last.groupby("grp").size() == 128).all()  # corpus >> k
