@@ -4389,6 +4389,25 @@ _CDC_CHANGES_SQL = (
 )
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test (analytics.mann_kendall) over
+    each event type's daily totals — the significance sibling of
+    theil_sen_trend (same daily rollup, exact integer S and
+    tie-corrected var18 carriers; the MWU exact-rational
+    discipline)."""
+    from centimators_spark.analytics import mann_kendall
+
+    return mann_kendall(
+        load_table(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
+
+
+def _mann_kendall_oracle() -> str:
+    from centimators_spark.analytics import mann_kendall_oracle_sql
+
+    return mann_kendall_oracle_sql("events", "event_type", "ts", "value")
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge (reconcile.cdc_apply): the orders stream applied to
     the customer snapshot as a change log — each customer's LATEST
@@ -4556,6 +4575,7 @@ def _r13_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_budget_select": q_dsir_budget_select,
         "join_skew_audit": q_join_skew_audit,
         "theil_sen_trend": q_theil_sen_trend,
+        "mann_kendall": q_mann_kendall,
         "cdc_apply": q_cdc_apply,
         "event_paths": q_event_paths,
         "fdr_audit": q_fdr_audit,
@@ -4569,6 +4589,7 @@ def _r13_staged_oracles() -> dict[str, str]:
         "dsir_budget_select": _dsir_budget_select_oracle(),
         "join_skew_audit": _join_skew_audit_oracle(),
         "theil_sen_trend": _theil_sen_trend_oracle(),
+        "mann_kendall": _mann_kendall_oracle(),
         "cdc_apply": _cdc_apply_oracle(),
         "event_paths": _event_paths_oracle(),
         "fdr_audit": _fdr_audit_oracle(),

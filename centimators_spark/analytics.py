@@ -393,6 +393,115 @@ def theil_sen_trend(
     )
 
 
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend TEST (Mann 1945; Kendall 1975) per group
+    over the group's DAILY TOTALS — the significance sibling of
+    :func:`theil_sen_trend` (Theil-Sen answers "how steep", MK
+    answers "is the monotone trend real"): S = Σ_{i<j} sign(y_j −
+    y_i) over day-ordered pairs, with the tie-corrected variance.
+
+    Exactness (hash-proven): daily totals are exact centi-unit sums;
+    S is an integer sum of signs; the variance ships as the exact
+    integer carrier var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (the
+    classic Var(S)·18, tie groups t over equal daily totals) — z and
+    p-values need a sqrt, so callers derive them; the contract
+    carries the exact integers (the MWU var_num/var_den discipline).
+
+    Scale: identical shape to theil_sen_trend — ONE map-side-combined
+    daily rollup is the corpus-sized work; the sign pairs and the
+    tie aggregation run on the calendar-bounded rollup. NULL values
+    and NULL timestamps are excluded up front on both engines.
+    Output: (grp, n_days, s_stat, var18) for groups with ≥ 2 days."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    day = F.datediff(
+        F.to_date(F.col(ts_col)), F.lit("1970-01-01")
+    ).cast("long")
+    daily = (
+        df.where(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), day.alias("__d"))
+        .agg(F.sum(cents).cast("long").alias("__y"))
+    )
+    a = daily.select(
+        "grp", F.col("__d").alias("__di"), F.col("__y").alias("__yi")
+    )
+    b = daily.select(
+        "grp", F.col("__d").alias("__dj"), F.col("__y").alias("__yj")
+    )
+    pairs = a.join(b, "grp").where(F.col("__di") < F.col("__dj"))
+    s = pairs.groupBy("grp").agg(
+        F.sum(F.signum(F.col("__yj") - F.col("__yi")).cast("long"))
+        .cast("long")
+        .alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("grp", "__y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__ng"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("__tie18"),
+            F.sum("t").cast("long").alias("n_days"),
+        )
+    )
+    n = F.col("n_days")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("__tie18")).cast("long")
+    return (
+        ties.join(s, "grp")
+        .where(n >= 2)
+        .select("grp", "n_days", "s_stat", var18.alias("var18"))
+    )
+
+
+def mann_kendall_oracle_sql(
+    table: str,
+    group_sql: str,
+    ts_sql: str,
+    value_sql: str,
+) -> str:
+    """DuckDB mirror of :func:`mann_kendall`."""
+    return f"""
+        WITH daily AS (
+          SELECT {group_sql} AS grp,
+                 date_diff('day', DATE '1970-01-01',
+                           CAST({ts_sql} AS DATE)) AS d,
+                 CAST(sum(CAST(round({value_sql} * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM {table}
+          WHERE {value_sql} IS NOT NULL AND {ts_sql} IS NOT NULL
+          GROUP BY 1, 2
+        ), s AS (
+          SELECT a.grp,
+                 CAST(sum(CASE WHEN b.y > a.y THEN 1
+                               WHEN b.y < a.y THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b ON a.grp = b.grp AND a.d < b.d
+          GROUP BY a.grp
+        ), ties AS (
+          SELECT grp,
+                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                   AS tie18,
+                 CAST(sum(t) AS BIGINT) AS n_days
+          FROM (SELECT grp, y, CAST(count(*) AS BIGINT) AS t
+                FROM daily GROUP BY grp, y)
+          GROUP BY grp
+        )
+        SELECT t.grp, t.n_days, s.s_stat,
+               CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                    - t.tie18 AS BIGINT) AS var18
+        FROM ties t JOIN s ON t.grp = s.grp
+        WHERE t.n_days >= 2
+    """
+
+
 def theil_sen_trend_oracle_sql(
     table: str,
     group_sql: str,

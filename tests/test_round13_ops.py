@@ -435,3 +435,49 @@ def test_cms_join_size_hand_trace_and_bounds(spark):
     e = spark.createDataFrame([], "k string")
     sdf3 = cms_join_size(e, "k", b, "k").toPandas()
     assert (int(sdf3.est_pairs[0]), int(sdf3.exact_pairs[0])) == (0, 0)
+
+
+# ---------------------------------------------------- mann_kendall
+
+def test_mann_kendall_hand_trace(spark):
+    from centimators_spark.analytics import (
+        mann_kendall,
+        mann_kendall_oracle_sql,
+    )
+
+    # group g daily totals: d0=1.00, d1=1.00, d2=2.00, d3=0.50
+    # pairs (i<j): (1,1)=0 (1,2)=+1 (1,.5)=-1 (1,2)=+1 (1,.5)=-1
+    #              (2,.5)=-1  -> S = -1
+    # ties: totals {100:2, 200:1, 50:1} -> tie18 = 2*1*9 = 18
+    # var18 = 4*3*13 - 18 = 138
+    # group h strictly decreasing 3 days: S = -3, var18 = 3*2*11 = 66
+    rows = [
+        ("g", "2024-01-01 00:00:00", 1.0),
+        ("g", "2024-01-02 00:00:00", 1.0),
+        ("g", "2024-01-03 00:00:00", 2.0),
+        ("g", "2024-01-04 00:00:00", 0.5),
+        ("g", None, 9.0),  # NULL ts excluded
+        ("h", "2024-01-01 00:00:00", 3.0),
+        ("h", "2024-01-02 00:00:00", 2.0),
+        ("h", "2024-01-03 00:00:00", 1.0),
+        ("h", "2024-01-03 12:00:00", None),  # NULL value excluded
+    ]
+    pdf = pd.DataFrame(
+        [(g, pd.Timestamp(t) if t else None, v) for g, t, v in rows],
+        columns=["grp", "ts", "value"],
+    )
+    df = spark.createDataFrame(pdf)
+    sdf = mann_kendall(df, "grp", "ts", "value").toPandas()
+    r = sdf.set_index("grp")
+    assert (r.loc["g"].n_days, r.loc["g"].s_stat, r.loc["g"].var18) == (
+        4, -1, 138,
+    )
+    assert (r.loc["h"].n_days, r.loc["h"].s_stat, r.loc["h"].var18) == (
+        3, -3, 66,
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(
+        mann_kendall_oracle_sql("t", "grp", "ts", "value")
+    ).fetchdf()
+    assert _compare("mann_kendall", sdf, odf)

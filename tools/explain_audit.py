@@ -1356,6 +1356,17 @@ def main():
         and "CartesianProduct" not in p,
     )
 
+    p = plan_of(st["mann_kendall"](spark, sf_dir))
+    ok &= audit(
+        "mann_kendall: same shape as theil_sen_trend — one map-side-"
+        "combined daily rollup is the corpus-sized work; the sign"
+        " pairs and tie aggregation run on the calendar-bounded"
+        " rollup; no Python, no cartesian",
+        "partial_sum" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
     p = plan_of(st["join_size_estimate"](spark, sf_dir))
     ok &= audit(
         "join_size_estimate: the estimate half scans each side ONCE"
