@@ -4389,6 +4389,35 @@ _CDC_CHANGES_SQL = (
 )
 
 
+TIMED_FUNNEL_WITHIN = 6 * 3600  # 6h max gap between adjacent stages
+
+
+def q_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMED funnel view→click→purchase (analytics.funnel with
+    within_seconds): each stage must follow the previous within 6
+    hours or the funnel breaks — the realistic conversion semantics
+    the driver-green unconstrained event_funnel can't express (a
+    purchase a month after the click is not a conversion). Same
+    conditional-min-chain plan, one extra upper bound per stage."""
+    from centimators_spark.analytics import funnel
+    from centimators_spark.plans.relational_queries import FUNNEL_STAGES
+
+    return funnel(
+        load_table(spark, sf_dir, "events"),
+        FUNNEL_STAGES,
+        within_seconds=TIMED_FUNNEL_WITHIN,
+    )
+
+
+def _timed_funnel_oracle() -> str:
+    from centimators_spark.analytics import funnel_oracle_sql
+    from centimators_spark.plans.relational_queries import FUNNEL_STAGES
+
+    return funnel_oracle_sql(
+        "events", FUNNEL_STAGES, within_seconds=TIMED_FUNNEL_WITHIN
+    )
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend test (analytics.mann_kendall) over
     each event type's daily totals — the significance sibling of
@@ -4581,6 +4610,7 @@ def _r13_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fdr_audit": q_fdr_audit,
         "purged_kfold": q_purged_kfold,
         "join_size_estimate": q_join_size_estimate,
+        "timed_funnel": q_timed_funnel,
     }
 
 
@@ -4595,6 +4625,7 @@ def _r13_staged_oracles() -> dict[str, str]:
         "fdr_audit": _fdr_audit_oracle(),
         "purged_kfold": _purged_kfold_oracle(),
         "join_size_estimate": _join_size_estimate_oracle(),
+        "timed_funnel": _timed_funnel_oracle(),
     }
 
 

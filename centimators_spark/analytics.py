@@ -29,11 +29,20 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     broadcast_stages: bool = True,
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel progression: for each user, the earliest time of
     stage k at-or-after their earliest stage k-1 time. Returns one row
     per user with ``t_0 … t_{k-1}`` epoch timestamps (null once the
     funnel breaks) and ``stages_reached``.
+
+    ``within_seconds`` adds the TIMED-funnel constraint every product
+    funnel actually means: stage k must occur within that many whole
+    seconds of the user's stage k-1 time, or the funnel breaks — a
+    purchase a month after the click is not a conversion. None
+    (default) keeps the unconstrained chain; the parameter only adds
+    an upper bound to each conditional min, so the plan shape is
+    unchanged.
 
     Plan: one scan + k tiny conditional-min aggregations per stage,
     each broadcast back — the event table shuffles once per stage on
@@ -53,6 +62,13 @@ def funnel(
         F.min("ts").alias("t_0")
     )
     for i, stage in enumerate(stages[1:], start=1):
+        cond = F.col("ts") >= F.col(f"t_{i-1}")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("ts")
+                <= F.col(f"t_{i-1}")
+                + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+            )
         nxt = (
             ev.where(F.col("et") == stage)
             .join(
@@ -61,7 +77,7 @@ def funnel(
                 else cur.select("user_id", f"t_{i-1}"),
                 "user_id",
             )
-            .where(F.col("ts") >= F.col(f"t_{i-1}"))
+            .where(cond)
             .groupBy("user_id")
             .agg(F.min("ts").alias(f"t_{i}"))
         )
@@ -86,8 +102,10 @@ def funnel_oracle_sql(
     user_sql: str = "user_id",
     ts_sql: str = "ts",
     type_sql: str = "event_type",
+    within_seconds: int | None = None,
 ) -> str:
-    """DuckDB mirror of :func:`funnel` (same conditional-min chain)."""
+    """DuckDB mirror of :func:`funnel` (same conditional-min chain,
+    same optional whole-second gap bound)."""
     ctes = [
         f"""s0 AS (
           SELECT {user_sql} AS user_id, min({ts_sql}) AS t_0
@@ -95,11 +113,17 @@ def funnel_oracle_sql(
     ]
     joined = "s0"
     for i, stage in enumerate(stages[1:], start=1):
+        gap = (
+            f" AND e.{ts_sql} <= p.t_{i-1}"
+            f" + INTERVAL {int(within_seconds)} SECOND"
+            if within_seconds is not None
+            else ""
+        )
         ctes.append(
             f"""s{i} AS (
           SELECT e.{user_sql} AS user_id, min(e.{ts_sql}) AS t_{i}
           FROM {table} e JOIN s{i-1} p ON e.{user_sql} = p.user_id
-          WHERE e.{type_sql} = '{stage}' AND e.{ts_sql} >= p.t_{i-1}
+          WHERE e.{type_sql} = '{stage}' AND e.{ts_sql} >= p.t_{i-1}{gap}
           GROUP BY 1)"""
         )
         joined += f" LEFT JOIN s{i} USING (user_id)"

@@ -481,3 +481,51 @@ def test_mann_kendall_hand_trace(spark):
         mann_kendall_oracle_sql("t", "grp", "ts", "value")
     ).fetchdf()
     assert _compare("mann_kendall", sdf, odf)
+
+
+# ---------------------------------------------------- timed_funnel
+
+def test_timed_funnel_gap_bound(spark):
+    from datetime import datetime
+
+    from centimators_spark.analytics import funnel, funnel_oracle_sql
+
+    rows = [
+        # user 1 converts fully within the window (gaps 30m, 30m)
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:30:00", "click"),
+        (1, "2024-01-01 11:00:00", "purchase"),
+        # user 2: click 2h after view -> breaks at stage 1 under a
+        # 1h bound; the purchase after it must NOT count either
+        (2, "2024-01-02 10:00:00", "view"),
+        (2, "2024-01-02 12:00:00", "click"),
+        (2, "2024-01-02 12:10:00", "purchase"),
+        # user 3: a too-late click exists, but a second click inside
+        # the window rescues the funnel (min is over QUALIFYING times)
+        (3, "2024-01-03 10:00:00", "view"),
+        (3, "2024-01-03 10:20:00", "click"),
+        (3, "2024-01-03 13:00:00", "click"),
+        (3, "2024-01-03 11:10:00", "purchase"),
+    ]
+    pdf = pd.DataFrame(
+        [(u, pd.Timestamp(t), e) for u, t, e in rows],
+        columns=["user_id", "ts", "event_type"],
+    )
+    df = spark.createDataFrame(
+        [(u, datetime.fromisoformat(t), e) for u, t, e in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    stages = ["view", "click", "purchase"]
+    timed = funnel(df, stages, within_seconds=3600).toPandas()
+    got = dict(zip(timed.user_id, timed.stages_reached))
+    assert got == {1: 3, 2: 1, 3: 3}
+    # the unconstrained funnel converts user 2 fully — the bound is
+    # what distinguishes the semantics
+    loose = funnel(df, stages).toPandas()
+    assert dict(zip(loose.user_id, loose.stages_reached))[2] == 3
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(
+        funnel_oracle_sql("t", stages, within_seconds=3600)
+    ).fetchdf()
+    assert _compare("timed_funnel", timed, odf)

@@ -1356,6 +1356,18 @@ def main():
         and "CartesianProduct" not in p,
     )
 
+    p = plan_of(st["timed_funnel"](spark, sf_dir))
+    ok &= audit(
+        "timed_funnel: identical conditional-min-chain shape as the"
+        " driver-green event_funnel (per-stage tiny aggregates"
+        " broadcast back; the gap bound is one extra filter, not a"
+        " new join) — broadcast joins present, no Python, no"
+        " cartesian",
+        "BroadcastHashJoin" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
     p = plan_of(st["mann_kendall"](spark, sf_dir))
     ok &= audit(
         "mann_kendall: same shape as theil_sen_trend — one map-side-"
