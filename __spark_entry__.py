@@ -4501,8 +4501,8 @@ def _event_paths_oracle() -> str:
 def q_fdr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sixth composed flagship — the multiple-comparisons step after a
     fanned-out test: the one-pass sign-flip permutation test runs per
-    (event_type, month) over the signed/NULL derivation (60 parallel
-    hypotheses from ONE corpus scan), then Benjamini-Hochberg step-up
+    (event_type, day-of-month) over the signed/NULL derivation (~150
+    parallel hypotheses from ONE corpus scan), then Benjamini-Hochberg step-up
     FDR control at q = 0.10 marks which segments' lifts survive
     adjustment (ml/abtest.benjamini_hochberg — exact integer
     cross-multiplication over the permutation p_milli carriers)."""

@@ -85,26 +85,43 @@ def _repo_file(name: str) -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
 
 
-def load_trailing_min() -> dict[str, float]:
+def load_trailing_min(sf=None) -> dict[str, float]:
     """Per-query trailing-min over the last HISTORY_RUNS recorded
-    bench runs (BENCH_HISTORY.jsonl — one {"queries": {...}} line per
-    run), seeded from the previous round's BENCH_DETAIL.json when no
-    history file exists yet."""
+    bench runs (BENCH_HISTORY.jsonl — one {"sf", "queries": {...}}
+    line per run), seeded from the previous round's BENCH_DETAIL.json
+    when no history file exists yet.
+
+    When ``sf`` is given, only runs recorded at that scale factor
+    count (r12 advice item 1): a sf0.001 smoke run would otherwise
+    poison the trailing-min and make every sf0.1 reading an "outlier"
+    on the next suite. Runs written before the sf field existed are
+    skipped under filtering (can't be trusted to match)."""
+
+    def _take(rec: dict) -> dict[str, float] | None:
+        if sf is not None and rec.get("sf") != sf:
+            return None
+        return rec.get("queries", {})
+
     runs: list[dict[str, float]] = []
     try:
         with open(_repo_file("BENCH_HISTORY.jsonl")) as fh:
             for line in fh:
                 line = line.strip()
                 if line:
-                    runs.append(json.loads(line).get("queries", {}))
+                    got = _take(json.loads(line))
+                    if got is not None:
+                        runs.append(got)
     except (OSError, ValueError):
         pass
     if not runs:
         try:
             with open(_repo_file("BENCH_DETAIL.json")) as fh:
-                runs = [json.load(fh).get("queries", {})]
+                got = _take(json.load(fh))
+                runs = [got] if got is not None else []
         except (OSError, ValueError):
             return {}
+    if not runs:
+        return {}
     mins: dict[str, float] = {}
     for qmap in runs[-HISTORY_RUNS:]:
         for k, v in qmap.items():
@@ -145,6 +162,34 @@ def rerun_chunk_names(outliers: list[str]) -> list[str]:
         if n not in names:
             names.append(n)
     return names
+
+
+def plan_rerun_chunks(outliers: list[str]) -> list[list[str]]:
+    """Fresh-JVM chunk plan for the outlier re-run pass (r12 advice
+    item 2): ISOLATED_CHUNK members keep their own-JVM placement even
+    on re-run (the heap-pressure bimodality the isolation exists to
+    avoid), and the rest is split at the CHUNK cap without ever
+    splitting a leader→follower family chain across a JVM boundary
+    (each fresh JVM must rebuild its own shared artifact)."""
+    iso_set = set(ISOLATED_CHUNK)
+    iso = [n for n in outliers if n in iso_set]
+    groups = [
+        rerun_chunk_names([n]) for n in outliers if n not in iso_set
+    ]
+    chunks: list[list[str]] = []
+    current: list[str] = []
+    for g in groups:
+        add = [x for x in g if x not in current]
+        if current and len(current) + len(add) > CHUNK:
+            chunks.append(current)
+            current = []
+            add = list(dict.fromkeys(g))
+        current.extend(add)
+    if current:
+        chunks.append(current)
+    if iso:
+        chunks.append(iso)
+    return chunks
 
 
 def run_queries(names: list[str]) -> dict[str, float]:
@@ -212,6 +257,7 @@ def run_queries(names: list[str]) -> dict[str, float]:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     if "--chunk-names" in sys.argv:  # child: time a subset, emit one line
         names = sys.argv[sys.argv.index("--chunk-names") + 1].split(",")
@@ -270,21 +316,26 @@ def main():
                 timings.update(got)
 
     # suite-level host-load guard (r11 verdict item 3): any query
-    # reading >3x its recorded trailing-min gets ONE re-run in a fresh
-    # JVM; both readings are recorded and the min is the reading —
-    # the 49 s panel_features class dies here instead of in BENCH_r{N}
+    # reading >RERUN_FACTOR (2.0)x its recorded trailing-min AND
+    # ≥0.5 s above it gets ONE re-run in a fresh JVM; both readings
+    # are recorded and the min is the reading — the 49 s
+    # panel_features class dies here instead of in BENCH_r{N}. The
+    # trailing-min only spans history rows recorded at THIS sf, and
+    # the re-run pass respects both the CHUNK cap and the
+    # ISOLATED_CHUNK placement (r12 advice items 1+2).
     reruns: dict[str, dict[str, float]] = {}
-    trailing = load_trailing_min()
+    trailing = load_trailing_min(sf=sf_val)
     outliers = pick_outliers(timings, trailing)
     if outliers and "--no-rerun" not in sys.argv:
-        got = _run_child_chunk(rerun_chunk_names(outliers)) or {}
+        got: dict[str, float] = {}
+        for rchunk in plan_rerun_chunks(outliers):
+            got.update(_run_child_chunk(rchunk) or {})
         for n in outliers:
             if n in got:
                 reruns[n] = {"first": timings[n], "rerun": got[n]}
                 timings[n] = round(min(timings[n], got[n]), 3)
 
     total = round(sum(timings.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # verification queries (hash-contract twins whose cost is dominated
     # by the oracle side — brute-force recall baselines, kernel-vs-twin

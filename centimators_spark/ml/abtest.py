@@ -398,9 +398,24 @@ def benjamini_hochberg(
     an aggregate OVER the ranked rows joined back AGAINST them, and
     without the lineage cut both consumers would re-execute the
     upstream test kernel — a second corpus scan (caught by the plan
-    audit). Output: (grp, p_milli, p_rank, m_tests, rejected)."""
+    audit). Output: (grp, p_milli, p_rank, m_tests, rejected).
+
+    ``p_col`` MUST be integral milli-units already: a conventional
+    fractional p-value (0.05) would silently truncate to 0 under the
+    long cast and be rejected at any q, so a fractional-typed column
+    is refused loudly here (r12 advice item 4)."""
     from pyspark.sql import Window
 
+    p_dtype = dict(tests.dtypes).get(p_col, "")
+    if p_dtype.startswith(("float", "double")) or (
+        p_dtype.startswith("decimal") and not p_dtype.endswith(",0)")
+    ):
+        raise ValueError(
+            f"benjamini_hochberg expects integral milli-unit p-values; "
+            f"{p_col!r} has fractional dtype {p_dtype!r} — a 0.05 "
+            f"p-value would truncate to 0 and always be rejected. "
+            f"Convert with round(p * 1000) first."
+        )
     base = (
         tests.select(
             F.col(group_col).alias("grp"),

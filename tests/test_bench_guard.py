@@ -82,6 +82,75 @@ def test_load_trailing_min_reads_history_then_detail(tmp_path, monkeypatch):
     assert mins == {"a": 3.0, "b": 0.5}  # the 9.0 run aged out
 
 
+def test_load_trailing_min_filters_by_sf(tmp_path, monkeypatch):
+    """r12 advice item 1: a sf0.001 smoke run recorded into history
+    must not poison the sf0.1 trailing-min (it would flag nearly every
+    sf0.1 query as an outlier on the next suite)."""
+    monkeypatch.setattr(
+        bench, "_repo_file", lambda name: str(tmp_path / name)
+    )
+    lines = [
+        {"sf": 0.1, "queries": {"a": 4.0, "b": 2.0}},
+        {"sf": 0.001, "queries": {"a": 0.05, "b": 0.04}},  # smoke run
+        {"sf": 0.1, "queries": {"a": 3.5}},
+    ]
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in lines) + "\n"
+    )
+    assert bench.load_trailing_min(sf=0.1) == {"a": 3.5, "b": 2.0}
+    assert bench.load_trailing_min(sf=0.001) == {"a": 0.05, "b": 0.04}
+    # unfiltered keeps the old pooled behavior
+    assert bench.load_trailing_min() == {"a": 0.05, "b": 0.04}
+    # pre-sf-field rows are skipped under filtering
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps({"queries": {"a": 1.0}}) + "\n"
+    )
+    assert bench.load_trailing_min(sf=0.1) == {}
+    # seed path (BENCH_DETAIL.json) honors the filter too
+    (tmp_path / "BENCH_HISTORY.jsonl").unlink()
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"sf": 0.001, "queries": {"a": 0.05}})
+    )
+    assert bench.load_trailing_min(sf=0.1) == {}
+    assert bench.load_trailing_min(sf=0.001) == {"a": 0.05}
+
+
+def test_plan_rerun_chunks_caps_and_isolates(monkeypatch):
+    """r12 advice item 2: the re-run pass must respect both the CHUNK
+    cap and the ISOLATED_CHUNK placement — a large outlier set must
+    not re-run resampling queries in the same JVM as sketch queries."""
+    monkeypatch.setattr(bench, "CHUNK", 4)
+    outliers = [f"q{i}" for i in range(6)] + [
+        "bootstrap_signed",
+        "sign_permutation",
+        "pca_kernel_contract",
+    ]
+    chunks = bench.plan_rerun_chunks(outliers)
+    # resampling members re-run in their OWN final chunk, alone
+    assert chunks[-1] == ["bootstrap_signed", "sign_permutation"]
+    iso = set(bench.ISOLATED_CHUNK)
+    for c in chunks[:-1]:
+        assert not (set(c) & iso)
+        assert len(c) <= 4
+    # family chains stay whole inside one JVM, leaders first
+    pca_chunk = next(c for c in chunks if "pca_kernel_contract" in c)
+    i_full = pca_chunk.index("neutralizer_full_expr")
+    i_kern = pca_chunk.index("neutralizer_kernel_contract")
+    i_pca = pca_chunk.index("pca_kernel_contract")
+    assert i_full < i_kern < i_pca
+    # every outlier is covered exactly once across the plan
+    flat = [n for c in chunks for n in c]
+    assert set(outliers) <= set(flat)
+    # a chain longer than the cap still lands in one chunk (never split)
+    monkeypatch.setattr(bench, "CHUNK", 2)
+    chunks = bench.plan_rerun_chunks(["pca_kernel_contract"])
+    assert chunks == [[
+        "neutralizer_full_expr",
+        "neutralizer_kernel_contract",
+        "pca_kernel_contract",
+    ]]
+
+
 def test_isolated_chunk_names_are_declared_queries():
     """The resampling-family isolation list must stay in sync with
     queries() — a rename would silently drop the placement."""

@@ -6,6 +6,8 @@ import sys
 
 import duckdb
 import pandas as pd
+import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo/tools")
 
@@ -327,6 +329,28 @@ def test_benjamini_hochberg_step_up_semantics(spark):
     con.register("t3", pd.DataFrame(rows3, columns=["grp", "p_milli"]))
     odf3 = con.execute(benjamini_hochberg_oracle_sql("t3")).fetchdf()
     assert _compare("bh_null_grp_tie", sdf3, odf3)
+
+
+def test_benjamini_hochberg_refuses_fractional_p(spark):
+    """r12 advice item 4: a conventional fractional p-value column
+    (0.05) would silently truncate to 0 under the milli-unit long cast
+    and be rejected at any q — the misuse must fail loudly instead."""
+    from centimators_spark.ml.abtest import benjamini_hochberg
+
+    df = spark.createDataFrame(
+        [("a", 0.05), ("b", 0.90)], "grp string, p double"
+    )
+    with pytest.raises(ValueError, match="milli-unit"):
+        benjamini_hochberg(df, "grp", "p")
+    # fractional decimal refused too; integral decimal passes through
+    dec = df.select("grp", F.col("p").cast("decimal(10,3)").alias("p"))
+    with pytest.raises(ValueError, match="milli-unit"):
+        benjamini_hochberg(dec, "grp", "p")
+    ok = spark.createDataFrame(
+        [("a", 50), ("b", 900)], "grp string, p_milli long"
+    ).select("grp", F.col("p_milli").cast("decimal(10,0)").alias("p_milli"))
+    out = benjamini_hochberg(ok, "grp", "p_milli").toPandas()
+    assert set(out.grp) == {"a", "b"}
 
 
 # ----------------------------------------------------- purged_kfold
