@@ -1474,44 +1474,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared contract queries, ordered for the driver's correctness
-    pass (which checks a 50-entry window from the top): the 7 queries
-    never driver-verified — the 6 promoted round-12 staged queries
-    plus the new NULL-key gate contract — sit first; the rest of the
-    window is the oldest-verified rotation (the 4 r6-era remainder +
-    all 33 r7-era greens + the 6-query alphabetical head of the
-    r8-era pool), and the overflow tail is entirely
-    previously-driver-green (guard:
+    pass (which checks a 50-entry window from the top): the 11 queries
+    never driver-verified — the 10 promoted round-13 staged queries
+    plus the new NULL-order-key gate contract (event_paths_nullts) —
+    sit first; the rest of the window is the oldest-verified rotation
+    (the 17-query r8-era remainder + the full 11-query r9-era pool +
+    all 11 r10-era promotions — 11 + 17 + 11 + 11 = 50), and the
+    overflow tail is entirely previously-driver-green (guard:
     tests/test_driver_contract.py::test_correctness_window_covers_unverified_queries).
 
     ROTATION LEDGER (r10 verdict item 6 — oldest never-re-checked
     greens, by last-verified round; schedule from the top). After the
-    round-12 window (4 r6-era + 33 r7-era + 6 r8-era re-verified),
-    the oldest pool is:
-      r8-era remainder (17, round-13 head): feature_corr_matrix,
-        golden_record, hybrid_rrf_search, ic_decay, kcore_dupgraph,
-        kmeans_embeddings, knn_classify, large_volume_customers,
-        linear_interpolate, naive_bayes, negative_sample,
-        pareto_front, seasonal_decompose, signal_backtest,
-        topk_turnover, vector_pipeline, xicor_by_month;
-      r9-era pool (11, round 13): top_supplier, small_lot_revenue,
-        volume_dominant_supplier, association_rules,
-        sq8_recall_contract, logistic_irls, bpe_pair_merges,
-        rfm_segments, label_propagation, blocking_quality,
-        weighted_quantiles;
-      then the r10-era promotions (last checked CORRECTNESS_r10).
+    round-13 window (17 r8-era + 11 r9-era + 11 r10-era re-verified —
+    every r6..r10-era green now re-checked r12 or r13), the oldest
+    pool is:
+      r11-era promotions (23, round-14 head; last checked
+        CORRECTNESS_r11): image_phash_dedup, theta_intersections,
+        audio_fingerprint_dedup, video_phash_dedup, l_diversity,
+        multimodal_corpus_clean, theta_a_not_b, order_priority_counts,
+        forecast_revenue, t_closeness, isotonic_calibration,
+        winnowing_overlap, duplicated_spans, changepoint,
+        benford_audit, hll_portable, hll_union, bootstrap_ci,
+        mann_whitney, sprt_audit, brown_forsythe, bootstrap_signed,
+        mwu_signed;
+      r12-era promotions (7, round 14/15; last checked
+        CORRECTNESS_r12): duplicated_spans_multi,
+        sq8_clustered_contract, dsir_select, bottomk_quantiles,
+        sign_permutation, training_split_audit, bootstrap_nullkey;
+      then the r12-window rotation re-checks (record_linkage,
+        session_window, table_diff, z_order_key + the r7-era pool,
+        last checked CORRECTNESS_r12) — freshest, rotate last.
 
     Playbook: stage new queries in staged_queries(), gate them with
     `check_oracle --staged` at sf0.001+0.01+0.1, then promote into
     this head and fill the window from the ledger above."""
     out = {
-        # --- promoted round-12 staged queries (6; gate-green at
-        # sf0.001 + sf0.01 + sf0.1 locally AND judge-re-verified 6/6
-        # in the r11 verdict; never driver-checked — verdict r11
+        # --- promoted round-13 staged queries (10; gate-green at
+        # sf0.001 + sf0.01 + sf0.1 locally AND judge-re-verified 10/10
+        # in the r12 verdict; never driver-checked — verdict r12
         # item 1) ---
+        **_r13_promoted(),
+        # --- new this round: NULL ORDER-KEY gate contract (verdict
+        # r12 item 2a — make the cross-engine NULL-ordering parity
+        # class the r12 self-review caught DRIVER-gate-visible: every
+        # 11th ts NULLed, so NULL order keys flow through the
+        # lead-window ordering each round) ---
+        "event_paths_nullts": q_event_paths_nullts,
+        # --- promoted round-12 staged queries (driver-green r12,
+        # CORRECTNESS_r12 50/50 all-hash-green) ---
         **_r12_staged(),
-        # --- new this round: NULL-resampling-KEY gate contract
-        # (verdict r11 item 2 — make the NULL-key exclusion parity
-        # class the round-11 self-review caught DRIVER-gate-visible) ---
+        # --- NULL-resampling-KEY gate contract (driver-green r12) ---
         "bootstrap_nullkey": q_bootstrap_nullkey,
         # --- promoted round-11 staged queries (driver-green r11,
         # CORRECTNESS_r11 50/50 all-hash-green) ---
@@ -1741,61 +1753,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ):
         if stable in out:  # a rename must not break the whole contract
             out[stable] = out.pop(stable)
-    # round-12 drift re-verification (r11 verdict item 1): behind the
-    # 7 never-verified head entries (6 promoted staged queries + the
-    # new NULL-key gate contract), rotate the OLDEST-verified greens —
-    # the 4 r6-era remainder (last checked CORRECTNESS_r06), ALL 33
-    # r7-era greens (last checked CORRECTNESS_r07), and the 6-query
-    # alphabetical head of the 23 r8-era greens (last checked
-    # CORRECTNESS_r08) — 7 + 4 + 33 + 6 = exactly the driver's
-    # 50-query window. The post-round ledger lives in the docstring.
-    head = list(out)[:7] + [
-        # r6-era remainder (last checked CORRECTNESS_r06)
-        "record_linkage",
-        "session_window",
-        "table_diff",
-        "z_order_key",
-        # r7-era pool, complete (last checked CORRECTNESS_r07)
-        "ann_cosine_topk",
-        "bloom_semi_join",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "doc_sentences",
-        "embedding_centroids",
-        "embedding_transformer",
-        "event_debounce",
-        "feature_exposures",
-        "frequent_itemsets",
-        "fuzzy_name_pairs",
-        "gaussianize_probit",
-        "group_kfold",
-        "group_stats",
-        "ivfpq_pruned_contract",
-        "ivfpq_recall_contract",
-        "lag_transformer",
-        "linreg_fast_contract",
-        "log_return",
-        "moving_average",
-        "multimodal_metadata",
-        "pagerank",
-        "pq_recall_contract",
-        "promo_revenue",
-        "psi_categorical",
-        "psi_sketch_contract",
-        "quantile_normalize",
-        "rank_transformer",
-        "rolling_rank",
-        "scd2_intervals",
-        "supplier_counts",
-        "transition_counts",
-        "winsorize_by_era",
-        # r8-era greens, alphabetical head (last checked CORRECTNESS_r08)
-        "best_split",
-        "budget_select",
-        "chi2_independence",
-        "containment_pairs",
-        "customer_distribution",
-        "disjunctive_revenue",
+    # round-13 drift re-verification (r12 verdict item 1): behind the
+    # 11 never-verified head entries (10 promoted staged queries + the
+    # new NULL-order-key gate contract), rotate the OLDEST-verified
+    # greens — the complete 17-query r8-era remainder (last checked
+    # CORRECTNESS_r08), the full 11-query r9-era pool (last checked
+    # CORRECTNESS_r09), and ALL 11 r10-era promotions (last checked
+    # CORRECTNESS_r10) — 11 + 17 + 11 + 11 = exactly the driver's
+    # 50-query window; after this round every r6..r10-era green has
+    # been re-checked r12 or r13. The post-round ledger lives in the
+    # docstring.
+    head = list(out)[:11] + [
+        # r8-era remainder, complete (last checked CORRECTNESS_r08)
+        "feature_corr_matrix",
+        "golden_record",
+        "hybrid_rrf_search",
+        "ic_decay",
+        "kcore_dupgraph",
+        "kmeans_embeddings",
+        "knn_classify",
+        "large_volume_customers",
+        "linear_interpolate",
+        "naive_bayes",
+        "negative_sample",
+        "pareto_front",
+        "seasonal_decompose",
+        "signal_backtest",
+        "topk_turnover",
+        "vector_pipeline",
+        "xicor_by_month",
+        # r9-era pool, complete (last checked CORRECTNESS_r09)
+        "top_supplier",
+        "small_lot_revenue",
+        "volume_dominant_supplier",
+        "association_rules",
+        "sq8_recall_contract",
+        "logistic_irls",
+        "bpe_pair_merges",
+        "rfm_segments",
+        "label_propagation",
+        "blocking_quality",
+        "weighted_quantiles",
+        # r10-era promotions, complete (last checked CORRECTNESS_r10)
+        "cms_heavy_hitters",
+        "bigram_lm",
+        "k_anonymity",
+        "bpe_encode",
+        "bpe_train_rounds",
+        "boosted_stumps",
+        "mmr_rerank",
+        "dedup_clusters_star",
+        "nation_profit",
+        "shipmode_priority",
+        "filtered_supplier_counts",
     ]
     pulled = {k: out.pop(k) for k in head if k in out}
     return {**pulled, **out}
@@ -2449,6 +2459,8 @@ def oracle_sql() -> dict[str, str]:
         **_r10_staged_oracles(),
         **_r11_staged_oracles(),
         **_r12_staged_oracles(),
+        **_r13_promoted_oracles(),
+        "event_paths_nullts": _event_paths_nullts_oracle(),
         "bootstrap_signed": _bootstrap_signed_oracle(),
         "mwu_signed": _mwu_signed_oracle(),
         "bootstrap_nullkey": _bootstrap_nullkey_oracle(),
@@ -4019,17 +4031,18 @@ def _vector_pipeline_oracle() -> str:
 
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries implemented but deferred to the NEXT round's window —
-    the round-13 candidate set, gate-checked by
+    the round-14 candidate set, gate-checked by
     tests/test_staged_queries.py and `check_oracle --staged`. (The
-    round-12 set — duplicated_spans_multi, sq8_clustered_contract,
-    dsir_select, bottomk_quantiles, sign_permutation,
-    training_split_audit — was promoted into queries() this round.)"""
-    return _r13_staged()
+    round-13 set — dsir_budget_select, join_skew_audit,
+    theil_sen_trend, mann_kendall, cdc_apply, event_paths, fdr_audit,
+    purged_kfold, join_size_estimate, timed_funnel — was promoted
+    into queries() this round.)"""
+    return _r14_staged()
 
 
 def staged_oracle_sql() -> dict[str, str]:
     """Oracle texts for staged_queries()."""
-    return _r13_staged_oracles()
+    return _r14_staged_oracles()
 
 
 def q_bootstrap_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4498,6 +4511,40 @@ def _event_paths_oracle() -> str:
     return event_paths_oracle_sql("events")
 
 
+_NULLTS_EVENTS_SQL = (
+    "(SELECT user_id, event_type, event_id,"
+    " CASE WHEN event_id % 11 <> 0 THEN ts END AS nts"
+    " FROM events)"
+)
+
+
+def q_event_paths_nullts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL ORDER-KEY gate contract (r12 verdict item 2a): event-path
+    mining over the event stream with every 11th ``ts`` NULLed, so
+    NULL *order keys* — the cross-engine parity class where Spark's
+    ascending default is NULLS FIRST but DuckDB's is NULLS LAST —
+    flow through the lead-window ordering under the driver gate every
+    round, not only through review. Removing the explicit
+    asc_nulls_last in analytics.event_paths flips this entry red
+    (tests/test_round13_ops.py::test_event_paths_nullts_contract_has_teeth)
+    while the all-non-NULL event_paths query would stay green."""
+    from centimators_spark.analytics import event_paths
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.when(F.col("event_id") % 11 != 0, F.col("ts")).alias("nts"),
+    )
+    return event_paths(ev, ts_col="nts")
+
+
+def _event_paths_nullts_oracle() -> str:
+    from centimators_spark.analytics import event_paths_oracle_sql
+
+    return event_paths_oracle_sql(_NULLTS_EVENTS_SQL, ts_sql="nts")
+
+
 def q_fdr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sixth composed flagship — the multiple-comparisons step after a
     fanned-out test: the one-pass sign-flip permutation test runs per
@@ -4599,7 +4646,17 @@ def _join_size_estimate_oracle() -> str:
     )
 
 
-def _r13_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _r14_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+    }
+
+
+def _r14_staged_oracles() -> dict[str, str]:
+    return {
+    }
+
+
+def _r13_promoted() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dsir_budget_select": q_dsir_budget_select,
         "join_skew_audit": q_join_skew_audit,
@@ -4614,7 +4671,7 @@ def _r13_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _r13_staged_oracles() -> dict[str, str]:
+def _r13_promoted_oracles() -> dict[str, str]:
     return {
         "dsir_budget_select": _dsir_budget_select_oracle(),
         "join_skew_audit": _join_skew_audit_oracle(),

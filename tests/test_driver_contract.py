@@ -74,35 +74,40 @@ def test_unverified_queries_inside_driver_window():
     names = list(entrymod.queries())
     window = set(names[:50])
     must_check = {
-        # never driver-verified (promoted this round — r11 verdict item 1)
-        "duplicated_spans_multi",
-        "sq8_clustered_contract",
-        "dsir_select",
-        "bottomk_quantiles",
-        "sign_permutation",
-        "training_split_audit",
-        # new this round: the NULL-resampling-key gate contract
-        # (r11 verdict item 2)
-        "bootstrap_nullkey",
-        # drift re-verification: the r11 rotation debt — the 4 r6-era
-        # remainder and the complete 33-query r7-era pool (ledger in
-        # queries()'s docstring)
-        "record_linkage",
-        "session_window",
-        "table_diff",
-        "z_order_key",
-        "ann_cosine_topk",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "ivfpq_pruned_contract",
-        "linreg_fast_contract",
-        "multimodal_metadata",
-        "winsorize_by_era",
+        # never driver-verified (promoted this round — r12 verdict item 1)
+        "dsir_budget_select",
+        "join_skew_audit",
+        "theil_sen_trend",
+        "mann_kendall",
+        "cdc_apply",
+        "event_paths",
+        "fdr_audit",
+        "purged_kfold",
+        "join_size_estimate",
+        "timed_funnel",
+        # new this round: the NULL-order-key gate contract
+        # (r12 verdict item 2a)
+        "event_paths_nullts",
+        # drift re-verification: the r12 rotation debt — the r8-era
+        # remainder, the r9-era pool, and the r10-era promotions
+        # (ledger in queries()'s docstring); spot members of each era
+        "feature_corr_matrix",
+        "xicor_by_month",
+        "top_supplier",
+        "weighted_quantiles",
+        "cms_heavy_hitters",
+        "filtered_supplier_counts",
     }
     assert must_check <= window, must_check - window
-    # the window tail must reach the r8-era alphabetical head — the
-    # next-oldest pool after the r7-era greens above
-    assert "best_split" in window and "disjunctive_revenue" in window
+    # the head must be exactly the 11 never-driver-verified queries
+    assert set(names[:11]) == must_check - {
+        "feature_corr_matrix",
+        "xicor_by_month",
+        "top_supplier",
+        "weighted_quantiles",
+        "cms_heavy_hitters",
+        "filtered_supplier_counts",
+    }
 
 
 def test_compare_flags_int_float_dtype_mismatch():

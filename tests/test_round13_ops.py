@@ -331,6 +331,65 @@ def test_benjamini_hochberg_step_up_semantics(spark):
     assert _compare("bh_null_grp_tie", sdf3, odf3)
 
 
+def test_event_paths_nullts_contract_has_teeth(spark):
+    """The NULL-order-key gate contract (r12 verdict item 2a) must
+    actually exercise the parity class: on a fixture with NULL ts
+    values, the shipped explicit-NULLS-LAST ordering matches the
+    DuckDB oracle, while Spark's DEFAULT ascending ordering (NULLS
+    FIRST) yields a DIFFERENT path multiset — i.e. deleting the
+    asc_nulls_last in analytics.event_paths flips the contract red."""
+    from pyspark.sql import Window
+
+    from centimators_spark.analytics import (
+        event_paths,
+        event_paths_oracle_sql,
+    )
+
+    rows = []
+    for u in range(8):
+        for i in range(6):
+            eid = u * 10 + i
+            ts = None if eid % 3 == 0 else f"2024-01-{i + 1:02d}"
+            rows.append((u, f"t{(eid * 7) % 4}", eid, ts))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type",
+                                      "event_id", "nts"])
+    pdf["nts"] = pd.to_datetime(pdf["nts"])
+    df = spark.createDataFrame(pdf)
+
+    sdf = event_paths(df, ts_col="nts", k=100).toPandas()
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    odf = con.execute(
+        event_paths_oracle_sql("ev", ts_sql="nts", k=100)
+    ).fetchdf()
+    assert _compare("event_paths_nullts_micro", sdf, odf)
+
+    # the deliberately-broken variant: Spark's implicit ascending
+    # (NULLS FIRST) — must NOT match the oracle's path counts
+    w = Window.partitionBy("user_id").orderBy("nts", "event_id")
+    broken = (
+        df.select(
+            F.col("event_type").alias("s0"),
+            F.lead("event_type", 1).over(w).alias("s1"),
+            F.lead("event_type", 2).over(w).alias("s2"),
+        )
+        .where(F.col("s1").isNotNull() & F.col("s2").isNotNull())
+        .select(F.concat_ws(">", "s0", "s1", "s2").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .toPandas()
+    )
+    merged = broken.merge(
+        odf, on="path", how="outer", suffixes=("_broken", "_oracle")
+    )
+    assert not (
+        merged["n_occurrences_broken"]
+        .fillna(-1)
+        .eq(merged["n_occurrences_oracle"].fillna(-1))
+        .all()
+    ), "fixture fails to discriminate NULLS FIRST from NULLS LAST"
+
+
 def test_benjamini_hochberg_refuses_fractional_p(spark):
     """r12 advice item 4: a conventional fractional p-value column
     (0.05) would silently truncate to 0 under the milli-unit long cast
