@@ -1014,6 +1014,130 @@ def bottomk_quantile_oracle_sql(
     """
 
 
+# --------------------------------------------------- DD percentile sketch
+#
+# The fifth family's DEDICATED percentile sketch (beside the bottom-k
+# SAMPLE, which estimates quantiles from a uniform row sample): a
+# DDSketch-style logarithmic-bucket histogram (Masson, Rim & Lee,
+# "DDSketch: a fast and fully-mergeable quantile sketch with
+# relative-error guarantees", VLDB 2019). Each positive centi-value v
+# lands in bucket b = floor(ln v / ln gamma); reading the bucket
+# midpoint back guarantees RELATIVE error <= alpha for every quantile,
+# with gamma = (1+alpha)/(1-alpha).
+#
+# Mergeability is trivial and EXACT: the sketch is integer bucket
+# counts, so merge = cell-wise addition — commutative, associative,
+# duplicate-sensitive (a true histogram), which is why the streaming
+# half (streaming/sketch.dd_buckets_stream) reproduces the batch build
+# bit for bit regardless of how micro-batches split the stream.
+#
+# State size is bounded by the VALUE RANGE, not the stream: #buckets
+# <= log_gamma(v_max/v_min) ~= ln(1e7)/0.02 ~= 800 for centi-values up
+# to 1e5 currency units at alpha=0.01 — a few KB per group forever.
+#
+# The bucket index uses F.log — a JVM-side double. Both halves (batch
+# build and streaming maintenance) share _dd_base, so they cannot
+# desynchronize; there is deliberately NO DuckDB oracle for this
+# family (ln differs by ULPs across engines at bucket edges — the
+# psi_sketch lesson), its contracts are the incremental==batch and
+# accuracy pins in tests/test_streaming.py / test_round13_ops.py.
+
+DD_ALPHA = 0.01
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+
+
+def _dd_base(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(grp, __b): log-bucket index per row, shared by the batch build
+    and the streaming maintenance operator — one definition so they
+    can never desynchronize. Values ride centi-unit integers first
+    (the package's exactness carrier), then bucket JVM-side. NULL and
+    non-positive values are excluded (DDSketch's domain is v > 0; a
+    signed variant is the mirrored sketch of -v plus a zero count)."""
+    import math
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    b = F.floor(
+        F.log(F.col("__c").cast("double")) / F.lit(math.log(DD_GAMMA))
+    ).cast("long")
+    return (
+        df.select(F.col(group_col).alias("grp"), cents.alias("__c"))
+        .where(F.col("__c") > 0)
+        .select("grp", b.alias("__b"))
+    )
+
+
+def dd_bucket_rows(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The batch-built sketch — (grp, b, c) bucket-count rows. This IS
+    the mergeable state (merge = cell-wise count addition) and the
+    parity target for streaming/sketch.dd_buckets_stream. One
+    map-side-combined count; output is group-cardinality × ≤~800
+    rows, never data-sized."""
+    return (
+        _dd_base(df, group_col, value_col)
+        .groupBy("grp", F.col("__b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def dd_quantiles(
+    cells: DataFrame,
+    *,
+    quantiles: tuple = BQ_QUANTILES,
+    names: tuple = BQ_NAMES,
+) -> DataFrame:
+    """Quantile read-out over (grp, b, c) sketch cells from EITHER
+    half (batch dd_bucket_rows or the final generation of the
+    streaming state): type-1 rank selection by exact integer
+    cross-multiplication over the bucket cumsum (cum·den ≥ num·n — the
+    weighted_quantiles rule), then the bucket's midpoint estimate
+    (gamma^b + gamma^(b+1))/2 back in currency units, rounded 6dp.
+    The window spans sketch CELLS (≤~800 per group), never data.
+    Output: (grp, n_rows, {name}_bucket, {name}_est)."""
+    import math
+
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("grp")
+    cum = cells.withColumn("__cum", F.sum("c").over(w_cum)).withColumn(
+        "__n", F.sum("c").over(w_n)
+    )
+    lg = math.log(DD_GAMMA)
+
+    def pick(num: int, den: int):
+        return F.min(
+            F.when(
+                F.col("__cum") * F.lit(den) >= F.lit(num) * F.col("__n"),
+                F.col("b"),
+            )
+        )
+
+    agg = cum.groupBy("grp").agg(
+        F.max("__n").cast("long").alias("n_rows"),
+        *[
+            pick(num, den).alias(f"{nm}_bucket")
+            for (num, den), nm in zip(quantiles, names)
+        ],
+    )
+    est_cols = []
+    for nm in names:
+        bcol = F.col(f"{nm}_bucket").cast("double")
+        mid = (
+            F.exp(bcol * F.lit(lg)) + F.exp((bcol + 1) * F.lit(lg))
+        ) / F.lit(2.0)
+        est_cols.append(F.round(mid / 100.0, 6).alias(f"{nm}_est"))
+    return agg.select(
+        "grp",
+        "n_rows",
+        *[F.col(f"{nm}_bucket") for nm in names],
+        *est_cols,
+    )
+
+
 def hll_register_cells(
     df: DataFrame,
     group_col: str,

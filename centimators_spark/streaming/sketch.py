@@ -176,6 +176,102 @@ def bottomk_sample_stream(
     )
 
 
+def dd_buckets_stream(
+    events_stream: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Running DD percentile-sketch bucket counts over an event
+    stream — the incremental half of :func:`sketches.dd_bucket_rows`,
+    closing the streaming story for the LAST of the five sketch
+    families (count-min and HLL stream as plain reused aggregates
+    above; bottom-k and theta as custom state below; this is the
+    percentile sketch — r12 verdict item 3).
+
+    Per group the STATE is the (bucket → count) integer histogram —
+    bounded by the VALUE RANGE's log (≤~800 cells at alpha=0.01),
+    never the stream length. The log-bucket index is computed
+    JVM-side in the shared :func:`sketches._dd_base` projection (so
+    batch and stream cannot desynchronize); Python only adds integer
+    partial counts into the state dict per micro-batch — and because
+    the merge is cell-wise ADDITION (commutative, associative), the
+    final state equals the one-shot batch build exactly, however the
+    micro-batches split the stream.
+
+    Output (update mode): the group's full current cell set each
+    micro-batch, tagged with a per-group generation counter ``gen``
+    (rows at each group's max gen ARE the sketch — the
+    incremental==batch parity contract, tests/test_streaming.py);
+    feed them to :func:`sketches.dd_quantiles` for read-out."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from centimators_spark.sketches import _dd_base
+
+    if not events_stream.isStreaming:
+        raise ValueError("dd_buckets_stream expects a streaming DataFrame")
+    narrow = _dd_base(events_stream, group_col, value_col)
+    out_schema = StructType(
+        [
+            StructField("grp", StringType()),
+            StructField("gen", LongType()),
+            StructField("b", LongType()),
+            StructField("c", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("bs", ArrayType(LongType())),
+            StructField("cs", ArrayType(LongType())),
+            StructField("gen", LongType()),
+        ]
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bs, cs, gen = state.get
+            counts = dict(zip(bs, cs))
+        else:
+            counts, gen = {}, 0
+        for pdf in pdfs:
+            for b in pdf["__b"]:
+                b = int(b)
+                counts[b] = counts.get(b, 0) + 1
+        cells = sorted(counts.items())
+        gen += 1
+        state.update(
+            ([b for b, _ in cells], [c for _, c in cells], gen)
+        )
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(cells),
+                "gen": [gen] * len(cells),
+                "b": [b for b, _ in cells],
+                "c": [c for _, c in cells],
+            }
+        )
+
+    return narrow.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def theta_retained_stream(
     docs_stream: DataFrame,
     *,

@@ -612,3 +612,74 @@ def test_timed_funnel_gap_bound(spark):
         funnel_oracle_sql("t", stages, within_seconds=3600)
     ).fetchdf()
     assert _compare("timed_funnel", timed, odf)
+
+
+# ------------------------------------------- DD percentile sketch
+
+def test_dd_sketch_relative_error_guarantee(spark):
+    """The DDSketch bound (Masson et al. 2019): reading the bucket
+    midpoint back gives relative error <= alpha for EVERY quantile.
+    Pinned against exact type-1 quantiles on a heavy-tailed fixture
+    (three orders of magnitude — where a rank-error sketch would
+    blow up and the relative-error design is the point)."""
+    import numpy as np
+
+    from centimators_spark.sketches import (
+        DD_ALPHA,
+        dd_bucket_rows,
+        dd_quantiles,
+    )
+
+    vals = [round(1.01 ** i, 2) for i in range(0, 700, 7)]  # 1 .. ~1e3
+    pdf = pd.DataFrame(
+        {"grp": ["g"] * len(vals), "value": vals}
+    )
+    df = spark.createDataFrame(pdf)
+    cells = dd_bucket_rows(df, "grp", "value")
+    out = dd_quantiles(cells).toPandas()
+    assert out.n_rows.iloc[0] == len(vals)
+    arr = np.sort(np.array(vals))
+    n = len(arr)
+    for (num, den), nm in zip(((1, 4), (1, 2), (3, 4)),
+                              ("q25", "q50", "q75")):
+        exact = arr[int(np.ceil(num * n / den)) - 1]  # type-1
+        est = float(out[f"{nm}_est"].iloc[0])
+        rel = abs(est - exact) / exact
+        assert rel <= DD_ALPHA + 1e-6, (nm, est, exact, rel)
+
+    # centi-value quantization: sub-cent values (v <= 0 after
+    # rounding) are excluded; a zero/negative value never crashes
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"grp": ["g"] * 3, "value": [-1.0, 0.0, 5.0]})
+    )
+    out2 = dd_quantiles(dd_bucket_rows(df2, "grp", "value")).toPandas()
+    assert out2.n_rows.iloc[0] == 1
+
+
+def test_dd_sketch_merge_is_cellwise_addition(spark):
+    """Mergeability contract: building the sketch on two disjoint
+    halves and adding cell-wise equals the one-shot build exactly —
+    the property the streaming half and any 100 TB partial-merge
+    rely on."""
+    from centimators_spark.sketches import dd_bucket_rows
+
+    vals = [round(0.37 * i % 97 + 0.5, 2) for i in range(1, 400)]
+    pdf = pd.DataFrame({"grp": ["a" if i % 3 else "b" for i in
+                                range(1, 400)], "value": vals})
+    df = spark.createDataFrame(pdf)
+    whole = (
+        dd_bucket_rows(df, "grp", "value")
+        .toPandas().sort_values(["grp", "b"]).reset_index(drop=True)
+    )
+    h1 = dd_bucket_rows(
+        spark.createDataFrame(pdf.iloc[::2]), "grp", "value"
+    ).toPandas()
+    h2 = dd_bucket_rows(
+        spark.createDataFrame(pdf.iloc[1::2]), "grp", "value"
+    ).toPandas()
+    merged = (
+        pd.concat([h1, h2])
+        .groupby(["grp", "b"], as_index=False)["c"].sum()
+        .sort_values(["grp", "b"]).reset_index(drop=True)
+    )
+    assert merged[["grp", "b", "c"]].equals(whole[["grp", "b", "c"]])
