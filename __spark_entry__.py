@@ -4460,8 +4460,20 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from centimators_spark.reconcile import cdc_apply
 
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    changes = orders.select(
+    return cdc_apply(
+        cust,
+        _cdc_changes(spark, sf_dir),
+        keys=["c_custkey"],
+        seq_cols=["o_orderdate", "o_orderkey"],
+        value_cols=["c_acctbal"],
+    )
+
+
+def _cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared CDC change-stream derivation behind q_cdc_apply and
+    the composed q_cdc_scd2_audit — one Spark twin of
+    _CDC_CHANGES_SQL so the two queries can never desynchronize."""
+    return load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey"),
         "o_orderdate",
         "o_orderkey",
@@ -4473,13 +4485,6 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("U"))
         .alias("op"),
         F.col("o_totalprice").alias("c_acctbal"),
-    )
-    return cdc_apply(
-        cust,
-        changes,
-        keys=["c_custkey"],
-        seq_cols=["o_orderdate", "o_orderkey"],
-        value_cols=["c_acctbal"],
     )
 
 
@@ -4646,13 +4651,170 @@ def _join_size_estimate_oracle() -> str:
     )
 
 
+def q_plan_join_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy ADVISOR contract (r12 verdict item 4 —
+    planner.plan_join composes the r12 measurement pair into a
+    decision): lineitem with a deliberately skewed supplier key (75%
+    of rows collapse onto supplier 1) joined against supplier with
+    broadcast disabled (broadcast_row_limit=0 models the
+    dim-too-wide 100 TB regime at gate SF). The audit measures
+    top1_share≈750‰ ≥ the 200‰ threshold, so the advisor must choose
+    SALTED — the chosen strategy is emitted as a constant column the
+    oracle hardcodes ('salted'), so a decision flip goes hash-red —
+    and the salted output multiset must equal the PLAIN join (the
+    salted-join contract, operators/skew.py)."""
+    from centimators_spark.planner import plan_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("s_suppkey"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    out, decision = plan_join(li, sup, "s_suppkey", broadcast_row_limit=0)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "s_suppkey",
+        "s_nationkey",
+        F.lit(decision["strategy"]).alias("strategy"),
+    )
+
+
+_PLAN_JOIN_CONTRACT_ORACLE = """
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 4 <> 0 THEN CAST(1 AS BIGINT)
+                  ELSE l_suppkey END AS s_suppkey,
+             l_orderkey, l_linenumber
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, f.s_suppkey, s_nationkey,
+           'salted' AS strategy
+    FROM fact f JOIN supplier s ON f.s_suppkey = s.s_suppkey
+"""
+
+
+def q_cdc_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh composed flagship (r12 verdict item 6 — CDC
+    composability): the change stream feeds BOTH consistency halves —
+    reconcile.cdc_apply compacts it latest-wins into the merged
+    snapshot, while analytics.scd2_intervals versions the SAME stream
+    into validity intervals ('D' encoded as a NULL attribute) — and
+    the audit proves them consistent: every key's OPEN interval
+    (valid_to NULL) must carry exactly the snapshot's merged value
+    ('consistent'), or be absent from the snapshot with a NULL open
+    attribute ('deleted'); 'mismatch' rows would mean the two
+    operators disagree about what the stream says. Output per changed
+    key: (c_custkey, n_versions, hist_bal, snap_bal, status).
+
+    Scale: the stream is windowed once per operator on the same key
+    shuffle; the audit join is key-cardinality vs key-cardinality."""
+    from centimators_spark.analytics import scd2_intervals
+    from centimators_spark.reconcile import cdc_apply
+
+    changes = _cdc_changes(spark, sf_dir)
+    ch_attr = changes.withColumn(
+        "attr", F.when(F.col("op") != "D", F.col("c_acctbal"))
+    )
+    hist = scd2_intervals(
+        ch_attr,
+        "attr",
+        entity_col="c_custkey",
+        ts_col="o_orderdate",
+        id_col="o_orderkey",
+    )
+    open_iv = hist.where(F.col("valid_to_epoch").isNull()).select(
+        "c_custkey",
+        F.col("attr").alias("hist_bal"),
+        F.col("version").alias("n_versions"),
+    )
+    snap = (
+        cdc_apply(
+            load_table(spark, sf_dir, "customer"),
+            changes,
+            keys=["c_custkey"],
+            seq_cols=["o_orderdate", "o_orderkey"],
+            value_cols=["c_acctbal"],
+        )
+        .where(F.col("changed") == 1)
+        .select("c_custkey", F.col("c_acctbal").alias("snap_bal"))
+    )
+    joined = open_iv.alias("o").join(
+        snap.alias("s"), "c_custkey", "full_outer"
+    )
+    return joined.select(
+        "c_custkey",
+        "n_versions",
+        "hist_bal",
+        "snap_bal",
+        F.when(
+            F.col("s.snap_bal").isNull() & F.col("o.hist_bal").isNull(),
+            F.lit("deleted"),
+        )
+        .when(F.col("o.hist_bal") == F.col("s.snap_bal"), F.lit("consistent"))
+        .otherwise(F.lit("mismatch"))
+        .alias("status"),
+    )
+
+
+def _cdc_scd2_audit_oracle() -> str:
+    from centimators_spark.analytics import scd2_intervals_oracle_sql
+    from centimators_spark.reconcile import cdc_apply_oracle_sql
+
+    ch_attr = (
+        "(SELECT c_custkey, o_orderdate, o_orderkey, op,"
+        " CASE WHEN op <> 'D' THEN c_acctbal END AS attr"
+        f" FROM {_CDC_CHANGES_SQL})"
+    )
+    hist = scd2_intervals_oracle_sql(
+        ch_attr,
+        "attr",
+        entity_sql="c_custkey",
+        ts_sql="o_orderdate",
+        id_sql="o_orderkey",
+    )
+    snap = cdc_apply_oracle_sql(
+        "customer",
+        _CDC_CHANGES_SQL,
+        keys=["c_custkey"],
+        seq_cols=["o_orderdate", "o_orderkey"],
+        value_cols=["c_acctbal"],
+    )
+    return f"""
+        WITH hist AS ({hist}),
+        open_iv AS (
+          SELECT c_custkey, attr AS hist_bal, version AS n_versions
+          FROM hist WHERE valid_to_epoch IS NULL
+        ),
+        snap AS (
+          SELECT c_custkey, c_acctbal AS snap_bal
+          FROM ({snap}) WHERE changed = 1
+        )
+        SELECT coalesce(o.c_custkey, s.c_custkey) AS c_custkey,
+               o.n_versions, o.hist_bal, s.snap_bal,
+               CASE WHEN s.snap_bal IS NULL AND o.hist_bal IS NULL
+                      THEN 'deleted'
+                    WHEN o.hist_bal = s.snap_bal THEN 'consistent'
+                    ELSE 'mismatch' END AS status
+        FROM open_iv o FULL OUTER JOIN snap s
+          ON o.c_custkey = s.c_custkey
+    """
+
+
 def _r14_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "plan_join_contract": q_plan_join_contract,
+        "cdc_scd2_audit": q_cdc_scd2_audit,
     }
 
 
 def _r14_staged_oracles() -> dict[str, str]:
     return {
+        "plan_join_contract": _PLAN_JOIN_CONTRACT_ORACLE,
+        "cdc_scd2_audit": _cdc_scd2_audit_oracle(),
     }
 
 

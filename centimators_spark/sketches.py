@@ -1099,7 +1099,7 @@ def dd_quantiles(
 
     w_cum = (
         Window.partitionBy("grp")
-        .orderBy("b")
+        .orderBy(F.col("b").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_n = Window.partitionBy("grp")

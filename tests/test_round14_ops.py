@@ -1,0 +1,130 @@
+"""Round-14 staged operator tests: hand-computed traces + oracle
+parity on adversarial micro-fixtures (deletes, re-inserts, no-op
+updates, inserts of unseen keys — the regimes the gate fixture's
+order stream only partially covers)."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+def _compare(name, sdf, odf):
+    from check_oracle import compare
+
+    return compare(name, sdf, odf)
+
+
+# --------------------------------------------------------- cdc_scd2_audit
+
+def test_cdc_scd2_audit_hand_trace(spark):
+    """History (SCD2 over the change stream) and snapshot (CDC
+    latest-wins merge) must agree key by key: upserted keys
+    'consistent' with the open interval's value, deleted keys
+    'deleted' with a NULL open attribute, and the version counter
+    counts COLLAPSED (non-no-op) changes."""
+    from centimators_spark.analytics import scd2_intervals
+    from centimators_spark.reconcile import cdc_apply
+
+    # key 1: U 10 -> U 10 (no-op, collapses) -> U 20   => 2 versions,
+    #   open value 20, snapshot 20 -> consistent
+    # key 2: U 5 -> D                                  => deleted
+    # key 3: in base only, no changes                  => not audited
+    # key 4: INSERT (not in base): U 7                 => consistent
+    # key 5: D -> U 9 (delete then re-insert; latest U wins)
+    #   => consistent, 2 versions (NULL attr then 9)
+    base = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, 1, "U", 10.0),
+            (1, 1, 2, "U", 10.0),
+            (1, 2, 3, "U", 20.0),
+            (2, 1, 4, "U", 5.0),
+            (2, 2, 5, "D", None),
+            (4, 1, 6, "U", 7.0),
+            (5, 1, 7, "D", None),
+            (5, 2, 8, "U", 9.0),
+        ],
+        "k long, seq long, id long, op string, v double",
+    )
+    ch_attr = changes.withColumn(
+        "attr", F.when(F.col("op") != "D", F.col("v"))
+    ).withColumn("ts", F.to_timestamp(F.col("seq").cast("string"),
+                                      "s"))
+    # scd2 needs a timestamp order key; seconds-since-epoch works
+    hist = scd2_intervals(
+        ch_attr, "attr", entity_col="k", ts_col="ts", id_col="id"
+    )
+    open_iv = (
+        hist.where(F.col("valid_to_epoch").isNull())
+        .select("k", "attr", "version")
+        .toPandas()
+        .set_index("k")
+    )
+    assert open_iv.loc[1].attr == 20.0 and open_iv.loc[1].version == 2
+    assert pd.isna(open_iv.loc[2].attr)
+    assert open_iv.loc[4].attr == 7.0 and open_iv.loc[4].version == 1
+    assert open_iv.loc[5].attr == 9.0 and open_iv.loc[5].version == 2
+
+    snap = (
+        cdc_apply(base, changes, keys=["k"], seq_cols=["seq", "id"],
+                  value_cols=["v"])
+        .toPandas()
+        .set_index("k")
+    )
+    # merged snapshot: 1->20 changed, 2 deleted, 3 carried, 4 inserted,
+    # 5 re-inserted as 9
+    assert set(snap.index) == {1, 3, 4, 5}
+    assert snap.loc[1].v == 20.0 and snap.loc[1].changed == 1
+    assert snap.loc[3].v == 3.0 and snap.loc[3].changed == 0
+    assert snap.loc[4].v == 7.0 and snap.loc[5].v == 9.0
+
+    # the audit statuses the gate query derives from these halves
+    changed = snap[snap.changed == 1]
+    statuses = {}
+    for k in set(open_iv.index) | set(changed.index):
+        hb = open_iv.attr.get(k)
+        sb = changed.v.get(k)
+        if pd.isna(sb) and pd.isna(hb):
+            statuses[k] = "deleted"
+        elif hb == sb:
+            statuses[k] = "consistent"
+        else:
+            statuses[k] = "mismatch"
+    assert statuses == {
+        1: "consistent", 2: "deleted", 4: "consistent", 5: "consistent"
+    }
+
+
+def test_cdc_scd2_audit_gate_query_all_consistent(spark):
+    """On the real gate fixture the audit must contain ONLY
+    'consistent' and 'deleted' rows — a 'mismatch' would mean the two
+    operators disagree about the same change stream."""
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.q_cdc_scd2_audit(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert set(sdf.status) <= {"consistent", "deleted"}
+    assert (sdf.status == "consistent").any()
+    assert (sdf.status == "deleted").any()
+
+
+# ------------------------------------------------------ plan_join_contract
+
+def test_plan_join_contract_decision_is_salted(spark):
+    """The gate query's advisor decision must be 'salted' at every
+    SF (the skewed key owns ~75% of lineitem rows and broadcast is
+    disabled) — the constant the oracle hardcodes."""
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.q_plan_join_contract(
+        spark, "/root/testdata/sf0.001"
+    ).limit(5).toPandas()
+    assert (sdf.strategy == "salted").all()

@@ -1396,6 +1396,79 @@ def main():
         and len(re.findall(r"FileScan parquet \[\w+#\d+L?\]", p)) == 4,
     )
 
+    # ---- round-13 additions (the r14 staged set + gate contract) ------
+    p = plan_of(st["plan_join_contract"](spark, sf_dir))
+    ok &= audit(
+        "plan_join_contract: the advisor chose SALTED on the hot key"
+        " — the salt replication (explode) is in the plan, the join"
+        " is a hash join on (key, salt) (broadcast at gate SF), two"
+        " FileScans (fact + dim), no Python, no cartesian",
+        "explode" in p
+        and "BroadcastHashJoin" in p
+        and p.count("FileScan") == 2
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+    # ...and the salt must fire ONLY on a skewed key: the same advisor
+    # on the UNIFORM supplier key (broadcast still disabled) must plan
+    # a plain join with NO salt explode
+    from pyspark.sql import functions as F
+    from centimators_spark.io import load_table
+    from centimators_spark.planner import plan_join
+
+    li_u = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_orderkey"
+    )
+    sup_u = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    out_u, dec_u = plan_join(li_u, sup_u, "s_suppkey",
+                             broadcast_row_limit=0)
+    p = plan_of(out_u)
+    ok &= audit(
+        "plan_join advisor: uniform key -> PLAIN join, salt explode"
+        " absent (the salt fires only on the skewed key)",
+        dec_u["strategy"] == "plain" and "explode" not in p,
+        f"strategy={dec_u['strategy']}",
+    )
+
+    p = plan_of(st["cdc_scd2_audit"](spark, sf_dir))
+    ok &= audit(
+        "cdc_scd2_audit: the change stream feeds two consumers"
+        " (SCD2 history + CDC snapshot) — exactly 3 FileScans"
+        " (orders x2 + customer; materializing the corpus-sized"
+        " stream would be worse at 100 TB), all three windows share"
+        " the customer-key shuffle, audit join is key-cardinality;"
+        " no Python, no cartesian",
+        p.count("FileScan") == 3
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
+    # DD percentile sketch (the 5th sketch family's batch half):
+    # group-by bucket cells only — one scan, map-side combine, the
+    # quantile read-out windows span CELLS
+    from centimators_spark.sketches import dd_bucket_rows, dd_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    p = plan_of(dd_quantiles(dd_bucket_rows(ev, "event_type", "value")))
+    ok &= audit(
+        "dd_quantiles(dd_bucket_rows): ONE corpus scan, map-side"
+        " partial count into cells, no Python — the windows run on"
+        " the cell table",
+        p.count("FileScan") == 1
+        and "partial_count" in p
+        and "EvalPython" not in p,
+    )
+
+    p = plan_of(q["event_paths_nullts"](spark, sf_dir))
+    ok &= audit(
+        "event_paths_nullts: same shape as event_paths — one lead"
+        " window over the user shuffle, TakeOrderedAndProject top-k,"
+        " no Python",
+        "TakeOrderedAndProject" in p and "EvalPython" not in p,
+    )
+
     print("\nALL PASS" if ok else "\nSOME FAILED")
     return 0 if ok else 1
 

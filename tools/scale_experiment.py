@@ -437,6 +437,10 @@ QS = [
     # gate contracts (events-scaling)
     "duplicated_spans_multi", "dsir_select", "bottomk_quantiles",
     "bootstrap_signed", "mwu_signed",
+    # round-13 additions: the r14 staged set (advisor-chosen salted
+    # join scales with lineitem; the CDC/SCD2 audit with orders) —
+    # measured 2026-08-16: 1.1x / 0.8x at 10x rows
+    "plan_join_contract", "cdc_scd2_audit",
 ]
 
 
