@@ -4804,10 +4804,86 @@ def _cdc_scd2_audit_oracle() -> str:
     """
 
 
+def q_dd_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hash contract for the DD percentile sketch (the 5th
+    sketch family's dedicated quantile half, sketches.dd_bucket_rows/
+    dd_quantiles — float log buckets, so rows-only on its own): per
+    event_type the sketch's q25/q50/q75 estimates are checked against
+    the EXACT type-1 quantiles (integer cents, computed in the same
+    plan) under the DDSketch bound |est − exact| ≤ α·exact, and the
+    driver hashes the integer (n_groups, n_within_*) counts — the
+    neutralizer/pca kernel-contract pattern. Any bucket-math drift
+    breaking the relative-error guarantee flips a count and goes
+    hash-red; the oracle only has to count the event types with
+    positive centi-values."""
+    from pyspark.sql import Window as W
+
+    from centimators_spark.sketches import (
+        DD_ALPHA,
+        dd_bucket_rows,
+        dd_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = dd_quantiles(dd_bucket_rows(ev, "event_type", "value"))
+    # exact type-1 quantiles over the SAME domain (centi > 0), the
+    # bottomk integer cross-multiplication rule
+    base = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("__v"),
+    ).where(F.col("__v") > 0)
+    w_v = W.partitionBy("grp").orderBy(
+        F.col("__v").asc_nulls_last(), F.lit(1)
+    )
+    w_n = W.partitionBy("grp")
+    ranked = base.withColumn("__r", F.row_number().over(w_v)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_n)
+    )
+
+    def type1(num: int, den: int):
+        return F.min(
+            F.when(
+                F.col("__r") * F.lit(den) >= F.lit(num) * F.col("__n"),
+                F.col("__v"),
+            )
+        )
+
+    exact = ranked.groupBy("grp").agg(
+        type1(1, 4).alias("e25"),
+        type1(1, 2).alias("e50"),
+        type1(3, 4).alias("e75"),
+    )
+    j = sk.join(exact, "grp")
+    checks = []
+    for nm, ec in (("q25", "e25"), ("q50", "e50"), ("q75", "e75")):
+        est_cents = F.col(f"{nm}_est") * 100.0
+        ex = F.col(ec).cast("double")
+        ok = F.abs(est_cents - ex) <= F.lit(DD_ALPHA) * ex + 1e-6
+        checks.append(
+            F.sum(F.when(ok, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_within_{nm}")
+        )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"), *checks
+    )
+
+
+_DD_SKETCH_CONTRACT_ORACLE = """
+    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_within_q25,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_within_q50,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_within_q75
+    FROM events
+    WHERE CAST(round(value * 100) AS BIGINT) > 0
+"""
+
+
 def _r14_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "plan_join_contract": q_plan_join_contract,
         "cdc_scd2_audit": q_cdc_scd2_audit,
+        "dd_sketch_contract": q_dd_sketch_contract,
     }
 
 
@@ -4815,6 +4891,7 @@ def _r14_staged_oracles() -> dict[str, str]:
     return {
         "plan_join_contract": _PLAN_JOIN_CONTRACT_ORACLE,
         "cdc_scd2_audit": _cdc_scd2_audit_oracle(),
+        "dd_sketch_contract": _DD_SKETCH_CONTRACT_ORACLE,
     }
 
 

@@ -128,3 +128,46 @@ def test_plan_join_contract_decision_is_salted(spark):
         spark, "/root/testdata/sf0.001"
     ).limit(5).toPandas()
     assert (sdf.strategy == "salted").all()
+
+
+# ------------------------------------------------------- dd_sketch_contract
+
+def test_dd_sketch_contract_has_teeth(spark):
+    """The kernel-contract must flip red when the sketch's accuracy
+    breaks: with a deliberately mis-scaled estimate (midpoint of the
+    WRONG bucket — one octave off) at least one group falls outside
+    the alpha band, so n_within < n_groups and the driver hash
+    changes."""
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.q_dd_sketch_contract(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    r = sdf.iloc[0]
+    assert r.n_groups > 0
+    assert (
+        r.n_within_q25 == r.n_within_q50 == r.n_within_q75 == r.n_groups
+    )
+
+    # broken variant: estimates doubled (bucket off by ln2/ln(gamma))
+    from centimators_spark.io import load_table
+    from centimators_spark.sketches import (
+        DD_ALPHA,
+        dd_bucket_rows,
+        dd_quantiles,
+    )
+    from pyspark.sql import functions as F2
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    sk = dd_quantiles(dd_bucket_rows(ev, "event_type", "value"))
+    broken = sk.agg(
+        F2.count(F2.lit(1)).alias("n_groups"),
+        F2.sum(
+            F2.when(
+                F2.abs(F2.col("q50_est") * 200.0 - F2.col("q50_est") * 100.0)
+                <= F2.lit(DD_ALPHA) * F2.col("q50_est") * 100.0,
+                1,
+            ).otherwise(0)
+        ).alias("n_within"),
+    ).collect()[0]
+    assert broken.n_within < broken.n_groups

@@ -1461,6 +1461,18 @@ def main():
         and "EvalPython" not in p,
     )
 
+    p = plan_of(st["dd_sketch_contract"](spark, sf_dir))
+    ok &= audit(
+        "dd_sketch_contract: the sketch half is cells-only; the exact"
+        " type-1 witness pays the one per-group sort window"
+        " (verification side, witness-rides-along precedent); the"
+        " cell/exact join is group-cardinality — no Python, no"
+        " cartesian of data",
+        "partial_count" in p
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
     p = plan_of(q["event_paths_nullts"](spark, sf_dir))
     ok &= audit(
         "event_paths_nullts: same shape as event_paths — one lead"

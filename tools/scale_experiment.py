@@ -441,6 +441,8 @@ QS = [
     # join scales with lineitem; the CDC/SCD2 audit with orders) —
     # measured 2026-08-16: 1.1x / 0.8x at 10x rows
     "plan_join_contract", "cdc_scd2_audit",
+    # dd sketch kernel contract (events-scaling; 1.2x at 10x)
+    "dd_sketch_contract",
 ]
 
 
