@@ -113,7 +113,19 @@ def plan_join(
     strategy, and the row multiset is identical to the plain join
     (the contract each strategy must keep — broadcast and plain by
     construction, salted by operators/skew.py's salt-replica
-    pairing)."""
+    pairing).
+
+    ``how`` is restricted to 'inner'/'left' UP FRONT — salted_join
+    supports only those, and validating lazily would make the same
+    call crash or succeed depending on the measured skew (a
+    data-dependent failure mode an advisor must never have). For
+    right/outer joins swap the arguments or pick a strategy
+    manually."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"plan_join supports how='inner'|'left' (every strategy "
+            f"must be able to run), got {how!r}"
+        )
     decision = plan_join_decision(
         fact,
         dim,

@@ -1021,9 +1021,10 @@ def bottomk_quantile_oracle_sql(
 # DDSketch-style logarithmic-bucket histogram (Masson, Rim & Lee,
 # "DDSketch: a fast and fully-mergeable quantile sketch with
 # relative-error guarantees", VLDB 2019). Each positive centi-value v
-# lands in bucket b = floor(ln v / ln gamma); reading the bucket
-# midpoint back guarantees RELATIVE error <= alpha for every quantile,
-# with gamma = (1+alpha)/(1-alpha).
+# lands in bucket b = floor(ln v / ln gamma); reading back the paper's
+# estimator 2*gamma^(b+1)/(gamma+1) guarantees RELATIVE error <= alpha
+# for every quantile (both bucket-edge errors equal exactly
+# (gamma-1)/(gamma+1) = alpha), with gamma = (1+alpha)/(1-alpha).
 #
 # Mergeability is trivial and EXACT: the sketch is integer bucket
 # counts, so merge = cell-wise addition — commutative, associative,
@@ -1091,9 +1092,14 @@ def dd_quantiles(
     half (batch dd_bucket_rows or the final generation of the
     streaming state): type-1 rank selection by exact integer
     cross-multiplication over the bucket cumsum (cum·den ≥ num·n — the
-    weighted_quantiles rule), then the bucket's midpoint estimate
-    (gamma^b + gamma^(b+1))/2 back in currency units, rounded 6dp.
-    The window spans sketch CELLS (≤~800 per group), never data.
+    weighted_quantiles rule), then the DDSketch estimator
+    x̂ = 2·gamma^(b+1)/(gamma+1) back in currency units, rounded 6dp.
+    NOT the arithmetic midpoint: the midpoint's worst-case relative
+    error is (gamma−1)/2 = alpha/(1−alpha) > alpha (it overshoots at
+    the bucket's low edge), while the paper's estimator equalizes
+    both edge errors at exactly (gamma−1)/(gamma+1) = alpha — the
+    bound the dd_sketch_contract gate pins. The window spans sketch
+    CELLS (≤~800 per group), never data.
     Output: (grp, n_rows, {name}_bucket, {name}_est)."""
     import math
 
@@ -1126,10 +1132,12 @@ def dd_quantiles(
     est_cols = []
     for nm in names:
         bcol = F.col(f"{nm}_bucket").cast("double")
-        mid = (
-            F.exp(bcol * F.lit(lg)) + F.exp((bcol + 1) * F.lit(lg))
-        ) / F.lit(2.0)
-        est_cols.append(F.round(mid / 100.0, 6).alias(f"{nm}_est"))
+        est = (
+            F.lit(2.0)
+            * F.exp((bcol + 1) * F.lit(lg))
+            / F.lit(DD_GAMMA + 1.0)
+        )
+        est_cols.append(F.round(est / 100.0, 6).alias(f"{nm}_est"))
     return agg.select(
         "grp",
         "n_rows",

@@ -246,9 +246,10 @@ def dd_buckets_stream(
         else:
             counts, gen = {}, 0
         for pdf in pdfs:
-            for b in pdf["__b"]:
-                b = int(b)
-                counts[b] = counts.get(b, 0) + 1
+            # vectorized per-batch histogram (C-side), then one dict
+            # merge per DISTINCT bucket (≤~800) — never per row
+            for b, c in pdf["__b"].value_counts().items():
+                counts[int(b)] = counts.get(int(b), 0) + int(c)
         cells = sorted(counts.items())
         gen += 1
         state.update(

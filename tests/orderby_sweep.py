@@ -41,7 +41,7 @@ def scan_files() -> list[pathlib.Path]:
 
 
 def orderby_sites(text: str, relpath: str) -> list[str]:
-    """Every ``.orderBy(...)`` call's fingerprint: relpath + the
+    """Every ``.orderBy(...)`` call's raw fingerprint: relpath + the
     whitespace-normalized argument text (line-move tolerant; any
     argument edit re-fingerprints the site, forcing a re-audit)."""
     sites = []
@@ -62,14 +62,22 @@ def orderby_sites(text: str, relpath: str) -> list[str]:
 
 
 def unsafe_sites() -> list[str]:
-    """Fingerprints of orderBy sites with NO explicit null ordering."""
-    out = []
+    """Counted fingerprints (``relpath::args::xN``) of orderBy sites
+    with NO explicit null ordering. The occurrence count is part of
+    the fingerprint so a NEW site whose argument text happens to
+    match an already-audited site in the same file still trips the
+    sweep (without the count, 119 raw sites shadowed down to 95
+    unique texts and a copy-paste of an audited orderBy onto a
+    nullable column would pass unaudited)."""
+    from collections import Counter
+
+    raw = []
     for f in scan_files():
         for fp in orderby_sites(f.read_text(), str(f.relative_to(ROOT))):
             args = fp.split("::", 1)[1]
             if not any(tok in args for tok in EXPLICIT):
-                out.append(fp)
-    return out
+                raw.append(fp)
+    return [f"{fp}::x{n}" for fp, n in Counter(raw).items()]
 
 
 def load_allowlist() -> list[str]:

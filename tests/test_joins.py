@@ -393,3 +393,15 @@ def test_plan_join_all_null_fact_key(spark):
     dim = spark.createDataFrame([("a", "x")], "k string, attr string")
     out, dec = plan_join(fact, dim, "k", broadcast_row_limit=0)
     assert dec["strategy"] == "plain" and out.count() == 0
+
+
+def test_plan_join_rejects_unsupported_how_up_front(spark):
+    """An unsupported join type must fail immediately, not
+    data-dependently when the skew measurement happens to pick the
+    salted branch (review finding, round 13)."""
+    from centimators_spark.planner import plan_join
+
+    fact = spark.createDataFrame([(1, 1)], "k long, p long")
+    dim = spark.createDataFrame([(1, "a")], "k long, attr string")
+    with pytest.raises(ValueError, match="inner"):
+        plan_join(fact, dim, "k", how="outer")

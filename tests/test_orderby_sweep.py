@@ -30,6 +30,26 @@ def test_sweep_allowlist_has_no_stale_entries():
     )
 
 
+def test_sweep_counts_catch_shadowed_duplicates():
+    """A NEW unsafe orderBy whose argument text matches an audited
+    site in the same file must still trip the sweep: the occurrence
+    count is part of the fingerprint (review finding, round 13)."""
+    from collections import Counter
+
+    text = (
+        "w1 = Window.partitionBy('a').orderBy(F.col('ts'))\n"
+        "w2 = Window.partitionBy('b').orderBy(F.col('ts'))\n"
+    )
+    raw = orderby_sweep.orderby_sites(text, "probe.py")
+    counted = [f"{fp}::x{n}" for fp, n in Counter(raw).items()]
+    assert counted == ["probe.py::F.col('ts')::x2"]
+    # the allowlist built when only ONE such site existed would hold
+    # ::x1 — the second, text-identical site changes the fingerprint
+    assert counted != ["probe.py::F.col('ts')::x1"]
+    # and every live allowlist entry carries a count suffix
+    assert all("::x" in e for e in orderby_sweep.load_allowlist())
+
+
 def test_sweep_detects_a_synthetic_unsafe_site():
     """The scanner itself must flag an implicit-ascending orderBy and
     pass an explicit one (guards against regex rot)."""

@@ -149,25 +149,42 @@ def test_dd_sketch_contract_has_teeth(spark):
         r.n_within_q25 == r.n_within_q50 == r.n_within_q75 == r.n_groups
     )
 
-    # broken variant: estimates doubled (bucket off by ln2/ln(gamma))
+    # broken variant: a ONE-OCTAVE bucket error (estimates doubled)
+    # checked against the REAL exact quantiles — every group must
+    # fall outside the alpha band, so the contract's n_within would
+    # collapse and the driver hash flip
     from centimators_spark.io import load_table
     from centimators_spark.sketches import (
         DD_ALPHA,
         dd_bucket_rows,
         dd_quantiles,
     )
-    from pyspark.sql import functions as F2
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
-    sk = dd_quantiles(dd_bucket_rows(ev, "event_type", "value"))
-    broken = sk.agg(
-        F2.count(F2.lit(1)).alias("n_groups"),
-        F2.sum(
-            F2.when(
-                F2.abs(F2.col("q50_est") * 200.0 - F2.col("q50_est") * 100.0)
-                <= F2.lit(DD_ALPHA) * F2.col("q50_est") * 100.0,
-                1,
-            ).otherwise(0)
-        ).alias("n_within"),
-    ).collect()[0]
-    assert broken.n_within < broken.n_groups
+    sk = (
+        dd_quantiles(dd_bucket_rows(ev, "event_type", "value"))
+        .toPandas()
+        .set_index("grp")
+    )
+    import math
+
+    exact = (
+        ev.toPandas()
+        .assign(cents=lambda d: (d.value * 100).round().astype("int64"))
+        .query("cents > 0")
+        .groupby("event_type")
+        # exact type-1 median: smallest v with rank >= ceil(n/2),
+        # the contract's integer cross-multiplication definition
+        .cents.apply(
+            lambda s: sorted(s)[math.ceil(len(s) / 2) - 1]
+        )
+    )
+    n_within_true = n_within_broken = 0
+    for g, ex in exact.items():
+        est_cents = sk.loc[g, "q50_est"] * 100.0
+        if abs(est_cents - ex) <= DD_ALPHA * ex + 1e-6:
+            n_within_true += 1
+        if abs(est_cents * 2.0 - ex) <= DD_ALPHA * ex + 1e-6:
+            n_within_broken += 1
+    assert n_within_true == len(exact)  # the true estimator is in-band
+    assert n_within_broken == 0  # the octave-off estimator never is
