@@ -63,6 +63,10 @@ ISOLATED_CHUNK = [
     "mwu_signed",
     "sign_permutation",
     "bootstrap_nullkey",
+    # promoted r13: the composed permutation×BH flagship runs the SAME
+    # decimal sign-flip kernel across ~150 segments — the family's
+    # heaviest member belongs in its isolation chunk
+    "fdr_audit",
 ]
 
 # suite-level host-load guard (r11 verdict item 3 — the driver's
