@@ -4879,11 +4879,72 @@ _DD_SKETCH_CONTRACT_ORACLE = """
 """
 
 
+_BASE_CENTS_SQL = (
+    "(SELECT c_custkey, c_nationkey,"
+    " CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer)"
+)
+
+_CDC_CHANGES_CENTS_SQL = (
+    "(SELECT c_custkey, o_orderdate, o_orderkey, op,"
+    " CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c"
+    f" FROM {_CDC_CHANGES_SQL} c)"
+)
+
+
+def q_incr_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance under the shared CDC stream
+    (reconcile.incremental_agg — materialized-view maintenance): the
+    per-nation (count, sum-of-cents) customer rollup is updated from
+    the change stream's per-key deltas — the base fact is touched
+    only by a key-cardinality old-value lookup plus the (normally
+    already-maintained) base rollup — and the oracle is the FULL
+    RECOMPUTE over the cdc-merged snapshot; hash equality proves the
+    delta path produces the bit-identical aggregate, which is the
+    entire point of incremental view maintenance at 100 TB. Integer
+    cents make the sums order-independent on both engines."""
+    from centimators_spark.reconcile import incremental_agg
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    changes = _cdc_changes(spark, sf_dir).select(
+        "c_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "op",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    return incremental_agg(
+        base,
+        changes,
+        keys=["c_custkey"],
+        seq_cols=["o_orderdate", "o_orderkey"],
+        value_col="bal_c",
+        group_col="c_nationkey",
+    )
+
+
+def _incr_agg_maintain_oracle() -> str:
+    from centimators_spark.reconcile import incremental_agg_oracle_sql
+
+    return incremental_agg_oracle_sql(
+        _BASE_CENTS_SQL,
+        _CDC_CHANGES_CENTS_SQL,
+        keys=["c_custkey"],
+        seq_cols=["o_orderdate", "o_orderkey"],
+        value_col="bal_c",
+        group_col="c_nationkey",
+    )
+
+
 def _r14_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "plan_join_contract": q_plan_join_contract,
         "cdc_scd2_audit": q_cdc_scd2_audit,
         "dd_sketch_contract": q_dd_sketch_contract,
+        "incr_agg_maintain": q_incr_agg_maintain,
     }
 
 
@@ -4892,6 +4953,7 @@ def _r14_staged_oracles() -> dict[str, str]:
         "plan_join_contract": _PLAN_JOIN_CONTRACT_ORACLE,
         "cdc_scd2_audit": _cdc_scd2_audit_oracle(),
         "dd_sketch_contract": _DD_SKETCH_CONTRACT_ORACLE,
+        "incr_agg_maintain": _incr_agg_maintain_oracle(),
     }
 
 

@@ -241,3 +241,174 @@ def cdc_apply_oracle_sql(
         FROM {base_sql} b FULL OUTER JOIN latest c ON {on}
         WHERE c.{op_col} IS NULL OR c.{op_col} = 'U'
     """
+
+
+def incremental_agg(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    value_col: str,
+    group_col: str,
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of a per-group (count, sum) aggregate
+    under a CDC change stream — materialized-view maintenance, the
+    step that lets a 100 TB pipeline keep its rollups current WITHOUT
+    re-aggregating the fact table on every batch of changes (the
+    Flink/Materialize delta-propagation idea expressed as one Spark
+    plan).
+
+    Delta semantics per key's LATEST change (the cdc_apply rule —
+    ``seq_cols`` unique per key):
+
+    - 'D' of an existing key: (−1, −old_value) against the key's
+      OLD group;
+    - 'U' of an existing key: (0, new − old) against the old group
+      (the group attribute lives on the base, not the stream);
+    - 'U' of an unseen key (insert): (+1, +new) against the NULL
+      group (the stream carries no group attribute — the same NULL
+      group a recompute-after-merge produces under a left join);
+    - 'D' of an unseen key: no-op.
+
+    Updated aggregate = maintained base aggregate ⊕ delta aggregate
+    (one full-outer join on the group, integer addition); groups whose
+    count reaches 0 drop out, exactly like the recompute.
+
+    ``value_col`` must be an INTEGER column (convert currency to
+    cents first): integer sums are order-independent, so the
+    incremental result is bit-identical to the full recompute on both
+    engines — which is precisely the contract
+    (:func:`incremental_agg_oracle_sql` IS the recompute over the
+    merged snapshot; hash equality proves maintenance correct).
+
+    Scale/scan accounting: the change stream is windowed once to its
+    per-key head; the base is touched by (a) the old-value lookup —
+    a key-cardinality join against the (days-sized) change-key set,
+    a broadcast/bucketed probe, never a second shuffle of the base —
+    and (b) the base aggregate, which a production deployment feeds
+    in as the PREVIOUSLY MAINTAINED rollup rather than recomputing
+    (the gate query recomputes it for self-containment; that one
+    map-side-combined aggregate is its only base-sized work).
+    Output: (grp, n_rows, sum_val)."""
+    from pyspark.sql import Window
+
+    ks = list(keys)
+    seq = list(seq_cols)
+    w = Window.partitionBy(*ks).orderBy(
+        *[F.col(c).desc_nulls_last() for c in seq]
+    )
+    latest = (
+        changes.select(*ks, *seq, op_col, value_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            *ks,
+            F.col(op_col).alias("__op"),
+            F.col(value_col).alias("__new"),
+        )
+    )
+    old = base.select(
+        *ks,
+        F.col(group_col).alias("__grp"),
+        F.col(value_col).alias("__old"),
+        F.lit(1).alias("__in_base"),
+    )
+    j = latest.join(old, ks, "left")
+    # presence via an explicit marker (a NULL base value or NULL base
+    # group must still count as "exists"); a NULL old value
+    # contributed nothing to the maintained sum, so it deltas as 0
+    exists = F.col("__in_base").isNotNull()
+    old_v = F.coalesce(F.col("__old"), F.lit(0))
+    dn = (
+        F.when((F.col("__op") == "D") & exists, F.lit(-1))
+        .when((F.col("__op") == "U") & ~exists, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    ds = (
+        F.when((F.col("__op") == "D") & exists, -old_v)
+        .when(
+            (F.col("__op") == "U") & exists,
+            F.coalesce(F.col("__new"), F.lit(0)) - old_v,
+        )
+        .when(
+            (F.col("__op") == "U") & ~exists,
+            F.coalesce(F.col("__new"), F.lit(0)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    delta = (
+        j.select(F.col("__grp").alias("grp"), dn.alias("__dn"),
+                 ds.alias("__ds"))
+        .groupBy("grp")
+        .agg(
+            F.sum("__dn").cast("long").alias("__dn"),
+            F.sum("__ds").cast("long").alias("__ds"),
+        )
+    )
+    base_agg = (
+        base.select(F.col(group_col).alias("grp"),
+                    F.col(value_col).alias("__v"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__v").cast("long").alias("__s"),
+        )
+    )
+    # NULL-SAFE on the group key: the NULL group (inserted keys with
+    # no base attribute, or a genuinely NULL base group) must MERGE
+    # between the two sides — a plain equality join would split it
+    # into two rows (caught by the hand-trace fixture; the gate
+    # fixture's non-null nations never exercise it)
+    merged = (
+        base_agg.alias("b")
+        .join(
+            delta.alias("d"),
+            F.col("b.grp").eqNullSafe(F.col("d.grp")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("b.grp"), F.col("d.grp")).alias("grp"),
+            (F.coalesce(F.col("__n"), F.lit(0))
+             + F.coalesce(F.col("__dn"), F.lit(0))).alias("n_rows"),
+            (F.coalesce(F.col("__s"), F.lit(0))
+             + F.coalesce(F.col("__ds"), F.lit(0))).alias("sum_val"),
+        )
+    )
+    return merged.where(F.col("n_rows") > 0)
+
+
+def incremental_agg_oracle_sql(
+    base_sql: str,
+    changes_sql: str,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    value_col: str,
+    group_col: str,
+    *,
+    op_col: str = "op",
+) -> str:
+    """The FULL RECOMPUTE the incremental path must equal bit for
+    bit: aggregate over the cdc-merged snapshot, group attribute
+    looked up from the base (inserted keys land in the NULL group)."""
+    ks = list(keys)
+    on = " AND ".join(f"m.{k} = g.{k}" for k in ks)
+    merged = cdc_apply_oracle_sql(
+        base_sql, changes_sql, keys=ks, seq_cols=list(seq_cols),
+        value_cols=[value_col], op_col=op_col,
+    )
+    return f"""
+        WITH merged AS ({merged}),
+        grp_lookup AS (
+          SELECT {", ".join(ks)}, {group_col} AS grp FROM {base_sql}
+        )
+        SELECT g.grp,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(m.{value_col}), 0) AS BIGINT)
+                 AS sum_val
+        FROM merged m LEFT JOIN grp_lookup g ON {on}
+        GROUP BY g.grp
+    """

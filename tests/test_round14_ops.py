@@ -188,3 +188,67 @@ def test_dd_sketch_contract_has_teeth(spark):
             n_within_broken += 1
     assert n_within_true == len(exact)  # the true estimator is in-band
     assert n_within_broken == 0  # the octave-off estimator never is
+
+
+# ------------------------------------------------------ incr_agg_maintain
+
+def test_incremental_agg_hand_trace_and_recompute_parity(spark):
+    """Delta maintenance must equal the full recompute on every CDC
+    regime: update, delete, insert (NULL group), delete-of-unseen-key
+    no-op, NULL old value, NULL base group, and a group emptied to
+    n=0 dropping out."""
+    from centimators_spark.reconcile import (
+        incremental_agg,
+        incremental_agg_oracle_sql,
+    )
+
+    # base: group A = keys 1 (v 10) and 2 (v NULL); group B = key 3
+    # (v 5); group NULL = key 6 (v 4)
+    base_pdf = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 6],
+            "grp": ["A", "A", "B", None],
+            "v": pd.array([10, None, 5, 4], dtype="Int64"),
+        }
+    )
+    base = spark.createDataFrame(base_pdf)
+    # changes: k1 U 12 (update), k2 D (delete NULL-valued row),
+    # k3 U 5 -> then D (latest D wins: group B empties out),
+    # k4 U 7 (insert -> NULL group), k5 D (unseen: no-op),
+    # k6 U NULL (update to NULL value)
+    ch_pdf = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 3, 4, 5, 6],
+            "seq": [1, 1, 1, 2, 1, 1, 1],
+            "op": ["U", "D", "U", "D", "U", "D", "U"],
+            "v": pd.array([12, None, 9, None, 7, None, None],
+                          dtype="Int64"),
+        }
+    )
+    changes = spark.createDataFrame(ch_pdf)
+    out = (
+        incremental_agg(base, changes, ["k"], ["seq"], "v", "grp")
+        .toPandas()
+        .sort_values("grp", na_position="first")
+        .reset_index(drop=True)
+    )
+    got = {
+        (None if pd.isna(r.grp) else r.grp): (r.n_rows, r.sum_val)
+        for r in out.itertuples()
+    }
+    # A: k1 12 (updated), k2 deleted -> n=1 sum=12
+    # B: emptied (k3 deleted) -> dropped
+    # NULL group: k6 updated to NULL (n=1 sum=0) + k4 inserted
+    #   (n=1 sum=7) -> n=2 sum=7
+    assert got == {"A": (1, 12), None: (2, 7)}
+
+    con = duckdb.connect()
+    con.register("b", base_pdf)
+    con.register("c", ch_pdf)
+    odf = con.execute(
+        incremental_agg_oracle_sql("b", "c", ["k"], ["seq"], "v", "grp")
+    ).fetchdf()
+    sdf = incremental_agg(
+        base, changes, ["k"], ["seq"], "v", "grp"
+    ).toPandas()
+    assert _compare("incr_agg_micro", sdf, odf)

@@ -1473,6 +1473,21 @@ def main():
         and "CartesianProduct" not in p,
     )
 
+    p = plan_of(st["incr_agg_maintain"](spark, sf_dir))
+    ok &= audit(
+        "incr_agg_maintain: delta maintenance shape — the change"
+        " stream windows once to its per-key head, the old-value"
+        " lookup is a (broadcastable) key join, base is aggregated"
+        " map-side (in production the maintained rollup arrives as"
+        " input); 3 FileScans (orders + customer x2), no Python, no"
+        " cartesian",
+        p.count("FileScan") == 3
+        and "BroadcastHashJoin" in p
+        and ("partial_count" in p or "partial_sum" in p)
+        and "EvalPython" not in p
+        and "CartesianProduct" not in p,
+    )
+
     p = plan_of(q["event_paths_nullts"](spark, sf_dir))
     ok &= audit(
         "event_paths_nullts: same shape as event_paths — one lead"

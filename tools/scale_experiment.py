@@ -443,6 +443,8 @@ QS = [
     "plan_join_contract", "cdc_scd2_audit",
     # dd sketch kernel contract (events-scaling; 1.2x at 10x)
     "dd_sketch_contract",
+    # incremental view maintenance (orders/customer; 1.1x at 10x)
+    "incr_agg_maintain",
 ]
 
 
