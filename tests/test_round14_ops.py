@@ -252,3 +252,69 @@ def test_incremental_agg_hand_trace_and_recompute_parity(spark):
         base, changes, ["k"], ["seq"], "v", "grp"
     ).toPandas()
     assert _compare("incr_agg_micro", sdf, odf)
+
+
+def test_incremental_agg_composes_across_days(spark):
+    """Two-step maintenance (apply day-1 changes, then maintain with
+    day-2 changes against the day-1 snapshot) must equal one-step
+    maintenance over the concatenated stream — the multi-day
+    property a production rollup pipeline relies on."""
+    from centimators_spark.reconcile import incremental_agg
+
+    base_pdf = pd.DataFrame(
+        {
+            "k": [1, 2, 3],
+            "grp": ["A", "A", "B"],
+            "v": pd.array([10, 20, 5], dtype="Int64"),
+        }
+    )
+    ch1 = pd.DataFrame(
+        {
+            "k": [1, 4],
+            "seq": [1, 1],
+            "op": ["U", "U"],
+            "v": pd.array([11, 7], dtype="Int64"),
+        }
+    )
+    ch2 = pd.DataFrame(
+        {
+            "k": [1, 2, 4],
+            "seq": [2, 2, 2],
+            "op": ["D", "U", "U"],
+            "v": pd.array([None, 25, 8], dtype="Int64"),
+        }
+    )
+    # day-1 snapshot, hand-applied: k1->11, k4 inserted (NULL group)
+    base2_pdf = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4],
+            "grp": ["A", "A", "B", None],
+            "v": pd.array([11, 20, 5, 7], dtype="Int64"),
+        }
+    )
+    one_step = (
+        incremental_agg(
+            spark.createDataFrame(base_pdf),
+            spark.createDataFrame(pd.concat([ch1, ch2])),
+            ["k"], ["seq"], "v", "grp",
+        )
+        .toPandas().sort_values("grp", na_position="first")
+        .reset_index(drop=True)
+    )
+    two_step = (
+        incremental_agg(
+            spark.createDataFrame(base2_pdf),
+            spark.createDataFrame(ch2),
+            ["k"], ["seq"], "v", "grp",
+        )
+        .toPandas().sort_values("grp", na_position="first")
+        .reset_index(drop=True)
+    )
+    assert one_step.equals(two_step)
+    got = {
+        (None if pd.isna(r.grp) else r.grp): (r.n_rows, r.sum_val)
+        for r in one_step.itertuples()
+    }
+    # A: k1 deleted, k2 -> 25 => (1, 25); B untouched (1, 5);
+    # NULL: k4 -> 8 => (1, 8)
+    assert got == {"A": (1, 25), "B": (1, 5), None: (1, 8)}
