@@ -840,3 +840,113 @@ def test_stream_dd_buckets_rejects_batch_frame(spark):
 
     with pytest.raises(ValueError):
         dd_buckets_stream(load_table(spark, SF, "events"))
+
+
+def test_stream_cdc_contributions_out_of_order(spark, tmp_path):
+    """Streaming CDC contributions must keep latest-wins ACROSS
+    micro-batches even when an OLDER change arrives in a LATER batch
+    (replayed partition): final per-key contributions, summed per
+    group and added to the base aggregate, equal the batch
+    incremental_agg over the full stream exactly."""
+    import pandas as pd
+
+    from centimators_spark.reconcile import incremental_agg
+    from centimators_spark.streaming.cdc import cdc_contributions_stream
+
+    base_pdf = pd.DataFrame(
+        {
+            "k": [1, 2, 3],
+            "grp": ["A", "A", "B"],
+            "v": pd.array([10, 20, 5], dtype="Int64"),
+        }
+    )
+    base = spark.createDataFrame(base_pdf)
+    # batch a (arrives FIRST) carries the NEWER seq=2 changes;
+    # batch b (arrives second) carries seq=1 — out-of-order delivery
+    ch_a = pd.DataFrame(
+        {
+            "k": [1, 2, 4],
+            "seq": [2, 2, 2],
+            "op": ["D", "U", "U"],
+            "v": pd.array([None, 25, 8], dtype="Int64"),
+        }
+    )
+    ch_b = pd.DataFrame(
+        {
+            "k": [1, 2, 4, 5],
+            "seq": [1, 1, 1, 1],
+            "op": ["U", "U", "U", "D"],
+            "v": pd.array([11, 22, 7, None], dtype="Int64"),
+        }
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(ch_a).coalesce(1).write.parquet(
+        src + "/a.parquet"
+    )
+    spark.createDataFrame(ch_b).coalesce(1).write.parquet(
+        src + "/b.parquet"
+    )
+    schema = spark.createDataFrame(ch_a).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        cdc_contributions_stream(stream, base)
+        .writeStream.format("memory")
+        .queryName("cdc_contrib")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1
+    all_rows = spark.sql("SELECT * FROM cdc_contrib").toPandas()
+    last = all_rows[
+        all_rows.gen == all_rows.groupby("k").gen.transform("max")
+    ]
+    # assemble: base aggregate + final contributions per group
+    base_agg = (
+        base_pdf.groupby("grp", dropna=False)
+        .agg(n=("v", "size"), s=("v", "sum"))
+        .reset_index()
+    )
+    contrib = (
+        last.groupby("grp", dropna=False)
+        .agg(dn=("dn", "sum"), ds=("ds", "sum"))
+        .reset_index()
+    )
+    merged = base_agg.merge(contrib, on="grp", how="outer")
+    for c in ("n", "s", "dn", "ds"):
+        merged[c] = merged[c].fillna(0)
+    merged["n_rows"] = (merged.n + merged.dn).astype(int)
+    merged["sum_val"] = (merged.s + merged.ds).astype(int)
+    got = {
+        (None if pd.isna(r.grp) else r.grp): (r.n_rows, r.sum_val)
+        for r in merged.itertuples()
+        if r.n_rows > 0
+    }
+    exp_df = incremental_agg(
+        base,
+        spark.createDataFrame(pd.concat([ch_a, ch_b])),
+        ["k"], ["seq"], "v", "grp",
+    ).toPandas()
+    exp = {
+        (None if pd.isna(r.grp) else r.grp): (r.n_rows, r.sum_val)
+        for r in exp_df.itertuples()
+    }
+    # the seq=2 deletes/updates must win although seq=1 arrived later:
+    # A: k1 deleted, k2 -> 25 => (1, 25); B untouched (1, 5);
+    # NULL group: k4 inserted at 8 (seq=2 wins over 7)
+    assert got == exp == {"A": (1, 25), "B": (1, 5), None: (1, 8)}
+
+
+def test_stream_cdc_contributions_rejects_batch_frame(spark):
+    from centimators_spark.streaming.cdc import cdc_contributions_stream
+
+    with pytest.raises(ValueError):
+        cdc_contributions_stream(
+            load_table(spark, SF, "events"),
+            load_table(spark, SF, "customer"),
+        )
