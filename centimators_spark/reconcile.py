@@ -144,6 +144,31 @@ def table_diff_oracle_sql(
     """
 
 
+def _latest_changes(
+    changes: DataFrame,
+    keys: list,
+    seq_cols: list,
+    op_col: str,
+    value_cols: list,
+) -> DataFrame:
+    """The per-key latest-wins head of a change stream — ONE
+    definition of "latest" (row_number over the key shuffle, seq
+    descending; .desc() and desc_nulls_last are identical on Spark,
+    spelled explicitly for the NULL-ordering sweep) shared by
+    :func:`cdc_apply` and :func:`incremental_agg` so the MERGE path
+    and the maintenance path can never desynchronize."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc_nulls_last() for c in seq_cols]
+    )
+    return (
+        changes.select(*keys, *seq_cols, op_col, *value_cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+
+
 def cdc_apply(
     base: DataFrame,
     changes: DataFrame,
@@ -169,19 +194,10 @@ def cdc_apply(
     per-column pass. Output: keys + value_cols + ``changed``
     (1 = written by the stream, 0 = carried from base), exact — the
     oracle (:func:`cdc_apply_oracle_sql`) is bit-identical."""
-    from pyspark.sql import Window
-
     keys = list(keys)
     seq_cols = list(seq_cols)
     value_cols = list(value_cols)
-    w = Window.partitionBy(*keys).orderBy(
-        *[F.col(c).desc() for c in seq_cols]
-    )
-    latest = (
-        changes.select(*keys, *seq_cols, op_col, *value_cols)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-    )
+    latest = _latest_changes(changes, keys, seq_cols, op_col, value_cols)
     b = base.select(*keys, *value_cols)
     joined = b.alias("b").join(
         latest.alias("c"), on=keys, how="full_outer"
@@ -283,6 +299,13 @@ def incremental_agg(
     (:func:`incremental_agg_oracle_sql` IS the recompute over the
     merged snapshot; hash equality proves maintenance correct).
 
+    ``keys`` must form a NON-NULL UNIQUE key of the base and of the
+    change stream's entities (the cdc MERGE contract, made explicit):
+    a NULL or duplicated key has no well-defined "the row to update"
+    on either engine — NULL keys never match an equality join (Spark
+    would treat the change as an insert) and the oracle's group
+    lookup would fan out on duplicates.
+
     Scale/scan accounting: the change stream is windowed once to its
     per-key head; the base is touched by (a) the old-value lookup —
     a key-cardinality join against the (days-sized) change-key set,
@@ -292,22 +315,14 @@ def incremental_agg(
     (the gate query recomputes it for self-containment; that one
     map-side-combined aggregate is its only base-sized work).
     Output: (grp, n_rows, sum_val)."""
-    from pyspark.sql import Window
-
     ks = list(keys)
     seq = list(seq_cols)
-    w = Window.partitionBy(*ks).orderBy(
-        *[F.col(c).desc_nulls_last() for c in seq]
-    )
-    latest = (
-        changes.select(*ks, *seq, op_col, value_col)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            *ks,
-            F.col(op_col).alias("__op"),
-            F.col(value_col).alias("__new"),
-        )
+    latest = _latest_changes(
+        changes, ks, seq, op_col, [value_col]
+    ).select(
+        *ks,
+        F.col(op_col).alias("__op"),
+        F.col(value_col).alias("__new"),
     )
     old = base.select(
         *ks,

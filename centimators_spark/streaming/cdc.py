@@ -53,7 +53,10 @@ def cdc_contributions_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
         LongType,
+        ShortType,
         StringType,
         StructField,
         StructType,
@@ -63,6 +66,19 @@ def cdc_contributions_stream(
         raise ValueError(
             "cdc_contributions_stream expects a streaming DataFrame"
         )
+    # the group key keeps its native integral type (the batch rollup
+    # it merges into would silently never match a stringified copy —
+    # review finding, round 13); non-integral groups ride as string
+    gt = base.schema[group_col].dataType
+    integral_grp = isinstance(
+        gt, (ByteType, ShortType, IntegerType, LongType)
+    )
+    grp_out_type = LongType() if integral_grp else StringType()
+    grp_expr = (
+        F.col(group_col).cast("long")
+        if integral_grp
+        else F.col(group_col).cast("string")
+    )
     st = changes_stream.select(
         F.col(key_col).cast("long").alias("__k"),
         F.col(seq_col).cast("long").alias("__seq"),
@@ -71,7 +87,7 @@ def cdc_contributions_stream(
     )
     bs = base.select(
         F.col(key_col).cast("long").alias("__k"),
-        F.col(group_col).cast("string").alias("__grp"),
+        grp_expr.alias("__grp"),
         F.col(value_col).cast("long").alias("__old"),
         F.lit(1).alias("__in_base"),
     )
@@ -79,7 +95,7 @@ def cdc_contributions_stream(
     out_schema = StructType(
         [
             StructField("k", LongType()),
-            StructField("grp", StringType()),
+            StructField("grp", grp_out_type),
             StructField("gen", LongType()),
             StructField("dn", LongType()),
             StructField("ds", LongType()),
@@ -97,7 +113,13 @@ def cdc_contributions_stream(
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(pdfs))
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:  # the empty-batch guard the sibling state
+            return      # operators carry (events.py / anomaly.py)
+        rows = pd.concat(chunks, ignore_index=True)
+        rows = rows[rows["__seq"].notna()]
+        if not len(rows):  # a batch of NULL-seq changes carries no
+            return         # well-defined latest — skip it
         best = rows.loc[rows["__seq"].idxmax()]
         if state.exists:
             seq, op, new, gen = state.get
@@ -115,7 +137,12 @@ def cdc_contributions_stream(
         state.update((seq, op, new, gen))
         in_base = pd.notna(best["__in_base"])
         old = int(best["__old"]) if pd.notna(best["__old"]) else 0
-        grp = str(best["__grp"]) if pd.notna(best["__grp"]) else None
+        if pd.isna(best["__grp"]):
+            grp = None
+        elif integral_grp:
+            grp = int(best["__grp"])
+        else:
+            grp = str(best["__grp"])
         nv = new if new is not None else 0
         if op == "D":
             dn, ds = (-1, -old) if in_base else (0, 0)

@@ -886,6 +886,18 @@ def test_stream_cdc_contributions_out_of_order(spark, tmp_path):
     spark.createDataFrame(ch_b).coalesce(1).write.parquet(
         src + "/b.parquet"
     )
+    # pin file mtimes so the file source DELIVERS a (newer seqs)
+    # strictly before b — the out-of-order property under test must
+    # not depend on write-time mtime granularity
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for f in _glob.glob(src + "/a.parquet/*"):
+        _os.utime(f, (now - 60, now - 60))
+    for f in _glob.glob(src + "/b.parquet/*"):
+        _os.utime(f, (now, now))
     schema = spark.createDataFrame(ch_a).schema
     stream = (
         spark.readStream.schema(schema)
@@ -900,7 +912,7 @@ def test_stream_cdc_contributions_out_of_order(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     assert q.lastProgress["batchId"] >= 1
     all_rows = spark.sql("SELECT * FROM cdc_contrib").toPandas()
     last = all_rows[
