@@ -57,6 +57,229 @@ def _weight(id_col: str, r: int):
     return w.cast("long")
 
 
+def _staged_weights(df: DataFrame, id_col: str, B: int) -> DataFrame:
+    """Append the B Poisson(1) weights as PLAIN COLUMNS ``__bw0..``
+    via three staged projections: hash → 20-bit draw → weight.
+
+    Why not inline :func:`_weight` into the aggregate expressions (the
+    pre-r13 shape): Catalyst evaluates each aggregate's update
+    expression independently, so a weight referenced by two sums — and
+    the nested when-chain inside it, which references the md5-bearing
+    draw ``u`` up to 8 times — is re-evaluated per reference, turning
+    ceil(B/3) md5s per row into O(8·B). Staging each value as a column
+    makes every md5/shift/compare happen exactly once per row
+    (CollapseProject keeps the stages apart because the aliases are
+    multiply-referenced). Measured on the r13 profile host: the 66-agg
+    stage alone 5.2-5.7 s → ~3.0 s at sf0.1/local[32].
+
+    The weight itself is branch-free: w = #{k : cum_k <= u}, the exact
+    value of the old descending when-chain (thresholds ascending), as
+    a sum of 8 comparisons."""
+    nh = (B + 2) // 3
+    p1 = df.select(
+        "*",
+        *[
+            md5_long(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":{i}"))
+            ).alias(f"__bh{i}")
+            for i in range(nh)
+        ],
+    )
+    us = []
+    for r in range(B):
+        i, slot = divmod(r, 3)
+        us.append(
+            F.shiftrightunsigned(F.col(f"__bh{i}"), 20 * slot)
+            .bitwiseAND(F.lit((1 << 20) - 1))
+            .alias(f"__bu{r}")
+        )
+    p2 = p1.select("*", *us)
+    ws = [
+        sum(
+            (F.col(f"__bu{r}") >= F.lit(c)).cast("long")
+            for c in POISSON1_CUM_P20
+        ).alias(f"__bw{r}")
+        for r in range(B)
+    ]
+    return p2.select("*", *ws)
+
+
+def _exact_int_sum(a) -> int:
+    """Exact (arbitrary-precision) total of a 1-D int64 numpy array.
+
+    int64 partial sums are safe while chunk_len · max|x| < 2^62; chunks
+    whose magnitudes could overflow are routed through Python ints
+    (exact, rare). Integer addition is associative, so any chunking
+    yields the same total — determinism is free."""
+    import numpy as np
+
+    n = len(a)
+    if n == 0:
+        return 0
+    tot = 0
+    for s in range(0, n, 32768):
+        ch = a[s : s + 32768]
+        if int(np.abs(ch).max()) > (1 << 47):
+            tot += sum(int(x) for x in ch)
+        else:
+            tot += int(ch.sum())
+    return tot
+
+
+def _poisson_partial_fn(B: int):
+    """mapInPandas partial-aggregation kernel for the Poisson
+    bootstrap (guide §4.2: hand whole Arrow batches to vectorized
+    native code instead of a ~1000-node JVM expression tree per row).
+
+    Input batches carry exactly (grp, __bid string, __bc long); output
+    is one partial row per (batch, group): n_rows/w-sums as long
+    (bounded by 8·rows), vsum/v-sums as decimal(38,0) built from
+    exact Python-int totals — the same integers the JVM expression
+    kernel produces, so the downstream decimal aggregation is
+    bit-identical at any scale."""
+
+    def gen(batches):
+        import hashlib
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        cum_arr = np.asarray(POISSON1_CUM_P20, dtype=np.int64)
+        nh = (B + 2) // 3
+        suf = [f":{i}".encode() for i in range(nh)]
+        md5 = hashlib.md5
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["__bid"].to_numpy()
+            cents = pdf["__bc"].to_numpy(dtype=np.int64)
+            H = np.empty((n, nh), dtype=np.int64)
+            for j in range(n):
+                base = ids[j].encode()
+                for i in range(nh):
+                    H[j, i] = int(
+                        md5(base + suf[i]).hexdigest()[:15], 16
+                    )
+            W = np.empty((n, B), dtype=np.int64)
+            for r in range(B):
+                i, slot = divmod(r, 3)
+                u = (H[:, i] >> (20 * slot)) & 0xFFFFF
+                W[:, r] = np.searchsorted(cum_arr, u, side="right")
+            grp = pdf["grp"].to_numpy()
+            maxabs = int(np.abs(cents).max()) if n else 0
+            if maxabs * 8 * n < (1 << 62):
+                # vectorized C groupby: per-batch int64 sums provably
+                # cannot overflow under this bound
+                mat = pd.DataFrame(
+                    {"n_rows": np.ones(n, dtype=np.int64), "vsum": cents}
+                )
+                for r in range(B):
+                    mat[f"w{r}"] = W[:, r]
+                    mat[f"v{r}"] = W[:, r] * cents
+                mat["grp"] = grp
+                sums = mat.groupby("grp", sort=False, dropna=False).sum()
+                out = sums.reset_index()
+                for col in ["vsum"] + [f"v{r}" for r in range(B)]:
+                    out[col] = [Decimal(int(x)) for x in out[col]]
+                cols = ["grp", "n_rows", "vsum"]
+                for r in range(B):
+                    cols += [f"w{r}", f"v{r}"]
+                yield out[cols]
+            else:
+                # astronomically-valued metrics: exact Python-int path
+                groups = pd.DataFrame({"grp": grp}).groupby(
+                    "grp", sort=False, dropna=False
+                ).indices
+                out = []
+                for g, idx in groups.items():
+                    c = cents[idx]
+                    w = W[idx]
+                    rec = {
+                        "grp": g,
+                        "n_rows": len(idx),
+                        "vsum": Decimal(_exact_int_sum(c)),
+                    }
+                    for r in range(B):
+                        rec[f"w{r}"] = int(w[:, r].sum())
+                        rec[f"v{r}"] = Decimal(
+                            sum(int(a) * int(b) for a, b in zip(w[:, r], c))
+                        )
+                    out.append(rec)
+                yield pd.DataFrame(out)
+
+    return gen
+
+
+def _perm_partial_fn(B: int):
+    """mapInPandas partial-aggregation kernel for the sign-flip
+    permutation test (same rationale as :func:`_poisson_partial_fn`):
+    one md5 per row, B sign-weighted exact integer sums per group."""
+
+    def gen(batches):
+        import hashlib
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["__bid"].to_numpy()
+            cents = pdf["__bc"].to_numpy(dtype=np.int64)
+            H = np.empty(n, dtype=np.int64)
+            for j in range(n):
+                H[j] = int(
+                    md5(b"perm:" + ids[j].encode()).hexdigest()[:15],
+                    16,
+                )
+            grp = pdf["grp"].to_numpy()
+            maxabs = int(np.abs(cents).max()) if n else 0
+            if maxabs * n < (1 << 62):
+                # vectorized C groupby (overflow-impossible per batch)
+                mat = pd.DataFrame(
+                    {"n_rows": np.ones(n, dtype=np.int64), "s_obs": cents}
+                )
+                for r in range(B):
+                    sign = 2 * ((H >> r) & 1) - 1
+                    mat[f"s{r}"] = sign * cents
+                mat["grp"] = grp
+                sums = mat.groupby("grp", sort=False, dropna=False).sum()
+                out = sums.reset_index()
+                for col in ["s_obs"] + [f"s{r}" for r in range(B)]:
+                    out[col] = [Decimal(int(x)) for x in out[col]]
+                yield out[
+                    ["grp", "n_rows", "s_obs"]
+                    + [f"s{r}" for r in range(B)]
+                ]
+            else:
+                groups = pd.DataFrame({"grp": grp}).groupby(
+                    "grp", sort=False, dropna=False
+                ).indices
+                out = []
+                for g, idx in groups.items():
+                    c = cents[idx]
+                    h = H[idx]
+                    rec = {
+                        "grp": g,
+                        "n_rows": len(idx),
+                        "s_obs": Decimal(_exact_int_sum(c)),
+                    }
+                    for r in range(B):
+                        sign = 2 * ((h >> r) & 1) - 1
+                        rec[f"s{r}"] = Decimal(
+                            sum(int(s) * int(x) for s, x in zip(sign, c))
+                        )
+                    out.append(rec)
+                yield pd.DataFrame(out)
+
+    return gen
+
+
 def _maybe_repartition(df: DataFrame) -> DataFrame:
     """The one-pass replicate aggregations (2B+2 buffers) are the whole
     cost of this module's operators; a single-row-group local file
@@ -91,6 +314,7 @@ def bootstrap_mean_ci(
     value_col: str,
     *,
     B: int = BOOT_B,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Per group: point mean plus a percentile-bootstrap band from B
     deterministic Poisson-weighted replicates.
@@ -108,23 +332,70 @@ def bootstrap_mean_ci(
     mass, and a NULL resampling key has no deterministic draw — the
     Spark when-chain would fall through to weight 8 while the
     oracle's list_filter yields 0 (the round-11 review's
-    cross-engine divergence)."""
+    cross-engine divergence).
+
+    ``kernel`` selects how the 2B+2 per-group sums are computed —
+    both produce the SAME integers (r13 optimization round, measured
+    at sf0.1/local[32]):
+
+    - "arrow" (default): a 3-column projection feeds a mapInPandas
+      partial aggregation (hashlib md5 + numpy searchsorted weights +
+      exact-int partial sums emitted as decimal(38,0)), then one tiny
+      final groupBy. The JVM expression form evaluates ~1000
+      expression-tree nodes per row for B=32 (11 md5 + 32 staged
+      draws + 256 threshold compares + 66 sum updates) and measured
+      3.0-5.5 s for the aggregation alone; the Arrow kernel measured
+      1.6-2.0 s end-to-end. Only the three needed columns cross the
+      Python boundary (guide §4.1).
+    - "expr": pure-JVM staged-column expressions (_staged_weights) —
+      no Python workers required; the fallback profile for clusters
+      where the Python boundary is unavailable."""
+    if kernel not in ("arrow", "expr"):
+        raise ValueError(f"kernel must be arrow|expr, got {kernel!r}")
     df = df.where(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     )
     df = _maybe_repartition(df)
     cents = F.round(F.col(value_col) * 100).cast("long")
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(cents.cast(_D38)).cast(_D38).alias("vsum"),
-    ]
-    for r in range(B):
-        w = _weight(id_col, r)
-        aggs.append(F.sum(w).cast("long").alias(f"w{r}"))
-        aggs.append(
-            F.sum((w * cents).cast(_D38)).cast(_D38).alias(f"v{r}")
+    grp_type = df.select(
+        F.col(group_col).alias("grp")
+    ).schema["grp"].dataType.simpleString()
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).cast("string").alias("__bid"),
+        cents.alias("__bc"),
+    )
+    if kernel == "arrow":
+        schema = f"grp {grp_type}, n_rows long, vsum {_D38}, " + ", ".join(
+            f"w{r} long, v{r} {_D38}" for r in range(B)
         )
-    per_group = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+        partials = src.mapInPandas(_poisson_partial_fn(B), schema)
+        aggs = [
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("vsum").cast(_D38).alias("vsum"),
+        ]
+        for r in range(B):
+            aggs.append(F.sum(f"w{r}").cast("long").alias(f"w{r}"))
+            aggs.append(F.sum(f"v{r}").cast(_D38).alias(f"v{r}"))
+        per_group = partials.groupBy("grp").agg(*aggs)
+    else:
+        # stage cents + every weight as plain columns BELOW the
+        # aggregate (see _staged_weights: inline aggregate expressions
+        # re-evaluate multiply-referenced subtrees — md5 included —
+        # per reference)
+        staged = _staged_weights(src, "__bid", B)
+        c = F.col("__bc")
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(c.cast(_D38)).cast(_D38).alias("vsum"),
+        ]
+        for r in range(B):
+            w = F.col(f"__bw{r}")
+            aggs.append(F.sum(w).cast("long").alias(f"w{r}"))
+            aggs.append(
+                F.sum((w * c).cast(_D38)).cast(_D38).alias(f"v{r}")
+            )
+        per_group = staged.groupBy("grp").agg(*aggs)
     # B rows per group: (r, wsum, vsum_r)
     reps = per_group.select(
         "grp",
@@ -189,6 +460,7 @@ def permutation_sign_test(
     value_col: str,
     *,
     B: int = PERM_B,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """One-pass paired sign-flip permutation test (Fisher 1935 via the
     Rademacher trick): per group, is mean(value) distinguishable from
@@ -212,26 +484,62 @@ def permutation_sign_test(
     obs_mean_micro, n_exceed, p_milli)."""
     if B > 60:
         raise ValueError("permutation_sign_test supports B <= 60")
+    if kernel not in ("arrow", "expr"):
+        raise ValueError(f"kernel must be arrow|expr, got {kernel!r}")
     df = df.where(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     )
     df = _maybe_repartition(df)
     cents = F.round(F.col(value_col) * 100).cast("long")
-    h = md5_long(
-        F.concat(F.lit("perm:"), F.col(id_col).cast("string"))
-    )
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(cents.cast(_D38)).cast(_D38).alias("s_obs"),
-    ]
-    for r in range(B):
-        sign = (
-            2 * F.shiftrightunsigned(h, r).bitwiseAND(F.lit(1)) - 1
-        ).cast("long")
-        aggs.append(
-            F.sum((sign * cents).cast(_D38)).cast(_D38).alias(f"s{r}")
+    grp_type = df.select(
+        F.col(group_col).alias("grp")
+    ).schema["grp"].dataType.simpleString()
+    if kernel == "arrow":
+        # Arrow partial aggregation (see bootstrap_mean_ci's kernel
+        # note): only (grp, id-string, cents) cross the boundary
+        src = df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).cast("string").alias("__bid"),
+            cents.alias("__bc"),
         )
-    per_group = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+        schema = (
+            f"grp {grp_type}, n_rows long, s_obs {_D38}, "
+            + ", ".join(f"s{r} {_D38}" for r in range(B))
+        )
+        partials = src.mapInPandas(_perm_partial_fn(B), schema)
+        aggs = [
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("s_obs").cast(_D38).alias("s_obs"),
+        ]
+        for r in range(B):
+            aggs.append(F.sum(f"s{r}").cast(_D38).alias(f"s{r}"))
+        per_group = partials.groupBy("grp").agg(*aggs)
+    else:
+        # stage the per-row hash + cents as plain columns below the
+        # aggregate: inlined into B aggregate expressions, the md5
+        # would be re-evaluated once PER REPLICATE per row (the same
+        # multi-reference re-evaluation _staged_weights documents)
+        staged = df.select(
+            F.col(group_col).alias("grp"),
+            cents.alias("__pc"),
+            md5_long(
+                F.concat(F.lit("perm:"), F.col(id_col).cast("string"))
+            ).alias("__ph"),
+        )
+        c = F.col("__pc")
+        h = F.col("__ph")
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(c.cast(_D38)).cast(_D38).alias("s_obs"),
+        ]
+        for r in range(B):
+            sign = (
+                2 * F.shiftrightunsigned(h, r).bitwiseAND(F.lit(1)) - 1
+            ).cast("long")
+            aggs.append(
+                F.sum((sign * c).cast(_D38)).cast(_D38).alias(f"s{r}")
+            )
+        per_group = staged.groupBy("grp").agg(*aggs)
     exceed = sum(
         F.when(
             F.abs(F.col(f"s{r}")) >= F.abs(F.col("s_obs")), 1

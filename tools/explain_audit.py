@@ -1129,11 +1129,13 @@ def main():
     p = plan_of(st["bootstrap_ci"](spark, sf_dir))
     ok &= audit(
         "bootstrap_ci: the corpus is scanned ONCE for all 32"
-        " replicates (2B+2 sums in one map-side-combined agg — no"
-        " resample explode, no per-replicate scan); band order stats"
-        " run on B rows per group; no Python",
-        "partial_count" in p
-        and "EvalPython" not in p
+        " replicates — a 3-column projection feeds the Arrow"
+        " partial-sum kernel (r13 optimization: exact-int partials as"
+        " decimal(38,0), one tiny final agg), no resample explode, no"
+        " per-replicate scan; band order stats run on B rows per"
+        " group; no row-at-a-time Python",
+        "MapInPandas" in p
+        and "EvalPython" not in p  # Arrow batches, never pickled rows
         and "CartesianProduct" not in p
         and p.count("FileScan") <= 1,
     )
@@ -1188,9 +1190,10 @@ def main():
     p = plan_of(st["bootstrap_signed"](spark, sf_dir))
     ok &= audit(
         "bootstrap_signed: the signed/NULL derivation adds only a"
-        " projection — still ONE corpus scan for all replicates, no"
+        " projection — still ONE corpus scan for all replicates"
+        " through the Arrow partial-sum kernel; no row-at-a-time"
         " Python, no cartesian",
-        "partial_count" in p
+        "MapInPandas" in p
         and "EvalPython" not in p
         and "CartesianProduct" not in p
         and p.count("FileScan") <= 1,
@@ -1219,11 +1222,14 @@ def main():
     p = plan_of(st["sign_permutation"](spark, sf_dir))
     ok &= audit(
         "sign_permutation: the corpus is scanned ONCE for all 32"
-        " sign-flip replicates (B+2 map-side-combined sums, one md5"
-        " bit per replicate); exceedance is group-cardinality column"
-        " arithmetic — no explode, no Python, no cartesian",
-        "partial_count" in p
-        and "EvalPython" not in p
+        " sign-flip replicates — a 3-column projection feeds the"
+        " Arrow partial-sum kernel (r13 optimization: vectorized"
+        " mapInPandas partials + one tiny final agg, replacing the"
+        " B+2-wide JVM expression aggregate); exceedance is"
+        " group-cardinality column arithmetic — no explode, no"
+        " row-at-a-time Python, no cartesian",
+        "MapInPandas" in p
+        and "EvalPython" not in p  # Arrow batches, never pickled rows
         and "CartesianProduct" not in p
         and "Generate" not in p  # no replicate explode
         and p.count("FileScan") <= 1,
@@ -1337,7 +1343,9 @@ def main():
         " FileScans in the final plan proves the lineage cut; without"
         " it the threshold aggregate re-executed the corpus scan);"
         " the BH rank window spans hypothesis rows only and the"
-        " 1-row threshold broadcasts back; no Python",
+        " 1-row threshold broadcasts back; no row-at-a-time Python"
+        " (the permutation kernel itself is the Arrow partial-sum"
+        " form, upstream of the checkpoint)",
         p.count("FileScan") == 0
         and "BroadcastNestedLoopJoin" in p  # the 1-row p_star scalar
         and "Window" in p
