@@ -406,12 +406,19 @@ def theta_sketch_intersections(
 
     from pyspark.sql import Window
 
-    grams = df.select(
-        F.col(by).alias("g"),
-        F.explode(
-            token_ngrams(tokens(F.col(content_col)), n)
-        ).alias("gram"),
-    ).distinct()
+    grams = (
+        df.select(
+            F.col(by).alias("g"),
+            F.explode(
+                token_ngrams(tokens(F.col(content_col)), n)
+            ).alias("gram"),
+        )
+        .distinct()
+        # ONE corpus derivation for both the sketch path and the
+        # exact-truth witness (r13 optimization: the lazy form
+        # re-ran tokenize+explode+distinct per consumer)
+        .localCheckpoint(eager=True)
+    )
     hashes = grams.select(
         "g", md5_long(F.col("gram")).alias("h")
     ).distinct()
@@ -590,12 +597,18 @@ def theta_sketch_a_not_b(
 
     from centimators_spark.text.portable import token_ngrams
 
-    grams = df.select(
-        F.col(by).alias("g"),
-        F.explode(
-            token_ngrams(tokens(F.col(content_col)), n)
-        ).alias("gram"),
-    ).distinct()
+    grams = (
+        df.select(
+            F.col(by).alias("g"),
+            F.explode(
+                token_ngrams(tokens(F.col(content_col)), n)
+            ).alias("gram"),
+        )
+        .distinct()
+        # ONE corpus derivation for the sketch path, the per-group
+        # totals and the truth witness (r13 optimization)
+        .localCheckpoint(eager=True)
+    )
     hashes = grams.select(
         "g", md5_long(F.col("gram")).alias("h")
     ).distinct()
@@ -1229,14 +1242,17 @@ def hll_portable(
     estimate is linear counting floor(m * ln(m/V)) from the shared
     fixed-point table. n_exact rides along as the accuracy witness.
 
-    Scale: one distinct on (group, item-hash) then a 64-cell
-    aggregate per group — the sketch (not the data) is the state,
-    which is why this is the 100 TB per-group distinct. Output per
-    group: n_exact, v_empty, est_raw, est."""
+    Scale: one map-side-combined 64-cell MAX aggregate per group —
+    the sketch (not the data) is the state, which is why this is the
+    100 TB per-group distinct. No distinct pre-pass (r13
+    optimization): the register max is multiplicity-invariant, so the
+    dedup shuffle the old form paid before aggregating bought
+    nothing; only (grp, register, max-rank) partials cross the wire.
+    Output per group: n_exact, v_empty, est_raw, est."""
     h = md5_long(F.col(item_col).cast("string"))
     hashes = df.select(
         F.col(group_col).alias("grp"), h.alias("h")
-    ).distinct()
+    )
     regs = _hll_registers(hashes, ["grp"])
     d38 = "decimal(38,0)"
     term = _hll_pow_term()
@@ -1331,21 +1347,32 @@ def hll_union_pairs(
     and the linear-counting correction are shared-literal integers —
     hash-proven, with true_union riding along as the witness.
 
-    Scale: the corpus is touched ONCE (distinct (group, gram-hash) +
-    the exact-truth union count); the pair stage merges 64-row
-    register tables per group — KBs regardless of corpus size. Drop
-    true_union in production and pair cost is register-table-sized."""
+    Scale: the corpus is touched ONCE — the distinct (group, gram)
+    set is pinned with one eager localCheckpoint and every consumer
+    (registers, exact-truth union, per-group totals) reads the pinned
+    rows instead of re-running tokenize+explode+distinct from the
+    scan (r13 optimization: the lazy form re-executed the corpus
+    derivation three times — 8 FileScans in the plan; now 1). The
+    pair stage merges 64-row register tables per group — KBs
+    regardless of corpus size. Drop true_union in production and pair
+    cost is register-table-sized."""
     from centimators_spark.text.portable import token_ngrams
 
-    grams = df.select(
-        F.col(by).alias("g"),
-        F.explode(
-            token_ngrams(tokens(F.col(content_col)), n)
-        ).alias("gram"),
-    ).distinct()
-    hashes = grams.select(
-        "g", md5_long(F.col("gram")).alias("h")
-    ).distinct()
+    grams = (
+        df.select(
+            F.col(by).alias("g"),
+            F.explode(
+                token_ngrams(tokens(F.col(content_col)), n)
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # no .distinct() on the hash projection: _hll_registers takes a
+    # per-register MAX, which is multiplicity-invariant — the dedup
+    # shuffle bought nothing (r13 optimization; md5-collision dedup
+    # cannot change a max either)
+    hashes = grams.select("g", md5_long(F.col("gram")).alias("h"))
     regs = _hll_registers(hashes, ["g"]).localCheckpoint(eager=True)
     # pair-wise register merge over the FULL 64-register universe per
     # pair (a one-sided left join would drop registers present only in
