@@ -51,8 +51,59 @@ def frequent_itemsets(
     (items_key, size, freq) with ``items_key`` the sorted
     comma-joined item list (FP-Growth's array order is
     partition-dependent — the sorted key is the deterministic
-    identity). ``max_size`` optionally filters the output (the mining
-    still explores every size)."""
+    identity).
+
+    ``max_size`` filters the output; for ``max_size <= 2`` the mining
+    itself is restricted (r13 optimization, guide §1.2 "don't compute
+    things you throw away"): sizes 1-2 are enumerated exactly with
+    one explode-count per size — pair candidates generated per basket
+    from the sorted item array (C(m,2) map-side, no basket self-join
+    shuffle) — instead of running FP-Growth's full all-sizes search
+    and discarding everything above 2. Threshold is the identical
+    mllib rule (freq ≥ ceil(minSupport · n_baskets), same IEEE double
+    product), so the output set is row-identical to the FP-Growth
+    path filtered to ``size <= max_size`` — pinned by
+    tests/test_ml_surface.py. FP-Growth (pyspark.ml.fpm's distributed
+    PFP) remains the engine for unbounded/≥3 mining."""
+    if max_size is not None and max_size <= 2:
+        sa = F.sort_array(F.col(items_col).cast("array<string>"))
+        # pin the basket build once: three consumers (n_baskets,
+        # singles, pairs) would otherwise each re-run the upstream
+        # basket aggregation from the scan
+        src = baskets.select(sa.alias("__sa")).localCheckpoint(
+            eager=True
+        )
+        n = src.agg(F.count(F.lit(1)).alias("__n"))
+        min_count = F.ceil(F.lit(float(min_support)) * F.col("__n"))
+        singles = src.select(
+            F.explode("__sa").alias("items_key")
+        ).groupBy("items_key").agg(
+            F.count(F.lit(1)).alias("freq")
+        ).select("items_key", F.lit(1).alias("size"), "freq")
+        if max_size == 2:
+            pair_arr = F.flatten(
+                F.transform(
+                    F.col("__sa"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("__sa"), i + F.lit(2), F.size(F.col("__sa"))
+                        ),
+                        lambda y: F.concat(x, F.lit(","), y),
+                    ),
+                )
+            )
+            pairs = src.select(
+                F.explode(pair_arr).alias("items_key")
+            ).groupBy("items_key").agg(
+                F.count(F.lit(1)).alias("freq")
+            ).select("items_key", F.lit(2).alias("size"), "freq")
+            cand = singles.unionByName(pairs)
+        else:
+            cand = singles
+        return cand.join(F.broadcast(n), how="cross").where(
+            F.col("freq") >= min_count
+        ).select("items_key", "size", "freq")
+
     from pyspark.ml.fpm import FPGrowth
 
     fp = FPGrowth(itemsCol=items_col, minSupport=min_support, minConfidence=0.5)

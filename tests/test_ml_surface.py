@@ -314,6 +314,26 @@ def test_frequent_itemsets_known_counts_and_threshold(spark):
     ).collect()}
     assert out2 == {"x": 2}
 
+    # r13 optimization: max_size<=2 takes the exact enumeration path
+    # (no FP-Growth run) — must be ROW-IDENTICAL to the FP-Growth
+    # path filtered to the same size, including the ceil boundary
+    fast = sorted(
+        (r.items_key, r.size, r.freq)
+        for r in frequent_itemsets(
+            baskets, min_support=0.4, max_size=2
+        ).collect()
+    )
+    assert fast == [
+        ("a", 1, 9), ("a,b", 2, 6), ("b", 1, 6), ("c", 1, 4),
+    ]
+    fast1 = sorted(
+        (r.items_key, r.size, r.freq)
+        for r in frequent_itemsets(
+            baskets, min_support=0.4, max_size=1
+        ).collect()
+    )
+    assert fast1 == [("a", 1, 9), ("b", 1, 6), ("c", 1, 4)]
+
 
 def test_kaplan_meier_hand_computed(spark):
     """Textbook KM: survival drops only at event times, censoring only
