@@ -3790,13 +3790,14 @@ def q_kcore_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     are cliques, not chains" triage a dedup report needs. Fixed
     8-round peel (converges well before that here; asserted in unit
     tests), each round one degree aggregation + two semi-joins on the
-    monotonically shrinking edge set."""
-    from centimators_spark.dedup.minhash import minhash_lsh_pairs
+    monotonically shrinking edge set. Pair table from the session
+    artifact (_shared_minhash_pairs, r13 optimization)."""
     from centimators_spark.graphs import kcore
-    from centimators_spark.plans.datapipe_queries import MINHASH_T
+    from centimators_spark.plans.datapipe_queries import (
+        _shared_minhash_pairs,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_lsh_pairs(docs, threshold=MINHASH_T).select(
+    edges = _shared_minhash_pairs(spark, sf_dir).select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     return kcore(edges, k=2, rounds=8)
@@ -5374,12 +5375,11 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential-tested against exact union-find on path/clique/star/
     random graphs."""
     from centimators_spark.dedup.cluster import connected_components_star
-    from centimators_spark.dedup.minhash import minhash_lsh_pairs
-    from centimators_spark.plans.datapipe_queries import MINHASH_T
-
-    pairs = minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=MINHASH_T
+    from centimators_spark.plans.datapipe_queries import (
+        _shared_minhash_pairs,
     )
+
+    pairs = _shared_minhash_pairs(spark, sf_dir)
     return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), "cluster"
     )
@@ -5589,12 +5589,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash near-duplicate graph (graphs.py) — which dup families form
     one community vs several loosely-bridged ones; the mode-aggregation
     sibling of kcore/pagerank in the fixed-rounds iterative family."""
-    from centimators_spark.dedup.minhash import minhash_lsh_pairs
     from centimators_spark.graphs import label_propagation
-    from centimators_spark.plans.datapipe_queries import MINHASH_T
+    from centimators_spark.plans.datapipe_queries import (
+        _shared_minhash_pairs,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_lsh_pairs(docs, threshold=MINHASH_T).select(
+    edges = _shared_minhash_pairs(spark, sf_dir).select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     return label_propagation(edges, rounds=3)

@@ -50,6 +50,15 @@ FAMILY_PAIRS = [
     ("neutralizer_kernel_contract", "neutralizer_full_expr"),
     ("pca_kernel_contract", "neutralizer_kernel_contract"),
     ("sq8_clustered_contract", "ivfpq_pruned_contract"),
+    # r13 optimization: five queries consume the session-shared
+    # MinHash pair table (_shared_minhash_pairs); chain them behind
+    # dedup_clusters so one fresh JVM builds the artifact once
+    # (dedup_minhash_lsh itself stays artifact-free: its timing is
+    # the pair-pipeline cost, see _shared_minhash_pairs docstring)
+    ("dedup_clusters_star", "dedup_clusters"),
+    ("kcore_dupgraph", "dedup_clusters_star"),
+    ("label_propagation", "kcore_dupgraph"),
+    ("corpus_clean", "label_propagation"),
 ]
 
 # The one-pass resampling family's 33-66 decimal aggregation buffers
