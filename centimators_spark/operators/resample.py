@@ -4,14 +4,18 @@ market/panel data safe for the ordered transformers (lag/rolling/EWMA
 assume one row per (ticker, period); a silent gap turns "lag 1" into
 "lag k days").
 
-Plan shape: per-ticker (min, max) date bounds from one tiny
-aggregation; `sequence()` explodes each ticker's own spine (no global
-calendar cross join — a ticker listed for one month costs one month of
-rows); a left join attaches observations; `last(..., ignoreNulls)` over
-the running frame carries values forward. Shuffles: the bounds
-aggregation + the spine join + one window — all on the ticker key, so
-pre-bucketing the panel by ticker makes the whole operator
-shuffle-free except the explode.
+Plan shape (r13 optimization, guide §2.1/§3.4): the bracket values
+every spine row needs are window functions of the OBSERVED rows
+alone, so the operator computes them there — one window pass over
+the (small) observed panel — and then GENERATES each observation's
+gap dates in place with `sequence()` up to the next observation (no
+global calendar cross join — a ticker listed for one month costs one
+month of rows). That replaces the former bounds-aggregation +
+spine-left-join + windows-over-the-densified-spine shape: one scan
+of the panel instead of four, one ticker-key shuffle instead of
+three, and the sort/window work runs on observed rows (5-6× fewer
+than spine rows on the TPC-H daily panels). Pre-bucketing the panel
+by ticker makes the whole operator shuffle-free except the explode.
 
 The reference sidesteps this by assuming dense panels (its transformers
 index by physical row order); a distributed engine must make density
@@ -40,12 +44,12 @@ def resample_panel(
     ticker's own [min, max] dates. Output: ticker, date, each value
     column (forward-filled when ``fill='ffill'``), and ``is_observed``
     (1 for original rows, 0 for spine-inserted gaps). Duplicate
-    (ticker, date) observations must be pre-aggregated (the join would
-    multiply spine rows). With ``step_days > 1`` observation dates must
-    lie ON each ticker's grid (lo, lo+step, …) — off-grid observations
-    would miss the equi-join and silently vanish into filled gaps; keep
-    step_days=1 (and aggregate upstream) unless the data is known
-    grid-aligned.
+    (ticker, date) observations must be pre-aggregated (duplicates
+    would generate overlapping gap runs). With ``step_days > 1``
+    observation dates must lie ON each ticker's grid (lo, lo+step, …)
+    — an off-grid observation restarts its own run and the output is
+    no longer a regular spine; keep step_days=1 (and aggregate
+    upstream) unless the data is known grid-aligned.
 
     ``fill='linear'`` interpolates gap rows between their bracketing
     observations, time-weighted by day distance:
@@ -54,72 +58,117 @@ def resample_panel(
     interpolation has no lookback/lookahead-free answer there; chain a
     ffill/bfill explicitly if you want one. The bracket lookups are the
     same running last-non-null as ffill plus its mirror over the
-    REVERSED ordering — two O(n) window passes sharing one shuffle on
-    the ticker key (never an unbounded-FOLLOWING frame, which Spark
-    evaluates O(n²) per partition). On integer-valued doubles the only
+    REVERSED ordering — O(n) window passes over the observed rows
+    sharing one shuffle on the ticker key (never an
+    unbounded-FOLLOWING frame, which Spark evaluates O(n²) per
+    partition). On integer-valued doubles the only
     inexact op is the final division, a single IEEE rounding,
     identical cross-engine."""
     if fill not in (None, "ffill", "linear"):
         raise ValueError(f"fill must be None|'ffill'|'linear', got {fill!r}")
     vals = list(value_cols)
     t, d = ticker_col, date_col
-    bounds = df.groupBy(t).agg(
-        F.min(d).alias("__lo"), F.max(d).alias("__hi")
-    )
-    spine = bounds.select(
-        t,
-        F.explode(
-            F.sequence(
-                F.col("__lo"),
-                F.col("__hi"),
-                F.expr(f"INTERVAL {int(step_days)} DAYS"),
+    # Every spine row's fill value is a function of the OBSERVED rows'
+    # brackets only: a gap date dd in [d_i, d_{i+1}) sees exactly the
+    # non-null observations at dates <= d_i (backward bracket) and
+    # >= d_{i+1}, or >= d_i when dd == d_i (forward bracket). So
+    # compute the brackets with window passes over the observed panel
+    # and explode each observation's own gap-date run — no spine join.
+    w_lead = Window.partitionBy(t).orderBy(d)
+    wb = w_lead.rowsBetween(Window.unboundedPreceding, 0)
+    # the forward bracket is the same running last-non-null, taken
+    # over the REVERSED ordering — never a [current, unbounded
+    # following] frame: Spark evaluates unbounded-FOLLOWING frames
+    # by rescanning to the partition end for EVERY row (O(n²) per
+    # partition; measured 225 s on the sf0.1 supplier spine vs ~2 s
+    # this way), while unbounded-preceding frames stream in O(n).
+    # _incl answers "first non-null at date >= d_i" (the bracket the
+    # observed row itself uses), _excl "at date > d_i" (gap rows).
+    wf = Window.partitionBy(t).orderBy(F.col(d).desc())
+    wf_incl = wf.rowsBetween(Window.unboundedPreceding, 0)
+    wf_excl = wf.rowsBetween(Window.unboundedPreceding, -1)
+
+    base = df.select(t, d, *vals)
+    carry: list = []
+    for c in vals:
+        obs_d = F.when(F.col(c).isNotNull(), F.col(d))
+        if fill == "ffill":
+            carry.append(
+                F.last(c, ignorenulls=True).over(wb).alias(f"__pv_{c}")
             )
-        ).alias(d),
+        elif fill == "linear":
+            carry += [
+                F.last(c, ignorenulls=True).over(wb).alias(f"__pv_{c}"),
+                F.last(obs_d, ignorenulls=True).over(wb).alias(f"__pd_{c}"),
+                F.last(c, ignorenulls=True).over(wf_incl).alias(f"__nvi_{c}"),
+                F.last(obs_d, ignorenulls=True)
+                .over(wf_incl)
+                .alias(f"__ndi_{c}"),
+                F.last(c, ignorenulls=True).over(wf_excl).alias(f"__nvx_{c}"),
+                F.last(obs_d, ignorenulls=True)
+                .over(wf_excl)
+                .alias(f"__ndx_{c}"),
+            ]
+    exploded = (
+        base.withColumn("__od", F.col(d))
+        .select(t, "__od", *vals, *carry, F.lead(d).over(w_lead).alias("__nd"))
+        .select(
+            t,
+            "__od",
+            F.explode(
+                F.sequence(
+                    F.col("__od"),
+                    F.coalesce(F.date_sub("__nd", 1), F.col("__od")),
+                    F.expr(f"INTERVAL {int(step_days)} DAYS"),
+                )
+            ).alias("__dd"),
+            *[cc for cc in base.columns if cc not in (t, d)],
+            *[f"__{p}_{c}" for c in vals for p in _CARRY_PREFIXES[fill]],
+        )
     )
-    obs = df.select(t, d, *vals).withColumn("is_observed", F.lit(1))
-    out = spine.join(obs, [t, d], "left").withColumn(
-        "is_observed", F.coalesce(F.col("is_observed"), F.lit(0))
-    )
-    if fill == "ffill":
-        w = (
-            Window.partitionBy(t)
-            .orderBy(d)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        for c in vals:
-            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    elif fill == "linear":
-        wb = (
-            Window.partitionBy(t)
-            .orderBy(d)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        # the forward bracket is the same running last-non-null, taken
-        # over the REVERSED ordering — never a [current, unbounded
-        # following] frame: Spark evaluates unbounded-FOLLOWING frames
-        # by rescanning to the partition end for EVERY row (O(n²) per
-        # partition; measured 225 s on the sf0.1 supplier spine vs ~2 s
-        # this way), while unbounded-preceding frames stream in O(n)
-        wf = (
-            Window.partitionBy(t)
-            .orderBy(F.col(d).desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        for c in vals:
-            obs_d = F.when(F.col(c).isNotNull(), F.col(d))
-            prev_v = F.last(c, ignorenulls=True).over(wb)
-            prev_d = F.last(obs_d, ignorenulls=True).over(wb)
-            next_v = F.last(c, ignorenulls=True).over(wf)
-            next_d = F.last(obs_d, ignorenulls=True).over(wf)
+    is_obs = F.col("__dd") == F.col("__od")
+    out_vals = []
+    for c in vals:
+        if fill is None:
+            out_vals.append(F.when(is_obs, F.col(c)).alias(c))
+        elif fill == "ffill":
+            # last non-null at date <= dd == last non-null at date
+            # <= d_i for every dd in [d_i, d_{i+1})
+            out_vals.append(F.col(f"__pv_{c}").alias(c))
+        else:  # linear
+            prev_v = F.col(f"__pv_{c}")
+            prev_d = F.col(f"__pd_{c}")
+            next_v = F.when(is_obs, F.col(f"__nvi_{c}")).otherwise(
+                F.col(f"__nvx_{c}")
+            )
+            next_d = F.when(is_obs, F.col(f"__ndi_{c}")).otherwise(
+                F.col(f"__ndx_{c}")
+            )
             span = F.datediff(next_d, prev_d)
-            # span == 0 ⟺ the row itself is observed (prev == next ==
-            # current); guard keeps 0/0 out of the division
-            out = out.withColumn(
-                c,
-                F.when(span == 0, prev_v).otherwise(
+            # span == 0 ⟺ the row itself is a non-null observation
+            # (prev == next == current); guard keeps 0/0 out of the
+            # division. Arithmetic identical to the spine-join form:
+            # one multiply, one divide, same operand order.
+            out_vals.append(
+                F.when(span == 0, prev_v)
+                .otherwise(
                     prev_v
-                    + ((next_v - prev_v) * F.datediff(F.col(d), prev_d))
+                    + ((next_v - prev_v) * F.datediff(F.col("__dd"), prev_d))
                     / span
-                ),
+                )
+                .alias(c)
             )
-    return out
+    return exploded.select(
+        t,
+        F.col("__dd").alias(d),
+        *out_vals,
+        is_obs.cast("int").alias("is_observed"),
+    )
+
+
+# carried bracket columns per fill mode (suffix templates `__{p}_{col}`)
+_CARRY_PREFIXES = {
+    None: [],
+    "ffill": ["pv"],
+    "linear": ["pv", "pd", "nvi", "ndi", "nvx", "ndx"],
+}
