@@ -10,18 +10,23 @@ so weights are never derived by float subtraction); every cosine is
 rounded to 6dp before use and the step score once more, so the argmax
 (ties broken by ascending id) is bit-identical to the SQL oracle.
 
-Scale: MMR is inherently sequential in k, but each step is ONE scan
-of the (per-query bounded) candidate pool joined against the selected
-set so far — pool and selections stay O(queries × shortlist), the
-argmax collect returns one row per query per step (the
-literal-centroid discipline), and queries parallelize freely. At
-100 TB the pool per query is still a shortlist (top-20 here); the
-corpus-sized work already happened in the ANN stage that built it.
+Scale: MMR is inherently sequential in k, but every number the greedy
+argmax consumes is a within-pool pairwise cosine — O(pool_k²) per
+query — so Spark computes that pair table in ONE job and the k picks
+run driver-side over the collected shortlist (the literal-centroid
+discipline extended from one row per query per step to the whole
+bounded pool; r13 optimization — the former per-step join/window loop
+paid 5-6 Spark jobs of scheduling latency per pick). At 100 TB the
+pool per query is still a shortlist (top-20 here); the corpus-sized
+work already happened in the ANN stage that built it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from centimators_spark.similarity.ann import cosine
@@ -50,68 +55,115 @@ def mmr_diversify(
     q, i, v, r = query_id_col, id_col, vec_col, rel_col
     pool = pool.select(q, i, v, r).localCheckpoint(eager=True)
     spark = pool.sparkSession
-    key_schema = pool.select(q, i).schema
-    picked: list[tuple] = []  # (query_id, pick, vec_id, mmr)
-
-    def _picked_keys() -> DataFrame:
-        # broadcast (query_id, vec_id) key frame instead of an O(n·k)
-        # literal OR-chain re-planned (and applied twice) every step —
-        # predicate size stays constant however many queries fan out
-        return spark.createDataFrame(
-            [(pq, pi) for pq, _, pi, _ in picked], key_schema
+    # r13 optimization (guide §1.2/§5.2): the former per-step loop ran
+    # 5-6 Spark jobs PER greedy pick (broadcast key frame, anti-join,
+    # cosine re-join, window, collect) — 28 jobs of scheduling
+    # overhead on a pool that is by contract a bounded shortlist.
+    # Every number the greedy argmax consumes is either rel (already
+    # in the pool) or round(cos(cand, picked), 6) for a pair WITHIN
+    # one query's pool — so compute ALL within-pool pairwise cosines
+    # once in Spark (pool_k² per query, same bound as the former
+    # k-step join fan-out) and run the k greedy picks driver-side over
+    # the collected shortlist: 2 tiny jobs total. All similarity
+    # numbers stay Spark-computed; the only driver-side arithmetic is
+    # the step score (7·rel − 3·ms)/10 — same IEEE operand order as
+    # the former JVM expression — and its 6dp HALF_UP round, which
+    # replicates Round(DoubleType) exactly (BigDecimal over the
+    # shortest decimal repr, HALF_UP — Python's repr() produces the
+    # same shortest round-trip digits as Double.toString).
+    a = pool.select(
+        F.col(q).alias("__q"), F.col(i).alias("__ia"), F.col(v).alias("__va")
+    )
+    b = pool.select(
+        F.col(q).alias("__q"), F.col(i).alias("__ib"), F.col(v).alias("__vb")
+    )
+    sim_rows = (
+        a.join(b, "__q")
+        .where(F.col("__ia") != F.col("__ib"))
+        .select(
+            "__q",
+            "__ia",
+            "__ib",
+            F.round(cosine(F.col("__va"), F.col("__vb"), dim), 6).alias(
+                "__sim"
+            ),
         )
+        .collect()
+    )
+    pool_rows = pool.select(q, i, r).collect()
 
-    for t in range(1, int(k) + 1):
-        if not picked:
-            scored = pool.select(q, i, F.col(r).alias("mmr"))
-        else:
-            keys = F.broadcast(_picked_keys())
-            sel = pool.join(keys, [q, i]).select(
-                F.col(q).alias("__sq"), F.col(v).alias("__sv")
-            )
-            cand = pool.join(keys, [q, i], "left_anti")
-            sims = cand.join(
-                F.broadcast(sel), cand[q] == F.col("__sq")
-            ).select(
-                q,
-                i,
-                r,
-                F.round(cosine(F.col(v), F.col("__sv"), dim), 6).alias(
-                    "__sim"
-                ),
-            )
-            scored = (
-                sims.groupBy(q, i, r)
-                .agg(F.max("__sim").alias("__ms"))
-                .select(
-                    q,
-                    i,
-                    F.round(
-                        (
-                            F.lit(lam_num) * F.col(r)
-                            - F.lit(lam_den - lam_num) * F.col("__ms")
+    sims: dict = {}
+    by_query: dict = {}
+    for row in sim_rows:
+        sims[(row["__q"], row["__ia"], row["__ib"])] = row["__sim"]
+    for row in pool_rows:
+        by_query.setdefault(row[q], []).append((row[i], row[r]))
+
+    picked: list[tuple] = []  # (query_id, pick, vec_id, mmr)
+    for qid in by_query:
+        cands = dict(by_query[qid])
+        chosen: list = []
+        for t in range(1, int(k) + 1):
+            if not cands:
+                break
+            best_id, best_mmr = None, None
+            for cid, rel in cands.items():
+                if t == 1:
+                    mmr = rel  # pick 1 scores rel itself, no re-round
+                else:
+                    ms = None
+                    for sid in chosen:
+                        s = sims.get((qid, cid, sid))
+                        if s is not None and (ms is None or s > ms):
+                            ms = s
+                    if ms is None or rel is None:
+                        mmr = None
+                    else:
+                        mmr = _round6(
+                            (lam_num * rel - (lam_den - lam_num) * ms)
+                            / lam_den
                         )
-                        / F.lit(lam_den),
-                        6,
-                    ).alias("mmr"),
+                # argmax: mmr desc NULLS LAST, ties by ascending id —
+                # the former row_number ordering
+                if best_id is None or _mmr_gt(mmr, best_mmr) or (
+                    mmr == best_mmr and cid < best_id
+                ):
+                    best_id, best_mmr = cid, mmr
+            picked.append(
+                (
+                    qid,
+                    t,
+                    best_id,
+                    float(best_mmr) if best_mmr is not None else None,
                 )
             )
-        w = Window.partitionBy(q).orderBy(
-            F.col("mmr").desc(), F.col(i).asc()
-        )
-        top = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .collect()
-        )
-        if not top:
-            break
-        for row in top:
-            picked.append((row[q], t, row[i], float(row["mmr"])))
+            chosen.append(best_id)
+            del cands[best_id]
     return spark.createDataFrame(
-        sorted(picked),
+        sorted(picked, key=lambda p: (p[0], p[1])),
         f"{q} long, pick long, {i} long, mmr double",
     )
+
+
+def _round6(x: float) -> float:
+    """round(x, 6) exactly as Spark's Round(DoubleType): HALF_UP over
+    the shortest-round-trip decimal representation."""
+    if x is None or not math.isfinite(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _mmr_gt(a, b) -> bool:
+    """a sorts strictly before b under (mmr DESC NULLS LAST)."""
+    if a is None:
+        return False
+    if b is None:
+        return True
+    return a > b
 
 
 def mmr_oracle_sql(
