@@ -1475,8 +1475,13 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from centimators_spark.text.hashing_udf import minhash_signatures_udf
 
     docs = load_table(spark, sf_dir, "documents")
+    # sigs and truth each feed TWO consumers (count + candidate/hit
+    # paths) — pin once. cand feeds exactly ONE consuming subtree (the
+    # left-join count below), so it stays lazy: its old eager
+    # localCheckpoint materialized the pair set in a separate job only
+    # for two counting aggs that one pass computes (r13 optimization).
     sigs = minhash_signatures_udf(docs).localCheckpoint(eager=True)
-    cand = minhash_band_candidates(sigs).localCheckpoint(eager=True)
+    cand = minhash_band_candidates(sigs)
     truth = (
         ngram_jaccard_pairs(
             docs,
@@ -1488,15 +1493,19 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_docs = sigs.agg(F.count(F.lit(1)).cast("long").alias("__nd"))
-    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    n_hit = cand.join(truth, ["d1", "d2"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hit")
+    # both candidate-set counts in ONE pass: truth pairs are distinct
+    # (grouped (d1, d2)), so the left join preserves cand's row count
+    # and count(__t) counts exactly the covered true pairs.
+    cand_hit = cand.join(
+        truth.withColumn("__t", F.lit(1)), ["d1", "d2"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.count("__t").cast("long").alias("n_hit"),
     )
     total_pairs = (F.col("__nd") * (F.col("__nd") - 1) / 2).cast("long")
     return (
-        n_cand.crossJoin(n_true)
-        .crossJoin(n_hit)
+        cand_hit.crossJoin(n_true)
         .crossJoin(n_docs)
         .select(
             "n_candidates",
