@@ -99,7 +99,12 @@ def synth_wav_clips(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import BinaryType, StructField, StructType
 
-    narrow = df.select(F.col(id_col).alias("doc_id"))
+    from centimators_spark.scanstats import spread_if_underpartitioned
+
+    # spread the synth→decode→fingerprint chain (see videofp; r13)
+    narrow = spread_if_underpartitioned(
+        df.select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
     schema = StructType(
         [narrow.schema["doc_id"], StructField("content", BinaryType())]
     )

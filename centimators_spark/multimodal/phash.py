@@ -127,7 +127,12 @@ def synth_bmp_images(
         StructType,
     )
 
-    narrow = df.select(F.col(id_col).alias("doc_id"))
+    from centimators_spark.scanstats import spread_if_underpartitioned
+
+    # spread the synth→decode→pHash chain (see videofp; r13)
+    narrow = spread_if_underpartitioned(
+        df.select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
     schema = StructType(
         [narrow.schema["doc_id"], StructField("content", BinaryType())]
     )

@@ -73,8 +73,15 @@ def synth_rawv_clips(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from pyspark.sql.types import BinaryType, StructField, StructType
 
     from centimators_spark.multimodal.columns import encode_rawv
+    from centimators_spark.scanstats import spread_if_underpartitioned
 
-    narrow = df.select(F.col(id_col).alias("doc_id"))
+    # the whole synth→decode→pHash chain inherits this partitioning
+    # (map-side stages); without the gate it runs as ONE task on
+    # single-row-group local parquet (r13 optimization, value-identical
+    # per-row work — see spread_if_underpartitioned)
+    narrow = spread_if_underpartitioned(
+        df.select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
     schema = StructType(
         [narrow.schema["doc_id"], StructField("content", BinaryType())]
     )

@@ -82,3 +82,28 @@ def local_input_bytes(df: DataFrame) -> int | None:
     :func:`estimated_scan_partitions`)."""
     sizes = _local_file_sizes(df)
     return None if sizes is None else sum(sizes)
+
+
+def spread_if_underpartitioned(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition ``df`` onto defaultParallelism when it would scan as
+    fewer partitions than there are cores — the shared gate in front of
+    the per-row Arrow kernels (gram shingling, multimodal synth/decode/
+    fingerprint chains), whose whole Python-side computation otherwise
+    runs in ONE task on single-row-group local parquet.
+
+    Same discipline as the era-OLS gate: the estimate reads file sizes
+    (never df.rdd); a well-partitioned production scan is untouched
+    (est is None or >= cores); the repartition hashes a DETERMINISTIC
+    key (xxhash64 of ``key_cols``, default all columns) so
+    multi-consumer lineages keep ReusedExchange eligibility. Only
+    per-row-deterministic consumers may use this — any spread must be
+    value-identical.
+    """
+    from pyspark.sql import functions as F
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    est = estimated_scan_partitions(df)
+    if est is not None and est < parallelism:
+        cols = list(key_cols) or df.columns
+        return df.repartition(parallelism, F.xxhash64(*cols))
+    return df

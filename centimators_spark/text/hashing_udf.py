@@ -103,19 +103,11 @@ def gram_frame(df: DataFrame, content_col: str, id_col: str, n: int) -> DataFram
     # Spread the shingling+md5 work across cores when the input scans
     # as fewer partitions than we have cores (single-row-group local
     # parquet scans as ONE task — the whole Arrow pass measured 3.5 s
-    # single-core at sf0.1 where the spread pass takes ~0.3 s). Same
-    # gate discipline as era_ols_neutralize: estimate from file sizes
-    # (never df.rdd), only fire when UNDER-partitioned — a
-    # well-partitioned 100 TB scan must not eat an extra shuffle — and
-    # hash on a DETERMINISTIC key so multi-consumer lineages keep
-    # ReusedExchange eligibility. Per-row computation: any spread is
-    # value-identical.
-    from centimators_spark.scanstats import estimated_scan_partitions
+    # single-core at sf0.1 where the spread pass takes ~0.3 s).
+    # Per-row computation: any spread is value-identical.
+    from centimators_spark.scanstats import spread_if_underpartitioned
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    est = estimated_scan_partitions(narrow)
-    if est is not None and est < parallelism:
-        narrow = narrow.repartition(parallelism, F.xxhash64("doc_id", "__text"))
+    narrow = spread_if_underpartitioned(narrow)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
