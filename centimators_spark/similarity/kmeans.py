@@ -109,6 +109,7 @@ def kmeans_lloyd_exact(
         assigned = x.select(
             "vid",
             "xu",
+            *([F.col("lbl")] if label_col is not None else []),
             best["c"].alias("cluster"),
             best["dist"].alias("dist"),
         )
@@ -128,14 +129,41 @@ def kmeans_lloyd_exact(
             for j in range(k)
         ]
 
-    counts = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("inertia_u")
-    )
     grid = assigned.sparkSession.createDataFrame(
         [(j, cents[j][0], cents[j][1]) for j in range(k)],
         "cluster int, c0_u long, c1_u long",
     )
-    out = grid.join(counts, "cluster", "left").select(
+    if label_col is None:
+        counts = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("inertia_u")
+        )
+        return grid.join(counts, "cluster", "left").select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            "c0_u",
+            "c1_u",
+            F.coalesce(F.col("inertia_u"), F.lit(0)).cast("long").alias(
+                "inertia_u"
+            ),
+        )
+    # counts, inertia AND the per-cluster majority label from ONE
+    # corpus-sized aggregation (lbl rides the assignment scan — it is
+    # already in the pinned frame, so the old vid self-join and the
+    # separate counts pass re-executed the interpreted distance fold
+    # twice more for nothing; r13 optimization). The (cluster, lbl)
+    # partials are k×|labels| rows; everything after is tiny. The vote
+    # is the same (count desc, label asc) min-struct.
+    cl = assigned.groupBy("cluster", "lbl").agg(
+        F.count(F.lit(1)).alias("ln"), F.sum("dist").alias("li")
+    )
+    per_cl = cl.groupBy("cluster").agg(
+        F.sum("ln").alias("n"),
+        F.sum("li").alias("inertia_u"),
+        F.min(
+            F.struct((-F.col("ln")).alias("nv"), F.col("lbl").alias("l"))
+        ).alias("b"),
+    )
+    return grid.join(per_cl, "cluster", "left").select(
         F.col("cluster").cast("long").alias("cluster"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         "c0_u",
@@ -143,31 +171,8 @@ def kmeans_lloyd_exact(
         F.coalesce(F.col("inertia_u"), F.lit(0)).cast("long").alias(
             "inertia_u"
         ),
-    )
-    if label_col is None:
-        return out
-    # per-cluster majority label over the LAST assignment (the vote
-    # aggregation of similarity/knn.py)
-    lab = (
-        assigned.join(x.select("vid", "lbl"), "vid")
-        .groupBy("cluster", "lbl")
-        .agg(F.count(F.lit(1)).alias("ln"))
-        .groupBy("cluster")
-        .agg(
-            F.min(
-                F.struct((-F.col("ln")).alias("nv"), F.col("lbl").alias("l"))
-            ).alias("b")
-        )
-        .select(
-            F.col("cluster").cast("long").alias("cluster"),
-            F.col("b.l").alias("top_label"),
-            (-F.col("b.nv")).cast("long").alias("label_n"),
-        )
-    )
-    return out.join(lab, "cluster", "left").select(
-        "cluster", "n", "c0_u", "c1_u", "inertia_u",
-        "top_label",
-        F.coalesce(F.col("label_n"), F.lit(0)).cast("long").alias("label_n"),
+        F.col("b.l").alias("top_label"),
+        F.coalesce(-F.col("b.nv"), F.lit(0)).cast("long").alias("label_n"),
     )
 
 
