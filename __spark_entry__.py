@@ -4339,17 +4339,21 @@ def q_dsir_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k. Fifth composed flagship, corpus_clean-style: one lazy
     plan, the bucket importance table broadcast, the budget cumsum on
     the two-phase cell template (no global sort)."""
-    from centimators_spark.text.dsir import dsir_scores
-    from centimators_spark.text.portable import tokens
+    from centimators_spark.text.dsir import DSIR_N, dsir_scores
     from centimators_spark.text.selection import token_budget_select
 
     docs = load_table(spark, sf_dir, "documents")
     scored = dsir_scores(docs, DSIR_TARGET)
-    toks = docs.select(
+    # n_tokens derived, not re-tokenized: every scored doc has
+    # n_grams = n_tokens − (n−1) all-bigrams with multiplicity
+    # (token_ngrams_all), so the old second tokenize pass + join
+    # computed exactly n_grams + (n−1) (r13 optimization; the oracle
+    # still counts sql_tokens independently, so parity is a real check)
+    j = scored.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        "logw_micro",
+        (F.col("n_grams") + F.lit(DSIR_N - 1)).cast("long").alias("n_tokens"),
     )
-    j = scored.select("doc_id", "logw_micro").join(toks, "doc_id")
     return token_budget_select(
         j,
         budget_frac=DSIR_BUDGET_FRAC,

@@ -81,10 +81,27 @@ def dsir_scores(
         "__it",
         F.pmod(md5_long(F.col("g")), F.lit(n_buckets)).alias("b"),
     )
-    # ONE pass counts both sides (map-side combined)
-    buckets = grams.groupBy("b").agg(
-        F.sum(F.col("__it")).cast("long").alias("c_t"),
-        F.sum(1 - F.col("__it")).cast("long").alias("c_q"),
+    # (doc, side, bucket) gram counts — the ONE corpus-sized
+    # aggregation, pinned: both downstream consumers (bucket totals,
+    # per-doc log-weights) previously re-ran the whole
+    # tokenize→explode→md5 derivation, and the per-doc side shuffled
+    # RAW gram rows; the cell table is the standard two-phase shape
+    # (≤ docs × distinct-buckets-per-doc rows) and every derived sum
+    # is exact integer arithmetic over it (r13 optimization — at
+    # cluster scale persist/write the cells instead of the local
+    # checkpoint).
+    cells = (
+        grams.groupBy("doc_id", "__it", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    buckets = cells.groupBy("b").agg(
+        F.sum(F.when(F.col("__it") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+        F.sum(F.when(F.col("__it") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("c_q"),
     )
     totals = buckets.agg(
         F.sum("c_t").cast("long").alias("n_t"),
@@ -121,12 +138,12 @@ def dsir_scores(
         ).cast("long").alias("lp_q_u"),
     )
     return (
-        grams.where(F.col("__it") == 0)
+        cells.where(F.col("__it") == 0)
         .join(F.broadcast(lw), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.col("lp_t_u") - F.col("lp_q_u"))
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * (F.col("lp_t_u") - F.col("lp_q_u")))
             .cast("long")
             .alias("logw_micro"),
         )

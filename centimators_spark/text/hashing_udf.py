@@ -100,14 +100,15 @@ def gram_frame(df: DataFrame, content_col: str, id_col: str, n: int) -> DataFram
         ]
     )
     narrow = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("__text"))
-    # Spread the shingling+md5 work across cores when the input scans
-    # as fewer partitions than we have cores (single-row-group local
-    # parquet scans as ONE task — the whole Arrow pass measured 3.5 s
-    # single-core at sf0.1 where the spread pass takes ~0.3 s).
-    # Per-row computation: any spread is value-identical.
-    from centimators_spark.scanstats import spread_if_underpartitioned
-
-    narrow = spread_if_underpartitioned(narrow)
+    # NO spread gate here, by measurement (r13): unlike the multimodal
+    # decode/DCT chains (scanstats.spread_if_underpartitioned), this
+    # pass is too light for the extra exchange to pay at bench scale —
+    # the md5 work is memoized over batch-distinct grams, and the full
+    # suite showed every pure gram consumer +0.3-1.8 s with a gated
+    # repartition (duplicated_spans 2.4→4.2, dedup_minhash_lsh
+    # 2.1→3.3) while the cold single-task cost it targeted was mostly
+    # one-time worker spin-up. At 100 TB the scan is already
+    # well-partitioned and the question is moot.
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1249,15 +1249,17 @@ def main():
 
     p = plan_of(st["dsir_select"](spark, sf_dir))
     ok &= audit(
-        "dsir_select: one corpus-sized bucket-count shuffle (map-side"
-        " combined conditional sums — target and proposal in the same"
-        " pass); the n_buckets-row importance table BROADCASTS back;"
-        " per-doc weights are a second map-side-combined agg;"
-        " selection is TakeOrdered (never a full sort); no pair join,"
-        " no Python",
+        "dsir_select: the (doc, side, bucket) cell table is pinned"
+        " ONCE (r13 — both consumers re-ran the tokenize/explode/md5"
+        " derivation before); bucket totals and per-doc weights are"
+        " map-side-combined SUMS over the pinned cells; the"
+        " n_buckets-row importance table BROADCASTS back; selection"
+        " is TakeOrdered (never a full sort); no pair join, no"
+        " Python, no re-scan of the corpus in the final plan",
         "BroadcastHashJoin" in p
         and "TakeOrderedAndProject" in p
-        and "partial_count" in p
+        and "partial_sum" in p
+        and "Scan parquet" not in p
         and "CartesianProduct" not in p
         and "EvalPython" not in p,
     )
