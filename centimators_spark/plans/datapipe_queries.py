@@ -699,6 +699,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_T = 0.55
 
 
+REP_DUP_N = 3  # repetition_signals' dup_n default (duplicated 3-grams)
 REP_DUP_NGRAM_T = 0.5  # repetition gate on duplicated-3-gram char fraction
 CONTAM_T = 0.8  # drop docs whose 3-grams are >=80% inside the benchmark
 
@@ -804,25 +805,78 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark decontamination (vs the doc_id%10 eval split). The oracle
     composes the individually-verified stage oracles — the composed
     pipeline stays bit-exact."""
-    from centimators_spark.dedup.cluster import deduplicate
+    from centimators_spark.dedup.cluster import connected_components
     from centimators_spark.dedup.contamination import ngram_contamination
-    from centimators_spark.text.repetition import repetition_signals
+    from centimators_spark.text.analysis import lang_pred_exprs, quality_exprs
+    from centimators_spark.text.portable import token_ngrams_all, tokens
+    from centimators_spark.text.repetition import dup_char_frac_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    lang = language_id(docs).select("doc_id", "lang_pred")
-    qual = quality_score(docs).select("doc_id", "quality")
-    rep = repetition_signals(docs).select("doc_id", "dup_ngram_char_frac")
+    # FUSED per-doc signal projection (r13 optimization, guide §2.4):
+    # language, quality and the Gopher dup-3-gram fraction are each
+    # pure per-row expressions over the same corpus row — the old
+    # shape built three separate frames and paid three corpus scans
+    # plus three doc_id shuffle joins to reassemble rows that were
+    # never apart. The expression kernels are SHARED with the
+    # standalone stage queries (lang_pred_exprs / quality_exprs /
+    # dup_char_frac_expr), so values cannot drift; token arrays are
+    # staged once per row (inlined trees re-tokenize per reference).
+    # repetition's null contract: NULL text ≡ empty text for the gram
+    # stats (quality/lang keep their null-poisoning semantics).
+    staged = docs.select(
+        "doc_id",
+        F.col("text").alias("__text"),
+        F.lower(F.col("text")).alias("__lo"),
+        tokens(F.col("text")).alias("__tok"),
+        F.array_distinct(tokens(F.col("text"))).alias("__dtok"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+            "__chars"
+        ),
+    )
+    staged2 = staged.select(
+        "doc_id",
+        "__text",
+        "__lo",
+        "__tok",
+        "__dtok",
+        "__chars",
+        F.array_sort(
+            token_ngrams_all(
+                F.when(
+                    F.col("__text").isNull(),
+                    F.array().cast("array<string>"),
+                ).otherwise(F.col("__tok")),
+                REP_DUP_N,
+            )
+        ).alias("__dupg"),
+    )
+    lang_pred, _, _ = lang_pred_exprs(F.col("__dtok"))
+    quality = quality_exprs(
+        F.col("__text"), F.col("__lo"), F.col("__tok"), F.col("__dtok")
+    )["quality"]
+    sig = staged2.select(
+        "doc_id",
+        lang_pred.alias("lang_pred"),
+        quality.alias("quality"),
+        dup_char_frac_expr(F.col("__dupg"), F.col("__chars")).alias(
+            "dup_ngram_char_frac"
+        ),
+    )
+    # keep-one-per-cluster as an anti-join on the fused frame (the old
+    # deduplicate() call scanned docs a fourth time just to produce
+    # the kept id list)
     pairs = _shared_minhash_pairs(spark, sf_dir)
-    kept = deduplicate(docs, pairs).select("doc_id")
+    cc = connected_components(pairs)
+    drop = cc.where(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias("doc_id")
+    )
     bench = docs.where(F.col("doc_id") % 10 == 0)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     cont = ngram_contamination(corpus, bench, n=CONTAM_N).select(
         "doc_id", "contamination"
     )
     return (
-        kept.join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(rep, "doc_id")
+        sig.join(drop, "doc_id", "left_anti")
         .join(cont, "doc_id")  # inner join also drops the bench docs
         .where(
             (F.col("lang_pred") == "en")

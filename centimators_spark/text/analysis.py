@@ -28,11 +28,13 @@ def _hits(tok: Column, words: list[str]) -> Column:
     return F.size(F.array_intersect(tok, F.array(*[F.lit(w) for w in words])))
 
 
-def language_id(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: per-language stopword hit counts over the
-    distinct token set; argmax with fixed language order on ties."""
-    tok = F.array_distinct(tokens(F.col(content_col)))
-    scores = {lang: _hits(tok, words) for lang, words in LANG_PROFILES.items()}
+def lang_pred_exprs(dtok: Column) -> tuple[Column, Column, dict[str, Column]]:
+    """(best_lang, best_score, per-language scores) over a DISTINCT
+    token array — the language-ID kernel, shared by
+    :func:`language_id` and the fused corpus_clean signal projection
+    so the two can never drift. Argmax with first-wins tie-break in
+    fixed profile order."""
+    scores = {lang: _hits(dtok, words) for lang, words in LANG_PROFILES.items()}
     best_lang, best_score = None, None
     for lang, score in scores.items():  # first-wins tie-break (fixed order)
         if best_lang is None:
@@ -41,6 +43,14 @@ def language_id(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
             cond = score > best_score
             best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
             best_score = F.when(cond, score).otherwise(best_score)
+    return best_lang, best_score, scores
+
+
+def language_id(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts over the
+    distinct token set; argmax with fixed language order on ties."""
+    tok = F.array_distinct(tokens(F.col(content_col)))
+    best_lang, best_score, scores = lang_pred_exprs(tok)
     return df.select(
         F.col(id_col).alias("doc_id"),
         best_lang.alias("lang_pred"),
@@ -49,22 +59,18 @@ def language_id(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def quality_score(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + composite score in [0,1]:
-    length, token stats, punctuation ratio, stopword ratio."""
-    # stage the token arrays so they evaluate once per row (inlined
-    # expression trees re-tokenize at every reference site)
-    staged = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(content_col).alias("__text"),
-        F.lower(F.col(content_col)).alias("__lo"),
-        tokens(F.col(content_col)).alias("__tok"),
-        F.array_distinct(tokens(F.col(content_col))).alias("__dtok"),
-    )
-    tok, dtok = F.col("__tok"), F.col("__dtok")
-    n_chars = F.length("__text").cast("double")
+def quality_exprs(
+    text_c: Column, lo_c: Column, tok: Column, dtok: Column
+) -> dict[str, Column]:
+    """The quality-feature expression kernel over STAGED columns
+    (raw text, lowered text, token array, distinct token array) —
+    shared by :func:`quality_score` and the fused corpus_clean signal
+    projection so the two can never drift. Callers must pass bound
+    column references (staged once per row), never inline expression
+    trees (those re-tokenize at every reference site)."""
+    n_chars = F.length(text_c).cast("double")
     n_tokens = F.size(tok).cast("double")
-    punct_chars = n_chars - F.length(F.regexp_replace(F.col("__lo"), PUNCT_RE, ""))
+    punct_chars = n_chars - F.length(F.regexp_replace(lo_c, PUNCT_RE, ""))
     # empty/whitespace-only docs have zero tokens/chars: every ratio is
     # guarded (under ANSI — this engine's session default — an
     # unguarded x/0 THROWS, it does not return NULL; a corrupt-doc row
@@ -89,14 +95,39 @@ def quality_score(df: DataFrame, content_col: str = "text", id_col: str = "doc_i
         + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
         + F.lit(0.3) * F.least(n_tokens / 100, F.lit(1.0)),
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "mean_token_len": mean_tok_len,
+        "stopword_ratio": stop_ratio,
+        "quality": score,
+    }
+
+
+def quality_score(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    length, token stats, punctuation ratio, stopword ratio."""
+    # stage the token arrays so they evaluate once per row (inlined
+    # expression trees re-tokenize at every reference site)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(content_col).alias("__text"),
+        F.lower(F.col(content_col)).alias("__lo"),
+        tokens(F.col(content_col)).alias("__tok"),
+        F.array_distinct(tokens(F.col(content_col))).alias("__dtok"),
+    )
+    q = quality_exprs(
+        F.col("__text"), F.col("__lo"), F.col("__tok"), F.col("__dtok")
+    )
     return staged.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        mean_tok_len.alias("mean_token_len"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality"),
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["quality"].alias("quality"),
     )
 
 

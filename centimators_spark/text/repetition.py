@@ -86,6 +86,14 @@ def _frac(num: Column, den: Column) -> Column:
     )
 
 
+def dup_char_frac_expr(sorted_arr: Column, chars: Column) -> Column:
+    """Fraction of ``chars`` covered by repeated occurrences (beyond
+    each element's first) of a SORTED array — the duplicated-character
+    kernel, shared by :func:`repetition_signals` and the fused
+    corpus_clean signal projection so the two can never drift."""
+    return _frac(_dup_char_sum(sorted_arr), chars)
+
+
 def repetition_signals(
     df: DataFrame,
     content_col: str = "text",
@@ -142,10 +150,10 @@ def repetition_signals(
         "doc_id",
         n_lines.alias("n_lines"),
         _frac(n_lines - n_distinct_lines, n_lines).alias("dup_line_frac"),
-        _frac(_dup_char_sum(lines), line_chars).alias("dup_line_char_frac"),
+        dup_char_frac_expr(lines, line_chars).alias("dup_line_char_frac"),
         top_cnt.alias("top_ngram_cnt"),
         _frac(top_covered, F.col("__chars")).alias("top_ngram_char_frac"),
-        _frac(_dup_char_sum(F.col("__dupg")), F.col("__chars")).alias(
+        dup_char_frac_expr(F.col("__dupg"), F.col("__chars")).alias(
             "dup_ngram_char_frac"
         ),
     )
