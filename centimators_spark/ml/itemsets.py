@@ -175,28 +175,50 @@ def association_rules(
     then one divide) of exact integer counts rounded to ``digits``,
     so the doubles are bit-identical across engines.
 
-    Plan: one distinct (basket, item) projection, one grouped count
-    per item (tiny, broadcast back), one basket self-join on the
-    basket key (the only data-sized shuffle — same shape the
-    size-2 itemset oracle uses), one grouped pair count. Both rule
-    directions come from the one unordered pair count."""
-    bi = (
+    Plan (r13 optimization — the frequent_itemsets size-2 shape): ONE
+    corpus-sized shuffle builds the per-basket sorted DISTINCT item
+    array (collect_set partial-aggregates map-side, subsuming the old
+    separate .distinct() pass), pinned once for its three consumers
+    (n_baskets, singles, pairs — the lazy form re-derived the whole
+    input join per consumer: 20 scans / 38 exchanges in the measured
+    plan). Pair candidates are enumerated map-side per basket —
+    C(m,2) over the sorted array, identical to the old basket
+    self-join with ``a.i < c.i`` — so no second data-sized shuffle
+    exists. Both rule directions come from the one unordered pair
+    count."""
+    baskets = (
         df.where(F.col(item_col).isNotNull())
         .select(
             F.col(basket_col).alias("b"),
             F.col(item_col).cast("string").alias("i"),
         )
-        .distinct()
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_set("i")).alias("__sa"))
+        .localCheckpoint(eager=True)
     )
-    n_baskets = bi.agg(
-        F.countDistinct("b").cast("long").alias("__nb")
+    # NULL-basket parity with the old bi.distinct() shape: count("b")
+    # skips the null-key group (countDistinct semantics), singles DO
+    # count it (distinct kept its rows), pairs exclude it (null keys
+    # never matched the old equi-self-join)
+    n_baskets = baskets.agg(F.count("b").cast("long").alias("__nb"))
+    singles = (
+        baskets.select(F.explode("__sa").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    singles = bi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("__sa"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__sa"), i + F.lit(2), F.size(F.col("__sa"))),
+                lambda y: F.struct(x.alias("i1"), y.alias("i2")),
+            ),
+        )
+    )
     pairs = (
-        bi.alias("a")
-        .join(bi.alias("c"), "b")
-        .where(F.col("a.i") < F.col("c.i"))
-        .groupBy(F.col("a.i").alias("i1"), F.col("c.i").alias("i2"))
+        baskets.where(F.col("b").isNotNull())
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.i1").alias("i1"), F.col("p.i2").alias("i2"))
         .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
         .where(F.col("pair_n") >= min_pair_count)
     )

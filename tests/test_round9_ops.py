@@ -37,6 +37,32 @@ def test_association_rules_hand_case(spark):
     assert ca.confidence == pytest.approx(1.0)
 
 
+def test_association_rules_null_basket_parity(spark):
+    """NULL basket keys keep the original bi.distinct()/self-join
+    semantics under the r13 map-side pair enumeration: excluded from
+    n_baskets (countDistinct skipped NULL), counted once in singles
+    (distinct kept the rows), and never paired (NULL keys never
+    matched the equi-self-join)."""
+    from centimators_spark.ml.itemsets import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (None, "a"), (None, "b"), (None, "b"),
+        (3, "c"), (3, None),  # null items dropped up front
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = sorted(
+        (r.antecedent, r.consequent, r.pair_n, r.ant_n, r.cons_n)
+        for r in association_rules(
+            df, "basket", "item", min_pair_count=1
+        ).collect()
+    )
+    # n_baskets=3 (1,2,3 — NULL excluded), singles a=3,b=3,c=1 (the
+    # null group counts once), pairs only (a,b)x2 from baskets 1,2
+    assert out == [("a", "b", 2, 3, 3), ("b", "a", 2, 3, 3)]
+
+
 def test_weighted_quantiles_hand_case(spark):
     """Type-1 weighted quantiles against a hand-walked cumulative."""
     from centimators_spark.operators.stats import weighted_quantiles

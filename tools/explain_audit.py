@@ -771,10 +771,15 @@ def main():
     )
     p = plan_of(st["association_rules"](spark, sf_dir))
     ok &= audit(
-        "association_rules: singles and n_baskets BROADCAST back onto the"
-        " pair counts; the only data-sized shuffle is the basket-key"
-        " self-join; no Python",
-        "BroadcastHashJoin" in p and "EvalPython" not in p,
+        "association_rules: pair candidates enumerate MAP-SIDE from the"
+        " pinned per-basket sorted item arrays (r13 — no basket-key"
+        " self-join shuffle, no corpus re-scan in the final plan);"
+        " singles and n_baskets BROADCAST back onto the pair counts;"
+        " no Python",
+        "BroadcastHashJoin" in p
+        and "Scan parquet" not in p
+        and "SortMergeJoin" not in p
+        and "EvalPython" not in p,
     )
     p = plan_of(st["sq8_recall_contract"](spark, sf_dir))
     ok &= audit(
