@@ -369,6 +369,40 @@ def theta_retained_rows(
     )
 
 
+def _source_pair_counts(
+    grams: DataFrame, out_col: str = "n_common"
+) -> DataFrame:
+    """Unordered per-source-pair co-occurrence counts
+    |items(a) ∩ items(b)| over (g, gram) postings WITHOUT a corpus
+    self-join (r13 optimization): the source universe is tiny, so ONE
+    groupBy collects each gram's sorted source set and the a<b pairs
+    explode map-side (C(s,2) per gram) into a KB-sized pair count —
+    one postings shuffle instead of the join's two plus the pair-count
+    shuffle. Exactly the join's semantics: sort_array ascending ≡ the
+    `src_a < src_b` predicate, collect_set skips NULL sources exactly
+    as the old join's NULL comparison dropped them, and the NULL-gram
+    filter mirrors the old `join ... on gram` key semantics."""
+    src_sets = (
+        grams.where(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.sort_array(F.collect_set("g")).alias("__ss"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("__ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ss"), i + F.lit(2), F.size(F.col("__ss"))),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    return (
+        src_sets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias(out_col))
+    )
+
+
 def theta_sketch_intersections(
     df: DataFrame,
     *,
@@ -467,13 +501,8 @@ def theta_sketch_intersections(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    truth = (
-        grams.select(F.col("g").alias("src_a"), "gram")
-        .join(grams.select(F.col("g").alias("src_b"), "gram"), "gram")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_common"))
-    )
+    # truth witness from per-gram source sets, no corpus self-join
+    truth = _source_pair_counts(grams, "true_common")
     num = (
         F.coalesce(F.col("n_common"), F.lit(0)).cast("decimal(38,0)")
         * F.lit(THETA_SPACE).cast("decimal(38,0)")
@@ -663,17 +692,10 @@ def theta_sketch_a_not_b(
     totals = grams.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n_tot")
     )
-    # truth witness: join the corpus-sized gram sets ONCE (unordered,
-    # a<b — half the pair fan-out) and derive both orientations by a
-    # rename union; the self-join's identical scan sides reuse one
-    # exchange
-    common_uo = (
-        grams.select(F.col("g").alias("src_a"), "gram")
-        .join(grams.select(F.col("g").alias("src_b"), "gram"), "gram")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
+    # truth witness ONCE unordered (a<b — half the pair fan-out) from
+    # per-gram source sets (no corpus self-join); both orientations by
+    # a rename union
+    common_uo = _source_pair_counts(grams, "n_common")
     common = common_uo.unionByName(
         common_uo.select(
             F.col("src_b").alias("src_a"),
@@ -1420,15 +1442,8 @@ def hll_union_pairs(
         F.sum(term.cast(d38)).cast(d38).alias("S_used"),
         F.count(F.lit(1)).cast("long").alias("n_used"),
     )
-    truth = (
-        grams.select(F.col("g").alias("src_a"), "gram")
-        .join(
-            grams.select(F.col("g").alias("src_b"), "gram"), "gram"
-        )
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
+    # truth witness from per-gram source sets, no corpus self-join
+    truth = _source_pair_counts(grams, "n_common")
     totals = grams.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n_tot")
     )
