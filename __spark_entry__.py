@@ -1019,9 +1019,30 @@ def q_isotonic_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = _returnflag_scored(spark, sf_dir)
     va = VectorAssembler(inputCols=["p"], outputCol="__f")
+    # fit on per-feature weighted points, not raw rows (r13
+    # optimization): p has ~50 distinct values, so the distributed
+    # PAVA's sort/collect runs over 50 weighted points instead of the
+    # whole corpus. The model is IDENTICAL: mllib's makeUnique merges
+    # equal-feature points into (weighted-mean label, summed weight)
+    # anyway, and with unit weights and y ∈ {0,1} both its Σy_i/Σ1 and
+    # this aggregation's sum(y)/count are exact integer-valued double
+    # sums followed by the same single division — bit-equal inputs to
+    # the same PAVA.
+    train = (
+        scored.groupBy("p")
+        .agg(
+            F.sum(F.col("y").cast("double")).alias("__sy"),
+            F.count(F.lit(1)).cast("double").alias("__w"),
+        )
+        .select(
+            "p",
+            (F.col("__sy") / F.col("__w")).alias("y"),
+            F.col("__w").alias("w"),
+        )
+    )
     model = IsotonicRegression(
-        featuresCol="__f", labelCol="y", predictionCol="fit"
-    ).fit(va.transform(scored.select("p", F.col("y").cast("double"), "era")))
+        featuresCol="__f", labelCol="y", predictionCol="fit", weightCol="w"
+    ).fit(va.transform(train))
     fitted = model.transform(
         va.transform(scored.select("p", F.col("y").cast("double"), "era"))
     )

@@ -1218,3 +1218,37 @@ def test_signed_gate_contracts(spark):
     ).fetchdf().set_index("event_type")["c"]
     for _, r in sdf.iterrows():
         assert r.n_a + r.n_b < raw[r.grp]
+
+
+def test_isotonic_fit_weighted_preagg_bit_identical(spark):
+    """The r13 isotonic_contract optimization fits PAVA on per-feature
+    weighted points instead of raw rows; with unit weights and y in
+    {0,1} the aggregated sum(y)/count equals mllib makeUnique's
+    internal merge bit-for-bit, so the MODEL (boundaries AND
+    predictions) must be identical — asserted here on a fixture with
+    heavy feature ties."""
+    from pyspark.sql import functions as F
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    rows = [(float(i % 7) / 10.0, float((i * 13 + i % 3) % 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "p double, y double")
+    va = VectorAssembler(inputCols=["p"], outputCol="__f")
+    raw = IsotonicRegression(
+        featuresCol="__f", labelCol="y", predictionCol="fit"
+    ).fit(va.transform(df))
+    train = (
+        df.groupBy("p")
+        .agg(
+            F.sum("y").alias("__sy"),
+            F.count(F.lit(1)).cast("double").alias("__w"),
+        )
+        .select(
+            "p", (F.col("__sy") / F.col("__w")).alias("y"), F.col("__w").alias("w")
+        )
+    )
+    agg = IsotonicRegression(
+        featuresCol="__f", labelCol="y", predictionCol="fit", weightCol="w"
+    ).fit(va.transform(train))
+    assert list(raw.boundaries) == list(agg.boundaries)
+    assert list(raw.predictions) == list(agg.predictions)
