@@ -51,10 +51,23 @@ def naive_bayes_classify(
     Returns (doc_id, n_tokens, pred_label, score) where ``score`` is
     the winning class's total log-likelihood (prior + tokens) in 6dp
     units, exact by construction."""
-    ex = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(label_col).alias("y"),
-        F.explode(tokens(F.col(content_col))).alias("t"),
+    # (doc, label, token) occurrence-count cells — the ONE corpus-sized
+    # aggregation, pinned (r13 optimization, the DSIR cell-table
+    # pattern): the lazy exploded stream previously re-ran
+    # tokenize+explode for each of its three consumers (vocab counts,
+    # per-class counts, serving fan-out — 24 scans in the measured
+    # plan), and the serving side fanned out every token OCCURRENCE
+    # ×K classes where n·lp over distinct (doc, token) cells is the
+    # identical exact-integer sum.
+    cells = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col).alias("y"),
+            F.explode(tokens(F.col(content_col))).alias("t"),
+        )
+        .groupBy("doc_id", "y", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     # -- model: class priors ------------------------------------------
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(label_col).alias("y"))
@@ -71,7 +84,7 @@ def naive_bayes_classify(
         )
     )
     # -- model: capped shared vocabulary + per-class token counts -----
-    global_counts = ex.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    global_counts = cells.groupBy("t").agg(F.sum("n").alias("c"))
     vocab = (
         global_counts.orderBy(F.col("c").desc(), F.col("t").asc())
         .limit(vocab_cap)
@@ -79,9 +92,9 @@ def naive_bayes_classify(
     )
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
     class_counts = (
-        ex.join(F.broadcast(vocab), "t")
+        cells.join(F.broadcast(vocab), "t")
         .groupBy("y", "t")
-        .agg(F.count(F.lit(1)).alias("c_yt"))
+        .agg(F.sum("n").alias("c_yt"))
     )
     class_totals = class_counts.groupBy("y").agg(
         F.sum("c_yt").alias("n_tok_y")
@@ -110,19 +123,23 @@ def naive_bayes_classify(
             " * (CAST(v AS DOUBLE) + 1.0))) * 1e6) AS BIGINT)"
         ).alias("floor_u"),
     )
-    # -- serve: every doc token fans out to K candidate classes -------
+    # -- serve: distinct (doc, token) cells fan out to K classes ------
+    # n_tokens = Σ n (occurrence count) and tok_u = Σ n·lp_u — exact
+    # integer identities of the old per-occurrence sum
     cand = (
-        ex.select("doc_id", "t")
+        cells.select("doc_id", "t", "n")
         .join(F.broadcast(floors.select("y", "floor_u")), how="cross")
         .join(F.broadcast(lp), ["y", "t"], "left")
         .select(
             "doc_id",
             "y",
+            "n",
             F.coalesce(F.col("lp_u"), F.col("floor_u")).alias("lp_u"),
         )
     )
     tok_scores = cand.groupBy("doc_id", "y").agg(
-        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp_u").alias("tok_u")
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("lp_u")).alias("tok_u"),
     )
     # prior-only grid so empty docs still classify (argmax prior)
     grid = (
