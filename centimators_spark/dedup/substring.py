@@ -70,11 +70,20 @@ def duplicated_spans(
         "doc_id", F.size(tok).cast("long").alias("n_tokens")
     )
     # positional L-grams via the pushdown-robust zipped-slices form
-    # (portable.token_ngrams_all)
-    grams = staged.select(
-        "doc_id",
-        F.posexplode(token_ngrams_all(tok, L)).alias("pos", "gram"),
-    ).select("doc_id", "pos", md5_long(F.col("gram")).alias("h"))
+    # (portable.token_ngrams_all), pinned ONCE (r13): the duplicated-
+    # hash count and the position join each re-ran the explode+md5
+    # derivation; a window-count alternative would avoid the pin but
+    # concentrates a heavy-duplicated gram into one task — the
+    # map-side-combined count agg is the skew-robust shape for exactly
+    # the regime this operator exists for.
+    grams = (
+        staged.select(
+            "doc_id",
+            F.posexplode(token_ngrams_all(tok, L)).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", md5_long(F.col("gram")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
     dup_h = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -201,6 +210,10 @@ def duplicated_spans_multi(
     ).select(
         "doc_id", "pos", F.col("lv.L").alias("L"), F.col("lv.h").alias("h")
     ).where(F.col("h").isNotNull())
+    # pinned ONCE (r13): the duplicate-count agg and the position join
+    # each re-ran the explode + md5 + lead-window combine chain — the
+    # most expensive part of the plan — as the duplicated_spans pin
+    levels = levels.localCheckpoint(eager=True)
     dup_h = (
         levels.groupBy("L", "h")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -106,21 +106,35 @@ def winnowing_overlap_pairs(
     """(d1, d2, n_shared): doc pairs sharing >= min_shared winnowing
     fingerprints, after dropping fingerprints present in more than
     df_cap docs (boilerplate guard, applied before the pair join)."""
+    # r13 optimization: the lazy fps frame fed FOUR consumers (the df
+    # count, the cap join, both pair-join sides), re-running the
+    # posexplode + two-window fingerprint derivation each time; and
+    # the pair stage self-joined the fingerprint table on fp. One
+    # groupBy now collects each fingerprint's sorted doc set (≤ df_cap
+    # docs by construction of the cap), applies the cap as a size
+    # filter (fps is distinct per (doc, fp), so set size == the old
+    # count), and explodes the d1<d2 pairs map-side — identical pair
+    # multiset, one fingerprint-key shuffle instead of four.
     fps = winnowing_fingerprints(
         df, content_col=content_col, id_col=id_col, k=k, w=w
     )
-    rare = (
+    doc_sets = (
         fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .where(F.col("__df") <= df_cap)
-        .select("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("__ds"))
+        .where(F.size("__ds") <= df_cap)
     )
-    capped = fps.join(rare, "fp")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("__ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ds"), i + F.lit(2), F.size(F.col("__ds"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     return (
-        capped.select(F.col("doc_id").alias("d1"), "fp")
-        .join(capped.select(F.col("doc_id").alias("d2"), "fp"), "fp")
-        .where(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
+        doc_sets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )

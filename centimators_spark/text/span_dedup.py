@@ -55,16 +55,23 @@ def corpus_span_dedup(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(content_col)).alias("tk"),
     )
-    grams = toks.where(F.size("tk") >= w).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - w),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("tk"), i + 1, w)
-                ),
-            )
-        ).alias("pos", "gram"),
+    # pinned ONCE (r13): the duplicated-gram count and the coverage
+    # join each re-ran the tokenize + positional-gram explode (the
+    # string grams are the dominant bytes of this plan)
+    grams = (
+        toks.where(F.size("tk") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - w),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("tk"), i + 1, w)
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+        .localCheckpoint(eager=True)
     )
     dup = (
         grams.groupBy("gram")

@@ -1064,13 +1064,16 @@ def main():
     p = plan_of(st["winnowing_overlap"](spark, sf_dir))
     ok &= audit(
         "winnowing_overlap: positional gram explode + per-doc window"
-        " min (one shuffle on the doc key), df-capped fingerprint"
-        " equi-join on the hash key — no cartesian, no Python"
-        " anywhere",
+        " min (one shuffle on the doc key); pairs enumerate MAP-SIDE"
+        " from per-fingerprint sorted doc sets (r13 — the fp self-join"
+        " and its extra postings shuffles are gone); no cartesian, no"
+        " Python anywhere",
         "CartesianProduct" not in p
         and "EvalPython" not in p
         and "Window" in p
-        and "Generate" in p,  # posexplode
+        and "Generate" in p  # posexplode + pair explode
+        and "SortMergeJoin" not in p
+        and "collect_set" in p,
     )
 
     p = plan_of(st["duplicated_spans"](spark, sf_dir))
