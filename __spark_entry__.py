@@ -3108,20 +3108,33 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production guidance is this same cap/threshold pre-filter."""
     from centimators_spark.graphs import triangle_count
 
-    ps = (
+    # edge build without the per-part self-join (r13 optimization —
+    # the winnowing/sketch map-side pair shape): ONE groupBy collects
+    # each part's sorted DISTINCT supplier set (collect_set subsumes
+    # the old separate .distinct() shuffle) and the x<y pairs explode
+    # map-side — identical (src, dst) multiset, one corpus shuffle
+    # instead of three. The isNotNull filter mirrors the old join-key
+    # semantics (a NULL part never equi-joined).
+    ps_sets = (
         _lineitem(spark, sf_dir)
-        .where(F.col("l_suppkey") < 300)
-        .select("l_partkey", "l_suppkey")
-        .distinct()
+        .where(
+            (F.col("l_suppkey") < 300) & F.col("l_partkey").isNotNull()
+        )
+        .groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("__ss"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("__ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ss"), i + F.lit(2), F.size(F.col("__ss"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
     )
     edges = (
-        ps.alias("x")
-        .join(ps.alias("y"), "l_partkey")
-        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .groupBy(
-            F.col("x.l_suppkey").alias("src"),
-            F.col("y.l_suppkey").alias("dst"),
-        )
+        ps_sets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") >= 2)
         .select("src", "dst")
