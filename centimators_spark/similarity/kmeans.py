@@ -100,7 +100,7 @@ def kmeans_lloyd_exact(
     d = len(cents[0])
 
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         structs = [
             F.struct(_dist_to(c).alias("dist"), F.lit(j).alias("c"))
             for j, c in enumerate(cents)
@@ -113,6 +113,11 @@ def kmeans_lloyd_exact(
             best["c"].alias("cluster"),
             best["dist"].alias("dist"),
         )
+        if it == iters - 1:
+            # pin the LAST assignment (r13): the round's update collect
+            # AND the output aggregation both consume it — unpinned,
+            # each re-runs the interpreted k-way distance fold over x
+            assigned = assigned.localCheckpoint(eager=True)
         comp = (
             assigned.select(
                 "cluster", F.posexplode("xu").alias("pos", "val")
