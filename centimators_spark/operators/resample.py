@@ -88,7 +88,13 @@ def resample_panel(
     wf_incl = wf.rowsBetween(Window.unboundedPreceding, 0)
     wf_excl = wf.rowsBetween(Window.unboundedPreceding, -1)
 
-    base = df.select(t, d, *vals)
+    # NULL-date rows are INERT, exactly as in the old spine-join form
+    # (they never matched the spine and never entered min/max): filter
+    # them before the windows, otherwise Spark's NULLS-FIRST default
+    # would let a NULL-date observation feed the running brackets of
+    # every later row (and DuckDB's NULLS-LAST would disagree) — the
+    # orderby-sweep class the r12 gate exists for.
+    base = df.where(F.col(d).isNotNull()).select(t, d, *vals)
     carry: list = []
     for c in vals:
         obs_d = F.when(F.col(c).isNotNull(), F.col(d))

@@ -77,6 +77,28 @@ def test_linear_interp_leading_trailing_gaps_null(spark):
     assert got["2024-01-05"] is None
 
 
+def test_linear_interp_null_date_rows_inert(spark):
+    """NULL-date observations are fully inert (r13 in-place gap-run
+    rewrite + sweep fix): they must neither appear in the output nor
+    feed the running brackets of other rows — the exact semantics of
+    the old spine-join form, where a NULL date never matched the spine
+    and never entered min/max."""
+    import datetime as dt
+
+    d = dt.date
+    rows = [
+        ("a", None, 99.0),  # must not become anyone's bracket
+        ("a", d(2024, 1, 1), 10.0),
+        ("a", d(2024, 1, 3), 4.0),
+    ]
+    got = _interp(spark, rows)
+    assert got == {
+        ("a", "2024-01-01"): (10.0, 1),
+        ("a", "2024-01-02"): (7.0, 0),  # (10+4)/2 — 99.0 never leaks
+        ("a", "2024-01-03"): (4.0, 1),
+    }
+
+
 def test_skyline_hand_points(spark):
     # group g: (1,5) front; (2,3) front; (2,4) dominated by (2,3);
     # (3,3) dominated by (2,3) [tie y, strict x]; (4,1) front;
