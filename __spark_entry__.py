@@ -6153,6 +6153,12 @@ def q_multimodal_corpus_clean(
         "doc_id", "text", "source"
     )
     tok = tokens(F.col("text"))
+    # staged feeds SIX lazy consumers (four funnel counts, the keep
+    # aggregation, the semi-join side) and s2 three more (the synth→
+    # decode→pHash chain, its funnel, the final anti-join) — unpinned,
+    # the tokenize+md5 chain re-ran per consumer (12 parquet scans in
+    # the measured plan; r13 optimization, the corpus_clean
+    # fused-signals discipline applied to the funnel)
     staged = docs.select(
         "doc_id",
         "source",
@@ -6160,10 +6166,12 @@ def q_multimodal_corpus_clean(
         F.md5(
             F.array_join(F.slice(tok, 1, MMCLEAN_PREFIX_TOKENS), " ")
         ).alias("pfx_md5"),
-    )
+    ).localCheckpoint(eager=True)
     s1 = staged.where(F.col("n_tok") >= MMCLEAN_MIN_TOKENS)
     keep = s1.groupBy("pfx_md5").agg(F.min("doc_id").alias("doc_id"))
-    s2 = s1.join(keep, ["pfx_md5", "doc_id"], "left_semi")
+    s2 = s1.join(keep, ["pfx_md5", "doc_id"], "left_semi").localCheckpoint(
+        eager=True
+    )
     pairs = image_phash_dedup(
         s2, max_hamming=MMCLEAN_MAX_HAMMING
     )
