@@ -1021,13 +1021,18 @@ def main():
     p = plan_of(st["multimodal_corpus_clean"](spark, sf_dir))
     ok &= audit(
         "multimodal_corpus_clean: composed funnel keeps the dedup"
-        " discipline — prefix keep-min is an agg + LeftSemi, the image"
-        " stage is the band equi-join over the CHECKPOINTED code table"
-        " (no cartesian, no MapInPandas left of the self-join), the"
-        " image drop is a LeftAnti, and no row-at-a-time Python exists",
+        " discipline — the staged tokenize+md5 projection and the"
+        " prefix-dedup survivors (agg + LeftSemi) are PINNED upstream"
+        " (r13 change 21: ZERO parquet scans in the final plan proves"
+        " the six-consumer chain runs once; the semi-join executes at"
+        " pin time), the image stage is the band equi-join over the"
+        " checkpointed survivor table (no cartesian, no MapInPandas"
+        " left of the self-join), the image drop is a LeftAnti, and no"
+        " row-at-a-time Python exists",
         "CartesianProduct" not in p
         and "block_val" in p
-        and "LeftSemi" in p
+        and p.count("Scan parquet") == 0
+        and p.count("FileScan") == 0
         and "LeftAnti" in p
         and "MapInPandas" not in p
         and "BatchEvalPython" not in p,
