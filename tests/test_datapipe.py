@@ -193,6 +193,74 @@ def test_jaccard_df_cap_consistent_semantics(spark):
     assert len(exact_pairs) > 700
 
 
+def test_pair_count_explode_matches_join(spark, docs):
+    """r13 optimization pin: the map-side pair explode
+    (_shared_gram_pair_counts, the capped-postings path) and the
+    postings self-join (_shared_gram_pair_counts_join, the uncapped
+    path) must produce the IDENTICAL (d1, d2, c, n1, n2) table — with
+    and without the AllPairs/PPJoin length bound — so gating on
+    df_cap can never change a query's result."""
+    from centimators_spark.dedup.jaccard import (
+        _capped_index,
+        _shared_gram_pair_counts,
+        _shared_gram_pair_counts_join,
+    )
+
+    inv = _capped_index(docs, "text", "doc_id", 3, 1000, None)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    invn = inv.join(F.broadcast(sizes), "doc_id")
+    for t_num in (None, 600000):
+        a = {
+            tuple(r)
+            for r in _shared_gram_pair_counts(invn, t_num).collect()
+        }
+        b = {
+            tuple(r)
+            for r in _shared_gram_pair_counts_join(invn, t_num).collect()
+        }
+        assert a == b and len(a) > 0
+
+
+def test_containment_direction_explode_matches_union(spark, docs):
+    """r13 optimization pin: the fused two-direction explode in
+    ngram_containment_pairs equals the old fwd/rev union — built here
+    from the join-path pair counts — including the threshold filter."""
+    from centimators_spark.dedup.jaccard import (
+        _capped_index,
+        _shared_gram_pair_counts_join,
+        ngram_containment_pairs,
+    )
+
+    threshold = 0.8
+    got = {
+        (r.src, r.dst, round(r.containment, 12))
+        for r in ngram_containment_pairs(
+            docs, threshold=threshold, df_cap=100
+        ).collect()
+    }
+    inv = _capped_index(docs, "text", "doc_id", 3, 100, None)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    invn = inv.join(F.broadcast(sizes), "doc_id")
+    sized = _shared_gram_pair_counts_join(invn, None)
+    fwd = sized.select(
+        F.col("d1").alias("src"),
+        F.col("d2").alias("dst"),
+        (F.col("c").cast("double") / F.col("n1")).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("d2").alias("src"),
+        F.col("d1").alias("dst"),
+        (F.col("c").cast("double") / F.col("n2")).alias("containment"),
+    )
+    want = {
+        (r.src, r.dst, round(r.containment, 12))
+        for r in fwd.unionByName(rev)
+        .where(F.col("containment") >= threshold)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_unigram_lm_score_matches_duckdb(spark, docs):
     """Differential oracle (same rigor as a contract query, run in-test):
     the corpus-trained unigram LM score must match DuckDB evaluating the
