@@ -299,7 +299,11 @@ def kcore(
     edge set (AQE broadcast-converts the surviving-node side when it
     fits). The edge set SHRINKS monotonically; each round's result is
     pinned with an eager localCheckpoint so no round re-executes its
-    predecessors (anti-exponential-plan, as dedup/cluster.py).
+    predecessors (anti-exponential-plan, as dedup/cluster.py). Rounds
+    past convergence are SKIPPED (r13): a round that drops no edge is
+    a fixpoint, so the early exit returns exactly the ``rounds``-round
+    result — the output stays the same deterministic function of
+    (input, rounds).
 
     Returns (v, core_deg): every node of the ``rounds``-peeled
     subgraph with its degree inside it, both BIGINT.
@@ -314,6 +318,14 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     active = und
+    # adaptive early exit (r13 optimization): each round only ever
+    # DROPS edges, so an unchanged row count means the edge SET is
+    # unchanged — and an unchanged set is a fixpoint of the peel (same
+    # degrees → same keep set → same edges, by induction for every
+    # remaining round). Skipping them is therefore value-identical to
+    # running the full budget; the count is one cheap job over the
+    # round's already-pinned checkpoint blocks.
+    prev_n = und.count()
     for _ in range(rounds):
         deg = (
             active.select(F.col("a").alias("v"))
@@ -327,6 +339,10 @@ def kcore(
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
+        n = active.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return (
         active.select(F.col("a").alias("v"))
         .unionAll(active.select(F.col("b").alias("v")))

@@ -332,6 +332,17 @@ def test_kcore_converged_rounds_invariant(spark):
     )
 
 
+def test_kcore_early_exit_matches_full_budget(spark):
+    """r13 optimization pin: the converged-peel early exit must return
+    the exact fixed-budget result; a 50-round budget on a 2-round
+    cascade also proves the loop breaks instead of burning 48 no-op
+    rounds (it would time out a whole test session otherwise)."""
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _kcore_map(spark, edges, k=2, rounds=50) == _kcore_map(
+        spark, edges, k=2, rounds=8
+    )
+
+
 def test_kcore_dedupes_and_canonicalizes(spark):
     # duplicate, reversed, and self-loop edges collapse to one simple
     # undirected edge set before peeling
