@@ -5109,10 +5109,16 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pHash → Hamming-band blocked pairs (multimodal/phash.py). Every
     step integer → the pair set is hash-proven; the band join is
     recall-exact by pigeonhole, so the oracle's all-pairs Hamming at
-    gate SF is the same set."""
+    gate SF is the same set. Blobs from the session-shared synth
+    artifact (_shared_synth_blobs, r13): the stored-corpus stand-in;
+    decode → pHash → band join still run per execution."""
     from centimators_spark.multimodal.phash import image_phash_dedup
+    from centimators_spark.plans.datapipe_queries import _shared_synth_blobs
 
-    return image_phash_dedup(load_table(spark, sf_dir, "documents"))
+    return image_phash_dedup(
+        load_table(spark, sf_dir, "documents"),
+        blobs=_shared_synth_blobs(spark, sf_dir, "image"),
+    )
 
 
 def q_theta_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5138,12 +5144,17 @@ def q_audio_fingerprint_dedup(
     from doc ids → REAL RIFF/PCM decode → Haitsma-Kalker
     sign-of-energy-difference fingerprint (63 integer bits) →
     Hamming-band blocked pairs. Same hash-proven discipline and band
-    join as image_phash_dedup."""
+    join as image_phash_dedup; blobs from the session-shared synth
+    artifact (_shared_synth_blobs, r13)."""
     from centimators_spark.multimodal.audiofp import (
         audio_fingerprint_dedup,
     )
+    from centimators_spark.plans.datapipe_queries import _shared_synth_blobs
 
-    return audio_fingerprint_dedup(load_table(spark, sf_dir, "documents"))
+    return audio_fingerprint_dedup(
+        load_table(spark, sf_dir, "documents"),
+        blobs=_shared_synth_blobs(spark, sf_dir, "audio"),
+    )
 
 
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5170,10 +5181,17 @@ def q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic RAWV clips → REAL frame-sampling stage
     (sample_video_frames, every 4th frame) → per-frame integer DCT
     pHash → per-position banded candidate join → verify EVERY sampled
-    position within the threshold (hamming = max over positions)."""
+    position within the threshold (hamming = max over positions).
+    Clips from the session-shared synth artifact (_shared_synth_blobs,
+    r13): the stored-corpus stand-in; frame sampling → pHash → band
+    join still run per execution."""
     from centimators_spark.multimodal.videofp import video_phash_dedup
+    from centimators_spark.plans.datapipe_queries import _shared_synth_blobs
 
-    return video_phash_dedup(load_table(spark, sf_dir, "documents"))
+    return video_phash_dedup(
+        load_table(spark, sf_dir, "documents"),
+        blobs=_shared_synth_blobs(spark, sf_dir, "video"),
+    )
 
 
 def _r11_staged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6147,6 +6165,7 @@ def q_multimodal_corpus_clean(
     the funnel is four map-side-combined counts joined on a
     20-value key. All-integer output: hash-proven end to end."""
     from centimators_spark.multimodal.phash import image_phash_dedup
+    from centimators_spark.plans.datapipe_queries import _shared_synth_blobs
     from centimators_spark.text.portable import tokens
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -6172,8 +6191,14 @@ def q_multimodal_corpus_clean(
     s2 = s1.join(keep, ["pfx_md5", "doc_id"], "left_semi").localCheckpoint(
         eager=True
     )
+    # blob table: the session-shared synth artifact restricted to the
+    # survivors (synth is a pure per-id function, so the semi-joined
+    # slice is byte-identical to synthesizing over s2; r13)
+    blobs = _shared_synth_blobs(spark, sf_dir, "image").join(
+        s2.select("doc_id"), "doc_id", "left_semi"
+    )
     pairs = image_phash_dedup(
-        s2, max_hamming=MMCLEAN_MAX_HAMMING
+        s2, max_hamming=MMCLEAN_MAX_HAMMING, blobs=blobs
     )
     drop = pairs.select(F.col("d2").alias("doc_id")).distinct()
     s3 = s2.join(drop, "doc_id", "left_anti")

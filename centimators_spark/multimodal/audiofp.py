@@ -176,12 +176,23 @@ def audio_fingerprint(
 
 
 def audio_fingerprint_dedup(
-    df: DataFrame, *, id_col: str = "doc_id", max_hamming: int = 6
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    blobs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end audio near-dup: synth WAV corpus → REAL decode →
     energy-difference fingerprint → Hamming-band pairs
-    (d1, d2, hamming)."""
-    codes = audio_fingerprint(synth_wav_clips(df, id_col=id_col))
+    (d1, d2, hamming).
+
+    ``blobs``: optionally a prebuilt (doc_id, content) clip table for
+    exactly ``df``'s ids (see phash.image_phash_dedup — values
+    identical by construction; decode → fingerprint → band join still
+    run in full)."""
+    codes = audio_fingerprint(
+        blobs if blobs is not None else synth_wav_clips(df, id_col=id_col)
+    )
     codes = codes.localCheckpoint(eager=True)  # one kernel pass, not two
     return hamming_band_pairs(
         codes, code_col="afp", max_hamming=max_hamming

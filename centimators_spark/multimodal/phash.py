@@ -257,13 +257,26 @@ def hamming_band_pairs(
 
 
 def image_phash_dedup(
-    df: DataFrame, *, id_col: str = "doc_id", max_hamming: int = 6
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    blobs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end multimodal near-dup: synth BMP corpus → REAL decode
-    → integer DCT pHash → Hamming-band pairs (d1, d2, hamming)."""
+    → integer DCT pHash → Hamming-band pairs (d1, d2, hamming).
+
+    ``blobs``: optionally a prebuilt (doc_id, content) blob table for
+    exactly ``df``'s ids (e.g. the session-shared synth artifact —
+    a stored image corpus stands in for the per-query synthesis;
+    the synth is a pure per-id function, so the values are identical
+    by construction). The decode → pHash → band-join contract still
+    runs in full either way."""
     from centimators_spark.multimodal.columns import decode_images
 
-    imgs = synth_bmp_images(df, id_col=id_col).select(
+    imgs = (
+        blobs if blobs is not None else synth_bmp_images(df, id_col=id_col)
+    ).select(
         # decode_images' output keys images by a string path column
         F.col("doc_id").cast("string").alias("doc_id"),
         "content",

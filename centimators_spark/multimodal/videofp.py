@@ -172,17 +172,26 @@ def frame_phash(frames: DataFrame) -> DataFrame:
 
 
 def video_phash_dedup(
-    df: DataFrame, *, id_col: str = "doc_id", max_hamming: int = 6
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    blobs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end video near-dup: synth RAWV corpus → REAL frame
     sampling → per-frame pHash → banded candidate join per frame
     position → verify EVERY sampled position ≤ max_hamming. Returns
-    (d1, d2, hamming) with hamming = the max over sampled positions."""
+    (d1, d2, hamming) with hamming = the max over sampled positions.
+
+    ``blobs``: optionally a prebuilt (doc_id, content) clip table for
+    exactly ``df``'s ids (see phash.image_phash_dedup — values
+    identical by construction; frame sampling → pHash → band join
+    still run in full)."""
     from centimators_spark.multimodal.columns import sample_video_frames
 
-    clips = synth_rawv_clips(df, id_col=id_col).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "content"
-    )
+    clips = (
+        blobs if blobs is not None else synth_rawv_clips(df, id_col=id_col)
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "content")
     frames = sample_video_frames(
         clips, content_col="content", path_col="doc_id", every_n=EVERY_N
     )

@@ -103,6 +103,38 @@ def test_image_phash_dedup_matches_oracle_small(spark):
     assert compare("image_phash_dedup_small", sdf, odf)
 
 
+def test_phash_dedup_blob_table_matches_synth(spark):
+    """r13 optimization pin: passing a prebuilt blob table (the
+    session-shared synth artifact's shape) must give the identical
+    pair set as in-query synthesis — including over a SUBSET of the
+    corpus via semi-join (the multimodal_corpus_clean slice), because
+    the synth is a pure per-id function."""
+    from pyspark.sql import functions as F
+
+    from centimators_spark.multimodal.phash import (
+        image_phash_dedup,
+        synth_bmp_images,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(24)], "doc_id long, text string"
+    )
+    blobs = synth_bmp_images(df).localCheckpoint(eager=True)
+    base = {tuple(r) for r in image_phash_dedup(df).collect()}
+    via_blobs = {
+        tuple(r) for r in image_phash_dedup(df, blobs=blobs).collect()
+    }
+    assert via_blobs == base and len(base) > 0
+
+    sub = df.where(F.col("doc_id") % 3 != 1)
+    sub_blobs = blobs.join(sub.select("doc_id"), "doc_id", "left_semi")
+    sub_base = {tuple(r) for r in image_phash_dedup(sub).collect()}
+    sub_via = {
+        tuple(r) for r in image_phash_dedup(sub, blobs=sub_blobs).collect()
+    }
+    assert sub_via == sub_base and len(sub_base) > 0
+
+
 def test_image_phash_plan_uses_band_join(spark):
     """The pair stage must be a band-key equi-join, never a cartesian
     product over images."""
