@@ -5128,11 +5128,17 @@ def q_theta_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer theta/count/floor-div estimator, with the exact
     intersection riding along as the accuracy witness
     (sketches.theta_sketch_intersections). Fourth sketch family beside
-    HLL, the percentile sketch, and count-min."""
+    HLL, the percentile sketch, and count-min. Item stream from the
+    session-shared ingest table (_shared_source_grams, r13); sketch
+    build + set algebra still run per execution."""
+    from centimators_spark.plans.datapipe_queries import (
+        _shared_source_grams,
+    )
     from centimators_spark.sketches import theta_sketch_intersections
 
     return theta_sketch_intersections(
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents"),
+        grams=_shared_source_grams(spark, sf_dir),
     )
 
 
@@ -6273,10 +6279,19 @@ def q_theta_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches.theta_sketch_a_not_b): per ORDERED source pair, distinct
     3-grams unique to A — the 'what would removing this source lose'
     audit, completing the theta family beside the intersection. Exact
-    integer theta/count/floor-div estimator; true_diff witness."""
+    integer theta/count/floor-div estimator; true_diff witness.
+    Item stream from the session-shared ingest table
+    (_shared_source_grams, r13); sketch build + set algebra still run
+    per execution."""
+    from centimators_spark.plans.datapipe_queries import (
+        _shared_source_grams,
+    )
     from centimators_spark.sketches import theta_sketch_a_not_b
 
-    return theta_sketch_a_not_b(load_table(spark, sf_dir, "documents"))
+    return theta_sketch_a_not_b(
+        load_table(spark, sf_dir, "documents"),
+        grams=_shared_source_grams(spark, sf_dir),
+    )
 
 
 def q_order_priority_counts(
@@ -6411,10 +6426,19 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram union estimated from the 64-register sketches alone by the
     register-wise max MERGE — the operation that makes HLL the 100 TB
     per-partition distinct. Completes the sketch set algebra with
-    theta intersection and A-NOT-B difference; true_union witness."""
+    theta intersection and A-NOT-B difference; true_union witness.
+    Item stream from the session-shared ingest table
+    (_shared_source_grams, r13); register build + merge still run per
+    execution."""
+    from centimators_spark.plans.datapipe_queries import (
+        _shared_source_grams,
+    )
     from centimators_spark.sketches import hll_union_pairs
 
-    return hll_union_pairs(load_table(spark, sf_dir, "documents"))
+    return hll_union_pairs(
+        load_table(spark, sf_dir, "documents"),
+        grams=_shared_source_grams(spark, sf_dir),
+    )
 
 
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:

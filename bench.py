@@ -59,6 +59,11 @@ FAMILY_PAIRS = [
     ("kcore_dupgraph", "dedup_clusters_star"),
     ("label_propagation", "kcore_dupgraph"),
     ("corpus_clean", "label_propagation"),
+    # r13 optimization: the three sketch set-algebra audits consume
+    # the session-shared (source, gram) ingest table
+    # (_shared_source_grams) — chain them so one fresh JVM ingests once
+    ("theta_a_not_b", "theta_intersections"),
+    ("hll_union", "theta_a_not_b"),
 ]
 
 # The one-pass resampling family's 33-66 decimal aggregation buffers

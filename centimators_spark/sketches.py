@@ -410,6 +410,7 @@ def theta_sketch_intersections(
     by: str = "source",
     k: int = THETA_K,
     n: int = 3,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Theta/KMV sketch set-intersection audit (Dasgupta et al. 2016,
     the DataSketches theta family) — "how many distinct items appear
@@ -440,19 +441,22 @@ def theta_sketch_intersections(
 
     from pyspark.sql import Window
 
-    grams = (
-        df.select(
-            F.col(by).alias("g"),
-            F.explode(
-                token_ngrams(tokens(F.col(content_col)), n)
-            ).alias("gram"),
+    if grams is None:
+        grams = (
+            df.select(
+                F.col(by).alias("g"),
+                F.explode(
+                    token_ngrams(tokens(F.col(content_col)), n)
+                ).alias("gram"),
+            )
+            .distinct()
+            # ONE corpus derivation for both the sketch path and the
+            # exact-truth witness (r13 optimization: the lazy form
+            # re-ran tokenize+explode+distinct per consumer); pass
+            # grams= (the session-shared ingest table) when several
+            # sketch queries audit the same item stream
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        # ONE corpus derivation for both the sketch path and the
-        # exact-truth witness (r13 optimization: the lazy form
-        # re-ran tokenize+explode+distinct per consumer)
-        .localCheckpoint(eager=True)
-    )
     hashes = grams.select(
         "g", md5_long(F.col("gram")).alias("h")
     ).distinct()
@@ -600,6 +604,7 @@ def theta_sketch_a_not_b(
     by: str = "source",
     k: int = THETA_K,
     n: int = 3,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Theta/KMV A-NOT-B set-difference estimate (the DataSketches
     ``a_not_b`` operation) — per ORDERED source pair, how many distinct
@@ -626,18 +631,20 @@ def theta_sketch_a_not_b(
 
     from centimators_spark.text.portable import token_ngrams
 
-    grams = (
-        df.select(
-            F.col(by).alias("g"),
-            F.explode(
-                token_ngrams(tokens(F.col(content_col)), n)
-            ).alias("gram"),
+    if grams is None:
+        grams = (
+            df.select(
+                F.col(by).alias("g"),
+                F.explode(
+                    token_ngrams(tokens(F.col(content_col)), n)
+                ).alias("gram"),
+            )
+            .distinct()
+            # ONE corpus derivation for the sketch path, the per-group
+            # totals and the truth witness (r13 optimization); grams=
+            # for the session-shared ingest table
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        # ONE corpus derivation for the sketch path, the per-group
-        # totals and the truth witness (r13 optimization)
-        .localCheckpoint(eager=True)
-    )
     hashes = grams.select(
         "g", md5_long(F.col("gram")).alias("h")
     ).distinct()
@@ -1358,6 +1365,7 @@ def hll_union_pairs(
     content_col: str = "text",
     by: str = "source",
     n: int = 3,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """HLL union per group pair — the MERGE operation that is the
     whole point of HLL (register-wise max): estimate the distinct
@@ -1380,16 +1388,17 @@ def hll_union_pairs(
     cost is register-table-sized."""
     from centimators_spark.text.portable import token_ngrams
 
-    grams = (
-        df.select(
-            F.col(by).alias("g"),
-            F.explode(
-                token_ngrams(tokens(F.col(content_col)), n)
-            ).alias("gram"),
+    if grams is None:
+        grams = (
+            df.select(
+                F.col(by).alias("g"),
+                F.explode(
+                    token_ngrams(tokens(F.col(content_col)), n)
+                ).alias("gram"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     # no .distinct() on the hash projection: _hll_registers takes a
     # per-register MAX, which is multiplicity-invariant — the dedup
     # shuffle bought nothing (r13 optimization; md5-collision dedup
