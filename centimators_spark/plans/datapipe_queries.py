@@ -916,6 +916,15 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = quality_exprs(
         F.col("__text"), F.col("__lo"), F.col("__tok"), F.col("__dtok")
     )["quality"]
+    # PIN the narrow signal frame (r13 optimization, guide §4.4's
+    # duplication applied to pure expressions): the threshold WHERE
+    # below references the computed columns, and Catalyst pushes it
+    # underneath this projection by SUBSTITUTING the full signal
+    # trees into the filter condition — every doc then paid the
+    # tokenize/quality/dup-gram chains twice (once inline in the
+    # Filter, once in the Project; measured +2 s at sf0.1). The
+    # eager checkpoint is a materialization boundary the pushdown
+    # cannot cross; 4 narrow columns per doc, values unchanged.
     sig = staged2.select(
         "doc_id",
         lang_pred.alias("lang_pred"),
@@ -923,7 +932,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_char_frac_expr(F.col("__dupg"), F.col("__chars")).alias(
             "dup_ngram_char_frac"
         ),
-    )
+    ).localCheckpoint(eager=True)
     # keep-one-per-cluster as an anti-join on the fused frame (the old
     # deduplicate() call scanned docs a fourth time just to produce
     # the kept id list)
