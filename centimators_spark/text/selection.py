@@ -49,11 +49,18 @@ def token_budget_select(
     sum stays within ``floor(total_tokens · budget_frac)``. Returns
     (doc_id, score, n_tokens, cum_tokens) for the selected prefix."""
     nc = int(n_cells)
+    # PIN the narrow (doc_id, score, tokens) selection input: THREE
+    # lazy consumers read it (the totals agg, the within-cell window,
+    # the cell-totals agg) and `scored` is usually an expensive
+    # upstream plan (dsir_budget_select measured 64 exchanges from the
+    # re-evaluation; r13 optimization, guide §2.4). Values unchanged;
+    # at cluster scale this is the staged selection table a pipeline
+    # writes before the budget pass.
     base = scored.select(
         F.col(id_col).alias("doc_id"),
         F.col(score_col).cast("long").alias("__s"),
         F.col(token_col).cast("long").alias("__t"),
-    )
+    ).localCheckpoint(eager=True)
     totals = base.agg(
         F.sum("__t").alias("__tot"),
         F.min(F.col("__s").cast("double")).alias("__smin"),
