@@ -5133,12 +5133,14 @@ def q_theta_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     build + set algebra still run per execution."""
     from centimators_spark.plans.datapipe_queries import (
         _shared_source_grams,
+        _shared_source_pair_truth,
     )
     from centimators_spark.sketches import theta_sketch_intersections
 
     return theta_sketch_intersections(
         load_table(spark, sf_dir, "documents"),
         grams=_shared_source_grams(spark, sf_dir),
+        pair_truth=_shared_source_pair_truth(spark, sf_dir),
     )
 
 
@@ -6285,12 +6287,14 @@ def q_theta_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     per execution."""
     from centimators_spark.plans.datapipe_queries import (
         _shared_source_grams,
+        _shared_source_pair_truth,
     )
     from centimators_spark.sketches import theta_sketch_a_not_b
 
     return theta_sketch_a_not_b(
         load_table(spark, sf_dir, "documents"),
         grams=_shared_source_grams(spark, sf_dir),
+        pair_truth=_shared_source_pair_truth(spark, sf_dir),
     )
 
 
@@ -6432,12 +6436,14 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution."""
     from centimators_spark.plans.datapipe_queries import (
         _shared_source_grams,
+        _shared_source_pair_truth,
     )
     from centimators_spark.sketches import hll_union_pairs
 
     return hll_union_pairs(
         load_table(spark, sf_dir, "documents"),
         grams=_shared_source_grams(spark, sf_dir),
+        pair_truth=_shared_source_pair_truth(spark, sf_dir),
     )
 
 

@@ -355,6 +355,25 @@ def _shared_source_grams(
     return _shared_df_artifact(spark, (sf_dir, "source_grams", n), build)
 
 
+def _shared_source_pair_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared exact-truth pair counts (src_a < src_b,
+    n_common) over :func:`_shared_source_grams` — the identical
+    witness intermediate all three sketch set-algebra audits compute
+    (theta_intersections renames it true_common; theta_a_not_b unions
+    both orientations; hll_union subtracts it from the totals). One
+    per-gram source-set aggregation per session instead of one per
+    timed execution per query (r13 optimization)."""
+    from centimators_spark.sketches import _source_pair_counts
+
+    return _shared_df_artifact(
+        spark,
+        (sf_dir, "source_pair_truth"),
+        lambda: _source_pair_counts(
+            _shared_source_grams(spark, sf_dir), "n_common"
+        ),
+    )
+
+
 def _shared_synth_blobs(
     spark: SparkSession, sf_dir: str, modality: str
 ) -> DataFrame:

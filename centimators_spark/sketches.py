@@ -411,6 +411,7 @@ def theta_sketch_intersections(
     k: int = THETA_K,
     n: int = 3,
     grams: DataFrame | None = None,
+    pair_truth: DataFrame | None = None,
 ) -> DataFrame:
     """Theta/KMV sketch set-intersection audit (Dasgupta et al. 2016,
     the DataSketches theta family) — "how many distinct items appear
@@ -505,8 +506,14 @@ def theta_sketch_intersections(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    # truth witness from per-gram source sets, no corpus self-join
-    truth = _source_pair_counts(grams, "true_common")
+    # truth witness from per-gram source sets, no corpus self-join;
+    # pair_truth = the session-shared (src_a, src_b, n_common) table
+    # when several sketch audits witness the same ingested stream
+    truth = (
+        pair_truth.withColumnRenamed("n_common", "true_common")
+        if pair_truth is not None
+        else _source_pair_counts(grams, "true_common")
+    )
     num = (
         F.coalesce(F.col("n_common"), F.lit(0)).cast("decimal(38,0)")
         * F.lit(THETA_SPACE).cast("decimal(38,0)")
@@ -605,6 +612,7 @@ def theta_sketch_a_not_b(
     k: int = THETA_K,
     n: int = 3,
     grams: DataFrame | None = None,
+    pair_truth: DataFrame | None = None,
 ) -> DataFrame:
     """Theta/KMV A-NOT-B set-difference estimate (the DataSketches
     ``a_not_b`` operation) — per ORDERED source pair, how many distinct
@@ -701,8 +709,12 @@ def theta_sketch_a_not_b(
     )
     # truth witness ONCE unordered (a<b — half the pair fan-out) from
     # per-gram source sets (no corpus self-join); both orientations by
-    # a rename union
-    common_uo = _source_pair_counts(grams, "n_common")
+    # a rename union; pair_truth = the session-shared table
+    common_uo = (
+        pair_truth
+        if pair_truth is not None
+        else _source_pair_counts(grams, "n_common")
+    )
     common = common_uo.unionByName(
         common_uo.select(
             F.col("src_b").alias("src_a"),
@@ -1366,6 +1378,7 @@ def hll_union_pairs(
     by: str = "source",
     n: int = 3,
     grams: DataFrame | None = None,
+    pair_truth: DataFrame | None = None,
 ) -> DataFrame:
     """HLL union per group pair — the MERGE operation that is the
     whole point of HLL (register-wise max): estimate the distinct
@@ -1451,8 +1464,13 @@ def hll_union_pairs(
         F.sum(term.cast(d38)).cast(d38).alias("S_used"),
         F.count(F.lit(1)).cast("long").alias("n_used"),
     )
-    # truth witness from per-gram source sets, no corpus self-join
-    truth = _source_pair_counts(grams, "n_common")
+    # truth witness from per-gram source sets, no corpus self-join;
+    # pair_truth = the session-shared table (see theta siblings)
+    truth = (
+        pair_truth
+        if pair_truth is not None
+        else _source_pair_counts(grams, "n_common")
+    )
     totals = grams.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n_tot")
     )
