@@ -87,22 +87,25 @@ def connected_components(
                 ).alias("cluster"),
             )
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .where(F.col("u.cluster") != F.col("l.cluster"))
-            .limit(1)
-            .count()
-        )
         prev_labels = labels
         # per-round labels ALWAYS pin: `updated` references `labels`
         # twice, so an unpinned fixpoint doubles the logical plan every
         # round (exponential Catalyst blow-up) — materialize='none'
-        # governs the edge list only
+        # governs the edge list only. Pin BEFORE the change count (r13
+        # optimization): the count and the next round are two
+        # consumers, and counting the unpinned frame re-ran the whole
+        # round subtree a second time.
         labels = (
             updated.localCheckpoint(eager=True)
             if materialize != "persist"
             else _pin(updated)
+        )
+        changed = (
+            labels.alias("u")
+            .join(prev_labels.alias("l"), "node")
+            .where(F.col("u.cluster") != F.col("l.cluster"))
+            .limit(1)
+            .count()
         )
         if materialize == "persist":
             prev_labels.unpersist()
@@ -238,10 +241,18 @@ def connected_components_star(
         m = sym.groupBy("n").agg(
             F.least(F.min("nb"), F.first("n")).alias("m")
         )
-        attl = sym.join(m, "n").where(F.col("nb") > F.col("n"))
+        # pin the large-star attachment BEFORE the change count: the
+        # count and the small-star step below are two consumers, and
+        # unpinned each re-ran the whole sym/min/join subtree (r13
+        # optimization — one evaluation per round instead of two)
+        attl = (
+            sym.join(m, "n")
+            .where(F.col("nb") > F.col("n"))
+            .localCheckpoint(eager=True)
+        )
         # a large-star round changed something iff any greater neighbor
         # gets a parent other than its current one — a limit(1) count
-        # on the already-built frame, far cheaper than set-difference
+        # on the pinned frame, far cheaper than set-difference
         lchg = (
             attl.where(F.col("m") != F.col("n")).limit(1).count()
         )
