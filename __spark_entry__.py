@@ -6431,20 +6431,18 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     register-wise max MERGE — the operation that makes HLL the 100 TB
     per-partition distinct. Completes the sketch set algebra with
     theta intersection and A-NOT-B difference; true_union witness.
-    Item stream from the session-shared ingest table
-    (_shared_source_grams, r13); register build + merge still run per
-    execution."""
-    from centimators_spark.plans.datapipe_queries import (
-        _shared_source_grams,
-        _shared_source_pair_truth,
-    )
+
+    THE SKETCH FAMILY'S TIMED PAYER (r14, round-13 verdict item 1):
+    this query deliberately does NOT read the session-shared
+    _shared_source_grams / _shared_source_pair_truth artifacts — it
+    rebuilds the tokenize → explode → distinct ingest AND the
+    exact-truth pair witness inside its own timed plan (the
+    dedup_minhash_lsh pattern), so the family's bench subtotal always
+    includes one full ingest + witness execution. The two theta
+    siblings keep the artifacts."""
     from centimators_spark.sketches import hll_union_pairs
 
-    return hll_union_pairs(
-        load_table(spark, sf_dir, "documents"),
-        grams=_shared_source_grams(spark, sf_dir),
-        pair_truth=_shared_source_pair_truth(spark, sf_dir),
-    )
+    return hll_union_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:

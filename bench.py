@@ -59,11 +59,13 @@ FAMILY_PAIRS = [
     ("kcore_dupgraph", "dedup_clusters_star"),
     ("label_propagation", "kcore_dupgraph"),
     ("corpus_clean", "label_propagation"),
-    # r13 optimization: the three sketch set-algebra audits consume
-    # the session-shared (source, gram) ingest table
-    # (_shared_source_grams) — chain them so one fresh JVM ingests once
+    # r13/r14: the two THETA set-algebra audits consume the
+    # session-shared (source, gram) ingest table (_shared_source_grams)
+    # — chain them so one fresh JVM ingests once. hll_union is the
+    # family's TIMED PAYER (r13 verdict item 1): it rebuilds
+    # ingest + witness artifact-free inside its own plan, so it needs
+    # no chunk placement — its timing is the same in any JVM.
     ("theta_a_not_b", "theta_intersections"),
-    ("hll_union", "theta_a_not_b"),
 ]
 
 # The one-pass resampling family's 33-66 decimal aggregation buffers

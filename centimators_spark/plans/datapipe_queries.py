@@ -333,14 +333,19 @@ def _shared_source_grams(
 ) -> DataFrame:
     """Session-shared distinct (source, n-gram) ITEM table over
     documents — the sketch-at-ingest artifact (r13 optimization): the
-    three sketch set-algebra audits (theta_intersections,
-    theta_a_not_b, hll_union) each query the same ingested item
-    stream, and were each re-running tokenize → explode → distinct →
-    checkpoint inside every timed execution. A production pipeline
-    sketches at ingest: the item stream exists once; the per-query
-    work is the sketch build + set algebra, which every consumer
-    still runs in full (_shared_gram_inv's discipline at source
-    grain)."""
+    theta set-algebra audits (theta_intersections, theta_a_not_b)
+    query the same ingested item stream, and were each re-running
+    tokenize → explode → distinct → checkpoint inside every timed
+    execution. A production pipeline sketches at ingest: the item
+    stream exists once; the per-query work is the sketch build + set
+    algebra, which every consumer still runs in full
+    (_shared_gram_inv's discipline at source grain).
+
+    TIMED PAYER (r14, round-13 verdict item 1): ``q_hll_union``
+    rebuilds this ingest AND the pair-truth witness artifact-free
+    inside its own timed plan, so the bench always charges one full
+    ingest + witness execution to a declared query
+    (tests/test_artifact_honesty.py enforces this)."""
     from centimators_spark.text.portable import token_ngrams, tokens
 
     def build() -> DataFrame:
@@ -358,11 +363,13 @@ def _shared_source_grams(
 def _shared_source_pair_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-shared exact-truth pair counts (src_a < src_b,
     n_common) over :func:`_shared_source_grams` — the identical
-    witness intermediate all three sketch set-algebra audits compute
+    witness intermediate the theta set-algebra audits compute
     (theta_intersections renames it true_common; theta_a_not_b unions
-    both orientations; hll_union subtracts it from the totals). One
-    per-gram source-set aggregation per session instead of one per
-    timed execution per query (r13 optimization)."""
+    both orientations). One per-gram source-set aggregation per
+    session instead of one per timed execution per query (r13).
+    ``q_hll_union`` is the family's timed payer and recomputes this
+    witness artifact-free in its own plan (r14; see
+    _shared_source_grams)."""
     from centimators_spark.sketches import _source_pair_counts
 
     return _shared_df_artifact(
