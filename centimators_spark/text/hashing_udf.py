@@ -120,10 +120,22 @@ def gram_frame(df: DataFrame, content_col: str, id_col: str, n: int) -> DataFram
 
 
 def minhash_signatures_udf(
-    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, grams, sig: array<long>[NUM_PERM]) via Arrow-batched numpy."""
-    grams = gram_frame(df, content_col, id_col, n)
+    """(doc_id, grams, sig: array<long>[NUM_PERM]) via Arrow-batched numpy.
+
+    ``grams``: optionally a prebuilt :func:`gram_frame` (doc_id, grams)
+    — pass the session-shared shingling artifact when several
+    consumers run over the same corpus so tokenize+shingle executes
+    once (r14; the 64-perm signature kernel below still runs in full
+    per execution, and the values are identical because gram_frame is
+    deterministic)."""
+    if grams is None:
+        grams = gram_frame(df, content_col, id_col, n)
     out_schema = StructType(
         [
             grams.schema["doc_id"],
