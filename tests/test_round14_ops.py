@@ -318,3 +318,43 @@ def test_incremental_agg_composes_across_days(spark):
     # A: k1 deleted, k2 -> 25 => (1, 25); B untouched (1, 5);
     # NULL: k4 -> 8 => (1, 8)
     assert got == {"A": (1, 25), "B": (1, 5), None: (1, 8)}
+
+
+def test_bootstrap_kernels_agree_across_md5_paths(spark):
+    """r14: the Arrow kernels' vectorized single-block MD5 + reduceat
+    partial sums must be value-identical to the pure-JVM expression
+    kernel on ids exercising BOTH the fast path (short ASCII) and the
+    hashlib fallback (oversized / non-ASCII ids force pack_base to
+    reject the whole batch)."""
+    import pandas as pd
+
+    from centimators_spark.ml.bootstrap import (
+        bootstrap_mean_ci,
+        permutation_sign_test,
+    )
+
+    def frame(ids):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "g": [f"G{i % 3}" for i in range(len(ids))],
+                    "id": ids,
+                    "v": [(-1) ** i * (i * 13.37 + 0.01) for i in range(len(ids))],
+                }
+            )
+        )
+
+    short_ids = [f"{i * 7}:{i % 5}" for i in range(200)]
+    long_ids = ["x" * 60 + str(i) for i in range(100)] + ["ünïcode" + str(i) for i in range(100)]
+    for ids in (short_ids, long_ids):
+        df = frame(ids)
+        for fn in (bootstrap_mean_ci, permutation_sign_test):
+            a = (
+                fn(df, "g", "id", "v", kernel="arrow")
+                .toPandas().sort_values("grp").reset_index(drop=True)
+            )
+            e = (
+                fn(df, "g", "id", "v", kernel="expr")
+                .toPandas().sort_values("grp").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a, e)
